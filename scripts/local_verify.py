@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run graft.Verify at a
+given SF, then execute each oracle SQL in DuckDB over the same parquet
+tables and compare values (sorted rows, sorted columns).
+
+Usage: python3 scripts/local_verify.py [sfdir] [outdir] [query ...]
+"""
+import json, math, subprocess, sys
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+ONLY = set(sys.argv[3:])
+
+import duckdb
+import pyarrow.parquet as pq
+import glob, os
+
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+with open(f"{OUT}/oracle_sql.json") as f:
+    oracles = json.load(f)
+
+def canon(v):
+    if isinstance(v, float):
+        if math.isnan(v): return "NaN"
+        return repr(v)
+    return str(v)
+
+def table_key(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    keyed = sorted(tuple(canon(r[i]) for i in order) for r in rows)
+    return keyed
+
+fails = 0
+for name in sorted(oracles):
+    if ONLY and name not in ONLY: continue
+    sql = oracles[name]
+    pdir = f"{OUT}/{name}"
+    files = glob.glob(f"{pdir}/*.parquet")
+    if not files:
+        print(f"FAIL {name}: no spark output"); fails += 1; continue
+    try:
+        tbl = pq.read_table(pdir)
+    except Exception as e:
+        print(f"FAIL {name}: read spark output: {e}"); fails += 1; continue
+    try:
+        res = con.execute(sql)
+        orows = res.fetchall()
+        ocols = [d[0] for d in res.description]
+    except Exception as e:
+        print(f"FAIL {name}: duckdb error: {e}"); fails += 1; continue
+    scols = tbl.column_names
+    srows = [tuple(col[i].as_py() for col in tbl.columns) for i in range(tbl.num_rows)]
+    if sorted(scols) != sorted(ocols):
+        print(f"FAIL {name}: columns spark={sorted(scols)} oracle={sorted(ocols)}")
+        fails += 1; continue
+    sk, ok = table_key(srows, scols), table_key(orows, ocols)
+    if len(sk) != len(ok):
+        print(f"FAIL {name}: rows spark={len(sk)} oracle={len(ok)}"); fails += 1; continue
+    if sk != ok:
+        bad = next(i for i in range(len(sk)) if sk[i] != ok[i])
+        print(f"FAIL {name}: value mismatch at sorted-row {bad}:")
+        print(f"  spark : {sk[bad]}")
+        print(f"  oracle: {ok[bad]}")
+        fails += 1; continue
+    print(f"OK   {name}: {len(sk)} rows")
+
+# rows-only queries (no oracle): just check output exists and has rows
+for pdir in sorted(glob.glob(f"{OUT}/*/")):
+    name = os.path.basename(pdir.rstrip("/"))
+    if name in oracles or (ONLY and name not in ONLY): continue
+    try:
+        n = pq.read_table(pdir).num_rows
+        print(f"OK?  {name}: {n} rows (no oracle)" if n > 0 else f"FAIL {name}: 0 rows")
+        if n == 0: fails += 1
+    except Exception as e:
+        print(f"FAIL {name}: {e}"); fails += 1
+
+sys.exit(1 if fails else 0)

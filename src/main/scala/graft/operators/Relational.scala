@@ -1,0 +1,259 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational operator coverage per SURVEY.md §2.9: projection-only scan,
+  * predicate pushdown, IN/LIKE, TopK, joins (incl. semi/anti/multi-way),
+  * aggregation, windows, set ops, rollup, scalar subqueries.
+  *
+  * The reference executes none of these itself — it pushes them to the
+  * remote engine or leaves them to DataFusion
+  * (reference `SURVEY.md §2.4`, `crates/common/src/sql/sql_provider_datafusion/mod.rs:219-228`).
+  * Here Spark SQL *is* the engine; every query is declared with the
+  * DataFrame API so Catalyst handles pruning/pushdown/join planning.
+  *
+  * Scale notes (100 TB design):
+  *   - dimension tables (region/nation/supplier/part) are explicitly
+  *     `broadcast()` so fact-table joins never shuffle the big side;
+  *   - aggregations are partial-aggregated map-side by Spark automatically
+  *     (hash aggregate with partial merge) — no collect-to-driver anywhere;
+  *   - all money arithmetic routes through DECIMAL(18,2) so results are
+  *     scale-independent and bit-stable (also avoids double-summation
+  *     order-dependence across partitions/executors — a correctness
+  *     property at ANY cluster size, not just for the oracle).
+  */
+object Relational {
+  private val D = DecimalType(18, 2)
+  private def dec(c: Column): Column = c.cast(D)
+  private def ts(s: String): Column = lit(java.sql.Timestamp.valueOf(s))
+
+  def queries: Seq[Q] = Seq(
+    Q("q01_pruned_scan",
+      "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem " +
+        "ORDER BY l_orderkey, l_linenumber") { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    Q("q02_filter_pushdown",
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate FROM lineitem " +
+        "WHERE l_quantity > 30 AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00' " +
+        "ORDER BY l_orderkey, l_linenumber") { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_quantity") > 30 && col("l_shipdate") < ts("1996-01-01 00:00:00"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    Q("q03_in_like",
+      "SELECT p_partkey, p_brand, p_type, p_retailprice FROM part " +
+        "WHERE p_brand IN ('Brand#11','Brand#22','Brand#33') AND p_type LIKE 'S%' " +
+        "ORDER BY p_partkey") { (s, dir) =>
+      Tables.load(s, dir, "part")
+        .filter(col("p_brand").isin("Brand#11", "Brand#22", "Brand#33") &&
+          col("p_type").like("S%"))
+        .select("p_partkey", "p_brand", "p_type", "p_retailprice")
+        .orderBy("p_partkey")
+    },
+
+    Q("q04_topk",
+      "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem " +
+        "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10") { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(10) // plans as TakeOrderedAndProject: per-partition top-k, no full sort
+    },
+
+    Q("q05_join_agg",
+      "SELECT o_orderkey, o_orderpriority, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue " +
+        "FROM orders JOIN lineitem ON l_orderkey = o_orderkey " +
+        "WHERE o_orderstatus = 'O' GROUP BY o_orderkey, o_orderpriority " +
+        "ORDER BY o_orderkey") { (s, dir) =>
+      val o = Tables.load(s, dir, "orders").filter(col("o_orderstatus") === "O")
+      val l = Tables.load(s, dir, "lineitem")
+      o.join(l, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy("o_orderkey")
+    },
+
+    Q("q06_agg_tpch_q1",
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin.replace("\n", " ")) { (s, dir) =>
+      val discPrice = (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast(DecimalType(18, 4))
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(discPrice).cast("double").as("sum_disc_price"),
+          sum(discPrice * (lit(1) + dec(col("l_tax")))).cast("double").as("sum_charge"),
+          (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    Q("q07_window_rank",
+      "SELECT c_custkey, c_nationkey, c_acctbal, " +
+        "RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS rnk " +
+        "FROM customer ORDER BY c_nationkey, rnk, c_custkey") { (s, dir) =>
+      val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal").desc)
+      Tables.load(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+          rank().over(w).as("rnk"))
+        .orderBy(col("c_nationkey"), col("rnk"), col("c_custkey"))
+    },
+
+    Q("q08_window_running",
+      "SELECT l_suppkey, l_orderkey, l_linenumber, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_suppkey " +
+        "ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_qty " +
+        "FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber") { (s, dir) =>
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          sum(dec(col("l_quantity"))).over(w).cast("double").as("running_qty"))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    },
+
+    Q("q09_setops",
+      "SELECT nkey FROM (SELECT c_nationkey AS nkey FROM customer INTERSECT " +
+        "SELECT s_nationkey AS nkey FROM supplier) ORDER BY nkey") { (s, dir) =>
+      val c = Tables.load(s, dir, "customer").select(col("c_nationkey").as("nkey"))
+      val sup = Tables.load(s, dir, "supplier").select(col("s_nationkey").as("nkey"))
+      c.intersect(sup).orderBy("nkey")
+    },
+
+    Q("q10_semi_join",
+      "SELECT c_custkey, c_name FROM customer WHERE EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F') " +
+        "ORDER BY c_custkey") { (s, dir) =>
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    },
+
+    Q("q11_anti_join",
+      "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P') " +
+        "ORDER BY c_custkey") { (s, dir) =>
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders").filter(col("o_orderstatus") === "P")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey")
+    },
+
+    Q("q12_rollup",
+      "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
+        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST") { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    // Threshold compared multiplicatively (price * N > total) — exact integer/
+    // decimal math on both engines, no division rounding in row selection.
+    Q("q13_scalar_subquery",
+      "SELECT p_partkey, p_retailprice FROM part WHERE " +
+        "CAST(p_retailprice AS DECIMAL(18,2)) * (SELECT COUNT(*) FROM part) > " +
+        "(SELECT SUM(CAST(p_retailprice AS DECIMAL(18,2))) FROM part) " +
+        "ORDER BY p_partkey") { (s, dir) =>
+      val p = Tables.load(s, dir, "part")
+      val agg = p.agg(count(lit(1)).as("cnt"), sum(dec(col("p_retailprice"))).as("tot"))
+      p.crossJoin(broadcast(agg))
+        .filter(dec(col("p_retailprice")) * col("cnt") > col("tot"))
+        .select("p_partkey", "p_retailprice").orderBy("p_partkey")
+    },
+
+    Q("q14_multi_join",
+      "SELECT n_name, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue " +
+        "FROM region JOIN nation ON n_regionkey = r_regionkey " +
+        "JOIN customer ON c_nationkey = n_nationkey " +
+        "JOIN orders ON o_custkey = c_custkey " +
+        "JOIN lineitem ON l_orderkey = o_orderkey " +
+        "WHERE r_name IN ('ASIA','EUROPE') " +
+        "AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' " +
+        "GROUP BY n_name ORDER BY revenue DESC, n_name") { (s, dir) =>
+      val r = Tables.load(s, dir, "region").filter(col("r_name").isin("ASIA", "EUROPE"))
+      val n = Tables.load(s, dir, "nation")
+      val c = Tables.load(s, dir, "customer")
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+          col("o_orderdate") < ts("1998-01-01 00:00:00"))
+      val l = Tables.load(s, dir, "lineitem")
+      // dims broadcast: the lineitem side never shuffles for these joins
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    Q("q15_distinct",
+      "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders ORDER BY 1, 2") { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .select("o_orderstatus", "o_orderpriority").distinct()
+        .orderBy("o_orderstatus", "o_orderpriority")
+    },
+
+    Q("q16_case_scalar",
+      "SELECT l_orderkey, l_linenumber, " +
+        "CASE WHEN l_quantity > 40 THEN 'high' WHEN l_quantity > 20 THEN 'mid' ELSE 'low' END AS qty_band, " +
+        "UPPER(l_returnflag) AS rf, COALESCE(NULLIF(l_linestatus, 'O'), 'X') AS ls " +
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber") { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          when(col("l_quantity") > 40, "high")
+            .when(col("l_quantity") > 20, "mid").otherwise("low").as("qty_band"),
+          upper(col("l_returnflag")).as("rf"),
+          coalesce(nullif(col("l_linestatus"), lit("O")), lit("X")).as("ls"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    Q("q17_events_hourly",
+      "SELECT DATE_TRUNC('hour', ts) AS hour_ts, event_type, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value " +
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2") { (s, dir) =>
+      // events.ts is TIMESTAMP(NANOS) in parquet: with nanosAsLong it reads
+      // as Long nanos; truncate to µs for a proper TimestampType column.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = Tables.load(s, dir, "events")
+      val tsCol =
+        if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          timestamp_micros((col("ts") / 1000).cast("long"))
+        else col("ts")
+      ev.groupBy(date_trunc("hour", tsCol).as("hour_ts"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("total_value"))
+        .orderBy("hour_ts", "event_type")
+    }
+  )
+}
