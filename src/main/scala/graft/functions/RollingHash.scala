@@ -2,9 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
-import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, DataType, LongType, StringType}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.graftx.Bridge
+import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** 64-bit polynomial rolling hash of a string's UTF-8 bytes — the
@@ -12,11 +12,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * Karp-Rabin style). A native Catalyst expression with codegen so it
   * stays inside WholeStageCodegen on the 100 TB scan path (a Scala UDF
   * would break the codegen span and force row serialization).
+  *
+  * Input is coerced to string by the `rolling_hash` helper; null in →
+  * null out (UnaryExpression default null handling).
   */
-case class RollingHash(child: Expression)
-    extends UnaryExpression with ExpectsInputTypes {
+case class RollingHash(child: Expression) extends UnaryExpression {
 
-  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = LongType
   override def prettyName: String = "rolling_hash"
 
@@ -46,5 +47,5 @@ object RollingHash {
   }
 
   def rolling_hash(c: Column): Column =
-    ExpressionUtils.column(RollingHash(ExpressionUtils.expression(c)))
+    Bridge.column(RollingHash(Bridge.expression(c.cast("string"))))
 }

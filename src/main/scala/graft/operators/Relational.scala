@@ -29,7 +29,9 @@ import org.apache.spark.sql.types.DecimalType
 object Relational {
   private val D = DecimalType(18, 2)
   private def dec(c: Column): Column = c.cast(D)
-  private def ts(s: String): Column = lit(java.sql.Timestamp.valueOf(s))
+  // Session-timezone-based parse (UTC via config): identical row selection
+  // to the DuckDB oracle's naive timestamps on any host timezone.
+  private def ts(s: String): Column = to_timestamp(lit(s))
 
   def queries: Seq[Q] = Seq(
     Q("q01_pruned_scan",
@@ -243,13 +245,13 @@ object Relational {
       "SELECT DATE_TRUNC('hour', ts) AS hour_ts, event_type, COUNT(*) AS n, " +
         "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value " +
         "FROM events GROUP BY 1, 2 ORDER BY 1, 2") { (s, dir) =>
-      // events.ts is TIMESTAMP(NANOS) in parquet: with nanosAsLong it reads
-      // as Long nanos; truncate to µs for a proper TimestampType column.
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // events.ts is TIMESTAMP(NANOS) in parquet: with nanosAsLong (set in
+      // Verify/Bench session builders) it reads as Long nanos; integer-divide
+      // to µs (`div`, not `/` — double division loses ulps above 2^53).
       val ev = Tables.load(s, dir, "events")
       val tsCol =
         if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          timestamp_micros((col("ts") / 1000).cast("long"))
+          timestamp_micros(expr("ts div 1000"))
         else col("ts")
       ev.groupBy(date_trunc("hour", tsCol).as("hour_ts"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("total_value"))
