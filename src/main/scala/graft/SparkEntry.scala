@@ -9,7 +9,9 @@ object SparkEntry {
 
   /** All registered query definitions, from every operator module. */
   def all: Seq[Q] =
-    operators.Relational.queries
+    operators.Relational.queries ++
+      operators.TextAnalysis.queries ++
+      operators.Dedup.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Multi-way star join + aggregation: the shape this engine exists for.

@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import graft.functions.{CrossHash, RollingHash}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: token counting, quality scoring, language-ID
+  * heuristics, and document fingerprinting.
+  *
+  * All arithmetic that decides row selection or output values is exact
+  * (integer counts, multiplicative threshold compares, IEEE-identical
+  * divisions of exact ints) so the DuckDB oracle reproduces every value
+  * bit-for-bit.
+  *
+  * Scale notes (100 TB design): every query is a single narrow
+  * projection over the scan — no shuffle except the final presentation
+  * ORDER BY. Token/shingle work happens inside per-row higher-order
+  * functions (`split`, `filter`, `transform`) which stay in
+  * WholeStageCodegen; nothing explodes except where set semantics
+  * require it.
+  */
+object TextAnalysis {
+  import CrossHash.h60
+
+  private def toks = split(col("text"), " ")
+
+  def queries: Seq[Q] = Seq(
+    Q("q30_token_stats",
+      "SELECT doc_id, len(string_split(text,' ')) AS n_tokens, " +
+        "length(text) AS len_chars, " +
+        "CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE) / len(string_split(text,' ')) AS avg_tok_len, " +
+        "len(regexp_extract_all(text, '[aeiou]+')) AS n_vowel_runs " +
+        "FROM documents ORDER BY doc_id") { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(toks).as("n_tokens"),
+          length(col("text")).as("len_chars"),
+          ((length(col("text")) - (size(toks) - lit(1))).cast("double") / size(toks))
+            .as("avg_tok_len"),
+          regexp_count(col("text"), lit("[aeiou]+")).as("n_vowel_runs"))
+        .orderBy("doc_id")
+    },
+
+    Q("q31_quality_score",
+      "SELECT doc_id, len(string_split(text,' ')) AS n_tokens, " +
+        "len(list_filter(string_split(text,' '), t -> t IN ('the','a'))) AS stop_hits, " +
+        "len(list_distinct(string_split(text,' '))) AS n_distinct, " +
+        "CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' ')) " +
+        " - CAST(len(list_filter(string_split(text,' '), t -> t IN ('the','a'))) AS DOUBLE) / len(string_split(text,' ')) AS quality " +
+        "FROM documents ORDER BY doc_id") { (s, dir) =>
+      val stopHits = size(filter(toks, t => t.isin("the", "a")))
+      val nDistinct = size(array_distinct(toks))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(toks).as("n_tokens"),
+          stopHits.as("stop_hits"),
+          nDistinct.as("n_distinct"),
+          (nDistinct.cast("double") / size(toks) -
+            stopHits.cast("double") / size(toks)).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // Stopword-density language heuristic: the synthetic corpus shares one
+    // vocabulary, so the detector keys on English-stopword density with a
+    // multiplicative threshold (no FP division in row selection).
+    Q("q32_lang_id",
+      "SELECT doc_id, lang, " +
+        "CASE WHEN len(list_filter(string_split(text,' '), t -> t IN ('the','a'))) * 20 > len(string_split(text,' ')) " +
+        "THEN 'en' ELSE 'unk' END AS lang_pred " +
+        "FROM documents ORDER BY doc_id") { (s, dir) =>
+      val stopHits = size(filter(toks, t => t.isin("the", "a")))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          when(stopHits * 20 > size(toks), "en").otherwise("unk").as("lang_pred"))
+        .orderBy("doc_id")
+    },
+
+    Q("q33_fingerprint",
+      "SELECT doc_id, " + CrossHash.h60Sql("text") + " AS fp " +
+        "FROM documents ORDER BY doc_id") { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), h60(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // Native Catalyst expression with codegen (graft.functions.RollingHash):
+    // not expressible in DuckDB SQL, so rows-only; exact values are pinned
+    // by RollingHashSpec instead.
+    Q.rowsOnly("q34_rolling_fingerprint") { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          RollingHash.rolling_hash(col("text")).as("rfp"))
+        .orderBy("doc_id")
+    }
+  )
+}
