@@ -1,0 +1,163 @@
+package graft.sources.jdbc
+
+import org.apache.spark.sql.types._
+
+/** SQL dialect abstraction for external relational stores.
+  *
+  * Mirrors the reference's per-connector dialect layer: quoting and type
+  * names (`crates/common/src/sql/arrow_sql_gen/statement.rs:37-142`),
+  * limit/fetch syntax (`mod.rs:587-607`), upsert statement generation
+  * (`crates/common/src/util/on_conflict.rs:22-105`), and the dialect
+  * "AST repair" quirks — MySQL window `NULLS FIRST` stripping
+  * (`crates/mysql/src/mysql_window.rs:44-73`) and SQLite interval →
+  * `datetime()` rewriting (`crates/sqlite/src/sqlite_interval.rs:10-60`).
+  *
+  * Only [[DerbyDialect]] runs live in this environment (embedded JDBC,
+  * zero egress); the others are exercised by golden-SQL unit tests, the
+  * same strategy the reference uses for its dialect coverage.
+  */
+trait Dialect extends Serializable {
+  def name: String
+
+  /** Quote an identifier (one level; callers join parts with '.'). */
+  def quote(ident: String): String = "\"" + ident.replace("\"", "\"\"") + "\""
+
+  def quoted(parts: Seq[String]): String = parts.map(quote).mkString(".")
+
+  /** Render a LIMIT clause appended to a complete SELECT. */
+  def limitClause(n: Int): String = s"LIMIT $n"
+
+  /** Column type name for DDL generation from a Spark type. */
+  def typeName(dt: DataType): String = dt match {
+    case ByteType => "SMALLINT"
+    case ShortType => "SMALLINT"
+    case IntegerType => "INTEGER"
+    case LongType => "BIGINT"
+    case FloatType => "REAL"
+    case DoubleType => "DOUBLE PRECISION"
+    case StringType => "TEXT"
+    case BooleanType => "BOOLEAN"
+    case BinaryType => "BLOB"
+    case DateType => "DATE"
+    case TimestampType => "TIMESTAMP"
+    case TimestampNTZType => "TIMESTAMP"
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    // Nested types fall back to a JSON-encoded text column — the same
+    // compromise the reference makes for SQLite/MySQL
+    // (statement.rs:82-104).
+    case _: ArrayType | _: MapType | _: StructType => "TEXT"
+    case other => throw new IllegalArgumentException(
+      s"$name: unsupported type $other")
+  }
+
+  /** Whether DDL/DML may reference this type at all. */
+  def supportsType(dt: DataType): Boolean =
+    try { typeName(dt); true } catch { case _: IllegalArgumentException => false }
+
+  /** String literal with dialect escaping. */
+  def stringLiteral(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** Upsert statement for `table(cols)` keyed on `keys`, with `?` binds.
+    * Default: PostgreSQL/SQLite/DuckDB-style ON CONFLICT.
+    */
+  def upsertStatement(table: String, cols: Seq[String], keys: Seq[String]): String = {
+    val non = cols.filterNot(keys.contains)
+    val sets = non.map(c => s"${quote(c)} = EXCLUDED.${quote(c)}").mkString(", ")
+    s"INSERT INTO $table (${cols.map(quote).mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")}) " +
+      s"ON CONFLICT (${keys.map(quote).mkString(", ")}) DO UPDATE SET $sets"
+  }
+
+  /** Dialect repair applied to a complete generated SELECT before it is
+    * sent to the remote engine (reference: `federation.rs:56-88`).
+    */
+  def repairSql(sql: String): String = sql
+}
+
+/** Apache Derby — the live embedded backend for tests and queries. */
+object DerbyDialect extends Dialect {
+  val name = "derby"
+  override def limitClause(n: Int): String = s"FETCH FIRST $n ROWS ONLY"
+  override def typeName(dt: DataType): String = dt match {
+    case StringType => "VARCHAR(32672)"
+    case BooleanType => "BOOLEAN"
+    case ByteType | ShortType => "SMALLINT"
+    case BinaryType => "BLOB"
+    case d: DecimalType if d.precision > 31 =>
+      throw new IllegalArgumentException(s"$name: DECIMAL precision ${d.precision} > 31")
+    case other => super.typeName(other)
+  }
+  // Derby has no ON CONFLICT / MERGE-over-VALUES; the writer falls back
+  // to UPDATE-then-INSERT per row inside the partition transaction.
+  override def upsertStatement(table: String, cols: Seq[String], keys: Seq[String]): String =
+    throw new UnsupportedOperationException("derby: use update-else-insert")
+  def updateStatement(table: String, cols: Seq[String], keys: Seq[String]): String = {
+    val sets = cols.filterNot(keys.contains).map(c => s"${quote(c)} = ?").mkString(", ")
+    val cond = keys.map(c => s"${quote(c)} = ?").mkString(" AND ")
+    s"UPDATE $table SET $sets WHERE $cond"
+  }
+}
+
+object PostgresDialect extends Dialect {
+  val name = "postgres"
+}
+
+object DuckDbDialect extends Dialect {
+  val name = "duckdb"
+}
+
+object SqliteDialect extends Dialect {
+  val name = "sqlite"
+  override def typeName(dt: DataType): String = dt match {
+    case ByteType | ShortType | IntegerType | LongType | BooleanType => "INTEGER"
+    case FloatType | DoubleType => "REAL"
+    // SQLite has no decimal; the reference downgrades to float
+    // (crates/sqlite/src/arrow_sql_gen.rs:175).
+    case _: DecimalType => "REAL"
+    case BinaryType => "BLOB"
+    case _ => "TEXT"
+  }
+  private val IntervalAdd =
+    """(?i)(\S+)\s*\+\s*INTERVAL\s+'(\d+)'\s+(YEAR|MONTH|DAY|HOUR|MINUTE|SECOND)""".r
+  /** `col + INTERVAL 'n' unit` → `datetime(col, '+n units')` — the
+    * reference's sqlite_interval.rs rewrite, at the SQL-text level.
+    */
+  override def repairSql(sql: String): String =
+    IntervalAdd.replaceAllIn(sql, m =>
+      s"datetime(${m.group(1)}, '+${m.group(2)} ${m.group(3).toLowerCase}s')")
+}
+
+object MySqlDialect extends Dialect {
+  val name = "mysql"
+  override def quote(ident: String): String = "`" + ident.replace("`", "``") + "`"
+  override def typeName(dt: DataType): String = dt match {
+    case StringType => "LONGTEXT"
+    case BooleanType => "TINYINT(1)"
+    case _ => super.typeName(dt)
+  }
+  override def upsertStatement(table: String, cols: Seq[String], keys: Seq[String]): String = {
+    val non = cols.filterNot(keys.contains)
+    val sets = non.map(c => s"${quote(c)} = VALUES(${quote(c)})").mkString(", ")
+    s"INSERT INTO $table (${cols.map(quote).mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")}) " +
+      s"ON DUPLICATE KEY UPDATE $sets"
+  }
+  private val NullsOrder = """(?i)\s+NULLS\s+(FIRST|LAST)""".r
+  /** MySQL windows reject NULLS FIRST/LAST — strip them, like the
+    * reference's mysql_window.rs AST visitor.
+    */
+  override def repairSql(sql: String): String = NullsOrder.replaceAllIn(sql, "")
+}
+
+object Dialect {
+  val all: Map[String, Dialect] = Seq(
+    DerbyDialect, PostgresDialect, DuckDbDialect, SqliteDialect, MySqlDialect)
+    .map(d => d.name -> d).toMap
+  def forName(n: String): Dialect = all.getOrElse(n.toLowerCase,
+    throw new IllegalArgumentException(s"unknown dialect $n"))
+  def forUrl(url: String): Dialect =
+    if (url.startsWith("jdbc:derby")) DerbyDialect
+    else if (url.startsWith("jdbc:postgresql")) PostgresDialect
+    else if (url.startsWith("jdbc:mysql")) MySqlDialect
+    else if (url.startsWith("jdbc:sqlite")) SqliteDialect
+    else if (url.startsWith("jdbc:duckdb")) DuckDbDialect
+    else DerbyDialect
+}
