@@ -1,0 +1,174 @@
+package graft.sources.jdbc
+
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import java.sql.Connection
+import java.util
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+/** Catalog plugin exposing a remote JDBC database's schemas and tables,
+  * with CREATE/DROP TABLE DDL generation from Spark schemas.
+  *
+  * Register with:
+  * {{{
+  *   spark.sql.catalog.ext     = graft.sources.jdbc.GraftCatalog
+  *   spark.sql.catalog.ext.url = jdbc:derby:/path/to/db;create=true
+  * }}}
+  * then `SELECT * FROM ext.app.mytable` just works.
+  *
+  * The Spark-native analog of the reference's `DatabaseCatalogProvider`
+  * auto-discovery (`crates/common/src/common.rs:17-100`: list remote
+  * schemas → tables → lazily build providers) and its
+  * `CREATE EXTERNAL TABLE` factories (`crates/postgres/src/lib.rs:201-320`
+  * — DDL from the Arrow schema inside a transaction, W9/W14). Discovery
+  * goes through JDBC `DatabaseMetaData`, the wire-level equivalent of
+  * the reference's information_schema queries (`dbconnection.rs:153-204`).
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var options: JdbcOptions = _
+  private def dialect: Dialect = options.dialect
+
+  override def initialize(name: String, opts: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    options = JdbcOptions.fromJava(opts.asCaseSensitiveMap())
+  }
+
+  override def name(): String = catalogName
+
+  private def withConn[A](f: Connection => A): A = {
+    val c = options.connect()
+    try f(c) finally c.close()
+  }
+
+  /** `ns.table` rendered as quoted dialect SQL; Derby folds unquoted
+    * identifiers to upper-case, so we quote exactly what the user wrote.
+    */
+  private def qualified(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).map(dialect.quote).mkString(".")
+
+  // ---- namespaces -------------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] = withConn { c =>
+    val rs = c.getMetaData.getSchemas
+    val out = ArrayBuffer.empty[Array[String]]
+    while (rs.next()) out += Array(rs.getString("TABLE_SCHEM"))
+    rs.close()
+    out.toArray
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length == 1 &&
+      listNamespaces().exists(_.head.equalsIgnoreCase(namespace.head))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
+    if (namespaceExists(namespace)) Map.empty[String, String].asJava
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = withConn { c =>
+    val st = c.createStatement()
+    try st.executeUpdate(s"CREATE SCHEMA ${dialect.quote(namespace.head)}")
+    finally st.close()
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("alterNamespace")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    withConn { c =>
+      val st = c.createStatement()
+      try { st.executeUpdate(s"DROP SCHEMA ${dialect.quote(namespace.head)} RESTRICT"); true }
+      finally st.close()
+    }
+
+  // ---- tables -----------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = withConn { c =>
+    val schemaPat = if (namespace.isEmpty) null else namespace.head
+    val rs = c.getMetaData.getTables(null, schemaPat, "%", Array("TABLE"))
+    val out = ArrayBuffer.empty[Identifier]
+    while (rs.next())
+      out += Identifier.of(Array(rs.getString("TABLE_SCHEM")), rs.getString("TABLE_NAME"))
+    rs.close()
+    out.toArray
+  }
+
+  /** Introspect the table's schema from prepared-statement metadata —
+    * the reference's `get_schema` (`dbconnection.rs:216-239`). */
+  private def introspect(ident: Identifier): StructType = withConn { c =>
+    val ps = c.prepareStatement(s"SELECT * FROM ${qualified(ident)} WHERE 1=0")
+    try TypeMapping.schemaOf(ps.getMetaData) finally ps.close()
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    try { introspect(ident); true } catch { case _: java.sql.SQLException => false }
+
+  override def loadTable(ident: Identifier): Table = {
+    val schema =
+      try introspect(ident)
+      catch { case _: java.sql.SQLException => throw new NoSuchTableException(ident) }
+    GraftJdbcTable(ident.toString, schema, options.withTable(qualified(ident)))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val cols = schema.fields.map { f =>
+      val nn = if (f.nullable) "" else " NOT NULL"
+      s"${dialect.quote(f.name)} ${dialect.typeName(f.dataType)}$nn"
+    }.mkString(", ")
+    val props = properties.asScala
+    // primary key + index DDL from table properties (reference W9/W10).
+    val pk = props.get("primarykeys").orElse(props.get("primaryKeys"))
+      .map(_.split(",").map(k => dialect.quote(k.trim)).mkString(", PRIMARY KEY (", ", ", ")"))
+      .getOrElse("")
+    withConn { c =>
+      val st = c.createStatement()
+      try {
+        st.executeUpdate(s"CREATE TABLE ${qualified(ident)} ($cols$pk)")
+        props.get("indexes").foreach { ix =>
+          ix.split(";").filter(_.nonEmpty).zipWithIndex.foreach { case (colList, i) =>
+            val cs = colList.split(",").map(k => dialect.quote(k.trim)).mkString(", ")
+            st.executeUpdate(
+              s"CREATE INDEX ${dialect.quote(s"ix_${ident.name}_$i")} ON ${qualified(ident)} ($cs)")
+          }
+        }
+      } finally st.close()
+    }
+    val tblOpts = options.withTable(qualified(ident)).map ++
+      props.get("upsertkeys").map("upsertkeys" -> _)
+    GraftJdbcTable(ident.toString, schema, JdbcOptions(tblOpts))
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("alterTable")
+
+  override def dropTable(ident: Identifier): Boolean =
+    try {
+      withConn { c =>
+        val st = c.createStatement()
+        try st.executeUpdate(s"DROP TABLE ${qualified(ident)}") finally st.close()
+      }
+      true
+    } catch { case _: java.sql.SQLException => false }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    withConn { c =>
+      val st = c.createStatement()
+      try st.executeUpdate(
+        s"RENAME TABLE ${qualified(oldIdent)} TO ${dialect.quote(newIdent.name)}")
+      finally st.close()
+    }
+}

@@ -1,0 +1,76 @@
+package graft.sources.jdbc
+
+import java.sql.{Connection, DriverManager}
+import java.util.Properties
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+/** Connection options for an external JDBC-backed table.
+  *
+  * Mirrors the reference's per-connector option surface
+  * (`crates/postgres/src/lib.rs:201-320` parses connection params,
+  * on_conflict mode and index specs from the CREATE EXTERNAL TABLE
+  * OPTIONS map); here the same map arrives through DSv2 table properties
+  * / `spark.sql.catalog.<name>.*` settings.
+  *
+  * `computeContext` is the federation key: two tables may only be
+  * collapsed into one remote query when their canonical contexts are
+  * equal — the reference's `JoinPushDown::AllowedFor(context)`
+  * (`crates/common/src/sql/db_connection_pool/mod.rs:49-57`).
+  */
+final case class JdbcOptions(map: Map[String, String]) extends Serializable {
+  private def req(k: String): String = map.getOrElse(k,
+    throw new IllegalArgumentException(s"missing option '$k'"))
+
+  val url: String = req("url")
+  val table: String = map.getOrElse("dbtable", map.getOrElse("table", ""))
+  val dialect: Dialect =
+    map.get("dialect").map(Dialect.forName).getOrElse(Dialect.forUrl(url))
+
+  /** Rows per fetch from the remote cursor (reference streams 4000-row
+    * chunks, `crates/postgres/src/conn.rs:443`). */
+  val fetchSize: Int = map.getOrElse("fetchsize", "4000").toInt
+  /** Rows per INSERT batch on the write path. */
+  val batchSize: Int = map.getOrElse("batchsize", "1000").toInt
+
+  /** Range-partitioned parallel scan (our scale improvement over the
+    * reference's always-1-partition SQL scans, `mod.rs:313`). */
+  val partitionColumn: Option[String] = map.get("partitioncolumn")
+  val lowerBound: Option[Long] = map.get("lowerbound").map(_.toLong)
+  val upperBound: Option[Long] = map.get("upperbound").map(_.toLong)
+  val numPartitions: Int = map.getOrElse("numpartitions", "1").toInt
+
+  /** Upsert key columns (reference `on_conflict.rs:22-105`): when set,
+    * appends become upserts keyed on these columns. */
+  val upsertKeys: Seq[String] =
+    map.get("upsertkeys").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+
+  /** Canonical identity of the remote compute context. */
+  def computeContext: String = url
+
+  def withTable(t: String): JdbcOptions = JdbcOptions(map + ("dbtable" -> t))
+
+  def connect(): Connection = JdbcOptions.connect(url, map)
+}
+
+object JdbcOptions {
+  def fromJava(m: java.util.Map[String, String]): JdbcOptions =
+    JdbcOptions(m.asScala.map { case (k, v) => k.toLowerCase -> v }.toMap)
+
+  /** Open a connection; Derby's embedded driver needs no registration on
+    * JDK 17 (auto-loaded via the service registry).
+    */
+  def connect(url: String, opts: Map[String, String]): Connection = {
+    val props = new Properties()
+    opts.get("user").foreach(props.setProperty("user", _))
+    opts.get("password").foreach(props.setProperty("password", _))
+    DriverManager.getConnection(url, props)
+  }
+
+  /** Per-JVM cache of *schemas* (not connections — JDBC connections are
+    * not thread-safe to share across Spark tasks; each reader/writer
+    * opens its own, the JDBC driver's pooling layers under it).
+    */
+  private[jdbc] val schemaCache = TrieMap.empty[(String, String), org.apache.spark.sql.types.StructType]
+}

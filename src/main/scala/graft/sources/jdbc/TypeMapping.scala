@@ -1,0 +1,136 @@
+package graft.sources.jdbc
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.sql.{PreparedStatement, ResultSet, ResultSetMetaData, Types}
+
+/** Bidirectional JDBC ⇄ Catalyst type + value mapping.
+  *
+  * The Spark-native analog of the reference's per-connector
+  * `arrow_sql_gen` modules (e.g.
+  * `crates/postgres/src/arrow_sql_gen/schema.rs:53-107`,
+  * `crates/mysql/src/arrow_sql_gen.rs:703-760`): the reference maps wire
+  * types ⇄ Arrow; we map JDBC ⇄ Catalyst. Values cross the boundary as
+  * `InternalRow`s — Spark's Tungsten-native representation — so the scan
+  * feeds WholeStageCodegen without a row-conversion node.
+  *
+  * Unlike the reference's INSERT path, which renders every value to a SQL
+  * literal (`statement.rs:186-1055`), writes bind through JDBC
+  * `PreparedStatement` parameters — no literal rendering, no SQL
+  * injection surface, and the remote driver batches natively (the design
+  * difference called out in SURVEY §2.6 W11).
+  */
+object TypeMapping {
+
+  /** JDBC SQL type → Catalyst type (reference: schema.rs introspection). */
+  def catalystType(sqlType: Int, precision: Int, scale: Int): DataType = sqlType match {
+    case Types.BIT | Types.BOOLEAN => BooleanType
+    case Types.TINYINT | Types.SMALLINT => ShortType
+    case Types.INTEGER => IntegerType
+    case Types.BIGINT => LongType
+    case Types.REAL => FloatType
+    case Types.FLOAT | Types.DOUBLE => DoubleType
+    case Types.NUMERIC | Types.DECIMAL =>
+      if (precision == 0) DecimalType.SYSTEM_DEFAULT
+      else DecimalType(math.min(precision, DecimalType.MAX_PRECISION), math.min(scale, DecimalType.MAX_SCALE))
+    case Types.CHAR | Types.VARCHAR | Types.LONGVARCHAR | Types.NCHAR |
+         Types.NVARCHAR | Types.LONGNVARCHAR | Types.CLOB | Types.SQLXML => StringType
+    case Types.BINARY | Types.VARBINARY | Types.LONGVARBINARY | Types.BLOB => BinaryType
+    case Types.DATE => DateType
+    case Types.TIMESTAMP | Types.TIME => TimestampType
+    case Types.TIMESTAMP_WITH_TIMEZONE => TimestampType
+    case other => throw new IllegalArgumentException(s"unsupported JDBC type $other")
+  }
+
+  /** Introspect a query's result schema (reference `get_schema`,
+    * `dbconnection.rs:216-239`: prepared-statement metadata).
+    */
+  def schemaOf(md: ResultSetMetaData): StructType = StructType(
+    (1 to md.getColumnCount).map { i =>
+      StructField(
+        md.getColumnLabel(i),
+        catalystType(md.getColumnType(i), md.getPrecision(i), md.getScale(i)),
+        md.isNullable(i) != ResultSetMetaData.columnNoNulls)
+    })
+
+  /** One column getter: ResultSet position → Catalyst internal value. */
+  type Getter = (ResultSet, Int) => Any
+
+  def getter(dt: DataType): Getter = dt match {
+    case BooleanType => (rs, i) => rs.getBoolean(i)
+    case ByteType => (rs, i) => rs.getByte(i)
+    case ShortType => (rs, i) => rs.getShort(i)
+    case IntegerType => (rs, i) => rs.getInt(i)
+    case LongType => (rs, i) => rs.getLong(i)
+    case FloatType => (rs, i) => rs.getFloat(i)
+    case DoubleType => (rs, i) => rs.getDouble(i)
+    case d: DecimalType => (rs, i) => {
+      val v = rs.getBigDecimal(i)
+      if (v == null) null else Decimal(v, d.precision, d.scale)
+    }
+    case StringType => (rs, i) => UTF8String.fromString(rs.getString(i))
+    case BinaryType => (rs, i) => rs.getBytes(i)
+    case DateType => (rs, i) => {
+      val v = rs.getDate(i)
+      if (v == null) null else DateTimeUtils.fromJavaDate(v)
+    }
+    case TimestampType | TimestampNTZType => (rs, i) => {
+      val v = rs.getTimestamp(i)
+      if (v == null) null else DateTimeUtils.fromJavaTimestamp(v)
+    }
+    case other => throw new IllegalArgumentException(s"unsupported read type $other")
+  }
+
+  /** Materialize the current ResultSet row as an InternalRow. */
+  def readRow(rs: ResultSet, getters: Array[Getter]): InternalRow = {
+    val out = new GenericInternalRow(getters.length)
+    var i = 0
+    while (i < getters.length) {
+      val v = getters(i)(rs, i + 1)
+      out.update(i, if (rs.wasNull()) null else v)
+      i += 1
+    }
+    out
+  }
+
+  /** One column setter: InternalRow position → PreparedStatement bind. */
+  type Setter = (PreparedStatement, InternalRow, Int, Int) => Unit
+
+  def setter(dt: DataType): Setter = dt match {
+    case BooleanType => (ps, row, f, p) => ps.setBoolean(p, row.getBoolean(f))
+    case ByteType => (ps, row, f, p) => ps.setByte(p, row.getByte(f))
+    case ShortType => (ps, row, f, p) => ps.setShort(p, row.getShort(f))
+    case IntegerType => (ps, row, f, p) => ps.setInt(p, row.getInt(f))
+    case LongType => (ps, row, f, p) => ps.setLong(p, row.getLong(f))
+    case FloatType => (ps, row, f, p) => ps.setFloat(p, row.getFloat(f))
+    case DoubleType => (ps, row, f, p) => ps.setDouble(p, row.getDouble(f))
+    case d: DecimalType =>
+      (ps, row, f, p) => ps.setBigDecimal(p, row.getDecimal(f, d.precision, d.scale).toJavaBigDecimal)
+    case StringType => (ps, row, f, p) => ps.setString(p, row.getUTF8String(f).toString)
+    case BinaryType => (ps, row, f, p) => ps.setBytes(p, row.getBinary(f))
+    case DateType =>
+      (ps, row, f, p) => ps.setDate(p, DateTimeUtils.toJavaDate(row.getInt(f)))
+    case TimestampType | TimestampNTZType =>
+      (ps, row, f, p) => ps.setTimestamp(p, DateTimeUtils.toJavaTimestamp(row.getLong(f)))
+    case other => throw new IllegalArgumentException(s"unsupported write type $other")
+  }
+
+  def jdbcType(dt: DataType): Int = dt match {
+    case BooleanType => Types.BOOLEAN
+    case ByteType | ShortType => Types.SMALLINT
+    case IntegerType => Types.INTEGER
+    case LongType => Types.BIGINT
+    case FloatType => Types.REAL
+    case DoubleType => Types.DOUBLE
+    case _: DecimalType => Types.DECIMAL
+    case StringType => Types.VARCHAR
+    case BinaryType => Types.BLOB
+    case DateType => Types.DATE
+    case TimestampType | TimestampNTZType => Types.TIMESTAMP
+    case other => throw new IllegalArgumentException(s"unsupported type $other")
+  }
+}

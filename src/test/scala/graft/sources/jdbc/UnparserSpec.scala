@@ -1,0 +1,128 @@
+package graft.sources.jdbc
+
+import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection}
+import org.apache.spark.sql.connector.expressions.filter.{And, Or, Predicate}
+import org.apache.spark.sql.graftx.TestExprs
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Golden-SQL tests for the DSv2 expression unparser — the same test
+  * strategy the reference uses for its unparse layer (scan unparse
+  * goldens, `crates/common/src/sql/sql_provider_datafusion/mod.rs:788-808`;
+  * physical-expr→SQL goldens, `mod.rs:1214-1324`).
+  */
+class UnparserSpec extends AnyFunSuite {
+
+  private val u = new Unparser(PostgresDialect)
+
+  private def col(n: String) = TestExprs.field(n)
+  private def str(s: String) = TestExprs.lit(UTF8String.fromString(s), StringType)
+  private def i32(v: Int) = TestExprs.lit(v, IntegerType)
+
+  test("comparison operators") {
+    assert(u.expr(new Predicate(">", Array(col("a"), i32(5)))).contains("(\"a\" > 5)"))
+    assert(u.expr(new Predicate("=", Array(col("a"), i32(5)))).contains("(\"a\" = 5)"))
+    assert(u.expr(new Predicate("<=>", Array(col("a"), i32(5)))).isEmpty)
+  }
+
+  test("boolean composition and NOT") {
+    val p = new And(
+      new Predicate(">=", Array(col("a"), i32(1))),
+      new Or(
+        new Predicate("<", Array(col("b"), i32(2))),
+        new Predicate("IS_NULL", Array(col("c")))))
+    assert(u.expr(p).contains("((\"a\" >= 1) AND ((\"b\" < 2) OR (\"c\" IS NULL)))"))
+    assert(u.expr(new Predicate("NOT", Array(new Predicate("IS_NOT_NULL", Array(col("x"))))))
+      .contains("(NOT (\"x\" IS NOT NULL))"))
+  }
+
+  test("IN list") {
+    val p = new Predicate("IN", Array(col("k"), i32(1), i32(2), i32(3)))
+    assert(u.expr(p).contains("(\"k\" IN (1, 2, 3))"))
+  }
+
+  test("string predicates become escaped LIKE") {
+    assert(u.expr(new Predicate("STARTS_WITH", Array(col("s"), str("PRO%MO"))))
+      .contains("(\"s\" LIKE 'PRO\\%MO%' ESCAPE '\\')"))
+    assert(u.expr(new Predicate("CONTAINS", Array(col("s"), str("a_b"))))
+      .contains("(\"s\" LIKE '%a\\_b%' ESCAPE '\\')"))
+    assert(u.expr(new Predicate("ENDS_WITH", Array(col("s"), str("x"))))
+      .contains("(\"s\" LIKE '%x' ESCAPE '\\')"))
+  }
+
+  test("literals: date, timestamp, string escaping, null") {
+    assert(u.literal(TestExprs.lit(19000, DateType)).contains("DATE '2022-01-08'"))
+    // 2021-01-01 00:00:00 UTC in micros
+    assert(u.literal(TestExprs.lit(1609459200000000L, TimestampType))
+      .contains("TIMESTAMP '2021-01-01 00:00'"))
+    assert(u.literal(TestExprs.lit(UTF8String.fromString("o'hare"), StringType))
+      .contains("'o''hare'"))
+    assert(u.literal(TestExprs.lit(null, IntegerType)).contains("NULL"))
+  }
+
+  test("sort orders render direction and null ordering") {
+    val asc = Expressions.sort(col("a"), SortDirection.ASCENDING, NullOrdering.NULLS_LAST)
+    assert(u.sort(asc).contains("\"a\" ASC NULLS LAST"))
+    val desc = Expressions.sort(col("b"), SortDirection.DESCENDING, NullOrdering.NULLS_FIRST)
+    assert(u.sort(desc).contains("\"b\" DESC NULLS FIRST"))
+  }
+
+  test("untranslatable expressions are rejected, not mangled") {
+    assert(u.expr(new Predicate("SQRT", Array(col("a")))).isEmpty)
+    // subexpression failure poisons the whole predicate
+    val mixed = new And(
+      new Predicate(">", Array(col("a"), i32(1))),
+      new Predicate("SQRT", Array(col("b"))))
+    assert(u.expr(mixed).isEmpty)
+  }
+
+  test("dialect quoting differs per dialect") {
+    val my = new Unparser(MySqlDialect)
+    assert(my.expr(col("a")).contains("`a`"))
+    assert(u.expr(col("a")).contains("\"a\""))
+  }
+}
+
+/** Dialect-quirk goldens (reference: `mysql_window.rs:76-120` and
+  * `sqlite_interval.rs` inline tests).
+  */
+class DialectSpec extends AnyFunSuite {
+
+  test("mysql repair strips NULLS FIRST/LAST") {
+    val sql = "SELECT rank() OVER (ORDER BY a DESC NULLS LAST) FROM t ORDER BY b NULLS FIRST"
+    assert(MySqlDialect.repairSql(sql) ==
+      "SELECT rank() OVER (ORDER BY a DESC) FROM t ORDER BY b")
+  }
+
+  test("sqlite repair rewrites interval addition to datetime()") {
+    assert(SqliteDialect.repairSql("WHERE ts + INTERVAL '3' DAY > x") ==
+      "WHERE datetime(ts, '+3 days') > x")
+  }
+
+  test("derby limit clause uses FETCH FIRST") {
+    assert(DerbyDialect.limitClause(7) == "FETCH FIRST 7 ROWS ONLY")
+  }
+
+  test("upsert statement generation per dialect") {
+    val pg = PostgresDialect.upsertStatement("t", Seq("k", "v"), Seq("k"))
+    assert(pg.contains("ON CONFLICT (\"k\") DO UPDATE SET \"v\" = EXCLUDED.\"v\""))
+    val my = MySqlDialect.upsertStatement("t", Seq("k", "v"), Seq("k"))
+    assert(my.contains("ON DUPLICATE KEY UPDATE `v` = VALUES(`v`)"))
+    assertThrows[UnsupportedOperationException](
+      DerbyDialect.upsertStatement("t", Seq("k", "v"), Seq("k")))
+  }
+
+  test("type names: decimal bounds and nested fallback") {
+    assert(PostgresDialect.typeName(DecimalType(12, 2)) == "DECIMAL(12,2)")
+    assert(PostgresDialect.typeName(ArrayType(IntegerType)) == "TEXT")
+    assertThrows[IllegalArgumentException](DerbyDialect.typeName(DecimalType(38, 10)))
+    assert(SqliteDialect.typeName(DecimalType(12, 2)) == "REAL")
+  }
+
+  test("url dispatch") {
+    assert(Dialect.forUrl("jdbc:postgresql://h/db") == PostgresDialect)
+    assert(Dialect.forUrl("jdbc:derby:/tmp/x") == DerbyDialect)
+    assert(Dialect.forUrl("jdbc:mysql://h/db") == MySqlDialect)
+  }
+}
