@@ -6,6 +6,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 import java.time.{Instant, LocalDate, LocalDateTime, ZoneOffset}
+import java.time.format.DateTimeFormatter
 
 /** DataSource V2 expression → dialect SQL unparser.
   *
@@ -110,11 +111,17 @@ final class Unparser(dialect: Dialect) extends Serializable {
       case DateType =>
         Some(s"DATE '${LocalDate.ofEpochDay(l.value.asInstanceOf[Int].toLong)}'")
       case TimestampType =>
+        // Always render full seconds (LocalTime.toString drops ":00"
+        // seconds, producing e.g. `TIMESTAMP '… 00:00'` which Derby and
+        // other strict dialects reject); fractional micros only if set.
         val micros = l.value.asInstanceOf[Long]
         val i = Instant.EPOCH.plusSeconds(Math.floorDiv(micros, 1000000L))
           .plusNanos(Math.floorMod(micros, 1000000L) * 1000L)
         val t = LocalDateTime.ofInstant(i, ZoneOffset.UTC)
-        Some(s"TIMESTAMP '${t.toLocalDate} ${t.toLocalTime}'")
+        val base = t.format(DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+        val frac = Math.floorMod(micros, 1000000L)
+        val fracStr = if (frac == 0L) "" else f".$frac%06d"
+        Some(s"TIMESTAMP '$base$fracStr'")
       case _ => None
     }
   }

@@ -53,9 +53,13 @@ class UnparserSpec extends AnyFunSuite {
 
   test("literals: date, timestamp, string escaping, null") {
     assert(u.literal(TestExprs.lit(19000, DateType)).contains("DATE '2022-01-08'"))
-    // 2021-01-01 00:00:00 UTC in micros
+    // 2021-01-01 00:00:00 UTC in micros: seconds must not be dropped
+    // (Derby rejects a timestamp literal without them).
     assert(u.literal(TestExprs.lit(1609459200000000L, TimestampType))
-      .contains("TIMESTAMP '2021-01-01 00:00'"))
+      .contains("TIMESTAMP '2021-01-01 00:00:00'"))
+    // fractional micros render zero-padded; whole seconds render none
+    assert(u.literal(TestExprs.lit(1609459200000123L, TimestampType))
+      .contains("TIMESTAMP '2021-01-01 00:00:00.000123'"))
     assert(u.literal(TestExprs.lit(UTF8String.fromString("o'hare"), StringType))
       .contains("'o''hare'"))
     assert(u.literal(TestExprs.lit(null, IntegerType)).contains("NULL"))
