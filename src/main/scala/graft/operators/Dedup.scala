@@ -4,48 +4,88 @@ import graft.{Q, Tables}
 import graft.functions.{CrossHash, MinHashCoefficients => MC}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for a training-data pipeline over `documents`:
   * exact (hash-groupBy), n-gram Jaccard, MinHash + banded LSH, SimHash
-  * with pigeonhole candidate generation, and quantized-embedding cosine
-  * near-dup.
+  * with pigeonhole candidate generation, and LSH-bucketed quantized-
+  * embedding cosine near-dup.
   *
   * Determinism contract: every hash is the md5-derived 60-bit integer
   * ([[graft.functions.CrossHash]]) that DuckDB computes identically, so
   * each query carries a full SQL oracle — including the LSH pipelines,
   * which are usually "unverifiable" in cross-engine tests.
   *
-  * Scale notes (100 TB design):
+  * Scale design (100 TB — each pair-generation query is sub-quadratic):
   *   - exact dedup is one hash-shuffle on the group key — the minimal
   *     possible plan (map-side partial agg first);
-  *   - n-gram Jaccard's shingle self-join is quadratic in docs sharing a
-  *     shingle: correct at verification scale, but the *scale path* is
-  *     q42's MinHash-LSH, which only joins docs sharing a (band, sig)
-  *     bucket — the standard sub-quadratic near-dup plan;
-  *   - SimHash reduces each doc to one 60-bit int; candidate pairs join
-  *     on 15-bit chunks (pigeonhole: hamming ≤ 3 ⇒ ≥ 1 chunk equal);
-  *   - embedding near-dup quantizes floats to ints (×100) so the cosine
-  *     threshold is an exact int64 comparison — reproducible across
-  *     engines, partitionings and SIMD, unlike float accumulation.
+  *   - every near-dup pipeline first collapses byte-identical documents
+  *     to one representative (`rep`) so identical texts can never flood
+  *     an LSH bucket, then joins on *int64 hashes*, never raw strings;
+  *   - n-gram Jaccard drops shingles whose document frequency exceeds
+  *     [[DfCap]]: a shingle shared by hundreds of documents cannot
+  *     discriminate near-duplicates but makes the shingle self-join
+  *     quadratic in its frequency — the cap bounds per-key join fanout
+  *     at DfCap² (skew-proof shuffle at any corpus size);
+  *   - MinHash computes all 16 permutations in ONE aggregation over the
+  *     shingle stream (16 MIN columns — no 16× row explosion), bands are
+  *     4 projected columns, and the banded self-join touches only docs
+  *     agreeing on a full band signature;
+  *   - embedding near-dup buckets vectors by random-hyperplane sign-LSH
+  *     (8 bands × 6 bits over 48 fixed pseudo-random hyperplanes) and
+  *     re-checks candidates with an exact int64 cosine test. Recall vs
+  *     the exact all-pairs scan rises with cosine (sign-LSH property):
+  *     ~50% at the 0.4 threshold on near-orthogonal synthetic data,
+  *     →1 for true duplicate clusters (cos ≥ 0.9). The quantize-to-int
+  *     trick keeps the re-check reproducible across engines,
+  *     partitionings and SIMD, unlike float accumulation.
   */
 object Dedup {
-  import CrossHash.{h60, h60modP, h60Sql, P}
+  import CrossHash.{h60, h60Sql, P}
 
-  /** doc_id + distinct word-bigram shingles; docs with < 2 tokens dropped. */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
+  /** Max documents a shingle may appear in before q41 ignores it. */
+  val DfCap = 50
+
+  /** Sign-LSH geometry for q45: NumBands bands of BandBits bits each. */
+  val NumBands = 8
+  val BandBits = 6
+
+  // ---- shared exact-dedup representative + shingle pipeline --------------
+
+  /** One representative (min doc_id) per distinct text. */
+  private def rep(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"))
+
+  private val repSql =
+    "rep AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text)"
+
+  /** Distinct (doc_id, h): 60-bit hashes of word-bigram shingles of each
+    * representative document; docs with < 2 tokens dropped. Joining on
+    * int64 hashes instead of raw shingle strings keeps shuffle keys
+    * 8 bytes wide (reference relies on remote engines for this kind of
+    * normalization; here it is explicit).
+    */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    rep(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("a"))
       .filter(size(col("a")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(a)-1), i -> concat(element_at(a,i), ' ', element_at(a,i+1)))"))
         .as("s"))
+      .select(col("doc_id"), h60(col("s")).as("h"))
       .distinct()
 
   private val shinglesSql: String =
-    "WITH t AS (SELECT doc_id, string_split(text,' ') AS a FROM documents " +
+    repSql + ", " +
+      "t AS (SELECT doc_id, string_split(text,' ') AS a FROM rep " +
       "WHERE len(string_split(text,' ')) >= 2), " +
-      "sh AS (SELECT DISTINCT doc_id, unnest([a[i] || ' ' || a[i+1] " +
-      "FOR i IN generate_series(1, len(a)-1)]) AS s FROM t)"
+      "sh AS (SELECT DISTINCT doc_id, h FROM (SELECT doc_id, " +
+      "unnest([('0x'||substr(md5(a[i]||' '||a[i+1]),1,15))::BIGINT " +
+      "FOR i IN generate_series(1, len(a)-1)]) AS h FROM t))"
+
+  // ---- quantized embeddings ----------------------------------------------
 
   /** Quantized embeddings: int64 vector (×100) + int64 squared norm. */
   private[operators] def quantized(s: SparkSession, dir: String): DataFrame =
@@ -55,9 +95,9 @@ object Dedup {
       .withColumn("nrm", expr("aggregate(q, cast(0 AS bigint), (acc, x) -> acc + x * x)"))
 
   private[operators] val quantizedSql: String =
-    "q AS (SELECT vec_id, [cast(round(x::DOUBLE * 100, 0) AS BIGINT) FOR x IN embedding] AS q " +
+    "q0 AS (SELECT vec_id, [cast(round(x::DOUBLE * 100, 0) AS BIGINT) FOR x IN embedding] AS q " +
       "FROM embeddings), " +
-      "n AS (SELECT vec_id, q, list_aggregate([x * x FOR x IN q], 'sum')::BIGINT AS nrm FROM q)"
+      "n AS (SELECT vec_id, q, list_aggregate([x * x FOR x IN q], 'sum')::BIGINT AS nrm FROM q0)"
 
   /** Exact int64 dot product of two quantized vectors (Spark side). */
   private[operators] def qdot(a: Column, b: Column): Column =
@@ -66,6 +106,13 @@ object Dedup {
   /** Same dot product in DuckDB SQL over columns `$a`/`$b`. */
   private[operators] def qdotSql(a: String, b: String): String =
     s"list_aggregate([$a[i] * $b[i] FOR i IN generate_series(1, len($a))], 'sum')::BIGINT"
+
+  /** Fixed pseudo-random hyperplane component H(j)(i) for q45, identical
+    * arithmetic in Spark SQL and DuckDB: values in [-504, 504], all
+    * intermediate products < 2^63.
+    */
+  private def hcomp(j: Int): String =
+    s"(((53*${j + 1}+97*i) * 2654435761) % 1009 - 504)"
 
   def queries: Seq[Q] = Seq(
 
@@ -79,20 +126,26 @@ object Dedup {
         .orderBy("survivor")
     },
 
-    // Pairs with word-bigram Jaccard > 0.2, threshold compared as
+    // Representative pairs with word-bigram Jaccard > 0.2 over shingles
+    // with document frequency <= DfCap; threshold compared as
     // 5*|A∩B| > |A∪B| (exact integers).
     Q("q41_ngram_jaccard_pairs",
-      shinglesSql + ", " +
-        "sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), " +
+      "WITH " + shinglesSql + ", " +
+        s"hot AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) > $DfCap), " +
+        "shf AS (SELECT * FROM sh WHERE h NOT IN (SELECT h FROM hot)), " +
+        "sz AS (SELECT doc_id, COUNT(*) AS n FROM shf GROUP BY doc_id), " +
         "inter AS (SELECT x.doc_id AS d1, y.doc_id AS d2, COUNT(*) AS i " +
-        " FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id GROUP BY 1, 2) " +
+        " FROM shf x JOIN shf y ON x.h = y.h AND x.doc_id < y.doc_id GROUP BY 1, 2) " +
         "SELECT d1, d2, i AS n_inter, sx.n + sy.n - i AS n_union " +
         "FROM inter JOIN sz sx ON d1 = sx.doc_id JOIN sz sy ON d2 = sy.doc_id " +
         "WHERE i * 5 > sx.n + sy.n - i ORDER BY d1, d2") { (s, dir) =>
       val sh = shingles(s, dir)
-      val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = sh.as("x")
-        .join(sh.as("y"), col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      val hot = sh.groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") > DfCap).select("h")
+      // computed once, read three times (sz + both self-join sides)
+      val shf = sh.join(hot, Seq("h"), "left_anti").persist(StorageLevel.MEMORY_AND_DISK)
+      val sz = shf.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = shf.as("x")
+        .join(shf.as("y"), col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
         .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
         .agg(count(lit(1)).as("i"))
       inter
@@ -104,31 +157,36 @@ object Dedup {
         .orderBy("d1", "d2")
     },
 
-    // MinHash (16 permutations) + banded LSH (4 bands × 4 rows):
-    // candidate pairs are docs agreeing on a full band signature.
-    Q("q42_minhash_lsh",
-      shinglesSql + ", " +
-        s"hm AS (SELECT doc_id, ${h60Sql("s")} % $P AS hm FROM sh), " +
-        s"mh AS (SELECT doc_id, j, MIN((ca * hm + cb) % $P) AS mh " +
-        s" FROM hm CROSS JOIN (SELECT unnest(generate_series(0, ${MC.NumHashes - 1})) AS j, " +
-        s"  unnest(${MC.sqlList(MC.A)}) AS ca, unnest(${MC.sqlList(MC.B)}) AS cb) c " +
-        " GROUP BY doc_id, j), " +
-        s"sig AS (SELECT doc_id, j // ${MC.BandRows} AS band, " +
-        " string_agg(mh::VARCHAR, ',' ORDER BY j) AS sig FROM mh GROUP BY 1, 2) " +
+    // MinHash (16 permutations computed as 16 MIN aggregates in ONE
+    // groupBy — no row explosion) + banded LSH (4 bands × 4 rows):
+    // candidate pairs are representatives agreeing on a full band.
+    Q("q42_minhash_lsh", {
+      val mins = (0 until MC.NumHashes)
+        .map(j => s"MIN((${MC.A(j)}*hm+${MC.B(j)})%$P) AS m$j").mkString(", ")
+      val bands = (0 until MC.NumHashes / MC.BandRows).map { k =>
+        val ms = (0 until MC.BandRows).map(r => s"m${MC.BandRows * k + r}").mkString(", ")
+        s"SELECT doc_id, $k AS band, concat_ws(',', $ms) AS sig FROM mh"
+      }.mkString(" UNION ALL ")
+      "WITH " + shinglesSql + ", " +
+        s"hm AS (SELECT doc_id, h % $P AS hm FROM sh), " +
+        s"mh AS (SELECT doc_id, $mins FROM hm GROUP BY doc_id), " +
+        s"sig AS ($bands) " +
         "SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2 FROM sig x JOIN sig y " +
-        "ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id ORDER BY d1, d2") { (s, dir) =>
-      val coef = array((0 until MC.NumHashes).map(j =>
-        struct(lit(j).as("j"), lit(MC.A(j)).as("ca"), lit(MC.B(j)).as("cb"))): _*)
+        "ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id ORDER BY d1, d2"
+    }) { (s, dir) =>
       val mh = shingles(s, dir)
-        .select(col("doc_id"), h60modP(col("s")).as("hm"))
-        .select(col("doc_id"), col("hm"), explode(coef).as("c"))
-        .groupBy(col("doc_id"), col("c.j").as("j"))
-        .agg(min((col("c.ca") * col("hm") + col("c.cb")) % P).as("mh"))
+        .select(col("doc_id"), (col("h") % P).as("hm"))
+        .groupBy("doc_id")
+        .agg(
+          min((col("hm") * MC.A(0) + MC.B(0)) % P).as("m0"),
+          (1 until MC.NumHashes).map(j =>
+            min((col("hm") * MC.A(j) + MC.B(j)) % P).as(s"m$j")): _*)
+      val bandCols = (0 until MC.NumHashes / MC.BandRows).map { k =>
+        concat_ws(",", (0 until MC.BandRows).map(r => col(s"m${MC.BandRows * k + r}")): _*)
+      }
       val sig = mh
-        .withColumn("band", expr(s"j div ${MC.BandRows}"))
-        .groupBy("doc_id", "band")
-        .agg(expr("array_join(transform(array_sort(collect_list(struct(j, mh))), " +
-          "x -> cast(x.mh AS string)), ',')").as("sig"))
+        .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       sig.as("x")
         .join(sig.as("y"),
           col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
@@ -184,18 +242,56 @@ object Dedup {
         .orderBy("d1", "d2")
     },
 
-    // Embedding near-dup: cosine ≥ 0.4 decided entirely in int64:
+    // Embedding near-dup, sub-quadratic: sign-LSH banding over fixed
+    // hyperplanes generates candidates; the exact int64 cosine test
     //   dot ≥ 0  AND  25·dot² ≥ 4·‖a‖²·‖b‖²   (0.4² = 4/25)
-    Q("q45_embedding_neardup",
+    // confirms them. No cross join anywhere in the plan.
+    Q("q45_embedding_neardup", {
+      val nh = NumBands * BandBits
+      val bits = (0 until nh).map { j =>
+        s"CASE WHEN list_aggregate([q[i+1] * ${hcomp(j)} FOR i IN generate_series(0,63)], 'sum')::BIGINT >= 0 " +
+          s"THEN 1::BIGINT ELSE 0::BIGINT END AS bit$j"
+      }.mkString(", ")
+      val bandvals = (0 until NumBands).map { k =>
+        "(" + (0 until BandBits).map(r => s"bit${BandBits * k + r} * ${1L << r}").mkString(" + ") + s") AS band$k"
+      }.mkString(", ")
+      val bands = (0 until NumBands)
+        .map(k => s"SELECT vec_id, $k AS k, band$k AS bv FROM bd").mkString(" UNION ALL ")
       "WITH " + quantizedSql + ", " +
-        "p AS (SELECT a.vec_id AS v1, b.vec_id AS v2, " +
-        qdotSql("a.q", "b.q") + " AS dot, a.nrm AS na, b.nrm AS nb " +
-        " FROM n a JOIN n b ON a.vec_id < b.vec_id) " +
+        s"bits AS (SELECT vec_id, $bits FROM n), " +
+        s"bd AS (SELECT vec_id, $bandvals FROM bits), " +
+        s"bands AS ($bands), " +
+        "cand AS (SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2 FROM bands x JOIN bands y " +
+        " ON x.k = y.k AND x.bv = y.bv AND x.vec_id < y.vec_id), " +
+        "p AS (SELECT v1, v2, " + qdotSql("a.q", "b.q") + " AS dot, a.nrm AS na, b.nrm AS nb " +
+        " FROM cand JOIN n a ON v1 = a.vec_id JOIN n b ON v2 = b.vec_id) " +
         "SELECT v1, v2, dot, na, nb FROM p " +
-        "WHERE dot >= 0 AND 25 * dot * dot >= 4 * na * nb ORDER BY v1, v2") { (s, dir) =>
-      val n = quantized(s, dir)
-      n.as("a").join(n.as("b"), col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+        "WHERE dot >= 0 AND 25 * dot * dot >= 4 * na * nb ORDER BY v1, v2"
+    }) { (s, dir) =>
+      val n = quantized(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+      val nh = NumBands * BandBits
+      val withBits = (0 until nh).foldLeft(n.select(col("vec_id"), col("q"))) { (df, j) =>
+        df.withColumn(s"bit$j", expr(
+          s"CASE WHEN aggregate(sequence(0, 63), cast(0 AS bigint), " +
+            s"(acc, i) -> acc + element_at(q, cast(i+1 AS int)) * ${hcomp(j)}) >= 0 " +
+            s"THEN cast(1 AS bigint) ELSE cast(0 AS bigint) END"))
+      }
+      val bandCols = (0 until NumBands).map { k =>
+        (0 until BandBits).map(r => col(s"bit${BandBits * k + r}") * (1L << r))
+          .reduce(_ + _)
+      }
+      val bands = withBits
+        .select(col("vec_id"), posexplode(array(bandCols: _*)).as(Seq("k", "bv")))
+      val cand = bands.as("x")
+        .join(bands.as("y"),
+          col("x.k") === col("y.k") && col("x.bv") === col("y.bv") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"))
+        .distinct()
+      cand
+        .join(n.as("a"), col("v1") === col("a.vec_id"))
+        .join(n.as("b"), col("v2") === col("b.vec_id"))
+        .select(col("v1"), col("v2"),
           qdot(col("a.q"), col("b.q")).as("dot"),
           col("a.nrm").as("na"), col("b.nrm").as("nb"))
         .filter(col("dot") >= 0 &&
