@@ -11,7 +11,8 @@ object SparkEntry {
   def all: Seq[Q] =
     operators.Relational.queries ++
       operators.TextAnalysis.queries ++
-      operators.Dedup.queries
+      operators.Dedup.queries ++
+      operators.Connector.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Multi-way star join + aggregation: the shape this engine exists for.
