@@ -122,6 +122,32 @@ object Connector {
       s.table(t).orderBy("n_nationkey")
     },
 
+    // Aggregate pushdown: the whole GROUP BY executes inside Derby (one
+    // remote SQL statement), Spark only casts/orders the tiny result.
+    // s_acctbal is stored as DECIMAL(18,2) so the remote SUM is exact in
+    // any accumulation order (a double SUM would be engine-order-
+    // dependent and break the cross-engine hash).
+    Q("q57_jdbc_agg_pushdown",
+      "SELECT s_nationkey, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal, " +
+        "CAST(MAX(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS max_bal " +
+        "FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey") { (s, dir) =>
+      gate(s, dir)
+      val t = "gate.app.t57"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      Tables.load(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal").cast(D).as("s_acctbal"))
+        .writeTo(t).create()
+      s.table(t)
+        .groupBy("s_nationkey")
+        .agg(count(lit(1)).as("n"), sum(col("s_acctbal")).as("sum_dec"),
+          max(col("s_acctbal")).as("max_dec"))
+        .select(col("s_nationkey"), col("n"),
+          col("sum_dec").cast("double").as("total_bal"),
+          col("max_dec").cast("double").as("max_bal"))
+        .orderBy("s_nationkey")
+    },
+
     // Range-partitioned parallel scan (S7; our scale improvement over
     // the reference's always-1-partition SQL scans, `mod.rs:313`): four
     // executors each read a c_custkey range predicate concurrently.

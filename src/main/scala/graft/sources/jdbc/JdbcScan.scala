@@ -2,10 +2,11 @@ package graft.sources.jdbc
 
 import org.apache.spark.internal.Logging
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.expressions.SortOrder
+import org.apache.spark.sql.connector.expressions.{Expression, NamedReference, SortOrder}
+import org.apache.spark.sql.connector.expressions.aggregate._
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types._
 
 /** DSv2 scan over an external JDBC table with projection / predicate /
   * limit / TopK pushdown and optional range-partitioned parallelism.
@@ -31,7 +32,8 @@ final class JdbcScanBuilder(options: JdbcOptions, tableSchema: StructType)
     with SupportsPushDownRequiredColumns
     with SupportsPushDownV2Filters
     with SupportsPushDownLimit
-    with SupportsPushDownTopN {
+    with SupportsPushDownTopN
+    with SupportsPushDownAggregates {
 
   private val unparser = new Unparser(options.dialect)
   private var schema: StructType = tableSchema
@@ -40,13 +42,87 @@ final class JdbcScanBuilder(options: JdbcOptions, tableSchema: StructType)
   private var limit: Option[Int] = None
   private var orderBy: Seq[String] = Nil
   private var sortIsPartial = false
+  private var aggSelect: Seq[String] = Nil // rendered "expr AS alias" items
+  private var groupBySql: Seq[String] = Nil
+  private var aggSchema: Option[StructType] = None
 
-  override def pruneColumns(required: StructType): Unit =
+  override def pruneColumns(required: StructType): Unit = {
+    // Once an aggregate is pushed, the scan's output IS the aggregate
+    // schema — ignore later pruning passes (same as Spark's own JDBC v2).
+    if (aggSchema.isDefined) return
     // Empty required schema (e.g. COUNT(*)) keeps one narrow column so the
     // generated SQL stays valid — the reference synthesizes `SELECT 1`
     // (`mod.rs:255-276`); we project the first column and let Spark count.
     schema =
       if (required.isEmpty) StructType(tableSchema.take(1)) else required
+  }
+
+  // ---- aggregate pushdown (SURVEY §4.1 "whole-subplan federation":
+  // the GROUP BY leg; reference unparses aggregates to remote SQL via
+  // datafusion-federation, `federation.rs:62-110`) -----------------------
+
+  private def fieldOf(e: Expression): Option[StructField] = e match {
+    case f: NamedReference if f.fieldNames.length == 1 =>
+      tableSchema.fields.find(_.name.equalsIgnoreCase(f.fieldNames.head))
+    case _ => None
+  }
+
+  /** Spark's expected result type for a completely-pushed aggregate —
+    * the scan schema must match what the optimizer substitutes, or it
+    * inserts casts (or worse, mis-types rows read from JDBC).
+    */
+  private def aggResultType(f: AggregateFunc): Option[DataType] = f match {
+    case _: CountStar => Some(LongType)
+    case _: Count => Some(LongType)
+    case s: Sum => fieldOf(s.column).map(_.dataType).flatMap {
+      case ByteType | ShortType | IntegerType | LongType => Some(LongType)
+      case DoubleType => Some(DoubleType)
+      case d: DecimalType =>
+        Some(DecimalType(math.min(DecimalType.MAX_PRECISION, d.precision + 10), d.scale))
+      // Float excluded: remote REAL accumulation differs from Spark's
+      // float-widened-to-double sum.
+      case _ => None
+    }
+    case m: Min => fieldOf(m.column).map(_.dataType)
+    case m: Max => fieldOf(m.column).map(_.dataType)
+    // AVG only over doubles: integer AVG is integer division in many
+    // dialects (Derby included) — Spark semantics say double.
+    case a: Avg => fieldOf(a.column).map(_.dataType).collect { case DoubleType => DoubleType }
+    case _ => None
+  }
+
+  private def translate(agg: Aggregation): Option[(Seq[String], Seq[String], StructType)] = {
+    val grpFields = agg.groupByExpressions.toSeq.map(fieldOf)
+    val aggTypes = agg.aggregateExpressions.toSeq.map(aggResultType)
+    val aggSqls = agg.aggregateExpressions.toSeq.map(unparser.agg)
+    if (grpFields.exists(_.isEmpty) || aggTypes.exists(_.isEmpty) || aggSqls.exists(_.isEmpty))
+      return None
+    val d = options.dialect
+    val grpCols = grpFields.map(_.get)
+    val sel =
+      grpCols.map(f => d.quote(f.name)) ++
+        aggSqls.zipWithIndex.map { case (s, i) => s"${s.get} AS ${d.quote(s"agg$i")}" }
+    val schema = StructType(
+      grpCols.map(f => StructField(f.name, f.dataType, nullable = true)) ++
+        aggTypes.zipWithIndex.map { case (t, i) => StructField(s"agg$i", t.get, nullable = true) })
+    Some((sel, grpCols.map(f => d.quote(f.name)), schema))
+  }
+
+  // Complete-only pushdown: with one input partition the remote result
+  // IS the final aggregate (the reference's federation executes the
+  // whole GROUP BY remotely for the same reason). Partial/merge pushdown
+  // across range partitions is deliberately not claimed.
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    options.numPartitions <= 1 && translate(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    if (options.numPartitions > 1) false
+    else translate(agg) match {
+      case Some((sel, grp, sch)) =>
+        aggSelect = sel; groupBySql = grp; aggSchema = Some(sch)
+        true
+      case None => false
+    }
 
   override def pushPredicates(predicates: Array[Predicate]): Array[Predicate] = {
     val (ok, rest) = predicates.partition(p => unparser.expr(p).isDefined)
@@ -58,6 +134,10 @@ final class JdbcScanBuilder(options: JdbcOptions, tableSchema: StructType)
   override def pushedPredicates(): Array[Predicate] = pushed
 
   override def pushLimit(n: Int): Boolean = {
+    // After an aggregate is pushed, sort/limit expressions reference the
+    // aggregate's output attributes, which have no stable remote name —
+    // keep them in Spark.
+    if (aggSchema.isDefined) return false
     limit = Some(n)
     true
   }
@@ -67,6 +147,7 @@ final class JdbcScanBuilder(options: JdbcOptions, tableSchema: StructType)
   override def isPartiallyPushed: Boolean = sortIsPartial || options.numPartitions > 1
 
   override def pushTopN(orders: Array[SortOrder], n: Int): Boolean = {
+    if (aggSchema.isDefined) return false
     val rendered = orders.toSeq.map(unparser.sort)
     if (rendered.forall(_.isDefined)) {
       orderBy = rendered.map(_.get)
@@ -76,7 +157,9 @@ final class JdbcScanBuilder(options: JdbcOptions, tableSchema: StructType)
     } else false
   }
 
-  override def build(): Scan = JdbcScan(options, schema, pushedSql, orderBy, limit)
+  override def build(): Scan =
+    JdbcScan(options, aggSchema.getOrElse(schema), pushedSql, orderBy, limit,
+      aggSelect, groupBySql)
 }
 
 final case class JdbcScan(
@@ -84,7 +167,9 @@ final case class JdbcScan(
     schema: StructType,
     where: Seq[String],
     orderBy: Seq[String],
-    limit: Option[Int]) extends Scan with Batch {
+    limit: Option[Int],
+    aggSelect: Seq[String] = Nil,
+    groupBy: Seq[String] = Nil) extends Scan with Batch {
 
   override def readSchema(): StructType = schema
 
@@ -95,14 +180,18 @@ final case class JdbcScan(
 
   private def sqlFor(rangePred: Option[String]): String = {
     val d = options.dialect
-    val cols = schema.fields.map(f => d.quote(f.name)).mkString(", ")
+    val cols =
+      if (aggSelect.nonEmpty) aggSelect.mkString(", ")
+      else schema.fields.map(f => d.quote(f.name)).mkString(", ")
     val conds = where ++ rangePred
     val whereClause =
       if (conds.isEmpty) "" else conds.mkString(" WHERE ", " AND ", "")
+    val group =
+      if (groupBy.isEmpty) "" else groupBy.mkString(" GROUP BY ", ", ", "")
     val order =
       if (orderBy.isEmpty) "" else orderBy.mkString(" ORDER BY ", ", ", "")
     val lim = limit.map(n => " " + d.limitClause(n)).getOrElse("")
-    d.repairSql(s"SELECT $cols FROM ${options.table}$whereClause$order$lim")
+    d.repairSql(s"SELECT $cols FROM ${options.table}$whereClause$group$order$lim")
   }
 
   override def toBatch: Batch = this

@@ -80,6 +80,26 @@ class JdbcRoundTripSpec extends AnyFunSuite with SparkFixture {
     assert(spark.table("ext.rt.t5").collect().toSeq == Seq(Row(100L)))
   }
 
+  test("aggregate pushdown: GROUP BY runs remotely, no local hash aggregate of rows") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ext.rt")
+    spark.sql("DROP TABLE IF EXISTS ext.rt.t7")
+    import spark.implicits._
+    (1L to 40L).map(i => (i, (i % 5).toInt, i * 2)).toDF("k", "g", "v")
+      .writeTo("ext.rt.t7").create()
+    val df = spark.table("ext.rt.t7").groupBy($"g")
+      .agg(count(lit(1)).as("n"), sum($"v").as("sv"), max($"v").as("mx"))
+    val plan = planOf(df)
+    assert(plan.contains("GROUP BY"), s"aggregate not pushed:\n$plan")
+    assert(plan.contains("COUNT(1)") || plan.contains("COUNT(*)"), s"count not pushed:\n$plan")
+    assert(plan.contains("SUM("), s"sum not pushed:\n$plan")
+    val got = df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val exp = (1L to 40L).map(i => ((i % 5).toInt, i * 2)).groupBy(_._1)
+      .map { case (g, xs) => (g, xs.size.toLong, xs.map(_._2).sum, xs.map(_._2).max) }
+      .toSeq.sortBy(_._1)
+    assert(got == exp)
+  }
+
   test("catalog lists namespaces and tables, introspects schema") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS ext.rt")
     spark.sql("DROP TABLE IF EXISTS ext.rt.t6")
