@@ -148,6 +148,24 @@ object Connector {
         .orderBy("s_nationkey")
     },
 
+    // Federation (J1): nation ⋈ region between two Derby tables of the
+    // SAME database collapses into ONE remote SQL join (the
+    // FederationRule injected via GraftExtensions); Spark ships only the
+    // joined, filtered result. FederationSpec asserts the single-scan
+    // plan; this gate row proves value-exactness.
+    Q("q58_jdbc_federated_join",
+      "SELECT n_nationkey, n_name, r_name FROM nation JOIN region " +
+        "ON n_regionkey = r_regionkey WHERE r_regionkey <> 3 " +
+        "ORDER BY n_nationkey") { (s, dir) =>
+      val tn = freshCopy(s, dir, "nation", "t58n")
+      val tr = freshCopy(s, dir, "region", "t58r")
+      s.table(tn)
+        .join(s.table(tr), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_regionkey") =!= 3)
+        .select("n_nationkey", "n_name", "r_name")
+        .orderBy("n_nationkey")
+    },
+
     // Range-partitioned parallel scan (S7; our scale improvement over
     // the reference's always-1-partition SQL scans, `mod.rs:313`): four
     // executors each read a c_custkey range predicate concurrently.

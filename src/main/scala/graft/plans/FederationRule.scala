@@ -1,9 +1,192 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import graft.sources.jdbc.{GraftJdbcTable, JdbcOptions}
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans._
+import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
-/** Placeholder: federation subplan collapse lands here. */
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Federation: collapse a join between tables of the SAME remote server
+  * into one remote SQL statement, executed as a single
+  * [[GraftJdbcTable]] scan.
+  *
+  * The Spark re-expression of datafusion-federation's plan rewrite
+  * (reference `crates/common/src/sql/sql_provider_datafusion/
+  * federation.rs:62-110`): subtrees are grouped by compute context —
+  * the canonical connection identity — and only merged when contexts
+  * are EQUAL, the reference's `JoinPushDown::AllowedFor(context)`
+  * guarantee that two distinct servers can never be merged
+  * (`db_connection_pool/mod.rs:49-57`).
+  *
+  * Mechanics: the rule runs in the operator-optimization batch, before
+  * `V2ScanRelationPushDown`. It recognizes collapsible legs —
+  * `DataSourceV2Relation(GraftJdbcTable)`, optionally under
+  * attribute-only `Project`s and unparsable `Filter`s — and rewrites
+  *
+  * {{{ Join(legL, legR, jt, cond) }}}
+  *
+  * into a Project over a NEW `DataSourceV2Relation` whose table is a
+  * derived-table SQL string `(SELECT … FROM l JOIN r ON …) alias`.
+  * Filters wrap their leg as a derived subquery (not a WHERE on the
+  * join) so outer-join null-extension semantics are preserved exactly.
+  * Output columns get stable aliases c0..cN; the outer Project restores
+  * the original attribute ids so the parent plan is untouched.
+  *
+  * Because the result is again a relation over a GraftJdbcTable:
+  *   - multi-way joins collapse bottom-up to ONE remote statement;
+  *   - Catalyst's normal DSv2 pushdown then drives projection pruning,
+  *     residual filters, TopN and whole-GROUP-BY aggregation into the
+  *     SAME collapsed scan (SURVEY §3.2's "remaining plan executes
+  *     locally" — here the remainder rides the standard pushdown path).
+  *
+  * At 100 TB this is the difference between shipping two tables through
+  * the cluster and shipping one pre-joined, pre-filtered result set.
+  */
 object FederationRule extends Rule[LogicalPlan] {
-  override def apply(plan: LogicalPlan): LogicalPlan = plan
+
+  private val counter = new AtomicInteger()
+  private def fresh(): String = s"fj${counter.getAndIncrement()}"
+
+  /** One collapsible leg: FROM-clause SQL + attribute rendering map.
+    * `topAlias` is the leg's outermost correlation name — two legs with
+    * the same topAlias (the same derived table joined to itself) cannot
+    * share a FROM scope and are left uncollapsed.
+    */
+  private case class Leaf(
+      ctx: String,
+      opts: JdbcOptions,
+      from: String,
+      attrs: Map[ExprId, String],
+      visible: Seq[Attribute],
+      topAlias: String)
+
+  private def leafOf(plan: LogicalPlan): Option[Leaf] = plan match {
+    case r: DataSourceV2Relation if r.table.isInstanceOf[GraftJdbcTable] =>
+      val t = r.table.asInstanceOf[GraftJdbcTable]
+      val d = t.options.dialect
+      t.options.map.get("derivedalias") match {
+        // A previously-collapsed subquery: `(SELECT …) "fjK"` is already
+        // aliased — reference its embedded correlation name directly.
+        case Some(embedded) =>
+          Some(Leaf(
+            t.options.computeContext,
+            t.options,
+            t.options.table,
+            r.output.map(a => a.exprId -> s"${d.quote(embedded)}.${d.quote(a.name)}").toMap,
+            r.output,
+            embedded))
+        case None =>
+          val alias = fresh()
+          Some(Leaf(
+            t.options.computeContext,
+            t.options,
+            s"${t.options.table} ${d.quote(alias)}",
+            r.output.map(a => a.exprId -> s"${d.quote(alias)}.${d.quote(a.name)}").toMap,
+            r.output,
+            alias))
+      }
+
+    // Attribute-only projections narrow the visible column set.
+    case Project(items, child) =>
+      leafOf(child).flatMap { l =>
+        val mapped: Seq[Option[(Attribute, String)]] = items.map {
+          case a: AttributeReference => l.attrs.get(a.exprId).map(a -> _)
+          case al @ Alias(c: AttributeReference, _) =>
+            l.attrs.get(c.exprId).map(al.toAttribute -> _)
+          case _ => None
+        }
+        if (mapped.exists(_.isEmpty)) None
+        else Some(l.copy(
+          attrs = mapped.flatten.map { case (a, s) => a.exprId -> s }.toMap,
+          visible = mapped.flatten.map(_._1)))
+      }
+
+    // A filter wraps its leg as a derived subquery, so the predicate
+    // applies BEFORE any outer join's null extension — exact semantics
+    // for every join type.
+    case Filter(cond, child) =>
+      leafOf(child).flatMap { l =>
+        new CatalystUnparser(l.opts.dialect, l.attrs).expr(cond).map { w =>
+          val d = l.opts.dialect
+          val alias = fresh()
+          val cols = l.visible.zipWithIndex.map { case (a, i) =>
+            s"${l.attrs(a.exprId)} AS ${d.quote(s"c$i")}"
+          }
+          Leaf(
+            l.ctx, l.opts,
+            s"(SELECT ${cols.mkString(", ")} FROM ${l.from} WHERE $w) ${d.quote(alias)}",
+            l.visible.zipWithIndex.map { case (a, i) =>
+              a.exprId -> s"${d.quote(alias)}.${d.quote(s"c$i")}"
+            }.toMap,
+            l.visible,
+            alias)
+        }
+      }
+
+    case _ => None
+  }
+
+  private def joinKeyword(jt: JoinType, opts: JdbcOptions): Option[String] = jt match {
+    case Inner => Some("JOIN")
+    case Cross => Some("CROSS JOIN")
+    case LeftOuter => Some("LEFT JOIN")
+    case RightOuter => Some("RIGHT JOIN")
+    case FullOuter if opts.dialect.supportsFullOuterJoin => Some("FULL JOIN")
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case j @ Join(left, right, jt, cond, _) =>
+      val collapsed =
+        for {
+          l <- leafOf(left)
+          r <- leafOf(right)
+          // never merge distinct servers (AllowedFor(context) equality)
+          if l.ctx == r.ctx
+          // a derived table joined with itself would duplicate its
+          // correlation name in one FROM scope
+          if l.topAlias != r.topAlias
+          kw <- joinKeyword(jt, l.opts)
+          onSql <- cond match {
+            case Some(c) =>
+              new CatalystUnparser(l.opts.dialect, l.attrs ++ r.attrs).expr(c)
+                .map(s => s" ON $s")
+            case None if jt == Cross => Some("")
+            case None => None
+          }
+        } yield {
+          val d = l.opts.dialect
+          val alias = fresh()
+          val out = j.output
+          val combined = l.attrs ++ r.attrs
+          val proj = out.zipWithIndex.map { case (a, i) =>
+            s"${combined(a.exprId)} AS ${d.quote(s"c$i")}"
+          }
+          val derived =
+            s"(SELECT ${proj.mkString(", ")} FROM ${l.from} $kw ${r.from}$onSql) ${d.quote(alias)}"
+          val fields = out.zipWithIndex.map { case (a, i) =>
+            StructField(s"c$i", a.dataType, a.nullable)
+          }
+          val tbl = GraftJdbcTable(
+            s"federated:${l.opts.computeContext}",
+            StructType(fields),
+            JdbcOptions(l.opts.withTable(derived).map + ("derivedalias" -> alias)))
+          val newOut = out.zipWithIndex.map { case (a, i) =>
+            AttributeReference(s"c$i", a.dataType, a.nullable)()
+          }
+          val rel = DataSourceV2Relation(
+            tbl, newOut, None, None, CaseInsensitiveStringMap.empty())
+          Project(
+            out.zip(newOut).map { case (o, n) =>
+              Alias(n, o.name)(exprId = o.exprId)
+            },
+            rel)
+        }
+      collapsed.getOrElse(j)
+  }
 }

@@ -71,12 +71,17 @@ trait Dialect extends Serializable {
     * sent to the remote engine (reference: `federation.rs:56-88`).
     */
   def repairSql(sql: String): String = sql
+
+  /** Whether FULL OUTER JOIN may be rendered for this dialect. */
+  def supportsFullOuterJoin: Boolean = true
 }
 
 /** Apache Derby — the live embedded backend for tests and queries. */
 object DerbyDialect extends Dialect {
   val name = "derby"
   override def limitClause(n: Int): String = s"FETCH FIRST $n ROWS ONLY"
+  // Derby has no FULL OUTER JOIN.
+  override def supportsFullOuterJoin: Boolean = false
   override def typeName(dt: DataType): String = dt match {
     case StringType => "VARCHAR(32672)"
     case BooleanType => "BOOLEAN"

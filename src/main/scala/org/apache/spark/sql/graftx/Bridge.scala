@@ -15,4 +15,11 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** DSv2 literal from an internal value + type (`LiteralValue` itself is
+    * `private[sql]`).
+    */
+  def v2Literal(value: Any, dataType: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.connector.expressions.Literal[_] =
+    org.apache.spark.sql.connector.expressions.LiteralValue(value, dataType)
 }

@@ -14,6 +14,7 @@ trait SparkFixture extends BeforeAndAfterAll { self: Suite =>
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.catalog.ext", "graft.sources.jdbc.GraftCatalog")
     .config("spark.sql.catalog.ext.url", SparkFixture.derbyUrl)

@@ -1,0 +1,104 @@
+package graft.plans
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Federation rule: joins between tables of the same Derby database
+  * collapse into ONE remote SQL statement; the plan must show exactly
+  * one GraftJdbcScan (reference behavior: `federation.rs:62-110`).
+  */
+class FederationSpec extends AnyFunSuite with SparkFixture {
+
+  private def scanCount(df: org.apache.spark.sql.DataFrame): Int =
+    "GraftJdbcScan".r.findAllIn(df.queryExecution.executedPlan.toString).length
+
+  private def setup(): Unit = {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ext.fed")
+    spark.sql("DROP TABLE IF EXISTS ext.fed.orders")
+    spark.sql("DROP TABLE IF EXISTS ext.fed.cust")
+    import spark.implicits._
+    Seq((1L, "alice", 1), (2L, "bob", 2), (3L, "carol", 1))
+      .toDF("cid", "cname", "seg").writeTo("ext.fed.cust").create()
+    Seq((10L, 1L, 100.0), (11L, 1L, 250.0), (12L, 2L, 40.0), (13L, 3L, 75.0))
+      .toDF("oid", "ocid", "amount").writeTo("ext.fed.orders").create()
+  }
+
+  test("two-table inner join collapses to one remote scan") {
+    setup()
+    import spark.implicits._
+    val df = spark.table("ext.fed.orders")
+      .join(spark.table("ext.fed.cust"), $"ocid" === $"cid")
+      .select("oid", "cname", "amount")
+      .orderBy("oid")
+    assert(scanCount(df) == 1,
+      s"expected 1 collapsed scan:\n${df.queryExecution.executedPlan}")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains(" JOIN "), s"no remote JOIN in plan:\n$plan")
+    assert(df.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ==
+      Seq((10L, "alice", 100.0), (11L, "alice", 250.0), (12L, "bob", 40.0), (13L, "carol", 75.0)))
+  }
+
+  test("filters on join legs ride inside the collapsed SQL") {
+    setup()
+    import spark.implicits._
+    val df = spark.table("ext.fed.orders")
+      .join(spark.table("ext.fed.cust"), $"ocid" === $"cid")
+      .filter($"seg" === 1 && $"amount" > 50.0)
+      .select("oid", "cname")
+      .orderBy("oid")
+    assert(scanCount(df) == 1,
+      s"expected 1 collapsed scan:\n${df.queryExecution.executedPlan}")
+    assert(df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((10L, "alice"), (11L, "alice"), (13L, "carol")))
+  }
+
+  test("three-way join collapses bottom-up into one statement") {
+    setup()
+    spark.sql("DROP TABLE IF EXISTS ext.fed.seg")
+    import spark.implicits._
+    Seq((1, "retail"), (2, "corp")).toDF("sid", "sname").writeTo("ext.fed.seg").create()
+    val df = spark.table("ext.fed.orders")
+      .join(spark.table("ext.fed.cust"), $"ocid" === $"cid")
+      .join(spark.table("ext.fed.seg"), $"seg" === $"sid")
+      .groupBy("sname").agg(count(lit(1)).as("n"))
+      .orderBy("sname")
+    assert(scanCount(df) == 1,
+      s"expected 1 collapsed scan:\n${df.queryExecution.executedPlan}")
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("corp", 1L), ("retail", 3L)))
+  }
+
+  test("left outer join preserves null extension") {
+    setup()
+    import spark.implicits._
+    spark.sql("DELETE FROM ext.fed.orders WHERE ocid = 2")
+    val df = spark.table("ext.fed.cust")
+      .join(spark.table("ext.fed.orders"), $"cid" === $"ocid", "left")
+      .select($"cname", $"oid")
+      .orderBy($"cname", $"oid")
+    assert(scanCount(df) == 1,
+      s"expected 1 collapsed scan:\n${df.queryExecution.executedPlan}")
+    assert(df.collect().map(r => (r.getString(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq ==
+      Seq(("alice", 10L), ("alice", 11L), ("bob", -1L), ("carol", 13L)))
+  }
+
+  test("distinct servers are never merged") {
+    setup()
+    // second, separate Derby database = different compute context
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_derby2").toString
+    spark.conf.set("spark.sql.catalog.ext2", "graft.sources.jdbc.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.ext2.url", s"jdbc:derby:$dir2/db;create=true")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ext2.fed")
+    spark.sql("DROP TABLE IF EXISTS ext2.fed.cust")
+    import spark.implicits._
+    Seq((1L, "zoe")).toDF("cid", "cname").writeTo("ext2.fed.cust").create()
+    val df = spark.table("ext.fed.orders")
+      .join(spark.table("ext2.fed.cust"), $"ocid" === $"cid")
+      .select("oid", "cname")
+    assert(scanCount(df) == 2,
+      s"distinct servers must stay separate scans:\n${df.queryExecution.executedPlan}")
+    assert(df.collect().map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ==
+      Seq((10L, "zoe"), (11L, "zoe")))
+  }
+}
