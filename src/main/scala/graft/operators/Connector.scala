@@ -148,6 +148,19 @@ object Connector {
         .orderBy("s_nationkey")
     },
 
+    // UPDATE ... SET ... WHERE pushed as one remote statement (W8): no
+    // data moves through Spark; doubling is exact (doubles scale by 2).
+    Q("q59_jdbc_update",
+      "SELECT s_suppkey, s_name, s_nationkey, " +
+        "CASE WHEN s_nationkey >= 10 THEN s_acctbal * 2 ELSE s_acctbal END AS s_acctbal " +
+        "FROM supplier ORDER BY s_suppkey") { (s, dir) =>
+      val t = freshCopy(s, dir, "supplier", "t59")
+      graft.sources.jdbc.Dml.update(s, t,
+        Seq("s_acctbal" -> (col("s_acctbal") * lit(2.0))),
+        col("s_nationkey") >= lit(10))
+      s.table(t).orderBy("s_suppkey")
+    },
+
     // Federation (J1): nation ⋈ region between two Derby tables of the
     // SAME database collapses into ONE remote SQL join (the
     // FederationRule injected via GraftExtensions); Spark ships only the

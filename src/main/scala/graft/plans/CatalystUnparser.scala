@@ -42,6 +42,11 @@ final class CatalystUnparser(dialect: Dialect, attrSql: Map[ExprId, String]) {
     case a: Add => bin("+", a.left, a.right)
     case a: Subtract => bin("-", a.left, a.right)
     case a: Multiply => bin("*", a.left, a.right)
+    case c: Cast if c.foldable =>
+      // analyzer-inserted literal widenings fold to plain literals
+      expr(Literal(c.eval(null), c.dataType))
+    case c: Cast if dialect.supportsType(c.dataType) =>
+      expr(c.child).map(s => s"CAST($s AS ${dialect.typeName(c.dataType)})")
     case _ => None
   }
 

@@ -54,6 +54,12 @@ trait Dialect extends Serializable {
   def supportsType(dt: DataType): Boolean =
     try { typeName(dt); true } catch { case _: IllegalArgumentException => false }
 
+  /** Column definition list for CREATE TABLE from a Spark schema. */
+  def columnDefs(schema: StructType): String =
+    schema.fields.map { f =>
+      s"${quote(f.name)} ${typeName(f.dataType)}${if (f.nullable) "" else " NOT NULL"}"
+    }.mkString(", ")
+
   /** String literal with dialect escaping. */
   def stringLiteral(s: String): String = "'" + s.replace("'", "''") + "'"
 

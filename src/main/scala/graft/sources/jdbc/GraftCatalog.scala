@@ -125,10 +125,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    val cols = schema.fields.map { f =>
-      val nn = if (f.nullable) "" else " NOT NULL"
-      s"${dialect.quote(f.name)} ${dialect.typeName(f.dataType)}$nn"
-    }.mkString(", ")
+    val cols = dialect.columnDefs(schema)
     val props = properties.asScala
     // primary key + index DDL from table properties (reference W9/W10).
     val pk = props.get("primarykeys").orElse(props.get("primaryKeys"))

@@ -59,14 +59,17 @@ object JdbcOptions {
     JdbcOptions(m.asScala.map { case (k, v) => k.toLowerCase -> v }.toMap)
 
   /** Open a connection; Derby's embedded driver needs no registration on
-    * JDK 17 (auto-loaded via the service registry).
+    * JDK 17 (auto-loaded via the service registry). Establishment is
+    * retried on transient failures (connection loss / resource limits) —
+    * cheaper than a full Spark task retry re-streaming the partition.
     */
-  def connect(url: String, opts: Map[String, String]): Connection = {
-    val props = new Properties()
-    opts.get("user").foreach(props.setProperty("user", _))
-    opts.get("password").foreach(props.setProperty("password", _))
-    DriverManager.getConnection(url, props)
-  }
+  def connect(url: String, opts: Map[String, String]): Connection =
+    RetriableErrors.withRetries(3) {
+      val props = new Properties()
+      opts.get("user").foreach(props.setProperty("user", _))
+      opts.get("password").foreach(props.setProperty("password", _))
+      DriverManager.getConnection(url, props)
+    }
 
   /** Per-JVM cache of *schemas* (not connections — JDBC connections are
     * not thread-safe to share across Spark tasks; each reader/writer

@@ -2,27 +2,37 @@ package graft.sources.jdbc
 
 import org.apache.spark.internal.Logging
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types.StructType
 
 import java.sql.Connection
 
-/** DSv2 write path for external JDBC tables: append, truncate-overwrite,
-  * and keyed upsert, with per-partition transactions.
+/** DSv2 write path for external JDBC tables: append, ATOMIC staged
+  * overwrite, and keyed upsert, with per-partition transactions.
   *
   * Re-expresses the reference's `DataSink` trio (`PostgresDataSink`
   * `crates/postgres/src/write.rs:106-218`, `SqliteDataSink`,
   * `DuckDBDataSink`) in Spark's distributed commit model: the reference
   * streams all batches through ONE transaction on one thread; Spark runs
   * one `DataWriter` per partition, each with its own transaction, and the
-  * driver's `BatchWrite.commit` finalizes. Overwrite maps to
-  * `SupportsTruncate` (reference `InsertOp::Overwrite` → `DELETE FROM`,
-  * `write.rs:149-160`). Upsert maps to the dialect's ON CONFLICT /
-  * ON DUPLICATE KEY statement (reference `on_conflict.rs:22-105`);
-  * Derby, lacking both, falls back to UPDATE-else-INSERT inside the
-  * partition transaction.
+  * driver's `BatchWrite.commit` finalizes.
   *
-  * Scale: rows bind into a JDBC `PreparedStatement` batch of
+  * Overwrite is ATOMIC via a staged table (the reference's
+  * `__data_<ts>` + view-swap pattern, `crates/duckdb/src/creator.rs:220-520`):
+  * partition writers fill `<table>__stage`, and only `commit()` runs the
+  * DELETE + INSERT-SELECT + DROP swap inside one remote transaction — a
+  * task failure mid-job leaves the target completely untouched (the
+  * round-2 driver-side pre-truncate lost data on mid-job failure).
+  *
+  * Upsert correctness is enforced, not assumed (reference
+  * `constraints.rs:28-95`): the Write REQUIRES a hash-clustered
+  * distribution on the upsert keys, so one key lands in exactly one
+  * partition transaction, and each writer validates per-chunk key
+  * uniqueness before executing its batch.
+  *
+  * Scale: rows bind into JDBC `PreparedStatement` batches of
   * `batchSize` (prepared-path throughput is the one performance result
   * the reference publishes — `benches/sqlite_insert_benchmark.rs`), and
   * N partitions write concurrently, which the reference cannot do.
@@ -34,33 +44,72 @@ final class JdbcWriteBuilder(options: JdbcOptions, schema: StructType)
 
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite = JdbcBatchWrite(options, schema, doTruncate)
-  }
+  override def build(): Write = new JdbcWrite(options, schema, doTruncate)
+}
+
+final class JdbcWrite(options: JdbcOptions, schema: StructType, truncate: Boolean)
+  extends Write with RequiresDistributionAndOrdering {
+
+  // One upsert key -> one partition transaction: the precondition the
+  // reference's constraint validation protects is guaranteed by Spark's
+  // shuffle instead of hoped for.
+  override def requiredDistribution(): Distribution =
+    if (options.upsertKeys.nonEmpty)
+      Distributions.clustered(options.upsertKeys.map(k => Expressions.column(k)).toArray)
+    else Distributions.unspecified()
+
+  override def requiredOrdering(): Array[SortOrder] = Array.empty
+
+  override def toBatch: BatchWrite = JdbcBatchWrite(options, schema, truncate)
 }
 
 final case class JdbcBatchWrite(options: JdbcOptions, schema: StructType, truncate: Boolean)
   extends BatchWrite with Logging {
 
+  /** `"ns"."t"` → `"ns"."t__stage"` (suffix inside the final quote). */
+  private def stageTable: String = {
+    val t = options.table
+    if (t.endsWith("\"")) t.dropRight(1) + "__stage\"" else t + "__stage"
+  }
+
+  private def withConn[A](f: Connection => A): A = {
+    val c = options.connect()
+    try f(c) finally c.close()
+  }
+
+  private def exec(c: Connection, sql: String): Unit = {
+    val st = c.createStatement()
+    try st.executeUpdate(sql) finally st.close()
+  }
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    // Truncate BEFORE tasks launch — same barrier the reference gets from
-    // running `DELETE FROM` at the head of its single transaction.
-    if (truncate) {
-      val conn = options.connect()
-      try {
-        val st = conn.createStatement()
-        try st.executeUpdate(s"DELETE FROM ${options.table}") finally st.close()
-      } finally conn.close()
+    if (truncate) withConn { c =>
+      // fresh stage table; a leftover from a crashed run is dropped
+      try exec(c, s"DROP TABLE $stageTable") catch { case _: java.sql.SQLException => }
+      exec(c, s"CREATE TABLE $stageTable (${options.dialect.columnDefs(schema)})")
     }
-    JdbcWriterFactory(options, schema)
+    val target = if (truncate) options.withTable(stageTable) else options
+    JdbcWriterFactory(target, schema)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val rows = messages.collect { case JdbcCommit(n) => n }.sum
+    if (truncate) withConn { c =>
+      // the atomic swap: target is replaced in ONE remote transaction
+      c.setAutoCommit(false)
+      val cols = schema.fields.map(f => options.dialect.quote(f.name)).mkString(", ")
+      exec(c, s"DELETE FROM ${options.table}")
+      exec(c, s"INSERT INTO ${options.table} ($cols) SELECT $cols FROM $stageTable")
+      exec(c, s"DROP TABLE $stageTable")
+      c.commit()
+    }
     logInfo(s"graft-jdbc write committed: $rows rows into ${options.table}")
   }
 
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    if (truncate) withConn { c =>
+      try exec(c, s"DROP TABLE $stageTable") catch { case _: java.sql.SQLException => }
+    }
 }
 
 final case class JdbcCommit(rows: Long) extends WriterCommitMessage
@@ -124,11 +173,12 @@ class JdbcRowWriter(options: JdbcOptions, schema: StructType)
   }
 }
 
-/** Derby has no ON CONFLICT / MERGE-over-VALUES: try UPDATE by key, fall
-  * back to INSERT when no row matched — correct inside the partition's
-  * transaction because upsert keys are hash-partitioned by the caller or
-  * unique in the incoming data (same precondition the reference's
-  * constraint validation enforces, `constraints.rs:28-95`).
+/** Derby has no ON CONFLICT / MERGE-over-VALUES: batched UPDATE by key,
+  * then batched INSERT for the rows no UPDATE matched — two round trips
+  * per `batchSize` chunk instead of two per ROW. Chunk key uniqueness is
+  * VALIDATED (reference `constraints.rs:28-95`), not assumed; the
+  * cross-partition half of that precondition is enforced by
+  * [[JdbcWrite.requiredDistribution]].
   */
 final class DerbyUpsertWriter(options: JdbcOptions, schema: StructType)
   extends DataWriter[InternalRow] {
@@ -139,7 +189,7 @@ final class DerbyUpsertWriter(options: JdbcOptions, schema: StructType)
   private val d = DerbyDialect
   private val cols = schema.fields.map(_.name).toSeq
   private val keys = options.upsertKeys
-  private val nonKeys = cols.filterNot(keys.contains)
+  private val keyIdx = keys.map(k => cols.indexWhere(_.equalsIgnoreCase(k))).toArray
   private val colIdx = cols.zipWithIndex.toMap
   private val setters = schema.fields.map(f => TypeMapping.setter(f.dataType))
   private val sqlTypes = schema.fields.map(f => TypeMapping.jdbcType(f.dataType))
@@ -149,6 +199,9 @@ final class DerbyUpsertWriter(options: JdbcOptions, schema: StructType)
   private val insertPs = conn.prepareStatement(
     s"INSERT INTO ${options.table} (${cols.map(d.quote).mkString(", ")}) " +
       s"VALUES (${cols.map(_ => "?").mkString(", ")})")
+
+  // current chunk, buffered as row copies (batchSize-bounded memory)
+  private val chunk = new scala.collection.mutable.ArrayBuffer[InternalRow]()
   private var total = 0L
 
   private def bind(ps: java.sql.PreparedStatement, row: InternalRow,
@@ -161,15 +214,41 @@ final class DerbyUpsertWriter(options: JdbcOptions, schema: StructType)
   }
 
   override def write(row: InternalRow): Unit = {
-    bind(updatePs, row, nonKeys ++ keys)
-    if (updatePs.executeUpdate() == 0) {
-      bind(insertPs, row, cols)
-      insertPs.executeUpdate()
-    }
+    chunk += row.copy()
     total += 1
+    if (chunk.length >= options.batchSize) flushChunk()
   }
 
-  override def commit(): WriterCommitMessage = { conn.commit(); JdbcCommit(total) }
+  private def keyOf(row: InternalRow): Seq[Any] =
+    keyIdx.toSeq.map(i => if (row.isNullAt(i)) null else row.get(i, schema.fields(i).dataType))
+
+  private def flushChunk(): Unit = {
+    if (chunk.isEmpty) return
+    // constraint validation: duplicate keys inside one chunk would make
+    // the update-else-insert outcome order-dependent
+    val seen = scala.collection.mutable.HashSet.empty[Seq[Any]]
+    chunk.foreach { row =>
+      val k = keyOf(row)
+      if (!seen.add(k))
+        throw new IllegalStateException(
+          s"duplicate upsert key ${keys.zip(k).toMap} within one write batch " +
+            s"(reference enforces pre-write uniqueness; fix the input or drop duplicates)")
+    }
+    val nonKeys = cols.filterNot(c => keys.exists(_.equalsIgnoreCase(c)))
+    chunk.foreach { row => bind(updatePs, row, nonKeys ++ keys); updatePs.addBatch() }
+    val updated = updatePs.executeBatch()
+    chunk.zip(updated).foreach { case (row, n) =>
+      if (n == 0) { bind(insertPs, row, cols); insertPs.addBatch() }
+    }
+    insertPs.executeBatch()
+    chunk.clear()
+  }
+
+  override def commit(): WriterCommitMessage = {
+    flushChunk()
+    conn.commit()
+    JdbcCommit(total)
+  }
   override def abort(): Unit = conn.rollback()
   override def close(): Unit = {
     try { updatePs.close(); insertPs.close() } finally conn.close()

@@ -1,0 +1,116 @@
+package graft.sources.jdbc
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.{SQLException, SQLTransientConnectionException}
+
+/** Write-path hardening: atomic overwrite survives mid-job task death,
+  * upsert precondition is validated, Derby upserts batch, UPDATE DML
+  * pushes, transient errors classify + retry.
+  */
+class WriteHardeningSpec extends AnyFunSuite with SparkFixture {
+
+  test("mid-job overwrite failure leaves the target table untouched") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ext.wh")
+    spark.sql("DROP TABLE IF EXISTS ext.wh.t1")
+    import spark.implicits._
+    (1L to 5L).map(i => (i, s"orig_$i")).toDF("k", "v").writeTo("ext.wh.t1").create()
+
+    // overwrite input whose evaluation throws on k=3 mid-write
+    val bad = (1L to 5L).toDF("k")
+      .select($"k", when($"k" === 3, raise_error(lit("boom"))).otherwise(concat(lit("new_"), $"k")).as("v"))
+    intercept[Exception] { bad.writeTo("ext.wh.t1").overwrite(lit(true)) }
+
+    // old data must be fully intact (round-2 pre-truncate lost it here)
+    assert(spark.table("ext.wh.t1").collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1).toSeq == (1L to 5L).map(i => (i, s"orig_$i")))
+    // ... and the stage table must not linger
+    val tables = spark.sql("SHOW TABLES IN ext.wh").collect().map(_.getString(1))
+    assert(!tables.exists(_.contains("stage")), tables.mkString(","))
+  }
+
+  test("successful overwrite swaps atomically") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ext.wh")
+    spark.sql("DROP TABLE IF EXISTS ext.wh.t2")
+    import spark.implicits._
+    (1L to 5L).map(i => (i, "old")).toDF("k", "v").writeTo("ext.wh.t2").create()
+    Seq((10L, "new")).toDF("k", "v").writeTo("ext.wh.t2").overwrite(lit(true))
+    assert(spark.table("ext.wh.t2").collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((10L, "new")))
+  }
+
+  test("duplicate upsert keys within a batch are rejected, not silently order-dependent") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ext.wh")
+    spark.sql("DROP TABLE IF EXISTS ext.wh.t3")
+    import spark.implicits._
+    Seq((1L, "a")).toDF("k", "v").writeTo("ext.wh.t3").create()
+    val dup = Seq((7L, "x"), (7L, "y")).toDF("k", "v").coalesce(1)
+    val e = intercept[Exception] {
+      dup.writeTo("ext.wh.t3").option("upsertkeys", "k").append()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("duplicate upsert key")), messages(e).mkString(" | "))
+  }
+
+  test("batched Derby upsert handles thousands of rows in both paths") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ext.wh")
+    spark.sql("DROP TABLE IF EXISTS ext.wh.t4")
+    import spark.implicits._
+    (1L to 3000L).map(i => (i, s"v$i")).toDF("k", "v").writeTo("ext.wh.t4").create()
+    // 1500 updates + 1500 inserts
+    (1501L to 4500L).map(i => (i, s"u$i")).toDF("k", "v")
+      .writeTo("ext.wh.t4").option("upsertkeys", "k").append()
+    val rows = spark.table("ext.wh.t4").collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(rows.size == 4500)
+    assert(rows(1000L) == "v1000" && rows(2000L) == "u2000" && rows(4000L) == "u4000")
+  }
+
+  test("Constraints.assertUniqueKeys passes unique, throws with sample on dups") {
+    import spark.implicits._
+    Constraints.assertUniqueKeys(Seq((1, "a"), (2, "b")).toDF("k", "v"), Seq("k"))
+    val e = intercept[IllegalStateException] {
+      Constraints.assertUniqueKeys(Seq((1, "a"), (1, "b"), (2, "c")).toDF("k", "v"), Seq("k"))
+    }
+    assert(e.getMessage.contains("k=1"))
+  }
+
+  test("Dml.update pushes UPDATE ... SET ... WHERE remotely") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ext.wh")
+    spark.sql("DROP TABLE IF EXISTS ext.wh.t5")
+    import spark.implicits._
+    (1L to 6L).map(i => (i, i * 10L)).toDF("k", "v").writeTo("ext.wh.t5").create()
+    val n = Dml.update(spark, "ext.wh.t5",
+      Seq("v" -> (col("v") + lit(1L))), col("k") > lit(4L))
+    assert(n == 2)
+    assert(spark.table("ext.wh.t5").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1).toSeq ==
+      Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (5L, 51L), (6L, 61L)))
+  }
+
+  test("retriable-error taxonomy: transient vs permanent") {
+    assert(RetriableErrors.isTransient(new SQLTransientConnectionException("x")))
+    assert(RetriableErrors.isTransient(new SQLException("conn reset", "08006")))
+    assert(RetriableErrors.isTransient(new SQLException("deadlock", "40001")))
+    assert(RetriableErrors.isTransient(new SQLException("out of mem", "57P03")))
+    assert(!RetriableErrors.isTransient(new SQLException("syntax", "42X01")))
+    assert(!RetriableErrors.isTransient(new SQLException("constraint", "23505")))
+    // retry loop recovers after transient failures
+    var calls = 0
+    val out = RetriableErrors.withRetries(3, backoffMs = 1) {
+      calls += 1
+      if (calls < 3) throw new SQLException("gone", "08001") else 42
+    }
+    assert(out == 42 && calls == 3)
+    // permanent error propagates immediately
+    var calls2 = 0
+    intercept[SQLException] {
+      RetriableErrors.withRetries(3, backoffMs = 1) {
+        calls2 += 1; throw new SQLException("bad sql", "42X01")
+      }
+    }
+    assert(calls2 == 1)
+  }
+}
