@@ -12,7 +12,8 @@ object SparkEntry {
     operators.Relational.queries ++
       operators.TextAnalysis.queries ++
       operators.Dedup.queries ++
-      operators.Connector.queries
+      operators.Connector.queries ++
+      operators.DocumentOps.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Multi-way star join + aggregation: the shape this engine exists for.

@@ -1,0 +1,262 @@
+package graft.sources.document
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import java.util
+import scala.jdk.CollectionConverters._
+
+/** Document-store connector over JSON-lines "collections" — the
+  * Spark-native re-expression of the reference's MongoDB module
+  * (`crates/mongodb/src/table.rs:27-118`): schema inference by sampling
+  * (S6/§1.3), declared-schema merge, JSON catch-all projection, and
+  * filter pushdown translated to a document-filter (P5) that executes
+  * on the "server side" of the boundary (here: inside the partition
+  * reader, before rows reach Spark).
+  *
+  * Usage:
+  * {{{
+  *   spark.read.format("graft.sources.document.DocumentSource")
+  *     .option("path", "/data/events_jsonl")
+  *     .option("samplesize", "100")          // docs sampled for inference
+  *     .option("declared", "k BIGINT")       // optional declared overrides
+  *     .option("jsonobject", "rest")         // optional catch-all column
+  *     .load()
+  * }}}
+  *
+  * Scale: one input partition per file — a 100 TB collection sharded
+  * into N files scans with N-way parallelism; inference reads only the
+  * first `samplesize` docs of the lexicographically-first files.
+  */
+class DocumentSource extends TableProvider {
+
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def opts(m: CaseInsensitiveStringMap): Map[String, String] =
+    m.asCaseSensitiveMap().asScala.map { case (k, v) => k.toLowerCase -> v }.toMap
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    DocumentTable.resolveSchema(opts(options))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val m = properties.asScala.map { case (k, v) => k.toLowerCase -> v }.toMap
+    DocumentTable(schema, m)
+  }
+}
+
+object DocumentTable {
+  private[document] val mapper = new ObjectMapper()
+
+  private[document] def files(path: String): Seq[Path] = {
+    val p = Paths.get(path)
+    val all =
+      if (Files.isDirectory(p))
+        Files.list(p).iterator().asScala.toSeq
+          .filter(f => Files.isRegularFile(f))
+          .filterNot(f => f.getFileName.toString.startsWith("_") ||
+            f.getFileName.toString.startsWith("."))
+      else Seq(p)
+    all.sortBy(_.getFileName.toString)
+  }
+
+  /** Sample-infer + declared-merge + optional catch-all projection. */
+  def resolveSchema(o: Map[String, String]): StructType = {
+    val path = o.getOrElse("path",
+      throw new IllegalArgumentException("document source needs option 'path'"))
+    val sampleSize = o.getOrElse("samplesize", "100").toInt
+    val sample = files(path).iterator.flatMap { f =>
+      Files.newBufferedReader(f, StandardCharsets.UTF_8).lines().iterator().asScala
+    }.filter(_.nonEmpty).take(sampleSize).map(mapper.readTree).toSeq
+    val inferred = SchemaInference.infer(sample)
+    val declared = o.get("declared").map(StructType.fromDDL)
+    val merged = SchemaInference.mergeDeclared(inferred, declared)
+    o.get("jsonobject") match {
+      case None => merged
+      case Some(catchAll) =>
+        // declared columns stay their own columns; everything else is
+        // folded into ONE JSON string column (schema_projection.rs:1-70)
+        val pinned = declared.map(_.fieldNames.toSet).getOrElse(Set.empty)
+        StructType(
+          merged.fields.filter(f => pinned.contains(f.name)) :+
+            StructField(catchAll, StringType, nullable = true))
+    }
+  }
+}
+
+final case class DocumentTable(schema0: StructType, options: Map[String, String])
+  extends Table with SupportsRead {
+
+  override def name(): String = s"documents(${options.getOrElse("path", "?")})"
+  override def schema(): StructType = schema0
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new DocumentScanBuilder(schema0, options)
+}
+
+final class DocumentScanBuilder(tableSchema: StructType, options: Map[String, String])
+  extends ScanBuilder
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownV2Filters
+    with SupportsPushDownLimit {
+
+  private var schema = tableSchema
+  private var pushed: Array[Predicate] = Array.empty
+  private var filter: Option[FilterDoc] = None
+  private var limit: Option[Int] = None
+
+  override def pruneColumns(required: StructType): Unit =
+    schema = if (required.isEmpty) StructType(tableSchema.take(1)) else required
+
+  override def pushPredicates(predicates: Array[Predicate]): Array[Predicate] = {
+    val translated = predicates.map(p => p -> FilterDoc.translate(p))
+    val ok = translated.collect { case (p, Some(d)) => (p, d) }
+    pushed = ok.map(_._1)
+    filter = ok.map(_._2).toSeq match {
+      case Nil => None
+      case Seq(one) => Some(one)
+      case many => Some(FilterDoc.and(many))
+    }
+    translated.collect { case (p, None) => p }
+  }
+
+  override def pushedPredicates(): Array[Predicate] = pushed
+
+  override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
+  override def isPartiallyPushed: Boolean = true
+
+  override def build(): Scan =
+    DocumentScan(schema, tableSchema, options, filter, limit)
+}
+
+final case class DocumentScan(
+    schema: StructType,
+    tableSchema: StructType,
+    options: Map[String, String],
+    filter: Option[FilterDoc],
+    limit: Option[Int]) extends Scan with Batch {
+
+  override def readSchema(): StructType = schema
+
+  override def description(): String =
+    s"GraftDocumentScan(${options.getOrElse("path", "?")}) " +
+      s"[filter=${filter.map(_.json).getOrElse("{}")} limit=${limit.getOrElse(-1)}]"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    DocumentTable.files(options("path"))
+      .map(f => DocumentPartition(f.toString): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    DocumentReaderFactory(schema, options, filter, limit)
+}
+
+final case class DocumentPartition(file: String) extends InputPartition
+
+final case class DocumentReaderFactory(
+    schema: StructType,
+    options: Map[String, String],
+    filter: Option[FilterDoc],
+    limit: Option[Int]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new DocumentPartitionReader(
+      schema, options, filter, limit,
+      partition.asInstanceOf[DocumentPartition].file)
+}
+
+/** Streams one JSONL file, applies the pushed filter document BEFORE
+  * emitting rows (the "server side" of a real document store), then
+  * converts to InternalRow per the resolved schema.
+  */
+final class DocumentPartitionReader(
+    schema: StructType,
+    options: Map[String, String],
+    filter: Option[FilterDoc],
+    limit: Option[Int],
+    file: String) extends PartitionReader[InternalRow] {
+
+  import DocumentTable.mapper
+
+  private val catchAll = options.get("jsonobject")
+  private val pinned: Set[String] =
+    options.get("declared").map(StructType.fromDDL(_).fieldNames.toSet).getOrElse(Set.empty)
+  private val reader = java.nio.file.Files.newBufferedReader(
+    java.nio.file.Paths.get(file), StandardCharsets.UTF_8)
+  private var current: InternalRow = _
+  private var emitted = 0
+
+  private def matches(doc: JsonNode): Boolean = filter.forall(_.matches(doc))
+
+  override def next(): Boolean = {
+    if (limit.exists(emitted >= _)) return false
+    var line = reader.readLine()
+    while (line != null) {
+      if (line.nonEmpty) {
+        val doc = mapper.readTree(line)
+        if (matches(doc)) {
+          current = convert(doc)
+          emitted += 1
+          return true
+        }
+      }
+      line = reader.readLine()
+    }
+    false
+  }
+
+  private def renderCatchAll(doc: JsonNode): String = {
+    // sorted-key JSON object of every field not claimed by a pinned column
+    val names = doc.fieldNames().asScala.toSeq.filterNot(pinned.contains).sorted
+    val obj = mapper.createObjectNode()
+    names.foreach(n => obj.set[JsonNode](n, doc.get(n)))
+    mapper.writeValueAsString(obj)
+  }
+
+  private def convert(doc: JsonNode): InternalRow = {
+    val row = new GenericInternalRow(schema.length)
+    var i = 0
+    while (i < schema.length) {
+      val f = schema.fields(i)
+      val v: Any =
+        if (catchAll.contains(f.name)) UTF8String.fromString(renderCatchAll(doc))
+        else toCatalyst(doc.get(f.name), f.dataType)
+      row.update(i, v)
+      i += 1
+    }
+    row
+  }
+
+  private def toCatalyst(n: JsonNode, dt: DataType): Any = {
+    if (n == null || n.isNull) return null
+    dt match {
+      case BooleanType => n.asBoolean()
+      case IntegerType => n.asInt()
+      case LongType => n.asLong()
+      case DoubleType => n.asDouble()
+      case StringType =>
+        UTF8String.fromString(if (n.isTextual) n.asText() else mapper.writeValueAsString(n))
+      case ArrayType(StringType, _) if n.isArray =>
+        new GenericArrayData(n.elements().asScala.map { e =>
+          UTF8String.fromString(if (e.isTextual) e.asText() else mapper.writeValueAsString(e))
+        }.toArray[Any])
+      case _ => null
+    }
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = reader.close()
+}

@@ -1,0 +1,197 @@
+package graft.sources.document
+
+import com.fasterxml.jackson.databind.JsonNode
+import org.apache.spark.sql.connector.expressions.{Expression, GeneralScalarExpression, Literal, NamedReference}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DSv2 predicate → document filter translation + evaluation.
+  *
+  * The translation mirrors the reference's Expr→BSON layer
+  * (`crates/mongodb/src/utils/expression.rs:43-236`): comparisons become
+  * `{"col": {"$op": v}}`, AND/OR become `$and`/`$or`, NOT becomes
+  * `$nor`, IN becomes `$in`, IS (NOT) NULL compares to null, and the
+  * string predicates become anchored `$regex` with regex metacharacters
+  * escaped (the reference's `sql_like_to_regex`). Multi-part field
+  * references render as dotted paths.
+  *
+  * A remote document store would execute the doc server-side; the
+  * JSONL-backed [[DocumentTable]] executes it in [[FilterDoc.matches]] —
+  * the same observable contract (rows are filtered by the translated
+  * document, not by Spark; Spark only sees what the "server" returns).
+  */
+sealed trait FilterDoc extends Serializable {
+  /** Canonical JSON rendering (sorted, deterministic) — the wire form. */
+  def json: String
+  def matches(doc: JsonNode): Boolean
+}
+
+object FilterDoc {
+
+  /** Conjunction of already-translated documents. */
+  def and(kids: Seq[FilterDoc]): FilterDoc = Bool("and", kids)
+
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  private def regexEscape(s: String): String =
+    s.flatMap(c => if ("\\^$.|?*+()[]{}".contains(c)) s"\\$c" else c.toString)
+
+  /** One comparison value, held as a plain JVM value. */
+  private def litValue(l: Literal[_]): Option[Any] = l.dataType match {
+    case ByteType | ShortType | IntegerType | LongType |
+         FloatType | DoubleType | BooleanType => Some(l.value)
+    case StringType => Some(l.value.asInstanceOf[UTF8String].toString)
+    case NullType => Some(null)
+    case _ => None
+  }
+
+  private def renderValue(v: Any): String = v match {
+    case null => "null"
+    case s: String => "\"" + esc(s) + "\""
+    case other => other.toString
+  }
+
+  private def path(doc: JsonNode, p: Seq[String]): JsonNode =
+    p.foldLeft(doc) { (n, part) => if (n == null) null else n.get(part) }
+
+  private def isNullish(n: JsonNode): Boolean = n == null || n.isNull
+
+  /** Numeric-or-string three-way compare; None = incomparable. */
+  private def cmp(n: JsonNode, v: Any): Option[Int] = v match {
+    case null => None
+    case s: String => if (n.isTextual) Some(n.asText.compareTo(s)) else None
+    case b: Boolean => if (n.isBoolean) Some(java.lang.Boolean.compare(n.asBoolean, b)) else None
+    case num: Any if n.isNumber =>
+      val d = num match {
+        case x: java.lang.Number => x.doubleValue()
+        case _ => return None
+      }
+      Some(java.lang.Double.compare(n.asDouble, d))
+    case _ => None
+  }
+
+  private case class Cmp(field: Seq[String], op: String, value: Any) extends FilterDoc {
+    def json: String =
+      s"""{"${esc(field.mkString("."))}": {"$$$op": ${renderValue(value)}}}"""
+    def matches(doc: JsonNode): Boolean = {
+      val n = path(doc, field)
+      op match {
+        case "eq" if value == null => isNullish(n)
+        case "ne" if value == null => !isNullish(n)
+        case _ if isNullish(n) => false
+        case "eq" => cmp(n, value).contains(0)
+        case "ne" => cmp(n, value).exists(_ != 0)
+        case "lt" => cmp(n, value).exists(_ < 0)
+        case "lte" => cmp(n, value).exists(_ <= 0)
+        case "gt" => cmp(n, value).exists(_ > 0)
+        case "gte" => cmp(n, value).exists(_ >= 0)
+      }
+    }
+  }
+
+  private case class InList(field: Seq[String], values: Seq[Any]) extends FilterDoc {
+    def json: String =
+      s"""{"${esc(field.mkString("."))}": {"$$in": [${values.map(renderValue).mkString(", ")}]}}"""
+    def matches(doc: JsonNode): Boolean = {
+      val n = path(doc, field)
+      !isNullish(n) && values.exists(v => cmp(n, v).contains(0))
+    }
+  }
+
+  private case class Regex(field: Seq[String], pattern: String) extends FilterDoc {
+    def json: String =
+      s"""{"${esc(field.mkString("."))}": {"$$regex": "${esc(pattern)}"}}"""
+    private val rx = java.util.regex.Pattern.compile(pattern)
+    def matches(doc: JsonNode): Boolean = {
+      val n = path(doc, field)
+      !isNullish(n) && n.isTextual && rx.matcher(n.asText).find()
+    }
+  }
+
+  private case class Bool(op: String, kids: Seq[FilterDoc]) extends FilterDoc {
+    def json: String = s"""{"$$$op": [${kids.map(_.json).mkString(", ")}]}"""
+    def matches(doc: JsonNode): Boolean = op match {
+      case "and" => kids.forall(_.matches(doc))
+      case "or" => kids.exists(_.matches(doc))
+      case "nor" => !kids.exists(_.matches(doc))
+    }
+  }
+
+  private def fieldOf(e: Expression): Option[Seq[String]] = e match {
+    case n: NamedReference => Some(n.fieldNames.toSeq)
+    case _ => None
+  }
+
+  private def cmpOf(op: String, g: GeneralScalarExpression): Option[FilterDoc] =
+    (g.children.lift(0), g.children.lift(1)) match {
+      case (Some(f), Some(l: Literal[_])) =>
+        for { p <- fieldOf(f); v <- litValue(l) } yield Cmp(p, op, v)
+      // operand flip: `lit op col` (reference handles both orders)
+      case (Some(l: Literal[_]), Some(f)) =>
+        val flip = Map("lt" -> "gt", "lte" -> "gte", "gt" -> "lt", "gte" -> "lte")
+        for { p <- fieldOf(f); v <- litValue(l) }
+          yield Cmp(p, flip.getOrElse(op, op), v)
+      case _ => None
+    }
+
+  /** Translate; None = untranslatable, the predicate stays in Spark. */
+  def translate(p: Predicate): Option[FilterDoc] = p match {
+    case g: GeneralScalarExpression => g.name match {
+      case "=" => cmpOf("eq", g)
+      case "<>" | "!=" => cmpOf("ne", g)
+      case "<" => cmpOf("lt", g)
+      case "<=" => cmpOf("lte", g)
+      case ">" => cmpOf("gt", g)
+      case ">=" => cmpOf("gte", g)
+      case "AND" => kids(g).map(Bool("and", _))
+      case "OR" => kids(g).map(Bool("or", _))
+      case "NOT" => kids(g).map(Bool("nor", _))
+      case "IS_NULL" =>
+        g.children.lift(0).flatMap(fieldOf).map(Cmp(_, "eq", null))
+      case "IS_NOT_NULL" =>
+        g.children.lift(0).flatMap(fieldOf).map(Cmp(_, "ne", null))
+      case "IN" =>
+        for {
+          f <- g.children.lift(0).flatMap(fieldOf)
+          vs <- {
+            val rendered = g.children.drop(1).toSeq.map {
+              case l: Literal[_] => litValue(l)
+              case _ => None
+            }
+            if (rendered.nonEmpty && rendered.forall(_.isDefined)) Some(rendered.map(_.get))
+            else None
+          }
+        } yield InList(f, vs)
+      case "STARTS_WITH" => regexOf(g, pre = "^", post = "")
+      case "ENDS_WITH" => regexOf(g, pre = "", post = "$")
+      case "CONTAINS" => regexOf(g, pre = "", post = "")
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def regexOf(g: GeneralScalarExpression, pre: String, post: String): Option[FilterDoc] =
+    (g.children.lift(0).flatMap(fieldOf), g.children.lift(1)) match {
+      case (Some(f), Some(l: Literal[_])) if l.dataType == StringType =>
+        Some(Regex(f, pre + regexEscape(l.value.asInstanceOf[UTF8String].toString) + post))
+      case _ => None
+    }
+
+  private def kids(g: GeneralScalarExpression): Option[Seq[FilterDoc]] = {
+    val sub = g.children.toSeq.map {
+      case p: Predicate => translate(p)
+      case _ => None
+    }
+    if (sub.nonEmpty && sub.forall(_.isDefined)) Some(sub.map(_.get)) else None
+  }
+}

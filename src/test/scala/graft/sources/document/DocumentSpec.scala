@@ -1,0 +1,159 @@
+package graft.sources.document
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.graftx.TestExprs
+import org.apache.spark.sql.connector.expressions.filter.{And, Predicate}
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.Files
+
+/** Inference/unification suite mirroring the reference's
+  * (`crates/mongodb/src/utils/schema.rs:364-401`), declared-merge rules
+  * (`util/schema.rs:18-56`), filter-doc goldens
+  * (`utils/expression.rs:385-520`), and an end-to-end JSONL read with
+  * pushdown through the DSv2 source.
+  */
+class DocumentSpec extends AnyFunSuite with SparkFixture {
+
+  private val M = new ObjectMapper()
+  private def docs(lines: String*) = lines.map(M.readTree)
+
+  test("simple types infer directly; fields sort by name; all nullable") {
+    val s = SchemaInference.infer(docs(
+      """{"s": "x", "i": 5, "d": 1.5, "b": true}"""))
+    assert(s.fieldNames.toSeq == Seq("b", "d", "i", "s"))
+    assert(s("b").dataType == BooleanType && s("d").dataType == DoubleType &&
+      s("i").dataType == IntegerType && s("s").dataType == StringType)
+    assert(s.fields.forall(_.nullable))
+  }
+
+  test("numeric promotion: int ∨ long → long, int/long ∨ double → double") {
+    val s = SchemaInference.infer(docs(
+      """{"a": 1, "b": 1, "c": 9999999999}""",
+      """{"a": 9999999999, "b": 2.5, "c": 0.5}"""))
+    assert(s("a").dataType == LongType)
+    assert(s("b").dataType == DoubleType)
+    assert(s("c").dataType == DoubleType)
+  }
+
+  test("null unifies to the other type; conflicts fall back to string") {
+    val s = SchemaInference.infer(docs(
+      """{"a": null, "b": 5, "c": null}""",
+      """{"a": 7, "b": "x", "c": null}"""))
+    assert(s("a").dataType == IntegerType)
+    assert(s("b").dataType == StringType) // int ∨ string → string
+    assert(s("c").dataType == StringType) // never seen non-null → string
+  }
+
+  test("arrays become array<string>, nested documents become JSON strings") {
+    val s = SchemaInference.infer(docs(
+      """{"tags": [1, "foo", true], "meta": {"x": 1}}"""))
+    assert(s("tags").dataType == ArrayType(StringType, containsNull = true))
+    assert(s("meta").dataType == StringType)
+  }
+
+  test("missing fields across documents are unioned") {
+    val s = SchemaInference.infer(docs("""{"a": 1}""", """{"b": "x"}"""))
+    assert(s.fieldNames.toSeq == Seq("a", "b"))
+  }
+
+  test("declared merge: override in place, keep inferred-only, append declared-only") {
+    val inferred = StructType(Seq(
+      StructField("a", IntegerType), StructField("b", StringType)))
+    val declared = StructType(Seq(
+      StructField("b", LongType), StructField("z", DoubleType)))
+    val merged = SchemaInference.mergeDeclared(inferred, Some(declared))
+    assert(merged.fieldNames.toSeq == Seq("a", "b", "z"))
+    assert(merged("b").dataType == LongType)
+    assert(merged("z").dataType == DoubleType)
+  }
+
+  // ---- filter-doc translation goldens ------------------------------------
+
+  private def ref(n: String) = TestExprs.field(n)
+  private def i32(v: Int) = TestExprs.lit(v, IntegerType)
+  private def str(s: String) = TestExprs.lit(UTF8String.fromString(s), StringType)
+
+  test("comparisons render $op documents; operand flip for lit-op-col") {
+    assert(FilterDoc.translate(new Predicate("=", Array(ref("k"), i32(5))))
+      .map(_.json).contains("""{"k": {"$eq": 5}}"""))
+    assert(FilterDoc.translate(new Predicate(">", Array(ref("k"), i32(5))))
+      .map(_.json).contains("""{"k": {"$gt": 5}}"""))
+    // 5 < k  ≡  k > 5
+    assert(FilterDoc.translate(new Predicate("<", Array(i32(5), ref("k"))))
+      .map(_.json).contains("""{"k": {"$gt": 5}}"""))
+  }
+
+  test("boolean composition renders $and/$or/$nor") {
+    val p = new And(
+      new Predicate(">=", Array(ref("a"), i32(1))),
+      new Predicate("IS_NULL", Array(ref("b"))))
+    assert(FilterDoc.translate(p).map(_.json).contains(
+      """{"$and": [{"a": {"$gte": 1}}, {"b": {"$eq": null}}]}"""))
+    assert(FilterDoc.translate(
+      new Predicate("NOT", Array(new Predicate("=", Array(ref("a"), i32(2))))))
+      .map(_.json).contains("""{"$nor": [{"a": {"$eq": 2}}]}"""))
+  }
+
+  test("IN renders $in; LIKE-shaped predicates render escaped $regex") {
+    assert(FilterDoc.translate(
+      new Predicate("IN", Array(ref("k"), i32(1), i32(2))))
+      .map(_.json).contains("""{"k": {"$in": [1, 2]}}"""))
+    assert(FilterDoc.translate(
+      new Predicate("STARTS_WITH", Array(ref("s"), str("a.b"))))
+      .map(_.json).contains("""{"s": {"$regex": "^a\\.b"}}"""))
+  }
+
+  test("nested references render dotted paths; untranslatable stays in Spark") {
+    val nested = TestExprs.field("props", "k")
+    assert(FilterDoc.translate(new Predicate("=", Array(nested, i32(1))))
+      .map(_.json).contains("""{"props.k": {"$eq": 1}}"""))
+    assert(FilterDoc.translate(new Predicate("SQRT", Array(ref("a")))).isEmpty)
+  }
+
+  test("filter evaluation matches dotted paths and type coercion") {
+    val d = M.readTree("""{"k": 7, "s": "click", "props": {"k": 60}}""")
+    def doc(p: Predicate) = FilterDoc.translate(p).get
+    assert(doc(new Predicate(">", Array(ref("k"), i32(5)))).matches(d))
+    assert(!doc(new Predicate(">", Array(ref("k"), i32(9)))).matches(d))
+    assert(doc(new Predicate("=", Array(ref("s"), str("click")))).matches(d))
+    assert(doc(new Predicate(">=", Array(TestExprs.field("props", "k"), i32(50)))).matches(d))
+  }
+
+  // ---- end-to-end through the DSv2 source --------------------------------
+
+  test("JSONL read: inference, pushdown filter, catch-all projection") {
+    val dir = Files.createTempDirectory("graft_docs").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/part1.jsonl"),
+      """{"id": 1, "kind": "a", "score": 0.5, "meta": {"x": 1}}
+        |{"id": 2, "kind": "b", "score": 1.5, "meta": {"x": 2}}
+        |""".stripMargin)
+    Files.writeString(java.nio.file.Paths.get(s"$dir/part2.jsonl"),
+      """{"id": 3, "kind": "a", "score": 2.5, "meta": {"x": 3}}
+        |""".stripMargin)
+
+    val df = spark.read.format("graft.sources.document.DocumentSource")
+      .option("path", dir).load()
+    assert(df.schema.fieldNames.toSeq == Seq("id", "kind", "meta", "score"))
+    assert(df.schema("meta").dataType == StringType)
+
+    val filtered = df.filter(col("kind") === "a").select("id", "score")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("$eq"), s"filter not pushed into doc scan:\n$plan")
+    assert(filtered.collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1).toSeq ==
+      Seq((1, 0.5), (3, 2.5)))
+
+    // catch-all: pin id, fold the rest into one JSON column
+    val pinned = spark.read.format("graft.sources.document.DocumentSource")
+      .option("path", dir).option("declared", "id BIGINT")
+      .option("jsonobject", "rest").load()
+    assert(pinned.schema.fieldNames.toSeq == Seq("id", "rest"))
+    val r1 = pinned.filter(col("id") === 1).collect()(0)
+    assert(r1.getLong(0) == 1L)
+    assert(r1.getString(1) == """{"kind":"a","meta":{"x":1},"score":0.5}""")
+  }
+}
