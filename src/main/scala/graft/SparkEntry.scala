@@ -13,7 +13,9 @@ object SparkEntry {
       operators.TextAnalysis.queries ++
       operators.Dedup.queries ++
       operators.Connector.queries ++
-      operators.DocumentOps.queries
+      operators.DocumentOps.queries ++
+      operators.Similarity.queries ++
+      operators.Multimodal.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Multi-way star join + aggregation: the shape this engine exists for.

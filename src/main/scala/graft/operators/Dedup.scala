@@ -46,9 +46,7 @@ object Dedup {
   /** Max documents a shingle may appear in before q41 ignores it. */
   val DfCap = 50
 
-  /** Sign-LSH geometry for q45: NumBands bands of BandBits bits each. */
-  val NumBands = 8
-  val BandBits = 6
+  import EmbeddingLsh.{NumBands, BandBits}
 
   // ---- shared exact-dedup representative + shingle pipeline --------------
 
@@ -85,34 +83,9 @@ object Dedup {
       "unnest([('0x'||substr(md5(a[i]||' '||a[i+1]),1,15))::BIGINT " +
       "FOR i IN generate_series(1, len(a)-1)]) AS h FROM t))"
 
-  // ---- quantized embeddings ----------------------------------------------
-
-  /** Quantized embeddings: int64 vector (×100) + int64 squared norm. */
-  private[operators] def quantized(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "embeddings")
-      .select(col("vec_id"), expr(
-        "transform(embedding, x -> cast(round(cast(x AS double) * 100, 0) AS bigint))").as("q"))
-      .withColumn("nrm", expr("aggregate(q, cast(0 AS bigint), (acc, x) -> acc + x * x)"))
-
-  private[operators] val quantizedSql: String =
-    "q0 AS (SELECT vec_id, [cast(round(x::DOUBLE * 100, 0) AS BIGINT) FOR x IN embedding] AS q " +
-      "FROM embeddings), " +
-      "n AS (SELECT vec_id, q, list_aggregate([x * x FOR x IN q], 'sum')::BIGINT AS nrm FROM q0)"
-
-  /** Exact int64 dot product of two quantized vectors (Spark side). */
-  private[operators] def qdot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
-
-  /** Same dot product in DuckDB SQL over columns `$a`/`$b`. */
-  private[operators] def qdotSql(a: String, b: String): String =
-    s"list_aggregate([$a[i] * $b[i] FOR i IN generate_series(1, len($a))], 'sum')::BIGINT"
-
-  /** Fixed pseudo-random hyperplane component H(j)(i) for q45, identical
-    * arithmetic in Spark SQL and DuckDB: values in [-504, 504], all
-    * intermediate products < 2^63.
-    */
-  private def hcomp(j: Int): String =
-    s"(((53*${j + 1}+97*i) * 2654435761) % 1009 - 504)"
+  // Quantized embeddings + sign-LSH primitives live in [[EmbeddingLsh]]
+  // (shared with the ANN similarity-search operators, q62/q63).
+  import EmbeddingLsh.{quantized, quantizedSql, qdot, qdotSql, hcomp}
 
   def queries: Seq[Q] = Seq(
 

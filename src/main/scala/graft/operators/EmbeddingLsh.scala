@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared embedding primitives: exact int64 quantization and
+  * random-hyperplane sign-LSH banding — used by the near-dup pipeline
+  * (q45) and the ANN similarity-search operators (q62/q63).
+  *
+  * Everything here is cross-engine exact: vectors quantize to int64
+  * (×100), dot products and norms are integer arithmetic, hyperplane
+  * components derive from a fixed integer formula, and the only
+  * floating-point value (cosine) is produced by ONE division + sqrt of
+  * exactly-representable int64s (< 2^53), which IEEE 754 rounds
+  * identically in every engine — no accumulation-order dependence.
+  */
+object EmbeddingLsh {
+
+  /** Sign-LSH geometry: NumBands bands of BandBits bits each. */
+  val NumBands = 8
+  val BandBits = 6
+
+  /** Quantized embeddings: int64 vector (×100) + int64 squared norm. */
+  def quantized(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> cast(round(cast(x AS double) * 100, 0) AS bigint))").as("q"))
+      .withColumn("nrm", expr("aggregate(q, cast(0 AS bigint), (acc, x) -> acc + x * x)"))
+
+  val quantizedSql: String =
+    "q0 AS (SELECT vec_id, [cast(round(x::DOUBLE * 100, 0) AS BIGINT) FOR x IN embedding] AS q " +
+      "FROM embeddings), " +
+      "n AS (SELECT vec_id, q, list_aggregate([x * x FOR x IN q], 'sum')::BIGINT AS nrm FROM q0)"
+
+  /** Exact int64 dot product of two quantized vectors (Spark side). */
+  def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Same dot product in DuckDB SQL over columns `$a`/`$b`. */
+  def qdotSql(a: String, b: String): String =
+    s"list_aggregate([$a[i] * $b[i] FOR i IN generate_series(1, len($a))], 'sum')::BIGINT"
+
+  /** Fixed pseudo-random hyperplane component H(j)(i), identical
+    * arithmetic in Spark SQL and DuckDB: values in [-504, 504], all
+    * intermediate products < 2^63.
+    */
+  def hcomp(j: Int): String =
+    s"(((53*${j + 1}+97*i) * 2654435761) % 1009 - 504)"
+
+  /** (vec_id, k, bv): band index + band value per vector, Spark side.
+    * Input must expose `vec_id` and quantized `q`.
+    */
+  def bands(n: DataFrame): DataFrame = {
+    val nh = NumBands * BandBits
+    val withBits = (0 until nh).foldLeft(n.select(col("vec_id"), col("q"))) { (df, j) =>
+      df.withColumn(s"bit$j", expr(
+        s"CASE WHEN aggregate(sequence(0, 63), cast(0 AS bigint), " +
+          s"(acc, i) -> acc + element_at(q, cast(i+1 AS int)) * ${hcomp(j)}) >= 0 " +
+          s"THEN cast(1 AS bigint) ELSE cast(0 AS bigint) END"))
+    }
+    val bandCols = (0 until NumBands).map { k =>
+      (0 until BandBits).map(r => col(s"bit${BandBits * k + r}") * (1L << r))
+        .reduce(_ + _)
+    }
+    withBits.select(col("vec_id"), posexplode(array(bandCols: _*)).as(Seq("k", "bv")))
+  }
+
+  /** DuckDB CTE fragments `bits`, `bd`, `bands` over CTE `n`. */
+  def bandsSql: String = {
+    val nh = NumBands * BandBits
+    val bits = (0 until nh).map { j =>
+      s"CASE WHEN list_aggregate([q[i+1] * ${hcomp(j)} FOR i IN generate_series(0,63)], 'sum')::BIGINT >= 0 " +
+        s"THEN 1::BIGINT ELSE 0::BIGINT END AS bit$j"
+    }.mkString(", ")
+    val bandvals = (0 until NumBands).map { k =>
+      "(" + (0 until BandBits).map(r => s"bit${BandBits * k + r} * ${1L << r}").mkString(" + ") + s") AS band$k"
+    }.mkString(", ")
+    val bands = (0 until NumBands)
+      .map(k => s"SELECT vec_id, $k AS k, band$k AS bv FROM bd").mkString(" UNION ALL ")
+    s"bits AS (SELECT vec_id, $bits FROM n), " +
+      s"bd AS (SELECT vec_id, $bandvals FROM bits), " +
+      s"bands AS ($bands)"
+  }
+}

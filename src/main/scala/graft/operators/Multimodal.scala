@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (binary) column operators for a training-data pipeline.
+  *
+  * Media assets are opaque `binary` columns with typed metadata — the
+  * Spark-native shape for image/audio/video at 100 TB: the bytes stay
+  * in columnar storage, metadata is queryable, and decode/feature work
+  * runs batch-wise inside partitions (never on the driver).
+  *
+  * The container has no media codecs, so the testdata "media" blob is
+  * synthesized deterministically (a real magic-number header + the
+  * document's UTF-8 payload) and [[Multimodal.extractFeatures]] STUBS
+  * the codec behind a deterministic fake decoder — but every Spark-side
+  * piece a real pipeline needs is real and tested: the binary schema,
+  * the partition-wise batch processing, typed feature output, and
+  * oracle-checked byte-level operators (length, content hash,
+  * magic-byte sniffing).
+  */
+object Multimodal {
+
+  /** Magic prefixes (hex): JPEG, PNG, MP3/ID3 — cycled by doc_id. */
+  val Magics = Seq("FFD8FF" -> "jpeg", "89504E" -> "png", "494433" -> "mp3")
+
+  /** Typed result of the (stubbed) decode + feature extraction. */
+  final case class MediaFeatures(
+      doc_id: Long,
+      kind: String,
+      n_bytes: Int,
+      width: Int,
+      height: Int,
+      brightness: Double)
+
+  /** doc_id + synthesized media blob (magic header + UTF-8 payload). */
+  def mediaBlobs(s: SparkSession, dir: String): DataFrame = {
+    val magicHex = element_at(
+      array(Magics.map(m => lit(m._1)): _*),
+      (col("doc_id") % Magics.length).cast("int") + 1)
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(unhex(magicHex), encode(col("text"), "UTF-8")).as("blob"))
+  }
+
+  /** Partition-wise "decode": sniffs the container from the magic
+    * bytes, then derives deterministic fake dimensions and a mean-byte
+    * "brightness" from the payload — the stub stands where an image
+    * library would run, with identical batch shape and output schema.
+    */
+  def extractFeatures(blobs: DataFrame): Dataset[MediaFeatures] = {
+    import blobs.sparkSession.implicits._
+    blobs.select("doc_id", "blob").as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val hex = bytes.take(3).map("%02X".format(_)).mkString
+        val kind = Magics.toMap.getOrElse(hex, "bin")
+        val payload = bytes.drop(3)
+        // ??? real codec goes here; deterministic stand-in below
+        val width = 16 + (if (payload.isEmpty) 0 else payload(0) & 0x3f)
+        val height = 16 + (if (payload.length < 2) 0 else payload(1) & 0x3f)
+        val brightness =
+          if (payload.isEmpty) 0.0
+          else payload.map(b => (b & 0xff).toLong).sum.toDouble / payload.length
+        MediaFeatures(id, kind, bytes.length, width, height, brightness)
+      })
+  }
+
+  def queries: Seq[Q] = Seq(
+
+    // Byte-level operators over the binary column, oracle-checked:
+    // hashing and sniffing go through hex so both engines agree on the
+    // value space (DuckDB's md5 takes VARCHAR only).
+    Q("q61_multimodal_binary", {
+      val sniff = Magics.map { case (hex, kind) =>
+        s"WHEN hex(blob) LIKE '$hex%' THEN '$kind'"
+      }.mkString(" ")
+      "WITH m AS (SELECT doc_id, " +
+        "unhex(['FFD8FF','89504E','494433'][CAST(doc_id % 3 AS INT) + 1]) || encode(text) AS blob " +
+        "FROM documents) " +
+        s"SELECT doc_id, octet_length(blob) AS n_bytes, md5(hex(blob)) AS content_md5, " +
+        s"CASE $sniff ELSE 'bin' END AS kind FROM m ORDER BY doc_id"
+    }) { (s, dir) =>
+      val sniff = Magics.foldRight(lit("bin")) { case ((magic, kind), els) =>
+        when(hex(col("blob")).startsWith(magic), kind).otherwise(els)
+      }
+      mediaBlobs(s, dir)
+        .select(col("doc_id"),
+          length(col("blob")).as("n_bytes"),
+          md5(hex(col("blob"))).as("content_md5"),
+          sniff.as("kind"))
+        .orderBy("doc_id")
+    },
+
+    // Decode + feature extraction (stubbed codec): rows-only gate (the
+    // fake decoder is not SQL-expressible); values are pinned by
+    // MultimodalSpec instead.
+    Q.rowsOnly("q64_multimodal_features") { (s, dir) =>
+      extractFeatures(mediaBlobs(s, dir)).toDF().orderBy("doc_id")
+    }
+  )
+}

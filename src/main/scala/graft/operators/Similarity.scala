@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.Q
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Approximate-nearest-neighbor similarity search over the embedding
+  * column — the first-class search operator the near-dup join (q45) is
+  * not: given a query set, return each query's top-k neighbors by
+  * cosine.
+  *
+  * Two variants, as the brief requires:
+  *   - q62 brute-force: exact top-k baseline. Query set broadcast, one
+  *     pass over the vectors, per-query TopK window. O(N·Q) — the
+  *     correctness yardstick and still the right plan when Q is small
+  *     (the fact table is read once, never shuffled except the tiny
+  *     result).
+  *   - q63 LSH-bucketed: the scale path. Candidates = vectors sharing a
+  *     sign-LSH band with the query ([[EmbeddingLsh]], same 8×6
+  *     geometry as q45), ranked by exact cosine. Work is proportional
+  *     to bucket collisions, not N·Q; recall < 1 by construction and
+  *     rises with similarity (documented LSH property).
+  *
+  * Cross-engine exactness: cosine = dot / sqrt(na·nb) where dot, na, nb
+  * are exact int64 < 2^53 — one division + one sqrt, both correctly
+  * rounded by IEEE 754, so BOTH engines produce bit-identical doubles
+  * and the top-k cut (with vec_id tiebreak) is deterministic.
+  */
+object Similarity {
+  import EmbeddingLsh._
+
+  /** Every vector with `vec_id % QueryStride == 0` is a query. */
+  val QueryStride = 250
+  val TopK = 10
+
+  private val cosSql =
+    s"(${qdotSql("qs.qq", "n.q")})::DOUBLE / sqrt((qs.qn * n.nrm)::DOUBLE)"
+
+  def queries: Seq[Q] = Seq(
+
+    Q("q62_ann_bruteforce",
+      "WITH " + quantizedSql + ", " +
+        s"qs AS (SELECT vec_id AS qid, q AS qq, nrm AS qn FROM n WHERE vec_id % $QueryStride = 0), " +
+        s"p AS (SELECT qid, n.vec_id AS vec_id, $cosSql AS cos FROM qs JOIN n ON n.vec_id <> qs.qid), " +
+        "r AS (SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM p) " +
+        s"SELECT qid, vec_id, cos FROM r WHERE rn <= $TopK ORDER BY qid, vec_id") { (s, dir) =>
+      val n = quantized(s, dir)
+      val qs = n.filter(col("vec_id") % QueryStride === 0)
+        .select(col("vec_id").as("qid"), col("q").as("qq"), col("nrm").as("qn"))
+      val p = n.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          (qdot(col("qq"), col("q")).cast("double") /
+            sqrt((col("qn") * col("nrm")).cast("double"))).as("cos"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+      p.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= TopK)
+        .select("qid", "vec_id", "cos")
+        .orderBy("qid", "vec_id")
+    },
+
+    Q("q63_ann_lsh",
+      "WITH " + quantizedSql + ", " + bandsSql + ", " +
+        s"cand AS (SELECT DISTINCT qb.vec_id AS qid, vb.vec_id AS vec_id FROM bands qb " +
+        s" JOIN bands vb ON qb.k = vb.k AND qb.bv = vb.bv " +
+        s" AND qb.vec_id % $QueryStride = 0 AND vb.vec_id <> qb.vec_id), " +
+        "p AS (SELECT cand.qid, cand.vec_id, " +
+        s"(${qdotSql("a.q", "b.q")})::DOUBLE / sqrt((a.nrm * b.nrm)::DOUBLE) AS cos " +
+        " FROM cand JOIN n a ON cand.qid = a.vec_id JOIN n b ON cand.vec_id = b.vec_id), " +
+        "r AS (SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM p) " +
+        s"SELECT qid, vec_id, cos FROM r WHERE rn <= $TopK ORDER BY qid, vec_id") { (s, dir) =>
+      val n = quantized(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+      val bds = bands(n)
+      val qb = bds.filter(col("vec_id") % QueryStride === 0)
+        .select(col("vec_id").as("qid"), col("k"), col("bv"))
+      val cand = qb.join(bds.as("vb"),
+          qb("k") === col("vb.k") && qb("bv") === col("vb.bv") &&
+            col("vb.vec_id") =!= qb("qid"))
+        .select(col("qid"), col("vb.vec_id").as("vec_id"))
+        .distinct()
+      val p = cand
+        .join(n.select(col("vec_id").as("qid"), col("q").as("qq"), col("nrm").as("qn")), Seq("qid"))
+        .join(n, Seq("vec_id"))
+        .select(col("qid"), col("vec_id"),
+          (qdot(col("qq"), col("q")).cast("double") /
+            sqrt((col("qn") * col("nrm")).cast("double"))).as("cos"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+      p.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= TopK)
+        .select("qid", "vec_id", "cos")
+        .orderBy("qid", "vec_id")
+    }
+  )
+}
