@@ -46,6 +46,21 @@ final case class JdbcOptions(map: Map[String, String]) extends Serializable {
     map.get("upsertkeys").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
 
+  /** Parameterized table arguments (reference: ClickHouse
+    * parameterized views, `crates/common/src/util/table_arg_replace.rs:10-80`
+    * rewrites `FROM t` → `FROM t(p1 = v1, …)`). When set, every
+    * generated scan renders the argument list after the table name.
+    */
+  val tableArgs: Option[String] = map.get("tableargs")
+
+  /** The FROM-clause rendering of this table for generated SCAN SQL:
+    * plain name, `name(args)` for parameterized tables, or any
+    * table-valued expression the dialect accepts (reference S3: DuckDB
+    * `read_csv(...)` CTE tables, `crates/duckdb/src/sql_table.rs:30-60`).
+    * Writes/DML always target the bare `table`.
+    */
+  def fromClause: String = tableArgs.map(a => s"$table($a)").getOrElse(table)
+
   /** Canonical identity of the remote compute context. */
   def computeContext: String = url
 

@@ -191,7 +191,7 @@ final case class JdbcScan(
     val order =
       if (orderBy.isEmpty) "" else orderBy.mkString(" ORDER BY ", ", ", "")
     val lim = limit.map(n => " " + d.limitClause(n)).getOrElse("")
-    d.repairSql(s"SELECT $cols FROM ${options.table}$whereClause$group$order$lim")
+    d.repairSql(s"SELECT $cols FROM ${options.fromClause}$whereClause$group$order$lim")
   }
 
   override def toBatch: Batch = this
