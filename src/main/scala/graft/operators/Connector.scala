@@ -148,6 +148,22 @@ object Connector {
         .orderBy("s_nationkey")
     },
 
+    // Nested types (W11 breadth): an array column stores into Derby as
+    // its deterministic JSON text (the reference's nested→JSON
+    // compromise for text stores) and reads back byte-identical to
+    // DuckDB's to_json over the same source data.
+    Q("q65_jdbc_nested_json",
+      "SELECT doc_id, to_json(string_split(text, ' '))::VARCHAR AS toks " +
+        "FROM documents ORDER BY doc_id") { (s, dir) =>
+      gate(s, dir)
+      val t = "gate.app.t65"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .writeTo(t).create()
+      s.table(t).orderBy("doc_id")
+    },
+
     // UPDATE ... SET ... WHERE pushed as one remote statement (W8): no
     // data moves through Spark; doubling is exact (doubles scale by 2).
     Q("q59_jdbc_update",

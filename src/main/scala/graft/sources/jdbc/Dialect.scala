@@ -27,6 +27,11 @@ trait Dialect extends Serializable {
   /** Render a LIMIT clause appended to a complete SELECT. */
   def limitClause(n: Int): String = s"LIMIT $n"
 
+  /** The dialect's unbounded-text column type (nested-as-JSON storage
+    * and the UnsupportedTypeAction=string fallback both use it).
+    */
+  def stringType: String = "TEXT"
+
   /** Column type name for DDL generation from a Spark type. */
   def typeName(dt: DataType): String = dt match {
     case ByteType => "SMALLINT"
@@ -35,7 +40,7 @@ trait Dialect extends Serializable {
     case LongType => "BIGINT"
     case FloatType => "REAL"
     case DoubleType => "DOUBLE PRECISION"
-    case StringType => "TEXT"
+    case StringType => stringType
     case BooleanType => "BOOLEAN"
     case BinaryType => "BLOB"
     case DateType => "DATE"
@@ -45,7 +50,7 @@ trait Dialect extends Serializable {
     // Nested types fall back to a JSON-encoded text column — the same
     // compromise the reference makes for SQLite/MySQL
     // (statement.rs:82-104).
-    case _: ArrayType | _: MapType | _: StructType => "TEXT"
+    case _: ArrayType | _: MapType | _: StructType => stringType
     case other => throw new IllegalArgumentException(
       s"$name: unsupported type $other")
   }
@@ -88,8 +93,8 @@ object DerbyDialect extends Dialect {
   override def limitClause(n: Int): String = s"FETCH FIRST $n ROWS ONLY"
   // Derby has no FULL OUTER JOIN.
   override def supportsFullOuterJoin: Boolean = false
+  override def stringType: String = "VARCHAR(32672)"
   override def typeName(dt: DataType): String = dt match {
-    case StringType => "VARCHAR(32672)"
     case BooleanType => "BOOLEAN"
     case ByteType | ShortType => "SMALLINT"
     case BinaryType => "BLOB"
@@ -140,8 +145,8 @@ object SqliteDialect extends Dialect {
 object MySqlDialect extends Dialect {
   val name = "mysql"
   override def quote(ident: String): String = "`" + ident.replace("`", "``") + "`"
+  override def stringType: String = "LONGTEXT"
   override def typeName(dt: DataType): String = dt match {
-    case StringType => "LONGTEXT"
     case BooleanType => "TINYINT(1)"
     case _ => super.typeName(dt)
   }

@@ -125,8 +125,37 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    val cols = dialect.columnDefs(schema)
     val props = properties.asScala
+    // UnsupportedTypeAction (reference `crates/common/src/lib.rs:23-30`:
+    // Error | Warn | Ignore | String): what to do with a column whose
+    // type the dialect cannot store. `string` stores it as text (the
+    // returned schema says StringType, so Spark's store-assignment cast
+    // renders values); `ignore`/`warn` drop the column; `error` (the
+    // default) refuses the DDL.
+    val action = props.get("unsupportedtypeaction")
+      .orElse(options.map.get("unsupportedtypeaction"))
+      .getOrElse("error").toLowerCase
+    val resolved: Seq[(org.apache.spark.sql.types.StructField, String)] =
+      schema.fields.toSeq.flatMap { f =>
+        if (dialect.supportsType(f.dataType)) Some(f -> dialect.typeName(f.dataType))
+        else action match {
+          case "string" =>
+            Some(f.copy(dataType = org.apache.spark.sql.types.StringType) -> dialect.stringType)
+          case "ignore" => None
+          case "warn" =>
+            System.err.println(
+              s"[graft] warning: dropping column ${f.name} (${f.dataType}) — " +
+                s"unsupported by ${dialect.name}")
+            None
+          case _ => throw new IllegalArgumentException(
+            s"${f.name}: type ${f.dataType} unsupported by ${dialect.name} " +
+              "(set unsupportedtypeaction=string|warn|ignore to override)")
+        }
+      }
+    val cols = resolved.map { case (f, tn) =>
+      s"${dialect.quote(f.name)} $tn${if (f.nullable) "" else " NOT NULL"}"
+    }.mkString(", ")
+    val outSchema = StructType(resolved.map(_._1))
     // primary key + index DDL from table properties (reference W9/W10).
     val pk = props.get("primarykeys").orElse(props.get("primaryKeys"))
       .map(_.split(",").map(k => dialect.quote(k.trim)).mkString(", PRIMARY KEY (", ", ", ")"))
@@ -146,7 +175,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     }
     val tblOpts = options.withTable(qualified(ident)).map ++
       props.get("upsertkeys").map("upsertkeys" -> _)
-    GraftJdbcTable(ident.toString, schema, JdbcOptions(tblOpts))
+    GraftJdbcTable(ident.toString, outSchema, JdbcOptions(tblOpts))
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =

@@ -111,6 +111,10 @@ object TypeMapping {
     case d: DecimalType =>
       (ps, row, f, p) => ps.setBigDecimal(p, row.getDecimal(f, d.precision, d.scale).toJavaBigDecimal)
     case StringType => (ps, row, f, p) => ps.setString(p, row.getUTF8String(f).toString)
+    // nested types bind as their JSON text rendering (reference
+    // statement.rs:82-104 nested→JSON for SQLite/MySQL)
+    case t @ (_: ArrayType | _: MapType | _: StructType) =>
+      (ps, row, f, p) => ps.setString(p, toJson(t, row.get(f, t)))
     case BinaryType => (ps, row, f, p) => ps.setBytes(p, row.getBinary(f))
     case DateType =>
       (ps, row, f, p) => ps.setDate(p, DateTimeUtils.toJavaDate(row.getInt(f)))
@@ -119,7 +123,65 @@ object TypeMapping {
     case other => throw new IllegalArgumentException(s"unsupported write type $other")
   }
 
+  /** Catalyst value → compact JSON text, for nested types stored as
+    * TEXT columns (the reference's SQLite/MySQL compromise,
+    * `statement.rs:82-104`: lists/structs render to JSON strings).
+    * Deterministic: no whitespace, struct fields in schema order,
+    * map keys in map order, binary as base64.
+    */
+  def toJson(dt: DataType, v: Any): String = {
+    if (v == null) return "null"
+    dt match {
+      case StringType => jsonString(v.asInstanceOf[UTF8String].toString)
+      case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+           BooleanType => v.toString
+      case d: DecimalType => v.asInstanceOf[Decimal].toJavaBigDecimal.toPlainString
+      case DateType =>
+        jsonString(java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong).toString)
+      case TimestampType | TimestampNTZType =>
+        jsonString(DateTimeUtils.microsToInstant(v.asInstanceOf[Long]).toString)
+      case BinaryType =>
+        jsonString(java.util.Base64.getEncoder.encodeToString(v.asInstanceOf[Array[Byte]]))
+      case ArrayType(et, _) =>
+        val ad = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        (0 until ad.numElements()).map { i =>
+          if (ad.isNullAt(i)) "null" else toJson(et, ad.get(i, et))
+        }.mkString("[", ",", "]")
+      case MapType(kt, vt, _) =>
+        val md = v.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+        val ks = md.keyArray()
+        val vs = md.valueArray()
+        (0 until md.numElements()).map { i =>
+          val key = kt match {
+            case StringType => jsonString(ks.get(i, kt).asInstanceOf[UTF8String].toString)
+            case _ => jsonString(String.valueOf(ks.get(i, kt)))
+          }
+          val value = if (vs.isNullAt(i)) "null" else toJson(vt, vs.get(i, vt))
+          s"$key:$value"
+        }.mkString("{", ",", "}")
+      case st: StructType =>
+        val row = v.asInstanceOf[InternalRow]
+        st.fields.zipWithIndex.map { case (f, i) =>
+          val value = if (row.isNullAt(i)) "null" else toJson(f.dataType, row.get(i, f.dataType))
+          s"${jsonString(f.name)}:$value"
+        }.mkString("{", ",", "}")
+      case other => jsonString(String.valueOf(v))
+    }
+  }
+
+  private def jsonString(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   def jdbcType(dt: DataType): Int = dt match {
+    case _: ArrayType | _: MapType | _: StructType => Types.VARCHAR
     case BooleanType => Types.BOOLEAN
     case ByteType | ShortType => Types.SMALLINT
     case IntegerType => Types.INTEGER
