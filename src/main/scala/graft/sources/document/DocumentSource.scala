@@ -111,12 +111,14 @@ final class DocumentScanBuilder(tableSchema: StructType, options: Map[String, St
   extends ScanBuilder
     with SupportsPushDownRequiredColumns
     with SupportsPushDownV2Filters
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit
+    with SupportsPushDownTopN {
 
   private var schema = tableSchema
   private var pushed: Array[Predicate] = Array.empty
   private var filter: Option[FilterDoc] = None
   private var limit: Option[Int] = None
+  private var sort: Seq[FilterDoc.SortKey] = Nil
 
   override def pruneColumns(required: StructType): Unit =
     schema = if (required.isEmpty) StructType(tableSchema.take(1)) else required
@@ -138,8 +140,28 @@ final class DocumentScanBuilder(tableSchema: StructType, options: Map[String, St
   override def pushLimit(n: Int): Boolean = { limit = Some(n); true }
   override def isPartiallyPushed: Boolean = true
 
+  // The Mongo sort-document analog: each partition returns its rows in
+  // pushed-sort order truncated to n, and Spark's TopK merge above
+  // (isPartiallyPushed) finalizes across partitions — the reference's
+  // Inexact contract.
+  override def pushTopN(orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      n: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection}
+    val keys = orders.toSeq.map { o =>
+      FilterDoc.fieldOf(o.expression).map(p => FilterDoc.SortKey(
+        p,
+        o.direction == SortDirection.ASCENDING,
+        o.nullOrdering == NullOrdering.NULLS_FIRST))
+    }
+    if (keys.nonEmpty && keys.forall(_.isDefined)) {
+      sort = keys.map(_.get)
+      limit = Some(n)
+      true
+    } else false
+  }
+
   override def build(): Scan =
-    DocumentScan(schema, tableSchema, options, filter, limit)
+    DocumentScan(schema, tableSchema, options, filter, limit, sort)
 }
 
 final case class DocumentScan(
@@ -147,13 +169,15 @@ final case class DocumentScan(
     tableSchema: StructType,
     options: Map[String, String],
     filter: Option[FilterDoc],
-    limit: Option[Int]) extends Scan with Batch {
+    limit: Option[Int],
+    sort: Seq[FilterDoc.SortKey] = Nil) extends Scan with Batch {
 
   override def readSchema(): StructType = schema
 
   override def description(): String =
     s"GraftDocumentScan(${options.getOrElse("path", "?")}) " +
-      s"[filter=${filter.map(_.json).getOrElse("{}")} limit=${limit.getOrElse(-1)}]"
+      s"[filter=${filter.map(_.json).getOrElse("{}")} " +
+      s"sort=[${sort.map(_.json).mkString(", ")}] limit=${limit.getOrElse(-1)}]"
 
   override def toBatch: Batch = this
 
@@ -162,7 +186,7 @@ final case class DocumentScan(
       .map(f => DocumentPartition(f.toString): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    DocumentReaderFactory(schema, options, filter, limit)
+    DocumentReaderFactory(schema, options, filter, limit, sort)
 }
 
 final case class DocumentPartition(file: String) extends InputPartition
@@ -171,10 +195,11 @@ final case class DocumentReaderFactory(
     schema: StructType,
     options: Map[String, String],
     filter: Option[FilterDoc],
-    limit: Option[Int]) extends PartitionReaderFactory {
+    limit: Option[Int],
+    sort: Seq[FilterDoc.SortKey] = Nil) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new DocumentPartitionReader(
-      schema, options, filter, limit,
+      schema, options, filter, limit, sort,
       partition.asInstanceOf[DocumentPartition].file)
 }
 
@@ -187,6 +212,7 @@ final class DocumentPartitionReader(
     options: Map[String, String],
     filter: Option[FilterDoc],
     limit: Option[Int],
+    sort: Seq[FilterDoc.SortKey],
     file: String) extends PartitionReader[InternalRow] {
 
   import DocumentTable.mapper
@@ -201,7 +227,28 @@ final class DocumentPartitionReader(
 
   private def matches(doc: JsonNode): Boolean = filter.forall(_.matches(doc))
 
+  // Pushed sort: this partition's matches, ordered and truncated —
+  // the "server side" of a find(filter).sort(doc).limit(n).
+  private lazy val sorted: Iterator[JsonNode] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[JsonNode]
+    var line = reader.readLine()
+    while (line != null) {
+      if (line.nonEmpty) {
+        val doc = mapper.readTree(line)
+        if (matches(doc)) buf += doc
+      }
+      line = reader.readLine()
+    }
+    val ordered = buf.sorted(FilterDoc.ordering(sort))
+    limit.map(n => ordered.take(n)).getOrElse(ordered).iterator
+  }
+
   override def next(): Boolean = {
+    if (sort.nonEmpty) {
+      if (!sorted.hasNext) return false
+      current = convert(sorted.next())
+      return true
+    }
     if (limit.exists(emitted >= _)) return false
     var line = reader.readLine()
     while (line != null) {

@@ -127,9 +127,40 @@ object FilterDoc {
     }
   }
 
-  private def fieldOf(e: Expression): Option[Seq[String]] = e match {
+  private[document] def fieldOf(e: Expression): Option[Seq[String]] = e match {
     case n: NamedReference => Some(n.fieldNames.toSeq)
     case _ => None
+  }
+
+  /** One sort key of a pushed TopN — the Mongo sort-document analog
+    * (reference builds a sort doc from the pushed orderings,
+    * `crates/mongodb/src/table.rs:266-311`).
+    */
+  final case class SortKey(path: Seq[String], asc: Boolean, nullsFirst: Boolean)
+      extends Serializable {
+    def json: String = s"""{"${esc(path.mkString("."))}": ${if (asc) 1 else -1}}"""
+  }
+
+  /** Comparator over documents for the pushed sort keys. */
+  def ordering(keys: Seq[SortKey]): Ordering[JsonNode] = new Ordering[JsonNode] {
+    override def compare(a: JsonNode, b: JsonNode): Int = {
+      keys.foreach { k =>
+        val (x, y) = (path(a, k.path), path(b, k.path))
+        val c = (isNullish(x), isNullish(y)) match {
+          case (true, true) => 0
+          case (true, false) => if (k.nullsFirst) -1 else 1
+          case (false, true) => if (k.nullsFirst) 1 else -1
+          case _ =>
+            val base =
+              if (x.isNumber && y.isNumber) java.lang.Double.compare(x.asDouble, y.asDouble)
+              else if (x.isBoolean && y.isBoolean) java.lang.Boolean.compare(x.asBoolean, y.asBoolean)
+              else x.asText.compareTo(y.asText)
+            if (k.asc) base else -base
+        }
+        if (c != 0) return c
+      }
+      0
+    }
   }
 
   private def cmpOf(op: String, g: GeneralScalarExpression): Option[FilterDoc] =

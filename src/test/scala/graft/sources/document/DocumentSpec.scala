@@ -124,6 +124,19 @@ class DocumentSpec extends AnyFunSuite with SparkFixture {
     assert(doc(new Predicate(">=", Array(TestExprs.field("props", "k"), i32(50)))).matches(d))
   }
 
+  test("TopN pushdown renders a sort document and truncates server-side") {
+    val dir = Files.createTempDirectory("graft_docs_sort").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/d.jsonl"),
+      (1 to 20).map(i => s"""{"id": $i, "score": ${(i * 7) % 13}}""").mkString("\n"))
+    val df = spark.read.format("graft.sources.document.DocumentSource")
+      .option("path", dir).load()
+      .orderBy(col("score").desc, col("id")).limit(3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("""sort=[{"score": -1}, {"id": 1}]"""), plan)
+    assert(df.collect().map(r => (r.getInt(0), r.getInt(1))).toSeq ==
+      (1 to 20).map(i => (i, (i * 7) % 13)).sortBy(t => (-t._2, t._1)).take(3))
+  }
+
   // ---- end-to-end through the DSv2 source --------------------------------
 
   test("JSONL read: inference, pushdown filter, catch-all projection") {
