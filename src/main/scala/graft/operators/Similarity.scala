@@ -71,7 +71,9 @@ object Similarity {
         "r AS (SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM p) " +
         s"SELECT qid, vec_id, cos FROM r WHERE rn <= $TopK ORDER BY qid, vec_id") { (s, dir) =>
       val n = quantized(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
-      val bds = bands(n)
+      // persisted: the 48-hyperplane signature pass runs once, not once
+      // per self-join side
+      val bds = bands(n).persist(StorageLevel.MEMORY_AND_DISK)
       val qb = bds.filter(col("vec_id") % QueryStride === 0)
         .select(col("vec_id").as("qid"), col("k"), col("bv"))
       val cand = qb.join(bds.as("vb"),

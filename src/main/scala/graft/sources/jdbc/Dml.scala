@@ -56,4 +56,36 @@ object Dml {
       try st.executeUpdate(sql).toLong finally st.close()
     } finally conn.close()
   }
+
+  /** Execute `DELETE FROM table WHERE where` remotely; returns the
+    * affected-row count (the reference's `CountExec` result for DML,
+    * `crates/common/src/util/count_exec.rs:14-70` — Spark SQL's
+    * `DELETE FROM` path cannot surface it, this API does).
+    */
+  def delete(spark: SparkSession, name: String, where: Column): Long = {
+    val df = spark.table(name)
+    val rel = df.queryExecution.analyzed.collectFirst {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftJdbcTable] => r
+    }.getOrElse(throw new IllegalArgumentException(
+      s"$name is not a graft JDBC table"))
+    val t = rel.table.asInstanceOf[GraftJdbcTable]
+    val d = t.options.dialect
+    def analyzed(c: Column): Expression =
+      df.select(c).queryExecution.analyzed.collectFirst {
+        case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+          p.projectList.head match {
+            case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
+            case e => e
+          }
+      }.getOrElse(throw new IllegalArgumentException(s"cannot analyze $c"))
+    val unparser = new CatalystUnparser(d, rel.output.map(a => a.exprId -> d.quote(a.name)).toMap)
+    val cond = unparser.expr(analyzed(where)).getOrElse(
+      throw new IllegalArgumentException(s"predicate not unparsable for ${d.name}: $where"))
+    val conn = t.options.connect()
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(s"DELETE FROM ${t.options.table} WHERE $cond").toLong
+      finally st.close()
+    } finally conn.close()
+  }
 }

@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.{SparkEntry, SparkFixture}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan audits: the properties that make these queries hold at
+  * 100 TB are asserted, not hoped for. A regression that turns a
+  * broadcast join into a shuffle, drops a pushed filter, or reintroduces
+  * a cross join fails HERE, before any benchmark notices.
+  */
+class PlanAuditSpec extends AnyFunSuite with SparkFixture {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q02: predicate reaches the parquet scan as PushedFilters") {
+    val p = plan("q02_filter_pushdown")
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThan(l_quantity"), p)
+  }
+
+  test("q01: scan reads only the three projected columns") {
+    val p = plan("q01_pruned_scan")
+    assert(p.contains("ReadSchema"), p)
+    assert(!p.contains("l_discount") && !p.contains("l_tax"),
+      s"column pruning lost:\n$p")
+  }
+
+  test("q04: TopK plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q04_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q14: all four dimension joins broadcast; fact table never shuffles for them") {
+    val p = plan("q14_multi_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3, p)
+    assert(!p.contains("SortMergeJoin"), s"dim join fell back to SMJ:\n$p")
+  }
+
+  test("q40: exact dedup is one hash aggregate with map-side partial") {
+    val p = plan("q40_exact_dedup")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p) // partial + final
+  }
+
+  test("q45: near-dup has NO cross/nested-loop join — LSH equi-joins only") {
+    val p = plan("q45_embedding_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"quadratic join reintroduced:\n$p")
+  }
+
+  test("q41: shingle self-join keys are int64 hashes, not raw strings") {
+    val p = plan("q41_ngram_jaccard_pairs")
+    assert(!p.contains("CartesianProduct"), p)
+    // join keys named h (the 60-bit hash), bigint typed
+    assert(p.contains("[h#") || p.contains("(h#"), s"hash-key join lost:\n$p")
+  }
+
+  test("q62: query set broadcasts; vectors scan once") {
+    val p = plan("q62_ann_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert("Scan parquet".r.findAllIn(p).length <= 2, s"extra vector scans:\n$p")
+  }
+
+  test("entry: flagship star join broadcasts dimensions") {
+    val p = SparkEntry.entry(spark).queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+  }
+}

@@ -90,6 +90,16 @@ class WriteHardeningSpec extends AnyFunSuite with SparkFixture {
       Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (5L, 51L), (6L, 61L)))
   }
 
+  test("Dml.delete pushes the predicate and surfaces the affected count") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ext.wh")
+    spark.sql("DROP TABLE IF EXISTS ext.wh.t6")
+    import spark.implicits._
+    (1L to 10L).map(i => (i, i % 3)).toDF("k", "m").writeTo("ext.wh.t6").create()
+    val n = Dml.delete(spark, "ext.wh.t6", col("m") === lit(0L))
+    assert(n == 3)
+    assert(spark.table("ext.wh.t6").count() == 7)
+  }
+
   test("retriable-error taxonomy: transient vs permanent") {
     assert(RetriableErrors.isTransient(new SQLTransientConnectionException("x")))
     assert(RetriableErrors.isTransient(new SQLException("conn reset", "08006")))
