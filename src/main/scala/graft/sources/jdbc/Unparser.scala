@@ -42,6 +42,9 @@ final class Unparser(dialect: Dialect) extends Serializable {
   def expr(e: Expression): Option[String] = e match {
     case f: NamedReference => Some(dialect.quoted(f.fieldNames.toSeq))
     case l: Literal[_] => literal(l)
+    case c: org.apache.spark.sql.connector.expressions.Cast
+        if dialect.supportsType(c.dataType) =>
+      expr(c.expression).map(s => s"CAST($s AS ${dialect.typeName(c.dataType)})")
     case g: GeneralScalarExpression => scalar(g)
     case _ => None
   }

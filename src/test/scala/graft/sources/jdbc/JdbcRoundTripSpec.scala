@@ -100,6 +100,38 @@ class JdbcRoundTripSpec extends AnyFunSuite with SparkFixture {
     assert(got == exp)
   }
 
+  test("CREATE TABLE with primary key and index DDL (W9/W10)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ext.rt")
+    spark.sql("DROP TABLE IF EXISTS ext.rt.t8")
+    spark.sql("CREATE TABLE ext.rt.t8 (k BIGINT NOT NULL, v STRING, grp INT) " +
+      "TBLPROPERTIES ('primarykeys'='k', 'indexes'='grp;v,grp')")
+    // verify through Derby metadata: PK + two indexes exist
+    val conn = java.sql.DriverManager.getConnection(SparkFixture.derbyUrl)
+    try {
+      val md = conn.getMetaData
+      val pks = {
+        val rs = md.getPrimaryKeys(null, "rt", "t8")
+        val b = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (rs.next()) b += rs.getString("COLUMN_NAME")
+        rs.close(); b.toSeq
+      }
+      assert(pks == Seq("k"))
+      val idx = {
+        val rs = md.getIndexInfo(null, "rt", "t8", false, false)
+        val b = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (rs.next()) Option(rs.getString("INDEX_NAME")).foreach(b += _)
+        rs.close(); b.distinct
+      }
+      assert(idx.exists(_.startsWith("ix_t8_")), idx.mkString(","))
+    } finally conn.close()
+    // writes respect the PK: duplicate key insert fails the task
+    import spark.implicits._
+    Seq((1L, "a", 1)).toDF("k", "v", "grp").writeTo("ext.rt.t8").append()
+    intercept[Exception] {
+      Seq((1L, "dup", 2)).toDF("k", "v", "grp").writeTo("ext.rt.t8").append()
+    }
+  }
+
   test("catalog lists namespaces and tables, introspects schema") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS ext.rt")
     spark.sql("DROP TABLE IF EXISTS ext.rt.t6")

@@ -65,6 +65,15 @@ class UnparserSpec extends AnyFunSuite {
     assert(u.literal(TestExprs.lit(null, IntegerType)).contains("NULL"))
   }
 
+  test("CAST renders the dialect type name; unsupported target rejects") {
+    val c = new org.apache.spark.sql.connector.expressions.Cast(col("a"), LongType)
+    assert(u.expr(new Predicate(">", Array(c, i32(5))))
+      .contains("(CAST(\"a\" AS BIGINT) > 5)"))
+    val bad = new org.apache.spark.sql.connector.expressions.Cast(
+      col("a"), CalendarIntervalType)
+    assert(u.expr(new Predicate(">", Array(bad, i32(5)))).isEmpty)
+  }
+
   test("sort orders render direction and null ordering") {
     val asc = Expressions.sort(col("a"), SortDirection.ASCENDING, NullOrdering.NULLS_LAST)
     assert(u.sort(asc).contains("\"a\" ASC NULLS LAST"))
