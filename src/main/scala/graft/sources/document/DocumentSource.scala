@@ -101,7 +101,7 @@ final case class DocumentTable(schema0: StructType, options: Map[String, String]
   override def name(): String = s"documents(${options.getOrElse("path", "?")})"
   override def schema(): StructType = schema0
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new DocumentScanBuilder(schema0, options)
@@ -187,6 +187,54 @@ final case class DocumentScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     DocumentReaderFactory(schema, options, filter, limit, sort)
+
+  /** Streaming read of an append-only collection directory: each new
+    * file is a new micro-batch partition (SURVEY §2.7's extension seam —
+    * "scan → MicroBatchStream on the same DSv2 tables"; the reference
+    * is batch-only, every exec `Boundedness::Bounded`). The pushed
+    * filter document applies to streamed batches exactly as to batch
+    * scans. Offsets are positions in the name-sorted file list, so
+    * recovery from a checkpoint re-reads only unseen files.
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new DocumentMicroBatchStream(schema, options, filter)
+}
+
+final case class DocumentFileOffset(fileCount: Int)
+  extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"fileCount": $fileCount}"""
+}
+
+final class DocumentMicroBatchStream(
+    schema: StructType,
+    options: Map[String, String],
+    filter: Option[FilterDoc])
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def fileList: Seq[Path] = DocumentTable.files(options("path"))
+
+  override def initialOffset(): Offset = DocumentFileOffset(0)
+
+  override def latestOffset(): Offset = DocumentFileOffset(fileList.size)
+
+  override def deserializeOffset(json: String): Offset =
+    DocumentFileOffset(DocumentTable.mapper.readTree(json).get("fileCount").asInt())
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[DocumentFileOffset].fileCount
+    val to = end.asInstanceOf[DocumentFileOffset].fileCount
+    fileList.slice(from, to)
+      .map(f => DocumentPartition(f.toString): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    DocumentReaderFactory(schema, options, filter, None, Nil)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 final case class DocumentPartition(file: String) extends InputPartition

@@ -137,6 +137,31 @@ class DocumentSpec extends AnyFunSuite with SparkFixture {
       (1 to 20).map(i => (i, (i * 7) % 13)).sortBy(t => (-t._2, t._1)).take(3))
   }
 
+  test("streaming read: each new file becomes a micro-batch, filter still pushed") {
+    val dir = Files.createTempDirectory("graft_docs_stream").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/p1.jsonl"),
+      """{"id": 1, "kind": "a"}
+        |{"id": 2, "kind": "b"}
+        |""".stripMargin)
+    val stream = spark.readStream.format("graft.sources.document.DocumentSource")
+      .option("path", dir).load()
+      .filter(col("kind") === "a")
+    val q = stream.writeStream.format("memory")
+      .queryName("doc_stream_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("doc_stream_out").collect().map(_.getInt(0)).toSeq == Seq(1))
+      // a new file arrives -> exactly one new micro-batch with its rows
+      Files.writeString(java.nio.file.Paths.get(s"$dir/p2.jsonl"),
+        """{"id": 3, "kind": "a"}
+          |{"id": 4, "kind": "b"}
+          |""".stripMargin)
+      q.processAllAvailable()
+      assert(spark.table("doc_stream_out").collect().map(_.getInt(0)).sorted.toSeq ==
+        Seq(1, 3))
+    } finally q.stop()
+  }
+
   // ---- end-to-end through the DSv2 source --------------------------------
 
   test("JSONL read: inference, pushdown filter, catch-all projection") {
