@@ -169,6 +169,32 @@ object Dedup {
         .orderBy("d1", "d2")
     },
 
+    // KMV distinct-count sketch per source: a native Catalyst
+    // TypedImperativeAggregate keeps only the k=8 smallest distinct
+    // 60-bit text hashes per group (O(k) state at any cardinality,
+    // mergeable map-side), and the estimate (k-1)·2^60 / kth is exact
+    // IEEE arithmetic over exactly-representable values — so even the
+    // sketch hash-matches the DuckDB oracle (which computes the same
+    // k-th minimum with a window rank).
+    Q("q46_kmv_sketch",
+      "WITH h AS (SELECT DISTINCT source, " + h60Sql("text") + " AS h FROM documents), " +
+        "r AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h), " +
+        "kt AS (SELECT source, h AS kth FROM r WHERE rn = 8), " +
+        "nx AS (SELECT source, COUNT(DISTINCT text) AS n_exact FROM documents GROUP BY source) " +
+        "SELECT nx.source AS source, n_exact, kth, " +
+        "(7::DOUBLE * 1152921504606846976::DOUBLE) / kth::DOUBLE AS est " +
+        "FROM nx JOIN kt ON nx.source = kt.source ORDER BY nx.source") { (s, dir) =>
+      Tables.load(s, dir, "documents")
+        .groupBy("source")
+        .agg(
+          countDistinct(col("text")).as("n_exact"),
+          graft.functions.KmvSketch.kth_min(h60(col("text")), 8).as("kth"))
+        .filter(col("kth").isNotNull)
+        .select(col("source"), col("n_exact"), col("kth"),
+          (lit(7.0 * 1152921504606846976.0) / col("kth").cast("double")).as("est"))
+        .orderBy("source")
+    },
+
     // 60-bit SimHash: per-token 60-bit hash, token-frequency-weighted
     // sign vote per bit position.
     Q("q43_simhash",
