@@ -15,6 +15,8 @@ trait SparkFixture extends BeforeAndAfterAll { self: Suite =>
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
     .config("spark.ui.enabled", "false")
     .config("spark.sql.catalog.ext", "graft.sources.jdbc.GraftCatalog")
     .config("spark.sql.catalog.ext.url", SparkFixture.derbyUrl)

@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The two shuffle-shaping techniques the 100 TB design names:
+  * bucketed co-located joins (no exchange) and salted skew aggregation.
+  */
+class ScaleSpec extends AnyFunSuite with SparkFixture {
+
+  test("bucketed tables join with NO shuffle on either side") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS b1")
+    spark.sql("DROP TABLE IF EXISTS b2")
+    (1L to 1000L).map(i => (i, s"l$i")).toDF("k", "lv")
+      .write.bucketBy(8, "k").sortBy("k").saveAsTable("b1")
+    (1L to 1000L).map(i => (i, i * 2)).toDF("k", "rv")
+      .write.bucketBy(8, "k").sortBy("k").saveAsTable("b2")
+    // disable broadcast so the join exercises the bucketed SMJ path the
+    // technique exists for (at real scale neither side broadcasts)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b1").join(spark.table("b2"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() == 1000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("salted aggregation matches direct groupBy under heavy skew") {
+    import spark.implicits._
+    // one hot key with 50k rows, 100 normal keys with 10 each
+    val skewed = ((1 to 50000).map(_ => ("hot", 1.0)) ++
+      (1 to 100).flatMap(k => (1 to 10).map(_ => (s"k$k", 2.0))))
+      .toDF("key", "v").repartition(16)
+
+    val direct = skewed.groupBy("key").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val salted = Scale.saltedCount(skewed, "key", salts = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted == direct)
+    assert(salted("hot") == 50000L && salted("k7") == 10L)
+
+    val directSum = skewed.groupBy("key")
+      .agg(sum(col("v").cast("decimal(18,2)")).as("sum"))
+      .collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    val saltedSum = Scale.saltedSum(skewed, "key", col("v").cast("decimal(18,2)"), salts = 8)
+      .collect().map(r => r.getString(0) -> r.getDecimal(1)).toMap
+    assert(saltedSum.view.mapValues(_.doubleValue()).toMap ==
+      directSum.view.mapValues(_.doubleValue()).toMap)
+
+    // the first phase genuinely splits the hot key across salts
+    val phase1 = skewed
+      .withColumn("__salt", pmod(monotonically_increasing_id(), lit(8L)))
+      .filter(col("key") === "hot").select("__salt").distinct().count()
+    assert(phase1 > 1, s"hot key not split: $phase1 salt values")
+  }
+}
