@@ -66,10 +66,17 @@ final class JdbcWrite(options: JdbcOptions, schema: StructType, truncate: Boolea
 final case class JdbcBatchWrite(options: JdbcOptions, schema: StructType, truncate: Boolean)
   extends BatchWrite with Logging {
 
-  /** `"ns"."t"` → `"ns"."t__stage"` (suffix inside the final quote). */
-  private def stageTable: String = {
+  /** `"ns"."t"` → `"ns"."t__stage_<id>"` (suffix inside the final
+    * quote). The per-write unique id (reference stages into
+    * `__data_<ts>`, `creator.rs:220-520`) keeps two concurrent
+    * overwrites of the same table from clobbering each other's stage;
+    * the id is fixed per BatchWrite instance so factory, commit and
+    * abort all address the same stage.
+    */
+  private val stageTable: String = {
     val t = options.table
-    if (t.endsWith("\"")) t.dropRight(1) + "__stage\"" else t + "__stage"
+    val suffix = s"__stage_${java.lang.Long.toHexString(System.nanoTime())}"
+    if (t.endsWith("\"")) t.dropRight(1) + suffix + "\"" else t + suffix
   }
 
   private def withConn[A](f: Connection => A): A = {
@@ -82,10 +89,28 @@ final case class JdbcBatchWrite(options: JdbcOptions, schema: StructType, trunca
     try st.executeUpdate(sql) finally st.close()
   }
 
+  private val QuotedPair = "\"(.*)\"\\.\"(.*)\"".r
+
+  /** GC stage generations left by crashed runs (reference GCs previous
+    * `__data_<ts>` generations the same way, `creator.rs:220-520`).
+    */
+  private def dropStaleStages(c: Connection): Unit = options.table match {
+    case QuotedPair(ns, t) =>
+      val rs = c.getMetaData.getTables(null, ns, t + "__stage_%", Array("TABLE"))
+      val stale = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (rs.next()) stale += rs.getString("TABLE_NAME")
+      rs.close()
+      val d = options.dialect
+      stale.foreach { s =>
+        try exec(c, s"DROP TABLE ${d.quote(ns)}.${d.quote(s)}")
+        catch { case _: java.sql.SQLException => }
+      }
+    case _ => () // non-catalog table string; nothing to sweep
+  }
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     if (truncate) withConn { c =>
-      // fresh stage table; a leftover from a crashed run is dropped
-      try exec(c, s"DROP TABLE $stageTable") catch { case _: java.sql.SQLException => }
+      dropStaleStages(c)
       exec(c, s"CREATE TABLE $stageTable (${options.dialect.columnDefs(schema)})")
     }
     val target = if (truncate) options.withTable(stageTable) else options
