@@ -10,6 +10,7 @@ object SparkEntry {
   /** All registered query definitions, from every operator module. */
   def all: Seq[Q] =
     operators.Relational.queries ++
+      operators.AsOfJoin.queries ++
       operators.TextAnalysis.queries ++
       operators.Dedup.queries ++
       operators.Connector.queries ++

@@ -125,10 +125,10 @@ final class JdbcScanBuilder(options: JdbcOptions, tableSchema: StructType)
     }
 
   override def pushPredicates(predicates: Array[Predicate]): Array[Predicate] = {
-    val (ok, rest) = predicates.partition(p => unparser.expr(p).isDefined)
-    pushed = ok
-    pushedSql = ok.toSeq.map(p => unparser.expr(p).get)
-    rest
+    val rendered = predicates.map(p => p -> unparser.expr(p))
+    pushed = rendered.collect { case (p, Some(_)) => p }
+    pushedSql = rendered.collect { case (_, Some(s)) => s }.toSeq
+    rendered.collect { case (p, None) => p }
   }
 
   override def pushedPredicates(): Array[Predicate] = pushed
