@@ -169,11 +169,30 @@ final case class JdbcScan(
     orderBy: Seq[String],
     limit: Option[Int],
     aggSelect: Seq[String] = Nil,
-    groupBy: Seq[String] = Nil) extends Scan with Batch {
+    groupBy: Seq[String] = Nil) extends Scan with Batch
+    with SupportsRuntimeV2Filtering {
 
   override def readSchema(): StructType = schema
 
   override def description(): String = s"GraftJdbcScan(${options.table}) [$sql]"
+
+  // Runtime filters (DPP / semi-join reduction, SURVEY §4.1: the
+  // physical-phase filter injection P3 maps to this in Spark): join-key
+  // values discovered at RUNTIME arrive here before partitions are
+  // planned and splice into the remote WHERE — the reference's
+  // `insert_where_clause` string surgery (`mod.rs:442-479,609-655`),
+  // driven by Spark instead of hand-rolled plan mutation.
+  private var runtimeWhere: Seq[String] = Nil
+
+  override def filterAttributes(): Array[NamedReference] =
+    if (aggSelect.nonEmpty) Array.empty // output attrs have no remote names
+    else schema.fields.map(f =>
+      org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val u = new Unparser(options.dialect)
+    runtimeWhere = runtimeWhere ++ predicates.toSeq.flatMap(p => u.expr(p))
+  }
 
   /** The single remote SQL statement, before per-partition range splicing. */
   def sql: String = sqlFor(None)
@@ -183,7 +202,7 @@ final case class JdbcScan(
     val cols =
       if (aggSelect.nonEmpty) aggSelect.mkString(", ")
       else schema.fields.map(f => d.quote(f.name)).mkString(", ")
-    val conds = where ++ rangePred
+    val conds = where ++ runtimeWhere ++ rangePred
     val whereClause =
       if (conds.isEmpty) "" else conds.mkString(" WHERE ", " AND ", "")
     val group =

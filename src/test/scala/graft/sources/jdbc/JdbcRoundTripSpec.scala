@@ -132,6 +132,23 @@ class JdbcRoundTripSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("runtime filters splice into the remote WHERE before partition planning") {
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    import org.apache.spark.sql.graftx.TestExprs
+    val opts = JdbcOptions(Map("url" -> SparkFixture.derbyUrl, "dbtable" -> "\"rt\".\"t1\""))
+    val scan = JdbcScan(opts, spark.table("ext.rt.t1").schema,
+      where = Seq("(\"grp\" = 2)"), orderBy = Nil, limit = None)
+    assert(scan.filterAttributes().map(_.fieldNames.head).toSeq.contains("k"))
+    scan.filter(Array(new Predicate("IN", Array(
+      TestExprs.field("k"),
+      TestExprs.lit(2L, org.apache.spark.sql.types.LongType),
+      TestExprs.lit(6L, org.apache.spark.sql.types.LongType)))))
+    assert(scan.sql.contains("(\"grp\" = 2) AND (\"k\" IN (2, 6))"), scan.sql)
+    // and the spliced statement actually executes remotely
+    val rows = scan.planInputPartitions()
+    assert(rows.length == 1)
+  }
+
   test("catalog lists namespaces and tables, introspects schema") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS ext.rt")
     spark.sql("DROP TABLE IF EXISTS ext.rt.t6")
