@@ -163,9 +163,39 @@ object MySqlDialect extends Dialect {
   override def repairSql(sql: String): String = NullsOrder.replaceAllIn(sql, "")
 }
 
+/** ClickHouse: backtick quoting, native type names, no OVERWRITE-style
+  * upsert (ReplacingMergeTree dedups at merge time — upsert statements
+  * are plain INSERTs). Parameterized views ride [[JdbcOptions.tableArgs]]
+  * (reference `crates/common/src/util/table_arg_replace.rs:10-80`).
+  */
+object ClickHouseDialect extends Dialect {
+  val name = "clickhouse"
+  override def quote(ident: String): String = "`" + ident.replace("`", "``") + "`"
+  override def stringType: String = "String"
+  override def typeName(dt: DataType): String = dt match {
+    case ByteType => "Int8"
+    case ShortType => "Int16"
+    case IntegerType => "Int32"
+    case LongType => "Int64"
+    case FloatType => "Float32"
+    case DoubleType => "Float64"
+    case BooleanType => "Bool"
+    case BinaryType => "String"
+    case DateType => "Date32"
+    case TimestampType | TimestampNTZType => "DateTime64(6)"
+    case d: DecimalType => s"Decimal(${d.precision},${d.scale})"
+    case _ => super.typeName(dt)
+  }
+  override def upsertStatement(table: String, cols: Seq[String], keys: Seq[String]): String =
+    // ReplacingMergeTree semantics: the insert IS the upsert
+    s"INSERT INTO $table (${cols.map(quote).mkString(", ")}) " +
+      s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+}
+
 object Dialect {
   val all: Map[String, Dialect] = Seq(
-    DerbyDialect, PostgresDialect, DuckDbDialect, SqliteDialect, MySqlDialect)
+    DerbyDialect, PostgresDialect, DuckDbDialect, SqliteDialect, MySqlDialect,
+    ClickHouseDialect)
     .map(d => d.name -> d).toMap
   def forName(n: String): Dialect = all.getOrElse(n.toLowerCase,
     throw new IllegalArgumentException(s"unknown dialect $n"))
@@ -175,5 +205,6 @@ object Dialect {
     else if (url.startsWith("jdbc:mysql")) MySqlDialect
     else if (url.startsWith("jdbc:sqlite")) SqliteDialect
     else if (url.startsWith("jdbc:duckdb")) DuckDbDialect
+    else if (url.startsWith("jdbc:clickhouse") || url.startsWith("jdbc:ch")) ClickHouseDialect
     else DerbyDialect
 }

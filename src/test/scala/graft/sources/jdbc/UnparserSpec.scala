@@ -137,5 +137,15 @@ class DialectSpec extends AnyFunSuite {
     assert(Dialect.forUrl("jdbc:postgresql://h/db") == PostgresDialect)
     assert(Dialect.forUrl("jdbc:derby:/tmp/x") == DerbyDialect)
     assert(Dialect.forUrl("jdbc:mysql://h/db") == MySqlDialect)
+    assert(Dialect.forUrl("jdbc:clickhouse://h:8123/db") == ClickHouseDialect)
+  }
+
+  test("clickhouse type names, quoting, and insert-as-upsert") {
+    assert(ClickHouseDialect.typeName(LongType) == "Int64")
+    assert(ClickHouseDialect.typeName(TimestampType) == "DateTime64(6)")
+    assert(ClickHouseDialect.typeName(ArrayType(IntegerType)) == "String")
+    assert(ClickHouseDialect.quote("a`b") == "`a``b`")
+    assert(ClickHouseDialect.upsertStatement("t", Seq("k", "v"), Seq("k")) ==
+      "INSERT INTO t (`k`, `v`) VALUES (?, ?)")
   }
 }
