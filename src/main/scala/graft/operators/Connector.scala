@@ -148,6 +148,23 @@ object Connector {
         .orderBy("s_nationkey")
     },
 
+    // Overwrite-by-filter (SupportsOverwriteV2): only rows matching the
+    // predicate are replaced, atomically via the staged swap — new rows
+    // land, non-matching originals survive byte-identically.
+    Q("q66_jdbc_overwrite_where",
+      "SELECT s_suppkey, 'X_' || s_name AS s_name, s_nationkey, s_acctbal " +
+        "FROM supplier WHERE s_nationkey < 5 " +
+        "UNION ALL SELECT s_suppkey, s_name, s_nationkey, s_acctbal " +
+        "FROM supplier WHERE s_nationkey >= 10 ORDER BY s_suppkey") { (s, dir) =>
+      val t = freshCopy(s, dir, "supplier", "t66")
+      Tables.load(s, dir, "supplier")
+        .filter(col("s_nationkey") < 5)
+        .select(col("s_suppkey"), concat(lit("X_"), col("s_name")).as("s_name"),
+          col("s_nationkey"), col("s_acctbal"))
+        .writeTo(t).overwrite(col("s_nationkey") < 10)
+      s.table(t).orderBy("s_suppkey")
+    },
+
     // Nested types (W11 breadth): an array column stores into Derby as
     // its deterministic JSON text (the reference's nested→JSON
     // compromise for text stores) and reads back byte-identical to

@@ -4,6 +4,7 @@ import org.apache.spark.internal.Logging
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types.StructType
 
@@ -38,16 +39,30 @@ import java.sql.Connection
   * N partitions write concurrently, which the reference cannot do.
   */
 final class JdbcWriteBuilder(options: JdbcOptions, schema: StructType)
-  extends WriteBuilder with SupportsTruncate {
+  extends WriteBuilder with SupportsOverwriteV2 {
 
-  private var doTruncate = false
+  // None = plain append; Some(Nil) = replace everything (truncate);
+  // Some(conds) = replace only rows matching the conjunction.
+  private var overwriteWhere: Option[Seq[String]] = None
+  private def unparser = new Unparser(options.dialect)
 
-  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def canOverwrite(predicates: Array[Predicate]): Boolean =
+    predicates.forall(p => unparser.expr(p).isDefined)
 
-  override def build(): Write = new JdbcWrite(options, schema, doTruncate)
+  override def overwrite(predicates: Array[Predicate]): WriteBuilder = {
+    val rendered = predicates.toSeq.map(p => unparser.expr(p).getOrElse(
+      throw new UnsupportedOperationException(
+        s"overwrite predicate not unparsable for ${options.dialect.name}: $p")))
+    // ALWAYS_TRUE renders "(1 = 1)"; normalize to the truncate form
+    overwriteWhere = Some(rendered.filterNot(_ == "(1 = 1)"))
+    this
+  }
+
+  override def build(): Write = new JdbcWrite(options, schema, overwriteWhere)
 }
 
-final class JdbcWrite(options: JdbcOptions, schema: StructType, truncate: Boolean)
+final class JdbcWrite(options: JdbcOptions, schema: StructType,
+    overwrite: Option[Seq[String]])
   extends Write with RequiresDistributionAndOrdering {
 
   // One upsert key -> one partition transaction: the precondition the
@@ -60,11 +75,17 @@ final class JdbcWrite(options: JdbcOptions, schema: StructType, truncate: Boolea
 
   override def requiredOrdering(): Array[SortOrder] = Array.empty
 
-  override def toBatch: BatchWrite = JdbcBatchWrite(options, schema, truncate)
+  override def toBatch: BatchWrite = JdbcBatchWrite(options, schema, overwrite)
 }
 
-final case class JdbcBatchWrite(options: JdbcOptions, schema: StructType, truncate: Boolean)
+/** `overwrite`: None = append; Some(conds) = atomic replace of the rows
+  * matching `conds` (everything when empty) via the staged swap.
+  */
+final case class JdbcBatchWrite(options: JdbcOptions, schema: StructType,
+    overwrite: Option[Seq[String]])
   extends BatchWrite with Logging {
+
+  private def truncate: Boolean = overwrite.isDefined
 
   /** `"ns"."t"` → `"ns"."t__stage_<id>"` (suffix inside the final
     * quote). The per-write unique id (reference stages into
@@ -120,10 +141,14 @@ final case class JdbcBatchWrite(options: JdbcOptions, schema: StructType, trunca
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val rows = messages.collect { case JdbcCommit(n) => n }.sum
     if (truncate) withConn { c =>
-      // the atomic swap: target is replaced in ONE remote transaction
+      // the atomic swap: matching rows are replaced in ONE remote txn
       c.setAutoCommit(false)
       val cols = schema.fields.map(f => options.dialect.quote(f.name)).mkString(", ")
-      exec(c, s"DELETE FROM ${options.table}")
+      val whereClause = overwrite.get match {
+        case Nil => ""
+        case conds => conds.mkString(" WHERE ", " AND ", "")
+      }
+      exec(c, s"DELETE FROM ${options.table}$whereClause")
       exec(c, s"INSERT INTO ${options.table} ($cols) SELECT $cols FROM $stageTable")
       exec(c, s"DROP TABLE $stageTable")
       c.commit()

@@ -90,6 +90,22 @@ class WriteHardeningSpec extends AnyFunSuite with SparkFixture {
       Seq((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L), (5L, 51L), (6L, 61L)))
   }
 
+  test("overwrite-by-filter replaces only matching rows, atomically") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ext.wh")
+    spark.sql("DROP TABLE IF EXISTS ext.wh.t7")
+    import spark.implicits._
+    (1L to 10L).map(i => (i, i % 2, s"orig_$i")).toDF("k", "grp", "v")
+      .writeTo("ext.wh.t7").create()
+    Seq((101L, 1L, "new_a"), (102L, 1L, "new_b")).toDF("k", "grp", "v")
+      .writeTo("ext.wh.t7").overwrite(col("grp") === 1L)
+    val rows = spark.table("ext.wh.t7").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1).toSeq
+    // grp=0 untouched; grp=1 rows replaced by the two new ones
+    assert(rows == Seq((2L, 0L, "orig_2"), (4L, 0L, "orig_4"), (6L, 0L, "orig_6"),
+      (8L, 0L, "orig_8"), (10L, 0L, "orig_10"),
+      (101L, 1L, "new_a"), (102L, 1L, "new_b")))
+  }
+
   test("Dml.delete pushes the predicate and surfaces the affected count") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS ext.wh")
     spark.sql("DROP TABLE IF EXISTS ext.wh.t6")
