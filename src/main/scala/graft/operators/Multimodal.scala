@@ -92,10 +92,28 @@ object Multimodal {
         .orderBy("doc_id")
     },
 
-    // Decode + feature extraction (stubbed codec): rows-only gate (the
-    // fake decoder is not SQL-expressible); values are pinned by
-    // MultimodalSpec instead.
-    Q.rowsOnly("q64_multimodal_features") { (s, dir) =>
+    // Decode + feature extraction (stubbed codec). The stand-in decoder is
+    // deterministic byte arithmetic, so the oracle mirrors it exactly in
+    // SQL (bytes via pairwise hex decode): kind from the cycled magic,
+    // width/height from the first two payload bytes (& 0x3f == % 64 on
+    // unsigned bytes), brightness = exact integer byte-sum / length.
+    // MultimodalSpec additionally pins values in-JVM.
+    Q("q64_multimodal_features",
+      "WITH m AS (SELECT doc_id, " +
+        "['FFD8FF','89504E','494433'][CAST(doc_id % 3 AS INT) + 1] AS mg, " +
+        "encode(text) AS p FROM documents) " +
+        "SELECT doc_id, " +
+        "CASE mg WHEN 'FFD8FF' THEN 'jpeg' WHEN '89504E' THEN 'png' " +
+        "WHEN '494433' THEN 'mp3' ELSE 'bin' END AS kind, " +
+        "CAST(3 + octet_length(p) AS INT) AS n_bytes, " +
+        "CAST(16 + CASE WHEN octet_length(p) = 0 THEN 0 " +
+        "ELSE ('0x'||substr(hex(p),1,2))::BIGINT % 64 END AS INT) AS width, " +
+        "CAST(16 + CASE WHEN octet_length(p) < 2 THEN 0 " +
+        "ELSE ('0x'||substr(hex(p),3,2))::BIGINT % 64 END AS INT) AS height, " +
+        "CASE WHEN octet_length(p) = 0 THEN 0.0 " +
+        "ELSE list_aggregate([('0x'||substr(hex(p),2*i-1,2))::BIGINT " +
+        "FOR i IN generate_series(1, octet_length(p))], 'sum')::DOUBLE / octet_length(p) " +
+        "END AS brightness FROM m ORDER BY doc_id") { (s, dir) =>
       extractFeatures(mediaBlobs(s, dir)).toDF().orderBy("doc_id")
     }
   )

@@ -84,10 +84,20 @@ object TextAnalysis {
         .orderBy("doc_id")
     },
 
-    // Native Catalyst expression with codegen (graft.functions.RollingHash):
-    // not expressible in DuckDB SQL, so rows-only; exact values are pinned
-    // by RollingHashSpec instead.
-    Q.rowsOnly("q34_rolling_fingerprint") { (s, dir) =>
+    // Native Catalyst expression with codegen (graft.functions.RollingHash).
+    // The oracle reproduces Java's wrapping 64-bit arithmetic in DuckDB by
+    // folding the UTF-8 bytes (hex-decoded pairwise) through HUGEINT
+    // arithmetic mod 2^64, then mapping back to the signed range — so even
+    // the native expression is value-checked cross-engine.
+    Q("q34_rolling_fingerprint",
+      "SELECT doc_id, CASE WHEN r >= 9223372036854775808::HUGEINT " +
+        "THEN (r - 18446744073709551616::HUGEINT)::BIGINT ELSE r::BIGINT END AS rfp " +
+        "FROM (SELECT doc_id, list_reduce(" +
+        "list_prepend(1125899906842597::HUGEINT, " +
+        "[('0x'||substr(hex(encode(text)),2*i-1,2))::BIGINT " +
+        "FOR i IN generate_series(1, octet_length(encode(text)))]), " +
+        "(acc, b) -> (31*acc + b) % 18446744073709551616::HUGEINT) AS r " +
+        "FROM documents) ORDER BY doc_id") { (s, dir) =>
       Tables.load(s, dir, "documents")
         .select(col("doc_id"),
           RollingHash.rolling_hash(col("text")).as("rfp"))
