@@ -31,6 +31,11 @@ import org.apache.spark.storage.StorageLevel
   *     shingle stream (16 MIN columns — no 16× row explosion), bands are
   *     4 projected columns, and the banded self-join touches only docs
   *     agreeing on a full band signature;
+  *   - every banded self-join (MinHash bands, SimHash chunks, sign-LSH
+  *     bands — q42/q44/q45/q63) additionally drops buckets larger than
+  *     [[BucketCap]] before pairing, so one degenerate band value can
+  *     never emit O(B²) pairs on a single shuffle key (see the cap's
+  *     doc for the recall trade);
   *   - embedding near-dup buckets vectors by random-hyperplane sign-LSH
   *     (8 bands × 6 bits over 48 fixed pseudo-random hyperplanes) and
   *     re-checks candidates with an exact int64 cosine test. Recall vs
@@ -45,6 +50,38 @@ object Dedup {
 
   /** Max documents a shingle may appear in before q41 ignores it. */
   val DfCap = 50
+
+  /** Max members an LSH bucket may hold before the whole bucket is
+    * dropped from candidate generation (q42/q44/q45/q63). A band value
+    * shared by B documents makes the banded self-join emit B² candidate
+    * pairs on ONE shuffle key — boilerplate/template corpora produce
+    * exactly such degenerate buckets, and at 100 TB a single hot key
+    * stalls the stage. The cap bounds per-key join fanout at BucketCap²
+    * (the same guard [[DfCap]] gives q41's shingle join); dropping
+    * oversized buckets costs recall on the most-templated clusters,
+    * which is the documented LSH trade — exact dedup (q40) still
+    * collapses byte-identical members of those clusters.
+    */
+  val BucketCap = 128
+
+  /** Drop every LSH bucket (group of rows equal on `keys`) with more
+    * than `cap` members. One map-side-combinable count aggregation plus
+    * a broadcast-friendly anti-join — no windowing over the skewed key,
+    * so the guard itself never concentrates a hot bucket on one task.
+    */
+  def capBuckets(df: DataFrame, cap: Int, keys: String*): DataFrame = {
+    val hot = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bc")).filter(col("bc") > cap)
+      .select(keys.map(col): _*)
+    df.join(hot, keys, "left_anti")
+  }
+
+  /** DuckDB mirror of [[capBuckets]]: a CTE selecting `cols` from `src`
+    * keeping only rows whose (`keys`) bucket has ≤ `cap` members.
+    */
+  def capBucketsSql(src: String, cap: Int, cols: String, keys: String*): String =
+    s"(SELECT $cols FROM (SELECT *, COUNT(*) OVER (PARTITION BY ${keys.mkString(", ")}) AS bc " +
+      s"FROM $src) WHERE bc <= $cap)"
 
   import EmbeddingLsh.{NumBands, BandBits}
 
@@ -143,8 +180,9 @@ object Dedup {
       "WITH " + shinglesSql + ", " +
         s"hm AS (SELECT doc_id, h % $P AS hm FROM sh), " +
         s"mh AS (SELECT doc_id, $mins FROM hm GROUP BY doc_id), " +
-        s"sig AS ($bands) " +
-        "SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2 FROM sig x JOIN sig y " +
+        s"sig AS ($bands), " +
+        s"sigf AS ${capBucketsSql("sig", BucketCap, "doc_id, band, sig", "band", "sig")} " +
+        "SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2 FROM sigf x JOIN sigf y " +
         "ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id ORDER BY d1, d2"
     }) { (s, dir) =>
       val mh = shingles(s, dir)
@@ -157,9 +195,10 @@ object Dedup {
       val bandCols = (0 until MC.NumHashes / MC.BandRows).map { k =>
         concat_ws(",", (0 until MC.BandRows).map(r => col(s"m${MC.BandRows * k + r}")): _*)
       }
-      val sig = mh
+      val sigAll = mh
         .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      val sig = capBuckets(sigAll, BucketCap, "band", "sig")
       sig.as("x")
         .join(sig.as("y"),
           col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
@@ -220,14 +259,17 @@ object Dedup {
         " FROM bits GROUP BY doc_id), " +
         "ch AS (SELECT doc_id, simhash, k, (simhash >> (15 * k)) & 32767 AS cv " +
         " FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k)), " +
+        s"chf AS ${capBucketsSql("ch", BucketCap, "doc_id, simhash, k, cv", "k", "cv")}, " +
         "cand AS (SELECT DISTINCT x.doc_id AS d1, x.simhash AS h1, y.doc_id AS d2, y.simhash AS h2 " +
-        " FROM ch x JOIN ch y ON x.k = y.k AND x.cv = y.cv AND x.doc_id < y.doc_id) " +
+        " FROM chf x JOIN chf y ON x.k = y.k AND x.cv = y.cv AND x.doc_id < y.doc_id) " +
         "SELECT d1, d2, bit_count(xor(h1, h2))::BIGINT AS hamm FROM cand " +
         "WHERE bit_count(xor(h1, h2)) <= 8 ORDER BY d1, d2") { (s, dir) =>
       val sh = simhash(s, dir)
-      val ch = sh.select(col("doc_id"), col("simhash"),
+      val chAll = sh.select(col("doc_id"), col("simhash"),
           explode(expr("sequence(0, 3)")).as("k"))
         .withColumn("cv", expr("shiftright(simhash, 15 * k) % 32768"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val ch = capBuckets(chAll, BucketCap, "k", "cv")
       ch.as("x")
         .join(ch.as("y"),
           col("x.k") === col("y.k") && col("x.cv") === col("y.cv") &&
@@ -260,7 +302,8 @@ object Dedup {
         s"bits AS (SELECT vec_id, $bits FROM n), " +
         s"bd AS (SELECT vec_id, $bandvals FROM bits), " +
         s"bands AS ($bands), " +
-        "cand AS (SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2 FROM bands x JOIN bands y " +
+        s"bandsf AS ${capBucketsSql("bands", BucketCap, "vec_id, k, bv", "k", "bv")}, " +
+        "cand AS (SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2 FROM bandsf x JOIN bandsf y " +
         " ON x.k = y.k AND x.bv = y.bv AND x.vec_id < y.vec_id), " +
         "p AS (SELECT v1, v2, " + qdotSql("a.q", "b.q") + " AS dot, a.nrm AS na, b.nrm AS nb " +
         " FROM cand JOIN n a ON v1 = a.vec_id JOIN n b ON v2 = b.vec_id) " +
@@ -279,8 +322,10 @@ object Dedup {
         (0 until BandBits).map(r => col(s"bit${BandBits * k + r}") * (1L << r))
           .reduce(_ + _)
       }
-      val bands = withBits
+      val bandsAll = withBits
         .select(col("vec_id"), posexplode(array(bandCols: _*)).as(Seq("k", "bv")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val bands = capBuckets(bandsAll, BucketCap, "k", "bv")
       val cand = bands.as("x")
         .join(bands.as("y"),
           col("x.k") === col("y.k") && col("x.bv") === col("y.bv") &&

@@ -62,8 +62,9 @@ object Similarity {
 
     Q("q63_ann_lsh",
       "WITH " + quantizedSql + ", " + bandsSql + ", " +
-        s"cand AS (SELECT DISTINCT qb.vec_id AS qid, vb.vec_id AS vec_id FROM bands qb " +
-        s" JOIN bands vb ON qb.k = vb.k AND qb.bv = vb.bv " +
+        s"bandsf AS ${Dedup.capBucketsSql("bands", Dedup.BucketCap, "vec_id, k, bv", "k", "bv")}, " +
+        s"cand AS (SELECT DISTINCT qb.vec_id AS qid, vb.vec_id AS vec_id FROM bandsf qb " +
+        s" JOIN bandsf vb ON qb.k = vb.k AND qb.bv = vb.bv " +
         s" AND qb.vec_id % $QueryStride = 0 AND vb.vec_id <> qb.vec_id), " +
         "p AS (SELECT cand.qid, cand.vec_id, " +
         s"(${qdotSql("a.q", "b.q")})::DOUBLE / sqrt((a.nrm * b.nrm)::DOUBLE) AS cos " +
@@ -72,8 +73,10 @@ object Similarity {
         s"SELECT qid, vec_id, cos FROM r WHERE rn <= $TopK ORDER BY qid, vec_id") { (s, dir) =>
       val n = quantized(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
       // persisted: the 48-hyperplane signature pass runs once, not once
-      // per self-join side
-      val bds = bands(n).persist(StorageLevel.MEMORY_AND_DISK)
+      // per self-join side; oversized buckets dropped (Dedup.BucketCap)
+      // so a degenerate band value cannot emit O(B²) candidates
+      val bds = Dedup.capBuckets(
+        bands(n).persist(StorageLevel.MEMORY_AND_DISK), Dedup.BucketCap, "k", "bv")
       val qb = bds.filter(col("vec_id") % QueryStride === 0)
         .select(col("vec_id").as("qid"), col("k"), col("bv"))
       val cand = qb.join(bds.as("vb"),

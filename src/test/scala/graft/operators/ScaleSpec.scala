@@ -58,4 +58,28 @@ class ScaleSpec extends AnyFunSuite with SparkFixture {
       .filter(col("key") === "hot").select("__salt").distinct().count()
     assert(phase1 > 1, s"hot key not split: $phase1 salt values")
   }
+
+  test("LSH bucket cap bounds banded self-join fanout on a degenerate corpus") {
+    import spark.implicits._
+    // a template cluster floods one band value with 2000 members (an
+    // uncapped self-join would emit ~2M pairs on ONE shuffle key), plus
+    // 60 healthy buckets of 5 members each
+    val rows = (1L to 2000L).map(i => (i, 0, "HOT")) ++
+      (1L to 300L).map(i => (i, 1, s"s${i % 60}"))
+    val sig = rows.toDF("doc_id", "band", "sig")
+    val capped = Dedup.capBuckets(sig, Dedup.BucketCap, "band", "sig")
+
+    assert(capped.filter(col("band") === 0).count() == 0,
+      "degenerate bucket must be dropped whole")
+    assert(capped.count() == 300, "healthy buckets must survive intact")
+    val maxBucket = capped.groupBy("band", "sig").count()
+      .agg(max("count")).as[Long].head()
+    assert(maxBucket <= Dedup.BucketCap)
+
+    // per-key fanout is now ≤ C(cap,2); here: 60 buckets × C(5,2)
+    val pairs = capped.as("x").join(capped.as("y"),
+      col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+        col("x.doc_id") < col("y.doc_id"))
+    assert(pairs.count() == 60 * 10)
+  }
 }
