@@ -10,11 +10,19 @@ import org.apache.spark.sql.SparkSession
   * a `count()` which lets Catalyst prune columns and drop ordering.
   * Failures are loud: the error lands on stderr, the query is listed in
   * `"failed"`, and the exit code is non-zero when anything failed.
+  *
+  * Stall-proofing: this host exhibits intermittent multi-minute stalls
+  * unrelated to the plans (BASELINE.md records 410.8 s vs 56.3 s
+  * back-to-back on identical code), so each query is timed
+  * SPARK_GRAFT_REPS times (default 3) and the REPORTED number is the
+  * per-query MEDIAN; min/max land in `"queries_min"`/`"queries_max"` so
+  * a stall is visible but never pollutes the headline metric.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -35,20 +43,27 @@ object Bench {
     }
     var failed = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        failed ::= name
-        System.err.println(s"[bench] $name FAILED: $e")
-        e.printStackTrace()
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          if (!failed.contains(name)) {
+            failed ::= name
+            System.err.println(s"[bench] $name FAILED: $e")
+            e.printStackTrace()
+          }
+        }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      (name, times(times.length / 2), times.head, times.last)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def obj(f: ((String, Double, Double, Double)) => Double): String =
+      results.map(r => s"\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
     val fails = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fails,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
+      s""""queries":${obj(_._2)},"queries_min":${obj(_._3)},"queries_max":${obj(_._4)},""" +
+      s""""failed":$fails,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
