@@ -46,6 +46,11 @@ final case class JdbcOptions(map: Map[String, String]) extends Serializable {
     map.get("upsertkeys").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
 
+  /** Max pooled physical connections per executor JVM for this identity
+    * (reference sizes its bb8/r2d2 pools the same way,
+    * `db_connection_pool/mod.rs:59-64`). */
+  val poolMax: Int = map.getOrElse("poolmax", "8").toInt
+
   /** Parameterized table arguments (reference: ClickHouse
     * parameterized views, `crates/common/src/util/table_arg_replace.rs:10-80`
     * rewrites `FROM t` → `FROM t(p1 = v1, …)`). When set, every
@@ -66,19 +71,24 @@ final case class JdbcOptions(map: Map[String, String]) extends Serializable {
 
   def withTable(t: String): JdbcOptions = JdbcOptions(map + ("dbtable" -> t))
 
-  def connect(): Connection = JdbcOptions.connect(url, map)
+  /** A pooled connection for this identity; `close()` returns it to the
+    * per-JVM pool ([[ConnectionPool]]) instead of tearing it down.
+    */
+  def connect(): Connection = ConnectionPool.acquire(this)
 }
 
 object JdbcOptions {
   def fromJava(m: java.util.Map[String, String]): JdbcOptions =
     JdbcOptions(m.asScala.map { case (k, v) => k.toLowerCase -> v }.toMap)
 
-  /** Open a connection; Derby's embedded driver needs no registration on
-    * JDK 17 (auto-loaded via the service registry). Establishment is
-    * retried on transient failures (connection loss / resource limits) —
-    * cheaper than a full Spark task retry re-streaming the partition.
+  /** Open a PHYSICAL connection (pool-internal; everything else should
+    * go through [[JdbcOptions.connect]] and get a pooled one). Derby's
+    * embedded driver needs no registration on JDK 17 (auto-loaded via
+    * the service registry). Establishment is retried on transient
+    * failures (connection loss / resource limits) — cheaper than a full
+    * Spark task retry re-streaming the partition.
     */
-  def connect(url: String, opts: Map[String, String]): Connection =
+  private[jdbc] def physicalConnect(url: String, opts: Map[String, String]): Connection =
     RetriableErrors.withRetries(3) {
       val props = new Properties()
       opts.get("user").foreach(props.setProperty("user", _))
@@ -86,9 +96,9 @@ object JdbcOptions {
       DriverManager.getConnection(url, props)
     }
 
-  /** Per-JVM cache of *schemas* (not connections — JDBC connections are
-    * not thread-safe to share across Spark tasks; each reader/writer
-    * opens its own, the JDBC driver's pooling layers under it).
+  /** Per-JVM cache of *schemas*. Connections are pooled separately in
+    * [[ConnectionPool]]: a JDBC connection is never shared between two
+    * concurrent tasks, but idle ones are reused across tasks.
     */
   private[jdbc] val schemaCache = TrieMap.empty[(String, String), org.apache.spark.sql.types.StructType]
 }
