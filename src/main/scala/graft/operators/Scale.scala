@@ -20,13 +20,19 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
-  // Round-robin row salt. A content-derived salt cannot split a hot key
-  // made of IDENTICAL rows (the common case — think repeated default
-  // values), so the salt must vary per physical row. Any assignment is
-  // correct: the phase-2 merge is associative, so a task retry that
-  // lands rows on different salts still produces the same final result.
+  // Content-derived row salt: hash of ALL columns, so a re-executed map
+  // task routes every row to the SAME salt it chose the first time. A
+  // positional salt (monotonically_increasing_id, partition id, random)
+  // is nondeterministic under retry — after a fetch failure, reducers
+  // that already consumed attempt-1 output coexist with attempt-2's
+  // re-routed rows and the counts silently double/drop (SPARK-23207).
+  // The cost: FULLY identical duplicate rows share one salt — but those
+  // collapse into a single partial per (key, salt) in the map-side
+  // combine before they ever shuffle, so they cannot re-create the hot
+  // key; the salt's job is spreading hot KEYS whose rows differ, which
+  // a content hash does.
   private def salt(df: DataFrame, salts: Int): Column =
-    pmod(monotonically_increasing_id(), lit(salts.toLong))
+    pmod(hash(df.columns.toIndexedSeq.map(col): _*), lit(salts))
 
   /** `df.groupBy(key).count()` with two-phase salting: skew-proof for
     * any key distribution.

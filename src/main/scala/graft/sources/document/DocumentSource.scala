@@ -193,17 +193,24 @@ final case class DocumentScan(
     * "scan → MicroBatchStream on the same DSv2 tables"; the reference
     * is batch-only, every exec `Boundedness::Bounded`). The pushed
     * filter document applies to streamed batches exactly as to batch
-    * scans. Offsets are positions in the name-sorted file list, so
-    * recovery from a checkpoint re-reads only unseen files.
+    * scans. Offsets are a LEXICOGRAPHIC FILE-NAME WATERMARK (the
+    * greatest processed name), not an index into the re-sorted listing —
+    * an index would re-emit an already-processed file whenever a new one
+    * sorts before it. A batch covers names in (start, end], so a file
+    * can never be read twice; producers must write monotonically
+    * increasing names (standard part-file naming) — a late file sorting
+    * below the watermark is ignored, never duplicated.
     */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new DocumentMicroBatchStream(schema, options, filter)
 }
 
-final case class DocumentFileOffset(fileCount: Int)
+/** `lastFile` = greatest processed file name; "" before any batch. */
+final case class DocumentFileOffset(lastFile: String)
   extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json(): String = s"""{"fileCount": $fileCount}"""
+  override def json(): String =
+    DocumentTable.mapper.createObjectNode().put("lastFile", lastFile).toString
 }
 
 final class DocumentMicroBatchStream(
@@ -216,17 +223,22 @@ final class DocumentMicroBatchStream(
 
   private def fileList: Seq[Path] = DocumentTable.files(options("path"))
 
-  override def initialOffset(): Offset = DocumentFileOffset(0)
+  override def initialOffset(): Offset = DocumentFileOffset("")
 
-  override def latestOffset(): Offset = DocumentFileOffset(fileList.size)
+  override def latestOffset(): Offset =
+    DocumentFileOffset(fileList.lastOption.map(_.getFileName.toString).getOrElse(""))
 
   override def deserializeOffset(json: String): Offset =
-    DocumentFileOffset(DocumentTable.mapper.readTree(json).get("fileCount").asInt())
+    DocumentFileOffset(DocumentTable.mapper.readTree(json).get("lastFile").asText())
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val from = start.asInstanceOf[DocumentFileOffset].fileCount
-    val to = end.asInstanceOf[DocumentFileOffset].fileCount
-    fileList.slice(from, to)
+    val from = start.asInstanceOf[DocumentFileOffset].lastFile
+    val to = end.asInstanceOf[DocumentFileOffset].lastFile
+    fileList
+      .filter { f =>
+        val n = f.getFileName.toString
+        n > from && n <= to
+      }
       .map(f => DocumentPartition(f.toString): InputPartition).toArray
   }
 
@@ -342,6 +354,12 @@ final class DocumentPartitionReader(
       case IntegerType => n.asInt()
       case LongType => n.asLong()
       case DoubleType => n.asDouble()
+      // SchemaInference maps integers beyond int64 to DecimalType(38,0);
+      // convert exactly (null only on true precision overflow, mirroring
+      // Spark's own decimal overflow behavior)
+      case t: DecimalType if n.isNumber =>
+        try Decimal(n.decimalValue().setScale(t.scale), t.precision, t.scale)
+        catch { case _: ArithmeticException => null }
       case StringType =>
         UTF8String.fromString(if (n.isTextual) n.asText() else mapper.writeValueAsString(n))
       case ArrayType(StringType, _) if n.isArray =>

@@ -66,17 +66,25 @@ object FilterDoc {
 
   private def isNullish(n: JsonNode): Boolean = n == null || n.isNull
 
-  /** Numeric-or-string three-way compare; None = incomparable. */
+  /** Numeric-or-string three-way compare; None = incomparable.
+    *
+    * Integral node vs integral literal compares in exact integer
+    * arithmetic (BigInteger covers int64 and beyond): these predicates
+    * are reported as EXACTLY pushed, so Spark drops its own copy of the
+    * filter — a double-rounded compare would silently match wrong rows
+    * for values beyond 2^53. Doubles stay IEEE compares.
+    */
   private def cmp(n: JsonNode, v: Any): Option[Int] = v match {
     case null => None
     case s: String => if (n.isTextual) Some(n.asText.compareTo(s)) else None
     case b: Boolean => if (n.isBoolean) Some(java.lang.Boolean.compare(n.asBoolean, b)) else None
-    case num: Any if n.isNumber =>
-      val d = num match {
-        case x: java.lang.Number => x.doubleValue()
-        case _ => return None
+    case num: java.lang.Number if n.isNumber =>
+      num match {
+        case _: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer |
+             _: java.lang.Long if n.isIntegralNumber =>
+          Some(n.bigIntegerValue.compareTo(java.math.BigInteger.valueOf(num.longValue)))
+        case _ => Some(java.lang.Double.compare(n.asDouble, num.doubleValue))
       }
-      Some(java.lang.Double.compare(n.asDouble, d))
     case _ => None
   }
 

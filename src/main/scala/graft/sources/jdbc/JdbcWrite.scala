@@ -87,16 +87,18 @@ final case class JdbcBatchWrite(options: JdbcOptions, schema: StructType,
 
   private def truncate: Boolean = overwrite.isDefined
 
-  /** `"ns"."t"` → `"ns"."t__stage_<id>"` (suffix inside the final
-    * quote). The per-write unique id (reference stages into
+  /** `"ns"."t"` → `"ns"."t__stage_<millisHex>_<nanoHex>"` (suffix inside
+    * the final quote). The per-write unique id (reference stages into
     * `__data_<ts>`, `creator.rs:220-520`) keeps two concurrent
     * overwrites of the same table from clobbering each other's stage;
     * the id is fixed per BatchWrite instance so factory, commit and
-    * abort all address the same stage.
+    * abort all address the same stage. The leading wall-clock segment is
+    * what [[dropStaleStages]] reads to GC only ABANDONED generations.
     */
   private val stageTable: String = {
     val t = options.table
-    val suffix = s"__stage_${java.lang.Long.toHexString(System.nanoTime())}"
+    val suffix = s"__stage_${java.lang.Long.toHexString(System.currentTimeMillis())}" +
+      s"_${java.lang.Long.toHexString(System.nanoTime())}"
     if (t.endsWith("\"")) t.dropRight(1) + suffix + "\"" else t + suffix
   }
 
@@ -112,8 +114,15 @@ final case class JdbcBatchWrite(options: JdbcOptions, schema: StructType,
 
   private val QuotedPair = "\"(.*)\"\\.\"(.*)\"".r
 
-  /** GC stage generations left by crashed runs (reference GCs previous
-    * `__data_<ts>` generations the same way, `creator.rs:220-520`).
+  /** GC stage generations left by CRASHED runs (reference GCs previous
+    * `__data_<ts>` generations the same way, `creator.rs:220-520`) —
+    * but only those older than [[JdbcBatchWrite.StaleStageAgeMs]], read
+    * from the wall-clock segment of the suffix. Sweeping every stage at
+    * factory creation would delete the LIVE stage of a concurrent
+    * overwrite of the same table, which the per-write unique suffix
+    * exists to protect; an in-flight write is always far younger than
+    * the threshold. Unparseable suffixes (pre-timestamp format) are
+    * treated as abandoned.
     */
   private def dropStaleStages(c: Connection): Unit = options.table match {
     case QuotedPair(ns, t) =>
@@ -121,10 +130,16 @@ final case class JdbcBatchWrite(options: JdbcOptions, schema: StructType,
       val stale = scala.collection.mutable.ArrayBuffer.empty[String]
       while (rs.next()) stale += rs.getString("TABLE_NAME")
       rs.close()
+      val now = System.currentTimeMillis()
       val d = options.dialect
       stale.foreach { s =>
-        try exec(c, s"DROP TABLE ${d.quote(ns)}.${d.quote(s)}")
-        catch { case _: java.sql.SQLException => }
+        val bornAt =
+          try java.lang.Long.parseLong(
+            s.stripPrefix(t + "__stage_").takeWhile(_ != '_'), 16)
+          catch { case _: NumberFormatException => 0L }
+        if (now - bornAt > JdbcBatchWrite.StaleStageAgeMs)
+          try exec(c, s"DROP TABLE ${d.quote(ns)}.${d.quote(s)}")
+          catch { case _: java.sql.SQLException => }
       }
     case _ => () // non-catalog table string; nothing to sweep
   }
@@ -160,6 +175,12 @@ final case class JdbcBatchWrite(options: JdbcOptions, schema: StructType,
     if (truncate) withConn { c =>
       try exec(c, s"DROP TABLE $stageTable") catch { case _: java.sql.SQLException => }
     }
+}
+
+object JdbcBatchWrite {
+  /** Stages older than this are abandoned (no overwrite runs for an
+    * hour); younger ones may belong to a live concurrent write. */
+  private[jdbc] val StaleStageAgeMs: Long = 60L * 60 * 1000
 }
 
 final case class JdbcCommit(rows: Long) extends WriterCommitMessage

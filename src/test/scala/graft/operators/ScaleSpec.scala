@@ -32,8 +32,8 @@ class ScaleSpec extends AnyFunSuite with SparkFixture {
 
   test("salted aggregation matches direct groupBy under heavy skew") {
     import spark.implicits._
-    // one hot key with 50k rows, 100 normal keys with 10 each
-    val skewed = ((1 to 50000).map(_ => ("hot", 1.0)) ++
+    // one hot key with 50k distinct-payload rows, 100 normal keys
+    val skewed = ((1 to 50000).map(i => ("hot", i.toDouble)) ++
       (1 to 100).flatMap(k => (1 to 10).map(_ => (s"k$k", 2.0))))
       .toDF("key", "v").repartition(16)
 
@@ -43,6 +43,7 @@ class ScaleSpec extends AnyFunSuite with SparkFixture {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(salted == direct)
     assert(salted("hot") == 50000L && salted("k7") == 10L)
+    assert(direct("hot") == 50000L)
 
     val directSum = skewed.groupBy("key")
       .agg(sum(col("v").cast("decimal(18,2)")).as("sum"))
@@ -52,9 +53,11 @@ class ScaleSpec extends AnyFunSuite with SparkFixture {
     assert(saltedSum.view.mapValues(_.doubleValue()).toMap ==
       directSum.view.mapValues(_.doubleValue()).toMap)
 
-    // the first phase genuinely splits the hot key across salts
+    // the first phase genuinely splits the hot key across salts — and
+    // deterministically (content hash, not position), so a task retry
+    // re-derives identical routing
     val phase1 = skewed
-      .withColumn("__salt", pmod(monotonically_increasing_id(), lit(8L)))
+      .withColumn("__salt", pmod(hash(col("key"), col("v")), lit(8)))
       .filter(col("key") === "hot").select("__salt").distinct().count()
     assert(phase1 > 1, s"hot key not split: $phase1 salt values")
   }

@@ -124,6 +124,30 @@ class DocumentSpec extends AnyFunSuite with SparkFixture {
     assert(doc(new Predicate(">=", Array(TestExprs.field("props", "k"), i32(50)))).matches(d))
   }
 
+  test("pushed int64 compares are exact beyond 2^53 (no double rounding)") {
+    // 2^53 + 1: a double-rounded compare collides it with 2^53 — and the
+    // predicate is reported exactly-pushed, so Spark would not re-check
+    val d = M.readTree("""{"k": 9007199254740993}""")
+    def doc(p: Predicate) = FilterDoc.translate(p).get
+    val exact = TestExprs.lit(9007199254740993L, LongType)
+    val neighbor = TestExprs.lit(9007199254740992L, LongType)
+    assert(doc(new Predicate("=", Array(ref("k"), exact))).matches(d))
+    assert(!doc(new Predicate("=", Array(ref("k"), neighbor))).matches(d))
+    assert(doc(new Predicate(">", Array(ref("k"), neighbor))).matches(d))
+    assert(!doc(new Predicate("<", Array(ref("k"), neighbor))).matches(d))
+  }
+
+  test("integers beyond int64 infer DecimalType(38,0) and read back exactly") {
+    val dir = Files.createTempDirectory("graft_docs_dec").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/d.jsonl"),
+      """{"id": 1, "big": 123456789012345678901234567890}""" + "\n")
+    val df = spark.read.format("graft.sources.document.DocumentSource")
+      .option("path", dir).load()
+    assert(df.schema("big").dataType == DecimalType(38, 0))
+    assert(df.select("big").head().getDecimal(0).toBigInteger.toString ==
+      "123456789012345678901234567890")
+  }
+
   test("TopN pushdown renders a sort document and truncates server-side") {
     val dir = Files.createTempDirectory("graft_docs_sort").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/d.jsonl"),
@@ -159,6 +183,16 @@ class DocumentSpec extends AnyFunSuite with SparkFixture {
       q.processAllAvailable()
       assert(spark.table("doc_stream_out").collect().map(_.getInt(0)).sorted.toSeq ==
         Seq(1, 3))
+      // a LATE file sorting before the watermark must never re-emit
+      // already-processed files (offsets are a name watermark, not an
+      // index into the re-sorted listing); it is skipped, not duplicated
+      Files.writeString(java.nio.file.Paths.get(s"$dir/p0.jsonl"),
+        """{"id": 5, "kind": "a"}""" + "\n")
+      Files.writeString(java.nio.file.Paths.get(s"$dir/p3.jsonl"),
+        """{"id": 6, "kind": "a"}""" + "\n")
+      q.processAllAvailable()
+      assert(spark.table("doc_stream_out").collect().map(_.getInt(0)).sorted.toSeq ==
+        Seq(1, 3, 6))
     } finally q.stop()
   }
 

@@ -31,6 +31,32 @@ class WriteHardeningSpec extends AnyFunSuite with SparkFixture {
     assert(!tables.exists(_.contains("stage")), tables.mkString(","))
   }
 
+  test("stage GC drops only abandoned generations, never a live concurrent stage") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ext.wh")
+    spark.sql("DROP TABLE IF EXISTS ext.wh.t7")
+    import spark.implicits._
+    Seq((1L, "a")).toDF("k", "v").writeTo("ext.wh.t7").create()
+    val o = JdbcOptions(Map("url" -> SparkFixture.derbyUrl))
+    val young = java.lang.Long.toHexString(System.currentTimeMillis())
+    val c = o.connect()
+    try {
+      val st = c.createStatement()
+      // timestamp 1 ms since epoch: hours past the staleness threshold
+      st.executeUpdate("""CREATE TABLE "wh"."t7__stage_1_dead" (k BIGINT)""")
+      // fresh timestamp: the shape of a concurrent write's live stage
+      st.executeUpdate(s"""CREATE TABLE "wh"."t7__stage_${young}_live" (k BIGINT)""")
+      st.close()
+    } finally c.close()
+
+    // an overwrite sweeps at factory creation
+    Seq((2L, "b")).toDF("k", "v").writeTo("ext.wh.t7").overwrite(lit(true))
+
+    val names = spark.sql("SHOW TABLES IN ext.wh").collect().map(_.getString(1))
+    assert(!names.exists(_.contains("t7__stage_1_dead")), names.mkString(","))
+    assert(names.exists(_.contains(s"t7__stage_${young}_live")), names.mkString(","))
+    spark.sql(s"DROP TABLE ext.wh.`t7__stage_${young}_live`")
+  }
+
   test("successful overwrite swaps atomically") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS ext.wh")
     spark.sql("DROP TABLE IF EXISTS ext.wh.t2")
