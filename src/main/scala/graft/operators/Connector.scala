@@ -112,6 +112,28 @@ object Connector {
       s.table(t).orderBy("n_nationkey")
     },
 
+    // Do-nothing upsert mode (reference on_conflict.rs:14,73-106):
+    // every existing key re-arrives with a DIFFERENT payload and must
+    // keep its current row byte-identical; only the +100 keys insert.
+    // If do_nothing silently behaved as update, n_name would read
+    // 'CLOBBERED' and the hash compare would fail.
+    Q("q67_jdbc_upsert_nothing",
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation " +
+        "UNION ALL SELECT n_nationkey + 100, 'NEW_' || n_name, n_regionkey " +
+        "FROM nation WHERE n_regionkey = 1 ORDER BY n_nationkey") { (s, dir) =>
+      val t = freshCopy(s, dir, "nation", "t67")
+      val n = Tables.load(s, dir, "nation")
+      val existing = n.select(col("n_nationkey"), lit("CLOBBERED").as("n_name"),
+        col("n_regionkey"))
+      val fresh = n.filter(col("n_regionkey") === 1)
+        .select((col("n_nationkey") + 100).as("n_nationkey"),
+          concat(lit("NEW_"), col("n_name")).as("n_name"), col("n_regionkey"))
+      existing.union(fresh).writeTo(t)
+        .option("upsertkeys", "n_nationkey").option("upsertmode", "do_nothing")
+        .append()
+      s.table(t).orderBy("n_nationkey")
+    },
+
     // DELETE FROM ... WHERE through SupportsDeleteV2 (W7): the predicate
     // unparses to Derby SQL and runs remotely.
     Q("q55_jdbc_delete",

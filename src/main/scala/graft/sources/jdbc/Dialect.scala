@@ -69,13 +69,22 @@ trait Dialect extends Serializable {
   def stringLiteral(s: String): String = "'" + s.replace("'", "''") + "'"
 
   /** Upsert statement for `table(cols)` keyed on `keys`, with `?` binds.
-    * Default: PostgreSQL/SQLite/DuckDB-style ON CONFLICT.
+    * Default: PostgreSQL/SQLite/DuckDB-style ON CONFLICT. `doNothing`
+    * selects the reference's do-nothing conflict mode (existing keys
+    * keep their rows untouched, `crates/common/src/util/on_conflict.rs:
+    * 14,73-106`) instead of DO UPDATE.
     */
-  def upsertStatement(table: String, cols: Seq[String], keys: Seq[String]): String = {
-    val non = cols.filterNot(keys.contains)
-    val sets = non.map(c => s"${quote(c)} = EXCLUDED.${quote(c)}").mkString(", ")
-    s"INSERT INTO $table (${cols.map(quote).mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")}) " +
-      s"ON CONFLICT (${keys.map(quote).mkString(", ")}) DO UPDATE SET $sets"
+  def upsertStatement(table: String, cols: Seq[String], keys: Seq[String],
+      doNothing: Boolean = false): String = {
+    val insert =
+      s"INSERT INTO $table (${cols.map(quote).mkString(", ")}) " +
+        s"VALUES (${cols.map(_ => "?").mkString(", ")}) " +
+        s"ON CONFLICT (${keys.map(quote).mkString(", ")})"
+    if (doNothing) s"$insert DO NOTHING"
+    else {
+      val non = cols.filterNot(keys.contains)
+      s"$insert DO UPDATE SET ${non.map(c => s"${quote(c)} = EXCLUDED.${quote(c)}").mkString(", ")}"
+    }
   }
 
   /** Dialect repair applied to a complete generated SELECT before it is
@@ -104,12 +113,23 @@ object DerbyDialect extends Dialect {
   }
   // Derby has no ON CONFLICT / MERGE-over-VALUES; the writer falls back
   // to UPDATE-then-INSERT per row inside the partition transaction.
-  override def upsertStatement(table: String, cols: Seq[String], keys: Seq[String]): String =
+  override def upsertStatement(table: String, cols: Seq[String], keys: Seq[String],
+      doNothing: Boolean = false): String =
     throw new UnsupportedOperationException("derby: use update-else-insert")
   def updateStatement(table: String, cols: Seq[String], keys: Seq[String]): String = {
     val sets = cols.filterNot(keys.contains).map(c => s"${quote(c)} = ?").mkString(", ")
     val cond = keys.map(c => s"${quote(c)} = ?").mkString(" AND ")
     s"UPDATE $table SET $sets WHERE $cond"
+  }
+  /** Existence probe for the do-nothing mode: a value-preserving
+    * `SET c = c` UPDATE whose per-row batch counts tell the writer which
+    * keys already exist, keeping the probe batched (a SELECT probe
+    * cannot batch over JDBC). Binds: key columns only.
+    */
+  def touchStatement(table: String, cols: Seq[String], keys: Seq[String]): String = {
+    val c0 = cols.find(c => !keys.exists(_.equalsIgnoreCase(c))).getOrElse(cols.head)
+    val cond = keys.map(c => s"${quote(c)} = ?").mkString(" AND ")
+    s"UPDATE $table SET ${quote(c0)} = ${quote(c0)} WHERE $cond"
   }
 }
 
@@ -150,11 +170,19 @@ object MySqlDialect extends Dialect {
     case BooleanType => "TINYINT(1)"
     case _ => super.typeName(dt)
   }
-  override def upsertStatement(table: String, cols: Seq[String], keys: Seq[String]): String = {
-    val non = cols.filterNot(keys.contains)
-    val sets = non.map(c => s"${quote(c)} = VALUES(${quote(c)})").mkString(", ")
-    s"INSERT INTO $table (${cols.map(quote).mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")}) " +
-      s"ON DUPLICATE KEY UPDATE $sets"
+  override def upsertStatement(table: String, cols: Seq[String], keys: Seq[String],
+      doNothing: Boolean = false): String = {
+    if (doNothing)
+      // MySQL's do-nothing conflict form (keys are whatever unique
+      // constraints exist; the column list is ignored by the syntax)
+      s"INSERT IGNORE INTO $table (${cols.map(quote).mkString(", ")}) " +
+        s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+    else {
+      val non = cols.filterNot(keys.contains)
+      val sets = non.map(c => s"${quote(c)} = VALUES(${quote(c)})").mkString(", ")
+      s"INSERT INTO $table (${cols.map(quote).mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")}) " +
+        s"ON DUPLICATE KEY UPDATE $sets"
+    }
   }
   private val NullsOrder = """(?i)\s+NULLS\s+(FIRST|LAST)""".r
   /** MySQL windows reject NULLS FIRST/LAST — strip them, like the
@@ -186,8 +214,10 @@ object ClickHouseDialect extends Dialect {
     case d: DecimalType => s"Decimal(${d.precision},${d.scale})"
     case _ => super.typeName(dt)
   }
-  override def upsertStatement(table: String, cols: Seq[String], keys: Seq[String]): String =
-    // ReplacingMergeTree semantics: the insert IS the upsert
+  override def upsertStatement(table: String, cols: Seq[String], keys: Seq[String],
+      doNothing: Boolean = false): String =
+    // ReplacingMergeTree semantics: the insert IS the upsert (and the
+    // engine keeps one version at merge time either way)
     s"INSERT INTO $table (${cols.map(quote).mkString(", ")}) " +
       s"VALUES (${cols.map(_ => "?").mkString(", ")})"
 }

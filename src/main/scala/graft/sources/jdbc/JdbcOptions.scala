@@ -46,6 +46,19 @@ final case class JdbcOptions(map: Map[String, String]) extends Serializable {
     map.get("upsertkeys").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
 
+  /** Conflict resolution for keyed appends (the reference's three-way
+    * OnConflict, `on_conflict.rs:14,73-106`): "update" = DO UPDATE
+    * (default), "do_nothing" = existing keys keep their current rows
+    * untouched and only new keys insert.
+    */
+  val upsertMode: String = {
+    val m = map.getOrElse("upsertmode", "update")
+    if (m != "update" && m != "do_nothing")
+      throw new IllegalArgumentException(
+        s"upsertmode must be 'update' or 'do_nothing', got '$m'")
+    m
+  }
+
   /** Max pooled physical connections per executor JVM for this identity
     * (reference sizes its bb8/r2d2 pools the same way,
     * `db_connection_pool/mod.rs:59-64`). */

@@ -204,7 +204,8 @@ class JdbcRowWriter(options: JdbcOptions, schema: StructType)
   private val cols = schema.fields.map(_.name).toSeq
   private val insertSql =
     if (options.upsertKeys.nonEmpty)
-      d.upsertStatement(options.table, cols, options.upsertKeys)
+      d.upsertStatement(options.table, cols, options.upsertKeys,
+        doNothing = options.upsertMode == "do_nothing")
     else
       s"INSERT INTO ${options.table} (${cols.map(d.quote).mkString(", ")}) " +
         s"VALUES (${cols.map(_ => "?").mkString(", ")})"
@@ -250,6 +251,11 @@ class JdbcRowWriter(options: JdbcOptions, schema: StructType)
   * VALIDATED (reference `constraints.rs:28-95`), not assumed; the
   * cross-partition half of that precondition is enforced by
   * [[JdbcWrite.requiredDistribution]].
+  *
+  * In `upsertmode=do_nothing` the first pass is a value-preserving
+  * touch-UPDATE ([[DerbyDialect.touchStatement]]) used purely as a
+  * batched existence probe: rows it matched keep their current values,
+  * rows it missed INSERT — the reference's do-nothing conflict mode.
   */
 final class DerbyUpsertWriter(options: JdbcOptions, schema: StructType)
   extends DataWriter[InternalRow] {
@@ -258,6 +264,7 @@ final class DerbyUpsertWriter(options: JdbcOptions, schema: StructType)
   conn.setAutoCommit(false)
 
   private val d = DerbyDialect
+  private val doNothing = options.upsertMode == "do_nothing"
   private val cols = schema.fields.map(_.name).toSeq
   private val keys = options.upsertKeys
   private val keyIdx = keys.map(k => cols.indexWhere(_.equalsIgnoreCase(k))).toArray
@@ -266,7 +273,8 @@ final class DerbyUpsertWriter(options: JdbcOptions, schema: StructType)
   private val sqlTypes = schema.fields.map(f => TypeMapping.jdbcType(f.dataType))
 
   private val updatePs = conn.prepareStatement(
-    d.updateStatement(options.table, cols, keys))
+    if (doNothing) d.touchStatement(options.table, cols, keys)
+    else d.updateStatement(options.table, cols, keys))
   private val insertPs = conn.prepareStatement(
     s"INSERT INTO ${options.table} (${cols.map(d.quote).mkString(", ")}) " +
       s"VALUES (${cols.map(_ => "?").mkString(", ")})")
@@ -306,7 +314,8 @@ final class DerbyUpsertWriter(options: JdbcOptions, schema: StructType)
             s"(reference enforces pre-write uniqueness; fix the input or drop duplicates)")
     }
     val nonKeys = cols.filterNot(c => keys.exists(_.equalsIgnoreCase(c)))
-    chunk.foreach { row => bind(updatePs, row, nonKeys ++ keys); updatePs.addBatch() }
+    val updateBind = if (doNothing) keys else nonKeys ++ keys
+    chunk.foreach { row => bind(updatePs, row, updateBind); updatePs.addBatch() }
     val updated = updatePs.executeBatch()
     chunk.zip(updated).foreach { case (row, n) =>
       if (n == 0) { bind(insertPs, row, cols); insertPs.addBatch() }

@@ -126,6 +126,19 @@ class DialectSpec extends AnyFunSuite {
       DerbyDialect.upsertStatement("t", Seq("k", "v"), Seq("k")))
   }
 
+  test("do-nothing upsert mode per dialect (reference on_conflict.rs:14)") {
+    assert(PostgresDialect.upsertStatement("t", Seq("k", "v"), Seq("k"), doNothing = true)
+      .endsWith("ON CONFLICT (\"k\") DO NOTHING"))
+    assert(MySqlDialect.upsertStatement("t", Seq("k", "v"), Seq("k"), doNothing = true)
+      .startsWith("INSERT IGNORE INTO t"))
+    // Derby probes existence with a value-preserving touch-UPDATE
+    assert(DerbyDialect.touchStatement("t", Seq("k", "v"), Seq("k")) ==
+      "UPDATE t SET \"v\" = \"v\" WHERE \"k\" = ?")
+    // key-only tables touch the key itself (still a no-op)
+    assert(DerbyDialect.touchStatement("t", Seq("k"), Seq("k")) ==
+      "UPDATE t SET \"k\" = \"k\" WHERE \"k\" = ?")
+  }
+
   test("type names: decimal bounds and nested fallback") {
     assert(PostgresDialect.typeName(DecimalType(12, 2)) == "DECIMAL(12,2)")
     assert(PostgresDialect.typeName(ArrayType(IntegerType)) == "TEXT")

@@ -81,6 +81,27 @@ class WriteHardeningSpec extends AnyFunSuite with SparkFixture {
     assert(messages(e).exists(_.contains("duplicate upsert key")), messages(e).mkString(" | "))
   }
 
+  test("do-nothing upsert keeps existing rows untouched, inserts only new keys") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ext.wh")
+    spark.sql("DROP TABLE IF EXISTS ext.wh.t8")
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").writeTo("ext.wh.t8").create()
+    // key 1 arrives with a DIFFERENT payload: do_nothing must not apply it
+    Seq((1L, "CLOBBER"), (3L, "c")).toDF("k", "v")
+      .writeTo("ext.wh.t8")
+      .option("upsertkeys", "k").option("upsertmode", "do_nothing")
+      .append()
+    assert(spark.table("ext.wh.t8").collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1).toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // idempotent: a second identical do-nothing append changes nothing
+    Seq((1L, "CLOBBER"), (3L, "ZZZ")).toDF("k", "v")
+      .writeTo("ext.wh.t8")
+      .option("upsertkeys", "k").option("upsertmode", "do_nothing")
+      .append()
+    assert(spark.table("ext.wh.t8").collect().map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1).toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("batched Derby upsert handles thousands of rows in both paths") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS ext.wh")
     spark.sql("DROP TABLE IF EXISTS ext.wh.t4")
