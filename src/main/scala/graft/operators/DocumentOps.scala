@@ -20,20 +20,27 @@ import org.apache.spark.sql.functions._
   */
 object DocumentOps {
 
+  /** Export `events` (nested `props` document) as a JSONL collection;
+    * idempotent per sf-dir. */
+  private def exportEvents(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val path = "/tmp/graft_docs/" + dir.replaceAll("[^A-Za-z0-9.]", "_") + "/events_jsonl"
+    Tables.load(s, dir, "events")
+      .select(concat(
+        lit("{\"event_id\":"), col("event_id"),
+        lit(",\"event_type\":\""), col("event_type"),
+        lit("\",\"value\":"), col("value").cast("string"),
+        lit(",\"props\":"), col("props"),
+        lit("}")).as("value"))
+      .write.mode("overwrite").text(path)
+    path
+  }
+
   def queries: Seq[Q] = Seq(
     Q("q60_doc_scan",
       "SELECT event_id, value, CAST(props->>'k' AS BIGINT) AS k FROM events " +
         "WHERE event_type = 'click' AND CAST(props->>'k' AS BIGINT) >= 50 " +
         "ORDER BY event_id") { (s, dir) =>
-      val path = "/tmp/graft_docs/" + dir.replaceAll("[^A-Za-z0-9.]", "_") + "/events_jsonl"
-      Tables.load(s, dir, "events")
-        .select(concat(
-          lit("{\"event_id\":"), col("event_id"),
-          lit(",\"event_type\":\""), col("event_type"),
-          lit("\",\"value\":"), col("value").cast("string"),
-          lit(",\"props\":"), col("props"),
-          lit("}")).as("value"))
-        .write.mode("overwrite").text(path)
+      val path = exportEvents(s, dir)
       s.read.format("graft.sources.document.DocumentSource")
         .option("path", path)
         .option("samplesize", "100")
@@ -43,6 +50,25 @@ object DocumentOps {
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
         .filter(col("k") >= 50)
         .select("event_id", "value", "k")
+        .orderBy("event_id")
+    },
+
+    // Nested flatten to depth 1 (reference unnest.rs:21-60): `props.k`
+    // infers as a TYPED top-level column — no get_json_object by hand —
+    // and the range filter on it pushes down as a dotted-path document
+    // filter evaluated against the nested value.
+    Q("q68_doc_flatten",
+      "SELECT event_id, value, CAST(props->>'k' AS INT) AS pk FROM events " +
+        "WHERE CAST(props->>'k' AS INT) >= 50 ORDER BY event_id") { (s, dir) =>
+      val path = exportEvents(s, dir)
+      s.read.format("graft.sources.document.DocumentSource")
+        .option("path", path)
+        .option("samplesize", "100")
+        .option("declared", "event_id BIGINT")
+        .option("flattendepth", "1")
+        .load()
+        .filter(col("`props.k`") >= 50)
+        .select(col("event_id"), col("value"), col("`props.k`").as("pk"))
         .orderBy("event_id")
     }
   )

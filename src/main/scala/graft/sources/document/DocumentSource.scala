@@ -79,7 +79,8 @@ object DocumentTable {
     val sample = files(path).iterator.flatMap { f =>
       Files.newBufferedReader(f, StandardCharsets.UTF_8).lines().iterator().asScala
     }.filter(_.nonEmpty).take(sampleSize).map(mapper.readTree).toSeq
-    val inferred = SchemaInference.infer(sample)
+    val inferred = SchemaInference.infer(sample,
+      o.getOrElse("flattendepth", "0").toInt)
     val declared = o.get("declared").map(StructType.fromDDL)
     val merged = SchemaInference.mergeDeclared(inferred, declared)
     o.get("jsonobject") match {
@@ -280,6 +281,8 @@ final class DocumentPartitionReader(
   private val catchAll = options.get("jsonobject")
   private val pinned: Set[String] =
     options.get("declared").map(StructType.fromDDL(_).fieldNames.toSet).getOrElse(Set.empty)
+  // flattendepth > 0 ⇒ dotted column names are paths into nested docs
+  private val flatten = options.getOrElse("flattendepth", "0").toInt > 0
   private val reader = java.nio.file.Files.newBufferedReader(
     java.nio.file.Paths.get(file), StandardCharsets.UTF_8)
   private var current: InternalRow = _
@@ -340,12 +343,18 @@ final class DocumentPartitionReader(
       val f = schema.fields(i)
       val v: Any =
         if (catchAll.contains(f.name)) UTF8String.fromString(renderCatchAll(doc))
-        else toCatalyst(doc.get(f.name), f.dataType)
+        else toCatalyst(lookup(doc, f.name), f.dataType)
       row.update(i, v)
       i += 1
     }
     row
   }
+
+  private def lookup(doc: JsonNode, name: String): JsonNode =
+    if (!flatten) doc.get(name)
+    else name.split('.').foldLeft(doc) { (n, part) =>
+      if (n == null) null else n.get(part)
+    }
 
   private def toCatalyst(n: JsonNode, dt: DataType): Any = {
     if (n == null || n.isNull) return null

@@ -61,8 +61,15 @@ object FilterDoc {
     case other => other.toString
   }
 
+  /** Dots inside a part act as path separators (the document-store
+    * convention, and how a filter on a FLATTENED dotted column —
+    * `flattendepth` — reaches the nested value: Spark pushes it as the
+    * single field name "props.k").
+    */
   private def path(doc: JsonNode, p: Seq[String]): JsonNode =
-    p.foldLeft(doc) { (n, part) => if (n == null) null else n.get(part) }
+    p.iterator.flatMap(_.split('.')).foldLeft(doc) { (n, part) =>
+      if (n == null) null else n.get(part)
+    }
 
   private def isNullish(n: JsonNode): Boolean = n == null || n.isNull
 

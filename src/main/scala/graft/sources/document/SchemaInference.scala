@@ -45,15 +45,35 @@ object SchemaInference {
     case _ => StringType
   }
 
-  /** Infer a deterministic schema from sample documents. */
-  def infer(docs: Seq[JsonNode]): StructType = {
+  /** Infer a deterministic schema from sample documents.
+    *
+    * `flattenDepth` > 0 flattens nested documents into dotted columns
+    * before inference, to that depth (the reference Mongo module's
+    * unnest pass, `crates/mongodb/src/utils/unnest.rs:21-60`): with
+    * depth 1, `{"props": {"k": 5}}` infers a typed `props.k` column
+    * instead of a JSON-string `props`. Anything deeper than the limit
+    * still folds to a JSON string at the boundary. Dots act as path
+    * separators throughout the source (the document-store convention),
+    * so flattened names stay addressable by filters and sorts.
+    */
+  def infer(docs: Seq[JsonNode], flattenDepth: Int = 0): StructType = {
     val types = scala.collection.mutable.LinkedHashMap.empty[String, DataType]
+    def record(name: String, v: JsonNode, depth: Int): Unit =
+      if (v != null && v.isObject && depth < flattenDepth) {
+        val it = v.fields()
+        while (it.hasNext) {
+          val e = it.next()
+          record(name + "." + e.getKey, e.getValue, depth + 1)
+        }
+      } else {
+        val t = inferType(v)
+        types.update(name, types.get(name).map(unify(_, t)).getOrElse(t))
+      }
     docs.foreach { d =>
       val it = d.fields()
       while (it.hasNext) {
         val e = it.next()
-        val t = inferType(e.getValue)
-        types.update(e.getKey, types.get(e.getKey).map(unify(_, t)).getOrElse(t))
+        record(e.getKey, e.getValue, 0)
       }
     }
     StructType(types.toSeq.sortBy(_._1).map { case (n, t) =>

@@ -56,6 +56,38 @@ class DocumentSpec extends AnyFunSuite with SparkFixture {
     assert(s("meta").dataType == StringType)
   }
 
+  test("flattendepth produces typed dotted columns to depth k, JSON past it") {
+    val sample = docs("""{"a": 1, "p": {"k": 5, "s": "x", "deep": {"z": 1}}}""")
+    val s0 = SchemaInference.infer(sample)
+    assert(s0("p").dataType == StringType) // depth 0: nested → JSON string
+    val s1 = SchemaInference.infer(sample, flattenDepth = 1)
+    assert(s1.fieldNames.toSeq == Seq("a", "p.deep", "p.k", "p.s"))
+    assert(s1("p.k").dataType == IntegerType)
+    assert(s1("p.s").dataType == StringType)
+    assert(s1("p.deep").dataType == StringType) // past the limit → JSON
+    val s2 = SchemaInference.infer(sample, flattenDepth = 2)
+    assert(s2("p.deep.z").dataType == IntegerType)
+    // unification still applies per dotted name
+    val mixed = SchemaInference.infer(docs(
+      """{"p": {"k": 1}}""", """{"p": {"k": 2.5}}"""), flattenDepth = 1)
+    assert(mixed("p.k").dataType == DoubleType)
+  }
+
+  test("end-to-end flatten: typed read + pushed filter on a dotted column") {
+    val dir = Files.createTempDirectory("graft_docs_flat").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/d.jsonl"),
+      """{"id": 1, "p": {"k": 10, "s": "lo"}}
+        |{"id": 2, "p": {"k": 90, "s": "hi"}}
+        |""".stripMargin)
+    val df = spark.read.format("graft.sources.document.DocumentSource")
+      .option("path", dir).option("flattendepth", "1").load()
+    assert(df.schema.fieldNames.toSeq == Seq("id", "p.k", "p.s"))
+    val hi = df.filter(col("`p.k`") > 50)
+    val plan = hi.queryExecution.executedPlan.toString
+    assert(plan.contains(""""p.k": {"$gt": 50}"""), s"dotted filter not pushed:\n$plan")
+    assert(hi.collect().map(r => (r.getInt(0), r.getString(2))).toSeq == Seq((2, "hi")))
+  }
+
   test("missing fields across documents are unioned") {
     val s = SchemaInference.infer(docs("""{"a": 1}""", """{"b": "x"}"""))
     assert(s.fieldNames.toSeq == Seq("a", "b"))
