@@ -234,6 +234,23 @@ object Connector {
         .orderBy("n_nationkey")
     },
 
+    // Same-server SEMI join: FederationRule renders it as ONE remote
+    // EXISTS scan (FederationSpec asserts the single-scan plan; this
+    // gate row proves value-exactness of the EXISTS collapse).
+    Q("q69_jdbc_federated_semijoin",
+      "SELECT n_nationkey, n_name FROM nation n WHERE EXISTS " +
+        "(SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey " +
+        "AND c.c_acctbal > 9890) ORDER BY n_nationkey") { (s, dir) =>
+      val tn = freshCopy(s, dir, "nation", "t69n")
+      val tc = freshCopy(s, dir, "customer", "t69c")
+      s.table(tn)
+        .join(s.table(tc),
+          col("n_nationkey") === col("c_nationkey") && col("c_acctbal") > 9890,
+          "left_semi")
+        .select("n_nationkey", "n_name")
+        .orderBy("n_nationkey")
+    },
+
     // Range-partitioned parallel scan (S7; our scale improvement over
     // the reference's always-1-partition SQL scans, `mod.rs:313`): four
     // executors each read a c_custkey range predicate concurrently.

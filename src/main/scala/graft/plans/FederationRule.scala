@@ -149,26 +149,49 @@ object FederationRule extends Rule[LogicalPlan] {
           // never merge distinct servers (AllowedFor(context) equality)
           if l.ctx == r.ctx
           // a derived table joined with itself would duplicate its
-          // correlation name in one FROM scope
+          // correlation name in one FROM scope (for EXISTS the inner
+          // alias would shadow the outer reference)
           if l.topAlias != r.topAlias
-          kw <- joinKeyword(jt, l.opts)
-          onSql <- cond match {
-            case Some(c) =>
-              new CatalystUnparser(l.opts.dialect, l.attrs ++ r.attrs).expr(c)
-                .map(s => s" ON $s")
-            case None if jt == Cross => Some("")
-            case None => None
+          body <- jt match {
+            // Semi/anti joins have no JOIN keyword rendering; they
+            // collapse as (NOT) EXISTS derived tables — the reference
+            // federation collapses any same-server subplan the dialect
+            // can express (federation.rs:62-110), and EXISTS is the
+            // standard SQL spelling of semi-join semantics (null
+            // conditions keep the anti-join row, exactly like Spark).
+            case LeftSemi | LeftAnti =>
+              val kw = if (jt == LeftAnti) "NOT EXISTS" else "EXISTS"
+              cond match {
+                case Some(c) =>
+                  new CatalystUnparser(l.opts.dialect, l.attrs ++ r.attrs).expr(c)
+                    .map(w => s"${l.from} WHERE $kw (SELECT 1 FROM ${r.from} WHERE $w)")
+                case None =>
+                  Some(s"${l.from} WHERE $kw (SELECT 1 FROM ${r.from})")
+              }
+            case _ =>
+              for {
+                kw <- joinKeyword(jt, l.opts)
+                onSql <- cond match {
+                  case Some(c) =>
+                    new CatalystUnparser(l.opts.dialect, l.attrs ++ r.attrs).expr(c)
+                      .map(s => s" ON $s")
+                  case None if jt == Cross => Some("")
+                  case None => None
+                }
+              } yield s"${l.from} $kw ${r.from}$onSql"
           }
         } yield {
           val d = l.opts.dialect
           val alias = fresh()
+          // semi/anti output is the left leg only; the combined map
+          // still covers every output attribute in all join shapes
           val out = j.output
           val combined = l.attrs ++ r.attrs
           val proj = out.zipWithIndex.map { case (a, i) =>
             s"${combined(a.exprId)} AS ${d.quote(s"c$i")}"
           }
           val derived =
-            s"(SELECT ${proj.mkString(", ")} FROM ${l.from} $kw ${r.from}$onSql) ${d.quote(alias)}"
+            s"(SELECT ${proj.mkString(", ")} FROM $body) ${d.quote(alias)}"
           val fields = out.zipWithIndex.map { case (a, i) =>
             StructField(s"c$i", a.dataType, a.nullable)
           }

@@ -83,6 +83,36 @@ class FederationSpec extends AnyFunSuite with SparkFixture {
       Seq(("alice", 10L), ("alice", 11L), ("bob", -1L), ("carol", 13L)))
   }
 
+  test("same-server semi-join collapses to one remote EXISTS scan") {
+    setup()
+    import spark.implicits._
+    val df = spark.table("ext.fed.cust")
+      .join(spark.table("ext.fed.orders"),
+        $"cid" === $"ocid" && $"amount" > 50.0, "left_semi")
+      .select("cid", "cname").orderBy("cid")
+    assert(scanCount(df) == 1,
+      s"expected 1 collapsed scan:\n${df.queryExecution.executedPlan}")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("EXISTS"), s"no EXISTS in remote SQL:\n$plan")
+    assert(df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "alice"), (3L, "carol")))
+  }
+
+  test("same-server anti-join collapses to one remote NOT EXISTS scan") {
+    setup()
+    import spark.implicits._
+    val df = spark.table("ext.fed.cust")
+      .join(spark.table("ext.fed.orders"),
+        $"cid" === $"ocid" && $"amount" > 200.0, "left_anti")
+      .select("cid", "cname").orderBy("cid")
+    assert(scanCount(df) == 1,
+      s"expected 1 collapsed scan:\n${df.queryExecution.executedPlan}")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("NOT EXISTS"), s"no NOT EXISTS in remote SQL:\n$plan")
+    assert(df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((2L, "bob"), (3L, "carol")))
+  }
+
   test("distinct servers are never merged") {
     setup()
     // second, separate Derby database = different compute context
