@@ -47,6 +47,11 @@ trait Dialect extends Serializable {
     case TimestampType => "TIMESTAMP"
     case TimestampNTZType => "TIMESTAMP"
     case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    // Day-time intervals store as BIGINT microseconds (the reference
+    // maps Duration to a big-integer column, statement.rs:313-326,1302);
+    // they introspect back as plain BIGINT — declare the schema to read
+    // them as intervals again.
+    case _: DayTimeIntervalType => "BIGINT"
     // Nested types fall back to a JSON-encoded text column — the same
     // compromise the reference makes for SQLite/MySQL
     // (statement.rs:82-104).

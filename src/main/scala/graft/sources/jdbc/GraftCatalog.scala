@@ -29,7 +29,8 @@ import scala.jdk.CollectionConverters._
   * goes through JDBC `DatabaseMetaData`, the wire-level equivalent of
   * the reference's information_schema queries (`dbconnection.rs:153-204`).
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.internal.Logging {
 
   private var catalogName: String = _
   private var options: JdbcOptions = _
@@ -113,8 +114,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     try TypeMapping.schemaOf(ps.getMetaData) finally ps.close()
   }
 
-  override def tableExists(ident: Identifier): Boolean =
-    try { introspect(ident); true } catch { case _: java.sql.SQLException => false }
+  /** Existence via catalog metadata, not a probe-SELECT: a probe that
+    * swallows every SQLException reads a permission error as "table
+    * absent". getTables treats `_`/`%` as pattern wildcards, so the
+    * returned names are compared exactly.
+    */
+  override def tableExists(ident: Identifier): Boolean = withConn { c =>
+    val ns = if (ident.namespace().isEmpty) null else ident.namespace().head
+    val rs = c.getMetaData.getTables(null, ns, ident.name(), Array("TABLE"))
+    try {
+      var found = false
+      while (!found && rs.next())
+        found = rs.getString("TABLE_NAME") == ident.name() &&
+          (ns == null || rs.getString("TABLE_SCHEM") == ns)
+      found
+    } finally rs.close()
+  }
 
   override def loadTable(ident: Identifier): Table = {
     val schema =
@@ -143,8 +158,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             Some(f.copy(dataType = org.apache.spark.sql.types.StringType) -> dialect.stringType)
           case "ignore" => None
           case "warn" =>
-            System.err.println(
-              s"[graft] warning: dropping column ${f.name} (${f.dataType}) — " +
+            logWarning(
+              s"dropping column ${f.name} (${f.dataType}) — " +
                 s"unsupported by ${dialect.name}")
             None
           case _ => throw new IllegalArgumentException(
@@ -164,11 +179,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       val st = c.createStatement()
       try {
         st.executeUpdate(s"CREATE TABLE ${qualified(ident)} ($cols$pk)")
+        // index spec: `cols[:unique];cols…` — the `:unique` suffix is the
+        // reference IndexBuilder's unique flag (statement.rs:1104-1121)
         props.get("indexes").foreach { ix =>
-          ix.split(";").filter(_.nonEmpty).zipWithIndex.foreach { case (colList, i) =>
+          ix.split(";").filter(_.nonEmpty).zipWithIndex.foreach { case (spec, i) =>
+            val (colList, unique) = spec.split(":") match {
+              case Array(cs, m) if m.trim.equalsIgnoreCase("unique") => (cs, true)
+              case _ => (spec, false)
+            }
             val cs = colList.split(",").map(k => dialect.quote(k.trim)).mkString(", ")
             st.executeUpdate(
-              s"CREATE INDEX ${dialect.quote(s"ix_${ident.name}_$i")} ON ${qualified(ident)} ($cs)")
+              s"CREATE ${if (unique) "UNIQUE " else ""}INDEX " +
+                s"${dialect.quote(s"ix_${ident.name}_$i")} ON ${qualified(ident)} ($cs)")
           }
         }
       } finally st.close()

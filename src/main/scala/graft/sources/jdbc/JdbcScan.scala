@@ -263,7 +263,9 @@ final class JdbcPartitionReader(options: JdbcOptions, schema: StructType, sql: S
     logInfo(s"graft-jdbc scan: $sql")
     stmt.executeQuery(sql)
   }
-  private val getters = schema.fields.map(f => TypeMapping.getter(f.dataType))
+  // metadata-aware: TIME columns normalize to the epoch day regardless
+  // of the driver's date-component convention
+  private lazy val getters = TypeMapping.getters(schema, rs.getMetaData)
 
   override def next(): Boolean = rs.next()
   override def get(): InternalRow = TypeMapping.readRow(rs, getters)

@@ -41,6 +41,12 @@ object TypeMapping {
          Types.NVARCHAR | Types.LONGNVARCHAR | Types.CLOB | Types.SQLXML => StringType
     case Types.BINARY | Types.VARBINARY | Types.LONGVARBINARY | Types.BLOB => BinaryType
     case Types.DATE => DateType
+    // DOCUMENTED CHOICE (SURVEY §1.2): TIME maps to TimestampType on the
+    // epoch day — lossless and orderable; the metadata-aware [[getters]]
+    // pins the date component to 1970-01-01 (drivers disagree: Derby's
+    // getTimestamp-over-TIME uses the current date). The reference
+    // models Time32/Time64 distinctly (statement.rs:327-407); Spark has
+    // no time-of-day type.
     case Types.TIMESTAMP | Types.TIME => TimestampType
     case Types.TIMESTAMP_WITH_TIMEZONE => TimestampType
     case other => throw new IllegalArgumentException(s"unsupported JDBC type $other")
@@ -82,8 +88,30 @@ object TypeMapping {
       val v = rs.getTimestamp(i)
       if (v == null) null else DateTimeUtils.fromJavaTimestamp(v)
     }
+    // durations live as BIGINT micros remotely (reference maps Duration
+    // to a big-integer column, statement.rs:313-326,1302)
+    case _: DayTimeIntervalType => (rs, i) => rs.getLong(i)
     case other => throw new IllegalArgumentException(s"unsupported read type $other")
   }
+
+  /** Column getters for a result schema, refined by the LIVE ResultSet
+    * metadata: a remote TIME column (mapped to TimestampType per the
+    * documented §1.2 choice) reads `getTime` and lands on the EPOCH DAY
+    * deterministically — JDBC drivers disagree on the date component of
+    * `getTimestamp` over TIME (Derby uses the current date).
+    */
+  def getters(schema: StructType, md: ResultSetMetaData): Array[Getter] =
+    schema.fields.zipWithIndex.map { case (f, i) =>
+      f.dataType match {
+        case TimestampType | TimestampNTZType
+            if md.getColumnType(i + 1) == Types.TIME =>
+          (rs: ResultSet, p: Int) => {
+            val v = rs.getTime(p)
+            if (v == null) null else v.toLocalTime.toNanoOfDay / 1000L
+          }
+        case dt => getter(dt)
+      }
+    }
 
   /** Materialize the current ResultSet row as an InternalRow. */
   def readRow(rs: ResultSet, getters: Array[Getter]): InternalRow = {
@@ -120,6 +148,8 @@ object TypeMapping {
       (ps, row, f, p) => ps.setDate(p, DateTimeUtils.toJavaDate(row.getInt(f)))
     case TimestampType | TimestampNTZType =>
       (ps, row, f, p) => ps.setTimestamp(p, DateTimeUtils.toJavaTimestamp(row.getLong(f)))
+    case _: DayTimeIntervalType =>
+      (ps, row, f, p) => ps.setLong(p, row.getLong(f)) // micros
     case other => throw new IllegalArgumentException(s"unsupported write type $other")
   }
 
@@ -135,6 +165,7 @@ object TypeMapping {
       case StringType => jsonString(v.asInstanceOf[UTF8String].toString)
       case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
            BooleanType => v.toString
+      case _: DayTimeIntervalType => v.toString // micros
       case d: DecimalType => v.asInstanceOf[Decimal].toJavaBigDecimal.toPlainString
       case DateType =>
         jsonString(java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong).toString)
@@ -193,6 +224,7 @@ object TypeMapping {
     case BinaryType => Types.BLOB
     case DateType => Types.DATE
     case TimestampType | TimestampNTZType => Types.TIMESTAMP
+    case _: DayTimeIntervalType => Types.BIGINT
     case other => throw new IllegalArgumentException(s"unsupported type $other")
   }
 }

@@ -48,6 +48,36 @@ class JdbcRoundTripSpec extends AnyFunSuite with SparkFixture {
       (1L to 50L).map(i => (i, i * 7 % 13)).sortBy(t => (-t._2, t._1)).take(3))
   }
 
+  test("unique index DDL: ':unique' spec creates a UNIQUE index that enforces") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ext.rt")
+    spark.sql("DROP TABLE IF EXISTS ext.rt.t9")
+    spark.sql("CREATE TABLE ext.rt.t9 (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('indexes'='v:unique;k')")
+    // metadata: ix 0 unique, ix 1 plain
+    val o = JdbcOptions(Map("url" -> graft.SparkFixture.derbyUrl))
+    val c = o.connect()
+    val uniq = try {
+      val rs = c.getMetaData.getIndexInfo(null, "rt", "t9", false, false)
+      val m = scala.collection.mutable.Map.empty[String, Boolean]
+      while (rs.next())
+        Option(rs.getString("INDEX_NAME")).foreach(n => m(n) = !rs.getBoolean("NON_UNIQUE"))
+      rs.close()
+      m
+    } finally c.close()
+    assert(uniq.getOrElse("ix_t9_0", false), s"ix_t9_0 not unique: $uniq")
+    assert(uniq.contains("ix_t9_1") && !uniq("ix_t9_1"), s"ix_t9_1 wrong: $uniq")
+    // and it enforces: duplicate v rejected
+    import spark.implicits._
+    Seq((1L, 10L)).toDF("k", "v").writeTo("ext.rt.t9").append()
+    val e = intercept[Exception] {
+      Seq((2L, 10L)).toDF("k", "v").writeTo("ext.rt.t9").append()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("duplicate") || m.contains("IX_T9_0") ||
+      m.contains("ix_t9_0")), msgs(e).mkString(" | "))
+  }
+
   test("deleteWhere pushes the predicate to remote DELETE") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS ext.rt")
     spark.sql("DROP TABLE IF EXISTS ext.rt.t3")

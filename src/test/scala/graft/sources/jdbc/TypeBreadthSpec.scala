@@ -45,6 +45,37 @@ class TypeBreadthSpec extends AnyFunSuite with SparkFixture {
     assert(back(1).getString(2) == "{}")
   }
 
+  test("TIME columns read as epoch-day timestamps (documented §1.2 choice)") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ext.tb")
+    val o = JdbcOptions(Map("url" -> graft.SparkFixture.derbyUrl))
+    val c = o.connect()
+    try {
+      val st = c.createStatement()
+      try {
+        try st.executeUpdate("""DROP TABLE "tb"."t5"""") catch { case _: java.sql.SQLException => }
+        st.executeUpdate("""CREATE TABLE "tb"."t5" ("k" BIGINT, "tm" TIME)""")
+        st.executeUpdate("""INSERT INTO "tb"."t5" VALUES (1, TIME('13:45:30'))""")
+      } finally st.close()
+    } finally c.close()
+    val df = spark.table("ext.tb.t5")
+    assert(df.schema("tm").dataType == TimestampType)
+    val ts = df.collect()(0).getTimestamp(1)
+    assert(ts.toString == "1970-01-01 13:45:30.0", ts.toString)
+  }
+
+  test("day-time intervals store as BIGINT micros and round-trip by value") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ext.tb")
+    spark.sql("DROP TABLE IF EXISTS ext.tb.t6")
+    import spark.implicits._
+    val df = Seq((1L, java.time.Duration.ofMinutes(90))).toDF("k", "d")
+    assert(df.schema("d").dataType.isInstanceOf[DayTimeIntervalType])
+    df.writeTo("ext.tb.t6").create()
+    // introspection sees the documented BIGINT-micros representation
+    val back = spark.table("ext.tb.t6")
+    assert(back.schema("d").dataType == LongType)
+    assert(back.collect()(0).getLong(1) == 90L * 60 * 1000000)
+  }
+
   test("unsupportedtypeaction=error refuses, =string stores text, =ignore drops") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS ext.tb")
     import spark.implicits._
