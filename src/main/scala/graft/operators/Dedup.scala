@@ -344,17 +344,24 @@ object Dedup {
     }
   )
 
-  /** Shared SimHash pipeline (doc_id, simhash). */
-  private def simhash(s: SparkSession, dir: String): DataFrame =
+  /** Shared SimHash pipeline (doc_id, simhash).
+    *
+    * All 60 bit-votes are computed as 60 SUM columns in ONE aggregation
+    * over the token stream (the same shape as MinHash's 16 MIN columns):
+    * no 60× row explosion, no second shuffle — one hash aggregate with
+    * map-side partials, then a pure projection packs the sign bits.
+    */
+  private def simhash(s: SparkSession, dir: String): DataFrame = {
+    val votes = (0 until 60).map(b =>
+      sum(expr(s"CASE WHEN shiftright(th, $b) % 2 = 1 THEN cnt ELSE -cnt END")).as(s"s$b"))
+    val pack = (0 until 60).map(b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
     Tables.load(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
       .withColumn("th", h60(col("tok")))
-      .select(col("doc_id"), col("cnt"), col("th"),
-        explode(expr("sequence(0, 59)")).as("b"))
-      .groupBy("doc_id", "b")
-      .agg(sum(expr("CASE WHEN shiftright(th, b) % 2 = 1 THEN cnt ELSE -cnt END")).as("sb"))
       .groupBy("doc_id")
-      .agg(sum(expr("CASE WHEN sb > 0 THEN shiftleft(cast(1 AS bigint), b) ELSE cast(0 AS bigint) END"))
-        .as("simhash"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), pack.as("simhash"))
+  }
 }

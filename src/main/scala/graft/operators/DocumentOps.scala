@@ -21,9 +21,15 @@ import org.apache.spark.sql.functions._
 object DocumentOps {
 
   /** Export `events` (nested `props` document) as a JSONL collection;
-    * idempotent per sf-dir. */
+    * idempotent per sf-dir — a completed export (the `_SUCCESS` marker
+    * of a committed Spark write) is reused, since the source parquet is
+    * immutable for a given dir; the document-source file lister already
+    * skips `_`-prefixed members.
+    */
   private def exportEvents(s: org.apache.spark.sql.SparkSession, dir: String): String = {
     val path = "/tmp/graft_docs/" + dir.replaceAll("[^A-Za-z0-9.]", "_") + "/events_jsonl"
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_SUCCESS")))
+      return path
     Tables.load(s, dir, "events")
       .select(concat(
         lit("{\"event_id\":"), col("event_id"),
