@@ -34,8 +34,13 @@ object ConnectionPool {
 
   private final case class Key(url: String, user: String, password: String, max: Int)
 
+  // The key uses the credential SPEC (file path / env name), not the
+  // resolved secret — a rotated passwordfile keeps hitting one pool.
   private def keyOf(o: JdbcOptions): Key =
-    Key(o.url, o.map.getOrElse("user", ""), o.map.getOrElse("password", ""), o.poolMax)
+    Key(o.url, o.map.getOrElse("user", ""),
+      o.map.getOrElse("password",
+        o.map.getOrElse("passwordfile", o.map.getOrElse("passwordenv", ""))),
+      o.poolMax)
 
   private final class Pool(key: Key, opts: Map[String, String]) {
     private val idle = new ConcurrentLinkedQueue[Connection]()

@@ -88,6 +88,13 @@ final case class JdbcOptions(map: Map[String, String]) extends Serializable {
     * per-JVM pool ([[ConnectionPool]]) instead of tearing it down.
     */
   def connect(): Connection = ConnectionPool.acquire(this)
+
+  /** Credentials never echo into plans, logs, or error messages (the
+    * reference wraps every secret option, `util/secrets.rs`). */
+  override def toString: String =
+    s"JdbcOptions(${map.map { case (k, v) =>
+      if (JdbcOptions.SecretKeys(k)) s"$k -> *****" else s"$k -> $v"
+    }.mkString(", ")})"
 }
 
 object JdbcOptions {
@@ -105,9 +112,23 @@ object JdbcOptions {
     RetriableErrors.withRetries(3) {
       val props = new Properties()
       opts.get("user").foreach(props.setProperty("user", _))
-      opts.get("password").foreach(props.setProperty("password", _))
+      resolvePassword(opts).foreach(props.setProperty("password", _))
       DriverManager.getConnection(url, props)
     }
+
+  private[jdbc] val SecretKeys = Set("password")
+
+  /** Dynamic credential resolution (the reference's `PasswordProvider`,
+    * `db_connection_pool/mod.rs:21-48`): a static `password`, else
+    * `passwordfile` (re-read at every physical connect, so rotation
+    * takes effect without restarting executors), else `passwordenv`.
+    */
+  private[jdbc] def resolvePassword(opts: Map[String, String]): Option[String] =
+    opts.get("password")
+      .orElse(opts.get("passwordfile").map(f =>
+        new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)),
+          java.nio.charset.StandardCharsets.UTF_8).trim))
+      .orElse(opts.get("passwordenv").flatMap(sys.env.get))
 
   /** Per-JVM cache of *schemas*. Connections are pooled separately in
     * [[ConnectionPool]]: a JDBC connection is never shared between two

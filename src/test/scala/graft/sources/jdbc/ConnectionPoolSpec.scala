@@ -44,6 +44,22 @@ class ConnectionPoolSpec extends AnyFunSuite with SparkFixture {
     } finally c2.close()
   }
 
+  test("dynamic credentials: passwordfile re-resolves per connect, secrets redact") {
+    val f = java.nio.file.Files.createTempFile("graft_pw", ".txt")
+    java.nio.file.Files.writeString(f, "s3cret\n")
+    assert(JdbcOptions.resolvePassword(Map("passwordfile" -> f.toString)).contains("s3cret"))
+    // static password wins over the file
+    assert(JdbcOptions.resolvePassword(
+      Map("password" -> "x", "passwordfile" -> f.toString)).contains("x"))
+    // rotation: the next physical connect reads the NEW secret
+    java.nio.file.Files.writeString(f, "rotated")
+    assert(JdbcOptions.resolvePassword(Map("passwordfile" -> f.toString)).contains("rotated"))
+    // secrets never echo into plans/logs via toString
+    val o = JdbcOptions(Map("url" -> "jdbc:derby:memory:x", "password" -> "hunter2"))
+    assert(!o.toString.contains("hunter2"))
+    assert(o.toString.contains("*****"))
+  }
+
   test("4-partition parallel scan opens at most poolmax physical connections") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS ext.pool")
     spark.sql("DROP TABLE IF EXISTS ext.pool.t")
