@@ -92,6 +92,13 @@ trait Dialect extends Serializable {
     }
   }
 
+  /** Statement refreshing the remote optimizer's statistics after a
+    * bulk write (the reference runs ANALYZE after its writes,
+    * `crates/duckdb/src/write.rs:990`); None = dialect has no analog.
+    */
+  def analyzeStatement(ns: String, table: String): Option[String] =
+    Some(s"ANALYZE ${quoted(Seq(ns, table))}")
+
   /** Dialect repair applied to a complete generated SELECT before it is
     * sent to the remote engine (reference: `federation.rs:56-88`).
     */
@@ -126,6 +133,12 @@ object DerbyDialect extends Dialect {
     val cond = keys.map(c => s"${quote(c)} = ?").mkString(" AND ")
     s"UPDATE $table SET $sets WHERE $cond"
   }
+  // Derby's statistics refresh is a system procedure over the stored
+  // (case-exact) identifiers.
+  override def analyzeStatement(ns: String, table: String): Option[String] =
+    Some(s"CALL SYSCS_UTIL.SYSCS_UPDATE_STATISTICS(" +
+      s"${stringLiteral(ns)}, ${stringLiteral(table)}, NULL)")
+
   /** Existence probe for the do-nothing mode: a value-preserving
     * `SET c = c` UPDATE whose per-row batch counts tell the writer which
     * keys already exist, keeping the probe batched (a SELECT probe
@@ -189,6 +202,8 @@ object MySqlDialect extends Dialect {
         s"ON DUPLICATE KEY UPDATE $sets"
     }
   }
+  override def analyzeStatement(ns: String, table: String): Option[String] =
+    Some(s"ANALYZE TABLE ${quoted(Seq(ns, table))}")
   private val NullsOrder = """(?i)\s+NULLS\s+(FIRST|LAST)""".r
   /** MySQL windows reject NULLS FIRST/LAST — strip them, like the
     * reference's mysql_window.rs AST visitor.
@@ -203,6 +218,8 @@ object MySqlDialect extends Dialect {
   */
 object ClickHouseDialect extends Dialect {
   val name = "clickhouse"
+  // merge-tree engines keep their own part statistics; no ANALYZE analog
+  override def analyzeStatement(ns: String, table: String): Option[String] = None
   override def quote(ident: String): String = "`" + ident.replace("`", "``") + "`"
   override def stringType: String = "String"
   override def typeName(dt: DataType): String = dt match {

@@ -169,6 +169,19 @@ final case class JdbcBatchWrite(options: JdbcOptions, schema: StructType,
       c.commit()
     }
     logInfo(s"graft-jdbc write committed: $rows rows into ${options.table}")
+    // Post-write statistics refresh (reference duckdb/write.rs:990):
+    // opt-in, best-effort — a stats failure never fails a committed write.
+    if (options.map.get("analyzeafterwrite").exists(_.toBoolean))
+      options.table match {
+        case QuotedPair(ns, t) =>
+          options.dialect.analyzeStatement(ns, t).foreach { sql =>
+            try withConn(exec(_, sql))
+            catch { case e: java.sql.SQLException =>
+              logWarning(s"post-write ANALYZE failed for ${options.table}: ${e.getMessage}")
+            }
+          }
+        case _ => ()
+      }
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

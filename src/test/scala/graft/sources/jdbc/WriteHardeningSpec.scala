@@ -102,6 +102,29 @@ class WriteHardeningSpec extends AnyFunSuite with SparkFixture {
       .sortBy(_._1).toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("analyzeafterwrite refreshes remote index statistics post-commit") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ext.wh")
+    spark.sql("DROP TABLE IF EXISTS ext.wh.t10")
+    spark.sql("CREATE TABLE ext.wh.t10 (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('indexes'='v')")
+    import spark.implicits._
+    (1L to 500L).map(i => (i, i % 7)).toDF("k", "v")
+      .writeTo("ext.wh.t10").option("analyzeafterwrite", "true").append()
+    val o = JdbcOptions(Map("url" -> SparkFixture.derbyUrl))
+    val c = o.connect()
+    val stats = try {
+      val st = c.createStatement()
+      try {
+        val rs = st.executeQuery(
+          "SELECT COUNT(*) FROM SYS.SYSSTATISTICS s " +
+            "JOIN SYS.SYSTABLES t ON s.TABLEID = t.TABLEID " +
+            "WHERE t.TABLENAME = 't10'")
+        rs.next(); rs.getLong(1)
+      } finally st.close()
+    } finally c.close()
+    assert(stats > 0, "expected Derby index statistics after analyzeafterwrite")
+  }
+
   test("batched Derby upsert handles thousands of rows in both paths") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS ext.wh")
     spark.sql("DROP TABLE IF EXISTS ext.wh.t4")
