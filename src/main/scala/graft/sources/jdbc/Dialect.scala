@@ -151,10 +151,25 @@ object DerbyDialect extends Dialect {
   }
 }
 
+/** PostgreSQL. The base trait's defaults ARE the Postgres forms (the
+  * ON CONFLICT upsert mirrors `on_conflict.rs:73-106`, DOUBLE
+  * PRECISION/TEXT the common DDL generator); the overrides below track
+  * the reference's pg type table (`crates/postgres/src/arrow_sql_gen/
+  * schema.rs:60-90`): binary is BYTEA, a zoned instant is TIMESTAMPTZ
+  * (`schema.rs:72`) while NTZ stays TIMESTAMP.
+  */
 object PostgresDialect extends Dialect {
   val name = "postgres"
+  override def typeName(dt: DataType): String = dt match {
+    case BinaryType => "BYTEA"
+    case TimestampType => "TIMESTAMPTZ"
+    case other => super.typeName(other)
+  }
 }
 
+/** DuckDB — Postgres-family quoting, types, and ON CONFLICT; the
+  * post-write `ANALYZE t` matches `crates/duckdb/src/write.rs:990`.
+  */
 object DuckDbDialect extends Dialect {
   val name = "duckdb"
 }

@@ -146,6 +146,23 @@ class DialectSpec extends AnyFunSuite {
     assert(SqliteDialect.typeName(DecimalType(12, 2)) == "REAL")
   }
 
+  test("postgres/duckdb type names (reference pg schema.rs:60-90)") {
+    assert(PostgresDialect.typeName(BinaryType) == "BYTEA")
+    assert(PostgresDialect.typeName(TimestampType) == "TIMESTAMPTZ")
+    assert(PostgresDialect.typeName(TimestampNTZType) == "TIMESTAMP")
+    assert(DuckDbDialect.typeName(BinaryType) == "BLOB")
+    assert(DuckDbDialect.upsertStatement("t", Seq("k", "v"), Seq("k"), doNothing = true)
+      .endsWith("ON CONFLICT (\"k\") DO NOTHING"))
+  }
+
+  test("post-write analyze statement per dialect (reference write.rs:990)") {
+    assert(DuckDbDialect.analyzeStatement("s", "t").contains("ANALYZE \"s\".\"t\""))
+    assert(MySqlDialect.analyzeStatement("s", "t").contains("ANALYZE TABLE `s`.`t`"))
+    assert(DerbyDialect.analyzeStatement("S", "T10").contains(
+      "CALL SYSCS_UTIL.SYSCS_UPDATE_STATISTICS('S', 'T10', NULL)"))
+    assert(ClickHouseDialect.analyzeStatement("s", "t").isEmpty)
+  }
+
   test("url dispatch") {
     assert(Dialect.forUrl("jdbc:postgresql://h/db") == PostgresDialect)
     assert(Dialect.forUrl("jdbc:derby:/tmp/x") == DerbyDialect)
