@@ -20,6 +20,14 @@ import org.apache.spark.storage.StorageLevel
   *     geometry as q45), ranked by exact cosine. Work is proportional
   *     to bucket collisions, not N·Q; recall < 1 by construction and
   *     rises with similarity (documented LSH property).
+  *   - q70 IVF (inverted file): the second scale path. A coarse
+  *     quantizer (sampled seed centroids — the standard practice at
+  *     corpus scale, where k-means itself trains on a sample) assigns
+  *     every vector to its nearest cell in ONE broadcast pass whose
+  *     argmax folds map-side (no N×C shuffle); queries probe their
+  *     NProbe nearest cells and exact-rank only those cells' members,
+  *     so work is ~N·Q·NProbe/C. Recall < 1 when a true neighbor lands
+  *     in an unprobed cell — the documented IVF trade.
   *
   * Cross-engine exactness: cosine = dot / sqrt(na·nb) where dot, na, nb
   * are exact int64 < 2^53 — one division + one sqrt, both correctly
@@ -32,6 +40,12 @@ object Similarity {
   /** Every vector with `vec_id % QueryStride == 0` is a query. */
   val QueryStride = 250
   val TopK = 10
+
+  /** IVF geometry: seed centroids are vectors with
+    * `vec_id % CentroidStride == 0`; each query probes NProbe cells.
+    */
+  val CentroidStride = 100
+  val NProbe = 2
 
   private val cosSql =
     s"(${qdotSql("qs.qq", "n.q")})::DOUBLE / sqrt((qs.qn * n.nrm)::DOUBLE)"
@@ -90,6 +104,67 @@ object Similarity {
         .select(col("qid"), col("vec_id"),
           (qdot(col("qq"), col("q")).cast("double") /
             sqrt((col("qn") * col("nrm")).cast("double"))).as("cos"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+      p.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= TopK)
+        .select("qid", "vec_id", "cos")
+        .orderBy("qid", "vec_id")
+    },
+
+    Q("q70_ann_ivf",
+      "WITH " + quantizedSql + ", " +
+        s"cents AS (SELECT vec_id AS cid, q AS cq, nrm AS cn FROM n WHERE vec_id % $CentroidStride = 0), " +
+        s"asg0 AS (SELECT n.vec_id AS vec_id, c.cid AS cid, " +
+        s"(${qdotSql("n.q", "c.cq")})::DOUBLE / sqrt((n.nrm * c.cn)::DOUBLE) AS cos FROM n JOIN cents c ON true), " +
+        "asg AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
+        "row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid DESC) AS rn FROM asg0) WHERE rn = 1), " +
+        s"qs AS (SELECT vec_id AS qid, q AS qq, nrm AS qn FROM n WHERE vec_id % $QueryStride = 0), " +
+        s"pr0 AS (SELECT qs.qid AS qid, c.cid AS cid, " +
+        s"(${qdotSql("qs.qq", "c.cq")})::DOUBLE / sqrt((qs.qn * c.cn)::DOUBLE) AS cos FROM qs JOIN cents c ON true), " +
+        "probe AS (SELECT qid, cid FROM (SELECT qid, cid, " +
+        s"row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn FROM pr0) WHERE rn <= $NProbe), " +
+        "cand AS (SELECT probe.qid AS qid, asg.vec_id AS vec_id FROM probe " +
+        " JOIN asg ON probe.cid = asg.cid AND asg.vec_id <> probe.qid), " +
+        "p AS (SELECT cand.qid, cand.vec_id, " +
+        s"(${qdotSql("a.q", "b.q")})::DOUBLE / sqrt((a.nrm * b.nrm)::DOUBLE) AS cos " +
+        " FROM cand JOIN n a ON cand.qid = a.vec_id JOIN n b ON cand.vec_id = b.vec_id), " +
+        "r AS (SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM p) " +
+        s"SELECT qid, vec_id, cos FROM r WHERE rn <= $TopK ORDER BY qid, vec_id") { (s, dir) =>
+      val n = quantized(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+      val cents = n.filter(col("vec_id") % CentroidStride === 0)
+        .select(col("vec_id").as("cid"), col("q").as("cq"), col("nrm").as("cn"))
+      def cosOf(q: org.apache.spark.sql.Column, nrm: org.apache.spark.sql.Column,
+          cq: org.apache.spark.sql.Column, cn: org.apache.spark.sql.Column) =
+        qdot(q, cq).cast("double") / sqrt((nrm * cn).cast("double"))
+      // Cell assignment: centroids broadcast, argmax folds map-side via
+      // partial max(struct) — the N×C pair stream never crosses the
+      // wire, only one row per vector does. Ties break to the larger
+      // cid (struct ordering), mirrored by the oracle's cid DESC.
+      val asg = n.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"),
+          cosOf(col("q"), col("nrm"), col("cq"), col("cn")).as("cos"))
+        .groupBy("vec_id").agg(max(struct(col("cos"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m.cid").as("cid"))
+      val qs = n.filter(col("vec_id") % QueryStride === 0)
+        .select(col("vec_id").as("qid"), col("q").as("qq"), col("nrm").as("qn"))
+      val wp = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+      val probes = qs.crossJoin(broadcast(cents))
+        .select(col("qid"), col("cid"),
+          cosOf(col("qq"), col("qn"), col("cq"), col("cn")).as("cos"))
+        .withColumn("rn", row_number().over(wp))
+        .filter(col("rn") <= NProbe).select("qid", "cid")
+      // probed cells → candidate members; assignment is unique per
+      // vector and probes unique per (qid, cell), so no distinct needed
+      val cand = probes.join(asg, Seq("cid"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select("qid", "vec_id")
+      val p = cand
+        .join(n.select(col("vec_id").as("qid"), col("q").as("qq"), col("nrm").as("qn")), Seq("qid"))
+        .join(n, Seq("vec_id"))
+        .select(col("qid"), col("vec_id"),
+          cosOf(col("qq"), col("qn"), col("q"), col("nrm")).as("cos"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
       p.withColumn("rn", row_number().over(w))

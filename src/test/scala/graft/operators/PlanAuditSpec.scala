@@ -62,6 +62,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert("Scan parquet".r.findAllIn(p).length <= 2, s"extra vector scans:\n$p")
   }
 
+  test("q70: IVF cell assignment folds map-side — no N×C shuffle, centroids broadcast") {
+    val p = plan("q70_ann_ivf")
+    // the only nested-loop joins are against the broadcast centroid set;
+    // candidate ranking is hash/sort equi-joins
+    assert(!p.contains("CartesianProduct"), s"non-broadcast cartesian:\n$p")
+    // partial + final aggregate pair for the argmax assignment
+    assert("ObjectHashAggregate|HashAggregate|SortAggregate".r.findAllIn(p).length >= 2,
+      s"assignment argmax lost its partial phase:\n$p")
+  }
+
   test("entry: flagship star join broadcasts dimensions") {
     val p = SparkEntry.entry(spark).queryExecution.executedPlan.toString
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
