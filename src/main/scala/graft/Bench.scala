@@ -21,11 +21,18 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    // Split parquet inputs so scan/sort stages use every core even at
+    // bench scale (sf0.1 lineitem is one 10.8 MB file — the default
+    // 128 MB split would serialize every lineitem stage onto one task).
+    // At cluster scale files exceed the split size and this is inert.
+    val maxPart = sys.env.getOrElse("SPARK_GRAFT_MAXPART", (1 << 20).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.files.maxPartitionBytes", maxPart)
+      .config("spark.sql.files.openCostInBytes", "65536")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
