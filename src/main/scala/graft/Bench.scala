@@ -33,6 +33,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.files.maxPartitionBytes", maxPart)
       .config("spark.sql.files.openCostInBytes", "65536")
+      // Single-JVM harness: shuffle blocks live in the page cache, so
+      // compressing them is pure CPU overhead, and locality waits are
+      // meaningless. Both belong ON for a real multi-node deployment.
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
+      .config("spark.locality.wait", "0s")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
