@@ -32,11 +32,17 @@ import org.apache.spark.sql.types.DecimalType
 object Connector {
   private val D = DecimalType(18, 2)
 
-  /** Register the per-sf-dir embedded Derby database as catalog `gate`. */
+  /** Register the per-sf-dir embedded Derby database as catalog `gate`.
+    * The database lives in memory (`jdbc:derby:memory:`): the gate
+    * queries drop + CTAS their tables on every run, so durability buys
+    * nothing and disk sync would only time Derby's fsync, not this
+    * engine's write path. It persists for the JVM lifetime, which spans
+    * all queries of a Verify/Bench run.
+    */
   private def gate(s: SparkSession, dir: String): Unit = {
-    val dbDir = "/tmp/graft_derby_gate/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val dbName = "graft_gate_" + dir.replaceAll("[^A-Za-z0-9.]", "_")
     s.conf.set("spark.sql.catalog.gate", "graft.sources.jdbc.GraftCatalog")
-    s.conf.set("spark.sql.catalog.gate.url", s"jdbc:derby:$dbDir/db;create=true")
+    s.conf.set("spark.sql.catalog.gate.url", s"jdbc:derby:memory:$dbName;create=true")
     s.sql("CREATE NAMESPACE IF NOT EXISTS gate.app")
   }
 

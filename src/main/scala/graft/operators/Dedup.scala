@@ -346,20 +346,24 @@ object Dedup {
 
   /** Shared SimHash pipeline (doc_id, simhash).
     *
-    * All 60 bit-votes are computed as 60 SUM columns in ONE aggregation
-    * over the token stream (the same shape as MinHash's 16 MIN columns):
-    * no 60× row explosion, no second shuffle — one hash aggregate with
-    * map-side partials, then a pure projection packs the sign bits.
+    * The frequency-weighted vote over distinct tokens equals the
+    * unweighted ±1 vote over token OCCURRENCES, so no (doc, token)
+    * count pre-aggregation exists at all: tokenize, hash, and vote all
+    * 60 bits as 60 SUM columns in ONE codegen'd aggregation (the same
+    * shape as MinHash's 16 MIN columns). A document's tokens never
+    * leave its partition — the map-side partial already holds the
+    * final votes, and the single shuffle carries one 60-column row per
+    * document. (The oracle keeps the per-distinct-token formulation;
+    * the sums are identical integers.)
     */
   private def simhash(s: SparkSession, dir: String): DataFrame = {
     val votes = (0 until 60).map(b =>
-      sum(expr(s"CASE WHEN shiftright(th, $b) % 2 = 1 THEN cnt ELSE -cnt END")).as(s"s$b"))
+      sum(expr(s"CASE WHEN shiftright(th, $b) % 2 = 1 THEN 1 ELSE -1 END")).as(s"s$b"))
     val pack = (0 until 60).map(b =>
       when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
     Tables.load(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
-      .withColumn("th", h60(col("tok")))
+      .select(col("doc_id"), h60(col("tok")).as("th"))
       .groupBy("doc_id")
       .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), pack.as("simhash"))
