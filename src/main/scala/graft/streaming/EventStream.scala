@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming extension (SURVEY §2.7: the reference is
   * batch-only — every exec declares `Boundedness::Bounded` — so this is
@@ -36,4 +37,82 @@ object EventStream {
       .select(
         col("window.start").as("hour_ts"),
         col("event_type"), col("n"), col("total_value"))
+
+  /** Streaming exact dedup for a document ingest pipeline: only the
+    * FIRST arrival of each content fingerprint survives; re-arrivals
+    * within the watermark are dropped, and fingerprint state older
+    * than the watermark is evicted — so state is bounded by ingest
+    * rate × lateness, not corpus size (the property that makes
+    * streaming dedup viable at 100 TB/day; a duplicate arriving after
+    * eviction is the documented at-least-once trade, and the batch
+    * q40 pass downstream catches it).
+    *
+    * Input: (ts, doc_id, text); the fingerprint is the same md5-derived
+    * 60-bit hash the batch dedup family uses ([[graft.functions.CrossHash]]).
+    */
+  def dedupStream(docs: DataFrame, lateness: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("fp", graft.functions.CrossHash.h60(col("text")))
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("fp")
+
+  /** Gap-based sessionization with explicit custom state — the
+    * `flatMapGroupsWithState` seam for semantics the declarative
+    * operators can't express (here: emit each CLOSED session's span
+    * and event count per key). State per key is one (start, last, n)
+    * triple; an event-time timeout closes idle sessions when the
+    * watermark passes last+gap, so state is bounded by live keys.
+    * (For plain session windows prefer the built-in `session_window`;
+    * this is deliberately the custom-state escape hatch, kept tiny.)
+    */
+  /** Open-session state: epoch-second bounds + event count. */
+  case class Sess(start: Long, last: Long, n: Long)
+
+  /** A closed session as emitted downstream. */
+  case class Session(event_type: String, session_start: Long,
+      session_end: Long, n_events: Long)
+
+  def sessionize(events: DataFrame, gapMinutes: Int = 30,
+      lateness: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+
+    def close(key: String, s: Sess): Session = Session(key, s.start, s.last, s.n)
+
+    // the watermarked ts column must reach the stateful operator as an
+    // event-time attribute (casting it away disables the timeout)
+    events
+      .withWatermark("ts", lateness)
+      .select(col("event_type"), col("ts"))
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Sess, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: String, it: Iterator[(String, java.sql.Timestamp)], state: GroupState[Sess]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last+gap: the session is closed for good
+            val s = state.get; state.remove()
+            Iterator.single(close(key, s))
+          } else {
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            it.map(_._2.getTime / 1000L).toSeq.sorted.foreach { sec =>
+              cur match {
+                case Some(s) if (sec - s.last) * 1000L <= gapMs =>
+                  cur = Some(Sess(s.start, sec, s.n + 1))
+                case Some(s) =>
+                  closed ::= close(key, s)
+                  cur = Some(Sess(sec, sec, 1))
+                case None =>
+                  cur = Some(Sess(sec, sec, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last * 1000L + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
 }

@@ -51,4 +51,69 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
       assert(after.toSet.contains(("2024-01-01 11:00:00.0", "view", 2L, 4.0)))
     } finally q.stop()
   }
+
+  test("streaming dedup keeps first arrival per fingerprint, bounded state") {
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Long, String)](spark)
+    val out = EventStream.dedupStream(
+      input.toDF().toDF("ts", "doc_id", "text"), lateness = "5 minutes")
+
+    val q = out.writeStream
+      .format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "alpha"),
+        (ts("2024-01-01 10:00:30"), 2L, "beta"),
+        (ts("2024-01-01 10:01:00"), 3L, "alpha")) // dup within watermark
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("doc_id").as[Long].collect().toSet
+      assert(ids == Set(1L, 2L), s"dup survived: $ids")
+
+      // another duplicate in a later batch, still within the watermark
+      input.addData((ts("2024-01-01 10:02:00"), 4L, "beta"))
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 2)
+
+      // new content always passes
+      input.addData((ts("2024-01-01 10:03:00"), 5L, "gamma"))
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").select("doc_id").as[Long].collect().toSet
+        == Set(1L, 2L, 5L))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionize closes sessions on gap and timeout") {
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, String)](spark)
+    val out = EventStream.sessionize(
+      input.toDF().toDF("ts", "event_type"), gapMinutes = 10, lateness = "1 minute")
+
+    val q = out.writeStream
+      .format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      // session A: 3 events within the gap; then a 20-min silence, then
+      // one more event — a new session, which also closes the first
+      input.addData(
+        (ts("2024-01-01 09:00:00"), "click"),
+        (ts("2024-01-01 09:05:00"), "click"),
+        (ts("2024-01-01 09:08:00"), "click"))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 09:28:00"), "click"))
+      q.processAllAvailable()
+      val s1 = spark.table("sess_out").as[EventStream.Session].collect()
+      assert(s1.length == 1, s"expected first session closed: ${s1.mkString(",")}")
+      assert(s1.head == EventStream.Session("click",
+        ts("2024-01-01 09:00:00").getTime / 1000,
+        ts("2024-01-01 09:08:00").getTime / 1000, 3))
+
+      // advancing the watermark past last+gap closes the open session
+      // via the event-time timeout, without any further 'click' event
+      input.addData((ts("2024-01-01 10:30:00"), "other"))
+      q.processAllAvailable()
+      val s2 = spark.table("sess_out").as[EventStream.Session].collect()
+      assert(s2.exists(s => s.event_type == "click" && s.n_events == 1 &&
+        s.session_start == ts("2024-01-01 09:28:00").getTime / 1000),
+        s"timeout did not close the idle session: ${s2.mkString(",")}")
+    } finally q.stop()
+  }
 }
