@@ -85,25 +85,164 @@ object Dedup {
 
   import EmbeddingLsh.{NumBands, BandBits}
 
-  // ---- shared exact-dedup representative + shingle pipeline --------------
+  // ---- public library surface -------------------------------------------
+  // Each operator takes any (id, text) frame; the q40-q45 gate entries
+  // below are these operators instantiated on the `documents` table.
 
-  /** One representative (min doc_id) per distinct text. */
-  private def rep(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "documents")
+  /** Normalize an arbitrary corpus frame to (doc_id, text). */
+  def corpus(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+
+  /** Exact dedup: survivor (min id), copy count and content fingerprint
+    * per distinct text — one map-side-combinable hash aggregate.
+    */
+  def exactDedup(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    corpus(df, idCol, textCol)
       .groupBy(col("text"))
-      .agg(min(col("doc_id")).as("doc_id"))
+      .agg(min(col("doc_id")).as("survivor"), count(lit(1)).as("n_copies"))
+      .select(col("survivor"), col("n_copies"), h60(col("text")).as("fp"))
+
+  /** Representative pairs with word-bigram Jaccard above `jacNum/jacDen`
+    * (exact integer comparison), hot shingles above `dfCap` ignored.
+    * Output: (d1, d2, n_inter, n_union).
+    */
+  def jaccardPairs(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", dfCap: Int = DfCap,
+      jacNum: Int = 1, jacDen: Int = 5): DataFrame = {
+    val sh = shinglesOf(corpus(df, idCol, textCol))
+    val hot = sh.groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") > dfCap).select("h")
+    // computed once, read three times (sz + both self-join sides)
+    val shf = sh.join(hot, Seq("h"), "left_anti").persist(StorageLevel.MEMORY_AND_DISK)
+    val sz = shf.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = shf.as("x")
+      .join(shf.as("y"), col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sz.as("sx"), col("d1") === col("sx.doc_id"))
+      .join(sz.as("sy"), col("d2") === col("sy.doc_id"))
+      .filter(col("i") * jacDen > (col("sx.n") + col("sy.n") - col("i")) * jacNum)
+      .select(col("d1"), col("d2"), col("i").as("n_inter"),
+        (col("sx.n") + col("sy.n") - col("i")).as("n_union"))
+  }
+
+  /** MinHash-LSH candidate pairs (d1 < d2) for any (id, text) frame. */
+  def minhashLshPairs(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", bucketCap: Int = BucketCap): DataFrame = {
+    val mh = shinglesOf(corpus(df, idCol, textCol))
+      .select(col("doc_id"), (col("h") % P).as("hm"))
+      .groupBy("doc_id")
+      .agg(
+        min((col("hm") * MC.A(0) + MC.B(0)) % P).as("m0"),
+        (1 until MC.NumHashes).map(j =>
+          min((col("hm") * MC.A(j) + MC.B(j)) % P).as(s"m$j")): _*)
+    val bandCols = (0 until MC.NumHashes / MC.BandRows).map { k =>
+      concat_ws(",", (0 until MC.BandRows).map(r => col(s"m${MC.BandRows * k + r}")): _*)
+    }
+    val sigAll = mh
+      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sig = capBuckets(sigAll, bucketCap, "band", "sig")
+    sig.as("x")
+      .join(sig.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+      .distinct()
+  }
+
+  /** 60-bit SimHash per document for any (id, text) frame.
+    *
+    * The frequency-weighted vote over distinct tokens equals the
+    * unweighted ±1 vote over token OCCURRENCES, so no (doc, token)
+    * count pre-aggregation exists at all: tokenize, hash, and vote all
+    * 60 bits as 60 SUM columns in ONE codegen'd aggregation (the same
+    * shape as MinHash's 16 MIN columns). A document's tokens never
+    * leave its partition — the map-side partial already holds the
+    * final votes, and the single shuffle carries one 60-column row per
+    * document. (The oracle keeps the per-distinct-token formulation;
+    * the sums are identical integers.)
+    */
+  def simhashOf(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val votes = (0 until 60).map(b =>
+      sum(expr(s"CASE WHEN shiftright(th, $b) % 2 = 1 THEN 1 ELSE -1 END")).as(s"s$b"))
+    val pack = (0 until 60).map(b =>
+      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+    corpus(df, idCol, textCol)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), h60(col("tok")).as("th"))
+      .groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), pack.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: pigeonhole 15-bit chunk equality proposes,
+    * exact hamming ≤ `maxHamming` confirms. Output (d1, d2, hamm).
+    */
+  def simhashPairs(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", maxHamming: Int = 8,
+      bucketCap: Int = BucketCap): DataFrame = {
+    val sh = simhashOf(df, idCol, textCol)
+    val chAll = sh.select(col("doc_id"), col("simhash"),
+        explode(expr("sequence(0, 3)")).as("k"))
+      .withColumn("cv", expr("shiftright(simhash, 15 * k) % 32768"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ch = capBuckets(chAll, bucketCap, "k", "cv")
+    ch.as("x")
+      .join(ch.as("y"),
+        col("x.k") === col("y.k") && col("x.cv") === col("y.cv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("d1"), col("x.simhash").as("h1"),
+        col("y.doc_id").as("d2"), col("y.simhash").as("h2"))
+      .distinct()
+      .withColumn("hamm", expr("cast(bit_count(h1 ^ h2) AS bigint)"))
+      .filter(col("hamm") <= maxHamming)
+      .select("d1", "d2", "hamm")
+  }
+
+  /** Embedding near-dup pairs over a [[EmbeddingLsh.quantize]]d frame:
+    * sign-LSH bands propose, the exact integer test
+    * `cosDen²·dot² ≥ cosNum²·‖a‖²·‖b‖²` (cosine ≥ cosNum/cosDen)
+    * confirms. Output (v1, v2, dot, na, nb).
+    */
+  def embeddingNearDupPairs(n0: DataFrame, cosNum: Int = 2, cosDen: Int = 5,
+      bucketCap: Int = BucketCap): DataFrame = {
+    val n = n0.persist(StorageLevel.MEMORY_AND_DISK)
+    val bandsAll = EmbeddingLsh.bands(n).persist(StorageLevel.MEMORY_AND_DISK)
+    val bands = capBuckets(bandsAll, bucketCap, "k", "bv")
+    val cand = bands.as("x")
+      .join(bands.as("y"),
+        col("x.k") === col("y.k") && col("x.bv") === col("y.bv") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"))
+      .distinct()
+    cand
+      .join(n.as("a"), col("v1") === col("a.vec_id"))
+      .join(n.as("b"), col("v2") === col("b.vec_id"))
+      .select(col("v1"), col("v2"),
+        EmbeddingLsh.qdot(col("a.q"), col("b.q")).as("dot"),
+        col("a.nrm").as("na"), col("b.nrm").as("nb"))
+      .filter(col("dot") >= 0 &&
+        lit(cosDen * cosDen) * col("dot") * col("dot") >=
+          lit(cosNum * cosNum) * col("na") * col("nb"))
+  }
+
+  // ---- shared exact-dedup representative + shingle pipeline --------------
 
   private val repSql =
     "rep AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text)"
 
   /** Distinct (doc_id, h): 60-bit hashes of word-bigram shingles of each
-    * representative document; docs with < 2 tokens dropped. Joining on
-    * int64 hashes instead of raw shingle strings keeps shuffle keys
+    * representative document (byte-identical texts first collapse to
+    * their min-id representative); docs with < 2 tokens dropped. Joining
+    * on int64 hashes instead of raw shingle strings keeps shuffle keys
     * 8 bytes wide (reference relies on remote engines for this kind of
     * normalization; here it is explicit).
     */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
-    rep(s, dir)
+  def shinglesOf(c: DataFrame): DataFrame =
+    c.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("a"))
       .filter(size(col("a")) >= 2)
       .select(col("doc_id"), explode(expr(
@@ -129,11 +268,7 @@ object Dedup {
     Q("q40_exact_dedup",
       "SELECT MIN(doc_id) AS survivor, COUNT(*) AS n_copies, " +
         h60Sql("text") + " AS fp FROM documents GROUP BY text ORDER BY survivor") { (s, dir) =>
-      Tables.load(s, dir, "documents")
-        .groupBy(col("text"))
-        .agg(min(col("doc_id")).as("survivor"), count(lit(1)).as("n_copies"))
-        .select(col("survivor"), col("n_copies"), h60(col("text")).as("fp"))
-        .orderBy("survivor")
+      exactDedup(Tables.load(s, dir, "documents")).orderBy("survivor")
     },
 
     // Representative pairs with word-bigram Jaccard > 0.2 over shingles
@@ -149,22 +284,7 @@ object Dedup {
         "SELECT d1, d2, i AS n_inter, sx.n + sy.n - i AS n_union " +
         "FROM inter JOIN sz sx ON d1 = sx.doc_id JOIN sz sy ON d2 = sy.doc_id " +
         "WHERE i * 5 > sx.n + sy.n - i ORDER BY d1, d2") { (s, dir) =>
-      val sh = shingles(s, dir)
-      val hot = sh.groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") > DfCap).select("h")
-      // computed once, read three times (sz + both self-join sides)
-      val shf = sh.join(hot, Seq("h"), "left_anti").persist(StorageLevel.MEMORY_AND_DISK)
-      val sz = shf.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = shf.as("x")
-        .join(shf.as("y"), col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
-        .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-        .agg(count(lit(1)).as("i"))
-      inter
-        .join(sz.as("sx"), col("d1") === col("sx.doc_id"))
-        .join(sz.as("sy"), col("d2") === col("sy.doc_id"))
-        .filter(col("i") * 5 > col("sx.n") + col("sy.n") - col("i"))
-        .select(col("d1"), col("d2"), col("i").as("n_inter"),
-          (col("sx.n") + col("sy.n") - col("i")).as("n_union"))
-        .orderBy("d1", "d2")
+      jaccardPairs(Tables.load(s, dir, "documents")).orderBy("d1", "d2")
     },
 
     // MinHash (16 permutations computed as 16 MIN aggregates in ONE
@@ -185,27 +305,7 @@ object Dedup {
         "SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2 FROM sigf x JOIN sigf y " +
         "ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id ORDER BY d1, d2"
     }) { (s, dir) =>
-      val mh = shingles(s, dir)
-        .select(col("doc_id"), (col("h") % P).as("hm"))
-        .groupBy("doc_id")
-        .agg(
-          min((col("hm") * MC.A(0) + MC.B(0)) % P).as("m0"),
-          (1 until MC.NumHashes).map(j =>
-            min((col("hm") * MC.A(j) + MC.B(j)) % P).as(s"m$j")): _*)
-      val bandCols = (0 until MC.NumHashes / MC.BandRows).map { k =>
-        concat_ws(",", (0 until MC.BandRows).map(r => col(s"m${MC.BandRows * k + r}")): _*)
-      }
-      val sigAll = mh
-        .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val sig = capBuckets(sigAll, BucketCap, "band", "sig")
-      sig.as("x")
-        .join(sig.as("y"),
-          col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-        .distinct()
-        .orderBy("d1", "d2")
+      minhashLshPairs(Tables.load(s, dir, "documents")).orderBy("d1", "d2")
     },
 
     // KMV distinct-count sketch per source: a native Catalyst
@@ -244,7 +344,7 @@ object Dedup {
         " FROM th CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) GROUP BY 1, 2) " +
         "SELECT doc_id, SUM(CASE WHEN sb > 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT AS simhash " +
         "FROM bits GROUP BY doc_id ORDER BY doc_id") { (s, dir) =>
-      simhash(s, dir).orderBy("doc_id")
+      simhashOf(Tables.load(s, dir, "documents")).orderBy("doc_id")
     },
 
     // Candidate pairs: equal 15-bit chunk (pigeonhole over 4 chunks
@@ -264,23 +364,7 @@ object Dedup {
         " FROM chf x JOIN chf y ON x.k = y.k AND x.cv = y.cv AND x.doc_id < y.doc_id) " +
         "SELECT d1, d2, bit_count(xor(h1, h2))::BIGINT AS hamm FROM cand " +
         "WHERE bit_count(xor(h1, h2)) <= 8 ORDER BY d1, d2") { (s, dir) =>
-      val sh = simhash(s, dir)
-      val chAll = sh.select(col("doc_id"), col("simhash"),
-          explode(expr("sequence(0, 3)")).as("k"))
-        .withColumn("cv", expr("shiftright(simhash, 15 * k) % 32768"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val ch = capBuckets(chAll, BucketCap, "k", "cv")
-      ch.as("x")
-        .join(ch.as("y"),
-          col("x.k") === col("y.k") && col("x.cv") === col("y.cv") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("d1"), col("x.simhash").as("h1"),
-          col("y.doc_id").as("d2"), col("y.simhash").as("h2"))
-        .distinct()
-        .withColumn("hamm", expr("cast(bit_count(h1 ^ h2) AS bigint)"))
-        .filter(col("hamm") <= 8)
-        .select("d1", "d2", "hamm")
-        .orderBy("d1", "d2")
+      simhashPairs(Tables.load(s, dir, "documents")).orderBy("d1", "d2")
     },
 
     // Embedding near-dup, sub-quadratic: sign-LSH banding over fixed
@@ -310,62 +394,8 @@ object Dedup {
         "SELECT v1, v2, dot, na, nb FROM p " +
         "WHERE dot >= 0 AND 25 * dot * dot >= 4 * na * nb ORDER BY v1, v2"
     }) { (s, dir) =>
-      val n = quantized(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
-      val nh = NumBands * BandBits
-      val withBits = (0 until nh).foldLeft(n.select(col("vec_id"), col("q"))) { (df, j) =>
-        df.withColumn(s"bit$j", expr(
-          s"CASE WHEN aggregate(sequence(0, 63), cast(0 AS bigint), " +
-            s"(acc, i) -> acc + element_at(q, cast(i+1 AS int)) * ${hcomp(j)}) >= 0 " +
-            s"THEN cast(1 AS bigint) ELSE cast(0 AS bigint) END"))
-      }
-      val bandCols = (0 until NumBands).map { k =>
-        (0 until BandBits).map(r => col(s"bit${BandBits * k + r}") * (1L << r))
-          .reduce(_ + _)
-      }
-      val bandsAll = withBits
-        .select(col("vec_id"), posexplode(array(bandCols: _*)).as(Seq("k", "bv")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val bands = capBuckets(bandsAll, BucketCap, "k", "bv")
-      val cand = bands.as("x")
-        .join(bands.as("y"),
-          col("x.k") === col("y.k") && col("x.bv") === col("y.bv") &&
-            col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"))
-        .distinct()
-      cand
-        .join(n.as("a"), col("v1") === col("a.vec_id"))
-        .join(n.as("b"), col("v2") === col("b.vec_id"))
-        .select(col("v1"), col("v2"),
-          qdot(col("a.q"), col("b.q")).as("dot"),
-          col("a.nrm").as("na"), col("b.nrm").as("nb"))
-        .filter(col("dot") >= 0 &&
-          lit(25) * col("dot") * col("dot") >= lit(4) * col("na") * col("nb"))
-        .orderBy("v1", "v2")
+      embeddingNearDupPairs(quantized(s, dir)).orderBy("v1", "v2")
     }
   )
 
-  /** Shared SimHash pipeline (doc_id, simhash).
-    *
-    * The frequency-weighted vote over distinct tokens equals the
-    * unweighted ±1 vote over token OCCURRENCES, so no (doc, token)
-    * count pre-aggregation exists at all: tokenize, hash, and vote all
-    * 60 bits as 60 SUM columns in ONE codegen'd aggregation (the same
-    * shape as MinHash's 16 MIN columns). A document's tokens never
-    * leave its partition — the map-side partial already holds the
-    * final votes, and the single shuffle carries one 60-column row per
-    * document. (The oracle keeps the per-distinct-token formulation;
-    * the sums are identical integers.)
-    */
-  private def simhash(s: SparkSession, dir: String): DataFrame = {
-    val votes = (0 until 60).map(b =>
-      sum(expr(s"CASE WHEN shiftright(th, $b) % 2 = 1 THEN 1 ELSE -1 END")).as(s"s$b"))
-    val pack = (0 until 60).map(b =>
-      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
-    Tables.load(s, dir, "documents")
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .select(col("doc_id"), h60(col("tok")).as("th"))
-      .groupBy("doc_id")
-      .agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), pack.as("simhash"))
-  }
 }

@@ -21,12 +21,18 @@ object EmbeddingLsh {
   val NumBands = 8
   val BandBits = 6
 
-  /** Quantized embeddings: int64 vector (×100) + int64 squared norm. */
-  def quantized(s: SparkSession, dir: String): DataFrame =
-    Tables.load(s, dir, "embeddings")
-      .select(col("vec_id"), expr(
-        "transform(embedding, x -> cast(round(cast(x AS double) * 100, 0) AS bigint))").as("q"))
+  /** Quantize any (id, float-vector) frame: int64 vector (×100) + int64
+    * squared norm, output columns (vec_id, q, nrm). Library entry point —
+    * every cosine downstream is exact integer arithmetic.
+    */
+  def quantize(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("vec_id"), expr(
+        s"transform($vecCol, x -> cast(round(cast(x AS double) * 100, 0) AS bigint))").as("q"))
       .withColumn("nrm", expr("aggregate(q, cast(0 AS bigint), (acc, x) -> acc + x * x)"))
+
+  /** The gate's `embeddings` table quantized. */
+  def quantized(s: SparkSession, dir: String): DataFrame =
+    quantize(Tables.load(s, dir, "embeddings"), "vec_id", "embedding")
 
   val quantizedSql: String =
     "q0 AS (SELECT vec_id, [cast(round(x::DOUBLE * 100, 0) AS BIGINT) FOR x IN embedding] AS q " +

@@ -1,15 +1,22 @@
 package graft.operators
 
 import graft.Q
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-/** Approximate-nearest-neighbor similarity search over the embedding
+/** Approximate-nearest-neighbor similarity search over an embedding
   * column — the first-class search operator the near-dup join (q45) is
   * not: given a query set, return each query's top-k neighbors by
   * cosine.
   *
-  * Two variants, as the brief requires:
+  * Public library surface: [[annBruteForce]], [[annLsh]], [[annIvf]],
+  * each over a [[EmbeddingLsh.quantize]]d frame `(vec_id, q, nrm)` and a
+  * query predicate. The q62/q63/q70 gate entries below are these
+  * operators instantiated on the `embeddings` test table.
+  *
+  * Three variants, as the brief requires:
   *   - q62 brute-force: exact top-k baseline. Query set broadcast, one
   *     pass over the vectors, per-query TopK window. O(N·Q) — the
   *     correctness yardstick and still the right plan when Q is small
@@ -50,6 +57,98 @@ object Similarity {
   private val cosSql =
     s"(${qdotSql("qs.qq", "n.q")})::DOUBLE / sqrt((qs.qn * n.nrm)::DOUBLE)"
 
+  private def cosOf(q: Column, nrm: Column, cq: Column, cn: Column): Column =
+    qdot(q, cq).cast("double") / sqrt((nrm * cn).cast("double"))
+
+  private def topK(p: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    p.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("qid", "vec_id", "cos")
+      .orderBy("qid", "vec_id")
+  }
+
+  /** Exact top-k cosine neighbors of every vector satisfying `isQuery`
+    * (a predicate over `vec_id`). `n` is a quantized (vec_id, q, nrm)
+    * frame. The query set is broadcast; the vector set streams once.
+    */
+  def annBruteForce(n: DataFrame, isQuery: Column, k: Int = TopK): DataFrame = {
+    val qs = n.filter(isQuery)
+      .select(col("vec_id").as("qid"), col("q").as("qq"), col("nrm").as("qn"))
+    val p = n.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        cosOf(col("qq"), col("qn"), col("q"), col("nrm")).as("cos"))
+    topK(p, k)
+  }
+
+  /** Sign-LSH-bucketed top-k: candidates share a band value with the
+    * query, oversized buckets dropped ([[Dedup.BucketCap]]), exact
+    * cosine re-rank. Sub-quadratic at any corpus size.
+    */
+  def annLsh(n0: DataFrame, isQuery: Column, k: Int = TopK,
+      bucketCap: Int = Dedup.BucketCap): DataFrame = {
+    val n = n0.persist(StorageLevel.MEMORY_AND_DISK)
+    // persisted: the 48-hyperplane signature pass runs once, not once
+    // per self-join side; oversized buckets dropped (Dedup.BucketCap)
+    // so a degenerate band value cannot emit O(B²) candidates
+    val bds = Dedup.capBuckets(
+      bands(n).persist(StorageLevel.MEMORY_AND_DISK), bucketCap, "k", "bv")
+    val qb = bds.filter(isQuery)
+      .select(col("vec_id").as("qid"), col("k"), col("bv"))
+    val cand = qb.join(bds.as("vb"),
+        qb("k") === col("vb.k") && qb("bv") === col("vb.bv") &&
+          col("vb.vec_id") =!= qb("qid"))
+      .select(col("qid"), col("vb.vec_id").as("vec_id"))
+      .distinct()
+    val p = cand
+      .join(n.select(col("vec_id").as("qid"), col("q").as("qq"), col("nrm").as("qn")), Seq("qid"))
+      .join(n, Seq("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        cosOf(col("qq"), col("qn"), col("q"), col("nrm")).as("cos"))
+    topK(p, k)
+  }
+
+  /** IVF top-k: vectors satisfying `isCentroid` seed the coarse
+    * quantizer; every vector joins its nearest cell (ONE broadcast
+    * pass, map-side argmax); queries probe their `nprobe` nearest
+    * cells and exact-rank only those members.
+    */
+  def annIvf(n0: DataFrame, isQuery: Column, isCentroid: Column,
+      nprobe: Int = NProbe, k: Int = TopK): DataFrame = {
+    val n = n0.persist(StorageLevel.MEMORY_AND_DISK)
+    val cents = n.filter(isCentroid)
+      .select(col("vec_id").as("cid"), col("q").as("cq"), col("nrm").as("cn"))
+    // Cell assignment: centroids broadcast, argmax folds map-side via
+    // partial max(struct) — the N×C pair stream never crosses the
+    // wire, only one row per vector does. Ties break to the larger
+    // cid (struct ordering), mirrored by the oracle's cid DESC.
+    val asg = n.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cid"),
+        cosOf(col("q"), col("nrm"), col("cq"), col("cn")).as("cos"))
+      .groupBy("vec_id").agg(max(struct(col("cos"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m.cid").as("cid"))
+    val qs = n.filter(isQuery)
+      .select(col("vec_id").as("qid"), col("q").as("qq"), col("nrm").as("qn"))
+    val wp = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    val probes = qs.crossJoin(broadcast(cents))
+      .select(col("qid"), col("cid"),
+        cosOf(col("qq"), col("qn"), col("cq"), col("cn")).as("cos"))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= nprobe).select("qid", "cid")
+    // probed cells → candidate members; assignment is unique per
+    // vector and probes unique per (qid, cell), so no distinct needed
+    val cand = probes.join(asg, Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id")
+    val p = cand
+      .join(n.select(col("vec_id").as("qid"), col("q").as("qq"), col("nrm").as("qn")), Seq("qid"))
+      .join(n, Seq("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        cosOf(col("qq"), col("qn"), col("q"), col("nrm")).as("cos"))
+    topK(p, k)
+  }
+
   def queries: Seq[Q] = Seq(
 
     Q("q62_ann_bruteforce",
@@ -58,20 +157,7 @@ object Similarity {
         s"p AS (SELECT qid, n.vec_id AS vec_id, $cosSql AS cos FROM qs JOIN n ON n.vec_id <> qs.qid), " +
         "r AS (SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM p) " +
         s"SELECT qid, vec_id, cos FROM r WHERE rn <= $TopK ORDER BY qid, vec_id") { (s, dir) =>
-      val n = quantized(s, dir)
-      val qs = n.filter(col("vec_id") % QueryStride === 0)
-        .select(col("vec_id").as("qid"), col("q").as("qq"), col("nrm").as("qn"))
-      val p = n.crossJoin(broadcast(qs))
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), col("vec_id"),
-          (qdot(col("qq"), col("q")).cast("double") /
-            sqrt((col("qn") * col("nrm")).cast("double"))).as("cos"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
-      p.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= TopK)
-        .select("qid", "vec_id", "cos")
-        .orderBy("qid", "vec_id")
+      annBruteForce(quantized(s, dir), col("vec_id") % QueryStride === 0)
     },
 
     Q("q63_ann_lsh",
@@ -85,31 +171,7 @@ object Similarity {
         " FROM cand JOIN n a ON cand.qid = a.vec_id JOIN n b ON cand.vec_id = b.vec_id), " +
         "r AS (SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM p) " +
         s"SELECT qid, vec_id, cos FROM r WHERE rn <= $TopK ORDER BY qid, vec_id") { (s, dir) =>
-      val n = quantized(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
-      // persisted: the 48-hyperplane signature pass runs once, not once
-      // per self-join side; oversized buckets dropped (Dedup.BucketCap)
-      // so a degenerate band value cannot emit O(B²) candidates
-      val bds = Dedup.capBuckets(
-        bands(n).persist(StorageLevel.MEMORY_AND_DISK), Dedup.BucketCap, "k", "bv")
-      val qb = bds.filter(col("vec_id") % QueryStride === 0)
-        .select(col("vec_id").as("qid"), col("k"), col("bv"))
-      val cand = qb.join(bds.as("vb"),
-          qb("k") === col("vb.k") && qb("bv") === col("vb.bv") &&
-            col("vb.vec_id") =!= qb("qid"))
-        .select(col("qid"), col("vb.vec_id").as("vec_id"))
-        .distinct()
-      val p = cand
-        .join(n.select(col("vec_id").as("qid"), col("q").as("qq"), col("nrm").as("qn")), Seq("qid"))
-        .join(n, Seq("vec_id"))
-        .select(col("qid"), col("vec_id"),
-          (qdot(col("qq"), col("q")).cast("double") /
-            sqrt((col("qn") * col("nrm")).cast("double"))).as("cos"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
-      p.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= TopK)
-        .select("qid", "vec_id", "cos")
-        .orderBy("qid", "vec_id")
+      annLsh(quantized(s, dir), col("vec_id") % QueryStride === 0)
     },
 
     Q("q70_ann_ivf",
@@ -131,46 +193,8 @@ object Similarity {
         " FROM cand JOIN n a ON cand.qid = a.vec_id JOIN n b ON cand.vec_id = b.vec_id), " +
         "r AS (SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM p) " +
         s"SELECT qid, vec_id, cos FROM r WHERE rn <= $TopK ORDER BY qid, vec_id") { (s, dir) =>
-      val n = quantized(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
-      val cents = n.filter(col("vec_id") % CentroidStride === 0)
-        .select(col("vec_id").as("cid"), col("q").as("cq"), col("nrm").as("cn"))
-      def cosOf(q: org.apache.spark.sql.Column, nrm: org.apache.spark.sql.Column,
-          cq: org.apache.spark.sql.Column, cn: org.apache.spark.sql.Column) =
-        qdot(q, cq).cast("double") / sqrt((nrm * cn).cast("double"))
-      // Cell assignment: centroids broadcast, argmax folds map-side via
-      // partial max(struct) — the N×C pair stream never crosses the
-      // wire, only one row per vector does. Ties break to the larger
-      // cid (struct ordering), mirrored by the oracle's cid DESC.
-      val asg = n.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("cid"),
-          cosOf(col("q"), col("nrm"), col("cq"), col("cn")).as("cos"))
-        .groupBy("vec_id").agg(max(struct(col("cos"), col("cid"))).as("m"))
-        .select(col("vec_id"), col("m.cid").as("cid"))
-      val qs = n.filter(col("vec_id") % QueryStride === 0)
-        .select(col("vec_id").as("qid"), col("q").as("qq"), col("nrm").as("qn"))
-      val wp = org.apache.spark.sql.expressions.Window
-        .partitionBy("qid").orderBy(col("cos").desc, col("cid"))
-      val probes = qs.crossJoin(broadcast(cents))
-        .select(col("qid"), col("cid"),
-          cosOf(col("qq"), col("qn"), col("cq"), col("cn")).as("cos"))
-        .withColumn("rn", row_number().over(wp))
-        .filter(col("rn") <= NProbe).select("qid", "cid")
-      // probed cells → candidate members; assignment is unique per
-      // vector and probes unique per (qid, cell), so no distinct needed
-      val cand = probes.join(asg, Seq("cid"))
-        .filter(col("vec_id") =!= col("qid"))
-        .select("qid", "vec_id")
-      val p = cand
-        .join(n.select(col("vec_id").as("qid"), col("q").as("qq"), col("nrm").as("qn")), Seq("qid"))
-        .join(n, Seq("vec_id"))
-        .select(col("qid"), col("vec_id"),
-          cosOf(col("qq"), col("qn"), col("q"), col("nrm")).as("cos"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
-      p.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= TopK)
-        .select("qid", "vec_id", "cos")
-        .orderBy("qid", "vec_id")
+      annIvf(quantized(s, dir), col("vec_id") % QueryStride === 0,
+        col("vec_id") % CentroidStride === 0)
     }
   )
 }

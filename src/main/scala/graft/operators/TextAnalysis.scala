@@ -25,6 +25,60 @@ object TextAnalysis {
 
   private def toks = split(col("text"), " ")
 
+  // ---- public library surface -------------------------------------------
+  // Each operator takes any (id, text) frame; the q30-q34 gate entries
+  // below are these operators instantiated on the `documents` table.
+
+  private def corpus(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String) =
+    df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+
+  /** Token/char counts + vowel-run density per document. */
+  def tokenStats(df: org.apache.spark.sql.DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.DataFrame =
+    corpus(df, idCol, textCol)
+      .select(col("doc_id"),
+        size(toks).as("n_tokens"),
+        length(col("text")).as("len_chars"),
+        ((length(col("text")) - (size(toks) - lit(1))).cast("double") / size(toks))
+          .as("avg_tok_len"),
+        regexp_count(col("text"), lit("[aeiou]+")).as("n_vowel_runs"))
+
+  /** Distinct-ratio minus stopword-ratio quality score. */
+  def qualityScore(df: org.apache.spark.sql.DataFrame, idCol: String = "doc_id",
+      textCol: String = "text",
+      stopwords: Seq[String] = Seq("the", "a")): org.apache.spark.sql.DataFrame = {
+    val stopHits = size(filter(toks, t => t.isin(stopwords: _*)))
+    val nDistinct = size(array_distinct(toks))
+    corpus(df, idCol, textCol)
+      .select(col("doc_id"),
+        size(toks).as("n_tokens"),
+        stopHits.as("stop_hits"),
+        nDistinct.as("n_distinct"),
+        (nDistinct.cast("double") / size(toks) -
+          stopHits.cast("double") / size(toks)).as("quality"))
+  }
+
+  /** Stopword-density language heuristic (integer threshold compare). */
+  def langId(df: org.apache.spark.sql.DataFrame, idCol: String = "doc_id",
+      textCol: String = "text",
+      stopwords: Seq[String] = Seq("the", "a"),
+      densityDen: Int = 20): org.apache.spark.sql.DataFrame = {
+    val stopHits = size(filter(toks, t => t.isin(stopwords: _*)))
+    corpus(df, idCol, textCol)
+      .select(col("doc_id"),
+        when(stopHits * densityDen > size(toks), "en").otherwise("unk").as("lang_pred"))
+  }
+
+  /** Content fingerprints: the cross-engine 60-bit md5 hash plus the
+    * native codegen rolling hash ([[graft.functions.RollingHash]]).
+    */
+  def fingerprints(df: org.apache.spark.sql.DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.DataFrame =
+    corpus(df, idCol, textCol)
+      .select(col("doc_id"), h60(col("text")).as("fp"),
+        RollingHash.rolling_hash(col("text")).as("rfp"))
+
   def queries: Seq[Q] = Seq(
     Q("q30_token_stats",
       "SELECT doc_id, len(string_split(text,' ')) AS n_tokens, " +
@@ -32,14 +86,7 @@ object TextAnalysis {
         "CAST(length(text) - (len(string_split(text,' ')) - 1) AS DOUBLE) / len(string_split(text,' ')) AS avg_tok_len, " +
         "len(regexp_extract_all(text, '[aeiou]+')) AS n_vowel_runs " +
         "FROM documents ORDER BY doc_id") { (s, dir) =>
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id"),
-          size(toks).as("n_tokens"),
-          length(col("text")).as("len_chars"),
-          ((length(col("text")) - (size(toks) - lit(1))).cast("double") / size(toks))
-            .as("avg_tok_len"),
-          regexp_count(col("text"), lit("[aeiou]+")).as("n_vowel_runs"))
-        .orderBy("doc_id")
+      tokenStats(Tables.load(s, dir, "documents")).orderBy("doc_id")
     },
 
     Q("q31_quality_score",
@@ -49,16 +96,7 @@ object TextAnalysis {
         "CAST(len(list_distinct(string_split(text,' '))) AS DOUBLE) / len(string_split(text,' ')) " +
         " - CAST(len(list_filter(string_split(text,' '), t -> t IN ('the','a'))) AS DOUBLE) / len(string_split(text,' ')) AS quality " +
         "FROM documents ORDER BY doc_id") { (s, dir) =>
-      val stopHits = size(filter(toks, t => t.isin("the", "a")))
-      val nDistinct = size(array_distinct(toks))
-      Tables.load(s, dir, "documents")
-        .select(col("doc_id"),
-          size(toks).as("n_tokens"),
-          stopHits.as("stop_hits"),
-          nDistinct.as("n_distinct"),
-          (nDistinct.cast("double") / size(toks) -
-            stopHits.cast("double") / size(toks)).as("quality"))
-        .orderBy("doc_id")
+      qualityScore(Tables.load(s, dir, "documents")).orderBy("doc_id")
     },
 
     // Stopword-density language heuristic: the synthetic corpus shares one
