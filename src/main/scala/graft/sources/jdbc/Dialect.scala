@@ -104,6 +104,11 @@ trait Dialect extends Serializable {
     */
   def repairSql(sql: String): String = sql
 
+  /** String concatenation: ANSI `||` chain by default; MySQL overrides
+    * (its `||` is logical OR unless PIPES_AS_CONCAT is set).
+    */
+  def concatSql(parts: Seq[String]): String = parts.mkString("(", " || ", ")")
+
   /** Whether FULL OUTER JOIN may be rendered for this dialect. */
   def supportsFullOuterJoin: Boolean = true
 }
@@ -219,6 +224,8 @@ object MySqlDialect extends Dialect {
   }
   override def analyzeStatement(ns: String, table: String): Option[String] =
     Some(s"ANALYZE TABLE ${quoted(Seq(ns, table))}")
+  override def concatSql(parts: Seq[String]): String =
+    parts.mkString("CONCAT(", ", ", ")")
   private val NullsOrder = """(?i)\s+NULLS\s+(FIRST|LAST)""".r
   /** MySQL windows reject NULLS FIRST/LAST — strip them, like the
     * reference's mysql_window.rs AST visitor.

@@ -79,6 +79,19 @@ final class Unparser(dialect: Dialect) extends Serializable {
     case "COALESCE" => kids(g).map(xs => s"COALESCE(${xs.mkString(", ")})")
     case "UPPER" => kids(g).collect { case Seq(a) => s"UPPER($a)" }
     case "LOWER" => kids(g).collect { case Seq(a) => s"LOWER($a)" }
+    // one-arg math/string functions spelled identically in every target
+    // dialect (Derby is the least common denominator: no ROUND/POWER)
+    case "SQRT" | "EXP" | "LN" | "FLOOR" | "LTRIM" | "RTRIM" =>
+      kids(g).collect { case Seq(a) => s"${g.name}($a)" }
+    case "CEIL" => kids(g).collect { case Seq(a) => s"CEILING($a)" }
+    case "TRIM" => kids(g).collect { case Seq(a) => s"TRIM($a)" }
+    // SUBSTR(s, pos[, len]) is the portable spelling (ANSI SUBSTRING's
+    // FROM/FOR form is not accepted by every target)
+    case "SUBSTRING" => kids(g).collect {
+      case Seq(s, p) => s"SUBSTR($s, $p)"
+      case Seq(s, p, l) => s"SUBSTR($s, $p, $l)"
+    }
+    case "CONCAT" => kids(g).filter(_.lengthIs >= 2).map(dialect.concatSql)
     case "CASE_WHEN" => kids(g).map { xs =>
       val (branches, tail) = (xs.dropRight(xs.length % 2), xs.takeRight(xs.length % 2))
       val whens = branches.grouped(2)

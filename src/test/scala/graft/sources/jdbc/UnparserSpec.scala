@@ -1,6 +1,6 @@
 package graft.sources.jdbc
 
-import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection}
+import org.apache.spark.sql.connector.expressions.{Expression, Expressions, GeneralScalarExpression, NullOrdering, SortDirection}
 import org.apache.spark.sql.connector.expressions.filter.{And, Or, Predicate}
 import org.apache.spark.sql.graftx.TestExprs
 import org.apache.spark.sql.types._
@@ -82,12 +82,29 @@ class UnparserSpec extends AnyFunSuite {
   }
 
   test("untranslatable expressions are rejected, not mangled") {
-    assert(u.expr(new Predicate("SQRT", Array(col("a")))).isEmpty)
+    assert(u.expr(new Predicate("WIDTH_BUCKET", Array(col("a")))).isEmpty)
     // subexpression failure poisons the whole predicate
     val mixed = new And(
       new Predicate(">", Array(col("a"), i32(1))),
-      new Predicate("SQRT", Array(col("b"))))
+      new Predicate("WIDTH_BUCKET", Array(col("b"))))
     assert(u.expr(mixed).isEmpty)
+  }
+
+  test("portable scalar functions render; CONCAT is dialect-routed") {
+    def fn(name: String, args: Expression*): Expression =
+      new GeneralScalarExpression(name, args.toArray)
+    assert(u.expr(new Predicate(">", Array(fn("SQRT", col("a")), i32(2))))
+      .contains("(SQRT(\"a\") > 2)"))
+    assert(u.expr(fn("CEIL", col("a"))).contains("CEILING(\"a\")"))
+    assert(u.expr(fn("FLOOR", col("a"))).contains("FLOOR(\"a\")"))
+    assert(u.expr(fn("TRIM", col("s"))).contains("TRIM(\"s\")"))
+    assert(u.expr(fn("SUBSTRING", col("s"), i32(2), i32(3)))
+      .contains("SUBSTR(\"s\", 2, 3)"))
+    assert(u.expr(fn("CONCAT", col("s"), col("t")))
+      .contains("(\"s\" || \"t\")"))
+    val my = new Unparser(MySqlDialect)
+    assert(my.expr(fn("CONCAT", col("s"), col("t")))
+      .contains("CONCAT(`s`, `t`)"))
   }
 
   test("dialect quoting differs per dialect") {
