@@ -70,6 +70,22 @@ object TextAnalysis {
         when(stopHits * densityDen > size(toks), "en").otherwise("unk").as("lang_pred"))
   }
 
+  /** BPE-ish subword proxy pattern: letter runs, single digits, single
+    * punctuation — the GPT-2 pre-tokenizer's shape without lookarounds,
+    * so Java regex and RE2 (DuckDB) agree on every match.
+    */
+  val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+  /** Whitespace and BPE-ish token counts per document — the cost model
+    * columns a training-data pipeline budgets by.
+    */
+  def tokenCounts(df: org.apache.spark.sql.DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.DataFrame =
+    corpus(df, idCol, textCol)
+      .select(col("doc_id"),
+        size(toks).as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).as("n_bpe_tokens"))
+
   /** Content fingerprints: the cross-engine 60-bit md5 hash plus the
     * native codegen rolling hash ([[graft.functions.RollingHash]]).
     */
@@ -120,6 +136,13 @@ object TextAnalysis {
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), h60(col("text")).as("fp"))
         .orderBy("doc_id")
+    },
+
+    Q("q35_bpe_tokens",
+      "SELECT doc_id, len(string_split(text,' ')) AS n_ws_tokens, " +
+        s"len(regexp_extract_all(text, '$BpePattern')) AS n_bpe_tokens " +
+        "FROM documents ORDER BY doc_id") { (s, dir) =>
+      tokenCounts(Tables.load(s, dir, "documents")).orderBy("doc_id")
     },
 
     // Native Catalyst expression with codegen (graft.functions.RollingHash).
