@@ -66,6 +66,37 @@ object Multimodal {
       })
   }
 
+  /** Strided-byte "resize" stub: where a real image library would
+    * bilinear-resample, this selects every k-th payload byte down to
+    * ≤ `targetBytes` — deterministic, so the whole plumbing (per-row
+    * batch shape, output schema, downstream hashing) is oracle-checked.
+    * Output: (doc_id, out_bytes, resized_md5).
+    */
+  def resizeStub(blobs: DataFrame, targetBytes: Int = 64): DataFrame =
+    blobs.select(col("doc_id"), hex(col("blob")).as("h"))
+      .withColumn("n", (length(col("h")) / 2).cast("int"))
+      .withColumn("k", greatest(lit(1), (col("n") / targetBytes).cast("int")))
+      .select(col("doc_id"),
+        size(expr("sequence(1, n, k)")).as("out_bytes"),
+        md5(expr("array_join(transform(sequence(1, n, k), i -> substr(h, 2*i-1, 2)), '')"))
+          .as("resized_md5"))
+
+  /** Frame sampler stub: treats the payload as contiguous
+    * `frameBytes`-byte frames and emits every `every`-th frame's index
+    * and content hash — the video-keyframe-sampling shape (one row per
+    * sampled frame, exploded in place, never via the driver).
+    */
+  def frameSample(blobs: DataFrame, frameBytes: Int = 16, every: Int = 4): DataFrame =
+    blobs.select(col("doc_id"), hex(col("blob")).as("h"))
+      .withColumn("nf", (length(col("h")) / (2 * frameBytes)).cast("int"))
+      .filter(col("nf") >= 1)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(0, nf - 1, $every)")).as("frame_idx"),
+        col("h"))
+      .select(col("doc_id"), col("frame_idx"),
+        md5(expr(s"substr(h, ${2 * frameBytes} * frame_idx + 1, ${2 * frameBytes})"))
+          .as("frame_md5"))
+
   def queries: Seq[Q] = Seq(
 
     // Byte-level operators over the binary column, oracle-checked:
@@ -115,6 +146,35 @@ object Multimodal {
         "FOR i IN generate_series(1, octet_length(p))], 'sum')::DOUBLE / octet_length(p) " +
         "END AS brightness FROM m ORDER BY doc_id") { (s, dir) =>
       extractFeatures(mediaBlobs(s, dir)).toDF().orderBy("doc_id")
+    },
+
+    // Strided-byte resize stub: every k-th payload byte, k sized so the
+    // output is <= 64 bytes; the selected-byte stream is re-hashed so a
+    // one-byte discrepancy anywhere fails the oracle.
+    Q("q71_multimodal_resize",
+      "WITH m AS (SELECT doc_id, " +
+        "unhex(['FFD8FF','89504E','494433'][CAST(doc_id % 3 AS INT) + 1]) || encode(text) AS blob " +
+        "FROM documents), " +
+        "hx AS (SELECT doc_id, hex(blob) AS h, CAST(octet_length(blob) AS INT) AS n FROM m), " +
+        "kk AS (SELECT doc_id, h, n, greatest(1, n // 64) AS k FROM hx) " +
+        "SELECT doc_id, len(generate_series(1, n, k)) AS out_bytes, " +
+        "md5(array_to_string([substr(h, 2*i-1, 2) FOR i IN generate_series(1, n, k)], '')) AS resized_md5 " +
+        "FROM kk ORDER BY doc_id") { (s, dir) =>
+      resizeStub(mediaBlobs(s, dir)).orderBy("doc_id")
+    },
+
+    // Frame sampling: 16-byte frames, every 4th frame hashed — one row
+    // per sampled frame, exploded inside the scan projection.
+    Q("q72_multimodal_frames",
+      "WITH m AS (SELECT doc_id, " +
+        "unhex(['FFD8FF','89504E','494433'][CAST(doc_id % 3 AS INT) + 1]) || encode(text) AS blob " +
+        "FROM documents), " +
+        "hx AS (SELECT doc_id, hex(blob) AS h, CAST(octet_length(blob) // 16 AS INT) AS nf FROM m " +
+        " WHERE octet_length(blob) >= 16) " +
+        "SELECT doc_id, unnest(generate_series(0, nf - 1, 4)) AS frame_idx, " +
+        "md5(substr(h, 32 * unnest(generate_series(0, nf - 1, 4)) + 1, 32)) AS frame_md5 " +
+        "FROM hx ORDER BY doc_id, frame_idx") { (s, dir) =>
+      frameSample(mediaBlobs(s, dir)).orderBy("doc_id", "frame_idx")
     }
   )
 }
