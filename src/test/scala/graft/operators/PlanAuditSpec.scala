@@ -62,6 +62,30 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert("Scan parquet".r.findAllIn(p).length <= 2, s"extra vector scans:\n$p")
   }
 
+  test("q42: minhash band self-join is an equi-join — no cartesian") {
+    val p = plan("q42_minhash_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"quadratic join reintroduced:\n$p")
+  }
+
+  test("q63: LSH ANN candidate generation is an equi-join — no cartesian") {
+    val p = plan("q63_ann_lsh")
+    assert(!p.contains("CartesianProduct"), s"non-broadcast cartesian:\n$p")
+  }
+
+  test("q18: as-of join is union + ONE keyed window — no join operator at all") {
+    val p = plan("q18_asof_join")
+    assert(!p.contains("Join"), s"pairwise join reintroduced:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("q43: simhash is one partial+final aggregate pair — no pre-shuffle") {
+    val p = plan("q43_simhash")
+    // exactly one aggregation (partial + final), not a (doc,token)
+    // count-aggregate feeding a second vote-aggregate
+    assert("HashAggregate".r.findAllIn(p).length == 2, s"extra aggregate stage:\n$p")
+  }
+
   test("q70: IVF cell assignment folds map-side — no N×C shuffle, centroids broadcast") {
     val p = plan("q70_ann_ivf")
     // the only nested-loop joins are against the broadcast centroid set;
