@@ -39,9 +39,12 @@ object EmbeddingLsh {
       "FROM embeddings), " +
       "n AS (SELECT vec_id, q, list_aggregate([x * x FOR x IN q], 'sum')::BIGINT AS nrm FROM q0)"
 
-  /** Exact int64 dot product of two quantized vectors (Spark side). */
-  def qdot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+  /** Exact int64 dot product of two quantized vectors (Spark side): a
+    * native codegen expression ([[graft.functions.QDot]]) — the HOF
+    * formulation (`aggregate(zip_with(...))`) interprets its lambda per
+    * element, which is the hot loop at N·Q dots.
+    */
+  def qdot(a: Column, b: Column): Column = graft.functions.QDot.qdot(a, b)
 
   /** Same dot product in DuckDB SQL over columns `$a`/`$b`. */
   def qdotSql(a: String, b: String): String =
@@ -55,22 +58,15 @@ object EmbeddingLsh {
     s"(((53*${j + 1}+97*i) * 2654435761) % 1009 - 504)"
 
   /** (vec_id, k, bv): band index + band value per vector, Spark side.
-    * Input must expose `vec_id` and quantized `q`.
+    * Input must expose `vec_id` and quantized `q`. All 48 hyperplane
+    * signatures compute in ONE native codegen pass
+    * ([[graft.functions.SignBands]]); the DuckDB oracle keeps the
+    * per-bit SQL formulation — identical integers.
     */
-  def bands(n: DataFrame): DataFrame = {
-    val nh = NumBands * BandBits
-    val withBits = (0 until nh).foldLeft(n.select(col("vec_id"), col("q"))) { (df, j) =>
-      df.withColumn(s"bit$j", expr(
-        s"CASE WHEN aggregate(sequence(0, 63), cast(0 AS bigint), " +
-          s"(acc, i) -> acc + element_at(q, cast(i+1 AS int)) * ${hcomp(j)}) >= 0 " +
-          s"THEN cast(1 AS bigint) ELSE cast(0 AS bigint) END"))
-    }
-    val bandCols = (0 until NumBands).map { k =>
-      (0 until BandBits).map(r => col(s"bit${BandBits * k + r}") * (1L << r))
-        .reduce(_ + _)
-    }
-    withBits.select(col("vec_id"), posexplode(array(bandCols: _*)).as(Seq("k", "bv")))
-  }
+  def bands(n: DataFrame): DataFrame =
+    n.select(col("vec_id"), posexplode(
+      graft.functions.SignBands.sign_bands(col("q"), NumBands, BandBits))
+      .as(Seq("k", "bv")))
 
   /** DuckDB CTE fragments `bits`, `bd`, `bands` over CTE `n`. */
   def bandsSql: String = {
