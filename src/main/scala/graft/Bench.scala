@@ -28,6 +28,12 @@ object Bench {
     // 128 MB split would serialize every lineitem stage onto one task).
     // At cluster scale files exceed the split size and this is inert.
     val maxPart = sys.env.getOrElse("SPARK_GRAFT_MAXPART", (1 << 20).toString)
+    // Comma-separated substrings: run only matching queries (iteration aid).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
+    def selected = {
+      val all = SparkEntry.queries.toSeq.sortBy(_._1)
+      only.fold(all)(pats => all.filter { case (n, _) => pats.exists(n.contains) })
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -52,12 +58,17 @@ object Bench {
     // the numbers then reflect the engine, not first-touch effects
     // (this host also shows intermittent first-materialization stalls
     // that would otherwise land inside one arbitrary timed query).
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+    selected.foreach { case (_, fn) =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () } // the timed pass reports failures
+      // Drop this query's persisted intermediates: 53 queries × persist()
+      // would otherwise accumulate in storage memory and the tail of the
+      // run measures eviction thrash instead of the plans (observed as
+      // 30 s medians on queries that run in 0.7 s standalone).
+      spark.sharedState.cacheManager.clearCache()
     }
     var failed = List.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -70,6 +81,7 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }.sorted
+      spark.sharedState.cacheManager.clearCache()
       (name, times(times.length / 2), times.head, times.last)
     }
     def obj(f: ((String, Double, Double, Double)) => Double): String =
