@@ -1,5 +1,7 @@
 package graft
 
+import java.util.Locale
+
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every registered query on SPARK_GRAFT_SF_DIR and
@@ -15,8 +17,20 @@ import org.apache.spark.sql.SparkSession
   * unrelated to the plans (BASELINE.md records 410.8 s vs 56.3 s
   * back-to-back on identical code), so each query is timed
   * SPARK_GRAFT_REPS times (default 3) and the REPORTED number is the
-  * per-query MEDIAN; min/max land in `"queries_min"`/`"queries_max"` so
-  * a stall is visible but never pollutes the headline metric.
+  * per-query MEDIAN. Queries whose worst rep exceeded 2× the median land
+  * in `"stalls"` (worst-rep seconds) so a stall is visible but never
+  * pollutes the headline metric.
+  *
+  * Reps are COLD with respect to caching: the cache is cleared before
+  * each rep's timer starts, so persist()-using queries (the LSH dedup /
+  * ANN paths) pay their materialization cost in every rep, and the median
+  * is a cold-run median, not a warm-cache one.
+  *
+  * Output-size note: the stdout JSON is deliberately compact (3-decimal
+  * values, stall map only for outliers) because the harness that collects
+  * it keeps only the tail of the process output — a full-precision dump of
+  * every rep would truncate the line and break parsing. The full per-rep
+  * detail goes to stderr for human diagnosis.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -28,11 +42,16 @@ object Bench {
     // 128 MB split would serialize every lineitem stage onto one task).
     // At cluster scale files exceed the split size and this is inert.
     val maxPart = sys.env.getOrElse("SPARK_GRAFT_MAXPART", (1 << 20).toString)
-    // Comma-separated substrings: run only matching queries (iteration aid).
+    // Comma-separated names: run only the named queries (iteration aid).
+    // A pattern matches a query iff it equals the full name or the name's
+    // leading "qNN" id (so "q42" selects q42_minhash_lsh and nothing else;
+    // substring matching would make "q1" select q10..q19 too).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
     def selected = {
       val all = SparkEntry.queries.toSeq.sortBy(_._1)
-      only.fold(all)(pats => all.filter { case (n, _) => pats.exists(n.contains) })
+      only.fold(all)(pats => all.filter { case (n, _) =>
+        pats.exists(p => p == n || p == n.takeWhile(_ != '_'))
+      })
     }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -61,15 +80,17 @@ object Bench {
     selected.foreach { case (_, fn) =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () } // the timed pass reports failures
-      // Drop this query's persisted intermediates: 53 queries × persist()
-      // would otherwise accumulate in storage memory and the tail of the
-      // run measures eviction thrash instead of the plans (observed as
-      // 30 s medians on queries that run in 0.7 s standalone).
-      spark.sharedState.cacheManager.clearCache()
+      graft.operators.GraftCache.releaseAll()
+      spark.catalog.clearCache()
     }
     var failed = List.empty[String]
     val results = selected.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
+        // Cold rep: drop any persisted intermediates BEFORE the timer so
+        // every rep pays full materialization (and so 53 queries × persist()
+        // never accumulate into storage-memory eviction thrash).
+        graft.operators.GraftCache.releaseAll()
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
@@ -80,16 +101,25 @@ object Bench {
           }
         }
         (System.nanoTime() - t0) / 1e9
-      }.sorted
-      spark.sharedState.cacheManager.clearCache()
-      (name, times(times.length / 2), times.head, times.last)
+      }
+      System.err.println(s"[bench] $name reps=" +
+        times.map(t => f"$t%.3f").mkString(","))
+      val sortedT = times.sorted
+      (name, sortedT(sortedT.length / 2), sortedT.head, sortedT.last)
     }
-    def obj(f: ((String, Double, Double, Double)) => Double): String =
-      results.map(r => s"\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
+    def f3(v: Double): String = "%.3f".formatLocal(Locale.ROOT, v)
+    val medians = results
+      .map(r => "\"" + r._1 + "\":" + f3(r._2)).mkString("{", ",", "}")
+    // Only worst-reps that look like stalls (>2× the median and >2 s over
+    // it) are reported — keeps the line compact for the collecting harness.
+    val stalls = results
+      .filter(r => r._4 > 2 * r._2 && r._4 - r._2 > 2.0)
+      .map(r => "\"" + r._1 + "\":" + f3(r._4)).mkString("{", ",", "}")
     val fails = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val onlyJson = only.fold("null")(_.map("\"" + _ + "\"").mkString("[", ",", "]"))
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,""" +
-      s""""queries":${obj(_._2)},"queries_min":${obj(_._3)},"queries_max":${obj(_._4)},""" +
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,""" +
+      s""""only":$onlyJson,"queries":$medians,"stalls":$stalls,""" +
       s""""failed":$fails,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

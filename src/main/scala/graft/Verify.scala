@@ -55,6 +55,9 @@ object Verify {
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Drop intermediates the operators persisted for this query — 54
+      // queries' caches would otherwise accumulate across the run.
+      graft.operators.GraftCache.releaseAll()
     }
     spark.stop()
   }

@@ -4,7 +4,6 @@ import graft.{Q, Tables}
 import graft.functions.{CrossHash, MinHashCoefficients => MC}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for a training-data pipeline over `documents`:
   * exact (hash-groupBy), n-gram Jaccard, MinHash + banded LSH, SimHash
@@ -112,8 +111,9 @@ object Dedup {
       jacNum: Int = 1, jacDen: Int = 5): DataFrame = {
     val sh = shinglesOf(corpus(df, idCol, textCol))
     val hot = sh.groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") > dfCap).select("h")
-    // computed once, read three times (sz + both self-join sides)
-    val shf = sh.join(hot, Seq("h"), "left_anti").persist(StorageLevel.MEMORY_AND_DISK)
+    // computed once, read three times (sz + both self-join sides);
+    // persisted via GraftCache so a long-lived session can releaseAll()
+    val shf = GraftCache.track(sh.join(hot, Seq("h"), "left_anti"))
     val sz = shf.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = shf.as("x")
       .join(shf.as("y"), col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
@@ -140,9 +140,8 @@ object Dedup {
     val bandCols = (0 until MC.NumHashes / MC.BandRows).map { k =>
       concat_ws(",", (0 until MC.BandRows).map(r => col(s"m${MC.BandRows * k + r}")): _*)
     }
-    val sigAll = mh
-      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sigAll = GraftCache.track(mh
+      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "sig"))))
     val sig = capBuckets(sigAll, bucketCap, "band", "sig")
     sig.as("x")
       .join(sig.as("y"),
@@ -185,10 +184,9 @@ object Dedup {
       textCol: String = "text", maxHamming: Int = 8,
       bucketCap: Int = BucketCap): DataFrame = {
     val sh = simhashOf(df, idCol, textCol)
-    val chAll = sh.select(col("doc_id"), col("simhash"),
+    val chAll = GraftCache.track(sh.select(col("doc_id"), col("simhash"),
         explode(expr("sequence(0, 3)")).as("k"))
-      .withColumn("cv", expr("shiftright(simhash, 15 * k) % 32768"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .withColumn("cv", expr("shiftright(simhash, 15 * k) % 32768")))
     val ch = capBuckets(chAll, bucketCap, "k", "cv")
     ch.as("x")
       .join(ch.as("y"),
@@ -209,8 +207,8 @@ object Dedup {
     */
   def embeddingNearDupPairs(n0: DataFrame, cosNum: Int = 2, cosDen: Int = 5,
       bucketCap: Int = BucketCap): DataFrame = {
-    val n = n0.persist(StorageLevel.MEMORY_AND_DISK)
-    val bandsAll = EmbeddingLsh.bands(n).persist(StorageLevel.MEMORY_AND_DISK)
+    val n = GraftCache.track(n0)
+    val bandsAll = GraftCache.track(EmbeddingLsh.bands(n))
     val bands = capBuckets(bandsAll, bucketCap, "k", "bv")
     val cand = bands.as("x")
       .join(bands.as("y"),

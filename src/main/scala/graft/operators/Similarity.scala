@@ -4,7 +4,6 @@ import graft.Q
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Approximate-nearest-neighbor similarity search over an embedding
   * column — the first-class search operator the near-dup join (q45) is
@@ -88,12 +87,12 @@ object Similarity {
     */
   def annLsh(n0: DataFrame, isQuery: Column, k: Int = TopK,
       bucketCap: Int = Dedup.BucketCap): DataFrame = {
-    val n = n0.persist(StorageLevel.MEMORY_AND_DISK)
+    val n = GraftCache.track(n0)
     // persisted: the 48-hyperplane signature pass runs once, not once
     // per self-join side; oversized buckets dropped (Dedup.BucketCap)
     // so a degenerate band value cannot emit O(B²) candidates
     val bds = Dedup.capBuckets(
-      bands(n).persist(StorageLevel.MEMORY_AND_DISK), bucketCap, "k", "bv")
+      GraftCache.track(bands(n)), bucketCap, "k", "bv")
     val qb = bds.filter(isQuery)
       .select(col("vec_id").as("qid"), col("k"), col("bv"))
     val cand = qb.join(bds.as("vb"),
@@ -116,7 +115,7 @@ object Similarity {
     */
   def annIvf(n0: DataFrame, isQuery: Column, isCentroid: Column,
       nprobe: Int = NProbe, k: Int = TopK): DataFrame = {
-    val n = n0.persist(StorageLevel.MEMORY_AND_DISK)
+    val n = GraftCache.track(n0)
     val cents = n.filter(isCentroid)
       .select(col("vec_id").as("cid"), col("q").as("cq"), col("nrm").as("cn"))
     // Cell assignment: centroids broadcast, argmax folds map-side via
