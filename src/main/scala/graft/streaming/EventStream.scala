@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
 /** Structured Streaming extension (SURVEY §2.7: the reference is
   * batch-only — every exec declares `Boundedness::Bounded` — so this is
@@ -71,6 +71,30 @@ object EventStream {
   /** A closed session as emitted downstream. */
   case class Session(event_type: String, session_start: Long,
       session_end: Long, n_events: Long)
+
+  /** Stream → remote-store sink: append each micro-batch to a catalog
+    * table (`cat.ns.t` — e.g. a [[graft.sources.jdbc.GraftCatalog]]
+    * JDBC table) through the engine's DSv2 write path, closing the
+    * source → transform → sink loop SURVEY §2.7 sketches.
+    *
+    * Each micro-batch lands as one transactional append per partition
+    * (the same staged, retry-classified path batch writes use), and the
+    * checkpoint makes the stream resumable. Delivery is at-least-once
+    * across batch RETRIES (a batch replayed after a sink-side commit
+    * re-appends); for exactly-once effect on stores with a key, create
+    * the table with `upsertmode` + `key` options so the replayed rows
+    * overwrite themselves idempotently.
+    */
+  def sinkTo(df: DataFrame, table: String, checkpointDir: String,
+      queryName: String = "graft_sink"): StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Append)
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.writeTo(table).append()
+      }
+      .start()
 
   def sessionize(events: DataFrame, gapMinutes: Int = 30,
       lateness: String = "10 minutes"): Dataset[Session] = {

@@ -116,4 +116,34 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
         s"timeout did not close the idle session: ${s2.mkString(",")}")
     } finally q.stop()
   }
+
+  test("sinkTo appends finalized windows to a JDBC catalog table") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ext.strm")
+    spark.sql("DROP TABLE IF EXISTS ext.strm.hourly")
+    spark.sql("CREATE TABLE ext.strm.hourly " +
+      "(hour_ts TIMESTAMP, event_type STRING, n BIGINT, total_value DOUBLE)")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sink_ckpt").toString
+
+    val input = MemoryStream[(Timestamp, String, Double)](spark)
+    val agg = EventStream.hourlyAggregate(
+      input.toDF().toDF("ts", "event_type", "value"), lateness = "5 minutes")
+    val q = EventStream.sinkTo(agg, "ext.strm.hourly", ckpt)
+    try {
+      input.addData(
+        (ts("2024-01-01 10:05:00"), "click", 1.5),
+        (ts("2024-01-01 10:40:00"), "click", 2.5))
+      q.processAllAvailable()
+      // window not finalized → nothing reaches the remote store yet
+      assert(spark.table("ext.strm.hourly").count() == 0)
+
+      // watermark passes 11:05 → hour-10 window lands in Derby
+      input.addData((ts("2024-01-01 11:20:00"), "view", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("ext.strm.hourly").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(rows.toSet == Set(("2024-01-01 10:00:00.0", "click", 2L, 4.0)),
+        s"unexpected sink contents: ${rows.mkString(",")}")
+    } finally q.stop()
+  }
 }
