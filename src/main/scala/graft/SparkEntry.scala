@@ -12,6 +12,7 @@ object SparkEntry {
     operators.Relational.queries ++
       operators.AsOfJoin.queries ++
       operators.TextAnalysis.queries ++
+      operators.Curation.queries ++
       operators.Dedup.queries ++
       operators.Connector.queries ++
       operators.DocumentOps.queries ++

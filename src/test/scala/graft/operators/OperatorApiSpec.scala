@@ -75,4 +75,20 @@ class OperatorApiSpec extends AnyFunSuite with SparkFixture {
     val fp = TextAnalysis.fingerprints(docs, "id", "body").collect()
     assert(fp.map(_.getLong(1)).distinct.length == 3) // dup texts share fp
   }
+
+  test("curate dedups, gates on quality+language, budgets tokens") {
+    import spark.implicits._
+    val out = Curation.curate(docs, idCol = "id", textCol = "body")
+      .select("doc_id", "n_tokens", "n_bpe_tokens")
+      .as[(Long, Int, Int)].collect().sortBy(_._1)
+    // doc 11 (exact dup of 10) is gone; the fox docs pass the 'en'
+    // density gate ("the" twice in 9 tokens); doc 13 has zero stopwords
+    // and fails the language gate
+    assert(out.map(_._1).toSeq == Seq(10L, 12L), out.mkString(","))
+    assert(out.forall(r => r._2 == 9 && r._3 == 9))
+    // tightening the quality threshold to require ALL-distinct non-stop
+    // tokens drops the fox docs too ("the" repeats: nd-sh=7 < 9)
+    val strict = Curation.curate(docs, "id", "body", qualityNum = 1, qualityDen = 1)
+    assert(strict.count() == 0)
+  }
 }

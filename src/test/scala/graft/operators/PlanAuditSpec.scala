@@ -100,4 +100,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     val p = SparkEntry.entry(spark).queryExecution.executedPlan.toString
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
   }
+
+  test("q73: curation is one scan + one dedup shuffle + narrow gates") {
+    val p = plan("q73_curate")
+    // exactly the dedup groupBy's hash exchange and the presentation
+    // sort's range exchange — a second hash shuffle means a gate or
+    // projection started shuffling
+    assert("hashpartitioning".r.findAllIn(p).length <= 1,
+      s"curation gained a second hash shuffle:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"dedup aggregate lost its map-side partial:\n$p")
+  }
 }
