@@ -160,7 +160,13 @@ object Multimodal {
         "SELECT doc_id, len(generate_series(1, n, k)) AS out_bytes, " +
         "md5(array_to_string([substr(h, 2*i-1, 2) FOR i IN generate_series(1, n, k)], '')) AS resized_md5 " +
         "FROM kk ORDER BY doc_id") { (s, dir) =>
-      resizeStub(mediaBlobs(s, dir)).orderBy("doc_id")
+      // Sort BEFORE the strided-byte projection: the higher-order-
+      // function expression is interpreted (not codegen'd), and a
+      // trailing range sort would execute it twice (sample pass +
+      // final). Sorting the cheap (doc_id, blob) rows first runs the
+      // expensive projection once, after the exchange; narrow ops
+      // preserve the range order.
+      resizeStub(mediaBlobs(s, dir).orderBy("doc_id"))
     },
 
     // Frame sampling: 16-byte frames, every 4th frame hashed — one row
