@@ -13,6 +13,7 @@ object SparkEntry {
       operators.AsOfJoin.queries ++
       operators.TextAnalysis.queries ++
       operators.Curation.queries ++
+      operators.Cluster.queries ++
       operators.Dedup.queries ++
       operators.Connector.queries ++
       operators.DocumentOps.queries ++

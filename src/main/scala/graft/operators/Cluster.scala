@@ -1,0 +1,119 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster resolution: turn pair lists (the output of the LSH
+  * dedup operators, q41-q45) into per-document canonical assignments —
+  * the step a training-data pipeline actually needs, since "keep one
+  * representative per near-duplicate CLUSTER" requires the transitive
+  * closure of the pairwise relation, not the pairs themselves.
+  *
+  * Scale design (100 TB): connected components run as iterative
+  * min-label propagation over the PAIR GRAPH, which is orders of
+  * magnitude smaller than the corpus (only documents that appear in
+  * some near-dup pair participate; everything else never leaves the
+  * one-pass representative mapping). Each round is one equi-join plus
+  * one map-side-combinable min-aggregation — no windows, nothing
+  * driver-side except the O(1) convergence probe. Convergence takes
+  * O(diameter) rounds; near-dup graphs are unions of quasi-cliques
+  * (every member pairs with most others), so the observed diameter is
+  * 2-4. For adversarial long-chain graphs the star-contraction
+  * alternative (Kiveris et al., "Connected Components in MapReduce and
+  * Beyond", SoCC'14) converges in O(log n) rounds at the cost of two
+  * joins per round; `maxIters` makes the trade explicit by failing loudly
+  * instead of looping unboundedly.
+  */
+object Cluster {
+
+  /** Connected components of the undirected graph given as (d1, d2)
+    * pairs: returns (v, cluster) where cluster is the minimum vertex id
+    * reachable from v. Pure DataFrame iteration.
+    *
+    * Every superstep ends in an EAGER `localCheckpoint`: without the
+    * lineage cut, round k's logical plan embeds round k−1's twice
+    * (union + convergence probe), so the tree doubles per round and
+    * ~20 rounds exhaust the DRIVER heap during analysis — the classic
+    * iterative-DataFrame failure. The checkpoint keeps each round's
+    * plan O(1) deep; on a real cluster one would use reliable
+    * `checkpoint()` (localCheckpoint trades executor-loss recovery for
+    * speed — the right trade in a single-JVM harness, and the label
+    * frame is tiny relative to the corpus either way).
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 100): DataFrame = {
+    val edges = GraftCache.track(
+      pairs.select(col("d1").as("src"), col("d2").as("dst"))
+        .union(pairs.select(col("d2").as("src"), col("d1").as("dst"))))
+    var labels = edges.select(col("src").as("v")).distinct()
+      .withColumn("lbl", col("v")).localCheckpoint(true)
+    var it = 0
+    var done = false
+    val t00 = System.nanoTime()
+    while (!done) {
+      it += 1
+      val t0 = System.nanoTime()
+      require(it <= maxIters,
+        s"connectedComponents: no convergence after $maxIters rounds " +
+          "(graph diameter exceeds the bound; raise maxIters or contract stars)")
+      // One shuffle per round: each vertex takes the min over its own
+      // label and its neighbors'. The `own` column (null on messages,
+      // the old label on the vertex's own row) rides the SAME
+      // aggregation as max(), so the convergence probe is a filter over
+      // the checkpointed rows — no extra join per round. (Pointer-
+      // halving via a label self-join was measured here and REJECTED:
+      // it did not reduce rounds on near-dup graphs — the min label
+      // concentrates quickly, so label-of-label jumps add a join per
+      // round without shortening the tail.)
+      val msgs = edges.join(labels, col("src") === col("v"))
+        .select(col("dst").as("v"), col("lbl"),
+          lit(null).cast("long").as("own"))
+      val next = labels.withColumn("own", col("lbl")).union(msgs)
+        .groupBy("v").agg(min("lbl").as("lbl"), max("own").as("prev"))
+        .localCheckpoint(true)
+      done = next.filter(col("lbl") < col("prev")).isEmpty
+      labels = next.select(col("v"), col("lbl"))
+      System.err.println(f"[cc] round $it done=$done " +
+        f"(${(System.nanoTime() - t0) / 1e9}%.2fs, total ${(System.nanoTime() - t00) / 1e9}%.2fs)")
+    }
+    labels.select(col("v"), col("lbl").as("cluster"))
+  }
+
+  /** Map every document of an (id, text) frame to its canonical id: the
+    * minimum doc_id over the union of its exact-duplicate group and the
+    * connected component of [[Dedup.minhashLshPairs]] its representative
+    * belongs to. Documents in no near-dup pair map to their
+    * exact-duplicate survivor (themselves when unique).
+    */
+  def resolveDuplicates(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val rep = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .select(col("doc_id"),
+        min("doc_id").over(Window.partitionBy("text")).as("rep"))
+    val cc = connectedComponents(Dedup.minhashLshPairs(df, idCol, textCol))
+    rep.join(cc, rep("rep") === cc("v"), "left")
+      .select(col("doc_id"), coalesce(col("cluster"), col("rep")).as("canonical"))
+  }
+
+  def queries: Seq[Q] = Seq(
+    // Every document mapped to the min-id canonical of its duplicate
+    // cluster (exact dups + transitive MinHash-LSH near-dups). The
+    // oracle computes the same closure with a recursive CTE over the
+    // identical pair set (the factored q42 CTE chain).
+    Q("q74_dup_clusters",
+      "WITH RECURSIVE " + Dedup.minhashPairsCtes + ", " +
+        "e AS (SELECT d1, d2 FROM pairs UNION SELECT d2, d1 FROM pairs), " +
+        "r AS (SELECT d1 AS v, d2 AS u FROM e " +
+        " UNION SELECT r.v, e.d2 FROM r JOIN e ON r.u = e.d1), " +
+        "lab AS (SELECT v, LEAST(v, MIN(u)) AS cluster FROM r GROUP BY v), " +
+        "rm AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep FROM documents) " +
+        "SELECT rm.doc_id AS doc_id, COALESCE(lab.cluster, rm.rep) AS canonical " +
+        "FROM rm LEFT JOIN lab ON rm.rep = lab.v ORDER BY doc_id") { (s, dir) =>
+      // persisted before the presentation sort: the range partitioner's
+      // sample pass would otherwise execute the rep-window + join twice
+      GraftCache.track(resolveDuplicates(Tables.load(s, dir, "documents")))
+        .orderBy("doc_id")
+    }
+  )
+}

@@ -52,6 +52,52 @@ object Curation {
         h60(col("text")).as("fp"))
   }
 
+  /** (doc_id, h) for every word n-gram occurrence of an (id, text)
+    * frame — 60-bit cross-engine hashes, NOT de-duplicated per document
+    * (callers that need set semantics de-duplicate after filtering, so
+    * the full corpus never pays a shuffle for it).
+    */
+  def ngramHashes(df: DataFrame, n: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val elems = (0 until n).map(j => s"element_at(a, i + $j)").mkString(", ")
+    df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("a"))
+      .filter(size(col("a")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(a) - ${n - 1}), i -> concat_ws(' ', $elems))"))
+        .as("g"))
+      .select(col("doc_id"), h60(col("g")).as("h"))
+  }
+
+  /** Benchmark decontamination: training documents sharing at least one
+    * word n-gram with the benchmark set, with the count of distinct
+    * contaminated n-grams per document.
+    *
+    * Scale shape: the benchmark n-gram set is tiny relative to the
+    * corpus (eval suites are KBs–MBs; the corpus is TBs), so it is
+    * de-duplicated and BROADCAST — the corpus side streams through a
+    * broadcast hash join with no shuffle, and only the matching
+    * (contaminated) n-grams reach the per-document count-distinct
+    * aggregation.
+    */
+  def decontaminate(train: DataFrame, bench: DataFrame, n: Int = 4,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val benchH = ngramHashes(bench, n, idCol, textCol).select("h").distinct()
+    ngramHashes(train, n, idCol, textCol)
+      .join(broadcast(benchH), Seq("h"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("h")).as("n_hits"))
+  }
+
+  /** Deterministic train/val assignment: content-hash mod `den`, val
+    * when the residue is ≥ `den - valBuckets`. Pure per-row projection —
+    * reproducible across runs, engines and partitionings, and stable
+    * under corpus growth (a document's split never changes).
+    */
+  def hashSplit(df: DataFrame, textCol: String = "text",
+      den: Int = 10, valBuckets: Int = 1): DataFrame =
+    df.withColumn("split",
+      when(h60(col(textCol)) % den < den - valBuckets, "train").otherwise("val"))
+
   def queries: Seq[Q] = Seq(
     // Full curation pass over `documents`: dedup + quality ≥ 1/2 +
     // 'en' density gate, token budgets and fingerprint per survivor.
@@ -65,6 +111,40 @@ object Curation {
         h60Sql("text") + " AS fp " +
         "FROM m WHERE (nd - sh) * 2 >= n AND sh * 20 > n ORDER BY doc_id") { (s, dir) =>
       curate(Tables.load(s, dir, "documents")).orderBy("doc_id")
+    },
+
+    // Benchmark decontamination: bench = every 20th doc_id, train = the
+    // rest; training docs sharing any word 4-gram with the bench set,
+    // with distinct-contaminated-gram counts. Both engines join on the
+    // same 60-bit gram hash.
+    Q("q75_decontaminate",
+      "WITH t AS (SELECT doc_id, string_split(text,' ') AS a FROM documents), " +
+        "g AS (SELECT doc_id, unnest([('0x'||substr(md5(" +
+        "list_aggregate(a[i:i+3], 'string_agg', ' ')),1,15))::BIGINT " +
+        "FOR i IN generate_series(1, len(a)-3)]) AS h FROM t WHERE len(a) >= 4), " +
+        "bench AS (SELECT DISTINCT h FROM g WHERE doc_id % 20 = 0) " +
+        "SELECT g.doc_id AS doc_id, count(DISTINCT g.h) AS n_hits " +
+        "FROM g JOIN bench USING (h) WHERE g.doc_id % 20 <> 0 " +
+        "GROUP BY 1 ORDER BY doc_id") { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      decontaminate(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0)).orderBy("doc_id")
+    },
+
+    // Deterministic stratified split accounting: per (source, split)
+    // document and whitespace-token totals — the budget sheet a
+    // pipeline checks before training.
+    Q("q77_hash_split",
+      "SELECT source, CASE WHEN ('0x'||substr(md5(text),1,15))::BIGINT % 10 < 9 " +
+        "THEN 'train' ELSE 'val' END AS split, count(*) AS n_docs, " +
+        "CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens " +
+        "FROM documents GROUP BY 1, 2 ORDER BY source, split") { (s, dir) =>
+      hashSplit(Tables.load(s, dir, "documents"))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).as("n_tokens"))
+        .orderBy("source", "split")
     }
   )
 }

@@ -257,6 +257,26 @@ object Dedup {
       "unnest([('0x'||substr(md5(a[i]||' '||a[i+1]),1,15))::BIGINT " +
       "FOR i IN generate_series(1, len(a)-1)]) AS h FROM t))"
 
+  /** The q42 oracle as a reusable CTE chain ending in `pairs(d1, d2)` —
+    * the distinct MinHash-LSH candidate pairs. [[Cluster]]'s q74 oracle
+    * extends it with the recursive component closure.
+    */
+  private[operators] val minhashPairsCtes: String = {
+    val mins = (0 until MC.NumHashes)
+      .map(j => s"MIN((${MC.A(j)}*hm+${MC.B(j)})%$P) AS m$j").mkString(", ")
+    val bands = (0 until MC.NumHashes / MC.BandRows).map { k =>
+      val ms = (0 until MC.BandRows).map(r => s"m${MC.BandRows * k + r}").mkString(", ")
+      s"SELECT doc_id, $k AS band, concat_ws(',', $ms) AS sig FROM mh"
+    }.mkString(" UNION ALL ")
+    shinglesSql + ", " +
+      s"hm AS (SELECT doc_id, h % $P AS hm FROM sh), " +
+      s"mh AS (SELECT doc_id, $mins FROM hm GROUP BY doc_id), " +
+      s"sig AS ($bands), " +
+      s"sigf AS ${capBucketsSql("sig", BucketCap, "doc_id, band, sig", "band", "sig")}, " +
+      "pairs AS (SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2 FROM sigf x JOIN sigf y " +
+      "ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)"
+  }
+
   // Quantized embeddings + sign-LSH primitives live in [[EmbeddingLsh]]
   // (shared with the ANN similarity-search operators, q62/q63).
   import EmbeddingLsh.{quantized, quantizedSql, qdot, qdotSql, hcomp}
@@ -288,21 +308,9 @@ object Dedup {
     // MinHash (16 permutations computed as 16 MIN aggregates in ONE
     // groupBy — no row explosion) + banded LSH (4 bands × 4 rows):
     // candidate pairs are representatives agreeing on a full band.
-    Q("q42_minhash_lsh", {
-      val mins = (0 until MC.NumHashes)
-        .map(j => s"MIN((${MC.A(j)}*hm+${MC.B(j)})%$P) AS m$j").mkString(", ")
-      val bands = (0 until MC.NumHashes / MC.BandRows).map { k =>
-        val ms = (0 until MC.BandRows).map(r => s"m${MC.BandRows * k + r}").mkString(", ")
-        s"SELECT doc_id, $k AS band, concat_ws(',', $ms) AS sig FROM mh"
-      }.mkString(" UNION ALL ")
-      "WITH " + shinglesSql + ", " +
-        s"hm AS (SELECT doc_id, h % $P AS hm FROM sh), " +
-        s"mh AS (SELECT doc_id, $mins FROM hm GROUP BY doc_id), " +
-        s"sig AS ($bands), " +
-        s"sigf AS ${capBucketsSql("sig", BucketCap, "doc_id, band, sig", "band", "sig")} " +
-        "SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2 FROM sigf x JOIN sigf y " +
-        "ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id ORDER BY d1, d2"
-    }) { (s, dir) =>
+    Q("q42_minhash_lsh",
+      "WITH " + minhashPairsCtes +
+        " SELECT d1, d2 FROM pairs ORDER BY d1, d2") { (s, dir) =>
       minhashLshPairs(Tables.load(s, dir, "documents")).orderBy("d1", "d2")
     },
 

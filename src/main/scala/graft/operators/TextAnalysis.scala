@@ -86,6 +86,42 @@ object TextAnalysis {
         size(toks).as("n_ws_tokens"),
         size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).as("n_bpe_tokens"))
 
+  /** Repetition metrics per document (Gopher-style quality signals):
+    * duplicate-bigram count (n_bigrams − distinct bigrams) and the
+    * occurrence count of the most frequent token, plus a flag when
+    * either exceeds its threshold (duplicate-bigram fraction > 1/`repDen`
+    * or top-token fraction > 2/`topDen` — multiplicative integer
+    * compares). The top-token count is the longest equal-run of the
+    * SORTED token array, computed by a single `aggregate` fold — all
+    * metrics are per-row higher-order functions, so the operator is a
+    * narrow projection with no shuffle at any corpus size.
+    */
+  def repetitionStats(df: org.apache.spark.sql.DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      repDen: Int = 10, topDen: Int = 10): org.apache.spark.sql.DataFrame = {
+    val bigrams = expr(
+      "transform(sequence(1, size(a) - 1), i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))")
+    val topTok = expr(
+      """aggregate(sort_array(a),
+           named_struct('prev', '', 'run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)),
+           (acc, x) -> named_struct(
+             'prev', x,
+             'run', IF(x = acc.prev, acc.run + 1, CAST(1 AS BIGINT)),
+             'best', GREATEST(acc.best, IF(x = acc.prev, acc.run + 1, CAST(1 AS BIGINT)))),
+           acc -> acc.best)""")
+    corpus(df, idCol, textCol)
+      .select(col("doc_id"), split(col("text"), " ").as("a"))
+      .filter(size(col("a")) >= 2)
+      .select(col("doc_id"),
+        size(col("a")).as("n_tokens"),
+        (size(col("a")) - 1).as("n_bigrams"),
+        (size(col("a")) - 1 - size(array_distinct(bigrams))).as("n_dup_bigrams"),
+        topTok.as("top_tok_count"))
+      .withColumn("flagged",
+        (col("n_dup_bigrams") * repDen > col("n_bigrams") ||
+          col("top_tok_count") * topDen > col("n_tokens") * 2).cast("int"))
+  }
+
   /** Content fingerprints: the cross-engine 60-bit md5 hash plus the
     * native codegen rolling hash ([[graft.functions.RollingHash]]).
     */
@@ -143,6 +179,25 @@ object TextAnalysis {
         s"len(regexp_extract_all(text, '$BpePattern')) AS n_bpe_tokens " +
         "FROM documents ORDER BY doc_id") { (s, dir) =>
       tokenCounts(Tables.load(s, dir, "documents")).orderBy("doc_id")
+    },
+
+    // Repetition-quality metrics: duplicate-bigram and top-token counts
+    // with integer-threshold flags. The oracle computes the top-token
+    // count as a per-row correlated group-by-max (fine at oracle scale);
+    // the Spark side folds the sorted token array instead — identical
+    // integers, but shuffle-free at corpus scale.
+    Q("q76_repetition_filter",
+      "WITH t AS (SELECT doc_id, string_split(text,' ') AS a FROM documents " +
+        "WHERE len(string_split(text,' ')) >= 2), " +
+        "m AS (SELECT doc_id, len(a) AS n, len(a)-1 AS nbg, " +
+        "len(list_distinct([a[i]||' '||a[i+1] FOR i IN generate_series(1, len(a)-1)])) AS ndbg, " +
+        "(SELECT max(c) FROM (SELECT count(*) AS c FROM unnest(a) AS u(tok) GROUP BY tok)) AS topc " +
+        "FROM t) " +
+        "SELECT doc_id, n AS n_tokens, nbg AS n_bigrams, nbg - ndbg AS n_dup_bigrams, " +
+        "topc AS top_tok_count, " +
+        "CASE WHEN (nbg - ndbg) * 10 > nbg OR topc * 10 > 2 * n THEN 1 ELSE 0 END AS flagged " +
+        "FROM m ORDER BY doc_id") { (s, dir) =>
+      repetitionStats(Tables.load(s, dir, "documents")).orderBy("doc_id")
     },
 
     // Native Catalyst expression with codegen (graft.functions.RollingHash).

@@ -91,4 +91,61 @@ class OperatorApiSpec extends AnyFunSuite with SparkFixture {
     val strict = Curation.curate(docs, "id", "body", qualityNum = 1, qualityDen = 1)
     assert(strict.count() == 0)
   }
+
+  test("connectedComponents labels every vertex with its component min") {
+    import spark.implicits._
+    // a path (1-2-3-4), a clique pair (10-11), a bridge-joined pair (20-21, 21-22)
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("d1", "d2")
+    val cc = Cluster.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L), cc)
+  }
+
+  test("resolveDuplicates maps exact+near dups to one canonical id") {
+    import spark.implicits._
+    val out = Cluster.resolveDuplicates(docs, idCol = "id", textCol = "body")
+      .as[(Long, Long)].collect().toMap
+    // 10/11 byte-identical, 12 near-dup of their representative → all 10;
+    // 13 unrelated → itself
+    assert(out == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 13L), out)
+  }
+
+  test("decontaminate flags docs sharing an n-gram with the benchmark") {
+    import spark.implicits._
+    val bench = Seq((100L, "the quick brown fox says hello")).toDF("id", "body")
+    val out = Curation.decontaminate(docs, bench, n = 4, idCol = "id", textCol = "body")
+      .as[(Long, Long)].collect().toMap
+    // fox docs share "the quick brown fox"; doc 13 shares nothing
+    assert(out.keySet == Set(10L, 11L, 12L), out)
+    assert(!out.contains(13L))
+    // distinct-gram counting: each fox doc has exactly one shared 4-gram
+    assert(out.values.toSet == Set(1L), out)
+  }
+
+  test("repetitionStats counts duplicate bigrams and the top token") {
+    import spark.implicits._
+    val rep = Seq((1L, "spam spam spam spam eggs"),
+      (2L, "all of these six tokens differ")).toDF("id", "body")
+    val out = TextAnalysis.repetitionStats(rep, "id", "body")
+      .select("doc_id", "n_bigrams", "n_dup_bigrams", "top_tok_count", "flagged")
+      .as[(Long, Int, Int, Long, Int)].collect().sortBy(_._1)
+    // "spam spam" bigram appears 3× (2 dups); top token spam ×4 of 5
+    assert(out(0) == ((1L, 4, 2, 4L, 1)), out.mkString(","))
+    // 6 distinct tokens: top fraction 1/6 ≤ 20% threshold → unflagged
+    assert(out(1) == ((2L, 5, 0, 1L, 0)), out.mkString(","))
+  }
+
+  test("hashSplit is deterministic and exhaustive") {
+    import spark.implicits._
+    val s1 = Curation.hashSplit(docs, textCol = "body")
+      .select("id", "split").as[(Long, String)].collect().toMap
+    val s2 = Curation.hashSplit(docs, textCol = "body")
+      .select("id", "split").as[(Long, String)].collect().toMap
+    assert(s1 == s2, "split must not depend on run or partitioning")
+    assert(s1.values.forall(v => v == "train" || v == "val"))
+    // identical texts land in the same split
+    assert(s1(10L) == s1(11L))
+  }
 }

@@ -112,4 +112,22 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert("HashAggregate".r.findAllIn(p).length >= 2,
       s"dedup aggregate lost its map-side partial:\n$p")
   }
+
+  test("q75: benchmark n-gram set broadcasts; corpus side never shuffles to join") {
+    val p = plan("q75_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bench-set join must broadcast (corpus side is the 100-TB side):\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q76: repetition metrics are a narrow projection — no join, no agg shuffle") {
+    val p = plan("q76_repetition_filter")
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      s"per-row metrics must not shuffle:\n$p")
+  }
+
+  test("q74: cluster resolution plans equi-joins only — no cartesian") {
+    val p = plan("q74_dup_clusters")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
