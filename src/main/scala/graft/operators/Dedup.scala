@@ -130,7 +130,7 @@ object Dedup {
   /** MinHash-LSH candidate pairs (d1 < d2) for any (id, text) frame. */
   def minhashLshPairs(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", bucketCap: Int = BucketCap): DataFrame = {
-    val mh = shinglesOf(corpus(df, idCol, textCol))
+    val mh = shinglesOf(corpus(df, idCol, textCol), dedup = false)
       .select(col("doc_id"), (col("h") % P).as("hm"))
       .groupBy("doc_id")
       .agg(
@@ -232,22 +232,30 @@ object Dedup {
   private val repSql =
     "rep AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text)"
 
-  /** Distinct (doc_id, h): 60-bit hashes of word-bigram shingles of each
+  /** (doc_id, h): 60-bit hashes of word-bigram shingles of each
     * representative document (byte-identical texts first collapse to
     * their min-id representative); docs with < 2 tokens dropped. Joining
     * on int64 hashes instead of raw shingle strings keeps shuffle keys
     * 8 bytes wide (reference relies on remote engines for this kind of
     * normalization; here it is explicit).
+    *
+    * `dedup=true` (the default) adds the per-document DISTINCT that set
+    * semantics (Jaccard counting, document frequency) require — a
+    * (doc_id, h) shuffle. MinHash passes `dedup=false`: MIN over each
+    * permutation is idempotent under duplicates, so the distinct
+    * shuffle would buy nothing (the map-side partial MIN already
+    * collapses them for free).
     */
-  def shinglesOf(c: DataFrame): DataFrame =
-    c.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+  def shinglesOf(c: DataFrame, dedup: Boolean = true): DataFrame = {
+    val sh = c.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("a"))
       .filter(size(col("a")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(a)-1), i -> concat(element_at(a,i), ' ', element_at(a,i+1)))"))
         .as("s"))
       .select(col("doc_id"), h60(col("s")).as("h"))
-      .distinct()
+    if (dedup) sh.distinct() else sh
+  }
 
   private val shinglesSql: String =
     repSql + ", " +
