@@ -53,7 +53,11 @@ object Bench {
         pats.exists(p => p == n || p == n.takeWhile(_ != '_'))
       })
     }
-    val spark = SparkSession.builder()
+    // Extra confs for A/B experiments: "k=v;k=v" (never set by the
+    // driver; the committed defaults below are the tuned configuration).
+    val extra = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(';')).map(_.split("=", 2)).collect { case Array(k, v) => (k, v) }
+    val b0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.files.maxPartitionBytes", maxPart)
@@ -70,6 +74,7 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
+    val spark = extra.foldLeft(b0) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warm-up pass: JIT, codegen caches, parquet footers and the
