@@ -53,6 +53,10 @@ object Similarity {
   val CentroidStride = 100
   val NProbe = 2
 
+  /** k-means training geometry for the q78 gate. */
+  val KmeansK = 8
+  val KmeansIters = 2
+
   private val cosSql =
     s"(${qdotSql("qs.qq", "n.q")})::DOUBLE / sqrt((qs.qn * n.nrm)::DOUBLE)"
 
@@ -148,6 +152,61 @@ object Similarity {
     topK(p, k)
   }
 
+  /** Integer-exact k-means (Lloyd) TRAINING for the IVF coarse
+    * quantizer — the step q70 samples its way around: `iters` rounds of
+    * assign + centroid update over a quantized (vec_id, q, nrm) frame,
+    * returning the final per-vector assignment (vec_id, cell, dist).
+    *
+    * Scale shape per round:
+    *   - ASSIGNMENT is a narrow, shuffle-free projection: the k
+    *     centroids are driver-collected model state (k rows — the same
+    *     pattern MLlib's KMeans uses) baked in as LITERALS, so each
+    *     vector computes its k distances with the codegen'd [[qdot]]
+    *     and takes `array_min` over (dist, cell) structs. The corpus
+    *     never shuffles to be assigned.
+    *   - UPDATE is ONE map-side-combinable aggregation: 64 per-component
+    *     SUMs + a COUNT per cell (the SimHash 60-column trick), then
+    *     the new centroid is the TRUNCATING integer mean `sum div cnt`
+    *     — Spark's `div` and DuckDB's `//` both truncate toward zero,
+    *     so centroids stay bit-identical cross-engine and the whole
+    *     training run is hash-matchable (no floating point anywhere).
+    *   - Cells that lose all members keep their previous centroid.
+    *
+    * Distances are squared L2 over int64: ‖v‖² − 2·v·c + ‖c‖², exact.
+    * Ties break to the smaller cell id via the struct ordering.
+    */
+  def kmeansAssign(n0: DataFrame, k: Int = KmeansK,
+      iters: Int = KmeansIters): DataFrame = {
+    val n = GraftCache.track(n0)
+    // deterministic seeds: the k smallest vec_ids
+    var cents: Array[(Long, Seq[Long], Long)] = n.orderBy("vec_id").limit(k)
+      .select("vec_id", "q", "nrm").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+    def assign(): DataFrame = {
+      val entries = cents.map { case (cell, cq, cn) =>
+        struct((col("nrm") - lit(2L) * qdot(col("q"), typedLit(cq)) + lit(cn)).as("d"),
+          lit(cell).as("c"))
+      }
+      n.withColumn("m", array_min(array(entries.toIndexedSeq: _*)))
+        .select(col("vec_id"), col("q"), col("m.c").as("cell"), col("m.d").as("dist"))
+    }
+    val dims = cents.head._2.length
+    for (_ <- 1 until iters) {
+      val sums = (0 until dims).map(i => sum(expr(s"element_at(q, ${i + 1})")).as(s"s$i"))
+      val upd = assign().groupBy("cell")
+        .agg(count(lit(1)).as("cnt"), sums: _*)
+        .select(col("cell"),
+          array((0 until dims).map(i => expr(s"s$i div cnt")): _*).as("q"))
+        .withColumn("nrm", expr("aggregate(q, cast(0 AS bigint), (acc, x) -> acc + x * x)"))
+        .collect().map(r => r.getLong(0) -> ((r.getSeq[Long](1), r.getLong(2)))).toMap
+      cents = cents.map { case (cell, q0, nrm0) =>
+        upd.get(cell).map { case (q1, nrm1) => (cell, q1, nrm1) }
+          .getOrElse((cell, q0, nrm0))
+      }
+    }
+    assign().select("vec_id", "cell", "dist")
+  }
+
   def queries: Seq[Q] = Seq(
 
     Q("q62_ann_bruteforce",
@@ -194,6 +253,34 @@ object Similarity {
         s"SELECT qid, vec_id, cos FROM r WHERE rn <= $TopK ORDER BY qid, vec_id") { (s, dir) =>
       annIvf(quantized(s, dir), col("vec_id") % QueryStride === 0,
         col("vec_id") % CentroidStride === 0)
+    },
+
+    // Integer-exact k-means training (2 Lloyd rounds, k=8): even the
+    // iterative trainer hash-matches DuckDB — assignment distances and
+    // truncating-mean centroid updates are pure int64 in both engines.
+    Q("q78_kmeans_train", {
+      def assignSql(cs: String, out: String): String =
+        s"$out AS (SELECT vec_id, cell, dist FROM (" +
+          s"SELECT n.vec_id, c.cell, n.nrm - 2*${qdotSql("n.q", "c.q")} + c.nrm AS dist, " +
+          s"row_number() OVER (PARTITION BY n.vec_id ORDER BY " +
+          s"n.nrm - 2*${qdotSql("n.q", "c.q")} + c.nrm, c.cell) AS rn " +
+          s"FROM n CROSS JOIN $cs c) WHERE rn = 1)"
+      def updateSql(a: String, prev: String, out: String): String =
+        s"e$out AS (SELECT $a.cell, i, q[i] AS x FROM $a JOIN n USING (vec_id) " +
+          "CROSS JOIN (SELECT unnest(generate_series(1,64)) AS i)), " +
+          s"s$out AS (SELECT cell, i, CAST(SUM(x) AS BIGINT) AS s, COUNT(*) AS cnt " +
+          s"FROM e$out GROUP BY 1, 2), " +
+          s"q$out AS (SELECT cell, list(s // cnt ORDER BY i) AS q FROM s$out GROUP BY cell), " +
+          s"$out AS (SELECT p.cell, COALESCE(u.q, p.q) AS q, " +
+          "COALESCE(list_aggregate([x*x FOR x IN u.q],'sum')::BIGINT, p.nrm) AS nrm " +
+          s"FROM $prev p LEFT JOIN q$out u ON p.cell = u.cell)"
+      "WITH " + quantizedSql + ", " +
+        s"c0 AS (SELECT vec_id AS cell, q, nrm FROM n WHERE vec_id < $KmeansK), " +
+        assignSql("c0", "a1") + ", " + updateSql("a1", "c0", "c1") + ", " +
+        assignSql("c1", "a2") +
+        " SELECT vec_id, cell, dist FROM a2 ORDER BY vec_id"
+    }) { (s, dir) =>
+      kmeansAssign(quantized(s, dir)).orderBy("vec_id")
     }
   )
 }

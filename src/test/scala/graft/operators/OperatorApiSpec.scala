@@ -137,6 +137,21 @@ class OperatorApiSpec extends AnyFunSuite with SparkFixture {
     assert(out(1) == ((2L, 5, 0, 1L, 0)), out.mkString(","))
   }
 
+  test("kmeansAssign separates obvious clusters with literal-centroid assignment") {
+    import spark.implicits._
+    // even ids cluster on axis 0, odd ids on axis 1; seeds (ids 0, 1)
+    // land one per cluster, so 2 Lloyd rounds give a perfect split
+    val vecs = (0 until 10).map { i =>
+      val v = Array.fill(64)(0.0f)
+      v(i % 2) = 10.0f; v(2 + (i % 2)) = i * 0.01f
+      (i.toLong, v)
+    }.toDF("key", "vec")
+    val out = Similarity.kmeansAssign(
+      EmbeddingLsh.quantize(vecs, "key", "vec"), k = 2, iters = 2)
+      .select("vec_id", "cell").as[(Long, Long)].collect().toMap
+    assert(out == (0 until 10).map(i => i.toLong -> (i % 2).toLong).toMap, out)
+  }
+
   test("hashSplit is deterministic and exhaustive") {
     import spark.implicits._
     val s1 = Curation.hashSplit(docs, textCol = "body")

@@ -130,4 +130,10 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     val p = plan("q74_dup_clusters")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("q78: k-means assignment is a shuffle-free projection over literal centroids") {
+    val p = plan("q78_kmeans_train")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"assignment must not join the corpus against centroids:\n$p")
+  }
 }
