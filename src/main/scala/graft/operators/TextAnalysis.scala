@@ -122,6 +122,39 @@ object TextAnalysis {
           col("top_tok_count") * topDen > col("n_tokens") * 2).cast("int"))
   }
 
+  /** Top distinctive terms per group by TF-IDF: term frequency within
+    * the group × (number of groups ÷ group-document-frequency of the
+    * term). The score is ONE division of exact int64 products (< 2^53),
+    * which IEEE 754 rounds identically everywhere — the same
+    * determinism trick as the cosine operators — so ranking and output
+    * hash-match cross-engine (a log-damped IDF would not: `ln` is not
+    * correctly rounded in either engine).
+    *
+    * Scale shape: one (group, term) count aggregation (map-side
+    * combinable over the exploded token stream), a term-keyed DF
+    * aggregation OVER THE ALREADY-AGGREGATED pairs (vocabulary-sized,
+    * not corpus-sized), an equi-join on the term key, and a per-group
+    * top-k window over vocabulary-sized data. The raw corpus shuffles
+    * once.
+    */
+  def tfidfTopTerms(df: org.apache.spark.sql.DataFrame,
+      groupCol: String = "source", textCol: String = "text",
+      k: Int = 5): org.apache.spark.sql.DataFrame = {
+    val tf = df.select(col(groupCol).as("grp"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .groupBy("grp", "tok").agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val ns = df.select(countDistinct(col(groupCol)).as("ns"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(col("score").desc, col("tok"))
+    tf.join(dft, "tok").crossJoin(broadcast(ns))
+      .select(col("grp"), col("tok"), col("tf"), col("df"),
+        ((col("tf") * col("ns")).cast("double") / col("df")).as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("grp", "tok", "tf", "df", "score")
+  }
+
   /** Content fingerprints: the cross-engine 60-bit md5 hash plus the
     * native codegen rolling hash ([[graft.functions.RollingHash]]).
     */
@@ -198,6 +231,22 @@ object TextAnalysis {
         "CASE WHEN (nbg - ndbg) * 10 > nbg OR topc * 10 > 2 * n THEN 1 ELSE 0 END AS flagged " +
         "FROM m ORDER BY doc_id") { (s, dir) =>
       repetitionStats(Tables.load(s, dir, "documents")).orderBy("doc_id")
+    },
+
+    // Top-5 distinctive terms per source by integer-ratio TF-IDF; the
+    // output column `source` aliases the library's generic `grp`.
+    Q("q79_tfidf_terms",
+      "WITH tok AS (SELECT source, unnest(string_split(text,' ')) AS tok FROM documents), " +
+        "tf AS (SELECT source, tok, COUNT(*) AS tf FROM tok GROUP BY 1, 2), " +
+        "dft AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1), " +
+        "ns AS (SELECT COUNT(DISTINCT source) AS ns FROM documents), " +
+        "sc AS (SELECT tf.source, tf.tok, tf.tf, dft.df, " +
+        "(tf.tf * ns.ns)::DOUBLE / dft.df AS score " +
+        "FROM tf JOIN dft USING (tok) CROSS JOIN ns), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY score DESC, tok) AS rn FROM sc) " +
+        "SELECT source, tok, tf, df, score FROM r WHERE rn <= 5 ORDER BY source, tok") { (s, dir) =>
+      tfidfTopTerms(Tables.load(s, dir, "documents"))
+        .withColumnRenamed("grp", "source").orderBy("source", "tok")
     },
 
     // Native Catalyst expression with codegen (graft.functions.RollingHash).

@@ -152,6 +152,19 @@ class OperatorApiSpec extends AnyFunSuite with SparkFixture {
     assert(out == (0 until 10).map(i => i.toLong -> (i % 2).toLong).toMap, out)
   }
 
+  test("tfidfTopTerms ranks group-distinctive terms first") {
+    import spark.implicits._
+    val corp = Seq(
+      ("a", "common apple apple apple"), ("a", "common apple"),
+      ("b", "common banana banana"), ("b", "common banana banana banana"))
+      .toDF("src", "body")
+    val out = TextAnalysis.tfidfTopTerms(corp, "src", "body", k = 1)
+      .select("grp", "tok").as[(String, String)].collect().toMap
+    // "common" appears in both groups (df=2), fruits in one (df=1):
+    // the fruit outranks it despite equal tf
+    assert(out == Map("a" -> "apple", "b" -> "banana"), out)
+  }
+
   test("hashSplit is deterministic and exhaustive") {
     import spark.implicits._
     val s1 = Curation.hashSplit(docs, textCol = "body")
