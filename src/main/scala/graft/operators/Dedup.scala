@@ -65,14 +65,17 @@ object Dedup {
 
   /** Drop every LSH bucket (group of rows equal on `keys`) with more
     * than `cap` members. One map-side-combinable count aggregation plus
-    * a broadcast-friendly anti-join — no windowing over the skewed key,
-    * so the guard itself never concentrates a hot bucket on one task.
+    * an explicitly BROADCAST anti-join: the hot set (bucket keys with
+    * > cap members) is small by construction at any corpus size —
+    * degenerate buckets are the exception, not the rule — so the big
+    * side never shuffles for the guard, and no window ever runs over
+    * the skewed key.
     */
   def capBuckets(df: DataFrame, cap: Int, keys: String*): DataFrame = {
     val hot = df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("bc")).filter(col("bc") > cap)
       .select(keys.map(col): _*)
-    df.join(hot, keys, "left_anti")
+    df.join(broadcast(hot), keys, "left_anti")
   }
 
   /** DuckDB mirror of [[capBuckets]]: a CTE selecting `cols` from `src`
