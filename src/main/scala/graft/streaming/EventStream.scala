@@ -96,6 +96,31 @@ object EventStream {
       }
       .start()
 
+  /** Streaming ingest curation: every micro-batch is decontaminated
+    * against a STATIC benchmark frame with the SAME batch operator the
+    * offline pipeline uses ([[graft.operators.Curation.decontaminate]]
+    * — broadcast n-gram join, corpus side never shuffles), and the
+    * surviving documents are appended to `table` through the DSv2
+    * write path. No watermark state is involved: contamination is
+    * decided per document against static reference data, so the
+    * `foreachBatch` seam reuses the batch operator verbatim — one
+    * curation library, both execution modes.
+    */
+  def curateTo(docs: DataFrame, bench: DataFrame, table: String,
+      checkpointDir: String, n: Int = 4,
+      queryName: String = "graft_curate_sink"): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val hits = graft.operators.Curation.decontaminate(batch, bench, n)
+          .select(col("doc_id"))
+        batch.join(broadcast(hits), Seq("doc_id"), "left_anti")
+          .writeTo(table).append()
+      }
+      .start()
+
   def sessionize(events: DataFrame, gapMinutes: Int = 30,
       lateness: String = "10 minutes"): Dataset[Session] = {
     import events.sparkSession.implicits._

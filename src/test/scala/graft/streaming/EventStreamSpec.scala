@@ -146,4 +146,36 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
         s"unexpected sink contents: ${rows.mkString(",")}")
     } finally q.stop()
   }
+
+  test("curateTo decontaminates each micro-batch with the batch operator") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ext.strm")
+    spark.sql("DROP TABLE IF EXISTS ext.strm.clean")
+    spark.sql("CREATE TABLE ext.strm.clean " +
+      "(ts TIMESTAMP, doc_id BIGINT, text STRING)")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_curate_ckpt").toString
+    val bench = Seq((100L, "wizards oozing quartz jam")).toDF("doc_id", "text")
+
+    val input = MemoryStream[(Timestamp, Long, String)](spark)
+    val q = EventStream.curateTo(
+      input.toDF().toDF("ts", "doc_id", "text"), bench, "ext.strm.clean", ckpt)
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "totally fresh content here indeed"),
+        (ts("2024-01-01 10:01:00"), 2L, "behold wizards oozing quartz jam today"))
+      q.processAllAvailable()
+      // the doc sharing a benchmark 4-gram never reaches the store
+      import spark.implicits._
+      assert(spark.table("ext.strm.clean").select("doc_id").as[Long].collect().toSet
+        == Set(1L))
+
+      // later batches are filtered independently (no cross-batch state)
+      input.addData(
+        (ts("2024-01-01 10:02:00"), 3L, "wizards oozing quartz jam"),
+        (ts("2024-01-01 10:03:00"), 4L, "another clean line of words"))
+      q.processAllAvailable()
+      assert(spark.table("ext.strm.clean").select("doc_id").as[Long].collect().toSet
+        == Set(1L, 4L))
+    } finally q.stop()
+  }
 }
