@@ -10,8 +10,13 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class GraftCacheSpec extends AnyFunSuite with SparkFixture {
 
+  // Count persist()-style cached RDDs only: localCheckpoint RDDs (the
+  // iterative operators' lineage cuts, e.g. Cluster.connectedComponents)
+  // also appear in getPersistentRDDs but are lifecycle-managed by the
+  // ContextCleaner once unreferenced, not by GraftCache.
   private def cachedRddCount: Int =
-    spark.sparkContext.getPersistentRDDs.size
+    spark.sparkContext.getPersistentRDDs.values
+      .count(!_.isCheckpointed)
 
   test("releaseAll unpersists every operator-persisted intermediate") {
     GraftCache.releaseAll() // isolate from other suites

@@ -103,6 +103,20 @@ class OperatorApiSpec extends AnyFunSuite with SparkFixture {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L), cc)
   }
 
+  test("connectedComponents fails loudly when the diameter exceeds maxIters") {
+    import spark.implicits._
+    // a 12-vertex path needs ~11 min-propagation rounds
+    val chain = (0 until 11).map(i => (i.toLong, i + 1L)).toDF("d1", "d2")
+    val e = intercept[IllegalArgumentException] {
+      Cluster.connectedComponents(chain, maxIters = 3).collect()
+    }
+    assert(e.getMessage.contains("no convergence"), e.getMessage)
+    // and converges fine when the bound allows
+    val cc = Cluster.connectedComponents(chain, maxIters = 15)
+      .as[(Long, Long)].collect()
+    assert(cc.forall(_._2 == 0L) && cc.length == 12, cc.mkString(","))
+  }
+
   test("resolveDuplicates maps exact+near dups to one canonical id") {
     import spark.implicits._
     val out = Cluster.resolveDuplicates(docs, idCol = "id", textCol = "body")
