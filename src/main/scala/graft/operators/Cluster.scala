@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
   * joins per round; `maxIters` makes the trade explicit by failing loudly
   * instead of looping unboundedly.
   */
-object Cluster {
+object Cluster extends org.apache.spark.internal.Logging {
 
   /** Connected components of the undirected graph given as (d1, d2)
     * pairs: returns (v, cluster) where cluster is the minimum vertex id
@@ -46,8 +46,12 @@ object Cluster {
     val edges = GraftCache.track(
       pairs.select(col("d1").as("src"), col("d2").as("dst"))
         .union(pairs.select(col("d2").as("src"), col("d1").as("dst"))))
-    var labels = edges.select(col("src").as("v")).distinct()
-      .withColumn("lbl", col("v")).localCheckpoint(true)
+    // Initialization IS the first superstep: the vertex-set aggregation
+    // the init needs anyway also takes min(v, min neighbor), so the
+    // loop starts one round ahead.
+    var labels = edges.groupBy(col("src").as("v")).agg(min(col("dst")).as("mn"))
+      .select(col("v"), least(col("v"), col("mn")).as("lbl"))
+      .localCheckpoint(true)
     var it = 0
     var done = false
     val t00 = System.nanoTime()
@@ -74,7 +78,7 @@ object Cluster {
         .localCheckpoint(true)
       done = next.filter(col("lbl") < col("prev")).isEmpty
       labels = next.select(col("v"), col("lbl"))
-      System.err.println(f"[cc] round $it done=$done " +
+      logInfo(f"cc round $it done=$done " +
         f"(${(System.nanoTime() - t0) / 1e9}%.2fs, total ${(System.nanoTime() - t00) / 1e9}%.2fs)")
     }
     labels.select(col("v"), col("lbl").as("cluster"))
