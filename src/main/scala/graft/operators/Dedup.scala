@@ -180,6 +180,14 @@ object Dedup {
       .select(col("doc_id"), pack.as("simhash"))
   }
 
+  /** (doc_id, simhash, k, cv): the four 15-bit pigeonhole chunks of
+    * each document's SimHash — the banding side of q44/q80.
+    */
+  def simhashChunks(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), col("simhash"),
+        explode(expr("sequence(0, 3)")).as("k"))
+      .withColumn("cv", expr("shiftright(simhash, 15 * k) % 32768"))
+
   /** SimHash near-dup pairs: pigeonhole 15-bit chunk equality proposes,
     * exact hamming ≤ `maxHamming` confirms. Output (d1, d2, hamm).
     */
@@ -187,9 +195,7 @@ object Dedup {
       textCol: String = "text", maxHamming: Int = 8,
       bucketCap: Int = BucketCap): DataFrame = {
     val sh = simhashOf(df, idCol, textCol)
-    val chAll = GraftCache.track(sh.select(col("doc_id"), col("simhash"),
-        explode(expr("sequence(0, 3)")).as("k"))
-      .withColumn("cv", expr("shiftright(simhash, 15 * k) % 32768")))
+    val chAll = GraftCache.track(simhashChunks(sh))
     val ch = capBuckets(chAll, bucketCap, "k", "cv")
     ch.as("x")
       .join(ch.as("y"),
@@ -202,6 +208,55 @@ object Dedup {
       .filter(col("hamm") <= maxHamming)
       .select("d1", "d2", "hamm")
   }
+
+  /** Incremental dedup — the daily-ingest pattern: admit only NEW
+    * documents that are neither byte-identical (exact fingerprint
+    * anti-join) nor SimHash-near (hamming ≤ `maxHamming`) to ANY
+    * document of the existing reference corpus. Unlike q40–q45, the
+    * candidate join is BIPARTITE (new chunks × old chunks), so the
+    * heavy side is proportional to the new batch, not the corpus:
+    * the old corpus contributes one (fp) set and one chunk table —
+    * both computed in single aggregation passes and in practice
+    * maintained incrementally between ingests. Internal duplicates
+    * WITHIN the new batch are q40's job, not this operator's.
+    * Output: surviving new documents (doc_id, fp).
+    */
+  def incrementalDedup(newDf: DataFrame, oldDf: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      maxHamming: Int = 8, bucketCap: Int = BucketCap): DataFrame = {
+    val nw = corpus(newDf, idCol, textCol)
+    val old = GraftCache.track(corpus(oldDf, idCol, textCol))
+    val oldFp = old.select(h60(col("text")).as("fp")).distinct()
+    val fresh = GraftCache.track(
+      nw.select(col("doc_id"), col("text"), h60(col("text")).as("fp"))
+        .join(oldFp, Seq("fp"), "left_anti"))
+    val chN = capBuckets(GraftCache.track(
+      simhashChunks(simhashOf(fresh, "doc_id", "text"))), bucketCap, "k", "cv")
+    val chO = capBuckets(GraftCache.track(
+      simhashChunks(simhashOf(old, "doc_id", "text"))), bucketCap, "k", "cv")
+    val near = chN.as("x").join(chO.as("y"),
+        col("x.k") === col("y.k") && col("x.cv") === col("y.cv"))
+      .select(col("x.doc_id").as("doc_id"), col("x.simhash").as("h1"),
+        col("y.simhash").as("h2"))
+      .distinct()
+      .filter(expr(s"bit_count(h1 ^ h2) <= $maxHamming"))
+      .select("doc_id").distinct()
+    fresh.join(near, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("fp"))
+  }
+
+  /** DuckDB CTE chain computing `${p}sh(doc_id, simhash)` over CTE/table
+    * `src` — the q43/q44 SimHash formulation with prefixed CTE names so
+    * q80 can instantiate it twice (new batch + old corpus).
+    */
+  private def simhashSql(src: String, p: String): String =
+    s"${p}tok AS (SELECT doc_id, t AS tok, COUNT(*) AS cnt FROM " +
+      s" (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM $src) GROUP BY 1, 2), " +
+      s"${p}th AS (SELECT doc_id, cnt, " + h60Sql("tok") + s" AS th FROM ${p}tok), " +
+      s"${p}bits AS (SELECT doc_id, b, SUM(CASE WHEN (th >> b) & 1 = 1 THEN cnt ELSE -cnt END) AS sb " +
+      s" FROM ${p}th CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) GROUP BY 1, 2), " +
+      s"${p}sh AS (SELECT doc_id, SUM(CASE WHEN sb > 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT AS simhash " +
+      s" FROM ${p}bits GROUP BY doc_id)"
 
   /** Embedding near-dup pairs over a [[EmbeddingLsh.quantize]]d frame:
     * sign-LSH bands propose, the exact integer test
@@ -382,6 +437,32 @@ object Dedup {
         "SELECT d1, d2, bit_count(xor(h1, h2))::BIGINT AS hamm FROM cand " +
         "WHERE bit_count(xor(h1, h2)) <= 8 ORDER BY d1, d2") { (s, dir) =>
       simhashPairs(Tables.load(s, dir, "documents")).orderBy("d1", "d2")
+    },
+
+    // Incremental dedup: the new batch (every 5th doc_id) admitted
+    // against the existing corpus — exact-fp anti-join plus bipartite
+    // SimHash pigeonhole + hamming gate.
+    Q("q80_incremental_dedup",
+      "WITH oldc AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0), " +
+        "oldfp AS (SELECT DISTINCT " + h60Sql("text") + " AS fp FROM oldc), " +
+        "fresh AS (SELECT doc_id, text, " + h60Sql("text") + " AS fp FROM documents " +
+        " WHERE doc_id % 5 = 0 AND " + h60Sql("text") + " NOT IN (SELECT fp FROM oldfp)), " +
+        simhashSql("fresh", "n") + ", " + simhashSql("oldc", "o") + ", " +
+        "nch AS (SELECT doc_id, simhash, k, (simhash >> (15 * k)) & 32767 AS cv " +
+        " FROM nsh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k)), " +
+        "och AS (SELECT doc_id, simhash, k, (simhash >> (15 * k)) & 32767 AS cv " +
+        " FROM osh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k)), " +
+        s"nchf AS ${capBucketsSql("nch", BucketCap, "doc_id, simhash, k, cv", "k", "cv")}, " +
+        s"ochf AS ${capBucketsSql("och", BucketCap, "doc_id, simhash, k, cv", "k", "cv")}, " +
+        "near AS (SELECT DISTINCT x.doc_id FROM nchf x JOIN ochf y " +
+        " ON x.k = y.k AND x.cv = y.cv " +
+        " WHERE bit_count(xor(x.simhash, y.simhash)) <= 8) " +
+        "SELECT doc_id, fp FROM fresh WHERE doc_id NOT IN (SELECT doc_id FROM near) " +
+        "ORDER BY doc_id") { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      incrementalDedup(
+        docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") % 5 =!= 0)).orderBy("doc_id")
     },
 
     // Embedding near-dup, sub-quadratic: sign-LSH banding over fixed

@@ -126,6 +126,18 @@ class OperatorApiSpec extends AnyFunSuite with SparkFixture {
     assert(out == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 13L), out)
   }
 
+  test("incrementalDedup admits only docs new to the reference corpus") {
+    import spark.implicits._
+    val old = docs.filter(col("id").isin(10L, 13L))
+    val batch = docs.filter(col("id").isin(11L, 12L))
+      .union(Seq((14L, "genuinely novel words appear in this one")).toDF("id", "body"))
+    val out = Dedup.incrementalDedup(batch, old, idCol = "id", textCol = "body")
+      .select("doc_id").as[Long].collect().toSet
+    // 11 is byte-identical to old 10 (exact gate), 12 is its near-dup
+    // (simhash gate); only the novel doc survives
+    assert(out == Set(14L), out)
+  }
+
   test("decontaminate flags docs sharing an n-gram with the benchmark") {
     import spark.implicits._
     val bench = Seq((100L, "the quick brown fox says hello")).toDF("id", "body")
