@@ -98,6 +98,64 @@ object Curation {
     df.withColumn("split",
       when(h60(col(textCol)) % den < den - valBuckets, "train").otherwise("val"))
 
+  /** Sequence packing for pretraining: assign every document a (bin,
+    * offset) position in a stream of fixed `capacity`-token sequences.
+    *
+    * A global running token sum cannot be one Spark window (a
+    * partitionless window is a single task), so this computes the
+    * classic DISTRIBUTED PREFIX SUM: documents hash into `parts`
+    * ordered buckets, the running sum is a per-bucket window, bucket
+    * totals (a `parts`-row table) get a prefix window of their own,
+    * and a broadcast join adds each bucket's global offset back — two
+    * narrow passes and one tiny join at any corpus size. The global
+    * order (bucket, content-hash, id) is deterministic and
+    * partitioning-independent, so packing is reproducible run to run.
+    * Documents may straddle a bin boundary (contiguous packing);
+    * `offset` is the position of the document's first token within its
+    * starting bin.
+    */
+  def packSequences(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", capacity: Int = 2048,
+      parts: Int = 64): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("pk").orderBy("h", "doc_id")
+    val wp = org.apache.spark.sql.expressions.Window
+      .orderBy("pk").rowsBetween(Long.MinValue, -1)
+    val local = df.select(col(idCol).as("doc_id"),
+        size(split(col(textCol), " ")).as("n"), h60(col(textCol)).as("h"))
+      .withColumn("pk", (col("h") % parts).cast("int"))
+      .withColumn("cum", sum("n").over(w))
+    val prefix = local.groupBy("pk").agg(max("cum").as("tot"))
+      .withColumn("pre", coalesce(sum("tot").over(wp), lit(0L)))
+      .select("pk", "pre")
+    local.join(broadcast(prefix), "pk")
+      .withColumn("start", col("pre") + col("cum") - col("n"))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        expr(s"start div $capacity").as("bin"),
+        (col("start") % capacity).as("off"))
+  }
+
+  /** Per-group token-budget selection: rank each group's documents by
+    * an integer quality score (distinct-minus-stopword tokens, id
+    * tiebreak) and keep the best prefix whose running token total fits
+    * `budget`. One per-group window — no global state, group
+    * parallelism at any scale.
+    */
+  def tokenBudget(df: DataFrame, groupCol: String = "source",
+      idCol: String = "doc_id", textCol: String = "text",
+      stopwords: Seq[String] = Seq("the", "a"),
+      budget: Int = 800): DataFrame = {
+    val a = split(col(textCol), " ")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(col("q").desc, col("doc_id"))
+    df.select(col(groupCol).as("grp"), col(idCol).as("doc_id"),
+        size(a).as("n"),
+        (size(array_distinct(a)) - size(filter(a, t => t.isin(stopwords: _*)))).as("q"))
+      .withColumn("cum", sum("n").over(w))
+      .filter(col("cum") <= budget)
+      .select(col("grp"), col("doc_id"), col("n").as("n_tokens"), col("cum"))
+  }
+
   def queries: Seq[Q] = Seq(
     // Full curation pass over `documents`: dedup + quality ≥ 1/2 +
     // 'en' density gate, token budgets and fingerprint per survivor.
@@ -130,6 +188,35 @@ object Curation {
       decontaminate(
         docs.filter(col("doc_id") % 20 =!= 0),
         docs.filter(col("doc_id") % 20 === 0)).orderBy("doc_id")
+    },
+
+    // Sequence packing: (bin, offset) per document in 2048-token
+    // sequences over the deterministic (hash-bucket, hash, id) order.
+    // The oracle states the SAME order as ONE global window — legal at
+    // oracle scale; the Spark side is the distributed two-pass prefix
+    // sum over identical arithmetic.
+    Q("q81_pack_sequences",
+      "WITH sel AS (SELECT doc_id, len(string_split(text,' ')) AS n, " +
+        h60Sql("text") + " AS h FROM documents), " +
+        "c AS (SELECT doc_id, n, SUM(n) OVER (ORDER BY h % 64, h, doc_id " +
+        "ROWS UNBOUNDED PRECEDING) AS cum FROM sel) " +
+        "SELECT doc_id, n AS n_tokens, (cum - n) // 2048 AS bin, " +
+        "(cum - n) % 2048 AS off FROM c ORDER BY doc_id") { (s, dir) =>
+      packSequences(Tables.load(s, dir, "documents")).orderBy("doc_id")
+    },
+
+    // Per-source token budget: best-quality prefix of each source
+    // fitting 800 whitespace tokens.
+    Q("q82_token_budget",
+      "WITH m AS (SELECT source AS grp, doc_id, len(string_split(text,' ')) AS n, " +
+        "len(list_distinct(string_split(text,' '))) - " +
+        "len(list_filter(string_split(text,' '), t -> t IN ('the','a'))) AS q " +
+        "FROM documents), " +
+        "c AS (SELECT grp, doc_id, n, SUM(n) OVER (PARTITION BY grp " +
+        "ORDER BY q DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM m) " +
+        "SELECT grp, doc_id, n AS n_tokens, cum FROM c WHERE cum <= 800 " +
+        "ORDER BY grp, doc_id") { (s, dir) =>
+      tokenBudget(Tables.load(s, dir, "documents")).orderBy("grp", "doc_id")
     },
 
     // Deterministic stratified split accounting: per (source, split)

@@ -191,6 +191,38 @@ class OperatorApiSpec extends AnyFunSuite with SparkFixture {
     assert(out == Map("a" -> "apple", "b" -> "banana"), out)
   }
 
+  test("packSequences assigns a consistent global prefix-sum position") {
+    import spark.implicits._
+    val corp = (0 until 40).map(i =>
+      (i.toLong, (0 to i % 5).map(j => s"w$i$j").mkString(" "))).toDF("id", "body")
+    val out = Curation.packSequences(corp, "id", "body", capacity = 7, parts = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(out.length == 40)
+    // reconstruct the global order and check start positions are the
+    // exact running sum — i.e. the distributed two-pass prefix sum
+    // equals the sequential one
+    val byStart = out.sortBy(r => r._3 * 7 + r._4)
+    val starts = byStart.scanLeft(0L)((acc, r) => acc + r._2).init
+    byStart.zip(starts).foreach { case ((id, n, bin, off), s) =>
+      assert(bin == s / 7 && off == s % 7, s"doc $id: ($bin,$off) vs start $s")
+    }
+    assert(out.forall(_._4 < 7))
+  }
+
+  test("tokenBudget keeps each group's best-quality prefix") {
+    import spark.implicits._
+    val corp = Seq(
+      ("g1", 1L, "alpha beta gamma delta"), // q=4 (distinct, no stopwords)
+      ("g1", 2L, "the the the the"),        // q=1-4=-3 → worst
+      ("g1", 3L, "eps zeta eta"),           // q=3
+      ("g2", 4L, "one two three")).toDF("src", "id", "body")
+    val out = Curation.tokenBudget(corp, "src", "id", "body", budget = 7)
+      .select("doc_id").as[Long].collect().toSet
+    // g1: doc1 (4 toks) + doc3 (3 toks) fill the budget; doc2 would
+    // exceed it and ranks last anyway. g2: fits whole.
+    assert(out == Set(1L, 3L, 4L), out)
+  }
+
   test("hashSplit is deterministic and exhaustive") {
     import spark.implicits._
     val s1 = Curation.hashSplit(docs, textCol = "body")
