@@ -155,6 +155,30 @@ object TextAnalysis {
       .select("grp", "tok", "tf", "df", "score")
   }
 
+  /** Per-group token-length distribution: exact DISCRETE quantiles
+    * (the value at rank ⌈q·cnt⌉ — pure integer arithmetic, no
+    * interpolation, so both engines agree bit-for-bit where
+    * interpolated percentiles would not), plus min/max/count. One hash
+    * shuffle on the group key; the rank and count windows share the
+    * exchange and sort.
+    */
+  def lengthQuantiles(df: org.apache.spark.sql.DataFrame,
+      groupCol: String = "source", idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy("n", "doc_id")
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+    df.select(col(groupCol).as("grp"), col(idCol).as("doc_id"),
+        size(split(col(textCol), " ")).as("n"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(wc))
+      .groupBy("grp").agg(
+        max(when(col("rn") === expr("(cnt + 3) div 4"), col("n"))).as("p25"),
+        max(when(col("rn") === expr("(cnt + 1) div 2"), col("n"))).as("p50"),
+        max(when(col("rn") === expr("(3 * cnt + 3) div 4"), col("n"))).as("p75"),
+        max("n").as("mx"), min("n").as("mn"), count(lit(1)).as("n_docs"))
+  }
+
   /** Content fingerprints: the cross-engine 60-bit md5 hash plus the
     * native codegen rolling hash ([[graft.functions.RollingHash]]).
     */
@@ -247,6 +271,22 @@ object TextAnalysis {
         "SELECT source, tok, tf, df, score FROM r WHERE rn <= 5 ORDER BY source, tok") { (s, dir) =>
       tfidfTopTerms(Tables.load(s, dir, "documents"))
         .withColumnRenamed("grp", "source").orderBy("source", "tok")
+    },
+
+    // Per-source token-length distribution with exact discrete
+    // quantiles (rank arithmetic, no interpolation).
+    Q("q83_length_quantiles",
+      "WITH m AS (SELECT source, doc_id, len(string_split(text,' ')) AS n FROM documents), " +
+        "r AS (SELECT source, n, row_number() OVER (PARTITION BY source ORDER BY n, doc_id) AS rn, " +
+        "COUNT(*) OVER (PARTITION BY source) AS cnt FROM m) " +
+        "SELECT source, " +
+        "MAX(CASE WHEN rn = (cnt + 3) // 4 THEN n END) AS p25, " +
+        "MAX(CASE WHEN rn = (cnt + 1) // 2 THEN n END) AS p50, " +
+        "MAX(CASE WHEN rn = (3 * cnt + 3) // 4 THEN n END) AS p75, " +
+        "MAX(n) AS mx, MIN(n) AS mn, CAST(COUNT(*) AS BIGINT) AS n_docs " +
+        "FROM r GROUP BY source ORDER BY source") { (s, dir) =>
+      lengthQuantiles(Tables.load(s, dir, "documents"))
+        .withColumnRenamed("grp", "source").orderBy("source")
     },
 
     // Native Catalyst expression with codegen (graft.functions.RollingHash).
