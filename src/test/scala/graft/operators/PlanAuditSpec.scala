@@ -136,4 +136,24 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("Join") && !p.contains("CartesianProduct"),
       s"assignment must not join the corpus against centroids:\n$p")
   }
+
+  test("q80: incremental dedup joins are equi/anti only — no cartesian") {
+    val p = plan("q80_incremental_dedup")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q81: the bucket-prefix join broadcasts (corpus side never reshuffles)") {
+    val p = plan("q81_pack_sequences")
+    assert(p.contains("BroadcastHashJoin"), s"prefix join must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q82/q83: per-group windows shuffle once on the group key") {
+    for (name <- Seq("q82_token_budget", "q83_length_quantiles")) {
+      val p = plan(name)
+      assert("hashpartitioning".r.findAllIn(p).length <= 1,
+        s"$name gained a second hash shuffle:\n$p")
+      assert(!p.contains("Join"), s"$name must not join:\n$p")
+    }
+  }
 }
