@@ -64,6 +64,23 @@ final case class JdbcOptions(map: Map[String, String]) extends Serializable {
     * `db_connection_pool/mod.rs:59-64`). */
   val poolMax: Int = map.getOrElse("poolmax", "8").toInt
 
+  /** Planning-time statistics for the Spark optimizer: "none" (default)
+    * leaves the relation unknown-size (Spark assumes huge and never
+    * broadcasts it); "count" issues ONE remote `SELECT COUNT(*)` —
+    * with the pushed predicates applied — per planned scan, so a small
+    * remote table (a dimension in a cross-source join) gets
+    * broadcast like a local one. The reference has no analog (DataFusion
+    * receives no row counts from its providers); this is a Spark-first
+    * planner integration like the range-partitioned scan.
+    */
+  val remoteStats: String = {
+    val v = map.getOrElse("remotestats", "none")
+    if (v != "none" && v != "count")
+      throw new IllegalArgumentException(
+        s"remotestats must be 'none' or 'count', got '$v'")
+    v
+  }
+
   /** Parameterized table arguments (reference: ClickHouse
     * parameterized views, `crates/common/src/util/table_arg_replace.rs:10-80`
     * rewrites `FROM t` → `FROM t(p1 = v1, …)`). When set, every

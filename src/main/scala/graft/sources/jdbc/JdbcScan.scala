@@ -170,9 +170,50 @@ final case class JdbcScan(
     limit: Option[Int],
     aggSelect: Seq[String] = Nil,
     groupBy: Seq[String] = Nil) extends Scan with Batch
-    with SupportsRuntimeV2Filtering {
+    with SupportsRuntimeV2Filtering with SupportsReportStatistics with Logging {
 
   override def readSchema(): StructType = schema
+
+  /** Optimizer statistics (opt-in via `remotestats=count`): row count
+    * from one remote COUNT(*) over the SAME pushed predicates this scan
+    * carries, size estimated as rows × schema default width. Lazily
+    * computed once per planned scan; unknown (Spark's conservative
+    * default) when disabled, when an aggregate was pushed (base-row
+    * counts would overstate the grouped output), or on any remote error.
+    */
+  private lazy val stats: Statistics = {
+    def unknown = new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    }
+    if (options.remoteStats != "count" || aggSelect.nonEmpty) unknown
+    else try {
+      val whereClause =
+        if (where.isEmpty) "" else where.mkString(" WHERE ", " AND ", "")
+      val countSql = s"SELECT COUNT(*) FROM ${options.fromClause}$whereClause"
+      val c = options.connect()
+      try {
+        val st = c.createStatement()
+        try {
+          val rs = st.executeQuery(countSql)
+          rs.next()
+          val n = rs.getLong(1)
+          val size = math.max(1L, n * schema.defaultSize)
+          logInfo(s"graft-jdbc stats: $countSql -> $n rows (~$size bytes)")
+          new Statistics {
+            override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(size)
+            override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(n)
+          }
+        } finally st.close()
+      } finally c.close()
+    } catch {
+      case e: Exception =>
+        logWarning(s"graft-jdbc stats failed, planning without: $e")
+        unknown
+    }
+  }
+
+  override def estimateStatistics(): Statistics = stats
 
   override def description(): String = s"GraftJdbcScan(${options.table}) [$sql]"
 

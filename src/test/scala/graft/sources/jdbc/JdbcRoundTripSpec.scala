@@ -162,6 +162,50 @@ class JdbcRoundTripSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("remotestats=count reports row counts and lets small remote tables broadcast") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ext.rt")
+    spark.sql("DROP TABLE IF EXISTS ext.rt.t9")
+    spark.sql("CREATE TABLE ext.rt.t9 (k BIGINT, dim STRING)")
+    (1L to 20L).map(i => (i, s"d$i")).toDF("k", "dim").writeTo("ext.rt.t9").append()
+
+    // unit level: the scan reports the remote count (with pushed filters)
+    val opts = JdbcOptions(Map("url" -> SparkFixture.derbyUrl,
+      "dbtable" -> "\"rt\".\"t9\"", "remotestats" -> "count"))
+    val schema = spark.table("ext.rt.t9").schema
+    val s1 = JdbcScan(opts, schema, where = Nil, orderBy = Nil, limit = None)
+      .estimateStatistics()
+    assert(s1.numRows().getAsLong == 20, s1)
+    assert(s1.sizeInBytes().getAsLong > 0)
+    val s2 = JdbcScan(opts, schema, where = Seq("(\"k\" <= 5)"),
+      orderBy = Nil, limit = None).estimateStatistics()
+    assert(s2.numRows().getAsLong == 5, s2)
+    // disabled → unknown, Spark plans conservatively
+    val s0 = JdbcScan(opts.copy(map = opts.map - "remotestats"), schema,
+      where = Nil, orderBy = Nil, limit = None).estimateStatistics()
+    assert(!s0.numRows().isPresent && !s0.sizeInBytes().isPresent)
+
+    // plan level: a big local fact joined to the small remote dim — with
+    // stats the remote side broadcasts; without, Spark must assume huge
+    // and fall back to a shuffle join
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "4096")
+      val fact = spark.range(0, 200000).select(col("id").as("k"))
+      def remote(extra: Map[String, String]) = {
+        val r = spark.read.format("graft.sources.jdbc.GraftJdbcSource")
+          .option("url", SparkFixture.derbyUrl).option("dbtable", "\"rt\".\"t9\"")
+        extra.foldLeft(r) { case (b, (k, v)) => b.option(k, v) }.load()
+      }
+      val withStats = fact.join(remote(Map("remotestats" -> "count")), "k")
+      assert(withStats.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        s"statted remote dim should broadcast:\n${withStats.queryExecution.executedPlan}")
+      val noStats = fact.join(remote(Map.empty), "k")
+      assert(!noStats.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        s"unknown-size remote side must not broadcast:\n${noStats.queryExecution.executedPlan}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("runtime filters splice into the remote WHERE before partition planning") {
     import org.apache.spark.sql.connector.expressions.filter.Predicate
     import org.apache.spark.sql.graftx.TestExprs
