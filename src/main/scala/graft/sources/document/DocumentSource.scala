@@ -171,9 +171,29 @@ final case class DocumentScan(
     options: Map[String, String],
     filter: Option[FilterDoc],
     limit: Option[Int],
-    sort: Seq[FilterDoc.SortKey] = Nil) extends Scan with Batch {
+    sort: Seq[FilterDoc.SortKey] = Nil) extends Scan with Batch
+    with SupportsReportStatistics {
 
   override def readSchema(): StructType = schema
+
+  /** Optimizer statistics from file metadata — the same signal Spark's
+    * own file sources report: total byte size of the collection's files
+    * (no extra I/O, just the directory listing the scan needs anyway).
+    * A small document collection can therefore broadcast in a join
+    * against a large fact table. Row count stays unknown (counting
+    * would require reading every file).
+    */
+  override def estimateStatistics(): Statistics = {
+    val bytes =
+      try DocumentTable.files(options("path")).map(f => Files.size(f)).sum
+      catch { case _: Exception => -1L }
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        if (bytes >= 0) java.util.OptionalLong.of(math.max(1L, bytes))
+        else java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    }
+  }
 
   override def description(): String =
     s"GraftDocumentScan(${options.getOrElse("path", "?")}) " +

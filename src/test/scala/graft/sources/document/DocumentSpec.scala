@@ -88,6 +88,30 @@ class DocumentSpec extends AnyFunSuite with SparkFixture {
     assert(hi.collect().map(r => (r.getInt(0), r.getString(2))).toSeq == Seq((2, "hi")))
   }
 
+  test("scan reports file-size statistics so small collections broadcast") {
+    val dir = Files.createTempDirectory("graft_docs_stats").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/d.jsonl"),
+      """{"k": 1, "dim": "a"}
+        |{"k": 2, "dim": "b"}
+        |""".stripMargin)
+    def collection = spark.read.format("graft.sources.document.DocumentSource")
+      .option("path", dir).load()
+    // unit level: sizeInBytes equals the collection's file bytes
+    val scan = DocumentScan(collection.schema, collection.schema,
+      Map("path" -> dir), None, None)
+    val expected = java.nio.file.Files.size(java.nio.file.Paths.get(s"$dir/d.jsonl"))
+    assert(scan.estimateStatistics().sizeInBytes().getAsLong == expected)
+    // plan level: the tiny collection broadcasts against a big fact
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "4096")
+      val fact = spark.range(0, 200000).select(col("id").as("k"))
+      val j = fact.join(collection, "k")
+      assert(j.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+        s"small collection should broadcast:\n${j.queryExecution.executedPlan}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("missing fields across documents are unioned") {
     val s = SchemaInference.infer(docs("""{"a": 1}""", """{"b": "x"}"""))
     assert(s.fieldNames.toSeq == Seq("a", "b"))
