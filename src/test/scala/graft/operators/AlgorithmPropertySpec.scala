@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkFixture
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Randomized cross-checks of the iterative/distributed algorithms
+  * against straightforward sequential reference implementations — the
+  * operators whose correctness depends on algorithmic structure
+  * (fixpoints, prefix sums), not per-row arithmetic the oracle already
+  * pins. Raw ScalaCheck generators with fixed seeds (the scalatest
+  * bridge isn't in the offline cache), so failures reproduce exactly.
+  */
+class AlgorithmPropertySpec extends AnyFunSuite with SparkFixture {
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  test("connectedComponents equals sequential union-find on random graphs") {
+    import spark.implicits._
+    // total generator (no filters — a filtered Gen can yield None):
+    // b = (a + delta) mod n with delta in [1, n-1] guarantees a != b
+    val genGraph = for {
+      n <- Gen.choose(2, 40)
+      m <- Gen.choose(1, 80)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0, n - 1); d <- Gen.choose(1, n - 1)
+      } yield (a.toLong, ((a + d) % n).toLong))
+    } yield edges
+    for (seed <- 1L to 12L) {
+      val edges = sample(genGraph, seed)
+      // sequential reference: union-find, then min id per root class
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb
+      }
+      val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val expected = verts.groupBy(find).values
+        .flatMap(vs => vs.map(_ -> vs.min)).toMap
+      val got = Cluster.connectedComponents(edges.toDF("d1", "d2"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == expected, s"seed=$seed edges=$edges")
+    }
+  }
+
+  test("packSequences equals the sequential prefix sum on random corpora") {
+    import spark.implicits._
+    val genCorpus = for {
+      n <- Gen.choose(1, 120)
+      docs <- Gen.listOfN(n, Gen.choose(1, 12))
+    } yield docs.zipWithIndex.map { case (toks, i) =>
+      (i.toLong, (0 until toks).map(j => s"t$i-$j").mkString(" "))
+    }
+    for (seed <- 1L to 8L) {
+      val corpus = sample(genCorpus, seed)
+      val cap = 1 + (seed % 5).toInt * 3
+      val out = Curation.packSequences(corpus.toDF("id", "body"),
+          "id", "body", capacity = cap, parts = 8)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      assert(out.length == corpus.length, s"seed=$seed")
+      // the sequential reference over the SAME deterministic global
+      // order the operator defines: (hash bucket, hash, id)
+      val keyed = corpus.map { case (id, body) =>
+        val h = BigInt(java.security.MessageDigest.getInstance("MD5")
+          .digest(body.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+          .take(15), 16).toLong
+        (h % 8, h, id, body.split(" ").length.toLong)
+      }.sortBy(t => (t._1, t._2, t._3))
+      var cum = 0L
+      val expected = keyed.map { case (_, _, id, n) =>
+        val start = cum; cum += n; id -> ((start / cap, start % cap))
+      }.toMap
+      out.foreach { case (id, _, bin, off) =>
+        assert(expected(id) == ((bin, off)),
+          s"seed=$seed doc=$id got=($bin,$off) want=${expected(id)}")
+      }
+    }
+  }
+}
