@@ -48,6 +48,44 @@ class AlgorithmPropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("kmeansAssign equals sequential integer Lloyd on random vector sets") {
+    import spark.implicits._
+    val genVecs = for {
+      n <- Gen.choose(8, 30)
+      dims <- Gen.choose(4, 8)
+      vecs <- Gen.listOfN(n, Gen.listOfN(dims, Gen.choose(-50L, 50L)))
+    } yield vecs.zipWithIndex.map { case (q, i) => (i.toLong, q) }
+    def nrm(q: Seq[Long]) = q.map(x => x * x).sum
+    for (seed <- 1L to 8L) {
+      val vecs = sample(genVecs, seed)
+      val (k, iters) = (4, 3)
+      // sequential reference of the same integer Lloyd definition
+      var cents = vecs.sortBy(_._1).take(k)
+        .map { case (id, q) => (id, q, nrm(q)) }
+      def assign1(q: Seq[Long]) = cents.map { case (cell, cq, cn) =>
+        (nrm(q) - 2 * q.zip(cq).map { case (a, b) => a * b }.sum + cn, cell)
+      }.min
+      for (_ <- 1 until iters) {
+        val byCell = vecs.map { case (_, q) => (assign1(q)._2, q) }.groupBy(_._1)
+        cents = cents.map { case (cell, q0, n0) =>
+          byCell.get(cell).map { ms =>
+            val q1 = q0.indices.map(i => ms.map(_._2(i)).sum / ms.size).toList
+            (cell, q1, nrm(q1))
+          }.getOrElse((cell, q0, n0))
+        }
+      }
+      val expected = vecs.map { case (id, q) =>
+        val (d, c) = assign1(q); id -> ((c, d))
+      }.toMap
+      val frame = vecs.map { case (id, q) => (id, q.toArray, nrm(q)) }
+        .toDF("vec_id", "q", "nrm")
+      val got = Similarity.kmeansAssign(frame, k = k, iters = iters)
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
   test("packSequences equals the sequential prefix sum on random corpora") {
     import spark.implicits._
     val genCorpus = for {
