@@ -113,13 +113,17 @@ object Bench {
       (name, sortedT(sortedT.length / 2), sortedT.head, sortedT.last)
     }
     def f3(v: Double): String = "%.3f".formatLocal(Locale.ROOT, v)
+    // Keys are the leading qNN id (unique across the suite; full names are
+    // in BASELINE.md) — the full-name map alone is ~1.8 KB and the
+    // collecting harness keeps only ~2 KB of output tail.
+    def qid(name: String): String = name.takeWhile(_ != '_')
     val medians = results
-      .map(r => "\"" + r._1 + "\":" + f3(r._2)).mkString("{", ",", "}")
+      .map(r => "\"" + qid(r._1) + "\":" + f3(r._2)).mkString("{", ",", "}")
     // Only worst-reps that look like stalls (>2× the median and >2 s over
     // it) are reported — keeps the line compact for the collecting harness.
     val stalls = results
       .filter(r => r._4 > 2 * r._2 && r._4 - r._2 > 2.0)
-      .map(r => "\"" + r._1 + "\":" + f3(r._4)).mkString("{", ",", "}")
+      .map(r => "\"" + qid(r._1) + "\":" + f3(r._4)).mkString("{", ",", "}")
     val fails = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     val onlyJson = only.fold("null")(_.map("\"" + _ + "\"").mkString("[", ",", "]"))
     val total = results.map(_._2).sum

@@ -11,6 +11,7 @@ object SparkEntry {
   def all: Seq[Q] =
     operators.Relational.queries ++
       operators.AsOfJoin.queries ++
+      operators.Sessions.queries ++
       operators.TextAnalysis.queries ++
       operators.Curation.queries ++
       operators.Cluster.queries ++

@@ -156,6 +156,29 @@ object Curation {
       .select(col("grp"), col("doc_id"), col("n").as("n_tokens"), col("cum"))
   }
 
+  /** Deterministic EXACT-fraction stratified sample: within every group,
+    * rank documents by (content hash, id) and keep the first
+    * ⌊cnt·num/den⌋ — so each stratum contributes exactly its proportional
+    * share (a Bernoulli hash filter only hits the fraction in
+    * expectation), and membership is reproducible across runs, engines
+    * and partitionings. One hash shuffle on the group key; the rank and
+    * count windows share its exchange and sort, and the integer
+    * `rn·den ≤ cnt·num` compare keeps row selection off floating point.
+    */
+  def stratifiedSample(df: DataFrame, groupCol: String = "source",
+      idCol: String = "doc_id", textCol: String = "text",
+      num: Int = 1, den: Int = 5): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy("h", "doc_id")
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+    df.select(col(groupCol).as("grp"), col(idCol).as("doc_id"),
+        h60(col(textCol)).as("h"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(wc))
+      .filter(col("rn") * den <= col("cnt") * num)
+      .select("grp", "doc_id")
+  }
+
   def queries: Seq[Q] = Seq(
     // Full curation pass over `documents`: dedup + quality ≥ 1/2 +
     // 'en' density gate, token budgets and fingerprint per survivor.
@@ -217,6 +240,17 @@ object Curation {
         "SELECT grp, doc_id, n AS n_tokens, cum FROM c WHERE cum <= 800 " +
         "ORDER BY grp, doc_id") { (s, dir) =>
       tokenBudget(Tables.load(s, dir, "documents")).orderBy("grp", "doc_id")
+    },
+
+    // Exact 1-in-5 stratified sample per source in deterministic
+    // (content-hash, id) order.
+    Q("q85_stratified_sample",
+      "WITH m AS (SELECT source AS grp, doc_id, " + h60Sql("text") + " AS h FROM documents), " +
+        "r AS (SELECT grp, doc_id, row_number() OVER (PARTITION BY grp ORDER BY h, doc_id) AS rn, " +
+        "COUNT(*) OVER (PARTITION BY grp) AS cnt FROM m) " +
+        "SELECT grp, doc_id FROM r WHERE rn * 5 <= cnt " +
+        "ORDER BY grp, doc_id") { (s, dir) =>
+      stratifiedSample(Tables.load(s, dir, "documents")).orderBy("grp", "doc_id")
     },
 
     // Deterministic stratified split accounting: per (source, split)

@@ -1,0 +1,73 @@
+package graft.operators
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+/** Batch sessionization over an event stream: gap-based session
+  * assignment (a new session starts when the inter-event gap exceeds
+  * `gap`) and per-session aggregates — the classic clickstream /
+  * telemetry operator (the streaming flavor lives in
+  * [[graft.streaming.EventStream]] via `session_window`; this is the
+  * batch-backfill twin over the same semantics).
+  *
+  * Scale shape: ONE hash shuffle on the entity key. The lag and
+  * running-sum windows share the (user_id)-partitioned sort, and the
+  * final per-session aggregation groups on (user_id, session) — a
+  * superset of the window's hash key, so EnsureRequirements reuses the
+  * same exchange instead of shuffling again. Nothing is driver-side and
+  * per-entity state never exceeds that entity's events.
+  *
+  * Cross-engine exactness: all gap arithmetic is on epoch MICROSECOND
+  * integers (the parquet nanos are integer-truncated to µs in both
+  * engines), and the money sum routes through DECIMAL(18,2).
+  */
+object Sessions {
+
+  /** Events table ts column → epoch-micros long, tolerant of the
+    * TIMESTAMP(NANOS)-as-long parquet reading (same dance as q17). */
+  private def microsOf(ev: DataFrame, tsCol: String): Column =
+    if (ev.schema(tsCol).dataType == LongType) expr(s"$tsCol div 1000")
+    else unix_micros(col(tsCol))
+
+  /** Sessionize any (entity, time, value) frame; returns one row per
+    * session: (user_id, sess, n_events, start_us, end_us, sum_value).
+    * `sess` numbers an entity's sessions 1..n in time order.
+    */
+  def sessionize(ev: DataFrame, gapMinutes: Int = 240,
+      userCol: String = "user_id", tsCol: String = "ts",
+      idCol: String = "event_id", valueCol: String = "value"): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val wOrd = Window.partitionBy("user_id").orderBy("us", "event_id")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.select(col(userCol).as("user_id"), col(idCol).as("event_id"),
+        microsOf(ev, tsCol).as("us"), col(valueCol).as("value"))
+      .withColumn("prev", lag("us", 1).over(wOrd))
+      .withColumn("brk",
+        when(col("prev").isNull || col("us") - col("prev") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sess", sum("brk").over(wRun))
+      .groupBy("user_id", "sess")
+      .agg(count(lit(1)).as("n_events"),
+        min("us").as("start_us"), max("us").as("end_us"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+  }
+
+  def queries: Seq[Q] = Seq(
+    // Gap-based sessions (4 h) over `events` with per-session counts,
+    // bounds and exact money totals.
+    Q("q87_sessionize",
+      "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events), " +
+        "m AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e), " +
+        "b AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 14400000000 THEN 1 ELSE 0 END AS brk FROM m), " +
+        "s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id " +
+        "ROWS UNBOUNDED PRECEDING) AS sess FROM b) " +
+        "SELECT user_id, sess, count(*) AS n_events, min(us) AS start_us, max(us) AS end_us, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
+        "FROM s GROUP BY 1, 2 ORDER BY user_id, sess") { (s, dir) =>
+      sessionize(Tables.load(s, dir, "events")).orderBy("user_id", "sess")
+    }
+  )
+}

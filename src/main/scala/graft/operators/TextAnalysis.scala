@@ -179,6 +179,70 @@ object TextAnalysis {
         max("n").as("mx"), min("n").as("mn"), count(lit(1)).as("n_docs"))
   }
 
+  /** Blocklist redaction (the C4-style bad-words pass a training
+    * pipeline runs before anything else): replace every word-boundary
+    * occurrence of a blocklisted term with `mask`, and count the
+    * replacements per document. Pure narrow projection — two regex
+    * passes per row inside WholeStageCodegen, no shuffle at any corpus
+    * size. The pattern sticks to the `\b`/alternation subset that Java
+    * regex and RE2 (DuckDB) interpret identically.
+    */
+  def redactTerms(df: org.apache.spark.sql.DataFrame,
+      terms: Seq[String] = Seq("customer", "spark"),
+      mask: String = "<x>", idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val pat = terms.mkString("\\b(", "|", ")\\b")
+    corpus(df, idCol, textCol)
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(pat)).as("n_redacted"),
+        regexp_replace(col("text"), pat, mask).as("text_redacted"))
+  }
+
+  /** Vocabulary pruning / OOV mapping (the tokenizer-prep step): build
+    * the top-`k` token vocabulary by corpus frequency (count desc, token
+    * tiebreak) and rewrite every out-of-vocabulary token to `unk`.
+    *
+    * Scale shape: the vocabulary is SMALL MODEL STATE (like the k-means
+    * centroids of q78) — one map-side-combinable (token → count)
+    * aggregation over the exploded stream, top-k collected to the
+    * driver, then shipped back as a literal array so the rewrite is a
+    * shuffle-free per-row `transform` with an O(k) membership probe
+    * inside codegen. The corpus itself never shuffles and is scanned
+    * exactly twice (once to count, once to rewrite).
+    */
+  def vocabPrune(df: org.apache.spark.sql.DataFrame, k: Int = 20,
+      unk: String = "<unk>", idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    import df.sparkSession.implicits._
+    val vocab: Array[String] = df
+      .select(explode(split(col(textCol), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tok")).limit(k)
+      .select("tok").as[String].collect().sorted
+    val vs = array(vocab.toSeq.map(lit): _*)
+    corpus(df, idCol, textCol)
+      .select(col("doc_id"),
+        concat_ws(" ", transform(toks,
+          t => when(array_contains(vs, t), t).otherwise(lit(unk)))).as("text_pruned"),
+        size(filter(toks, t => !array_contains(vs, t))).as("n_oov"))
+  }
+
+  /** Corpus heavy hitters via the mergeable Misra–Gries sketch
+    * ([[graft.functions.FreqSketch]]): top-`k` tokens by (counter desc,
+    * token). With `capacity` ≥ the distinct-token count the counters are
+    * exact (the oracle regime); below it they undercount by at most
+    * n/(capacity+1) — the trade that keeps state O(capacity) per group
+    * at any corpus size, where an exact GROUP BY's state is
+    * vocabulary-sized.
+    */
+  def heavyHitters(df: org.apache.spark.sql.DataFrame, k: Int = 10,
+      capacity: Int = 64,
+      textCol: String = "text"): org.apache.spark.sql.DataFrame =
+    df.select(explode(split(col(textCol), " ")).as("tok"))
+      .agg(graft.functions.FreqSketch.freq_sketch(col("tok"), capacity).as("m"))
+      .select(explode(col("m")).as(Seq("tok", "cnt")))
+      .orderBy(col("cnt").desc, col("tok")).limit(k)
+
   /** Content fingerprints: the cross-engine 60-bit md5 hash plus the
     * native codegen rolling hash ([[graft.functions.RollingHash]]).
     */
@@ -287,6 +351,41 @@ object TextAnalysis {
         "FROM r GROUP BY source ORDER BY source") { (s, dir) =>
       lengthQuantiles(Tables.load(s, dir, "documents"))
         .withColumnRenamed("grp", "source").orderBy("source")
+    },
+
+    // Blocklist redaction: word-boundary term replacement + per-doc
+    // replacement counts. Same \b-alternation pattern in both engines.
+    Q("q84_blocklist_redact",
+      raw"SELECT doc_id, len(regexp_extract_all(text, '\b(customer|spark)\b')) AS n_redacted, " +
+        raw"regexp_replace(text, '\b(customer|spark)\b', '<x>', 'g') AS text_redacted " +
+        "FROM documents ORDER BY doc_id") { (s, dir) =>
+      redactTerms(Tables.load(s, dir, "documents")).orderBy("doc_id")
+    },
+
+    // Vocabulary pruning: top-20 corpus vocabulary (count desc, token
+    // tiebreak), OOV tokens rewritten to <unk>. The oracle carries the
+    // vocabulary list through a cross join; the Spark side ships it as
+    // driver-collected model state.
+    Q("q86_vocab_prune",
+      "WITH tf AS (SELECT tok, count(*) AS c FROM (SELECT unnest(string_split(text,' ')) AS tok FROM documents) GROUP BY 1), " +
+        "v AS (SELECT tok FROM tf ORDER BY c DESC, tok LIMIT 20), " +
+        "vl AS (SELECT list(tok ORDER BY tok) AS vs FROM v) " +
+        "SELECT doc_id, array_to_string(list_transform(string_split(text,' '), " +
+        "t -> CASE WHEN list_contains(vl.vs, t) THEN t ELSE '<unk>' END), ' ') AS text_pruned, " +
+        "len(list_filter(string_split(text,' '), t -> NOT list_contains(vl.vs, t))) AS n_oov " +
+        "FROM documents CROSS JOIN vl ORDER BY doc_id") { (s, dir) =>
+      vocabPrune(Tables.load(s, dir, "documents")).orderBy("doc_id")
+    },
+
+    // Heavy hitters through the native Misra–Gries aggregate. Capacity 64
+    // exceeds the corpus vocabulary, so every counter is exact and the
+    // oracle is a plain GROUP BY count; FreqSketchSpec pins the
+    // bounded-capacity (approximate) regime the gate can't.
+    Q("q88_heavy_hitters",
+      "SELECT tok, cnt FROM (SELECT tok, count(*) AS cnt " +
+        "FROM (SELECT unnest(string_split(text,' ')) AS tok FROM documents) " +
+        "GROUP BY tok ORDER BY cnt DESC, tok LIMIT 10) ORDER BY cnt DESC, tok") { (s, dir) =>
+      heavyHitters(Tables.load(s, dir, "documents"))
     },
 
     // Native Catalyst expression with codegen (graft.functions.RollingHash).

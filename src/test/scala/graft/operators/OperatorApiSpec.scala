@@ -76,6 +76,53 @@ class OperatorApiSpec extends AnyFunSuite with SparkFixture {
     assert(fp.map(_.getLong(1)).distinct.length == 3) // dup texts share fp
   }
 
+  test("redactTerms masks word-boundary occurrences and counts them") {
+    val out = TextAnalysis.redactTerms(docs,
+        terms = Seq("fox", "dog"), mask = "<x>", idCol = "id", textCol = "body")
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getInt(1)).toSeq == Seq(2, 2, 2, 0))
+    assert(out.head.getString(2) ==
+      "the quick brown <x> jumps over the lazy <x>")
+    // word-boundary: "foxes" must NOT be masked by term "fox"
+    import spark.implicits._
+    val wb = TextAnalysis.redactTerms(Seq((1L, "fox foxes outfox"))
+        .toDF("id", "body"), Seq("fox"), "<x>", "id", "body").collect()(0)
+    assert(wb.getInt(1) == 1 && wb.getString(2) == "<x> foxes outfox")
+  }
+
+  test("vocabPrune rewrites OOV tokens and counts them") {
+    import spark.implicits._
+    // vocabulary = top-2 by (count desc, token): "the" (4), then the
+    // six singletons tie-broken alphabetically -> "brown"? no: counts
+    // over all docs: the=6, fox=3, quick=3, ... pick k=1 -> only "the"
+    val out = TextAnalysis.vocabPrune(docs, k = 1, unk = "?",
+        idCol = "id", textCol = "body").orderBy("doc_id").collect()
+    assert(out.head.getString(1) == "the ? ? ? ? ? the ? ?")
+    assert(out.head.getInt(2) == 7)
+    assert(out.last.getInt(2) == 6) // doc 13: no "the" at all
+  }
+
+  test("stratifiedSample keeps exactly ⌊cnt·num/den⌋ rows per group, stably") {
+    import spark.implicits._
+    val df = (1L to 97L).map(i => (s"g${i % 3}", i, s"text $i"))
+      .toDF("src", "id", "body")
+    def sample(parts: Int) = Curation.stratifiedSample(
+        df.repartition(parts), "src", "id", "body", num = 1, den = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val got = sample(3)
+    val sizes = got.groupBy(_._1).view.mapValues(_.size).toMap
+    // groups have 33/32/32 members -> exactly 8 sampled from each
+    assert(sizes == Map("g0" -> 8, "g1" -> 8, "g2" -> 8), sizes.toString)
+    // deterministic: same membership under a different partitioning
+    assert(sample(11) == got)
+  }
+
+  test("heavyHitters accepts caller-named text columns") {
+    val hh = TextAnalysis.heavyHitters(docs, k = 3, capacity = 64,
+      textCol = "body").collect()
+    assert(hh.head.getString(0) == "the" && hh.head.getLong(1) == 6L)
+  }
+
   test("curate dedups, gates on quality+language, budgets tokens") {
     import spark.implicits._
     val out = Curation.curate(docs, idCol = "id", textCol = "body")

@@ -156,4 +156,35 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       assert(!p.contains("Join"), s"$name must not join:\n$p")
     }
   }
+
+  test("q84/q86: redaction + vocab rewrite are narrow projections — no hash shuffle, no join") {
+    for (name <- Seq("q84_blocklist_redact", "q86_vocab_prune")) {
+      val p = plan(name)
+      assert(!p.contains("hashpartitioning"),
+        s"$name is a per-row rewrite; it must not shuffle:\n$p")
+      assert(!p.contains("Join"),
+        s"$name must carry its model state as literals, not a join:\n$p")
+    }
+  }
+
+  test("q85: stratified sample windows shuffle once on the group key") {
+    val p = plan("q85_stratified_sample")
+    assert("hashpartitioning".r.findAllIn(p).length <= 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q87: sessionize reuses the user_id exchange for the session agg") {
+    val p = plan("q87_sessionize")
+    assert("hashpartitioning".r.findAllIn(p).length <= 1,
+      s"(user_id, sess) agg must reuse the user_id exchange:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q88: heavy hitters is one sketch aggregate pair + TopK — no raw-token sort") {
+    val p = plan("q88_heavy_hitters")
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"sketch must fold map-side (partial + final):\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must not global-sort:\n$p")
+  }
 }
