@@ -100,6 +100,22 @@ object Cluster extends org.apache.spark.internal.Logging {
       .select(col("doc_id"), coalesce(col("cluster"), col("rep")).as("canonical"))
   }
 
+  /** Semantic duplicate clusters over an embedding frame: canonical =
+    * min vec_id of the connected component of the sign-LSH near-dup
+    * pair graph ([[Dedup.embeddingNearDupPairs]]); vectors in no pair
+    * map to themselves. The embedding-space twin of
+    * [[resolveDuplicates]] — semantic dedup needs the transitive
+    * closure exactly like text dedup does (A≈B, B≈C ⇒ one cluster even
+    * when A·C misses the threshold).
+    */
+  def semanticClusters(n0: DataFrame, ids: DataFrame): DataFrame = {
+    val pairs = Dedup.embeddingNearDupPairs(n0)
+      .select(col("v1").as("d1"), col("v2").as("d2"))
+    val cc = connectedComponents(pairs)
+    ids.join(cc, ids("vec_id") === cc("v"), "left")
+      .select(col("vec_id"), coalesce(col("cluster"), col("vec_id")).as("canonical"))
+  }
+
   def queries: Seq[Q] = Seq(
     // Every document mapped to the min-id canonical of its duplicate
     // cluster (exact dups + transitive MinHash-LSH near-dups). The
@@ -118,6 +134,23 @@ object Cluster extends org.apache.spark.internal.Logging {
       // sample pass would otherwise execute the rep-window + join twice
       GraftCache.track(resolveDuplicates(Tables.load(s, dir, "documents")))
         .orderBy("doc_id")
+    },
+
+    // Semantic dedup end-to-end: every vector mapped to the min-id
+    // canonical of its embedding near-dup component. Oracle = q45's
+    // pair CTE chain + the same recursive closure as q74.
+    Q("q89_semantic_clusters",
+      "WITH RECURSIVE " + Dedup.embPairsCtes + ", " +
+        "e AS (SELECT v1 AS d1, v2 AS d2 FROM epairs UNION SELECT v2, v1 FROM epairs), " +
+        "r AS (SELECT d1 AS v, d2 AS u FROM e " +
+        " UNION SELECT r.v, e.d2 FROM r JOIN e ON r.u = e.d1), " +
+        "lab AS (SELECT v, LEAST(v, MIN(u)) AS cluster FROM r GROUP BY v) " +
+        "SELECT em.vec_id AS vec_id, COALESCE(lab.cluster, em.vec_id) AS canonical " +
+        "FROM embeddings em LEFT JOIN lab ON em.vec_id = lab.v ORDER BY vec_id") { (s, dir) =>
+      GraftCache.track(semanticClusters(
+          graft.operators.EmbeddingLsh.quantized(s, dir),
+          Tables.load(s, dir, "embeddings").select("vec_id")))
+        .orderBy("vec_id")
     }
   )
 }

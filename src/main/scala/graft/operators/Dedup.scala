@@ -347,6 +347,35 @@ object Dedup {
   // (shared with the ANN similarity-search operators, q62/q63).
   import EmbeddingLsh.{quantized, quantizedSql, qdot, qdotSql, hcomp}
 
+  /** The q45 oracle as a reusable CTE chain ending in
+    * `epairs(v1, v2, dot, na, nb)` — the confirmed embedding near-dup
+    * pairs. [[Cluster]]'s q89 oracle extends it with the recursive
+    * component closure (the embedding twin of [[minhashPairsCtes]]).
+    */
+  private[operators] val embPairsCtes: String = {
+    val nh = NumBands * BandBits
+    val bits = (0 until nh).map { j =>
+      s"CASE WHEN list_aggregate([q[i+1] * ${hcomp(j)} FOR i IN generate_series(0,63)], 'sum')::BIGINT >= 0 " +
+        s"THEN 1::BIGINT ELSE 0::BIGINT END AS bit$j"
+    }.mkString(", ")
+    val bandvals = (0 until NumBands).map { k =>
+      "(" + (0 until BandBits).map(r => s"bit${BandBits * k + r} * ${1L << r}").mkString(" + ") + s") AS band$k"
+    }.mkString(", ")
+    val bands = (0 until NumBands)
+      .map(k => s"SELECT vec_id, $k AS k, band$k AS bv FROM bd").mkString(" UNION ALL ")
+    quantizedSql + ", " +
+      s"bits AS (SELECT vec_id, $bits FROM n), " +
+      s"bd AS (SELECT vec_id, $bandvals FROM bits), " +
+      s"bands AS ($bands), " +
+      s"bandsf AS ${capBucketsSql("bands", BucketCap, "vec_id, k, bv", "k", "bv")}, " +
+      "cand AS (SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2 FROM bandsf x JOIN bandsf y " +
+      " ON x.k = y.k AND x.bv = y.bv AND x.vec_id < y.vec_id), " +
+      "p AS (SELECT v1, v2, " + qdotSql("a.q", "b.q") + " AS dot, a.nrm AS na, b.nrm AS nb " +
+      " FROM cand JOIN n a ON v1 = a.vec_id JOIN n b ON v2 = b.vec_id), " +
+      "epairs AS (SELECT v1, v2, dot, na, nb FROM p " +
+      " WHERE dot >= 0 AND 25 * dot * dot >= 4 * na * nb)"
+  }
+
   def queries: Seq[Q] = Seq(
 
     Q("q40_exact_dedup",
@@ -469,29 +498,9 @@ object Dedup {
     // hyperplanes generates candidates; the exact int64 cosine test
     //   dot ≥ 0  AND  25·dot² ≥ 4·‖a‖²·‖b‖²   (0.4² = 4/25)
     // confirms them. No cross join anywhere in the plan.
-    Q("q45_embedding_neardup", {
-      val nh = NumBands * BandBits
-      val bits = (0 until nh).map { j =>
-        s"CASE WHEN list_aggregate([q[i+1] * ${hcomp(j)} FOR i IN generate_series(0,63)], 'sum')::BIGINT >= 0 " +
-          s"THEN 1::BIGINT ELSE 0::BIGINT END AS bit$j"
-      }.mkString(", ")
-      val bandvals = (0 until NumBands).map { k =>
-        "(" + (0 until BandBits).map(r => s"bit${BandBits * k + r} * ${1L << r}").mkString(" + ") + s") AS band$k"
-      }.mkString(", ")
-      val bands = (0 until NumBands)
-        .map(k => s"SELECT vec_id, $k AS k, band$k AS bv FROM bd").mkString(" UNION ALL ")
-      "WITH " + quantizedSql + ", " +
-        s"bits AS (SELECT vec_id, $bits FROM n), " +
-        s"bd AS (SELECT vec_id, $bandvals FROM bits), " +
-        s"bands AS ($bands), " +
-        s"bandsf AS ${capBucketsSql("bands", BucketCap, "vec_id, k, bv", "k", "bv")}, " +
-        "cand AS (SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2 FROM bandsf x JOIN bandsf y " +
-        " ON x.k = y.k AND x.bv = y.bv AND x.vec_id < y.vec_id), " +
-        "p AS (SELECT v1, v2, " + qdotSql("a.q", "b.q") + " AS dot, a.nrm AS na, b.nrm AS nb " +
-        " FROM cand JOIN n a ON v1 = a.vec_id JOIN n b ON v2 = b.vec_id) " +
-        "SELECT v1, v2, dot, na, nb FROM p " +
-        "WHERE dot >= 0 AND 25 * dot * dot >= 4 * na * nb ORDER BY v1, v2"
-    }) { (s, dir) =>
+    Q("q45_embedding_neardup",
+      "WITH " + embPairsCtes +
+        " SELECT v1, v2, dot, na, nb FROM epairs ORDER BY v1, v2") { (s, dir) =>
       embeddingNearDupPairs(quantized(s, dir)).orderBy("v1", "v2")
     }
   )

@@ -180,6 +180,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("Join"), p)
   }
 
+  test("q89: semantic clusters plans equi-joins only — no cartesian") {
+    // The label join is deliberately NOT hinted broadcast: at corpus
+    // scale the component-label frame can be arbitrarily large, so the
+    // static plan is an int64-keyed shuffle join and AQE localizes it
+    // to a broadcast at runtime when the labels turn out small.
+    val p = plan("q89_semantic_clusters")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"quadratic join reintroduced:\n$p")
+  }
+
   test("q88: heavy hitters is one sketch aggregate pair + TopK — no raw-token sort") {
     val p = plan("q88_heavy_hitters")
     assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
