@@ -57,14 +57,15 @@ object Bench {
     // driver; the committed defaults below are the tuned configuration).
     val extra = sys.env.get("SPARK_GRAFT_CONF").toSeq
       .flatMap(_.split(';')).map(_.split("=", 2)).collect { case Array(k, v) => (k, v) }
-    // Measured (round 6, sf0.1, 3-rep cold medians): 8 initial shuffle
-    // partitions beat 32 by 27% on the multi-stage dedup subset
-    // (q44 3.03→1.43 s) and never lost on floor-bound queries — at this
-    // data scale per-task launch overhead dominates and AQE's coalescing
-    // only fixes post-shuffle stages, not the initial partition count.
-    // A real cluster sizes this to executors × cores (the knob is env-
-    // overridable; the operators themselves never depend on it).
-    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8")
+    // Measured (round 6, sf0.1, 3-rep cold medians) on the 5-query
+    // multi-stage dedup subset: 32 partitions 15.1 s, 8 → 11.0 s,
+    // 4 → 8.2 s, 2 → 7.9 s but with floor-query regressions (q08
+    // 0.86 → 1.53 s). 4 is the knee: heavy −46% vs 32, floor flat — at
+    // this data scale per-task launch overhead dominates and AQE's
+    // coalescing only fixes post-shuffle stages, not the initial
+    // partition count. A real cluster sizes this to executors × cores
+    // (env-overridable; the operators never depend on it).
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "4")
     val b0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffleParts)

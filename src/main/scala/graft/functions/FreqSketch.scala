@@ -46,34 +46,8 @@ case class FreqSketchAgg(
   override def createAggregationBuffer(): java.util.HashMap[String, Long] =
     new java.util.HashMap[String, Long]()
 
-  /** Misra–Gries step, weighted so partial-sketch merge reuses it:
-    * increment if present or under capacity; otherwise decrement EVERY
-    * counter by min(remaining weight, smallest counter) — the textbook
-    * decrement when weight = 1 — dropping zeroed entries, until either
-    * the weight is exhausted (item absorbed by the decrements) or a
-    * slot frees for the leftover weight. */
   private def offer(buf: java.util.HashMap[String, Long], item: String,
-      weight: Long): Unit = {
-    if (weight <= 0L) return
-    val cur = buf.get(item) // null unboxes to 0; zero counters never stored
-    if (cur != 0L) { buf.put(item, cur + weight); return }
-    if (buf.size < capacity) { buf.put(item, weight); return }
-    var remaining = weight
-    while (remaining > 0L && buf.size >= capacity) {
-      var minC = Long.MaxValue
-      val it0 = buf.values().iterator()
-      while (it0.hasNext) minC = math.min(minC, it0.next())
-      val step = math.min(remaining, minC)
-      val it = buf.entrySet().iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        val nv = e.getValue - step
-        if (nv == 0L) it.remove() else e.setValue(nv)
-      }
-      remaining -= step
-    }
-    if (remaining > 0L) buf.put(item, remaining)
-  }
+      weight: Long): Unit = FreqSketch.offer(buf, item, weight, capacity)
 
   override def update(buf: java.util.HashMap[String, Long],
       input: org.apache.spark.sql.catalyst.InternalRow): java.util.HashMap[String, Long] = {
@@ -148,4 +122,35 @@ object FreqSketch {
     * ≤ `capacity` entries, mergeable, exact when distinct ≤ capacity. */
   def freq_sketch(c: Column, capacity: Int): Column =
     Bridge.column(FreqSketchAgg(Bridge.expression(c), capacity).toAggregateExpression())
+
+  /** The Misra–Gries step, weighted so sketch merge reuses it (and so
+    * streaming state updates share the exact same code path —
+    * [[graft.streaming.EventStream.heavyHittersStream]]): increment if
+    * present or under capacity; otherwise decrement EVERY counter by
+    * min(remaining weight, smallest counter) — the textbook decrement
+    * when weight = 1 — dropping zeroed entries, until either the weight
+    * is exhausted (item absorbed by the decrements) or a slot frees for
+    * the leftover weight. */
+  private[graft] def offer(buf: java.util.HashMap[String, Long], item: String,
+      weight: Long, capacity: Int): Unit = {
+    if (weight <= 0L) return
+    val cur = buf.get(item) // null unboxes to 0; zero counters never stored
+    if (cur != 0L) { buf.put(item, cur + weight); return }
+    if (buf.size < capacity) { buf.put(item, weight); return }
+    var remaining = weight
+    while (remaining > 0L && buf.size >= capacity) {
+      var minC = Long.MaxValue
+      val it0 = buf.values().iterator()
+      while (it0.hasNext) minC = math.min(minC, it0.next())
+      val step = math.min(remaining, minC)
+      val it = buf.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val nv = e.getValue - step
+        if (nv == 0L) it.remove() else e.setValue(nv)
+      }
+      remaining -= step
+    }
+    if (remaining > 0L) buf.put(item, remaining)
+  }
 }

@@ -121,6 +121,44 @@ object EventStream {
       }
       .start()
 
+  /** One group's current heavy-hitter estimates, re-emitted per trigger. */
+  case class HeavyHitters(grp: String, items: Map[String, Long])
+
+  /** Streaming heavy hitters: a RUNNING Misra–Gries sketch per group,
+    * updated each micro-batch through the exact same
+    * [[graft.functions.FreqSketch.offer]] step the batch aggregate and
+    * its merge use — one sketch implementation, three execution seams
+    * (batch partial, batch merge, streaming state). State per group is
+    * O(capacity) FOREVER (no watermark needed: the sketch, not time,
+    * bounds memory), so running top-k over an unbounded stream costs
+    * the same as over an hour of it. Exactness inherits the batch
+    * guarantee: counters are exact while a group's distinct items stay
+    * ≤ capacity, and undercount by ≤ n/(capacity+1) beyond that.
+    * Update-mode output: each trigger re-emits the refreshed sketch of
+    * every group that saw data.
+    */
+  def heavyHittersStream(items: DataFrame, capacity: Int = 64,
+      grpCol: String = "grp", itemCol: String = "item"): Dataset[HeavyHitters] = {
+    import items.sparkSession.implicits._
+    items.select(col(grpCol).cast("string"), col(itemCol).cast("string"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Map[String, Long], HeavyHitters](
+        GroupStateTimeout.NoTimeout) {
+        (key: String, it: Iterator[(String, String)], state: GroupState[Map[String, Long]]) =>
+          val buf = new java.util.HashMap[String, Long]()
+          state.getOption.foreach(_.foreach { case (k, v) => buf.put(k, v) })
+          it.foreach(x => graft.functions.FreqSketch.offer(buf, x._2, 1L, capacity))
+          val m = {
+            val b = Map.newBuilder[String, Long]
+            buf.forEach((k, v) => b += (k -> v))
+            b.result()
+          }
+          state.update(m)
+          HeavyHitters(key, m)
+      }
+  }
+
   def sessionize(events: DataFrame, gapMinutes: Int = 30,
       lateness: String = "10 minutes"): Dataset[Session] = {
     import events.sparkSession.implicits._

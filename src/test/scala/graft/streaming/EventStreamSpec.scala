@@ -178,4 +178,27 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
         == Set(1L, 4L))
     } finally q.stop()
   }
+
+  test("heavyHittersStream keeps a running exact sketch across micro-batches") {
+    import spark.implicits._
+    val input = MemoryStream[(String, String)](spark)
+    val hh = EventStream.heavyHittersStream(
+      input.toDF().toDF("grp", "item"), capacity = 8)
+
+    val q = hh.writeStream
+      .format("memory").queryName("hh_out").outputMode("update").start()
+    try {
+      input.addData(("g1", "a"), ("g1", "a"), ("g1", "b"), ("g2", "x"))
+      q.processAllAvailable()
+      input.addData(("g1", "a"), ("g1", "c"), ("g2", "x"))
+      q.processAllAvailable()
+      // latest update per group reflects ALL batches (running state):
+      // distinct ≤ capacity, so counters are exact
+      val last = spark.table("hh_out").collect()
+        .map(r => r.getString(0) -> r.getMap[String, Long](1).toMap)
+        .groupBy(_._1).map { case (g, xs) => g -> xs.last._2 }
+      assert(last("g1") == Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+      assert(last("g2") == Map("x" -> 2L))
+    } finally q.stop()
+  }
 }
