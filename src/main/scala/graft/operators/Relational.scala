@@ -124,13 +124,20 @@ object Relational {
         .orderBy(col("c_nationkey"), col("rnk"), col("c_custkey"))
     },
 
+    // The window order carries l_quantity as the FINAL tiebreaker:
+    // (l_orderkey, l_linenumber) is NOT unique in the generated data
+    // (sf0.1 has ~118k duplicate pairs), and a running sum over a
+    // non-total order is engine-order-dependent — two same-key rows
+    // with quantities 16 and 13 yield prefix 7731 or 7728 depending on
+    // which lands first. Ordering by the summed value itself makes the
+    // prefix-sum multiset well-defined under any duplicate pattern.
     Q("q08_window_running",
       "SELECT l_suppkey, l_orderkey, l_linenumber, " +
         "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_suppkey " +
-        "ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_qty " +
+        "ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_qty " +
         "FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber") { (s, dir) =>
       val w = Window.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.load(s, dir, "lineitem")
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
