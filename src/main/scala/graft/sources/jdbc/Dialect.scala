@@ -109,6 +109,20 @@ trait Dialect extends Serializable {
     */
   def concatSql(parts: Seq[String]): String = parts.mkString("(", " || ", ")")
 
+  /** Render a temporal-field extraction over an already-rendered source
+    * expression, or None when this dialect cannot (the predicate then
+    * stays on the Spark side — graceful partial pushdown, the same
+    * contract as the rest of the unparser). ANSI `EXTRACT(f FROM x)` by
+    * default; field names arrive in Spark's V2 spelling and only fields
+    * every engine numbers identically are pushed (DAY_OF_WEEK / WEEK /
+    * YEAR_OF_WEEK numbering is engine-specific — never rendered).
+    */
+  def extractSql(field: String, src: String): Option[String] = field match {
+    case "YEAR" | "MONTH" | "DAY" | "HOUR" | "MINUTE" | "SECOND" | "QUARTER" =>
+      Some(s"EXTRACT($field FROM $src)")
+    case _ => None
+  }
+
   /** Whether FULL OUTER JOIN may be rendered for this dialect. */
   def supportsFullOuterJoin: Boolean = true
 }
@@ -119,6 +133,12 @@ object DerbyDialect extends Dialect {
   override def limitClause(n: Int): String = s"FETCH FIRST $n ROWS ONLY"
   // Derby has no FULL OUTER JOIN.
   override def supportsFullOuterJoin: Boolean = false
+  // Derby has no EXTRACT; YEAR()..SECOND() exist, QUARTER does not.
+  override def extractSql(field: String, src: String): Option[String] = field match {
+    case "YEAR" | "MONTH" | "DAY" | "HOUR" | "MINUTE" | "SECOND" =>
+      Some(s"$field($src)")
+    case _ => None
+  }
   override def stringType: String = "VARCHAR(32672)"
   override def typeName(dt: DataType): String = dt match {
     case BooleanType => "BOOLEAN"
@@ -198,6 +218,11 @@ object SqliteDialect extends Dialect {
   override def repairSql(sql: String): String =
     IntervalAdd.replaceAllIn(sql, m =>
       s"datetime(${m.group(1)}, '+${m.group(2)} ${m.group(3).toLowerCase}s')")
+  // SQLite has no EXTRACT; strftime returns text, so cast back to int.
+  private val Strftime = Map("YEAR" -> "%Y", "MONTH" -> "%m", "DAY" -> "%d",
+    "HOUR" -> "%H", "MINUTE" -> "%M", "SECOND" -> "%S")
+  override def extractSql(field: String, src: String): Option[String] =
+    Strftime.get(field).map(f => s"CAST(strftime('$f', $src) AS INTEGER)")
 }
 
 object MySqlDialect extends Dialect {

@@ -46,6 +46,12 @@ final class Unparser(dialect: Dialect) extends Serializable {
         if dialect.supportsType(c.dataType) =>
       expr(c.expression).map(s => s"CAST($s AS ${dialect.typeName(c.dataType)})")
     case g: GeneralScalarExpression => scalar(g)
+    // Temporal field extraction (Catalyst year()/month()/extract(...)
+    // arrive as V2 Extract); rendering is dialect-routed — ANSI EXTRACT,
+    // Derby YEAR()..SECOND(), SQLite strftime — and engine-specific
+    // numberings (DAY_OF_WEEK, WEEK) are never pushed.
+    case x: org.apache.spark.sql.connector.expressions.Extract =>
+      expr(x.source).flatMap(s => dialect.extractSql(x.field, s))
     case _ => None
   }
 

@@ -32,6 +32,32 @@ class JdbcRoundTripSpec extends AnyFunSuite with SparkFixture {
     assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 6L, 10L, 14L, 18L))
   }
 
+  test("EXTRACT pushdown: year()/month() predicates run remotely on Derby") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ext.rt")
+    spark.sql("DROP TABLE IF EXISTS ext.rt.tex")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, year, month}
+    Seq(
+      (1L, java.sql.Timestamp.valueOf("1995-03-15 10:00:00")),
+      (2L, java.sql.Timestamp.valueOf("1995-07-01 00:00:00")),
+      (3L, java.sql.Timestamp.valueOf("1996-03-02 23:59:59")))
+      .toDF("k", "ts").writeTo("ext.rt.tex").create()
+
+    val df = spark.table("ext.rt.tex")
+      .filter(year(col("ts")) === 1995 && month(col("ts")) === 3).select("k")
+    val plan = planOf(df)
+    // Catalyst emits Extract over a CAST-to-DATE source; both render.
+    assert(plan.contains("YEAR(") && plan.contains("= 1995"), s"year() not pushed:\n$plan")
+    assert(plan.contains("MONTH(") && plan.contains("= 3"), s"month() not pushed:\n$plan")
+    assert(df.collect().map(_.getLong(0)).toSeq == Seq(1L))
+
+    // engine-specific numbering (dayofweek) must NOT reach the remote SQL
+    import org.apache.spark.sql.functions.dayofweek
+    val dw = spark.table("ext.rt.tex").filter(dayofweek(col("ts")) === 4)
+    assert(!planOf(dw).contains("DAY_OF_WEEK"), planOf(dw))
+    assert(dw.collect().map(_.getLong(0)).toSeq == Seq(1L)) // 1995-03-15 is a Wednesday
+  }
+
   test("TopN pushdown renders ORDER BY + FETCH FIRST, result exact") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS ext.rt")
     spark.sql("DROP TABLE IF EXISTS ext.rt.t2")

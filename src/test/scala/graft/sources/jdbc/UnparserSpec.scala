@@ -107,6 +107,26 @@ class UnparserSpec extends AnyFunSuite {
       .contains("CONCAT(`s`, `t`)"))
   }
 
+  test("EXTRACT is dialect-routed; engine-specific fields never push") {
+    import org.apache.spark.sql.connector.expressions.Extract
+    def ex(f: String) = new Extract(f, col("ts"))
+    // ANSI engines: EXTRACT(field FROM x)
+    assert(u.expr(ex("YEAR")).contains("EXTRACT(YEAR FROM \"ts\")"))
+    assert(u.expr(ex("QUARTER")).contains("EXTRACT(QUARTER FROM \"ts\")"))
+    // Derby: function form, no QUARTER
+    val de = new Unparser(DerbyDialect)
+    assert(de.expr(ex("MONTH")).contains("MONTH(\"ts\")"))
+    assert(de.expr(ex("QUARTER")).isEmpty)
+    // SQLite: strftime + integer cast
+    val sq = new Unparser(SqliteDialect)
+    assert(sq.expr(ex("YEAR")).contains("CAST(strftime('%Y', \"ts\") AS INTEGER)"))
+    // week/dow numbering is engine-specific -> stays in Spark everywhere
+    assert(u.expr(ex("DAY_OF_WEEK")).isEmpty && u.expr(ex("WEEK")).isEmpty)
+    // composed: EXTRACT inside a comparison predicate
+    assert(u.expr(new Predicate("=", Array(ex("YEAR"), i32(1995))))
+      .contains("(EXTRACT(YEAR FROM \"ts\") = 1995)"))
+  }
+
   test("dialect quoting differs per dialect") {
     val my = new Unparser(MySqlDialect)
     assert(my.expr(col("a")).contains("`a`"))
