@@ -42,6 +42,15 @@ final class CatalystUnparser(dialect: Dialect, attrSql: Map[ExprId, String]) {
     case a: Add => bin("+", a.left, a.right)
     case a: Subtract => bin("-", a.left, a.right)
     case a: Multiply => bin("*", a.left, a.right)
+    // temporal extraction — dialect-routed like the DSv2 unparser's
+    // Extract case (Derby functions / ANSI EXTRACT / SQLite strftime)
+    case Year(c) => expr(c).flatMap(s => dialect.extractSql("YEAR", s))
+    case Quarter(c) => expr(c).flatMap(s => dialect.extractSql("QUARTER", s))
+    case Month(c) => expr(c).flatMap(s => dialect.extractSql("MONTH", s))
+    case DayOfMonth(c) => expr(c).flatMap(s => dialect.extractSql("DAY", s))
+    case Hour(c, _) => expr(c).flatMap(s => dialect.extractSql("HOUR", s))
+    case Minute(c, _) => expr(c).flatMap(s => dialect.extractSql("MINUTE", s))
+    case Second(c, _) => expr(c).flatMap(s => dialect.extractSql("SECOND", s))
     case c: Cast if c.foldable =>
       // analyzer-inserted literal widenings fold to plain literals
       expr(Literal(c.eval(null), c.dataType))

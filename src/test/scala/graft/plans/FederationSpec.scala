@@ -53,6 +53,28 @@ class FederationSpec extends AnyFunSuite with SparkFixture {
       Seq((10L, "alice"), (11L, "alice"), (13L, "carol")))
   }
 
+  test("temporal extraction rides inside the collapsed federation SQL") {
+    setup()
+    spark.sql("DROP TABLE IF EXISTS ext.fed.ev")
+    import spark.implicits._
+    Seq(
+      (1L, 1L, java.sql.Timestamp.valueOf("1995-06-01 08:00:00")),
+      (2L, 2L, java.sql.Timestamp.valueOf("1996-06-01 09:30:00")),
+      (3L, 3L, java.sql.Timestamp.valueOf("1995-01-02 10:00:00")))
+      .toDF("evid", "ecid", "ets").writeTo("ext.fed.ev").create()
+    val df = spark.table("ext.fed.ev")
+      .join(spark.table("ext.fed.cust"), $"ecid" === $"cid")
+      .filter(year($"ets") === 1995 && month($"ets") === 6)
+      .select("evid", "cname")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(scanCount(df) == 1,
+      s"year/month filter should not break the collapse:\n$plan")
+    assert(plan.contains("YEAR(") && plan.contains("MONTH("),
+      s"extraction must ride remotely:\n$plan")
+    assert(df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "alice")))
+  }
+
   test("three-way join collapses bottom-up into one statement") {
     setup()
     spark.sql("DROP TABLE IF EXISTS ext.fed.seg")
