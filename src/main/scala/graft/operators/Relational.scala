@@ -184,6 +184,25 @@ object Relational {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     },
 
+    // Full CUBE with ANSI GROUPING() labels (q12 covers ROLLUP): all
+    // four grouping combinations in one pass, gid = the standard bitmask
+    // (bit set ⇔ the column is aggregated away in that row).
+    Q("q90_cube_grouping",
+      "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
+        "CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid " +
+        "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) " +
+        "ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST") { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          grouping_id("l_returnflag", "l_linestatus").as("gid"))
+        .select("l_returnflag", "l_linestatus", "n", "sum_qty", "gid")
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    },
+
     // Threshold compared multiplicatively (price * N > total) — exact integer/
     // decimal math on both engines, no division rounding in row selection.
     Q("q13_scalar_subquery",
