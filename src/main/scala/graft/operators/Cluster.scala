@@ -30,22 +30,68 @@ object Cluster extends org.apache.spark.internal.Logging {
 
   /** Connected components of the undirected graph given as (d1, d2)
     * pairs: returns (v, cluster) where cluster is the minimum vertex id
-    * reachable from v. Pure DataFrame iteration.
+    * reachable from v.
     *
-    * Every superstep ends in an EAGER `localCheckpoint`: without the
-    * lineage cut, round k's logical plan embeds round k−1's twice
-    * (union + convergence probe), so the tree doubles per round and
-    * ~20 rounds exhaust the DRIVER heap during analysis — the classic
-    * iterative-DataFrame failure. The checkpoint keeps each round's
-    * plan O(1) deep; on a real cluster one would use reliable
-    * `checkpoint()` (localCheckpoint trades executor-loss recovery for
-    * speed — the right trade in a single-JVM harness, and the label
-    * frame is tiny relative to the corpus either way).
+    * TIERED BY GRAPH SIZE — the decision a 100 TB deployment actually
+    * wants: the pair graph is orders of magnitude smaller than the
+    * corpus, and most corpora produce one that fits a single machine
+    * easily. `limit(threshold+1).collect()` probes the size in ONE job
+    * (short-circuiting on huge graphs — no full count); at or under
+    * `smallGraphThreshold` edges the closure runs as driver-side
+    * union-find with path compression (microseconds, zero supersteps —
+    * the same "small model state on the driver" pattern as the k-means
+    * centroids), above it the distributed min-label loop below takes
+    * over. Both paths produce the identical deterministic labeling
+    * (component min), so callers and oracles cannot tell them apart;
+    * AlgorithmPropertySpec cross-checks them against each other and a
+    * sequential reference. `smallGraphThreshold = 0` forces the
+    * distributed path (plan audits use this).
+    *
+    * Distributed path: every superstep ends in an EAGER
+    * `localCheckpoint` — without the lineage cut, round k's logical
+    * plan embeds round k−1's twice (union + convergence probe), so the
+    * tree doubles per round and ~20 rounds exhaust the DRIVER heap
+    * during analysis — the classic iterative-DataFrame failure. The
+    * checkpoint keeps each round's plan O(1) deep; on a real cluster
+    * one would use reliable `checkpoint()` (localCheckpoint trades
+    * executor-loss recovery for speed — the right trade in a
+    * single-JVM harness, and the label frame is tiny relative to the
+    * corpus either way).
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 100): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 100,
+      smallGraphThreshold: Long = 4 << 20): DataFrame = {
+    val pairsLong = pairs.select(col("d1").cast("long").as("d1"),
+      col("d2").cast("long").as("d2"))
+    if (smallGraphThreshold > 0) {
+      val probe = pairsLong
+        .limit(math.min(smallGraphThreshold + 1, Int.MaxValue.toLong).toInt)
+        .collect()
+      if (probe.length <= smallGraphThreshold) {
+        val parent = new java.util.HashMap[Long, Long]()
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+          var c = x // path compression
+          while (parent.getOrDefault(c, c) != c) {
+            val n = parent.get(c); parent.put(c, r); c = n
+          }
+          r
+        }
+        probe.foreach { row =>
+          val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+          if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+        }
+        val verts = probe.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
+        val labels = verts.map(v => (v, find(v)))
+        val spark = pairs.sparkSession
+        import spark.implicits._
+        return labels.toSeq.toDF("v", "cluster")
+      }
+      // fall through: graph exceeds the threshold — run distributed
+    }
     val edges = GraftCache.track(
-      pairs.select(col("d1").as("src"), col("d2").as("dst"))
-        .union(pairs.select(col("d2").as("src"), col("d1").as("dst"))))
+      pairsLong.select(col("d1").as("src"), col("d2").as("dst"))
+        .union(pairsLong.select(col("d2").as("src"), col("d1").as("dst"))))
     // Initialization IS the first superstep: the vertex-set aggregation
     // the init needs anyway also takes min(v, min neighbor), so the
     // loop starts one round ahead.

@@ -42,9 +42,18 @@ class AlgorithmPropertySpec extends AnyFunSuite with SparkFixture {
       val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
       val expected = verts.groupBy(find).values
         .flatMap(vs => vs.map(_ -> vs.min)).toMap
-      val got = Cluster.connectedComponents(edges.toDF("d1", "d2"))
+      // BOTH tiers must equal the reference: the driver union-find fast
+      // path (default threshold) and the distributed min-label loop
+      // (threshold 0 forces it)
+      val gotDriver = Cluster.connectedComponents(edges.toDF("d1", "d2"))
         .as[(Long, Long)].collect().toMap
-      assert(got == expected, s"seed=$seed edges=$edges")
+      assert(gotDriver == expected, s"driver tier: seed=$seed edges=$edges")
+      if (seed <= 4) { // distributed loop is ~20x slower per graph; 4 seeds suffice
+        val gotDist = Cluster.connectedComponents(
+            edges.toDF("d1", "d2"), smallGraphThreshold = 0)
+          .as[(Long, Long)].collect().toMap
+        assert(gotDist == expected, s"distributed tier: seed=$seed edges=$edges")
+      }
     }
   }
 

@@ -152,14 +152,17 @@ class OperatorApiSpec extends AnyFunSuite with SparkFixture {
 
   test("connectedComponents fails loudly when the diameter exceeds maxIters") {
     import spark.implicits._
-    // a 12-vertex path needs ~11 min-propagation rounds
+    // a 12-vertex path needs ~11 min-propagation rounds; threshold 0
+    // forces the distributed loop (the guard lives there — the driver
+    // union-find tier has no iteration bound to exceed)
     val chain = (0 until 11).map(i => (i.toLong, i + 1L)).toDF("d1", "d2")
     val e = intercept[IllegalArgumentException] {
-      Cluster.connectedComponents(chain, maxIters = 3).collect()
+      Cluster.connectedComponents(chain, maxIters = 3, smallGraphThreshold = 0)
+        .collect()
     }
     assert(e.getMessage.contains("no convergence"), e.getMessage)
     // and converges fine when the bound allows
-    val cc = Cluster.connectedComponents(chain, maxIters = 15)
+    val cc = Cluster.connectedComponents(chain, maxIters = 15, smallGraphThreshold = 0)
       .as[(Long, Long)].collect()
     assert(cc.forall(_._2 == 0L) && cc.length == 12, cc.mkString(","))
   }
