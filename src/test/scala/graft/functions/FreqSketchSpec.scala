@@ -68,10 +68,11 @@ class FreqSketchSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
-  test("serialization round-trip preserves counters") {
+  test("serialization round-trip preserves counters (incl. >64KB items)") {
     val agg = FreqSketchAgg(org.apache.spark.sql.catalyst.expressions.Literal("x"), 8)
     val buf = agg.createAggregationBuffer()
     buf.put("a", 3L); buf.put("b", 1L); buf.put("c", 10L)
+    buf.put("µ" * 70000, 2L) // would crash writeUTF's 64 KB cap
     val back = agg.deserialize(agg.serialize(buf))
     assert(back == buf)
   }
