@@ -179,6 +179,53 @@ object Curation {
       .select("grp", "doc_id")
   }
 
+  /** The CAPSTONE composition — "documents in → training corpus out"
+    * with BOTH dedup families: exact dedup picks one representative per
+    * byte-identical text, semantic dedup keeps one representative per
+    * embedding-space near-dup CLUSTER (connected components over the
+    * sign-LSH pair graph of the representatives), then the quality +
+    * language gates and the per-group token budget run over the
+    * survivors. Every stage is an existing gated operator's semantics —
+    * this wires them into one declarative program and gate-proves the
+    * composition.
+    *
+    * `vecs` is a [[EmbeddingLsh.quantize]]d frame whose vec_id equals
+    * the document id. Output: (grp, doc_id, n_tokens, cum).
+    *
+    * Scale shape: exact-dedup shuffle, the (bounded) LSH pair pipeline
+    * over REPRESENTATIVES ONLY, the tiered component closure, one
+    * semi-join back onto the corpus, narrow gates, one per-group
+    * window. Nothing quadratic, nothing driver-side beyond the tiered
+    * closure's bounded probe.
+    */
+  def semanticCurate(docs: DataFrame, vecs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      groupCol: String = "source",
+      stopwords: Seq[String] = Seq("the", "a"),
+      qualityNum: Int = 1, qualityDen: Int = 2, densityDen: Int = 20,
+      budget: Int = 800): DataFrame = {
+    val d = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"),
+      col(groupCol).as("grp"))
+    val rep = d.groupBy("text").agg(min("doc_id").as("vec_id")).select("vec_id")
+    val repN = vecs.join(rep, Seq("vec_id"), "left_semi")
+    val surv = Cluster.semanticClusters(repN, rep)
+      .filter(col("vec_id") === col("canonical"))
+      .select(col("vec_id").as("doc_id"))
+    val a = split(col("text"), " ")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp").orderBy(col("q").desc, col("doc_id"))
+    d.join(surv, Seq("doc_id"))
+      .select(col("grp"), col("doc_id"), size(a).as("n"),
+        size(array_distinct(a)).as("nd"),
+        size(filter(a, t => t.isin(stopwords: _*))).as("sh"))
+      .filter((col("nd") - col("sh")) * qualityDen >= lit(qualityNum) * col("n") &&
+        col("sh") * densityDen > col("n"))
+      .withColumn("q", col("nd") - col("sh"))
+      .withColumn("cum", sum("n").over(w))
+      .filter(col("cum") <= budget)
+      .select(col("grp"), col("doc_id"), col("n").as("n_tokens"), col("cum"))
+  }
+
   def queries: Seq[Q] = Seq(
     // Full curation pass over `documents`: dedup + quality ≥ 1/2 +
     // 'en' density gate, token budgets and fingerprint per survivor.
@@ -240,6 +287,37 @@ object Curation {
         "SELECT grp, doc_id, n AS n_tokens, cum FROM c WHERE cum <= 800 " +
         "ORDER BY grp, doc_id") { (s, dir) =>
       tokenBudget(Tables.load(s, dir, "documents")).orderBy("grp", "doc_id")
+    },
+
+    // Capstone: exact dedup -> semantic (embedding-cluster) dedup over
+    // the representatives -> quality/language gates -> per-source token
+    // budget, as ONE declarative program. The oracle composes the same
+    // CTE chains the individual gates use (rep dedup, quantized
+    // vectors, sign-LSH pairs over the representative subset, recursive
+    // closure, gate predicates, budget window).
+    Q("q91_semantic_curate",
+      "WITH RECURSIVE rep AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text), " +
+        graft.operators.EmbeddingLsh.quantizedSql + ", " +
+        "nr AS (SELECT n.* FROM n JOIN rep ON n.vec_id = rep.doc_id), " +
+        graft.operators.Dedup.embPairsCtesFor("nr") + ", " +
+        "e AS (SELECT v1 AS d1, v2 AS d2 FROM epairs UNION SELECT v2, v1 FROM epairs), " +
+        "r AS (SELECT d1 AS v, d2 AS u FROM e " +
+        " UNION SELECT r.v, e.d2 FROM r JOIN e ON r.u = e.d1), " +
+        "lab AS (SELECT v, LEAST(v, MIN(u)) AS cluster FROM r GROUP BY v), " +
+        "surv AS (SELECT rep.doc_id FROM rep LEFT JOIN lab ON rep.doc_id = lab.v " +
+        " WHERE rep.doc_id = COALESCE(lab.cluster, rep.doc_id)), " +
+        "m AS (SELECT d.source AS grp, d.doc_id, len(string_split(d.text,' ')) AS n, " +
+        " len(list_distinct(string_split(d.text,' '))) AS nd, " +
+        " len(list_filter(string_split(d.text,' '), t -> t IN ('the','a'))) AS sh " +
+        " FROM documents d JOIN surv ON d.doc_id = surv.doc_id), " +
+        "g AS (SELECT grp, doc_id, n, nd - sh AS q FROM m " +
+        " WHERE (nd - sh) * 2 >= n AND sh * 20 > n), " +
+        "c AS (SELECT grp, doc_id, n, SUM(n) OVER (PARTITION BY grp " +
+        " ORDER BY q DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM g) " +
+        "SELECT grp, doc_id, n AS n_tokens, cum FROM c WHERE cum <= 800 " +
+        "ORDER BY grp, doc_id") { (s, dir) =>
+      semanticCurate(Tables.load(s, dir, "documents"),
+        graft.operators.EmbeddingLsh.quantized(s, dir)).orderBy("grp", "doc_id")
     },
 
     // Exact 1-in-5 stratified sample per source in deterministic

@@ -347,12 +347,14 @@ object Dedup {
   // (shared with the ANN similarity-search operators, q62/q63).
   import EmbeddingLsh.{quantized, quantizedSql, qdot, qdotSql, hcomp}
 
-  /** The q45 oracle as a reusable CTE chain ending in
-    * `epairs(v1, v2, dot, na, nb)` — the confirmed embedding near-dup
-    * pairs. [[Cluster]]'s q89 oracle extends it with the recursive
-    * component closure (the embedding twin of [[minhashPairsCtes]]).
+  /** The q45 oracle as a reusable CTE chain over quantized-vector CTE
+    * `src(vec_id, q, nrm)`, ending in `epairs(v1, v2, dot, na, nb)` —
+    * the confirmed embedding near-dup pairs. [[Cluster]]'s q89 oracle
+    * extends it with the recursive component closure (the embedding
+    * twin of [[minhashPairsCtes]]); [[Curation]]'s q91 instantiates it
+    * over the exact-dedup representatives only.
     */
-  private[operators] val embPairsCtes: String = {
+  private[operators] def embPairsCtesFor(src: String): String = {
     val nh = NumBands * BandBits
     val bits = (0 until nh).map { j =>
       s"CASE WHEN list_aggregate([q[i+1] * ${hcomp(j)} FOR i IN generate_series(0,63)], 'sum')::BIGINT >= 0 " +
@@ -363,18 +365,21 @@ object Dedup {
     }.mkString(", ")
     val bands = (0 until NumBands)
       .map(k => s"SELECT vec_id, $k AS k, band$k AS bv FROM bd").mkString(" UNION ALL ")
-    quantizedSql + ", " +
-      s"bits AS (SELECT vec_id, $bits FROM n), " +
+    s"bits AS (SELECT vec_id, $bits FROM $src), " +
       s"bd AS (SELECT vec_id, $bandvals FROM bits), " +
       s"bands AS ($bands), " +
       s"bandsf AS ${capBucketsSql("bands", BucketCap, "vec_id, k, bv", "k", "bv")}, " +
       "cand AS (SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2 FROM bandsf x JOIN bandsf y " +
       " ON x.k = y.k AND x.bv = y.bv AND x.vec_id < y.vec_id), " +
-      "p AS (SELECT v1, v2, " + qdotSql("a.q", "b.q") + " AS dot, a.nrm AS na, b.nrm AS nb " +
-      " FROM cand JOIN n a ON v1 = a.vec_id JOIN n b ON v2 = b.vec_id), " +
+      "p AS (SELECT v1, v2, " + qdotSql("a.q", "b.q") + s" AS dot, a.nrm AS na, b.nrm AS nb " +
+      s" FROM cand JOIN $src a ON v1 = a.vec_id JOIN $src b ON v2 = b.vec_id), " +
       "epairs AS (SELECT v1, v2, dot, na, nb FROM p " +
       " WHERE dot >= 0 AND 25 * dot * dot >= 4 * na * nb)"
   }
+
+  /** [[embPairsCtesFor]] over the full quantized `embeddings` table. */
+  private[operators] val embPairsCtes: String =
+    quantizedSql + ", " + embPairsCtesFor("n")
 
   def queries: Seq[Q] = Seq(
 

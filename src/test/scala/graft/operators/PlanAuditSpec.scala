@@ -190,6 +190,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"quadratic join reintroduced:\n$p")
   }
 
+  test("q91: capstone curation plans equi-joins only — no cartesian anywhere") {
+    val p = plan("q91_semantic_curate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"quadratic join in the capstone:\n$p")
+  }
+
   test("q88: heavy hitters is one sketch aggregate pair + TopK — no raw-token sort") {
     val p = plan("q88_heavy_hitters")
     assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
