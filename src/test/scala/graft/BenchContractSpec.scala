@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contracts the bench/verify harness depends on. The collecting
+  * harness keeps only ~2 KB of process-output tail and parses ONE JSON
+  * line from it (BENCH_r04/r05 were truncated to `parsed: null` when
+  * the line hit 7 KB) — these assertions fail a regression here before
+  * a round's numbers are silently lost.
+  */
+class BenchContractSpec extends AnyFunSuite {
+
+  private def qid(name: String) = name.takeWhile(_ != '_')
+
+  test("qNN ids are unique (bench JSON keys + SPARK_GRAFT_ONLY matching)") {
+    val ids = SparkEntry.all.map(q => qid(q.name))
+    val dups = ids.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+    assert(dups.isEmpty, s"duplicate bench ids: ${dups.mkString(",")}")
+  }
+
+  test("worst-case bench JSON line stays under the 2 KB collector tail") {
+    // mirror Bench's emission shape with worst-case widths: every
+    // median 4 digits (xxxx.xxx) and every query also in the stall map
+    val medians = SparkEntry.all
+      .map(q => "\"" + qid(q.name) + "\":9999.999").mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":99999.999,"unit":"sec","reps":3,""" +
+      s""""only":null,"queries":$medians,"stalls":{},""" +
+      s""""failed":[],"sf":"/root/testdata/sf0.1"}"""
+    assert(line.length <= 1900,
+      s"bench JSON would be ${line.length} B; trim before the harness truncates it")
+  }
+
+  test("every query has a distinct name and every oracle aliases no bare aggregates") {
+    val names = SparkEntry.all.map(_.name)
+    assert(names.distinct.size == names.size)
+    // driver compare sorts columns by NAME: an unaliased aggregate like
+    // sum(x) would never match the Spark column; cheap lint for the
+    // obvious cases
+    SparkEntry.oracleSql.foreach { case (n, sql) =>
+      assert(!sql.toLowerCase.matches(""".*select [^,]*\((?!\*)[^)]*\)\s*(,|from).*""") ||
+        sql.toLowerCase.contains(" as "),
+        s"$n: oracle seems to project an unaliased expression")
+    }
+  }
+}
