@@ -55,7 +55,53 @@ object Sessions {
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
   }
 
+  /** Ordered funnel analysis: per entity, the epoch-µs time of the
+    * first occurrence of each funnel step, and the furthest stage
+    * reached IN ORDER (step k counts only if its first occurrence is at
+    * or after the time that completed stage k−1). One
+    * map-side-combinable conditional-MIN aggregation — a single shuffle
+    * on the entity key at any scale, no window, no self-join (the
+    * per-step-pair join formulation is quadratic in steps and shuffles
+    * per step).
+    */
+  def funnel(ev: DataFrame, steps: Seq[String] = Seq("view", "click", "purchase"),
+      userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    val base = ev.select(col(userCol).as("user_id"),
+        microsOf(ev, tsCol).as("us"), col(typeCol).as("et"))
+      .groupBy("user_id")
+      .agg(min(when(col("et") === steps.head, col("us"))).as("t0"),
+        steps.tail.zipWithIndex.map { case (s, i) =>
+          min(when(col("et") === s, col("us"))).as(s"t${i + 1}")
+        }: _*)
+    // stage k requires t0 <= t1 <= ... <= t(k-1), each non-null; the
+    // fold builds "time that completed stage k" left to right
+    val stage = steps.indices.tail.foldLeft(
+        (when(col("t0").isNotNull, 1L).otherwise(0L), col("t0"))) {
+      case ((st, prevT), i) =>
+        val ok = col(s"t$i").isNotNull && col(s"t$i") >= prevT && st === i.toLong
+        (when(ok, (i + 1).toLong).otherwise(st),
+          when(ok, col(s"t$i")).otherwise(prevT))
+    }._1
+    base.withColumn("stage", stage)
+  }
+
   def queries: Seq[Q] = Seq(
+    // First-touch funnel over events: first view/click/purchase times
+    // per user and the furthest stage reached in order.
+    Q("q92_funnel",
+      "WITH m AS (SELECT user_id, " +
+        "min(CASE WHEN event_type='view' THEN epoch_us(ts) END) AS t0, " +
+        "min(CASE WHEN event_type='click' THEN epoch_us(ts) END) AS t1, " +
+        "min(CASE WHEN event_type='purchase' THEN epoch_us(ts) END) AS t2 " +
+        "FROM events GROUP BY user_id) " +
+        "SELECT user_id, t0, t1, t2, CAST(CASE WHEN t0 IS NULL THEN 0 " +
+        "WHEN t1 IS NULL OR t1 < t0 THEN 1 " +
+        "WHEN t2 IS NULL OR t2 < t1 THEN 2 ELSE 3 END AS BIGINT) AS stage " +
+        "FROM m ORDER BY user_id") { (s, dir) =>
+      funnel(Tables.load(s, dir, "events")).orderBy("user_id")
+    },
+
     // Gap-based sessions (4 h) over `events` with per-session counts,
     // bounds and exact money totals.
     Q("q87_sessionize",

@@ -196,6 +196,13 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"quadratic join in the capstone:\n$p")
   }
 
+  test("q92: funnel is ONE conditional-min aggregate pair — no join, no window") {
+    val p = plan("q92_funnel")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      s"funnel must stay a single aggregation:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, s"map-side partial lost:\n$p")
+  }
+
   test("q88: heavy hitters is one sketch aggregate pair + TopK — no raw-token sort") {
     val p = plan("q88_heavy_hitters")
     assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,

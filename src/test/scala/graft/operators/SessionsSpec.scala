@@ -69,6 +69,23 @@ class SessionsSpec extends AnyFunSuite with SparkFixture {
     assert(rows.head.getDouble(5) == 5.0)
   }
 
+  test("funnel: furthest stage reached IN first-touch order") {
+    import spark.implicits._
+    def ev(rows: (Long, Long, String)*) = rows.toSeq
+      .toDF("user_id", "us", "event_type")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+        col("event_type"), col("user_id").as("event_id"), lit(0.0).as("value"))
+    val df = ev(
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"), // full funnel
+      (2L, 10L, "click"), (2L, 20L, "view"), // click BEFORE view -> stage 1
+      (3L, 10L, "view"), // view only
+      (4L, 10L, "signup"), // never entered -> 0
+      (5L, 10L, "view"), (5L, 10L, "click")) // same-µs tie counts (>=)
+    val got = Sessions.funnel(df).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 0L, 5L -> 2L), got)
+  }
+
   test("plan: ONE exchange — session agg reuses the window's hash partitioning") {
     import spark.implicits._
     val df = (1 to 100).map(i => (i % 5L, i.toLong, i * 1000L, 1.0))
