@@ -27,6 +27,14 @@ trait Dialect extends Serializable {
   /** Render a LIMIT clause appended to a complete SELECT. */
   def limitClause(n: Int): String = s"LIMIT $n"
 
+  /** Combined limit/offset tail: `LIMIT n OFFSET m` order for the
+    * LIMIT-style engines; Derby overrides with the ANSI
+    * `OFFSET m ROWS FETCH FIRST n ROWS ONLY` (offset first). Renders
+    * exactly [[limitClause]] when no offset is present.
+    */
+  def limitOffsetClause(limit: Option[Int], offset: Option[Int]): String =
+    (limit.map(limitClause) ++ offset.map(m => s"OFFSET $m")).mkString(" ")
+
   /** The dialect's unbounded-text column type (nested-as-JSON storage
     * and the UnsupportedTypeAction=string fallback both use it).
     */
@@ -131,6 +139,8 @@ trait Dialect extends Serializable {
 object DerbyDialect extends Dialect {
   val name = "derby"
   override def limitClause(n: Int): String = s"FETCH FIRST $n ROWS ONLY"
+  override def limitOffsetClause(limit: Option[Int], offset: Option[Int]): String =
+    (offset.map(m => s"OFFSET $m ROWS") ++ limit.map(limitClause)).mkString(" ")
   // Derby has no FULL OUTER JOIN.
   override def supportsFullOuterJoin: Boolean = false
   // Derby has no EXTRACT; YEAR()..SECOND() exist, QUARTER does not.

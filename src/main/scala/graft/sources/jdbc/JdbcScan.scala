@@ -33,6 +33,7 @@ final class JdbcScanBuilder(options: JdbcOptions, tableSchema: StructType)
     with SupportsPushDownV2Filters
     with SupportsPushDownLimit
     with SupportsPushDownTopN
+    with SupportsPushDownOffset
     with SupportsPushDownAggregates {
 
   private val unparser = new Unparser(options.dialect)
@@ -40,6 +41,7 @@ final class JdbcScanBuilder(options: JdbcOptions, tableSchema: StructType)
   private var pushedSql: Seq[String] = Nil
   private var pushed: Array[Predicate] = Array.empty
   private var limit: Option[Int] = None
+  private var offset: Option[Int] = None
   private var orderBy: Seq[String] = Nil
   private var sortIsPartial = false
   private var aggSelect: Seq[String] = Nil // rendered "expr AS alias" items
@@ -152,14 +154,34 @@ final class JdbcScanBuilder(options: JdbcOptions, tableSchema: StructType)
     if (rendered.forall(_.isDefined)) {
       orderBy = rendered.map(_.get)
       limit = Some(n)
-      sortIsPartial = true
+      // Single JDBC cursor => the remote ORDER BY + FETCH is the exact
+      // answer and Spark may drop its local TopN (same contract as
+      // Spark's own JDBC v2). Range-split scans re-sort locally.
+      sortIsPartial = options.numPartitions > 1
       true
     } else false
   }
 
+  /** OFFSET is accepted only when the remote result is exactly the
+    * rows Spark must see: one partition (a per-partition OFFSET skips
+    * rows per range split), a pushed total ORDER (Spark only pushes
+    * offset below a fully-pushed TopN, and an unsorted remote OFFSET
+    * would be nondeterministic anyway), and a pushed limit strictly
+    * above the offset. Spark's contract is take-limit-THEN-skip-offset
+    * (it pushes limit = n + m for `offset(m).limit(n)`), which SQL's
+    * skip-then-take renders as `OFFSET m` + `FETCH FIRST (limit - m)`
+    * — composed in [[JdbcScan.sqlFor]]. Spark removes its local Offset
+    * when this returns true.
+    */
+  override def pushOffset(n: Int): Boolean = {
+    if (aggSchema.isDefined || options.numPartitions > 1 || orderBy.isEmpty ||
+      !limit.exists(_ > n)) false
+    else { offset = Some(n); true }
+  }
+
   override def build(): Scan =
     JdbcScan(options, aggSchema.getOrElse(schema), pushedSql, orderBy, limit,
-      aggSelect, groupBySql)
+      aggSelect, groupBySql, pushedOffset = offset)
 }
 
 final case class JdbcScan(
@@ -169,7 +191,8 @@ final case class JdbcScan(
     orderBy: Seq[String],
     limit: Option[Int],
     aggSelect: Seq[String] = Nil,
-    groupBy: Seq[String] = Nil) extends Scan with Batch
+    groupBy: Seq[String] = Nil,
+    pushedOffset: Option[Int] = None) extends Scan with Batch
     with SupportsRuntimeV2Filtering with SupportsReportStatistics with Logging {
 
   override def readSchema(): StructType = schema
@@ -250,7 +273,12 @@ final case class JdbcScan(
       if (groupBy.isEmpty) "" else groupBy.mkString(" GROUP BY ", ", ", "")
     val order =
       if (orderBy.isEmpty) "" else orderBy.mkString(" ORDER BY ", ", ", "")
-    val lim = limit.map(n => " " + d.limitClause(n)).getOrElse("")
+    // Spark's pushed limit is the take-BEFORE-skip count; SQL's
+    // LIMIT/OFFSET skips first, so the rendered fetch is limit - offset.
+    val lim =
+      if (limit.isEmpty && pushedOffset.isEmpty) ""
+      else " " + d.limitOffsetClause(
+        limit.map(n => n - pushedOffset.getOrElse(0)), pushedOffset)
     d.repairSql(s"SELECT $cols FROM ${options.fromClause}$whereClause$group$order$lim")
   }
 

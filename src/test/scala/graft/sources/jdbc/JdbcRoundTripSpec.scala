@@ -58,6 +58,43 @@ class JdbcRoundTripSpec extends AnyFunSuite with SparkFixture {
     assert(dw.collect().map(_.getLong(0)).toSeq == Seq(1L)) // 1995-03-15 is a Wednesday
   }
 
+  test("OFFSET pushdown: sorted offset (and offset+limit) run remotely, rows exact") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ext.rt")
+    spark.sql("DROP TABLE IF EXISTS ext.rt.toff")
+    import spark.implicits._
+    (1L to 50L).map(i => (i, 100L - i)).toDF("k", "v").writeTo("ext.rt.toff").create()
+
+    // offset + limit below a pushed TopN: skip 2, take 3 of the
+    // v-descending order, entirely remote (OFFSET 2 + FETCH FIRST 3)
+    val both = spark.table("ext.rt.toff").orderBy($"v".desc, $"k").offset(2).limit(3)
+    val bothPlan = planOf(both)
+    assert(bothPlan.contains("OFFSET 2 ROWS") &&
+      bothPlan.contains("FETCH FIRST 3 ROWS ONLY"),
+      s"offset+limit not pushed:\n$bothPlan")
+    assert(both.collect().map(_.getLong(0)).toSeq == Seq(3L, 4L, 5L),
+      s"offset+limit rows wrong:\n$bothPlan")
+
+    // a sort WITHOUT limit is never pushed (no TopN), so a pure offset
+    // stays local — and stays correct
+    val off = spark.table("ext.rt.toff").orderBy($"v", $"k").offset(47)
+    assert(!planOf(off).contains("OFFSET"), planOf(off))
+    assert(off.collect().map(_.getLong(0)).toSeq == Seq(3L, 2L, 1L))
+
+    // unsorted offset must stay in Spark (plan keeps no remote OFFSET)
+    val unsorted = spark.table("ext.rt.toff").offset(10)
+    assert(!planOf(unsorted).contains("OFFSET"), planOf(unsorted))
+    assert(unsorted.count() == 40)
+
+    // range-partitioned scans must never push offset (per-partition skip)
+    val parts = spark.read.format("graft.sources.jdbc.GraftJdbcSource")
+      .option("url", SparkFixture.derbyUrl).option("dbtable", "\"rt\".\"toff\"")
+      .option("partitioncolumn", "k").option("lowerbound", "1")
+      .option("upperbound", "51").option("numpartitions", "4")
+      .load().orderBy("k").offset(5)
+    assert(!planOf(parts).contains("OFFSET"), planOf(parts))
+    assert(parts.count() == 45)
+  }
+
   test("TopN pushdown renders ORDER BY + FETCH FIRST, result exact") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS ext.rt")
     spark.sql("DROP TABLE IF EXISTS ext.rt.t2")
@@ -68,8 +105,9 @@ class JdbcRoundTripSpec extends AnyFunSuite with SparkFixture {
     val plan = planOf(df)
     assert(plan.contains("ORDER BY"), s"sort not pushed:\n$plan")
     assert(plan.contains("FETCH FIRST 3 ROWS ONLY"), s"limit not pushed:\n$plan")
-    // local TakeOrderedAndProject stays above the scan (Inexact contract)
-    assert(plan.contains("TakeOrderedAndProject"), s"local TopK missing:\n$plan")
+    // single JDBC cursor => the remote TopN is exact and Spark drops
+    // its local TakeOrderedAndProject (Spark JDBC v2's own contract)
+    assert(!plan.contains("TakeOrderedAndProject"), s"TopN should be complete:\n$plan")
     assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
       (1L to 50L).map(i => (i, i * 7 % 13)).sortBy(t => (-t._2, t._1)).take(3))
   }
