@@ -135,6 +135,23 @@ class FederationSpec extends AnyFunSuite with SparkFixture {
       Seq((2L, "bob"), (3L, "carol")))
   }
 
+  test("TopN + OFFSET push into the collapsed federation statement") {
+    setup()
+    import spark.implicits._
+    val df = spark.table("ext.fed.orders")
+      .join(spark.table("ext.fed.cust"), $"ocid" === $"cid")
+      .select("oid", "cname", "amount")
+      .orderBy($"amount".desc, $"oid").offset(1).limit(2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(scanCount(df) == 1, s"collapse lost under TopN:\n$plan")
+    assert(plan.contains("ORDER BY") && plan.contains("OFFSET 1 ROWS") &&
+      plan.contains("FETCH FIRST 2 ROWS ONLY"),
+      s"TopN+offset must ride into the remote statement:\n$plan")
+    // amounts desc: 250, 100, 75, 40 -> skip 1, take 2 = oids 10, 13
+    assert(df.collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq ==
+      Seq((10L, 100.0), (13L, 75.0)))
+  }
+
   test("distinct servers are never merged") {
     setup()
     // second, separate Derby database = different compute context
