@@ -140,7 +140,61 @@ object FederationRule extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  /** Wrap a finished derived-table SQL string as a fresh relation whose
+    * outer Project restores the original attribute ids. Shared by the
+    * join and union collapse arms.
+    */
+  private def wrap(out: Seq[Attribute], opts: JdbcOptions, derived: String,
+      alias: String): LogicalPlan = {
+    val fields = out.zipWithIndex.map { case (a, i) =>
+      StructField(s"c$i", a.dataType, a.nullable)
+    }
+    val tbl = GraftJdbcTable(
+      s"federated:${opts.computeContext}",
+      StructType(fields),
+      JdbcOptions(opts.withTable(derived).map + ("derivedalias" -> alias)))
+    val newOut = out.zipWithIndex.map { case (a, i) =>
+      AttributeReference(s"c$i", a.dataType, a.nullable)()
+    }
+    val rel = DataSourceV2Relation(
+      tbl, newOut, None, None, CaseInsensitiveStringMap.empty())
+    Project(
+      out.zip(newOut).map { case (o, n) =>
+        Alias(n, o.name)(exprId = o.exprId)
+      },
+      rel)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    // Same-server UNION ALL collapses into one remote statement — each
+    // branch keeps its own FROM scope, so duplicate correlation names
+    // across branches are fine (unlike the join arm). Spark's `union`
+    // is positional UNION ALL; byName/allowMissing variants and
+    // Distinct-above stay local.
+    case u @ Union(children, false, false) if children.length >= 2 =>
+      val leaves = children.map(leafOf)
+      val collapsed = if (leaves.forall(_.isDefined)) {
+        val ls = leaves.map(_.get)
+        // u.output.nonEmpty: a fully-pruned union (bare COUNT above it)
+        // would render empty SELECT lists — those plans stay local,
+        // where each branch still scans one narrow column
+        if (u.output.nonEmpty && ls.map(_.ctx).distinct.sizeIs == 1 &&
+          ls.forall(_.visible.length == u.output.length)) {
+          val opts = ls.head.opts
+          val d = opts.dialect
+          val alias = fresh()
+          val branches = ls.map { l =>
+            val proj = l.visible.zipWithIndex.map { case (a, i) =>
+              s"${l.attrs(a.exprId)} AS ${d.quote(s"c$i")}"
+            }
+            s"SELECT ${proj.mkString(", ")} FROM ${l.from}"
+          }
+          Some(wrap(u.output, opts,
+            s"(${branches.mkString(" UNION ALL ")}) ${d.quote(alias)}", alias))
+        } else None
+      } else None
+      collapsed.getOrElse(u)
+
     case j @ Join(left, right, jt, cond, _) =>
       val collapsed =
         for {
@@ -190,25 +244,8 @@ object FederationRule extends Rule[LogicalPlan] {
           val proj = out.zipWithIndex.map { case (a, i) =>
             s"${combined(a.exprId)} AS ${d.quote(s"c$i")}"
           }
-          val derived =
-            s"(SELECT ${proj.mkString(", ")} FROM $body) ${d.quote(alias)}"
-          val fields = out.zipWithIndex.map { case (a, i) =>
-            StructField(s"c$i", a.dataType, a.nullable)
-          }
-          val tbl = GraftJdbcTable(
-            s"federated:${l.opts.computeContext}",
-            StructType(fields),
-            JdbcOptions(l.opts.withTable(derived).map + ("derivedalias" -> alias)))
-          val newOut = out.zipWithIndex.map { case (a, i) =>
-            AttributeReference(s"c$i", a.dataType, a.nullable)()
-          }
-          val rel = DataSourceV2Relation(
-            tbl, newOut, None, None, CaseInsensitiveStringMap.empty())
-          Project(
-            out.zip(newOut).map { case (o, n) =>
-              Alias(n, o.name)(exprId = o.exprId)
-            },
-            rel)
+          wrap(out, l.opts,
+            s"(SELECT ${proj.mkString(", ")} FROM $body) ${d.quote(alias)}", alias)
         }
       collapsed.getOrElse(j)
   }

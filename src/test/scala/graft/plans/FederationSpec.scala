@@ -152,6 +152,24 @@ class FederationSpec extends AnyFunSuite with SparkFixture {
       Seq((10L, 100.0), (13L, 75.0)))
   }
 
+  test("same-server UNION ALL collapses to one remote statement") {
+    setup()
+    import spark.implicits._
+    val a = spark.table("ext.fed.cust").filter($"seg" === 1).select("cid", "cname")
+    val b = spark.table("ext.fed.cust").filter($"seg" === 2).select("cid", "cname")
+    val df = a.union(b).orderBy("cid")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(scanCount(df) == 1, s"union should collapse:\n$plan")
+    assert(plan.contains("UNION ALL"), s"no remote UNION ALL:\n$plan")
+    assert(df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "alice"), (2L, "bob"), (3L, "carol")))
+    // UNION ALL keeps duplicates (positional, same table twice — fine
+    // across branches: each keeps its own FROM scope)
+    val dup = spark.table("ext.fed.cust").select("cid")
+      .union(spark.table("ext.fed.cust").select("cid"))
+    assert(scanCount(dup) == 1 && dup.count() == 6)
+  }
+
   test("distinct servers are never merged") {
     setup()
     // second, separate Derby database = different compute context
