@@ -102,6 +102,28 @@ object Sessions {
       funnel(Tables.load(s, dir, "events")).orderBy("user_id")
     },
 
+    // Inter-event gap analysis with lead/lag + defaults: previous and
+    // next event times per user (epoch-µs, -1 default at the edges) and
+    // the gap to the previous event.
+    Q("q93_lead_lag",
+      "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events) " +
+        "SELECT user_id, event_id, us, " +
+        "lag(us, 1, -1) OVER w AS prev_us, " +
+        "lead(us, 1, -1) OVER w AS next_us, " +
+        "us - lag(us, 1) OVER w AS gap_us " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id) " +
+        "ORDER BY user_id, us, event_id") { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val us = microsOf(ev, "ts")
+      val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+      ev.select(col("user_id"), col("event_id"), us.as("us"))
+        .select(col("user_id"), col("event_id"), col("us"),
+          lag("us", 1, -1L).over(w).as("prev_us"),
+          lead("us", 1, -1L).over(w).as("next_us"),
+          (col("us") - lag("us", 1).over(w)).as("gap_us"))
+        .orderBy("user_id", "us", "event_id")
+    },
+
     // Gap-based sessions (4 h) over `events` with per-session counts,
     // bounds and exact money totals.
     Q("q87_sessionize",

@@ -42,6 +42,8 @@ final class CatalystUnparser(dialect: Dialect, attrSql: Map[ExprId, String]) {
     case a: Add => bin("+", a.left, a.right)
     case a: Subtract => bin("-", a.left, a.right)
     case a: Multiply => bin("*", a.left, a.right)
+    case a: Remainder =>
+      for (l <- expr(a.left); r <- expr(a.right)) yield dialect.modSql(l, r)
     // temporal extraction — dialect-routed like the DSv2 unparser's
     // Extract case (Derby functions / ANSI EXTRACT / SQLite strftime)
     case Year(c) => expr(c).flatMap(s => dialect.extractSql("YEAR", s))

@@ -117,6 +117,9 @@ trait Dialect extends Serializable {
     */
   def concatSql(parts: Seq[String]): String = parts.mkString("(", " || ", ")")
 
+  /** Modulo: the `%` operator where it exists; Derby has only MOD(). */
+  def modSql(a: String, b: String): String = s"($a % $b)"
+
   /** Render a temporal-field extraction over an already-rendered source
     * expression, or None when this dialect cannot (the predicate then
     * stays on the Spark side — graceful partial pushdown, the same
@@ -143,6 +146,7 @@ object DerbyDialect extends Dialect {
     (offset.map(m => s"OFFSET $m ROWS") ++ limit.map(limitClause)).mkString(" ")
   // Derby has no FULL OUTER JOIN.
   override def supportsFullOuterJoin: Boolean = false
+  override def modSql(a: String, b: String): String = s"MOD($a, $b)"
   // Derby has no EXTRACT; YEAR()..SECOND() exist, QUARTER does not.
   override def extractSql(field: String, src: String): Option[String] = field match {
     case "YEAR" | "MONTH" | "DAY" | "HOUR" | "MINUTE" | "SECOND" =>

@@ -68,7 +68,8 @@ final class Unparser(dialect: Dialect) extends Serializable {
     case "!=" => binary("<>", g)
     case "+" | "-" if g.children.length == 2 => binary(g.name, g)
     case "-" => kids(g).collect { case Seq(a) => s"(- $a)" }
-    case "*" | "/" | "%" => binary(g.name, g)
+    case "*" | "/" => binary(g.name, g)
+    case "%" => kids(g).collect { case Seq(a, b) => dialect.modSql(a, b) }
     case "AND" | "OR" => binary(g.name, g)
     case "NOT" => kids(g).collect { case Seq(a) => s"(NOT $a)" }
     case "IS_NULL" => kids(g).collect { case Seq(a) => s"($a IS NULL)" }

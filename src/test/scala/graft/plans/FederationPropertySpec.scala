@@ -1,0 +1,101 @@
+package graft.plans
+
+import graft.SparkFixture
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** Randomized equivalence: for random leg shapes (filters, projections)
+  * and join/union compositions over SAME-SERVER Derby tables, the
+  * federation-collapsed result must equal the identical DataFrame
+  * program over in-memory mirrors of the same data — null-extension
+  * semantics, duplicate preservation and filter placement included.
+  * Plan-shape goldens live in FederationSpec; this spec hunts the
+  * combinations nobody thought to write down.
+  */
+class FederationPropertySpec extends AnyFunSuite with SparkFixture {
+
+  private lazy val custRows =
+    (1L to 12L).map(i => (i, s"name_$i", (i % 4).toInt, (i * 7 % 10) * 10.0))
+  private lazy val ordRows =
+    (1L to 30L).map(i => (100 + i, i % 15 + 1, (i * 13 % 9) * 25.0))
+
+  private def setup(): Unit = {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ext.fp")
+    spark.sql("DROP TABLE IF EXISTS ext.fp.cust")
+    spark.sql("DROP TABLE IF EXISTS ext.fp.ord")
+    import spark.implicits._
+    custRows.toDF("cid", "cname", "seg", "bal").writeTo("ext.fp.cust").create()
+    ordRows.toDF("oid", "ocid", "amount").writeTo("ext.fp.ord").create()
+  }
+
+  /** The same logical leg over either the remote table or its mirror. */
+  private def leg(base: DataFrame, rnd: Random, numCol: String,
+      keep: Seq[String]): DataFrame = {
+    var df = base
+    rnd.nextInt(3) match {
+      case 0 => ()
+      case 1 => df = df.filter(col(numCol) > lit(rnd.nextInt(200).toDouble))
+      case 2 => df = df.filter(col(numCol) > lit(rnd.nextInt(150).toDouble) ||
+        col(keep.head) % 3 === lit(rnd.nextInt(3)))
+    }
+    if (rnd.nextBoolean()) df = df.select(keep.map(col): _*)
+    df
+  }
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.mkString("|")).sorted.toSeq
+
+  test("random join/union shapes: collapsed == local execution") {
+    setup()
+    import spark.implicits._
+    val custLocal = custRows.toDF("cid", "cname", "seg", "bal")
+    val ordLocal = ordRows.toDF("oid", "ocid", "amount")
+    val joinTypes = Seq("inner", "left", "right", "left_semi", "left_anti", "cross")
+    for (seed <- 1 to 14) {
+      val shape = new Random(seed) // drives both builds identically
+      def build(cust: DataFrame, ord: DataFrame): DataFrame = {
+        val rnd = new Random(seed * 1000)
+        val l = leg(cust, rnd, "bal", Seq("cid", "cname", "seg"))
+        val r = leg(ord, rnd, "amount", Seq("ocid", "amount"))
+        shape.nextInt(3) match {
+          case 0 => // join
+            val jt = joinTypes(shape.nextInt(joinTypes.length))
+            if (jt == "cross") l.crossJoin(r)
+            else l.join(r, col("cid") === col("ocid"), jt)
+          case 1 => // self-union of the cust leg (positional UNION ALL)
+            val l2 = leg(cust, new Random(seed * 2000), "bal", Seq("cid", "cname", "seg"))
+            val (a, b) = (l.select("cid"), l2.select("cid"))
+            a.union(b)
+          case 2 => // join then filter above the collapse
+            l.join(r, col("cid") === col("ocid"), "left")
+              .filter(col("cid") % 2 === 1)
+        }
+      }
+      // the shape Random is consumed once per build; rebuild it per side
+      val remote = build(spark.table("ext.fp.cust"), spark.table("ext.fp.ord"))
+      val shape2 = new Random(seed)
+      def build2(cust: DataFrame, ord: DataFrame): DataFrame = {
+        val rnd = new Random(seed * 1000)
+        val l = leg(cust, rnd, "bal", Seq("cid", "cname", "seg"))
+        val r = leg(ord, rnd, "amount", Seq("ocid", "amount"))
+        shape2.nextInt(3) match {
+          case 0 =>
+            val jt = joinTypes(shape2.nextInt(joinTypes.length))
+            if (jt == "cross") l.crossJoin(r)
+            else l.join(r, col("cid") === col("ocid"), jt)
+          case 1 =>
+            val l2 = leg(cust, new Random(seed * 2000), "bal", Seq("cid", "cname", "seg"))
+            l.select("cid").union(l2.select("cid"))
+          case 2 =>
+            l.join(r, col("cid") === col("ocid"), "left")
+              .filter(col("cid") % 2 === 1)
+        }
+      }
+      val local = build2(custLocal, ordLocal)
+      assert(rows(remote) == rows(local), s"seed=$seed diverged")
+    }
+  }
+}

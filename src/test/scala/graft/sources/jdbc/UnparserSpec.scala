@@ -127,6 +127,12 @@ class UnparserSpec extends AnyFunSuite {
       .contains("(EXTRACT(YEAR FROM \"ts\") = 1995)"))
   }
 
+  test("modulo is dialect-routed: % operator vs Derby MOD()") {
+    val m = new GeneralScalarExpression("%", Array(col("a"), i32(3)))
+    assert(u.expr(m).contains("(\"a\" % 3)"))
+    assert(new Unparser(DerbyDialect).expr(m).contains("MOD(\"a\", 3)"))
+  }
+
   test("dialect quoting differs per dialect") {
     val my = new Unparser(MySqlDialect)
     assert(my.expr(col("a")).contains("`a`"))
