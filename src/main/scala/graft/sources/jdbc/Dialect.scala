@@ -136,6 +136,10 @@ trait Dialect extends Serializable {
 
   /** Whether FULL OUTER JOIN may be rendered for this dialect. */
   def supportsFullOuterJoin: Boolean = true
+
+  /** Whether one statement may hold two DISTINCT aggregates (Derby
+    * cannot); plans that need more stay local over the scanned rows. */
+  def supportsMultipleDistinctAggregates: Boolean = true
 }
 
 /** Apache Derby — the live embedded backend for tests and queries. */
@@ -146,6 +150,7 @@ object DerbyDialect extends Dialect {
     (offset.map(m => s"OFFSET $m ROWS") ++ limit.map(limitClause)).mkString(" ")
   // Derby has no FULL OUTER JOIN.
   override def supportsFullOuterJoin: Boolean = false
+  override def supportsMultipleDistinctAggregates: Boolean = false
   override def modSql(a: String, b: String): String = s"MOD($a, $b)"
   // Derby has no EXTRACT; YEAR()..SECOND() exist, QUARTER does not.
   override def extractSql(field: String, src: String): Option[String] = field match {

@@ -93,7 +93,19 @@ final class JdbcScanBuilder(options: JdbcOptions, tableSchema: StructType)
     case _ => None
   }
 
+  private def isDistinctAgg(f: AggregateFunc): Boolean = f match {
+    case c: Count => c.isDistinct
+    case s: Sum => s.isDistinct
+    case a: Avg => a.isDistinct
+    case _ => false
+  }
+
   private def translate(agg: Aggregation): Option[(Seq[String], Seq[String], StructType)] = {
+    // Derby cannot evaluate two DISTINCT aggregates in one statement
+    // ("Multiple DISTINCT aggregates are not supported") — such plans
+    // stay local over the scanned rows. Found by AggPushdownPropertySpec.
+    if (!options.dialect.supportsMultipleDistinctAggregates &&
+      agg.aggregateExpressions.count(isDistinctAgg) > 1) return None
     val grpFields = agg.groupByExpressions.toSeq.map(fieldOf)
     val aggTypes = agg.aggregateExpressions.toSeq.map(aggResultType)
     val aggSqls = agg.aggregateExpressions.toSeq.map(unparser.agg)
