@@ -1,0 +1,66 @@
+package graft.sources.jdbc
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** Randomized write-path state machine: a sequence of random upserts
+  * (update and do-nothing modes), pushed DELETEs and pushed UPDATEs
+  * applied to a keyed Derby table must leave EXACTLY the state an
+  * in-memory model predicts after every step — the cross-operation
+  * interactions (upsert over deleted keys, do-nothing over updated
+  * rows, update of just-upserted values) that the per-operation
+  * goldens in WriteHardeningSpec cannot enumerate.
+  */
+class WritePropertySpec extends AnyFunSuite with SparkFixture {
+
+  private def state(): Map[Long, (Long, String)] =
+    spark.table("ext.wp.t").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+
+  test("random upsert/delete/update sequences: remote state == model") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ext.wp")
+    spark.sql("DROP TABLE IF EXISTS ext.wp.t")
+    import spark.implicits._
+    Seq((1L, 10L, "seed")).toDF("k", "v", "s").writeTo("ext.wp.t").create()
+    var model = Map(1L -> (10L, "seed"))
+
+    val rnd = new Random(2026)
+    for (step <- 1 to 30) {
+      rnd.nextInt(4) match {
+        case 0 => // upsert (update mode)
+          val batch = (1 to 1 + rnd.nextInt(4)).map { _ =>
+            val k = rnd.nextInt(12).toLong
+            (k, rnd.nextInt(100).toLong, s"u$step")
+          }.distinctBy(_._1)
+          batch.toDF("k", "v", "s").writeTo("ext.wp.t")
+            .option("upsertkeys", "k").append()
+          batch.foreach { case (k, v, s) => model += k -> (v, s) }
+        case 1 => // upsert (do-nothing mode): only new keys land
+          val batch = (1 to 1 + rnd.nextInt(4)).map { _ =>
+            val k = rnd.nextInt(12).toLong
+            (k, rnd.nextInt(100).toLong, s"n$step")
+          }.distinctBy(_._1)
+          batch.toDF("k", "v", "s").writeTo("ext.wp.t")
+            .option("upsertkeys", "k").option("upsertmode", "do_nothing").append()
+          batch.foreach { case (k, v, s) =>
+            if (!model.contains(k)) model += k -> (v, s)
+          }
+        case 2 => // pushed DELETE WHERE
+          val lo = rnd.nextInt(12).toLong
+          spark.sql(s"DELETE FROM ext.wp.t WHERE k >= $lo AND k < ${lo + 3}")
+          model = model.filterNot { case (k, _) => k >= lo && k < lo + 3 }
+        case 3 => // pushed UPDATE SET v = v + 1 WHERE k % 2 = par
+          val par = rnd.nextInt(2)
+          Dml.update(spark, "ext.wp.t", Seq("v" -> (col("v") + 1)),
+            col("k") % 2 === par)
+          model = model.map { case (k, (v, s)) =>
+            k -> (if (k % 2 == par) (v + 1, s) else (v, s))
+          }
+      }
+      assert(state() == model, s"diverged after step $step")
+    }
+  }
+}
