@@ -54,47 +54,29 @@ class FederationPropertySpec extends AnyFunSuite with SparkFixture {
     val custLocal = custRows.toDF("cid", "cname", "seg", "bal")
     val ordLocal = ordRows.toDF("oid", "ocid", "amount")
     val joinTypes = Seq("inner", "left", "right", "left_semi", "left_anti", "cross")
+    // self-contained per (seed, tables): fresh Randoms inside, so the
+    // remote and local sides build the IDENTICAL plan shape
+    def build(seed: Int, cust: DataFrame, ord: DataFrame): DataFrame = {
+      val shape = new Random(seed)
+      val rnd = new Random(seed * 1000)
+      val l = leg(cust, rnd, "bal", Seq("cid", "cname", "seg"))
+      val r = leg(ord, rnd, "amount", Seq("ocid", "amount"))
+      shape.nextInt(3) match {
+        case 0 => // join
+          val jt = joinTypes(shape.nextInt(joinTypes.length))
+          if (jt == "cross") l.crossJoin(r)
+          else l.join(r, col("cid") === col("ocid"), jt)
+        case 1 => // self-union of the cust leg (positional UNION ALL)
+          val l2 = leg(cust, new Random(seed * 2000), "bal", Seq("cid", "cname", "seg"))
+          l.select("cid").union(l2.select("cid"))
+        case 2 => // join then filter above the collapse
+          l.join(r, col("cid") === col("ocid"), "left")
+            .filter(col("cid") % 2 === 1)
+      }
+    }
     for (seed <- 1 to 14) {
-      val shape = new Random(seed) // drives both builds identically
-      def build(cust: DataFrame, ord: DataFrame): DataFrame = {
-        val rnd = new Random(seed * 1000)
-        val l = leg(cust, rnd, "bal", Seq("cid", "cname", "seg"))
-        val r = leg(ord, rnd, "amount", Seq("ocid", "amount"))
-        shape.nextInt(3) match {
-          case 0 => // join
-            val jt = joinTypes(shape.nextInt(joinTypes.length))
-            if (jt == "cross") l.crossJoin(r)
-            else l.join(r, col("cid") === col("ocid"), jt)
-          case 1 => // self-union of the cust leg (positional UNION ALL)
-            val l2 = leg(cust, new Random(seed * 2000), "bal", Seq("cid", "cname", "seg"))
-            val (a, b) = (l.select("cid"), l2.select("cid"))
-            a.union(b)
-          case 2 => // join then filter above the collapse
-            l.join(r, col("cid") === col("ocid"), "left")
-              .filter(col("cid") % 2 === 1)
-        }
-      }
-      // the shape Random is consumed once per build; rebuild it per side
-      val remote = build(spark.table("ext.fp.cust"), spark.table("ext.fp.ord"))
-      val shape2 = new Random(seed)
-      def build2(cust: DataFrame, ord: DataFrame): DataFrame = {
-        val rnd = new Random(seed * 1000)
-        val l = leg(cust, rnd, "bal", Seq("cid", "cname", "seg"))
-        val r = leg(ord, rnd, "amount", Seq("ocid", "amount"))
-        shape2.nextInt(3) match {
-          case 0 =>
-            val jt = joinTypes(shape2.nextInt(joinTypes.length))
-            if (jt == "cross") l.crossJoin(r)
-            else l.join(r, col("cid") === col("ocid"), jt)
-          case 1 =>
-            val l2 = leg(cust, new Random(seed * 2000), "bal", Seq("cid", "cname", "seg"))
-            l.select("cid").union(l2.select("cid"))
-          case 2 =>
-            l.join(r, col("cid") === col("ocid"), "left")
-              .filter(col("cid") % 2 === 1)
-        }
-      }
-      val local = build2(custLocal, ordLocal)
+      val remote = build(seed, spark.table("ext.fp.cust"), spark.table("ext.fp.ord"))
+      val local = build(seed, custLocal, ordLocal)
       assert(rows(remote) == rows(local), s"seed=$seed diverged")
     }
   }
