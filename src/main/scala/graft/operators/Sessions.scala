@@ -86,6 +86,26 @@ object Sessions {
     base.withColumn("stage", stage)
   }
 
+  /** Cohort retention: users grouped by their first-activity day (the
+    * cohort), counted distinct on each subsequent day-offset they were
+    * active. Day indices are exact epoch-µs integer divisions, so both
+    * engines bucket identically. Scale shape: the first-activity frame
+    * is one map-side-combinable MIN per user and joins back
+    * broadcast-sized relative to the event stream; the retention matrix
+    * aggregation is the only event-stream shuffle.
+    */
+  def retention(ev: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    // integer day index via `div` (Column./ is floating division)
+    val days = ev.select(col(userCol).as("user_id"),
+        microsOf(ev, tsCol).as("us"))
+      .select(col("user_id"), expr("us div 86400000000").as("d"))
+    val first = days.groupBy("user_id").agg(min("d").as("d0"))
+    days.join(first, "user_id")
+      .groupBy(col("d0").as("cohort_day"), (col("d") - col("d0")).as("days_since"))
+      .agg(countDistinct("user_id").as("n_active"))
+  }
+
   def queries: Seq[Q] = Seq(
     // First-touch funnel over events: first view/click/purchase times
     // per user and the furthest stage reached in order.
@@ -100,6 +120,18 @@ object Sessions {
         "WHEN t2 IS NULL OR t2 < t1 THEN 2 ELSE 3 END AS BIGINT) AS stage " +
         "FROM m ORDER BY user_id") { (s, dir) =>
       funnel(Tables.load(s, dir, "events")).orderBy("user_id")
+    },
+
+    // Day-cohort retention matrix: first-activity-day cohorts ×
+    // days-since-first distinct-active counts.
+    Q("q94_retention",
+      "WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d FROM events), " +
+        "f AS (SELECT user_id, min(d) AS d0 FROM e GROUP BY user_id) " +
+        "SELECT f.d0 AS cohort_day, e.d - f.d0 AS days_since, " +
+        "count(DISTINCT e.user_id) AS n_active " +
+        "FROM e JOIN f ON e.user_id = f.user_id GROUP BY 1, 2 " +
+        "ORDER BY cohort_day, days_since") { (s, dir) =>
+      retention(Tables.load(s, dir, "events")).orderBy("cohort_day", "days_since")
     },
 
     // Inter-event gap analysis with lead/lag + defaults: previous and
