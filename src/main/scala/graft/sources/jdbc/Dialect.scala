@@ -140,6 +140,11 @@ trait Dialect extends Serializable {
   /** Whether one statement may hold two DISTINCT aggregates (Derby
     * cannot); plans that need more stay local over the scanned rows. */
   def supportsMultipleDistinctAggregates: Boolean = true
+
+  /** Whether upserts must run as ONE writer: page-locking embedded
+    * stores (Derby) serialize concurrent update-else-insert writers on
+    * lock waits; row-locking servers take key-clustered parallelism. */
+  def singleWriterUpserts: Boolean = false
 }
 
 /** Apache Derby — the live embedded backend for tests and queries. */
@@ -151,6 +156,7 @@ object DerbyDialect extends Dialect {
   // Derby has no FULL OUTER JOIN.
   override def supportsFullOuterJoin: Boolean = false
   override def supportsMultipleDistinctAggregates: Boolean = false
+  override def singleWriterUpserts: Boolean = true
   override def modSql(a: String, b: String): String = s"MOD($a, $b)"
   // Derby has no EXTRACT; YEAR()..SECOND() exist, QUARTER does not.
   override def extractSql(field: String, src: String): Option[String] = field match {
