@@ -6,6 +6,7 @@ tables and compare values (sorted rows, sorted columns).
 Usage: python3 scripts/local_verify.py [sfdir] [outdir] [query ...]
 """
 import json, math, subprocess, sys
+import datetime, decimal
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
@@ -24,10 +25,24 @@ with open(f"{OUT}/oracle_sql.json") as f:
     oracles = json.load(f)
 
 def canon(v):
+    """Type-tagged canonical form. The driver's hash is type-aware: DuckDB
+    HUGEINT (windowed SUM of BIGINT) arrives via Arrow as decimal128 and
+    must NOT compare equal to Spark's int64 even when the value matches."""
+    if v is None: return "null"
+    if isinstance(v, bool): return f"bool:{v}"
     if isinstance(v, float):
-        if math.isnan(v): return "NaN"
-        return repr(v)
-    return str(v)
+        if math.isnan(v): return "float:NaN"
+        return f"float:{repr(v)}"
+    if isinstance(v, int): return f"int:{v}"
+    if isinstance(v, decimal.Decimal): return f"dec:{v}"
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return f"ts:{v.isoformat()}"
+    if isinstance(v, datetime.date): return f"date:{v.isoformat()}"
+    if isinstance(v, (list, tuple)): return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, bytes): return f"bin:{v.hex()}"
+    return f"{type(v).__name__}:{v}"
 
 def table_key(rows, colnames):
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
@@ -47,9 +62,12 @@ for name in sorted(oracles):
     except Exception as e:
         print(f"FAIL {name}: read spark output: {e}"); fails += 1; continue
     try:
-        res = con.execute(sql)
-        orows = res.fetchall()
-        ocols = [d[0] for d in res.description]
+        # .arrow() (not fetchall) so DuckDB types surface exactly as the
+        # driver's Arrow-based compare sees them (HUGEINT -> decimal128).
+        otbl = con.execute(sql).arrow()
+        ocols = otbl.column_names
+        orows = [tuple(col[i].as_py() for col in otbl.columns)
+                 for i in range(otbl.num_rows)]
     except Exception as e:
         print(f"FAIL {name}: duckdb error: {e}"); fails += 1; continue
     scols = tbl.column_names
@@ -65,6 +83,8 @@ for name in sorted(oracles):
         print(f"FAIL {name}: value mismatch at sorted-row {bad}:")
         print(f"  spark : {sk[bad]}")
         print(f"  oracle: {ok[bad]}")
+        print(f"  spark schema : {tbl.schema}".replace(chr(10), " "))
+        print(f"  oracle schema: {otbl.schema}".replace(chr(10), " "))
         fails += 1; continue
     print(f"OK   {name}: {len(sk)} rows")
 

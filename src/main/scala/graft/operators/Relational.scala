@@ -135,14 +135,17 @@ object Relational {
       "SELECT l_suppkey, l_orderkey, l_linenumber, " +
         "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_suppkey " +
         "ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_qty " +
-        "FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber") { (s, dir) =>
+        "FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty") { (s, dir) =>
       val w = Window.partitionBy("l_suppkey")
         .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.load(s, dir, "lineitem")
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
           sum(dec(col("l_quantity"))).over(w).cast("double").as("running_qty"))
-        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+        // running_qty as final tiebreaker: (l_orderkey, l_linenumber) is
+        // not unique, and tied rows carry different running sums — without
+        // it the presentation order is engine-dependent (r6 advice).
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
     },
 
     Q("q09_setops",

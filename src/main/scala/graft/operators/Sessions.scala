@@ -164,7 +164,7 @@ object Sessions {
         "b AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 14400000000 THEN 1 ELSE 0 END AS brk FROM m), " +
         "s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id " +
         "ROWS UNBOUNDED PRECEDING) AS sess FROM b) " +
-        "SELECT user_id, sess, count(*) AS n_events, min(us) AS start_us, max(us) AS end_us, " +
+        "SELECT user_id, CAST(sess AS BIGINT) AS sess, count(*) AS n_events, min(us) AS start_us, max(us) AS end_us, " +
         "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value " +
         "FROM s GROUP BY 1, 2 ORDER BY user_id, sess") { (s, dir) =>
       sessionize(Tables.load(s, dir, "events")).orderBy("user_id", "sess")

@@ -226,21 +226,24 @@ final case class JdbcScan(
       val whereClause =
         if (where.isEmpty) "" else where.mkString(" WHERE ", " AND ", "")
       val countSql = s"SELECT COUNT(*) FROM ${options.fromClause}$whereClause"
-      val c = options.connect()
-      try {
-        val st = c.createStatement()
+      val n = JdbcScan.cachedCount(options.url + " " + countSql) {
+        val c = options.connect()
         try {
-          val rs = st.executeQuery(countSql)
-          rs.next()
-          val n = rs.getLong(1)
-          val size = math.max(1L, n * schema.defaultSize)
-          logInfo(s"graft-jdbc stats: $countSql -> $n rows (~$size bytes)")
-          new Statistics {
-            override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(size)
-            override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(n)
-          }
-        } finally st.close()
-      } finally c.close()
+          val st = c.createStatement()
+          try {
+            val rs = st.executeQuery(countSql)
+            rs.next()
+            val cnt = rs.getLong(1)
+            logInfo(s"graft-jdbc stats: $countSql -> $cnt rows")
+            cnt
+          } finally st.close()
+        } finally c.close()
+      }
+      val size = math.max(1L, n * schema.defaultSize)
+      new Statistics {
+        override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(size)
+        override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(n)
+      }
     } catch {
       case e: Exception =>
         logWarning(s"graft-jdbc stats failed, planning without: $e")
@@ -260,12 +263,22 @@ final case class JdbcScan(
   // driven by Spark instead of hand-rolled plan mutation.
   private var runtimeWhere: Seq[String] = Nil
 
+  /** Runtime filters must never compose with a pushed fetch: SQL applies
+    * WHERE before ORDER BY/FETCH, so splicing a join-driven runtime
+    * predicate under a pushed LIMIT/OFFSET would return "top-n of the
+    * filtered rows" instead of "filtered top-n" — and with the complete
+    * TopN/Offset pushdown (A2/A3) no local operator remains to repair it.
+    * Same guard shape as the pushed-aggregate case.
+    */
+  private def fetchIsPushed: Boolean = limit.isDefined || pushedOffset.isDefined
+
   override def filterAttributes(): Array[NamedReference] =
-    if (aggSelect.nonEmpty) Array.empty // output attrs have no remote names
+    if (aggSelect.nonEmpty || fetchIsPushed) Array.empty // no remote names / fetch pushed
     else schema.fields.map(f =>
       org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
 
   override def filter(predicates: Array[Predicate]): Unit = {
+    if (fetchIsPushed || aggSelect.nonEmpty) return // see filterAttributes
     val u = new Unparser(options.dialect)
     runtimeWhere = runtimeWhere ++ predicates.toSeq.flatMap(p => u.expr(p))
   }
@@ -318,6 +331,32 @@ final case class JdbcScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     JdbcReaderFactory(options, schema)
+}
+
+object JdbcScan {
+  /** Driver-side remote COUNT(*) cache: every action plans a fresh scan,
+    * so without this each action over the same (connection, FROM, WHERE)
+    * re-issues a blocking remote count at planning time (ADVICE r6).
+    * Short TTL keeps estimates fresh for mutating tables; bounded size.
+    */
+  private val statsTtlMs = 30000L
+  private val statsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
+  private[jdbc] def cachedCount(key: String)(compute: => Long): Long = {
+    val now = System.currentTimeMillis()
+    val hit = statsCache.get(key)
+    if (hit != null && now - hit._2 < statsTtlMs) hit._1
+    else {
+      val n = compute
+      if (statsCache.size > 1024) statsCache.clear()
+      statsCache.put(key, (n, now))
+      n
+    }
+  }
+
+  /** Test hook. */
+  private[jdbc] def clearStatsCache(): Unit = statsCache.clear()
 }
 
 final case class JdbcInputPartition(sql: String, idx: Int) extends InputPartition

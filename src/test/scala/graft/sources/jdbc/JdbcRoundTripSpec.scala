@@ -287,6 +287,29 @@ class JdbcRoundTripSpec extends AnyFunSuite with SparkFixture {
     assert(rows.length == 1)
   }
 
+  test("runtime filters never compose with a pushed fetch (limit/offset)") {
+    // SQL applies WHERE before ORDER BY/FETCH: a runtime predicate spliced
+    // under a pushed LIMIT would return top-n OF THE FILTERED rows instead
+    // of the filtered top-n, and with complete TopN pushdown no local
+    // operator remains to repair it (r6 high advice).
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    import org.apache.spark.sql.graftx.TestExprs
+    val opts = JdbcOptions(Map("url" -> SparkFixture.derbyUrl, "dbtable" -> "\"rt\".\"t1\""))
+    for (off <- Seq(None, Some(2))) {
+      val scan = JdbcScan(opts, spark.table("ext.rt.t1").schema,
+        where = Nil, orderBy = Seq("\"k\" DESC"), limit = Some(5),
+        pushedOffset = off)
+      assert(scan.filterAttributes().isEmpty,
+        s"fetch-pushed scan must not advertise runtime-filterable attrs (offset=$off)")
+      val before = scan.sql
+      scan.filter(Array(new Predicate("IN", Array(
+        TestExprs.field("k"),
+        TestExprs.lit(2L, org.apache.spark.sql.types.LongType)))))
+      assert(scan.sql == before,
+        s"runtime predicate spliced under a pushed fetch (offset=$off): ${scan.sql}")
+    }
+  }
+
   test("catalog lists namespaces and tables, introspects schema") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS ext.rt")
     spark.sql("DROP TABLE IF EXISTS ext.rt.t6")
