@@ -140,6 +140,45 @@ object Connector {
       s.table(t).orderBy("n_nationkey")
     },
 
+    // Reference OnConflict token syntax (`on_conflict.rs:113-140`):
+    // `upsertmode=upsert:cols` — the colon list IS the conflict target,
+    // no separate upsertkeys option. Region-1 names rewrite in place;
+    // nothing inserts.
+    Q("q95_jdbc_upsert_cols",
+      "SELECT n_nationkey, CASE WHEN n_regionkey = 1 THEN 'R1_' || n_name " +
+        "ELSE n_name END AS n_name, n_regionkey FROM nation ORDER BY n_nationkey") { (s, dir) =>
+      val t = freshCopy(s, dir, "nation", "t95")
+      val n = Tables.load(s, dir, "nation")
+      n.filter(col("n_regionkey") === 1)
+        .select(col("n_nationkey"), concat(lit("R1_"), col("n_name")).as("n_name"),
+          col("n_regionkey"))
+        .writeTo(t).option("upsertmode", "upsert:n_nationkey").append()
+      s.table(t).orderBy("n_nationkey")
+    },
+
+    // Target-less conflict skip (`do_nothing_all`, on_conflict.rs:32):
+    // the table's PRIMARY KEY is the constraint; every existing key
+    // re-arrives with a clobbering payload and must survive untouched,
+    // only the +100 keys insert.
+    Q("q96_jdbc_conflict_skip",
+      "SELECT n_nationkey, n_name FROM nation " +
+        "UNION ALL SELECT n_nationkey + 100, 'NEW_' || n_name FROM nation " +
+        "WHERE n_regionkey = 2 ORDER BY n_nationkey") { (s, dir) =>
+      gate(s, dir)
+      val t = "gate.app.t96"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      s.sql(s"CREATE TABLE $t (n_nationkey INT NOT NULL, n_name STRING) " +
+        "TBLPROPERTIES ('primarykeys'='n_nationkey')")
+      val n = Tables.load(s, dir, "nation")
+      n.select(col("n_nationkey"), col("n_name")).writeTo(t).append()
+      n.select(col("n_nationkey"), lit("CLOBBERED").as("n_name"))
+        .union(n.filter(col("n_regionkey") === 2)
+          .select((col("n_nationkey") + 100).as("n_nationkey"),
+            concat(lit("NEW_"), col("n_name")).as("n_name")))
+        .writeTo(t).option("upsertmode", "do_nothing_all").append()
+      s.table(t).orderBy("n_nationkey")
+    },
+
     // DELETE FROM ... WHERE through SupportsDeleteV2 (W7): the predicate
     // unparses to Derby SQL and runs remotely.
     Q("q55_jdbc_delete",

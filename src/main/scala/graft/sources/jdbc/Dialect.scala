@@ -89,15 +89,19 @@ trait Dialect extends Serializable {
     */
   def upsertStatement(table: String, cols: Seq[String], keys: Seq[String],
       doNothing: Boolean = false): String = {
+    // Empty keys = the reference's DoNothingAll: a target-less
+    // ON CONFLICT DO NOTHING (any constraint violation skips the row,
+    // `on_conflict.rs:32`).
+    val target = if (keys.isEmpty) "" else s" (${keys.map(quote).mkString(", ")})"
     val insert =
       s"INSERT INTO $table (${cols.map(quote).mkString(", ")}) " +
         s"VALUES (${cols.map(_ => "?").mkString(", ")}) " +
-        s"ON CONFLICT (${keys.map(quote).mkString(", ")})"
-    if (doNothing) s"$insert DO NOTHING"
-    else {
-      val non = cols.filterNot(keys.contains)
-      s"$insert DO UPDATE SET ${non.map(c => s"${quote(c)} = EXCLUDED.${quote(c)}").mkString(", ")}"
-    }
+        s"ON CONFLICT$target"
+    val non = cols.filterNot(c => keys.exists(_.equalsIgnoreCase(c)))
+    // All columns in the conflict target leaves nothing to update — the
+    // reference degrades that upsert to DO NOTHING (`on_conflict.rs:53-59`).
+    if (doNothing || non.isEmpty) s"$insert DO NOTHING"
+    else s"$insert DO UPDATE SET ${non.map(c => s"${quote(c)} = EXCLUDED.${quote(c)}").mkString(", ")}"
   }
 
   /** Statement refreshing the remote optimizer's statistics after a
@@ -266,10 +270,17 @@ object MySqlDialect extends Dialect {
       s"INSERT IGNORE INTO $table (${cols.map(quote).mkString(", ")}) " +
         s"VALUES (${cols.map(_ => "?").mkString(", ")})"
     else {
-      val non = cols.filterNot(keys.contains)
-      val sets = non.map(c => s"${quote(c)} = VALUES(${quote(c)})").mkString(", ")
-      s"INSERT INTO $table (${cols.map(quote).mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")}) " +
-        s"ON DUPLICATE KEY UPDATE $sets"
+      val non = cols.filterNot(c => keys.exists(_.equalsIgnoreCase(c)))
+      if (non.isEmpty)
+        // all columns are constraint columns: nothing to update — degrade
+        // to the do-nothing form like the reference (`on_conflict.rs:53-59`)
+        s"INSERT IGNORE INTO $table (${cols.map(quote).mkString(", ")}) " +
+          s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+      else {
+        val sets = non.map(c => s"${quote(c)} = VALUES(${quote(c)})").mkString(", ")
+        s"INSERT INTO $table (${cols.map(quote).mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")}) " +
+          s"ON DUPLICATE KEY UPDATE $sets"
+      }
     }
   }
   override def analyzeStatement(ns: String, table: String): Option[String] =

@@ -40,24 +40,52 @@ final case class JdbcOptions(map: Map[String, String]) extends Serializable {
   val upperBound: Option[Long] = map.get("upperbound").map(_.toLong)
   val numPartitions: Int = map.getOrElse("numpartitions", "1").toInt
 
-  /** Upsert key columns (reference `on_conflict.rs:22-105`): when set,
-    * appends become upserts keyed on these columns. */
-  val upsertKeys: Seq[String] =
-    map.get("upsertkeys").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse(Nil)
-
-  /** Conflict resolution for keyed appends (the reference's three-way
-    * OnConflict, `on_conflict.rs:14,73-106`): "update" = DO UPDATE
-    * (default), "do_nothing" = existing keys keep their current rows
-    * untouched and only new keys insert.
+  /** Conflict handling for appends — the reference's full OnConflict
+    * surface (`on_conflict.rs:21-26,113-140`). Accepted `upsertmode`
+    * values: `update` | `do_nothing` (conflict target from
+    * `upsertkeys`), the reference's token syntax `upsert:c1,c2` /
+    * `do_nothing:c1,c2` (the colon list IS the conflict target), and
+    * `do_nothing_all` (no target: any constraint violation skips the
+    * row). Parsed into (base mode, target columns).
     */
-  val upsertMode: String = {
+  private val upsertParsed: (String, Seq[String]) = {
     val m = map.getOrElse("upsertmode", "update")
-    if (m != "update" && m != "do_nothing")
-      throw new IllegalArgumentException(
-        s"upsertmode must be 'update' or 'do_nothing', got '$m'")
-    m
+    def cols(s: String) = s.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    m.split(":", 2) match {
+      case Array(b @ ("update" | "do_nothing" | "do_nothing_all")) => (b, Nil)
+      case Array("upsert" | "update", c) if cols(c).nonEmpty => ("update", cols(c))
+      case Array("do_nothing", c) if cols(c).nonEmpty => ("do_nothing", cols(c))
+      case _ => throw new IllegalArgumentException(
+        "upsertmode must be update | do_nothing | do_nothing_all | " +
+          s"upsert:cols | do_nothing:cols, got '$m'")
+    }
   }
+
+  val upsertMode: String = upsertParsed._1
+
+  /** Upsert key columns (reference `on_conflict.rs:22-105`): when set,
+    * appends become upserts keyed on these columns. Either the explicit
+    * `upsertkeys` option or the `upsertmode` colon list; both only when
+    * they agree.
+    */
+  val upsertKeys: Seq[String] = {
+    val explicit =
+      map.get("upsertkeys").map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(Nil)
+    val fromMode = upsertParsed._2
+    if (explicit.nonEmpty && fromMode.nonEmpty &&
+      explicit.map(_.toLowerCase) != fromMode.map(_.toLowerCase))
+      throw new IllegalArgumentException(
+        s"upsertkeys $explicit contradicts upsertmode target $fromMode")
+    if (upsertMode == "do_nothing_all" && explicit.nonEmpty)
+      throw new IllegalArgumentException(
+        "do_nothing_all takes no conflict target; drop upsertkeys or use do_nothing:cols")
+    if (fromMode.nonEmpty) fromMode else explicit
+  }
+
+  /** Appends run through the conflict-aware writer at all: keyed modes
+    * need a target; `do_nothing_all` is active with none. */
+  val upsertActive: Boolean = upsertKeys.nonEmpty || upsertMode == "do_nothing_all"
 
   /** Max pooled physical connections per executor JVM for this identity
     * (reference sizes its bb8/r2d2 pools the same way,

@@ -61,6 +61,10 @@ final class JdbcWriteBuilder(options: JdbcOptions, schema: StructType)
   override def build(): Write = new JdbcWrite(options, schema, overwriteWhere)
 }
 
+object JdbcWrite {
+  private[jdbc] val QuotedPair = "\"(.*)\"\\.\"(.*)\"".r
+}
+
 final class JdbcWrite(options: JdbcOptions, schema: StructType,
     overwrite: Option[Seq[String]])
   extends Write with RequiresDistributionAndOrdering {
@@ -71,6 +75,12 @@ final class JdbcWrite(options: JdbcOptions, schema: StructType,
   override def requiredDistribution(): Distribution =
     if (options.upsertKeys.nonEmpty)
       Distributions.clustered(options.upsertKeys.map(k => Expressions.column(k)).toArray)
+    else if (options.upsertActive && options.dialect.singleWriterUpserts)
+      // do_nothing_all has no explicit keys, but Spark rejects a partition
+      // count over an unspecified distribution — cluster on all columns;
+      // with requiredNumPartitions = 1 everything lands in the one writer.
+      Distributions.clustered(schema.fields.map(f => Expressions.column(f.name): 
+        org.apache.spark.sql.connector.expressions.Expression))
     else Distributions.unspecified()
 
   // Embedded Derby serializes concurrent update-else-insert writers on
@@ -80,7 +90,7 @@ final class JdbcWrite(options: JdbcOptions, schema: StructType,
   // been masking it). Page-lock stores get ONE writer for upserts; true
   // row-lock servers keep key-clustered parallel writers.
   override def requiredNumPartitions(): Int =
-    if (options.upsertKeys.nonEmpty && options.dialect.singleWriterUpserts) 1
+    if (options.upsertActive && options.dialect.singleWriterUpserts) 1
     else 0 // 0 = no requirement
 
   override def requiredOrdering(): Array[SortOrder] = Array.empty
@@ -211,7 +221,7 @@ final case class JdbcCommit(rows: Long) extends WriterCommitMessage
 final case class JdbcWriterFactory(options: JdbcOptions, schema: StructType)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    if (options.upsertKeys.nonEmpty && options.dialect == DerbyDialect)
+    if (options.upsertActive && options.dialect == DerbyDialect)
       new DerbyUpsertWriter(options, schema)
     else new JdbcRowWriter(options, schema)
 }
@@ -226,9 +236,9 @@ class JdbcRowWriter(options: JdbcOptions, schema: StructType)
   private val d = options.dialect
   private val cols = schema.fields.map(_.name).toSeq
   private val insertSql =
-    if (options.upsertKeys.nonEmpty)
+    if (options.upsertActive)
       d.upsertStatement(options.table, cols, options.upsertKeys,
-        doNothing = options.upsertMode == "do_nothing")
+        doNothing = options.upsertMode != "update")
     else
       s"INSERT INTO ${options.table} (${cols.map(d.quote).mkString(", ")}) " +
         s"VALUES (${cols.map(_ => "?").mkString(", ")})"
@@ -287,9 +297,31 @@ final class DerbyUpsertWriter(options: JdbcOptions, schema: StructType)
   conn.setAutoCommit(false)
 
   private val d = DerbyDialect
-  private val doNothing = options.upsertMode == "do_nothing"
   private val cols = schema.fields.map(_.name).toSeq
-  private val keys = options.upsertKeys
+  /** `do_nothing_all` carries no explicit target: the probe keys are the
+    * table's PRIMARY KEY, resolved once from JDBC metadata (the remote
+    * constraint IS the conflict target in the reference's target-less
+    * `ON CONFLICT DO NOTHING`, `on_conflict.rs:32`).
+    */
+  private val keys: Seq[String] =
+    if (options.upsertKeys.nonEmpty) options.upsertKeys
+    else {
+      val pk = scala.collection.mutable.ArrayBuffer.empty[(Short, String)]
+      options.table match {
+        case JdbcWrite.QuotedPair(ns, t) =>
+          val rs = conn.getMetaData.getPrimaryKeys(null, ns, t)
+          while (rs.next()) pk += ((rs.getShort("KEY_SEQ"), rs.getString("COLUMN_NAME")))
+          rs.close()
+        case _ => ()
+      }
+      if (pk.isEmpty) throw new IllegalArgumentException(
+        s"do_nothing_all needs a PRIMARY KEY on ${options.table} (none found)")
+      pk.sortBy(_._1).map(_._2).toSeq
+    }
+  // No non-key column leaves nothing to update: the reference degrades
+  // such an upsert to DO NOTHING (`on_conflict.rs:53-59`).
+  private val doNothing = options.upsertMode != "update" ||
+    cols.forall(c => keys.exists(_.equalsIgnoreCase(c)))
   private val keyIdx = keys.map(k => cols.indexWhere(_.equalsIgnoreCase(k))).toArray
   private val colIdx = cols.zipWithIndex.toMap
   private val setters = schema.fields.map(f => TypeMapping.setter(f.dataType))

@@ -186,6 +186,36 @@ class WriteHardeningSpec extends AnyFunSuite with SparkFixture {
     assert(spark.table("ext.wh.t6").count() == 7)
   }
 
+  test("OnConflict statement generation: target-less, all-key degrade, parse") {
+    // do_nothing_all: target-less ON CONFLICT (on_conflict.rs:32)
+    val allSql = PostgresDialect.upsertStatement("\"s\".\"t\"", Seq("a", "b"), Nil,
+      doNothing = true)
+    assert(allSql.contains("ON CONFLICT DO NOTHING") && !allSql.contains("ON CONFLICT ("), allSql)
+    // every column in the conflict target: upsert degrades to DO NOTHING
+    // (on_conflict.rs:53-59)
+    val degSql = PostgresDialect.upsertStatement("\"s\".\"t\"", Seq("a", "b"), Seq("a", "b"))
+    assert(degSql.contains("(\"a\", \"b\") DO NOTHING"), degSql)
+    assert(MySqlDialect.upsertStatement("`s`.`t`", Seq("a", "b"), Seq("a", "b"))
+      .startsWith("INSERT IGNORE"))
+    // normal upsert unchanged
+    assert(PostgresDialect.upsertStatement("\"s\".\"t\"", Seq("a", "b"), Seq("a"))
+      .contains("DO UPDATE SET \"b\" = EXCLUDED.\"b\""))
+    // mode parsing: token syntax populates the keys; contradictions throw
+    def opts(m: (String, String)*) = JdbcOptions(
+      Map("url" -> SparkFixture.derbyUrl, "dbtable" -> "\"x\".\"y\"") ++ m)
+    assert(opts("upsertmode" -> "upsert:a,b").upsertKeys == Seq("a", "b"))
+    assert(opts("upsertmode" -> "upsert:a,b").upsertMode == "update")
+    assert(opts("upsertmode" -> "do_nothing:a").upsertMode == "do_nothing")
+    assert(opts("upsertmode" -> "do_nothing_all").upsertActive)
+    assert(!opts("upsertmode" -> "do_nothing").upsertActive) // no keys -> plain append
+    intercept[IllegalArgumentException](opts("upsertmode" -> "bogus"))
+    intercept[IllegalArgumentException](opts("upsertmode" -> "upsert:"))
+    intercept[IllegalArgumentException](
+      opts("upsertmode" -> "upsert:a", "upsertkeys" -> "b"))
+    intercept[IllegalArgumentException](
+      opts("upsertmode" -> "do_nothing_all", "upsertkeys" -> "a"))
+  }
+
   test("retriable-error taxonomy: transient vs permanent") {
     assert(RetriableErrors.isTransient(new SQLTransientConnectionException("x")))
     assert(RetriableErrors.isTransient(new SQLException("conn reset", "08006")))

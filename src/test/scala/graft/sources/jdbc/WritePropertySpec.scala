@@ -24,12 +24,15 @@ class WritePropertySpec extends AnyFunSuite with SparkFixture {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS ext.wp")
     spark.sql("DROP TABLE IF EXISTS ext.wp.t")
     import spark.implicits._
-    Seq((1L, 10L, "seed")).toDF("k", "v", "s").writeTo("ext.wp.t").create()
+    // PK on k so the target-less do_nothing_all arm has a constraint to hit
+    spark.sql("CREATE TABLE ext.wp.t (k BIGINT NOT NULL, v BIGINT, s STRING) " +
+      "TBLPROPERTIES ('primarykeys'='k')")
+    Seq((1L, 10L, "seed")).toDF("k", "v", "s").writeTo("ext.wp.t").append()
     var model = Map(1L -> (10L, "seed"))
 
     val rnd = new Random(2026)
-    for (step <- 1 to 30) {
-      rnd.nextInt(4) match {
+    for (step <- 1 to 36) {
+      rnd.nextInt(6) match {
         case 0 => // upsert (update mode)
           val batch = (1 to 1 + rnd.nextInt(4)).map { _ =>
             val k = rnd.nextInt(12).toLong
@@ -58,6 +61,24 @@ class WritePropertySpec extends AnyFunSuite with SparkFixture {
             col("k") % 2 === par)
           model = model.map { case (k, (v, s)) =>
             k -> (if (k % 2 == par) (v + 1, s) else (v, s))
+          }
+        case 4 => // reference token syntax: the colon list IS the target
+          val batch = (1 to 1 + rnd.nextInt(4)).map { _ =>
+            val k = rnd.nextInt(12).toLong
+            (k, rnd.nextInt(100).toLong, s"t$step")
+          }.distinctBy(_._1)
+          batch.toDF("k", "v", "s").writeTo("ext.wp.t")
+            .option("upsertmode", "upsert:k").append()
+          batch.foreach { case (k, v, s) => model += k -> (v, s) }
+        case 5 => // do_nothing_all: the PK constraint decides, conflicts skip
+          val batch = (1 to 1 + rnd.nextInt(4)).map { _ =>
+            val k = rnd.nextInt(12).toLong
+            (k, rnd.nextInt(100).toLong, s"a$step")
+          }.distinctBy(_._1)
+          batch.toDF("k", "v", "s").writeTo("ext.wp.t")
+            .option("upsertmode", "do_nothing_all").append()
+          batch.foreach { case (k, v, s) =>
+            if (!model.contains(k)) model += k -> (v, s)
           }
       }
       assert(state() == model, s"diverged after step $step")
