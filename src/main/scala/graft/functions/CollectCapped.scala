@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftx.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType}
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Bounded per-group collect: gathers up to `cap` child values, and the
+  * moment a group exceeds the cap its result becomes NULL — the group is
+  * marked oversized without ever holding more than `cap + 1` elements of
+  * state on any partial, merge, or final buffer.
+  *
+  * This is the aggregation-side form of [[graft.operators.Dedup.capBuckets]]
+  * (drop every LSH bucket larger than the cap): instead of counting
+  * bucket sizes in one pass and anti-joining the hot set in a second,
+  * the single groupBy both applies the cap and materializes the bucket
+  * members for pair generation — one shuffle where the count + anti-join
+  * + self-join formulation needs three reads of the banded rows. The
+  * bounded buffer is what makes it 100-TB-safe: a degenerate bucket
+  * (boilerplate corpus, hot template) saturates at cap + 1 elements
+  * instead of OOMing the executor the way a plain `collect_list` would.
+  *
+  * Reference context: the LSH dedup operators this serves re-express
+  * `datafusion-table-providers`-adjacent pipeline needs; the aggregate
+  * itself follows Spark's own `Collect` buffer/serialize design.
+  */
+case class CollectCappedAgg(
+    child: Expression,
+    cap: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[ArrayBuffer[Any]] {
+
+  require(cap > 0, s"cap must be positive, got $cap")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
+  override def prettyName: String = "collect_capped"
+
+  override def createAggregationBuffer(): ArrayBuffer[Any] = ArrayBuffer.empty
+
+  private def copyValue(v: Any): Any = v match {
+    case r: UnsafeRow => r.copy()
+    case other => InternalRow.copyValue(other)
+  }
+
+  override def update(buf: ArrayBuffer[Any], input: InternalRow): ArrayBuffer[Any] = {
+    // saturated at cap + 1: the group is already known-oversized, stop
+    // accumulating (state stays bounded on every partial)
+    if (buf.length <= cap) {
+      val v = child.eval(input)
+      if (v != null) buf += copyValue(v)
+    }
+    buf
+  }
+
+  override def merge(buf: ArrayBuffer[Any], other: ArrayBuffer[Any]): ArrayBuffer[Any] = {
+    var i = 0
+    while (buf.length <= cap && i < other.length) {
+      buf += other(i)
+      i += 1
+    }
+    buf
+  }
+
+  override def eval(buf: ArrayBuffer[Any]): Any =
+    if (buf.length > cap) null else new GenericArrayData(buf.toArray)
+
+  // serialize partials as a single-column UnsafeRow holding the array
+  // (the same scheme Spark's own Collect aggregate uses)
+  @transient private lazy val projection =
+    UnsafeProjection.create(Array[DataType](ArrayType(child.dataType, containsNull = false)))
+
+  override def serialize(buf: ArrayBuffer[Any]): Array[Byte] =
+    projection.apply(InternalRow.apply(new GenericArrayData(buf.toArray))).getBytes
+
+  override def deserialize(bytes: Array[Byte]): ArrayBuffer[Any] = {
+    val row = new UnsafeRow(1)
+    row.pointTo(bytes, bytes.length)
+    val arr = row.getArray(0)
+    val buf = createAggregationBuffer()
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      buf += copyValue(arr.get(i, child.dataType))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CollectCappedAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CollectCappedAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CollectCappedAgg =
+    copy(child = newChildren.head)
+}
+
+object CollectCapped {
+  /** Array of up to `cap` values of `c` per group; NULL once the group
+    * exceeds the cap. Element order is accumulation order — sort in the
+    * query if determinism over elements is needed.
+    */
+  def collect_capped(c: Column, cap: Int): Column =
+    Bridge.column(CollectCappedAgg(Bridge.expression(c), cap).toAggregateExpression())
+}

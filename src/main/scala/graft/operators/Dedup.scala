@@ -130,6 +130,30 @@ object Dedup {
         (col("sx.n") + col("sy.n") - col("i")).as("n_union"))
   }
 
+  /** All intra-bucket id pairs (d1 < d2) of `rows` grouped by `keys`,
+    * buckets larger than `cap` dropped whole. ONE aggregation applies
+    * the cap and gathers the members ([[graft.functions.CollectCappedAgg]]
+    * keeps at most cap+1 elements of state per group — scale-safe on
+    * degenerate buckets), then pairs generate from the sorted member
+    * array — no second pass over the banded rows, no anti-join, no
+    * self-join. Stage count 2 (bucket agg + distinct) where the
+    * count/anti-join/self-join formulation re-reads the banded frame
+    * three times.
+    */
+  def bucketPairs(rows: DataFrame, keys: Seq[String], cap: Int,
+      idCol: String = "doc_id"): DataFrame = {
+    import graft.functions.CollectCapped.collect_capped
+    rows.groupBy(keys.map(col): _*)
+      .agg(collect_capped(col(idCol).cast("long"), cap).as("ids"))
+      .filter(col("ids").isNotNull && size(col("ids")) >= 2)
+      .select(sort_array(col("ids")).as("ids"))
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> " +
+          "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS d1, y AS d2))))")).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
+      .distinct()
+  }
+
   /** MinHash-LSH candidate pairs (d1 < d2) for any (id, text) frame. */
   def minhashLshPairs(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", bucketCap: Int = BucketCap): DataFrame = {
@@ -143,15 +167,9 @@ object Dedup {
     val bandCols = (0 until MC.NumHashes / MC.BandRows).map { k =>
       concat_ws(",", (0 until MC.BandRows).map(r => col(s"m${MC.BandRows * k + r}")): _*)
     }
-    val sigAll = GraftCache.track(mh
-      .select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "sig"))))
-    val sig = capBuckets(sigAll, bucketCap, "band", "sig")
-    sig.as("x")
-      .join(sig.as("y"),
-        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
-      .distinct()
+    val bands = mh.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
+    bucketPairs(bands, Seq("band", "sig"), bucketCap)
   }
 
   /** 60-bit SimHash per document for any (id, text) frame.
@@ -194,17 +212,26 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", maxHamming: Int = 8,
       bucketCap: Int = BucketCap): DataFrame = {
+    import graft.functions.CollectCapped.collect_capped
     val sh = simhashOf(df, idCol, textCol)
-    val chAll = GraftCache.track(simhashChunks(sh))
-    val ch = capBuckets(chAll, bucketCap, "k", "cv")
-    ch.as("x")
-      .join(ch.as("y"),
-        col("x.k") === col("y.k") && col("x.cv") === col("y.cv") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("d1"), col("x.simhash").as("h1"),
-        col("y.doc_id").as("d2"), col("y.simhash").as("h2"))
+    // Bounded-collect members per chunk bucket (same single-aggregation
+    // cap-and-gather as [[bucketPairs]]), carrying each member's full
+    // SimHash so the exact hamming confirm runs inline on the generated
+    // pair — no persisted chunk frame, no anti-join, no self-join.
+    simhashChunks(sh)
+      .groupBy("k", "cv")
+      .agg(collect_capped(
+        struct(col("doc_id").cast("long").as("d"), col("simhash").as("s")),
+        bucketCap).as("ms"))
+      .filter(col("ms").isNotNull && size(col("ms")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ms, (x, i) -> " +
+          "transform(slice(ms, i + 2, size(ms)), y -> struct(" +
+          "least(x.d, y.d) AS d1, greatest(x.d, y.d) AS d2, " +
+          "x.s ^ y.s AS xo))))")).as("p"))
+      .select(col("p.d1").as("d1"), col("p.d2").as("d2"), col("p.xo").as("xo"))
       .distinct()
-      .withColumn("hamm", expr("cast(bit_count(h1 ^ h2) AS bigint)"))
+      .withColumn("hamm", expr("cast(bit_count(xo) AS bigint)"))
       .filter(col("hamm") <= maxHamming)
       .select("d1", "d2", "hamm")
   }
@@ -266,14 +293,12 @@ object Dedup {
   def embeddingNearDupPairs(n0: DataFrame, cosNum: Int = 2, cosDen: Int = 5,
       bucketCap: Int = BucketCap): DataFrame = {
     val n = GraftCache.track(n0)
-    val bandsAll = GraftCache.track(EmbeddingLsh.bands(n))
-    val bands = capBuckets(bandsAll, bucketCap, "k", "bv")
-    val cand = bands.as("x")
-      .join(bands.as("y"),
-        col("x.k") === col("y.k") && col("x.bv") === col("y.bv") &&
-          col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("v1"), col("y.vec_id").as("v2"))
-      .distinct()
+    // candidate generation via the single-aggregation bucket collect;
+    // the exact integer cosine recheck below still joins the (persisted)
+    // quantized frame for both members' vectors
+    val cand = bucketPairs(EmbeddingLsh.bands(n), Seq("k", "bv"), bucketCap,
+        idCol = "vec_id")
+      .select(col("d1").as("v1"), col("d2").as("v2"))
     cand
       .join(n.as("a"), col("v1") === col("a.vec_id"))
       .join(n.as("b"), col("v2") === col("b.vec_id"))

@@ -1,0 +1,61 @@
+package graft.functions
+
+import graft.SparkFixture
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import scala.util.Random
+
+/** [[CollectCappedAgg]] semantics: bounded state, null-on-overflow, and
+  * [[Dedup.bucketPairs]] equivalence to the brute-force formulation
+  * across partition layouts (merges of saturated partials).
+  */
+class CollectCappedSpec extends AnyFunSuite with SparkFixture {
+
+  test("collect_capped: under-cap groups collect all, over-cap groups null") {
+    import spark.implicits._
+    val df = (1 to 50).map(i => (if (i <= 45) "big" else "small", i.toLong))
+      .toDF("g", "v").repartition(8) // force cross-partition merges
+    val out = df.groupBy("g")
+      .agg(CollectCapped.collect_capped(col("v"), 10).as("vs"))
+      .collect().map(r => r.getString(0) -> Option(r.getSeq[Long](1))).toMap
+    assert(out("big").isEmpty, "45 > cap=10 must yield null")
+    assert(out("small").get.sorted == (46L to 50L))
+  }
+
+  test("bucketPairs == capBuckets + self-join, any partitioning") {
+    import spark.implicits._
+    val rnd = new Random(7)
+    // skewed buckets: some under, some exactly at, some over the cap
+    val rows = (1 to 400).map { i =>
+      val bucket = rnd.nextInt(12)
+      (bucket, i.toLong)
+    }
+    for (cap <- Seq(3, 20, 100); parts <- Seq(1, 7)) {
+      val df = rows.toDF("b", "doc_id").repartition(parts)
+      val got = Dedup.bucketPairs(df, Seq("b"), cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sizes = rows.groupBy(_._1).view.mapValues(_.size).toMap
+      val want = (for {
+        (b, members) <- rows.groupBy(_._1).toSeq if sizes(b) <= cap
+        Seq(x, y) <- members.map(_._2).combinations(2).toSeq
+      } yield (math.min(x, y), math.max(x, y))).toSet
+      assert(got == want, s"cap=$cap parts=$parts")
+    }
+  }
+
+  test("collect_capped over struct elements survives serialize/merge") {
+    import spark.implicits._
+    val df = (1L to 30L).map(i => (i % 3, i, i * 100)).toDF("g", "a", "b")
+      .repartition(5)
+    val out = df.groupBy("g")
+      .agg(CollectCapped.collect_capped(struct(col("a"), col("b")), 15).as("xs"))
+      .collect().map { r =>
+        r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(x => (x.getLong(0), x.getLong(1))).sorted
+      }.toMap
+    for (g <- 0L to 2L)
+      assert(out(g) == (1L to 30L).filter(_ % 3 == g).map(i => (i, i * 100)))
+  }
+}

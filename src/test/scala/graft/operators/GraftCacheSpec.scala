@@ -25,7 +25,12 @@ class GraftCacheSpec extends AnyFunSuite with SparkFixture {
       col("id").as("doc_id"),
       concat_ws(" ", lit("tok"), (col("id") % 7).cast("string"),
         lit("w"), (col("id") % 3).cast("string")).as("text"))
-    val pairs = Dedup.minhashLshPairs(docs)
+    // the single-aggregation LSH paths are persist-free by design
+    val lsh = Dedup.minhashLshPairs(docs)
+    assert(lsh.count() >= 0)
+    assert(GraftCache.trackedCount === 0,
+      "minhashLshPairs must not persist (bounded bucket collect, one pass)")
+    val pairs = Dedup.jaccardPairs(docs)
     assert(pairs.count() >= 0) // materialize: persist() becomes live RDD blocks
     assert(GraftCache.trackedCount >= 1)
     assert(cachedRddCount >= 1)
