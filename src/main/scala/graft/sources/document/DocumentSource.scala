@@ -207,7 +207,10 @@ final case class DocumentScan(
       .map(f => DocumentPartition(f.toString): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    DocumentReaderFactory(schema, options, filter, limit, sort)
+    DocumentReaderFactory(schema, options, filter, limit, sort,
+      // batch scans vectorize unless explicitly disabled; micro-batch
+      // streaming stays row-based (its factory below passes no flag)
+      allowColumnar = options.getOrElse("columnar", "true").toBoolean)
 
   /** Streaming read of an append-only collection directory: each new
     * file is a new micro-batch partition (SURVEY §2.7's extension seam —
@@ -277,41 +280,54 @@ final case class DocumentReaderFactory(
     options: Map[String, String],
     filter: Option[FilterDoc],
     limit: Option[Int],
-    sort: Seq[FilterDoc.SortKey] = Nil) extends PartitionReaderFactory {
+    sort: Seq[FilterDoc.SortKey] = Nil,
+    allowColumnar: Boolean = false) extends PartitionReaderFactory {
+
+  /** Columnar batch scans (SURVEY §4.2's improvement note; reference
+    * anchor: Arrow-native RecordBatch streaming end to end,
+    * `sql_provider_datafusion/mod.rs:657-684`): the document source owns
+    * its format, so it can fill column vectors directly instead of
+    * emitting one InternalRow per doc. Column types outside the
+    * vector-fill set (nested arrays-of-non-string) fall back to rows.
+    */
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    allowColumnar && schema.fields.forall(f =>
+      DocumentColumnarReader.vectorizable(f.dataType))
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    new DocumentColumnarReader(schema, options,
+      new DocumentCursor(options, filter, limit, sort,
+        partition.asInstanceOf[DocumentPartition].file))
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new DocumentPartitionReader(
-      schema, options, filter, limit, sort,
-      partition.asInstanceOf[DocumentPartition].file)
+      schema, options,
+      new DocumentCursor(options, filter, limit, sort,
+        partition.asInstanceOf[DocumentPartition].file))
 }
 
-/** Streams one JSONL file, applies the pushed filter document BEFORE
-  * emitting rows (the "server side" of a real document store), then
-  * converts to InternalRow per the resolved schema.
+/** Streams one JSONL file and yields the documents that survive the
+  * pushed filter/sort/limit — the "server side" of a real document
+  * store's find(filter).sort(doc).limit(n), shared by the row and
+  * columnar readers.
   */
-final class DocumentPartitionReader(
-    schema: StructType,
+final class DocumentCursor(
     options: Map[String, String],
     filter: Option[FilterDoc],
     limit: Option[Int],
     sort: Seq[FilterDoc.SortKey],
-    file: String) extends PartitionReader[InternalRow] {
+    file: String) {
 
   import DocumentTable.mapper
 
-  private val catchAll = options.get("jsonobject")
-  private val pinned: Set[String] =
-    options.get("declared").map(StructType.fromDDL(_).fieldNames.toSet).getOrElse(Set.empty)
-  // flattendepth > 0 ⇒ dotted column names are paths into nested docs
-  private val flatten = options.getOrElse("flattendepth", "0").toInt > 0
   private val reader = java.nio.file.Files.newBufferedReader(
     java.nio.file.Paths.get(file), StandardCharsets.UTF_8)
-  private var current: InternalRow = _
   private var emitted = 0
 
   private def matches(doc: JsonNode): Boolean = filter.forall(_.matches(doc))
 
-  // Pushed sort: this partition's matches, ordered and truncated —
-  // the "server side" of a find(filter).sort(doc).limit(n).
+  // Pushed sort: this partition's matches, ordered and truncated.
   private lazy val sorted: Iterator[JsonNode] = {
     val buf = scala.collection.mutable.ArrayBuffer.empty[JsonNode]
     var line = reader.readLine()
@@ -326,27 +342,38 @@ final class DocumentPartitionReader(
     limit.map(n => ordered.take(n)).getOrElse(ordered).iterator
   }
 
-  override def next(): Boolean = {
-    if (sort.nonEmpty) {
-      if (!sorted.hasNext) return false
-      current = convert(sorted.next())
-      return true
-    }
-    if (limit.exists(emitted >= _)) return false
+  /** Next surviving document, or null when exhausted. */
+  def nextDoc(): JsonNode = {
+    if (sort.nonEmpty) return if (sorted.hasNext) sorted.next() else null
+    if (limit.exists(emitted >= _)) return null
     var line = reader.readLine()
     while (line != null) {
       if (line.nonEmpty) {
         val doc = mapper.readTree(line)
         if (matches(doc)) {
-          current = convert(doc)
           emitted += 1
-          return true
+          return doc
         }
       }
       line = reader.readLine()
     }
-    false
+    null
   }
+
+  def close(): Unit = reader.close()
+}
+
+/** Field extraction + JSON→Catalyst conversion per the resolved schema,
+  * shared by the row and columnar readers.
+  */
+final class DocConverter(schema: StructType, options: Map[String, String]) {
+  import DocumentTable.mapper
+
+  private val catchAll = options.get("jsonobject")
+  private val pinned: Set[String] =
+    options.get("declared").map(StructType.fromDDL(_).fieldNames.toSet).getOrElse(Set.empty)
+  // flattendepth > 0 ⇒ dotted column names are paths into nested docs
+  private val flatten = options.getOrElse("flattendepth", "0").toInt > 0
 
   private def renderCatchAll(doc: JsonNode): String = {
     // sorted-key JSON object of every field not claimed by a pinned column
@@ -356,27 +383,20 @@ final class DocumentPartitionReader(
     mapper.writeValueAsString(obj)
   }
 
-  private def convert(doc: JsonNode): InternalRow = {
-    val row = new GenericInternalRow(schema.length)
-    var i = 0
-    while (i < schema.length) {
-      val f = schema.fields(i)
-      val v: Any =
-        if (catchAll.contains(f.name)) UTF8String.fromString(renderCatchAll(doc))
-        else toCatalyst(lookup(doc, f.name), f.dataType)
-      row.update(i, v)
-      i += 1
-    }
-    row
-  }
-
   private def lookup(doc: JsonNode, name: String): JsonNode =
     if (!flatten) doc.get(name)
     else name.split('.').foldLeft(doc) { (n, part) =>
       if (n == null) null else n.get(part)
     }
 
-  private def toCatalyst(n: JsonNode, dt: DataType): Any = {
+  /** Catalyst value of field `i` of the schema for `doc` (null-safe). */
+  def fieldValue(doc: JsonNode, i: Int): Any = {
+    val f = schema.fields(i)
+    if (catchAll.contains(f.name)) UTF8String.fromString(renderCatchAll(doc))
+    else toCatalyst(lookup(doc, f.name), f.dataType)
+  }
+
+  def toCatalyst(n: JsonNode, dt: DataType): Any = {
     if (n == null || n.isNull) return null
     dt match {
       case BooleanType => n.asBoolean()
@@ -398,7 +418,32 @@ final class DocumentPartitionReader(
       case _ => null
     }
   }
+}
+
+/** Row-at-a-time reader (streaming micro-batches, and schemas outside
+  * the vector-fill set).
+  */
+final class DocumentPartitionReader(
+    schema: StructType,
+    options: Map[String, String],
+    cursor: DocumentCursor) extends PartitionReader[InternalRow] {
+
+  private val conv = new DocConverter(schema, options)
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    val doc = cursor.nextDoc()
+    if (doc == null) return false
+    val row = new GenericInternalRow(schema.length)
+    var i = 0
+    while (i < schema.length) {
+      row.update(i, conv.fieldValue(doc, i))
+      i += 1
+    }
+    current = row
+    true
+  }
 
   override def get(): InternalRow = current
-  override def close(): Unit = reader.close()
+  override def close(): Unit = cursor.close()
 }

@@ -284,4 +284,47 @@ class DocumentSpec extends AnyFunSuite with SparkFixture {
     assert(r1.getLong(0) == 1L)
     assert(r1.getString(1) == """{"kind":"a","meta":{"x":1},"score":0.5}""")
   }
+
+  test("batch scans are columnar; columnar == row results; streaming stays rows") {
+    val dir = Files.createTempDirectory("graft_docs_col").toString
+    // > 1 batch (BatchRows = 4096) with nulls, arrays, decimals, strings
+    val sb = new StringBuilder
+    for (i <- 1 to 10000) {
+      val tags = if (i % 7 == 0) "null" else s"""["t${i % 5}", "u${i % 3}"]"""
+      val big = if (i % 11 == 0) "null" else s"${i}00000000000000000000"
+      sb.append(s"""{"id": $i, "name": "doc_$i", "ok": ${i % 2 == 0}, """ +
+        s""""score": ${i / 4.0}, "tags": $tags, "big": $big}""").append('\n')
+    }
+    Files.writeString(java.nio.file.Paths.get(s"$dir/part1.jsonl"), sb.toString)
+
+    def read(columnar: Boolean) = spark.read
+      .format("graft.sources.document.DocumentSource")
+      .option("path", dir).option("columnar", columnar.toString).load()
+
+    val dfC = read(columnar = true)
+    val scans = dfC.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty && scans.forall(_.supportsColumnar),
+      s"document batch scan should be columnar:\n${dfC.queryExecution.executedPlan}")
+    val rowsC = dfC.collect().map(_.toSeq.map {
+      case s: Seq[_] => s.toList
+      case v => v
+    }.toList).sortBy(_.toString)
+    val dfR = read(columnar = false)
+    assert(!dfR.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.exists(_.supportsColumnar))
+    val rowsR = dfR.collect().map(_.toSeq.map {
+      case s: Seq[_] => s.toList
+      case v => v
+    }.toList).sortBy(_.toString)
+    assert(rowsC.length == 10000 && rowsC.sameElements(rowsR))
+
+    // pushed filter + limit still apply on the columnar path
+    val f = dfC.filter(col("ok") === true).limit(17)
+    assert(f.count() == 17)
+    val idsEven = dfC.filter(col("ok") === true).collect().map(_.getAs[Int]("id"))
+    assert(idsEven.length == 5000 && idsEven.forall(_ % 2 == 0))
+  }
 }
