@@ -59,7 +59,7 @@ object Cluster extends org.apache.spark.internal.Logging {
     * corpus either way).
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 100,
-      smallGraphThreshold: Long = 1 << 20): DataFrame = {
+      smallGraphThreshold: Long = 1 << 20): DataFrame = GraftCache.scoped {
     val pairsLong = pairs.select(col("d1").cast("long").as("d1"),
       col("d2").cast("long").as("d2"))
     if (smallGraphThreshold > 0) {
@@ -130,6 +130,10 @@ object Cluster extends org.apache.spark.internal.Logging {
       logInfo(f"cc round $it done=$done " +
         f"(${(System.nanoTime() - t0) / 1e9}%.2fs, total ${(System.nanoTime() - t00) / 1e9}%.2fs)")
     }
+    // labels is localCheckpoint()ed: its plan no longer reads edges, so
+    // the persisted edge frame releases HERE, not at session teardown —
+    // the operator is leak-free for library users, not just the harness.
+    GraftCache.release(edges)
     labels.select(col("v"), col("lbl").as("cluster"))
   }
 

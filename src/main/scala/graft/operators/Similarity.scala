@@ -176,7 +176,7 @@ object Similarity {
     * Ties break to the smaller cell id via the struct ordering.
     */
   def kmeansAssign(n0: DataFrame, k: Int = KmeansK,
-      iters: Int = KmeansIters): DataFrame = {
+      iters: Int = KmeansIters): DataFrame = GraftCache.scoped {
     val n = GraftCache.track(n0)
     // deterministic seeds: the k smallest vec_ids
     var cents: Array[(Long, Seq[Long], Long)] = n.orderBy("vec_id").limit(k)

@@ -212,7 +212,7 @@ object TextAnalysis {
     */
   def vocabPrune(df: org.apache.spark.sql.DataFrame, k: Int = 20,
       unk: String = "<unk>", idCol: String = "doc_id",
-      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = GraftCache.scoped {
     import df.sparkSession.implicits._
     val vocab: Array[String] = df
       .select(explode(split(col(textCol), " ")).as("tok"))

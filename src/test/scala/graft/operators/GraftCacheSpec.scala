@@ -41,6 +41,55 @@ class GraftCacheSpec extends AnyFunSuite with SparkFixture {
     assert(cachedRddCount === 0)
   }
 
+  test("iterative operators release their internal persists at exit") {
+    GraftCache.releaseAll()
+    spark.catalog.clearCache()
+    import spark.implicits._
+    val chain = (0L until 50L).map(i => (i, i + 1)).toDF("d1", "d2")
+    // distributed tier: persists the edge frame, loops, checkpoints labels
+    val cc = Cluster.connectedComponents(chain, smallGraphThreshold = 0)
+    assert(cc.count() == 51)
+    assert(GraftCache.trackedCount === 0,
+      "connectedComponents must release its edge frame at exit")
+    assert(cachedRddCount === 0,
+      "no persist()-style cache may outlive the operator (checkpoints excluded)")
+  }
+
+  test("opt-in auto-release frees intermediates after caller actions") {
+    GraftCache.releaseAll()
+    spark.catalog.clearCache()
+    // separate session: the listener is per-session, so it dies with
+    // this test instead of following the JVM-shared fixture session
+    val s2 = spark.newSession()
+    GraftCache.autoReleaseAfterActions(s2)
+    def drain(): Unit = {
+      var tries = 0
+      while (GraftCache.trackedCount > 0 && tries < 100) { Thread.sleep(50); tries += 1 }
+    }
+    val pairs = Dedup.jaccardPairs(s2.range(0, 60).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", lit("w"), (col("id") % 5).cast("string"),
+        lit("z"), (col("id") % 4).cast("string")).as("text")))
+    assert(pairs.count() >= 0) // caller-level action
+    drain() // listener is async (ExecutionListenerBus)
+    assert(GraftCache.trackedCount === 0,
+      "auto-release must free tracked intermediates after the action")
+    assert(cachedRddCount === 0)
+    // iterative operators stay correct under auto-release: the scoped{}
+    // guard defers the listener during internal supersteps/collects
+    import s2.implicits._
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val cc = Cluster.connectedComponents(chain, smallGraphThreshold = 0)
+    assert(cc.select(countDistinct(col("cluster"))).collect()(0).getLong(0) == 1L)
+    val km = Similarity.kmeansAssign(
+      (0L until 30L).map(i => (i, Seq(i % 5, i % 3), (i % 5) * (i % 5) + (i % 3) * (i % 3)))
+        .toDF("vec_id", "q", "nrm"), k = 3, iters = 3)
+    assert(km.count() == 30)
+    drain()
+    assert(GraftCache.trackedCount === 0)
+    assert(cachedRddCount === 0)
+  }
+
   test("result stays correct after releaseAll (recompute, not dangle)") {
     val docs = spark.range(0, 50).select(
       col("id").as("doc_id"),
