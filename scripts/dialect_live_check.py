@@ -1,0 +1,143 @@
+#!/usr/bin/env python3
+"""Execute the SQL the graft dialects GENERATE against a live engine.
+
+`graft.sources.jdbc.DialectDump` renders DDL for the full type breadth,
+every upsert mode, limit/offset composition, and the unparser's WHERE
+clauses; this script runs the duckdb/postgres/sqlite dialect output in
+an in-memory DuckDB (the one live non-Derby engine available here) and
+checks SEMANTICS, not just acceptance: conflict modes must leave the
+table in the state the writer assumes, offsets must skip, LIKE escapes
+must not wildcard, EXTRACT/MOD/CAST must select exactly the expected
+rows. The reference validates its dialects against live Docker
+databases the same way (core/tests/docker/mod.rs:53-100).
+
+Usage: python3 scripts/dialect_live_check.py [dump.json]
+       (no arg: runs sbt runMain graft.sources.jdbc.DialectDump itself)
+"""
+import datetime
+import json
+import subprocess
+import sys
+
+import duckdb
+
+if len(sys.argv) > 1:
+    dump = json.load(open(sys.argv[1]))
+else:
+    out = subprocess.run(
+        ["sbt", "runMain graft.sources.jdbc.DialectDump"],
+        capture_output=True, text=True, cwd="/root/repo").stdout
+    line = next(l for l in out.splitlines() if l.startswith("[info] {"))
+    dump = json.loads(line[len("[info] "):])
+
+# seed rows: k 1..8 — b, i, d, dec, s, dt, ts, bin derived
+def row(k):
+    return (
+        k, k % 2 == 0, k % 4, k / 2.0, round(k * 1.11, 2), f"v_{k}",
+        datetime.date(1994 + (k % 3), 1 + k % 12, 1 + k % 27),
+        datetime.datetime(1994 + (k % 3), 1 + k % 12, 1 + k % 27, 12, 0, 0),
+        bytes([k % 256, (255 - k) % 256]))
+
+SEED = [row(k) for k in range(1, 9)]
+
+# expected WHERE-sample counts, computed over SEED in python
+def year(d): return d.year
+EXPECT = {
+    "eq_long": sum(1 for r in SEED if r[0] == 5),
+    "in_int": sum(1 for r in SEED if r[2] in (1, 3)),
+    "like_escaped": sum(1 for r in SEED if "x%y" in r[5]),
+    "starts_with": sum(1 for r in SEED if r[5].startswith("v_")),
+    "mod_routed": sum(1 for r in SEED if r[0] % 3 == 1),
+    "extract_year": sum(1 for r in SEED if year(r[6]) == 1995),
+    "cast_double_gt": sum(1 for r in SEED if float(r[4]) > 3.5),
+    "arith_case": sum(1 for r in SEED if r[0] + 1 > 5),
+    "upper_concat": sum(1 for r in SEED if (r[5] + "!").upper() == "V_2!"),
+    "substring": sum(1 for r in SEED if r[5][0:2] == "v_"),
+    "coalesce_abs": sum(1 for r in SEED if abs(r[0] - 9) == 1),
+    "date_literal": sum(1 for r in SEED if r[6] >= datetime.date(1995, 1, 1)),
+    "ts_literal": sum(1 for r in SEED if r[7] < datetime.datetime(1996, 1, 1)),
+}
+
+fails = 0
+
+
+def check(label, cond, detail=""):
+    global fails
+    if cond:
+        print(f"OK   {label}")
+    else:
+        fails += 1
+        print(f"FAIL {label}: {detail}")
+
+
+for dialect in ["duckdb", "postgres", "sqlite"]:
+    d = dump[dialect]
+    # sqlite's INTEGER-everything DDL and datetime() rewrites target the
+    # sqlite engine; DuckDB can still accept its DDL + conflict modes but
+    # typed WHERE semantics (REAL decimals) diverge — check acceptance
+    # paths only for it.
+    full_semantics = dialect in ("duckdb", "postgres")
+    con = duckdb.connect()
+    try:
+        con.execute(d["create"])
+        for r in SEED:
+            con.execute(d["insert"], list(r))
+
+        def state():
+            return {r[0]: r for r in con.execute(
+                f'SELECT * FROM {d["table"]} ORDER BY 1').fetchall()}
+
+        # WHERE-clause semantics over the PRISTINE seed (before mutations)
+        if full_semantics:
+            for label, sql in d["where"].items():
+                if sql is None:
+                    check(f"{dialect}: where[{label}] rendered", False,
+                          "unparser returned None")
+                    continue
+                got = con.execute(sql).fetchall()[0][0]
+                check(f"{dialect}: where[{label}] == {EXPECT[label]}",
+                      got == EXPECT[label], f"got {got}: {sql}")
+
+        # conflict update: same keys, shifted payload -> payload replaced
+        shifted = [
+            (r[0], not r[1], r[2] + 10, r[3], r[4], r[5] + "_u", r[6], r[7], r[8])
+            for r in SEED[:4]]
+        for r in shifted:
+            con.execute(d["upsert_update"], list(r))
+        st = state()
+        check(f"{dialect}: upsert update replaces payload",
+              all(st[r[0]][5] == r[5] and st[r[0]][2] == r[2] for r in shifted)
+              and len(st) == len(SEED), str(st.get(1)))
+
+        # conflict do-nothing: clobbering payloads must NOT land; new key inserts
+        for r in [(r[0], r[1], r[2], r[3], r[4], "CLOB", r[6], r[7], r[8])
+                  for r in SEED[:2]] + [row(100)]:
+            con.execute(d["upsert_nothing"], list(r))
+        st = state()
+        check(f"{dialect}: upsert do_nothing preserves + inserts new",
+              st[1][5] != "CLOB" and st[2][5] != "CLOB" and 100 in st, str(st.get(1)))
+
+        # target-less do-nothing (PK constraint decides)
+        con.execute(d["upsert_all"], list((1, True, 0, 0.0, 0.0, "CLOB2",
+                                           SEED[0][6], SEED[0][7], b"")))
+        con.execute(d["upsert_all"], list(row(101)))
+        st = state()
+        check(f"{dialect}: upsert do_nothing_all skips conflicts",
+              st[1][5] != "CLOB2" and 101 in st, str(st.get(1)))
+
+        # topn + offset: k DESC skip 2 take 3 over k in {1..8,100,101}
+        got = [r[0] for r in con.execute(d["topn"]).fetchall()]
+        check(f"{dialect}: ORDER BY + offset/fetch composition",
+              got == [8, 7, 6], str(got))
+
+        if d.get("analyze"):
+            con.execute(d["analyze"]) if dialect == "duckdb" else None
+            if dialect == "duckdb":
+                check(f"{dialect}: ANALYZE accepted", True)
+    except Exception as e:
+        check(f"{dialect}: execution", False, repr(e))
+    finally:
+        con.close()
+
+print(("PASS" if fails == 0 else "FAIL") + f" dialect live check ({fails} failures)")
+sys.exit(1 if fails else 0)

@@ -1,0 +1,115 @@
+package graft.sources.jdbc
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.connector.expressions.{Expression, Expressions, Extract, GeneralScalarExpression, Cast => V2Cast}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.graftx.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Dumps the SQL each dialect GENERATES — DDL from the full type
+  * breadth, every upsert mode, limit/offset composition, and the
+  * unparser's rendered WHERE clauses — as one JSON line, so
+  * `scripts/dialect_live_check.py` can EXECUTE the duckdb/postgres
+  * dialect output against a live DuckDB (the one non-Derby engine
+  * available in this environment; the reference validates its dialects
+  * against Docker databases the same way,
+  * `core/tests/docker/mod.rs:53-100`).
+  *
+  * This closes the "golden-tested SQL generators that never touched a
+  * real server" gap for the Postgres-family dialects to the extent the
+  * sandbox allows: statements are accepted, executed, and their
+  * semantics (conflict modes, offsets, LIKE escapes, EXTRACT/MOD
+  * routing) checked against an independent engine's results.
+  */
+object DialectDump {
+
+  private def lit(v: Any, dt: DataType) = Bridge.v2Literal(v, dt)
+  private def col(n: String) = Expressions.column(n)
+  private def fn(name: String, args: Expression*) =
+    new GeneralScalarExpression(name, args.toArray)
+  private def eq(a: Expression, b: Expression) = new Predicate("=", Array(a, b))
+
+  /** (label, rendered-or-skipped WHERE clause, columns it touches). */
+  private def whereSamples(d: Dialect): Seq[(String, Option[String])] = {
+    val u = new Unparser(d)
+    Seq(
+      "eq_long" -> u.expr(eq(col("k"), lit(5L, LongType))),
+      "in_int" -> u.expr(new Predicate("IN",
+        Array(col("i"), lit(1, IntegerType), lit(3, IntegerType)))),
+      "like_escaped" -> u.expr(new Predicate("CONTAINS",
+        Array(col("s"), lit(UTF8String.fromString("x%y"), StringType)))),
+      "starts_with" -> u.expr(new Predicate("STARTS_WITH",
+        Array(col("s"), lit(UTF8String.fromString("v_"), StringType)))),
+      "mod_routed" -> u.expr(eq(fn("%", col("k"), lit(3L, LongType)), lit(1L, LongType))),
+      "extract_year" -> u.expr(eq(
+        new Extract("YEAR", col("dt")), lit(1995, IntegerType))),
+      "cast_double_gt" -> u.expr(new Predicate(">",
+        Array(new V2Cast(col("dec"), DoubleType), lit(3.5d, DoubleType)))),
+      "arith_case" -> u.expr(eq(
+        fn("CASE_WHEN",
+          new Predicate(">", Array(fn("+", col("k"), lit(1L, LongType)), lit(5L, LongType))),
+          lit(1, IntegerType), lit(0, IntegerType)),
+        lit(1, IntegerType))),
+      "upper_concat" -> u.expr(eq(
+        fn("UPPER", fn("CONCAT", col("s"), lit(UTF8String.fromString("!"), StringType))),
+        lit(UTF8String.fromString("V_2!"), StringType))),
+      "substring" -> u.expr(eq(
+        fn("SUBSTRING", col("s"), lit(1, IntegerType), lit(2, IntegerType)),
+        lit(UTF8String.fromString("v_"), StringType))),
+      "coalesce_abs" -> u.expr(eq(
+        fn("COALESCE", fn("ABS", fn("-", col("k"), lit(9L, LongType))), lit(0L, LongType)),
+        lit(1L, LongType))),
+      "date_literal" -> u.expr(new Predicate(">=",
+        Array(col("dt"), lit(9131, DateType)))), // 1995-01-01 epoch-day
+      "ts_literal" -> u.expr(new Predicate("<",
+        Array(col("ts"), lit(820454400000000L, TimestampNTZType)))) // 1996-01-01 UTC micros
+    )
+  }
+
+  def main(args: Array[String]): Unit = {
+    val schema = StructType(Seq(
+      StructField("k", LongType, nullable = false),
+      StructField("b", BooleanType),
+      StructField("i", IntegerType),
+      StructField("d", DoubleType),
+      StructField("dec", DecimalType(18, 2)),
+      StructField("s", StringType),
+      StructField("dt", DateType),
+      StructField("ts", TimestampNTZType),
+      StructField("bin", BinaryType)))
+    val cols = schema.fields.map(_.name).toSeq
+
+    val m = new ObjectMapper()
+    val root = m.createObjectNode()
+    for (d <- Seq(DuckDbDialect, PostgresDialect, SqliteDialect)) {
+      val t = d.quote("dlc_t")
+      val o = root.putObject(d.name)
+      o.put("table", t)
+      // PK clause exactly as GraftCatalog renders the `primarykeys`
+      // table property — ON CONFLICT (k) on a real engine REQUIRES the
+      // constraint (live-check finding; Derby's update-else-insert
+      // fallback never surfaced it)
+      o.put("create",
+        s"CREATE TABLE $t (${d.columnDefs(schema)}, PRIMARY KEY (${d.quote("k")}))")
+      o.put("insert", s"INSERT INTO $t (${cols.map(d.quote).mkString(", ")}) " +
+        s"VALUES (${cols.map(_ => "?").mkString(", ")})")
+      o.put("upsert_update", d.upsertStatement(t, cols, Seq("k")))
+      o.put("upsert_nothing", d.upsertStatement(t, cols, Seq("k"), doNothing = true))
+      o.put("upsert_all", d.upsertStatement(t, cols, Nil, doNothing = true))
+      o.put("upsert_degenerate", d.upsertStatement(t, Seq("k"), Seq("k")))
+      o.put("topn", s"SELECT ${d.quote("k")} FROM $t ORDER BY ${d.quote("k")} DESC " +
+        d.limitOffsetClause(Some(3), Some(2)))
+      o.put("analyze", d.analyzeStatement("main", "dlc_t").orNull)
+      val ws = o.putObject("where")
+      whereSamples(d).foreach {
+        case (label, Some(sql)) => ws.put(label, s"SELECT COUNT(*) FROM $t WHERE $sql")
+        case (label, None) => ws.putNull(label)
+      }
+    }
+    // One line on stdout; sbt prefixes "[info] " which the reader strips.
+    // scalastyle:off println
+    println(root.toString)
+    // scalastyle:on println
+  }
+}

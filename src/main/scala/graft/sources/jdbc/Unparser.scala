@@ -133,7 +133,10 @@ final class Unparser(dialect: Dialect) extends Serializable {
         Some(dialect.stringLiteral(l.value.asInstanceOf[UTF8String].toString))
       case DateType =>
         Some(s"DATE '${LocalDate.ofEpochDay(l.value.asInstanceOf[Int].toLong)}'")
-      case TimestampType =>
+      // NTZ renders identically: the micros are already wall-clock
+      // (found by scripts/dialect_live_check.py — an unrenderable NTZ
+      // literal silently kept timestamp predicates local)
+      case TimestampType | TimestampNTZType =>
         // Always render full seconds (LocalTime.toString drops ":00"
         // seconds, producing e.g. `TIMESTAMP '… 00:00'` which Derby and
         // other strict dialects reject); fractional micros only if set.
