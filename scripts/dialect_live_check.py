@@ -139,5 +139,22 @@ for dialect in ["duckdb", "postgres", "sqlite"]:
     finally:
         con.close()
 
+# session-settings registry: the rendered SET statements must be accepted
+# by a live engine and observably change its configuration
+con = duckdb.connect()
+try:
+    for stmt in dump.get("settings", []):
+        con.execute(stmt)
+    mem = con.execute("SELECT current_setting('memory_limit')").fetchone()[0]
+    check("settings: memory_limit applied", "Gi" in mem or "GB" in mem, mem)
+    tmp = con.execute("SELECT current_setting('temp_directory')").fetchone()[0]
+    check("settings: temp_directory applied", tmp == "/tmp/graft_dlc_tmp", tmp)
+    pio = con.execute("SELECT current_setting('preserve_insertion_order')").fetchone()[0]
+    check("settings: preserve_insertion_order applied", pio is False or pio == "false", repr(pio))
+except Exception as e:
+    check("settings: execution", False, repr(e))
+finally:
+    con.close()
+
 print(("PASS" if fails == 0 else "FAIL") + f" dialect live check ({fails} failures)")
 sys.exit(1 if fails else 0)

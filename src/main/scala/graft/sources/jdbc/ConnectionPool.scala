@@ -32,15 +32,18 @@ object ConnectionPool {
   /** Max seconds a borrower waits for a permit before failing retriably. */
   val AcquireTimeoutSec = 60L
 
-  private final case class Key(url: String, user: String, password: String, max: Int)
+  private final case class Key(url: String, user: String, password: String, max: Int,
+      sessionInit: Seq[String])
 
   // The key uses the credential SPEC (file path / env name), not the
   // resolved secret — a rotated passwordfile keeps hitting one pool.
+  // Session settings join the key: two tables on the same server with
+  // different settings must never share a physical connection.
   private def keyOf(o: JdbcOptions): Key =
     Key(o.url, o.map.getOrElse("user", ""),
       o.map.getOrElse("password",
         o.map.getOrElse("passwordfile", o.map.getOrElse("passwordenv", ""))),
-      o.poolMax)
+      o.poolMax, o.sessionSettings)
 
   private final class Pool(key: Key, opts: Map[String, String]) {
     private val idle = new ConcurrentLinkedQueue[Connection]()
@@ -56,6 +59,13 @@ object ConnectionPool {
         while (c != null && !isLive(c)) { closeQuietly(c); c = idle.poll() }
         if (c == null) {
           c = JdbcOptions.physicalConnect(key.url, opts)
+          // apply validated session settings to the fresh physical
+          // connection (the reference applies its registry per
+          // connection the same way, settings.rs:188-218)
+          if (key.sessionInit.nonEmpty) {
+            val st = c.createStatement()
+            try key.sessionInit.foreach(st.execute) finally st.close()
+          }
           opened.incrementAndGet()
         }
         c

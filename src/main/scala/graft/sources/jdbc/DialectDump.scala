@@ -107,6 +107,14 @@ object DialectDump {
         case (label, None) => ws.putNull(label)
       }
     }
+    // session-settings registry output (engine-agnostic SET statements;
+    // the live check executes them in DuckDB and reads current_setting)
+    val st = root.putArray("settings")
+    SessionSettings.statements(Map(
+      "memory_limit" -> "2GB",
+      "preserve_insertion_order" -> "false",
+      "temp_directory" -> "/tmp/graft_dlc_tmp")).foreach(st.add)
+
     // One line on stdout; sbt prefixes "[info] " which the reader strips.
     // scalastyle:off println
     println(root.toString)

@@ -124,6 +124,13 @@ final case class JdbcOptions(map: Map[String, String]) extends Serializable {
     */
   def fromClause: String = tableArgs.map(a => s"$table($a)").getOrElse(table)
 
+  /** Validated per-connection `SET` statements + raw `sessioninit`
+    * tail ([[SessionSettings]], the reference's DuckDB settings
+    * registry analog). Computed eagerly: a bad value fails HERE, on
+    * the driver at option-parse time, not as N executor task failures.
+    */
+  val sessionSettings: Seq[String] = SessionSettings.statements(map)
+
   /** Canonical identity of the remote compute context. */
   def computeContext: String = url
 
