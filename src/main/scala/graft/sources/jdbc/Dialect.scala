@@ -68,6 +68,15 @@ trait Dialect extends Serializable {
       s"$name: unsupported type $other")
   }
 
+  /** Engines with a native ARRAY column type bind Spark ArrayType
+    * through `Connection.createArrayOf` instead of nested-as-JSON
+    * (reference: pg arrays -> List, `arrow_sql_gen/schema.rs:163-190`).
+    */
+  def supportsNativeArrays: Boolean = false
+
+  /** Element type name passed to `createArrayOf` (native-array dialects). */
+  def arrayElementName(et: DataType): String = typeName(et)
+
   /** Whether DDL/DML may reference this type at all. */
   def supportsType(dt: DataType): Boolean =
     try { typeName(dt); true } catch { case _: IllegalArgumentException => false }
@@ -214,10 +223,27 @@ object DerbyDialect extends Dialect {
   */
 object PostgresDialect extends Dialect {
   val name = "postgres"
+  override def supportsNativeArrays: Boolean = true
   override def typeName(dt: DataType): String = dt match {
     case BinaryType => "BYTEA"
     case TimestampType => "TIMESTAMPTZ"
+    // native array DDL; nested element types still fall back to TEXT
+    case ArrayType(et @ (BooleanType | ShortType | IntegerType | LongType |
+        FloatType | DoubleType | StringType | _: DecimalType), _) =>
+      s"${typeName(et)}[]"
     case other => super.typeName(other)
+  }
+  override def arrayElementName(et: DataType): String = et match {
+    case ShortType => "int2"
+    case IntegerType => "int4"
+    case LongType => "int8"
+    case FloatType => "float4"
+    case DoubleType => "float8"
+    case BooleanType => "bool"
+    case StringType => "text"
+    case _: DecimalType => "numeric"
+    case other => throw new IllegalArgumentException(
+      s"postgres: unsupported array element $other")
   }
 }
 

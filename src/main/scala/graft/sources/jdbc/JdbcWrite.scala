@@ -243,8 +243,8 @@ class JdbcRowWriter(options: JdbcOptions, schema: StructType)
       s"INSERT INTO ${options.table} (${cols.map(d.quote).mkString(", ")}) " +
         s"VALUES (${cols.map(_ => "?").mkString(", ")})"
   private val ps = conn.prepareStatement(insertSql)
-  private val setters = schema.fields.map(f => TypeMapping.setter(f.dataType))
-  private val sqlTypes = schema.fields.map(f => TypeMapping.jdbcType(f.dataType))
+  private val setters = schema.fields.map(f => TypeMapping.setter(f.dataType, d))
+  private val sqlTypes = schema.fields.map(f => TypeMapping.jdbcType(f.dataType, d))
   private var inBatch = 0
   private var total = 0L
 
@@ -324,8 +324,8 @@ final class DerbyUpsertWriter(options: JdbcOptions, schema: StructType)
     cols.forall(c => keys.exists(_.equalsIgnoreCase(c)))
   private val keyIdx = keys.map(k => cols.indexWhere(_.equalsIgnoreCase(k))).toArray
   private val colIdx = cols.zipWithIndex.toMap
-  private val setters = schema.fields.map(f => TypeMapping.setter(f.dataType))
-  private val sqlTypes = schema.fields.map(f => TypeMapping.jdbcType(f.dataType))
+  private val setters = schema.fields.map(f => TypeMapping.setter(f.dataType, d))
+  private val sqlTypes = schema.fields.map(f => TypeMapping.jdbcType(f.dataType, d))
 
   private val updatePs = conn.prepareStatement(
     if (doNothing) d.touchStatement(options.table, cols, keys)

@@ -52,6 +52,32 @@ object TypeMapping {
     case other => throw new IllegalArgumentException(s"unsupported JDBC type $other")
   }
 
+  /** Element type of a JDBC ARRAY column from the driver's type NAME
+    * (the int code alone cannot carry it): Postgres `_int4`-style
+    * prefixed names (`arrow_sql_gen/schema.rs:163-190` maps the same
+    * wire names), `INTEGER ARRAY`/`int4[]`-style composed names from
+    * H2/pgjdbc-family drivers. Unknown element names fall back to
+    * string elements (values render via toString).
+    */
+  def arrayElementType(typeName: String): DataType = {
+    val n = Option(typeName).getOrElse("").trim.toLowerCase
+    val elem =
+      if (n.startsWith("_")) n.drop(1)                      // pg wire: _int4
+      else if (n.endsWith("[]")) n.dropRight(2).trim        // pgjdbc: int4[]
+      else if (n.endsWith(" array")) n.dropRight(6).trim    // h2: INTEGER ARRAY
+      else n
+    elem match {
+      case "bool" | "boolean" => BooleanType
+      case "int2" | "smallint" => ShortType
+      case "int4" | "int" | "integer" | "serial" => IntegerType
+      case "int8" | "bigint" | "bigserial" => LongType
+      case "float4" | "real" => FloatType
+      case "float8" | "double" | "double precision" => DoubleType
+      case "numeric" | "decimal" => DecimalType.SYSTEM_DEFAULT
+      case _ => StringType
+    }
+  }
+
   /** Introspect a query's result schema (reference `get_schema`,
     * `dbconnection.rs:216-239`: prepared-statement metadata).
     */
@@ -59,7 +85,10 @@ object TypeMapping {
     (1 to md.getColumnCount).map { i =>
       StructField(
         md.getColumnLabel(i),
-        catalystType(md.getColumnType(i), md.getPrecision(i), md.getScale(i)),
+        if (md.getColumnType(i) == Types.ARRAY)
+          ArrayType(arrayElementType(md.getColumnTypeName(i)), containsNull = true)
+        else
+          catalystType(md.getColumnType(i), md.getPrecision(i), md.getScale(i)),
         md.isNullable(i) != ResultSetMetaData.columnNoNulls)
     })
 
@@ -91,6 +120,18 @@ object TypeMapping {
     // durations live as BIGINT micros remotely (reference maps Duration
     // to a big-integer column, statement.rs:313-326,1302)
     case _: DayTimeIntervalType => (rs, i) => rs.getLong(i)
+    // native JDBC ARRAY columns (reference pg arrays -> List,
+    // `arrow_sql_gen/schema.rs:163-190`): java.sql.Array -> Catalyst
+    // array; elements arrive boxed from the driver
+    case ArrayType(et, _) => (rs, i) => {
+      val a = rs.getArray(i)
+      if (a == null) null
+      else {
+        val raw = a.getArray.asInstanceOf[Array[AnyRef]]
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          raw.map(fromBoxed(et, _)).toSeq)
+      }
+    }
     case other => throw new IllegalArgumentException(s"unsupported read type $other")
   }
 
@@ -125,8 +166,62 @@ object TypeMapping {
     out
   }
 
+  /** Boxed JDBC element → Catalyst element (null-safe). */
+  private def fromBoxed(et: DataType, v: AnyRef): Any = {
+    if (v == null) return null
+    et match {
+      case BooleanType => v.asInstanceOf[java.lang.Boolean].booleanValue()
+      case ShortType => v.asInstanceOf[java.lang.Number].shortValue()
+      case IntegerType => v.asInstanceOf[java.lang.Number].intValue()
+      case LongType => v.asInstanceOf[java.lang.Number].longValue()
+      case FloatType => v.asInstanceOf[java.lang.Number].floatValue()
+      case DoubleType => v.asInstanceOf[java.lang.Number].doubleValue()
+      case d: DecimalType =>
+        Decimal(v.asInstanceOf[java.math.BigDecimal], d.precision, d.scale)
+      case StringType => UTF8String.fromString(v.toString)
+      case other => throw new IllegalArgumentException(s"unsupported array element $other")
+    }
+  }
+
   /** One column setter: InternalRow position → PreparedStatement bind. */
   type Setter = (PreparedStatement, InternalRow, Int, Int) => Unit
+
+  /** Dialect-aware setter: engines with native array support
+    * ([[Dialect.supportsNativeArrays]]) bind ArrayType through
+    * `Connection.createArrayOf` instead of the nested-as-JSON text
+    * fallback; everything else delegates to [[setter]].
+    */
+  def setter(dt: DataType, dialect: Dialect): Setter = dt match {
+    case ArrayType(et, _) if dialect.supportsNativeArrays =>
+      val elemName = dialect.arrayElementName(et)
+      (ps, row, f, p) => {
+        val arr = row.getArray(f)
+        if (arr == null) ps.setNull(p, Types.ARRAY)
+        else {
+          val boxed = new Array[AnyRef](arr.numElements())
+          var j = 0
+          while (j < boxed.length) {
+            boxed(j) =
+              if (arr.isNullAt(j)) null
+              else et match {
+                case BooleanType => java.lang.Boolean.valueOf(arr.getBoolean(j))
+                case ShortType => java.lang.Short.valueOf(arr.getShort(j))
+                case IntegerType => java.lang.Integer.valueOf(arr.getInt(j))
+                case LongType => java.lang.Long.valueOf(arr.getLong(j))
+                case FloatType => java.lang.Float.valueOf(arr.getFloat(j))
+                case DoubleType => java.lang.Double.valueOf(arr.getDouble(j))
+                case d: DecimalType => arr.getDecimal(j, d.precision, d.scale).toJavaBigDecimal
+                case StringType => arr.getUTF8String(j).toString
+                case other => throw new IllegalArgumentException(
+                  s"unsupported array element $other")
+              }
+            j += 1
+          }
+          ps.setArray(p, ps.getConnection.createArrayOf(elemName, boxed))
+        }
+      }
+    case other => setter(other)
+  }
 
   def setter(dt: DataType): Setter = dt match {
     case BooleanType => (ps, row, f, p) => ps.setBoolean(p, row.getBoolean(f))
@@ -211,7 +306,11 @@ object TypeMapping {
       case c => c.toString
     } + "\""
 
-  def jdbcType(dt: DataType): Int = dt match {
+  def jdbcType(dt: DataType): Int = jdbcType(dt, DerbyDialect)
+
+  /** Dialect-aware: native-array engines bind null arrays as ARRAY. */
+  def jdbcType(dt: DataType, dialect: Dialect): Int = dt match {
+    case _: ArrayType if dialect.supportsNativeArrays => Types.ARRAY
     case _: ArrayType | _: MapType | _: StructType => Types.VARCHAR
     case BooleanType => Types.BOOLEAN
     case ByteType | ShortType => Types.SMALLINT
