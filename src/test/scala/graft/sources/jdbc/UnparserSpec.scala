@@ -184,7 +184,11 @@ class DialectSpec extends AnyFunSuite {
 
   test("type names: decimal bounds and nested fallback") {
     assert(PostgresDialect.typeName(DecimalType(12, 2)) == "DECIMAL(12,2)")
-    assert(PostgresDialect.typeName(ArrayType(IntegerType)) == "TEXT")
+    // pg arrays are native element[] since the array-mapping change;
+    // only nested-of-nested falls back to the JSON TEXT compromise
+    assert(PostgresDialect.typeName(ArrayType(IntegerType)) == "INTEGER[]")
+    assert(PostgresDialect.typeName(ArrayType(ArrayType(IntegerType))) == "TEXT")
+    assert(PostgresDialect.typeName(MapType(StringType, LongType)) == "TEXT")
     assertThrows[IllegalArgumentException](DerbyDialect.typeName(DecimalType(38, 10)))
     assert(SqliteDialect.typeName(DecimalType(12, 2)) == "REAL")
   }
