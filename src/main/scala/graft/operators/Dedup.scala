@@ -112,15 +112,26 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", dfCap: Int = DfCap,
       jacNum: Int = 1, jacDen: Int = 5): DataFrame = {
+    import graft.functions.CollectCapped.collect_capped
     val sh = shinglesOf(corpus(df, idCol, textCol))
-    val hot = sh.groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") > dfCap).select("h")
-    // computed once, read three times (sz + both self-join sides);
-    // persisted via GraftCache so a long-lived session can releaseAll()
-    val shf = GraftCache.track(sh.join(hot, Seq("h"), "left_anti"))
-    val sz = shf.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = shf.as("x")
-      .join(shf.as("y"), col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("d1"), col("y.doc_id").as("d2"))
+    // ONE aggregation both applies the document-frequency cap (null =
+    // hot shingle, dropped whole — identical to the old count + anti-join
+    // semantics) and gathers each shingle's member docs; sizes and
+    // intersections then both derive from this (persisted) bucket frame
+    // instead of three passes over the raw shingle stream.
+    val buckets = GraftCache.track(
+      sh.groupBy("h")
+        .agg(collect_capped(col("doc_id").cast("long"), dfCap).as("ids"))
+        .filter(col("ids").isNotNull)
+        .select(sort_array(col("ids")).as("ids")))
+    val sz = buckets.select(explode(col("ids")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = buckets
+      .filter(size(col("ids")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> " +
+          "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS d1, y AS d2))))")).as("p"))
+      .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .agg(count(lit(1)).as("i"))
     inter
       .join(sz.as("sx"), col("d1") === col("sx.doc_id"))
