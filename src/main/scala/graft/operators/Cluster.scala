@@ -63,10 +63,11 @@ object Cluster extends org.apache.spark.internal.Logging {
     val pairsLong = pairs.select(col("d1").cast("long").as("d1"),
       col("d2").cast("long").as("d2"))
     if (smallGraphThreshold > 0) {
-      // Probe budget is expressed in driver BYTES, not rows: a collected
-      // edge Row is ~70 bytes on-heap, so the default 1M-row cap holds
-      // the probe under ~64 MB even at the threshold boundary (r6 advice:
-      // the old 4M-row probe could spike hundreds of MB on the driver).
+      // smallGraphThreshold is a ROW count; the 1M-row default is sized
+      // for driver bytes (a collected edge Row is ~70 bytes on-heap, so
+      // the probe stays under ~70 MB at the threshold boundary — r6
+      // advice: the old 4M-row default could spike hundreds of MB).
+      // Raise it only with the driver heap in mind: rows x ~70 B.
       val rowCap = math.min(smallGraphThreshold + 1, Int.MaxValue.toLong).toInt
       val probe = pairsLong.limit(rowCap).collect()
       if (probe.length <= smallGraphThreshold) {

@@ -121,7 +121,7 @@ object Dedup {
     // instead of three passes over the raw shingle stream.
     val buckets = GraftCache.track(
       sh.groupBy("h")
-        .agg(collect_capped(col("doc_id").cast("long"), dfCap).as("ids"))
+        .agg(collect_capped(col("doc_id"), dfCap).as("ids"))
         .filter(col("ids").isNotNull)
         .select(sort_array(col("ids")).as("ids")))
     val sz = buckets.select(explode(col("ids")).as("doc_id"))
@@ -129,8 +129,7 @@ object Dedup {
     val inter = buckets
       .filter(size(col("ids")) >= 2)
       .select(explode(expr(
-        "flatten(transform(ids, (x, i) -> " +
-          "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS d1, y AS d2))))")).as("p"))
+        pairExpr("ids", (x, y) => s"struct($x AS d1, $y AS d2)"))).as("p"))
       .groupBy(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .agg(count(lit(1)).as("i"))
     inter
@@ -140,6 +139,14 @@ object Dedup {
       .select(col("d1"), col("d2"), col("i").as("n_inter"),
         (col("sx.n") + col("sy.n") - col("i")).as("n_union"))
   }
+
+  /** All (i < j) position pairs of array column `arr` as structs built
+    * by `mk(x, y)` — the single definition of the subtle 1-based slice
+    * arithmetic shared by every bucket-collect pair path.
+    */
+  private def pairExpr(arr: String, mk: (String, String) => String): String =
+    s"flatten(transform($arr, (x, i) -> " +
+      s"transform(slice($arr, i + 2, size($arr)), y -> ${mk("x", "y")})))"
 
   /** All intra-bucket id pairs (d1 < d2) of `rows` grouped by `keys`,
     * buckets larger than `cap` dropped whole. ONE aggregation applies
@@ -155,12 +162,11 @@ object Dedup {
       idCol: String = "doc_id"): DataFrame = {
     import graft.functions.CollectCapped.collect_capped
     rows.groupBy(keys.map(col): _*)
-      .agg(collect_capped(col(idCol).cast("long"), cap).as("ids"))
+      .agg(collect_capped(col(idCol), cap).as("ids"))
       .filter(col("ids").isNotNull && size(col("ids")) >= 2)
       .select(sort_array(col("ids")).as("ids"))
       .select(explode(expr(
-        "flatten(transform(ids, (x, i) -> " +
-          "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS d1, y AS d2))))")).as("p"))
+        pairExpr("ids", (x, y) => s"struct($x AS d1, $y AS d2)"))).as("p"))
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"))
       .distinct()
   }
@@ -232,14 +238,12 @@ object Dedup {
     simhashChunks(sh)
       .groupBy("k", "cv")
       .agg(collect_capped(
-        struct(col("doc_id").cast("long").as("d"), col("simhash").as("s")),
+        struct(col("doc_id").as("d"), col("simhash").as("s")),
         bucketCap).as("ms"))
       .filter(col("ms").isNotNull && size(col("ms")) >= 2)
       .select(explode(expr(
-        "flatten(transform(ms, (x, i) -> " +
-          "transform(slice(ms, i + 2, size(ms)), y -> struct(" +
-          "least(x.d, y.d) AS d1, greatest(x.d, y.d) AS d2, " +
-          "x.s ^ y.s AS xo))))")).as("p"))
+        pairExpr("ms", (x, y) => s"struct(least($x.d, $y.d) AS d1, " +
+          s"greatest($x.d, $y.d) AS d2, $x.s ^ $y.s AS xo)"))).as("p"))
       .select(col("p.d1").as("d1"), col("p.d2").as("d2"), col("p.xo").as("xo"))
       .distinct()
       .withColumn("hamm", expr("cast(bit_count(xo) AS bigint)"))

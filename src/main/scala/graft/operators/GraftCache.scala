@@ -42,7 +42,8 @@ import org.apache.spark.storage.StorageLevel
 object GraftCache {
   private val tracked = mutable.ArrayBuffer.empty[DataFrame]
   private val activeScopes = new AtomicInteger(0)
-  private val pendingAutoRelease = new AtomicInteger(0)
+  private val pendingSessions =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
 
   /** Persist `df` at MEMORY_AND_DISK and register it for [[releaseAll]]. */
   private[graft] def track(df: DataFrame): DataFrame = synchronized {
@@ -69,8 +70,26 @@ object GraftCache {
     activeScopes.incrementAndGet()
     try body
     finally {
-      if (activeScopes.decrementAndGet() == 0 &&
-        pendingAutoRelease.getAndSet(0) > 0) releaseAll()
+      if (activeScopes.decrementAndGet() == 0) {
+        val it = pendingSessions.iterator()
+        while (it.hasNext) {
+          val sess = it.next(); it.remove(); releaseFor(sess)
+        }
+      }
+    }
+  }
+
+  /** Unpersist only the intermediates belonging to `session` — the
+    * auto-release unit: one enrolled session's actions must never evict
+    * caches that concurrent work in ANOTHER session still reads.
+    */
+  def releaseFor(session: SparkSession): Unit = synchronized {
+    tracked.filterInPlace { df =>
+      if (df.sparkSession eq session) {
+        try df.unpersist(blocking = false)
+        catch { case _: Throwable => () }
+        false
+      } else true
     }
   }
 
@@ -89,10 +108,15 @@ object GraftCache {
   /** Number of tracked intermediates — test hook. */
   def trackedCount: Int = synchronized(tracked.size)
 
-  private class AutoRelease extends QueryExecutionListener {
-    private def fire(): Unit =
-      if (activeScopes.get() == 0) releaseAll()
-      else pendingAutoRelease.incrementAndGet()
+  private class AutoRelease(sessionRef: java.lang.ref.WeakReference[SparkSession])
+    extends QueryExecutionListener {
+    private def fire(): Unit = {
+      val sess = sessionRef.get()
+      if (sess != null) {
+        if (activeScopes.get() == 0) releaseFor(sess)
+        else pendingSessions.add(sess) // drained at scope exit
+      }
+    }
     override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
       fire()
     override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
@@ -100,16 +124,21 @@ object GraftCache {
   }
 
   /** Install the opt-in post-action auto-release on `spark` (idempotent
-    * per session). After any caller-level action completes, every
-    * tracked intermediate is unpersisted — the zero-ceremony mode for
-    * long-lived sessions that never call [[releaseAll]] themselves.
+    * per session). After any caller-level action on THAT session
+    * completes, every intermediate tracked for it is unpersisted — the
+    * zero-ceremony mode for long-lived sessions that never call
+    * [[releaseAll]] themselves. Holds the session weakly: enrollment
+    * never pins a closed session's object graph.
     */
   def autoReleaseAfterActions(spark: SparkSession): Unit = synchronized {
     if (!autoSessions.contains(spark)) {
-      autoSessions += spark
-      spark.listenerManager.register(new AutoRelease)
+      autoSessions.add(spark)
+      spark.listenerManager.register(
+        new AutoRelease(new java.lang.ref.WeakReference(spark)))
     }
   }
 
-  private val autoSessions = mutable.Set.empty[SparkSession]
+  private val autoSessions: java.util.Set[SparkSession] =
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 }

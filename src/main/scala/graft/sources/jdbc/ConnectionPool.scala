@@ -61,10 +61,14 @@ object ConnectionPool {
           c = JdbcOptions.physicalConnect(key.url, opts)
           // apply validated session settings to the fresh physical
           // connection (the reference applies its registry per
-          // connection the same way, settings.rs:188-218)
+          // connection the same way, settings.rs:188-218); a rejected
+          // statement must close the just-opened connection, not leak
+          // its socket across task retries
           if (key.sessionInit.nonEmpty) {
-            val st = c.createStatement()
-            try key.sessionInit.foreach(st.execute) finally st.close()
+            try {
+              val st = c.createStatement()
+              try key.sessionInit.foreach(st.execute) finally st.close()
+            } catch { case t: Throwable => closeQuietly(c); throw t }
           }
           opened.incrementAndGet()
         }

@@ -77,6 +77,13 @@ trait Dialect extends Serializable {
   /** Element type name passed to `createArrayOf` (native-array dialects). */
   def arrayElementName(et: DataType): String = typeName(et)
 
+  /** Whether `et` can bind through `createArrayOf` (the same set the
+    * dialect's array DDL declares natively); false → JSON-text fallback.
+    */
+  def supportsArrayElement(et: DataType): Boolean =
+    try { arrayElementName(et); true }
+    catch { case _: IllegalArgumentException => false }
+
   /** Whether DDL/DML may reference this type at all. */
   def supportsType(dt: DataType): Boolean =
     try { typeName(dt); true } catch { case _: IllegalArgumentException => false }

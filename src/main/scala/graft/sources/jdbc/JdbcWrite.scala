@@ -322,7 +322,13 @@ final class DerbyUpsertWriter(options: JdbcOptions, schema: StructType)
   // such an upsert to DO NOTHING (`on_conflict.rs:53-59`).
   private val doNothing = options.upsertMode != "update" ||
     cols.forall(c => keys.exists(_.equalsIgnoreCase(c)))
-  private val keyIdx = keys.map(k => cols.indexWhere(_.equalsIgnoreCase(k))).toArray
+  private val keyIdx = keys.map { k =>
+    val i = cols.indexWhere(_.equalsIgnoreCase(k))
+    if (i < 0) throw new IllegalArgumentException(
+      s"upsert key column '$k' (from ${if (options.upsertKeys.isEmpty) "the table PRIMARY KEY"
+        else "upsertkeys"}) is not among the written columns ${cols.mkString("[", ", ", "]")}")
+    i
+  }.toArray
   private val colIdx = cols.zipWithIndex.toMap
   private val setters = schema.fields.map(f => TypeMapping.setter(f.dataType, d))
   private val sqlTypes = schema.fields.map(f => TypeMapping.jdbcType(f.dataType, d))

@@ -192,7 +192,11 @@ object TypeMapping {
     * fallback; everything else delegates to [[setter]].
     */
   def setter(dt: DataType, dialect: Dialect): Setter = dt match {
-    case ArrayType(et, _) if dialect.supportsNativeArrays =>
+    // native path ONLY for elements the dialect can bind — everything
+    // else (nested-of-nested, temporal elements) keeps the JSON-text
+    // fallback its DDL maps to TEXT
+    case ArrayType(et, _) if dialect.supportsNativeArrays &&
+        dialect.supportsArrayElement(et) =>
       val elemName = dialect.arrayElementName(et)
       (ps, row, f, p) => {
         val arr = row.getArray(f)

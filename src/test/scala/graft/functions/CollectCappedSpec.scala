@@ -45,6 +45,15 @@ class CollectCappedSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("bucketPairs keeps non-numeric id types (documented any-id surface)") {
+    import spark.implicits._
+    val rows = Seq(("b1", "uuid-a"), ("b1", "uuid-c"), ("b1", "uuid-b"), ("b2", "uuid-z"))
+      .toDF("b", "doc_id").repartition(3)
+    val got = Dedup.bucketPairs(rows, Seq("b"), cap = 10)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("uuid-a", "uuid-b"), ("uuid-a", "uuid-c"), ("uuid-b", "uuid-c")))
+  }
+
   test("collect_capped over struct elements survives serialize/merge") {
     import spark.implicits._
     val df = (1L to 30L).map(i => (i % 3, i, i * 100)).toDF("g", "a", "b")
