@@ -58,41 +58,69 @@ object Cluster extends org.apache.spark.internal.Logging {
     * single-JVM harness, and the label frame is tiny relative to the
     * corpus either way).
     */
+  /** Edge counts up to this collect() in ONE job inside the driver
+    * tier (≈70 MB of Rows); between this and `smallGraphThreshold` the
+    * edges stream via toLocalIterator instead. */
+  private[operators] val CollectRowCap: Long = 1 << 20
+
   def connectedComponents(pairs: DataFrame, maxIters: Int = 100,
-      smallGraphThreshold: Long = 1 << 20): DataFrame = GraftCache.scoped {
-    val pairsLong = pairs.select(col("d1").cast("long").as("d1"),
-      col("d2").cast("long").as("d2"))
-    if (smallGraphThreshold > 0) {
-      // smallGraphThreshold is a ROW count; the 1M-row default is sized
-      // for driver bytes (a collected edge Row is ~70 bytes on-heap, so
-      // the probe stays under ~70 MB at the threshold boundary — r6
-      // advice: the old 4M-row default could spike hundreds of MB).
-      // Raise it only with the driver heap in mind: rows x ~70 B.
-      val rowCap = math.min(smallGraphThreshold + 1, Int.MaxValue.toLong).toInt
-      val probe = pairsLong.limit(rowCap).collect()
-      if (probe.length <= smallGraphThreshold) {
-        val parent = new java.util.HashMap[Long, Long]()
-        def find(x: Long): Long = {
-          var r = x
-          while (parent.getOrDefault(r, r) != r) r = parent.get(r)
-          var c = x // path compression
-          while (parent.getOrDefault(c, c) != c) {
-            val n = parent.get(c); parent.put(c, r); c = n
-          }
-          r
+      smallGraphThreshold: Long = 4 << 20): DataFrame = GraftCache.scoped {
+    val pairsLong = pairs.select(
+      col("d1").cast("long").as("d1"), col("d2").cast("long").as("d2"))
+
+    // Driver union-find: state is two longs per VERTEX; edges fold into
+    // the forest as they arrive and are never all held at once (beyond
+    // the bounded fast-probe batch).
+    def unionFind(rows: java.util.Iterator[org.apache.spark.sql.Row]): DataFrame = {
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        var c = x // path compression
+        while (parent.getOrDefault(c, c) != c) {
+          val n = parent.get(c); parent.put(c, r); c = n
         }
-        probe.foreach { row =>
-          val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
-          if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
-        }
-        val verts = probe.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct
-        val labels = verts.map(v => (v, find(v)))
-        val spark = pairs.sparkSession
-        import spark.implicits._
-        return labels.toSeq.toDF("v", "cluster")
+        r
       }
-      // fall through: graph exceeds the threshold — run distributed
+      val verts = new java.util.LinkedHashSet[java.lang.Long]()
+      while (rows.hasNext) {
+        val row = rows.next()
+        val (a, b) = (row.getLong(0), row.getLong(1))
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+        verts.add(a); verts.add(b)
+      }
+      val labels = new scala.collection.mutable.ArrayBuffer[(Long, Long)](verts.size)
+      val vi = verts.iterator()
+      while (vi.hasNext) { val v = vi.next().longValue(); labels += ((v, find(v))) }
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      labels.toSeq.toDF("v", "cluster")
     }
+
+    // The pair pipeline is an aggregation — a limit-probe cannot
+    // short-circuit it, and a failed probe would pay one full wasted
+    // computation (measured 2x wall at 20x scale). So: persist ONCE,
+    // count (this materializes the cache), then pick the driver tier —
+    // a single collect job when the KNOWN count stays under
+    // ~70 MB of Rows (CollectRowCap), per-partition toLocalIterator
+    // streaming between that and smallGraphThreshold (the driver never
+    // holds the edge set — union-find state is two longs per vertex;
+    // this is what lets the threshold sit at 4M edges without the
+    // r6-advice memory spike), and the distributed min-label loop above.
+    val cached = GraftCache.track(pairsLong)
+    try {
+      val n = if (smallGraphThreshold > 0) cached.count() else Long.MaxValue
+      if (n <= math.min(Cluster.CollectRowCap, smallGraphThreshold))
+        return unionFind(java.util.Arrays.asList(cached.collect(): _*).iterator())
+      if (n <= smallGraphThreshold)
+        return unionFind(cached.toLocalIterator())
+      connectedComponentsDistributed(cached, maxIters)
+    } finally GraftCache.release(cached)
+  }
+
+  private def connectedComponentsDistributed(
+      pairsLong: DataFrame, maxIters: Int): DataFrame = {
     val edges = GraftCache.track(
       pairsLong.select(col("d1").as("src"), col("d2").as("dst"))
         .union(pairsLong.select(col("d2").as("src"), col("d1").as("dst"))))
