@@ -3,19 +3,22 @@
 
 `graft.sources.jdbc.DialectDump` renders DDL for the full type breadth,
 every upsert mode, limit/offset composition, and the unparser's WHERE
-clauses; this script runs the duckdb/postgres/sqlite dialect output in
-an in-memory DuckDB (the one live non-Derby engine available here) and
-checks SEMANTICS, not just acceptance: conflict modes must leave the
-table in the state the writer assumes, offsets must skip, LIKE escapes
-must not wildcard, EXTRACT/MOD/CAST must select exactly the expected
-rows. The reference validates its dialects against live Docker
-databases the same way (core/tests/docker/mod.rs:53-100).
+clauses; this script runs the duckdb/postgres dialect output in an
+in-memory DuckDB and the sqlite dialect output in REAL sqlite3 (python
+stdlib), and checks SEMANTICS, not just acceptance: conflict modes must
+leave the table in the state the writer assumes, offsets must skip,
+LIKE escapes must not wildcard, EXTRACT/MOD/CAST must select exactly
+the expected rows. The reference validates its dialects against live
+Docker databases the same way (core/tests/docker/mod.rs:53-100).
+Running sqlite SQL in actual sqlite (not DuckDB acceptance-mode) is
+what caught the typed-literal bug: `DATE '…'` is a parse error there.
 
 Usage: python3 scripts/dialect_live_check.py [dump.json]
        (no arg: runs sbt runMain graft.sources.jdbc.DialectDump itself)
 """
 import datetime
 import json
+import sqlite3
 import subprocess
 import sys
 
@@ -70,17 +73,30 @@ def check(label, cond, detail=""):
         print(f"FAIL {label}: {detail}")
 
 
+def sqlite_row(r):
+    # sqlite stores dates/timestamps as TEXT (ISO-8601), booleans and
+    # decimals through INTEGER/REAL affinity — bind what the writer's
+    # setters would send over that wire.
+    return (r[0], int(r[1]), r[2], r[3], float(r[4]), r[5],
+            r[6].isoformat(), r[7].strftime("%Y-%m-%d %H:%M:%S"), r[8])
+
+
 for dialect in ["duckdb", "postgres", "sqlite"]:
     d = dump[dialect]
-    # sqlite's INTEGER-everything DDL and datetime() rewrites target the
-    # sqlite engine; DuckDB can still accept its DDL + conflict modes but
-    # typed WHERE semantics (REAL decimals) diverge — check acceptance
-    # paths only for it.
-    full_semantics = dialect in ("duckdb", "postgres")
-    con = duckdb.connect()
+    # duckdb/postgres run in live DuckDB; the sqlite dialect runs in
+    # REAL sqlite3 — full WHERE/conflict/offset semantics on all three.
+    full_semantics = True
+    if dialect == "sqlite":
+        con = sqlite3.connect(":memory:")
+        seed_rows = [sqlite_row(r) for r in SEED]
+        bind = sqlite_row
+    else:
+        con = duckdb.connect()
+        seed_rows = SEED
+        bind = lambda r: r
     try:
         con.execute(d["create"])
-        for r in SEED:
+        for r in seed_rows:
             con.execute(d["insert"], list(r))
 
         def state():
@@ -103,7 +119,7 @@ for dialect in ["duckdb", "postgres", "sqlite"]:
             (r[0], not r[1], r[2] + 10, r[3], r[4], r[5] + "_u", r[6], r[7], r[8])
             for r in SEED[:4]]
         for r in shifted:
-            con.execute(d["upsert_update"], list(r))
+            con.execute(d["upsert_update"], list(bind(r)))
         st = state()
         check(f"{dialect}: upsert update replaces payload",
               all(st[r[0]][5] == r[5] and st[r[0]][2] == r[2] for r in shifted)
@@ -112,15 +128,15 @@ for dialect in ["duckdb", "postgres", "sqlite"]:
         # conflict do-nothing: clobbering payloads must NOT land; new key inserts
         for r in [(r[0], r[1], r[2], r[3], r[4], "CLOB", r[6], r[7], r[8])
                   for r in SEED[:2]] + [row(100)]:
-            con.execute(d["upsert_nothing"], list(r))
+            con.execute(d["upsert_nothing"], list(bind(r)))
         st = state()
         check(f"{dialect}: upsert do_nothing preserves + inserts new",
               st[1][5] != "CLOB" and st[2][5] != "CLOB" and 100 in st, str(st.get(1)))
 
         # target-less do-nothing (PK constraint decides)
-        con.execute(d["upsert_all"], list((1, True, 0, 0.0, 0.0, "CLOB2",
-                                           SEED[0][6], SEED[0][7], b"")))
-        con.execute(d["upsert_all"], list(row(101)))
+        con.execute(d["upsert_all"], list(bind((1, True, 0, 0.0, 0.0, "CLOB2",
+                                                SEED[0][6], SEED[0][7], b""))))
+        con.execute(d["upsert_all"], list(bind(row(101))))
         st = state()
         check(f"{dialect}: upsert do_nothing_all skips conflicts",
               st[1][5] != "CLOB2" and 101 in st, str(st.get(1)))

@@ -140,6 +140,15 @@ trait Dialect extends Serializable {
   /** Modulo: the `%` operator where it exists; Derby has only MOD(). */
   def modSql(a: String, b: String): String = s"($a % $b)"
 
+  /** Render a DATE literal from its ISO-8601 text. ANSI `DATE '…'` by
+    * default; SQLite has no typed literals (dates are TEXT) and takes
+    * the bare string.
+    */
+  def dateLiteralSql(iso: String): String = s"DATE '$iso'"
+
+  /** Render a TIMESTAMP literal from `yyyy-MM-dd HH:mm:ss[.SSSSSS]`. */
+  def timestampLiteralSql(text: String): String = s"TIMESTAMP '$text'"
+
   /** Render a temporal-field extraction over an already-rendered source
     * expression, or None when this dialect cannot (the predicate then
     * stays on the Spark side — graceful partial pushdown, the same
@@ -285,6 +294,12 @@ object SqliteDialect extends Dialect {
     "HOUR" -> "%H", "MINUTE" -> "%M", "SECOND" -> "%S")
   override def extractSql(field: String, src: String): Option[String] =
     Strftime.get(field).map(f => s"CAST(strftime('$f', $src) AS INTEGER)")
+  // SQLite has no typed literal syntax — `DATE '…'` is a parse error on
+  // the real engine (found by scripts/dialect_live_check.py once it ran
+  // this dialect in live sqlite3 instead of DuckDB). Dates/timestamps
+  // are TEXT; ISO-8601 strings compare correctly.
+  override def dateLiteralSql(iso: String): String = stringLiteral(iso)
+  override def timestampLiteralSql(text: String): String = stringLiteral(text)
 }
 
 object MySqlDialect extends Dialect {

@@ -132,7 +132,8 @@ final class Unparser(dialect: Dialect) extends Serializable {
       case StringType =>
         Some(dialect.stringLiteral(l.value.asInstanceOf[UTF8String].toString))
       case DateType =>
-        Some(s"DATE '${LocalDate.ofEpochDay(l.value.asInstanceOf[Int].toLong)}'")
+        Some(dialect.dateLiteralSql(
+          LocalDate.ofEpochDay(l.value.asInstanceOf[Int].toLong).toString))
       // NTZ renders identically: the micros are already wall-clock
       // (found by scripts/dialect_live_check.py — an unrenderable NTZ
       // literal silently kept timestamp predicates local)
@@ -147,7 +148,7 @@ final class Unparser(dialect: Dialect) extends Serializable {
         val base = t.format(DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
         val frac = Math.floorMod(micros, 1000000L)
         val fracStr = if (frac == 0L) "" else f".$frac%06d"
-        Some(s"TIMESTAMP '$base$fracStr'")
+        Some(dialect.timestampLiteralSql(s"$base$fracStr"))
       case _ => None
     }
   }

@@ -120,6 +120,12 @@ class UnparserSpec extends AnyFunSuite {
     // SQLite: strftime + integer cast
     val sq = new Unparser(SqliteDialect)
     assert(sq.expr(ex("YEAR")).contains("CAST(strftime('%Y', \"ts\") AS INTEGER)"))
+    // SQLite has no typed literals — `DATE '…'` is a parse error on the
+    // real engine (dialect_live_check); temporal literals render as the
+    // bare ISO string, which compares correctly against TEXT storage.
+    assert(sq.literal(TestExprs.lit(19000, DateType)).contains("'2022-01-08'"))
+    assert(sq.literal(TestExprs.lit(1609459200000000L, TimestampNTZType))
+      .contains("'2021-01-01 00:00:00'"))
     // week/dow numbering is engine-specific -> stays in Spark everywhere
     assert(u.expr(ex("DAY_OF_WEEK")).isEmpty && u.expr(ex("WEEK")).isEmpty)
     // composed: EXTRACT inside a comparison predicate
