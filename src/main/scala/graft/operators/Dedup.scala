@@ -421,6 +421,55 @@ object Dedup {
   private[operators] val embPairsCtes: String =
     quantizedSql + ", " + embPairsCtesFor("n")
 
+  /** Tokens per span for [[dupSpans]]. */
+  val SpanK = 8
+
+  /** Per-document duplicated-span metrics — the exact-substring dedup
+    * signal of Lee et al. ("Deduplicating Training Data Makes Language
+    * Models Better", arXiv:2107.06499): for each document, how many of
+    * its k-token spans (positionally counted) also occur in at least
+    * one OTHER document, plus an integer per-mille fraction. Unlike the
+    * whole-document pipelines above this measures partial overlap —
+    * boilerplate headers, templated passages — without any pairing.
+    *
+    * Scale shape: the span stream is ~tokens×1 rows but never joins on
+    * strings — spans reduce to int64 hashes immediately; the (h,
+    * doc_id) aggregation collapses within-document repeats with a
+    * map-side partial first, so a corpus-wide boilerplate span
+    * contributes ONE row per containing document; the duplicated-hash
+    * set is a second (already-collapsed) aggregation, and the join
+    * back on `h` is an int64 shuffle join AQE can skew-split. No
+    * driver-side state, no window over an unbounded key.
+    */
+  def dupSpans(docs: DataFrame, k: Int = SpanK,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val t = docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("a"))
+    val gram = (0 until k).map(j => s"element_at(a, i+$j)").mkString("concat_ws(' ', ", ", ", ")")
+    val spans = t.filter(size(col("a")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(a)-${k - 1}), i -> $gram)")).as("s"))
+      .select(col("doc_id"), h60(col("s")).as("h"))
+    val perDoc = spans.groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("c"))
+    // ndocs-per-h via aggregate + join on h, NOT a window over h: a
+    // window group holds every (h, doc) row of one span hash in ONE
+    // task (a corpus-wide boilerplate span = millions of buffered rows
+    // at scale, and WindowExec gets no AQE skew handling), while the
+    // join's skewed key is AQE-splittable and its h-exchange is shared
+    // with perDoc's via ReuseExchange. Measured ~1 s slower at sf0.1
+    // (extra stage barriers at the scheduling floor) — accepted for
+    // the skew-proof shape.
+    val dup = perDoc.groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") > 1).select("h")
+    val nd = perDoc.join(dup, "h").groupBy("doc_id").agg(sum(col("c")).as("n_dup"))
+    t.select(col("doc_id"),
+        greatest(size(col("a")) - (k - 1), lit(0)).cast("long").as("n_spans"))
+      .join(nd, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_dup"), lit(0L)).cast("long").as("n_dup"),
+        expr("(1000 * coalesce(n_dup, 0)) div greatest(n_spans, 1)")
+          .cast("long").as("dup_permille"))
+  }
+
   def queries: Seq[Q] = Seq(
 
     Q("q40_exact_dedup",
@@ -547,6 +596,27 @@ object Dedup {
       "WITH " + embPairsCtes +
         " SELECT v1, v2, dot, na, nb FROM epairs ORDER BY v1, v2") { (s, dir) =>
       embeddingNearDupPairs(quantized(s, dir)).orderBy("v1", "v2")
+    },
+
+    // Duplicated-span metrics: positional count of 8-token spans that
+    // occur in more than one document (exact-substring dedup signal,
+    // Lee et al. arXiv:2107.06499), with an integer per-mille fraction.
+    Q("q97_dup_spans",
+      "WITH t AS (SELECT doc_id, string_split(text,' ') AS a FROM documents), " +
+        "sp AS (SELECT doc_id AS sd, unnest([('0x'||substr(md5(" +
+        s"array_to_string(a[i:i+${SpanK - 1}],' ')),1,15))::BIGINT " +
+        s"FOR i IN generate_series(1, len(a)-${SpanK - 1})]) AS h " +
+        s"FROM t WHERE len(a) >= $SpanK), " +
+        "g1 AS (SELECT h, sd, COUNT(*) AS c FROM sp GROUP BY h, sd), " +
+        "dup AS (SELECT h FROM g1 GROUP BY h HAVING COUNT(*) > 1), " +
+        "nd AS (SELECT sd, SUM(c)::BIGINT AS n_dup FROM g1 " +
+        "WHERE h IN (SELECT h FROM dup) GROUP BY sd) " +
+        s"SELECT t.doc_id, GREATEST(len(a)-${SpanK - 1}, 0)::BIGINT AS n_spans, " +
+        "COALESCE(nd.n_dup, 0)::BIGINT AS n_dup, " +
+        s"(1000 * COALESCE(nd.n_dup,0) // GREATEST(len(a)-${SpanK - 1},1))::BIGINT " +
+        "AS dup_permille FROM t LEFT JOIN nd ON t.doc_id = nd.sd " +
+        "ORDER BY t.doc_id") { (s, dir) =>
+      dupSpans(Tables.load(s, dir, "documents")).orderBy("doc_id")
     }
   )
 

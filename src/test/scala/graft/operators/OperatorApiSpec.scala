@@ -50,6 +50,28 @@ class OperatorApiSpec extends AnyFunSuite with SparkFixture {
     assert(!(jac ++ mh ++ sp).exists(p => p._1 == 13L || p._2 == 13L))
   }
 
+  test("dupSpans counts positional k-token spans shared across documents") {
+    import spark.implicits._
+    // 10 tokens -> 3 spans of k=8 per doc. Docs 20/21 share all three
+    // spans (identical text); doc 22 shares only the first span with
+    // them (same first 8 tokens, divergent tail); doc 23 shares none;
+    // doc 24 is too short for any span.
+    val corpus = Seq(
+      (20L, "a b c d e f g h i j"),
+      (21L, "a b c d e f g h i j"),
+      (22L, "a b c d e f g h X Y"),
+      (23L, "p q r s t u v w x y"),
+      (24L, "too short")
+    ).toDF("id", "body")
+    val out = Dedup.dupSpans(corpus, idCol = "id", textCol = "body")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.map(r => (r._1, r._2, r._3)).toSeq == Seq(
+      (20L, 3L, 3L), (21L, 3L, 3L), (22L, 3L, 1L), (23L, 3L, 0L), (24L, 0L, 0L)))
+    // per-mille is integer floor division; the empty doc divides by 1
+    val pm = out.map(r => (r._1, r._4)).toMap
+    assert(pm(20L) == 1000L && pm(22L) == 333L && pm(23L) == 0L && pm(24L) == 0L)
+  }
+
   test("ann operators run over quantize() of caller-named embedding frames") {
     import spark.implicits._
     val vecs = (0 until 12).map { i =>

@@ -56,6 +56,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("[h#") || p.contains("(h#"), s"hash-key join lost:\n$p")
   }
 
+  test("q97: dup-span counting joins on int64 hashes — no window over h, no cartesian") {
+    val p = plan("q97_dup_spans")
+    assert(!p.contains("CartesianProduct"), p)
+    // the ndocs side must be an aggregate+join (AQE-skew-splittable),
+    // never a WindowExec over the span-hash key (single-task buffering
+    // of a boilerplate span's whole posting list)
+    assert(!p.contains("Window"), s"window over span hash reintroduced:\n$p")
+    assert(p.contains("[h#") || p.contains("(h#"), s"hash-key join lost:\n$p")
+  }
+
   test("q62: query set broadcasts; vectors scan once") {
     val p = plan("q62_ann_bruteforce")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
