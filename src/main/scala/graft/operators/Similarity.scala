@@ -207,6 +207,83 @@ object Similarity {
     assign().select("vec_id", "cell", "dist")
   }
 
+  /** Histogram bins per cluster for [[semanticOutliers]]'s threshold
+    * selection: bin width is `max((max-min) div ProtoBins, 1)` per
+    * cell, so the histogram is bounded at ~4096 rows per cluster at ANY
+    * distance scale (and degrades to exact-distance granularity when
+    * the cluster's spread is under 4096).
+    */
+  val ProtoBins: Long = 4096L
+
+  /** Per-mille of each cluster flagged prototypical (the decile). */
+  val ProtoPermille = 100
+
+  /** Per-cluster prototypicality flags — the data-pruning signal of
+    * Sorscher et al. ("Beyond neural scaling laws", arXiv:2206.14486):
+    * within each k-means cluster, the vectors closest to their centroid
+    * are the prototypical/redundant examples a pruning pass drops
+    * first. Emits (vec_id, cell, dist, proto) with proto = 1 for the
+    * nearest ~10% (tie-inclusive).
+    *
+    * Scale shape: assignment is [[kmeansAssign]]'s shuffle-free
+    * literal-centroid projection; the decile threshold is selected on a
+    * per-cell HISTOGRAM of binned distances — per-cell min/max is one
+    * k-row aggregate that broadcasts back, binning is `(dist - mn) div
+    * width` with width = `max((mx-mn) div` [[ProtoBins]]`, 1)`, and one
+    * map-side-combinable aggregation collapses the corpus to ≤4096
+    * (cell, bin) counts per cluster, so the quantile never sorts or
+    * buffers per-vector distances (the lengthQuantiles rank trick,
+    * binned because squared distances are near-unique); the k-row
+    * threshold table broadcasts back. Bin-granularity ties keep
+    * selection pure-integer and engine-exact.
+    */
+  def semanticOutliers(n0: DataFrame, k: Int = KmeansK, iters: Int = KmeansIters,
+      permille: Int = ProtoPermille): DataFrame = {
+    val a = kmeansAssign(n0, k, iters)
+    val mm = a.groupBy("cell").agg(min(col("dist")).as("mn"), max(col("dist")).as("mx"))
+      .withColumn("w", greatest(expr(s"(mx - mn) div $ProtoBins"), lit(1L)))
+      .select("cell", "mn", "w")
+    val ab = a.join(broadcast(mm), "cell")
+      .withColumn("b", expr("(dist - mn) div w"))
+    val g = ab.groupBy(col("cell"), col("b")).agg(count(lit(1)).as("cnt"))
+    val cum = g.withColumn("cum", sum(col("cnt")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("cell").orderBy("b")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val tot = g.groupBy("cell").agg(sum(col("cnt")).as("tot"))
+    val th = cum.join(tot, "cell")
+      .filter(col("cum") * 1000 >= col("tot") * permille)
+      .groupBy("cell").agg(min(col("b")).as("bth"))
+    ab.join(broadcast(th), "cell")
+      .select(col("vec_id"), col("cell"), col("dist"),
+        when(col("b") <= col("bth"), 1).otherwise(0).as("proto"))
+  }
+
+  /** The q78 oracle CTE chain (quantize → seed → 2 Lloyd rounds),
+    * ending in `a2(vec_id, cell, dist)` — reused by q98's
+    * prototypicality oracle.
+    */
+  private[operators] val kmeansCtes: String = {
+    def assignSql(cs: String, out: String): String =
+      s"$out AS (SELECT vec_id, cell, dist FROM (" +
+        s"SELECT n.vec_id, c.cell, n.nrm - 2*${qdotSql("n.q", "c.q")} + c.nrm AS dist, " +
+        s"row_number() OVER (PARTITION BY n.vec_id ORDER BY " +
+        s"n.nrm - 2*${qdotSql("n.q", "c.q")} + c.nrm, c.cell) AS rn " +
+        s"FROM n CROSS JOIN $cs c) WHERE rn = 1)"
+    def updateSql(a: String, prev: String, out: String): String =
+      s"e$out AS (SELECT $a.cell, i, q[i] AS x FROM $a JOIN n USING (vec_id) " +
+        "CROSS JOIN (SELECT unnest(generate_series(1,64)) AS i)), " +
+        s"s$out AS (SELECT cell, i, CAST(SUM(x) AS BIGINT) AS s, COUNT(*) AS cnt " +
+        s"FROM e$out GROUP BY 1, 2), " +
+        s"q$out AS (SELECT cell, list(s // cnt ORDER BY i) AS q FROM s$out GROUP BY cell), " +
+        s"$out AS (SELECT p.cell, COALESCE(u.q, p.q) AS q, " +
+        "COALESCE(list_aggregate([x*x FOR x IN u.q],'sum')::BIGINT, p.nrm) AS nrm " +
+        s"FROM $prev p LEFT JOIN q$out u ON p.cell = u.cell)"
+    quantizedSql + ", " +
+      s"c0 AS (SELECT vec_id AS cell, q, nrm FROM n WHERE vec_id < $KmeansK), " +
+      assignSql("c0", "a1") + ", " + updateSql("a1", "c0", "c1") + ", " +
+      assignSql("c1", "a2")
+  }
+
   def queries: Seq[Q] = Seq(
 
     Q("q62_ann_bruteforce",
@@ -258,29 +335,35 @@ object Similarity {
     // Integer-exact k-means training (2 Lloyd rounds, k=8): even the
     // iterative trainer hash-matches DuckDB — assignment distances and
     // truncating-mean centroid updates are pure int64 in both engines.
-    Q("q78_kmeans_train", {
-      def assignSql(cs: String, out: String): String =
-        s"$out AS (SELECT vec_id, cell, dist FROM (" +
-          s"SELECT n.vec_id, c.cell, n.nrm - 2*${qdotSql("n.q", "c.q")} + c.nrm AS dist, " +
-          s"row_number() OVER (PARTITION BY n.vec_id ORDER BY " +
-          s"n.nrm - 2*${qdotSql("n.q", "c.q")} + c.nrm, c.cell) AS rn " +
-          s"FROM n CROSS JOIN $cs c) WHERE rn = 1)"
-      def updateSql(a: String, prev: String, out: String): String =
-        s"e$out AS (SELECT $a.cell, i, q[i] AS x FROM $a JOIN n USING (vec_id) " +
-          "CROSS JOIN (SELECT unnest(generate_series(1,64)) AS i)), " +
-          s"s$out AS (SELECT cell, i, CAST(SUM(x) AS BIGINT) AS s, COUNT(*) AS cnt " +
-          s"FROM e$out GROUP BY 1, 2), " +
-          s"q$out AS (SELECT cell, list(s // cnt ORDER BY i) AS q FROM s$out GROUP BY cell), " +
-          s"$out AS (SELECT p.cell, COALESCE(u.q, p.q) AS q, " +
-          "COALESCE(list_aggregate([x*x FOR x IN u.q],'sum')::BIGINT, p.nrm) AS nrm " +
-          s"FROM $prev p LEFT JOIN q$out u ON p.cell = u.cell)"
-      "WITH " + quantizedSql + ", " +
-        s"c0 AS (SELECT vec_id AS cell, q, nrm FROM n WHERE vec_id < $KmeansK), " +
-        assignSql("c0", "a1") + ", " + updateSql("a1", "c0", "c1") + ", " +
-        assignSql("c1", "a2") +
-        " SELECT vec_id, cell, dist FROM a2 ORDER BY vec_id"
-    }) { (s, dir) =>
+    Q("q78_kmeans_train",
+      "WITH " + kmeansCtes +
+        " SELECT vec_id, cell, dist FROM a2 ORDER BY vec_id") { (s, dir) =>
       kmeansAssign(quantized(s, dir)).orderBy("vec_id")
+    },
+
+    // Per-cluster prototypicality flags (Sorscher et al., "Beyond
+    // neural scaling laws", arXiv:2206.14486: data pruning ranks
+    // examples by distance to their cluster centroid — the closest are
+    // the prototypical/redundant ones). The decile threshold is picked
+    // on a BUCKETED distance histogram, tie-inclusive at bucket
+    // granularity, so selection is pure integer arithmetic both engines
+    // reproduce bit-for-bit.
+    Q("q98_semantic_outliers",
+      "WITH " + kmeansCtes + ", " +
+        "mm AS (SELECT cell, MIN(dist) AS mn, " +
+        s"GREATEST((MAX(dist) - MIN(dist)) // $ProtoBins, 1) AS w FROM a2 GROUP BY cell), " +
+        "ab AS (SELECT a2.vec_id, a2.cell, a2.dist, (a2.dist - mm.mn) // mm.w AS b " +
+        "FROM a2 JOIN mm ON a2.cell = mm.cell), " +
+        "g AS (SELECT cell, b, COUNT(*) AS cnt FROM ab GROUP BY 1, 2), " +
+        "cum AS (SELECT cell, b, SUM(cnt) OVER (PARTITION BY cell ORDER BY b " +
+        "ROWS UNBOUNDED PRECEDING) AS cum FROM g), " +
+        "tot AS (SELECT cell, SUM(cnt)::BIGINT AS tot FROM g GROUP BY cell), " +
+        "th AS (SELECT cum.cell, MIN(b) AS bth FROM cum JOIN tot ON cum.cell = tot.cell " +
+        s"WHERE 1000 * cum >= $ProtoPermille * tot GROUP BY cum.cell) " +
+        "SELECT ab.vec_id, ab.cell, ab.dist, " +
+        "CASE WHEN ab.b <= th.bth THEN 1 ELSE 0 END AS proto " +
+        "FROM ab JOIN th ON ab.cell = th.cell ORDER BY ab.vec_id") { (s, dir) =>
+      semanticOutliers(quantized(s, dir)).orderBy("vec_id")
     }
   )
 }

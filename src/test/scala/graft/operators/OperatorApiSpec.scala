@@ -72,6 +72,31 @@ class OperatorApiSpec extends AnyFunSuite with SparkFixture {
     assert(pm(20L) == 1000L && pm(22L) == 333L && pm(23L) == 0L && pm(24L) == 0L)
   }
 
+  test("semanticOutliers flags the nearest decile of each cluster, tie-inclusive") {
+    import spark.implicits._
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(64)(j =>
+        (((i * 2654435761L + j * 40503L) % 1024L) - 512L) / 256.0f))
+    }.toDF("key", "vec")
+    val out = Similarity.semanticOutliers(
+      EmbeddingLsh.quantize(vecs, idCol = "key", vecCol = "vec"))
+      .as[(Long, Long, Long, Int)].collect()
+    val byCell = out.groupBy(_._2)
+    byCell.foreach { case (cell, rows) =>
+      val flagged = rows.filter(_._4 == 1)
+      assert(flagged.nonEmpty, s"cell $cell flagged nothing")
+      // every flagged distance is <= every unflagged distance
+      val maxF = flagged.map(_._3).max
+      val unflagged = rows.filter(_._4 == 0)
+      assert(unflagged.forall(_._3 >= maxF),
+        s"cell $cell flagged a farther vector than an unflagged one")
+    }
+    // decile-ish overall: ties within one histogram bin can overshoot
+    // in a tiny cluster, but the corpus can't be mostly "prototypical"
+    assert(out.count(_._4 == 1) * 2 < out.length,
+      s"flagged ${out.count(_._4 == 1)}/${out.length} corpus-wide")
+  }
+
   test("ann operators run over quantize() of caller-named embedding frames") {
     import spark.implicits._
     val vecs = (0 until 12).map { i =>

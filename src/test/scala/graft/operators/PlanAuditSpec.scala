@@ -66,6 +66,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("[h#") || p.contains("(h#"), s"hash-key join lost:\n$p")
   }
 
+  test("q98: prototypicality thresholds broadcast back — no cartesian, no shuffled threshold join") {
+    val p = plan("q98_semantic_outliers")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), s"k-row threshold table stopped broadcasting:\n$p")
+  }
+
   test("q62: query set broadcasts; vectors scan once") {
     val p = plan("q62_ann_bruteforce")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
