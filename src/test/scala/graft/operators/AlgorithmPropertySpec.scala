@@ -57,6 +57,39 @@ class AlgorithmPropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("dupSpans equals the sequential span-posting reference on random corpora") {
+    import spark.implicits._
+    // small vocab + short docs force genuine cross-document span hits
+    val genCorpus = for {
+      nDocs <- Gen.choose(2, 25)
+      docs <- Gen.listOfN(nDocs, for {
+        len <- Gen.choose(0, 14)
+        toks <- Gen.listOfN(len, Gen.oneOf("a", "b", "c"))
+      } yield toks.mkString(" "))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val k = 3
+    for (seed <- 1L to 10L) {
+      val corpus = sample(genCorpus, seed)
+      // sequential reference: positional k-gram posting lists
+      val grams = corpus.map { case (id, t) =>
+        val a = t.split(" ", -1).filter(_.nonEmpty)
+        id -> (if (a.length >= k) a.sliding(k).map(_.mkString(" ")).toSeq else Seq.empty)
+      }.toMap
+      val docsPerGram = grams.toSeq
+        .flatMap { case (id, gs) => gs.distinct.map(g => (g, id)) }
+        .groupBy(_._1).map { case (g, xs) => g -> xs.size }
+      val expected = corpus.map { case (id, _) =>
+        val gs = grams(id)
+        val nDup = gs.count(g => docsPerGram(g) > 1)
+        (id, gs.length.toLong, nDup.toLong,
+          1000L * nDup / math.max(gs.length, 1))
+      }.sortBy(_._1)
+      val got = Dedup.dupSpans(corpus.toDF("doc_id", "text"), k = k)
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toList
+      assert(got == expected, s"seed=$seed corpus=$corpus")
+    }
+  }
+
   test("kmeansAssign equals sequential integer Lloyd on random vector sets") {
     import spark.implicits._
     val genVecs = for {
