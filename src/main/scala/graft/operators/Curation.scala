@@ -98,6 +98,32 @@ object Curation {
     df.withColumn("split",
       when(h60(col(textCol)) % den < den - valBuckets, "train").otherwise("val"))
 
+  /** Shards used by the q99 gate (thousands on a real corpus). */
+  val GateShards = 8
+
+  /** Deterministic training-shard layout: the final "global shuffle +
+    * shard" step of a pretraining pipeline — every document gets a
+    * hash-assigned shard and a reproducible position inside it, so the
+    * training order is random-looking yet bit-identical across runs,
+    * partitionings and engines (no `rand()` anywhere).
+    *
+    * Scale shape: shard assignment is a pure projection (h60 of the
+    * salted id, mod `nShards`); the intra-shard position is ONE
+    * row_number window per shard — the same per-output-file sort a
+    * shard writer performs anyway, balanced because the shard count
+    * (thousands at 100 TB, so each shard ≈ one output file) spreads
+    * the windows across tasks.
+    */
+  def shardOrder(df: DataFrame, nShards: Int = GateShards,
+      idCol: String = "doc_id"): DataFrame =
+    df.select(col(idCol).as("doc_id"))
+      .withColumn("ord", h60(concat(lit("shard:"), col("doc_id").cast("string"))))
+      .withColumn("shard", (col("ord") % nShards).cast("long"))
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("shard")
+          .orderBy("ord", "doc_id")).cast("long"))
+      .select("doc_id", "shard", "pos")
+
   /** Sequence packing for pretraining: assign every document a (bin,
     * offset) position in a stream of fixed `capacity`-token sequences.
     *
@@ -344,6 +370,18 @@ object Curation {
         .agg(count(lit(1)).as("n_docs"),
           sum(size(split(col("text"), " "))).as("n_tokens"))
         .orderBy("source", "split")
+    },
+
+    // Deterministic shard + intra-shard order for training layout: the
+    // salted id hash is both the shard assignment and the shuffle key,
+    // so the "random" training order is reproducible bit-for-bit.
+    Q("q99_shard_order",
+      "WITH o AS (SELECT doc_id, " +
+        "('0x'||substr(md5('shard:'||doc_id),1,15))::BIGINT AS ord FROM documents) " +
+        s"SELECT doc_id, ord % $GateShards AS shard, " +
+        s"row_number() OVER (PARTITION BY ord % $GateShards ORDER BY ord, doc_id)::BIGINT AS pos " +
+        "FROM o ORDER BY doc_id") { (s, dir) =>
+      shardOrder(Tables.load(s, dir, "documents")).orderBy("doc_id")
     }
   )
 }

@@ -72,6 +72,22 @@ class OperatorApiSpec extends AnyFunSuite with SparkFixture {
     assert(pm(20L) == 1000L && pm(22L) == 333L && pm(23L) == 0L && pm(24L) == 0L)
   }
 
+  test("shardOrder gives contiguous per-shard positions, stable under repartitioning") {
+    import spark.implicits._
+    val ids = (0L until 200L).map(i => (i, s"t$i")).toDF("key", "body")
+    val out = Curation.shardOrder(ids, nShards = 4, idCol = "key")
+      .as[(Long, Long, Long)].collect()
+    assert(out.length == 200 && out.map(_._1).distinct.length == 200)
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        s"shard $shard positions not contiguous")
+    }
+    // partitioning-independent: same layout from a differently-arranged input
+    val out2 = Curation.shardOrder(ids.repartition(7).sortWithinPartitions(desc("key")),
+      nShards = 4, idCol = "key").as[(Long, Long, Long)].collect()
+    assert(out.toSet == out2.toSet, "layout changed with input partitioning")
+  }
+
   test("semanticOutliers flags the nearest decile of each cluster, tie-inclusive") {
     import spark.implicits._
     val vecs = (0 until 60).map { i =>
