@@ -433,13 +433,11 @@ object Dedup {
     * boilerplate headers, templated passages — without any pairing.
     *
     * Scale shape: the span stream is ~tokens×1 rows but never joins on
-    * strings — spans reduce to int64 hashes immediately; the (h,
-    * doc_id) aggregation collapses within-document repeats with a
-    * map-side partial first, so a corpus-wide boilerplate span
-    * contributes ONE row per containing document; the duplicated-hash
-    * set is a second (already-collapsed) aggregation, and the join
-    * back on `h` is an int64 shuffle join AQE can skew-split. No
-    * driver-side state, no window over an unbounded key.
+    * strings — spans reduce to int64 hashes immediately; the
+    * duplicated-hash set is ONE map-side-combinable min/max aggregate
+    * over that stream, and the join back on `h` is an int64
+    * shuffled-hash join AQE can skew-split. No driver-side state, no
+    * window over an unbounded key, no per-(span, doc) intermediate.
     */
   def dupSpans(docs: DataFrame, k: Int = SpanK,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -449,18 +447,22 @@ object Dedup {
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, size(a)-${k - 1}), i -> $gram)")).as("s"))
       .select(col("doc_id"), h60(col("s")).as("h"))
-    val perDoc = spans.groupBy(col("h"), col("doc_id")).agg(count(lit(1)).as("c"))
-    // ndocs-per-h via aggregate + join on h, NOT a window over h: a
-    // window group holds every (h, doc) row of one span hash in ONE
-    // task (a corpus-wide boilerplate span = millions of buffered rows
-    // at scale, and WindowExec gets no AQE skew handling), while the
-    // join's skewed key is AQE-splittable and its h-exchange is shared
-    // with perDoc's via ReuseExchange. Measured ~1 s slower at sf0.1
-    // (extra stage barriers at the scheduling floor) — accepted for
-    // the skew-proof shape.
-    val dup = perDoc.groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
-      .filter(col("ndocs") > 1).select("h")
-    val nd = perDoc.join(dup, "h").groupBy("doc_id").agg(sum(col("c")).as("n_dup"))
+    // "Appears in ≥2 DISTINCT documents" is exactly min(doc) ≠ max(doc)
+    // per span hash — one map-side-combinable aggregate over the raw
+    // span stream (a span repeated only within one document keeps
+    // min = max and is correctly not duplicated). Deliberately an
+    // aggregate + join on h, NOT a window over h: a window group holds
+    // a span's entire posting list in ONE task (a corpus-wide
+    // boilerplate span = millions of buffered rows at scale, and
+    // WindowExec gets no AQE skew handling), while the join's skewed
+    // key is AQE-splittable. shuffle_hash hint: hashing the (smaller)
+    // distinct-h side skips the two full span-stream sorts a sort-merge
+    // join would pay (20× corpus: 44 s → 16.7 s with this plan).
+    val dup = spans.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx")).select("h")
+    val nd = spans.join(dup.hint("shuffle_hash"), "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
     t.select(col("doc_id"),
         greatest(size(col("a")) - (k - 1), lit(0)).cast("long").as("n_spans"))
       .join(nd, Seq("doc_id"), "left")
@@ -607,9 +609,8 @@ object Dedup {
         s"array_to_string(a[i:i+${SpanK - 1}],' ')),1,15))::BIGINT " +
         s"FOR i IN generate_series(1, len(a)-${SpanK - 1})]) AS h " +
         s"FROM t WHERE len(a) >= $SpanK), " +
-        "g1 AS (SELECT h, sd, COUNT(*) AS c FROM sp GROUP BY h, sd), " +
-        "dup AS (SELECT h FROM g1 GROUP BY h HAVING COUNT(*) > 1), " +
-        "nd AS (SELECT sd, SUM(c)::BIGINT AS n_dup FROM g1 " +
+        "dup AS (SELECT h FROM sp GROUP BY h HAVING MIN(sd) <> MAX(sd)), " +
+        "nd AS (SELECT sd, COUNT(*)::BIGINT AS n_dup FROM sp " +
         "WHERE h IN (SELECT h FROM dup) GROUP BY sd) " +
         s"SELECT t.doc_id, GREATEST(len(a)-${SpanK - 1}, 0)::BIGINT AS n_spans, " +
         "COALESCE(nd.n_dup, 0)::BIGINT AS n_dup, " +
