@@ -33,6 +33,16 @@ object Relational {
   // to the DuckDB oracle's naive timestamps on any host timezone.
   private def ts(s: String): Column = to_timestamp(lit(s))
 
+  /** TPC-H revenue: SUM(extprice · (1 − discount)), exact in DECIMAL,
+    * DOUBLE only at the very end (both engines round the same exact
+    * value, so even ORDER BY revenue is hash-stable).
+    */
+  private def revenue: Column =
+    sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).cast("double")
+  private val revenueSql: String =
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+      "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+
   def queries: Seq[Q] = Seq(
     Q("q01_pruned_scan",
       "SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem " +
@@ -285,6 +295,84 @@ object Relational {
       ev.groupBy(date_trunc("hour", tsCol).as("hour_ts"), col("event_type"))
         .agg(count(lit(1)).as("n"), sum(dec(col("value"))).cast("double").as("total_value"))
         .orderBy("hour_ts", "event_type")
+    },
+
+    // TPC-H Q3 (shipping priority): selective 3-way join, grouped
+    // revenue, top-10. Revenue sums ride DECIMAL (exact) and only the
+    // final value casts to DOUBLE, so ORDER BY revenue is ordering
+    // identical exactly-representable values in both engines.
+    Q("q20_tpch_q3",
+      "SELECT l_orderkey, " + revenueSql + " AS revenue, o_orderdate, o_orderpriority " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey " +
+        "JOIN lineitem ON l_orderkey = o_orderkey " +
+        "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00' " +
+        "AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00' " +
+        "GROUP BY l_orderkey, o_orderdate, o_orderpriority " +
+        "ORDER BY revenue DESC, l_orderkey LIMIT 10") { (s, dir) =>
+      val c = Tables.load(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.load(s, dir, "orders").filter(col("o_orderdate") < ts("1997-06-01 00:00:00"))
+      val l = Tables.load(s, dir, "lineitem").filter(col("l_shipdate") > ts("1997-06-01 00:00:00"))
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue.as("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(desc("revenue"), col("l_orderkey")).limit(10)
+    },
+
+    // TPC-H Q5 (local supplier volume): 6-table star with the
+    // customer-nation = supplier-nation co-location condition.
+    Q("q21_tpch_q5",
+      "SELECT n_name, " + revenueSql + " AS revenue " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey " +
+        "JOIN lineitem ON l_orderkey = o_orderkey " +
+        "JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "JOIN region ON n_regionkey = r_regionkey " +
+        "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' " +
+        "GROUP BY n_name ORDER BY revenue DESC, n_name") { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+          col("o_orderdate") < ts("1998-01-01 00:00:00"))
+      Tables.load(s, dir, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"))
+        .join(Tables.load(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.load(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+        .join(Tables.load(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.load(s, dir, "region").filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(revenue.as("revenue"))
+        .orderBy(desc("revenue"), col("n_name"))
+    },
+
+    // TPC-H Q10 (returned items): customers ranked by lost revenue in
+    // one half-year of 'R'-flagged lineitems.
+    Q("q22_tpch_q10",
+      "SELECT c_custkey, c_name, " + revenueSql + " AS revenue, " +
+        "CAST(c_acctbal AS DOUBLE) AS c_acctbal, n_name " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey " +
+        "JOIN lineitem ON l_orderkey = o_orderkey " +
+        "JOIN nation ON c_nationkey = n_nationkey " +
+        "WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' " +
+        "AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00' " +
+        "GROUP BY c_custkey, c_name, c_acctbal, n_name " +
+        "ORDER BY revenue DESC, c_custkey LIMIT 20") { (s, dir) =>
+      val o = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= ts("1997-01-01 00:00:00") &&
+          col("o_orderdate") < ts("1997-07-01 00:00:00"))
+      Tables.load(s, dir, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"))
+        .join(Tables.load(s, dir, "lineitem").filter(col("l_returnflag") === "R"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.load(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(revenue.as("revenue"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"),
+          col("c_acctbal").cast("double").as("c_acctbal"), col("n_name"))
+        .orderBy(desc("revenue"), col("c_custkey")).limit(20)
     }
   )
 }

@@ -72,6 +72,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("BroadcastHashJoin"), s"k-row threshold table stopped broadcasting:\n$p")
   }
 
+  test("q21: TPC-H Q5 star plans equi-joins with broadcast dims — no cartesian") {
+    val p = plan("q21_tpch_q5")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), s"small dims stopped broadcasting:\n$p")
+  }
+
   test("q62: query set broadcasts; vectors scan once") {
     val p = plan("q62_ann_bruteforce")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
