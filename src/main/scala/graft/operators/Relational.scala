@@ -373,6 +373,34 @@ object Relational {
         .select(col("c_custkey"), col("c_name"), col("revenue"),
           col("c_acctbal").cast("double").as("c_acctbal"), col("n_name"))
         .orderBy(desc("revenue"), col("c_custkey")).limit(20)
+    },
+
+    // TPC-H Q18 (large-volume orders): IN-subquery over an aggregated
+    // stream — plans as a semi-join against the HAVING-filtered
+    // per-order quantity totals, a shape no other gate exercises.
+    Q("q23_tpch_q18",
+      "SELECT c_custkey, c_name, o_orderkey, o_orderdate, " +
+        "CAST(o_totalprice AS DOUBLE) AS o_totalprice, " +
+        "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey " +
+        "JOIN lineitem ON o_orderkey = l_orderkey " +
+        "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey " +
+        "HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 280) " +
+        "GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 25") { (s, dir) =>
+      val l = Tables.load(s, dir, "lineitem")
+      val big = l.groupBy("l_orderkey")
+        .agg(sum(dec(col("l_quantity"))).as("q"))
+        .filter(col("q") > 280).select(col("l_orderkey").as("bk"))
+      Tables.load(s, dir, "customer")
+        .join(Tables.load(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .join(big, col("o_orderkey") === col("bk"), "left_semi")
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice").cast("double").as("o_totalprice"), col("sum_qty"))
+        .orderBy(desc("o_totalprice"), col("o_orderkey")).limit(25)
     }
   )
 }
