@@ -401,6 +401,41 @@ object Relational {
         .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_orderdate"),
           col("o_totalprice").cast("double").as("o_totalprice"), col("sum_qty"))
         .orderBy(desc("o_totalprice"), col("o_orderkey")).limit(25)
+    },
+
+    // TPC-H Q7 (volume shipping): the nation dimension joins TWICE
+    // (supplier side and customer side) with a symmetric two-nation OR
+    // predicate, grouped by shipment year — dimension-reuse + temporal
+    // grouping in one gate.
+    Q("q24_tpch_q7",
+      "SELECT supp_nation, cust_nation, l_year, " + revenueSql + " AS revenue FROM (" +
+        "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, " +
+        "EXTRACT(year FROM l_shipdate)::BIGINT AS l_year, l_extendedprice, l_discount " +
+        "FROM supplier JOIN lineitem ON s_suppkey = l_suppkey " +
+        "JOIN orders ON o_orderkey = l_orderkey " +
+        "JOIN customer ON c_custkey = o_custkey " +
+        "JOIN nation n1 ON s_nationkey = n1.n_nationkey " +
+        "JOIN nation n2 ON c_nationkey = n2.n_nationkey " +
+        "WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') " +
+        "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))) " +
+        "GROUP BY supp_nation, cust_nation, l_year " +
+        "ORDER BY supp_nation, cust_nation, l_year") { (s, dir) =>
+      val n1 = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").as("n1k"), col("n_name").as("supp_nation"))
+      val n2 = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").as("n2k"), col("n_name").as("cust_nation"))
+      Tables.load(s, dir, "supplier")
+        .join(Tables.load(s, dir, "lineitem"), col("s_suppkey") === col("l_suppkey"))
+        .join(Tables.load(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.load(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+        .join(n1, col("s_nationkey") === col("n1k"))
+        .join(n2, col("c_nationkey") === col("n2k"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(revenue.as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
     }
   )
 }
