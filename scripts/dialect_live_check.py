@@ -39,7 +39,7 @@ def row(k):
         k, k % 2 == 0, k % 4, k / 2.0, round(k * 1.11, 2), f"v_{k}",
         datetime.date(1994 + (k % 3), 1 + k % 12, 1 + k % 27),
         datetime.datetime(1994 + (k % 3), 1 + k % 12, 1 + k % 27, 12, 0, 0),
-        bytes([k % 256, (255 - k) % 256]))
+        bytes([k % 256, (255 - k) % 256]), [k, k * 3])
 
 SEED = [row(k) for k in range(1, 9)]
 
@@ -77,8 +77,9 @@ def sqlite_row(r):
     # sqlite stores dates/timestamps as TEXT (ISO-8601), booleans and
     # decimals through INTEGER/REAL affinity — bind what the writer's
     # setters would send over that wire.
-    return (r[0], int(r[1]), r[2], r[3], float(r[4]), r[5],
+    base = (r[0], int(r[1]), r[2], r[3], float(r[4]), r[5],
             r[6].isoformat(), r[7].strftime("%Y-%m-%d %H:%M:%S"), r[8])
+    return base + ((json.dumps(r[9]),) if len(r) > 9 else ())
 
 
 for dialect in ["duckdb", "postgres", "sqlite"]:
@@ -114,6 +115,12 @@ for dialect in ["duckdb", "postgres", "sqlite"]:
                 check(f"{dialect}: where[{label}] == {EXPECT[label]}",
                       got == EXPECT[label], f"got {got}: {sql}")
 
+        # native-array (duckdb/postgres) or JSON-TEXT (sqlite) round-trip
+        st0 = state()
+        want = [5, 15] if dialect != "sqlite" else json.dumps([5, 15])
+        check(f"{dialect}: array column round-trips", st0[5][9] == want,
+              repr(st0[5][9]))
+
         # conflict update: same keys, shifted payload -> payload replaced
         shifted = [
             (r[0], not r[1], r[2] + 10, r[3], r[4], r[5] + "_u", r[6], r[7], r[8])
@@ -127,7 +134,7 @@ for dialect in ["duckdb", "postgres", "sqlite"]:
 
         # conflict do-nothing: clobbering payloads must NOT land; new key inserts
         for r in [(r[0], r[1], r[2], r[3], r[4], "CLOB", r[6], r[7], r[8])
-                  for r in SEED[:2]] + [row(100)]:
+                  for r in SEED[:2]] + [row(100)[:9]]:
             con.execute(d["upsert_nothing"], list(bind(r)))
         st = state()
         check(f"{dialect}: upsert do_nothing preserves + inserts new",
@@ -136,7 +143,7 @@ for dialect in ["duckdb", "postgres", "sqlite"]:
         # target-less do-nothing (PK constraint decides)
         con.execute(d["upsert_all"], list(bind((1, True, 0, 0.0, 0.0, "CLOB2",
                                                 SEED[0][6], SEED[0][7], b""))))
-        con.execute(d["upsert_all"], list(bind(row(101))))
+        con.execute(d["upsert_all"], list(bind(row(101)[:9])))
         st = state()
         check(f"{dialect}: upsert do_nothing_all skips conflicts",
               st[1][5] != "CLOB2" and 101 in st, str(st.get(1)))

@@ -268,6 +268,16 @@ object PostgresDialect extends Dialect {
   */
 object DuckDbDialect extends Dialect {
   val name = "duckdb"
+  // DuckDB has native LIST columns (the reference's duckdb connector
+  // maps them to Arrow List, crates/duckdb); same `element[]` DDL as
+  // Postgres, proven by dialect_live_check executing it live.
+  override def supportsNativeArrays: Boolean = true
+  override def typeName(dt: DataType): String = dt match {
+    case ArrayType(et @ (BooleanType | ShortType | IntegerType | LongType |
+        FloatType | DoubleType | StringType | _: DecimalType), _) =>
+      s"${typeName(et)}[]"
+    case other => super.typeName(other)
+  }
 }
 
 object SqliteDialect extends Dialect {

@@ -77,7 +77,10 @@ object DialectDump {
       StructField("s", StringType),
       StructField("dt", DateType),
       StructField("ts", TimestampNTZType),
-      StructField("bin", BinaryType)))
+      StructField("bin", BinaryType),
+      // exercises the native-array DDL path (duckdb/postgres render
+      // BIGINT[]; sqlite falls back to JSON TEXT) live
+      StructField("arr", ArrayType(LongType))))
     val cols = schema.fields.map(_.name).toSeq
 
     val m = new ObjectMapper()
@@ -94,9 +97,13 @@ object DialectDump {
         s"CREATE TABLE $t (${d.columnDefs(schema)}, PRIMARY KEY (${d.quote("k")}))")
       o.put("insert", s"INSERT INTO $t (${cols.map(d.quote).mkString(", ")}) " +
         s"VALUES (${cols.map(_ => "?").mkString(", ")})")
-      o.put("upsert_update", d.upsertStatement(t, cols, Seq("k")))
-      o.put("upsert_nothing", d.upsertStatement(t, cols, Seq("k"), doNothing = true))
-      o.put("upsert_all", d.upsertStatement(t, cols, Nil, doNothing = true))
+      // upserts bind the scalar columns only: live DuckDB (the checking
+      // engine) cannot UPDATE a LIST column inside ON CONFLICT, and a
+      // key+payload upsert over scalars is the representative case
+      val upCols = cols.filterNot(_ == "arr")
+      o.put("upsert_update", d.upsertStatement(t, upCols, Seq("k")))
+      o.put("upsert_nothing", d.upsertStatement(t, upCols, Seq("k"), doNothing = true))
+      o.put("upsert_all", d.upsertStatement(t, upCols, Nil, doNothing = true))
       o.put("upsert_degenerate", d.upsertStatement(t, Seq("k"), Seq("k")))
       o.put("topn", s"SELECT ${d.quote("k")} FROM $t ORDER BY ${d.quote("k")} DESC " +
         d.limitOffsetClause(Some(3), Some(2)))
