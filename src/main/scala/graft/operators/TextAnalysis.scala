@@ -252,7 +252,55 @@ object TextAnalysis {
       .select(col("doc_id"), h60(col("text")).as("fp"),
         RollingHash.rolling_hash(col("text")).as("rfp"))
 
+  /** Chunk window / stride for [[chunkWindows]]'s q36 gate (token
+    * counts sized to the synthetic corpus; an embedding pipeline would
+    * pass its model's context size).
+    */
+  val ChunkW = 32
+  val ChunkS = 16
+
+  /** Sliding-window chunking: split each document into overlapping
+    * token windows of `w` tokens at stride `s` — the unit an embedding
+    * / RAG indexing pipeline feeds its encoder. Emits (doc_id,
+    * chunk_id, n_tok, fp) with the cross-engine fingerprint of each
+    * chunk's text; the final short window is kept (n_tok < w), and a
+    * document shorter than one window yields exactly one chunk.
+    *
+    * Scale shape: pure per-row compute — one projection + explode, no
+    * shuffle, no state; parallelism is the scan's. Chunk text is
+    * re-derivable from (doc_id, chunk_id), so only the fingerprint
+    * travels.
+    */
+  def chunkWindows(df: org.apache.spark.sql.DataFrame, w: Int = ChunkW,
+      s: Int = ChunkS, idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.DataFrame =
+    corpus(df, idCol, textCol)
+      .select(col("doc_id"), split(col("text"), " ").as("a"))
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, CASE WHEN size(a) <= $w THEN 0 " +
+          s"ELSE (size(a) - $w + $s - 1) div $s END), " +
+          s"j -> struct(j AS chunk_id, concat_ws(' ', slice(a, 1 + j*$s, $w)) AS c))"))
+        .as("ch"))
+      .select(col("doc_id"), col("ch.chunk_id").cast("long").as("chunk_id"),
+        size(split(col("ch.c"), " ")).cast("long").as("n_tok"),
+        h60(col("ch.c")).as("fp"))
+
   def queries: Seq[Q] = Seq(
+
+    // Sliding-window chunking for embedding/RAG indexing: overlapping
+    // 32-token windows at stride 16, fingerprinted per chunk.
+    Q("q36_chunk_windows",
+      "WITH t AS (SELECT doc_id, string_split(text,' ') AS a FROM documents), " +
+        "c AS (SELECT doc_id, unnest(generate_series(0, " +
+        s"CASE WHEN len(a) <= $ChunkW THEN 0 " +
+        s"ELSE (len(a) - $ChunkW + $ChunkS - 1) // $ChunkS END)) AS chunk_id, a FROM t) " +
+        "SELECT doc_id, chunk_id, " +
+        s"len(a[1 + chunk_id*$ChunkS : chunk_id*$ChunkS + $ChunkW])::BIGINT AS n_tok, " +
+        "('0x'||substr(md5(array_to_string(" +
+        s"a[1 + chunk_id*$ChunkS : chunk_id*$ChunkS + $ChunkW],' ')),1,15))::BIGINT AS fp " +
+        "FROM c ORDER BY doc_id, chunk_id") { (s, dir) =>
+      chunkWindows(Tables.load(s, dir, "documents")).orderBy("doc_id", "chunk_id")
+    },
     Q("q30_token_stats",
       "SELECT doc_id, len(string_split(text,' ')) AS n_tokens, " +
         "length(text) AS len_chars, " +

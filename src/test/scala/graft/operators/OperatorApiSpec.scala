@@ -72,6 +72,20 @@ class OperatorApiSpec extends AnyFunSuite with SparkFixture {
     assert(pm(20L) == 1000L && pm(22L) == 333L && pm(23L) == 0L && pm(24L) == 0L)
   }
 
+  test("chunkWindows: overlapping windows, kept tail, single chunk for short docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 40).map(i => s"w$i").mkString(" ")), // 40 tokens -> 2 chunks
+      (2L, "a b c d e")                               // short -> 1 chunk of 5
+    ).toDF("id", "body")
+    val out = TextAnalysis.chunkWindows(docs, idCol = "id", textCol = "body")
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(out.map(r => (r._1, r._2, r._3)).toSeq ==
+      Seq((1L, 0L, 32L), (1L, 1L, 24L), (2L, 0L, 5L)))
+    // second window starts at token 17: fingerprints must differ
+    assert(out(0)._4 != out(1)._4)
+  }
+
   test("shardOrder gives contiguous per-shard positions, stable under repartitioning") {
     import spark.implicits._
     val ids = (0L until 200L).map(i => (i, s"t$i")).toDF("key", "body")

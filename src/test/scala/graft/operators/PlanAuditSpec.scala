@@ -66,6 +66,12 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("[h#") || p.contains("(h#"), s"hash-key join lost:\n$p")
   }
 
+  test("q36: chunking is a shuffle-free projection — no hash exchange at all") {
+    val p = plan("q36_chunk_windows")
+    assert(!p.contains("hashpartitioning"),
+      s"chunking gained a shuffle:\n$p") // only the gate's presentation sort (range) may exchange
+  }
+
   test("q98: prototypicality thresholds broadcast back — no cartesian, no shuffled threshold join") {
     val p = plan("q98_semantic_outliers")
     assert(!p.contains("CartesianProduct"), p)
