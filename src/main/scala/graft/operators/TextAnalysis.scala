@@ -285,7 +285,55 @@ object TextAnalysis {
         size(split(col("ch.c"), " ")).cast("long").as("n_tok"),
         h60(col("ch.c")).as("fp"))
 
+  /** Top bigrams kept by the q37 gate. */
+  val LmTopK = 100
+
+  /** Corpus bigram language-model statistics: per-bigram count, head
+    * count, and the conditional probability P(w2 | w1) — the table a
+    * KenLM-style perplexity quality filter trains on. The probability
+    * is ONE IEEE division of two exact int64 counts, so both engines
+    * produce the identical double.
+    *
+    * Scale shape: bigram counting is one map-side-combinable
+    * aggregation over the exploded token stream (int64-sized rows);
+    * head totals are a second aggregation over the already-collapsed
+    * bigram table (vocabulary-sized), joined back on w1 — an
+    * AQE-skew-splittable shuffle join (stopword heads are the hot
+    * keys). Top-K is a TakeOrdered, never a global sort.
+    */
+  def bigramLm(df: org.apache.spark.sql.DataFrame, k: Int = LmTopK,
+      idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val bg = corpus(df, idCol, textCol)
+      .select(split(col("text"), " ").as("a"))
+      .filter(size(col("a")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(a)-1), " +
+          "i -> struct(element_at(a,i) AS w1, element_at(a,i+1) AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c_big"))
+    val c1 = c2.groupBy("w1").agg(sum(col("c_big")).as("c_head"))
+    c2.join(c1, "w1")
+      .select(col("w1"), col("w2"), col("c_big"), col("c_head"),
+        (col("c_big").cast("double") / col("c_head")).as("cond_p"))
+      .orderBy(desc("c_big"), col("w1"), col("w2")).limit(k)
+  }
+
   def queries: Seq[Q] = Seq(
+
+    // Corpus bigram LM statistics: counts + exact-division conditional
+    // probabilities, top-100 by frequency.
+    Q("q37_bigram_lm",
+      "WITH t AS (SELECT doc_id, string_split(text,' ') AS a FROM documents " +
+        "WHERE len(string_split(text,' ')) >= 2), " +
+        "bg AS (SELECT unnest([{'w1': a[i], 'w2': a[i+1]} " +
+        "FOR i IN generate_series(1, len(a)-1)]) AS b FROM t), " +
+        "c2 AS (SELECT b.w1 AS w1, b.w2 AS w2, COUNT(*) AS c_big FROM bg GROUP BY 1, 2), " +
+        "c1 AS (SELECT w1, SUM(c_big)::BIGINT AS c_head FROM c2 GROUP BY w1) " +
+        "SELECT c2.w1, c2.w2, c_big, c_head, c_big::DOUBLE / c_head AS cond_p " +
+        "FROM c2 JOIN c1 ON c2.w1 = c1.w1 " +
+        s"ORDER BY c_big DESC, c2.w1, c2.w2 LIMIT $LmTopK") { (s, dir) =>
+      bigramLm(Tables.load(s, dir, "documents"))
+    },
 
     // Sliding-window chunking for embedding/RAG indexing: overlapping
     // 32-token windows at stride 16, fingerprinted per chunk.
