@@ -86,7 +86,6 @@ for dialect in ["duckdb", "postgres", "sqlite"]:
     d = dump[dialect]
     # duckdb/postgres run in live DuckDB; the sqlite dialect runs in
     # REAL sqlite3 — full WHERE/conflict/offset semantics on all three.
-    full_semantics = True
     if dialect == "sqlite":
         con = sqlite3.connect(":memory:")
         seed_rows = [sqlite_row(r) for r in SEED]
@@ -105,15 +104,14 @@ for dialect in ["duckdb", "postgres", "sqlite"]:
                 f'SELECT * FROM {d["table"]} ORDER BY 1').fetchall()}
 
         # WHERE-clause semantics over the PRISTINE seed (before mutations)
-        if full_semantics:
-            for label, sql in d["where"].items():
-                if sql is None:
-                    check(f"{dialect}: where[{label}] rendered", False,
-                          "unparser returned None")
-                    continue
-                got = con.execute(sql).fetchall()[0][0]
-                check(f"{dialect}: where[{label}] == {EXPECT[label]}",
-                      got == EXPECT[label], f"got {got}: {sql}")
+        for label, sql in d["where"].items():
+            if sql is None:
+                check(f"{dialect}: where[{label}] rendered", False,
+                      "unparser returned None")
+                continue
+            got = con.execute(sql).fetchall()[0][0]
+            check(f"{dialect}: where[{label}] == {EXPECT[label]}",
+                  got == EXPECT[label], f"got {got}: {sql}")
 
         # native-array (duckdb/postgres) or JSON-TEXT (sqlite) round-trip
         st0 = state()

@@ -377,7 +377,7 @@ object Curation {
     // so the "random" training order is reproducible bit-for-bit.
     Q("q99_shard_order",
       "WITH o AS (SELECT doc_id, " +
-        "('0x'||substr(md5('shard:'||doc_id),1,15))::BIGINT AS ord FROM documents) " +
+        h60Sql("'shard:'||doc_id") + " AS ord FROM documents) " +
         s"SELECT doc_id, ord % $GateShards AS shard, " +
         s"row_number() OVER (PARTITION BY ord % $GateShards ORDER BY ord, doc_id)::BIGINT AS pos " +
         "FROM o ORDER BY doc_id") { (s, dir) =>

@@ -605,9 +605,9 @@ object Dedup {
     // Lee et al. arXiv:2107.06499), with an integer per-mille fraction.
     Q("q97_dup_spans",
       "WITH t AS (SELECT doc_id, string_split(text,' ') AS a FROM documents), " +
-        "sp AS (SELECT doc_id AS sd, unnest([('0x'||substr(md5(" +
-        s"array_to_string(a[i:i+${SpanK - 1}],' ')),1,15))::BIGINT " +
-        s"FOR i IN generate_series(1, len(a)-${SpanK - 1})]) AS h " +
+        "sp AS (SELECT doc_id AS sd, unnest([" +
+        h60Sql(s"array_to_string(a[i:i+${SpanK - 1}],' ')") +
+        s" FOR i IN generate_series(1, len(a)-${SpanK - 1})]) AS h " +
         s"FROM t WHERE len(a) >= $SpanK), " +
         "dup AS (SELECT h FROM sp GROUP BY h HAVING MIN(sd) <> MAX(sd)), " +
         "nd AS (SELECT sd, COUNT(*)::BIGINT AS n_dup FROM sp " +

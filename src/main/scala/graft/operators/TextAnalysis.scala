@@ -273,7 +273,11 @@ object TextAnalysis {
     */
   def chunkWindows(df: org.apache.spark.sql.DataFrame, w: Int = ChunkW,
       s: Int = ChunkS, idCol: String = "doc_id",
-      textCol: String = "text"): org.apache.spark.sql.DataFrame =
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    // s > w would both skip tokens and emit a phantom empty chunk past
+    // the end (slice() returns [], concat_ws "" — review finding)
+    require(w >= 1 && s >= 1 && s <= w,
+      s"chunkWindows requires 1 <= stride <= window, got w=$w s=$s")
     corpus(df, idCol, textCol)
       .select(col("doc_id"), split(col("text"), " ").as("a"))
       .select(col("doc_id"), explode(expr(
@@ -284,6 +288,7 @@ object TextAnalysis {
       .select(col("doc_id"), col("ch.chunk_id").cast("long").as("chunk_id"),
         size(split(col("ch.c"), " ")).cast("long").as("n_tok"),
         h60(col("ch.c")).as("fp"))
+  }
 
   /** Top bigrams kept by the q37 gate. */
   val LmTopK = 100
@@ -344,8 +349,9 @@ object TextAnalysis {
         s"ELSE (len(a) - $ChunkW + $ChunkS - 1) // $ChunkS END)) AS chunk_id, a FROM t) " +
         "SELECT doc_id, chunk_id, " +
         s"len(a[1 + chunk_id*$ChunkS : chunk_id*$ChunkS + $ChunkW])::BIGINT AS n_tok, " +
-        "('0x'||substr(md5(array_to_string(" +
-        s"a[1 + chunk_id*$ChunkS : chunk_id*$ChunkS + $ChunkW],' ')),1,15))::BIGINT AS fp " +
+        CrossHash.h60Sql(
+          s"array_to_string(a[1 + chunk_id*$ChunkS : chunk_id*$ChunkS + $ChunkW],' ')") +
+        " AS fp " +
         "FROM c ORDER BY doc_id, chunk_id") { (s, dir) =>
       chunkWindows(Tables.load(s, dir, "documents")).orderBy("doc_id", "chunk_id")
     },

@@ -244,8 +244,7 @@ object PostgresDialect extends Dialect {
     case BinaryType => "BYTEA"
     case TimestampType => "TIMESTAMPTZ"
     // native array DDL; nested element types still fall back to TEXT
-    case ArrayType(et @ (BooleanType | ShortType | IntegerType | LongType |
-        FloatType | DoubleType | StringType | _: DecimalType), _) =>
+    case ArrayType(et, _) if Dialect.isNativeArrayElement(et) =>
       s"${typeName(et)}[]"
     case other => super.typeName(other)
   }
@@ -273,11 +272,17 @@ object DuckDbDialect extends Dialect {
   // Postgres, proven by dialect_live_check executing it live.
   override def supportsNativeArrays: Boolean = true
   override def typeName(dt: DataType): String = dt match {
-    case ArrayType(et @ (BooleanType | ShortType | IntegerType | LongType |
-        FloatType | DoubleType | StringType | _: DecimalType), _) =>
+    case ArrayType(et, _) if Dialect.isNativeArrayElement(et) =>
       s"${typeName(et)}[]"
     case other => super.typeName(other)
   }
+  // Throwing whitelist so supportsArrayElement is false exactly where
+  // the DDL above falls back to TEXT — without it the trait default
+  // (typeName succeeds for e.g. DATE) routes temporal/binary elements
+  // into createArrayOf against a TEXT column (review finding).
+  override def arrayElementName(et: DataType): String =
+    if (Dialect.isNativeArrayElement(et)) typeName(et)
+    else throw new IllegalArgumentException(s"duckdb: unsupported array element $et")
 }
 
 object SqliteDialect extends Dialect {
@@ -386,6 +391,17 @@ object ClickHouseDialect extends Dialect {
 }
 
 object Dialect {
+  /** The ONE whitelist of array element types the native-array dialects
+    * declare in DDL, bind via `createArrayOf` (TypeMapping's boxing
+    * match covers exactly this set), and read back — shared so the
+    * DDL, bind-guard, and element-name paths cannot drift.
+    */
+  private[jdbc] def isNativeArrayElement(et: DataType): Boolean = et match {
+    case BooleanType | ShortType | IntegerType | LongType | FloatType |
+        DoubleType | StringType | _: DecimalType => true
+    case _ => false
+  }
+
   val all: Map[String, Dialect] = Seq(
     DerbyDialect, PostgresDialect, DuckDbDialect, SqliteDialect, MySqlDialect,
     ClickHouseDialect)

@@ -78,10 +78,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("BroadcastHashJoin"), s"k-row threshold table stopped broadcasting:\n$p")
   }
 
-  test("q21: TPC-H Q5 star plans equi-joins with broadcast dims — no cartesian") {
-    val p = plan("q21_tpch_q5")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
-    assert(p.contains("BroadcastHashJoin"), s"small dims stopped broadcasting:\n$p")
+  test("q20-q24: every TPC-H analog plans equi-joins with broadcast dims — no cartesian") {
+    for (q <- Seq("q20_tpch_q3", "q21_tpch_q5", "q22_tpch_q10",
+        "q23_tpch_q18", "q24_tpch_q7")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: quadratic join:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"$q: dims stopped broadcasting:\n$p")
+    }
   }
 
   test("q62: query set broadcasts; vectors scan once") {

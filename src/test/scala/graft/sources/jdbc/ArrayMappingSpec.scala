@@ -32,6 +32,25 @@ class ArrayMappingSpec extends AnyFunSuite {
       }
     }).asInstanceOf[A]
 
+  test("native-array whitelist agrees between DDL, bind guard, and boxing (both dialects)") {
+    for (d <- Seq(PostgresDialect, DuckDbDialect)) {
+      // whitelisted elements: native DDL + bindable
+      for (et <- Seq(BooleanType, ShortType, IntegerType, LongType, FloatType,
+          DoubleType, StringType, DecimalType(10, 2))) {
+        assert(d.supportsArrayElement(et), s"${d.name}: $et should bind natively")
+        assert(d.typeName(ArrayType(et)).endsWith("[]"), s"${d.name}: $et DDL")
+      }
+      // non-whitelisted elements MUST refuse the createArrayOf path —
+      // their DDL falls back to TEXT, so binding natively would write
+      // an ARRAY against a TEXT column (review finding: DuckDbDialect
+      // inherited a typeName-based guard that accepted DateType)
+      for (et <- Seq(DateType, TimestampType, BinaryType, ArrayType(LongType))) {
+        assert(!d.supportsArrayElement(et), s"${d.name}: $et must use the JSON fallback")
+        assert(d.typeName(ArrayType(et)) == d.stringType, s"${d.name}: $et DDL fallback")
+      }
+    }
+  }
+
   test("array element types from driver type names (pg wire, pgjdbc, H2)") {
     assert(TypeMapping.arrayElementType("_int4") == IntegerType)
     assert(TypeMapping.arrayElementType("_int8") == LongType)
