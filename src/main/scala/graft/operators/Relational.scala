@@ -436,6 +436,136 @@ object Relational {
           year(col("l_shipdate")).cast("long").as("l_year"))
         .agg(revenue.as("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+
+    // TPC-H Q22 (global sales opportunity): dormant high-balance
+    // customers — an anti-join against recent orders gated by a
+    // global-aggregate threshold. The threshold compare is
+    // multiplicative (`acctbal * n > sum`) in exact DECIMAL, so row
+    // selection never touches FP division; the 1-row stats frame is
+    // broadcast, the anti-join is the only fact-side shuffle.
+    Q("q25_tpch_q22",
+      "WITH pos AS (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS s, COUNT(*) AS n " +
+        "FROM customer WHERE c_acctbal > 0) " +
+        "SELECT n_name, COUNT(*) AS numcust, " +
+        "CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal " +
+        "FROM customer CROSS JOIN pos JOIN nation ON c_nationkey = n_nationkey " +
+        "WHERE CAST(c_acctbal AS DECIMAL(18,2)) * pos.n > pos.s " +
+        "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+        "AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00') " +
+        "GROUP BY n_name ORDER BY n_name") { (s, dir) =>
+      val c = Tables.load(s, dir, "customer")
+      val stats = c.filter(col("c_acctbal") > 0)
+        .agg(sum(dec(col("c_acctbal"))).as("s"), count(lit(1)).as("n"))
+      val recent = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= ts("2000-01-01 00:00:00"))
+        .select("o_custkey")
+      c.join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .crossJoin(broadcast(stats))
+        .filter(dec(col("c_acctbal")) * col("n") > col("s"))
+        .join(broadcast(Tables.load(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("numcust"),
+          sum(dec(col("c_acctbal"))).cast("double").as("totacctbal"))
+        .orderBy("n_name")
+    },
+
+    // TPC-H Q11 (important stock): per-supplier revenue HAVING-filtered
+    // against a share of the global total. Both sides of the HAVING stay
+    // exact DECIMAL (×200 is an exact integer scale), so the share cut
+    // is bit-stable; the 1-row total broadcasts.
+    Q("q26_tpch_q11",
+      "WITH tot AS (SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS t FROM lineitem) " +
+        "SELECT s_suppkey, s_name, " + revenueSql + " AS value " +
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey CROSS JOIN tot " +
+        "GROUP BY s_suppkey, s_name, t " +
+        "HAVING SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(18,2)))) * 200 > t " +
+        "ORDER BY value DESC, s_suppkey") { (s, dir) =>
+      val l = Tables.load(s, dir, "lineitem")
+      val total = l.agg(
+        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).as("t"))
+      l.join(broadcast(Tables.load(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .crossJoin(broadcast(total))
+        .groupBy("s_suppkey", "s_name", "t")
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).as("v"))
+        .filter(col("v") * 200 > col("t"))
+        .select(col("s_suppkey"), col("s_name"), col("v").cast("double").as("value"))
+        .orderBy(desc("value"), col("s_suppkey"))
+    },
+
+    // TPC-H Q12 (shipping modes / priority classes): join + conditional
+    // CASE aggregation. DuckDB SUM(INT) returns HUGEINT, so both counts
+    // are cast to BIGINT in the oracle (the r6 lesson, VERDICT.md §wrong).
+    Q("q27_tpch_q12",
+      "SELECT l_returnflag, " +
+        "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, " +
+        "CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+        "WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' " +
+        "AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag") { (s, dir) =>
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.load(s, dir, "orders")
+        .join(Tables.load(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
+            col("l_shipdate") < ts("1998-01-01 00:00:00")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(high, 1).otherwise(0)).cast("long").as("high_line_count"),
+          sum(when(!high, 1).otherwise(0)).cast("long").as("low_line_count"))
+        .orderBy("l_returnflag")
+    },
+
+    // TPC-H Q14 (promotion effect): monthly promo revenue share. Both
+    // sums are exact DECIMAL; the share is ONE double division of two
+    // exactly-representable values (same rounding in both engines).
+    Q("q28_tpch_q14",
+      "SELECT CAST(DATE_TRUNC('month', l_shipdate) AS TIMESTAMP) AS mon, " +
+        "CAST(100 * SUM(CASE WHEN p_type = 'PROMO' THEN " +
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) " +
+        "ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) / " +
+        "CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS promo_share, " +
+        "CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS total_rev " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "GROUP BY 1 ORDER BY 1") { (s, dir) =>
+      val discPrice = (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast(DecimalType(18, 4))
+      val zero = lit(0).cast(DecimalType(18, 4))
+      Tables.load(s, dir, "lineitem")
+        .join(broadcast(Tables.load(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(date_trunc("month", col("l_shipdate")).as("mon"))
+        .agg(
+          (sum(when(col("p_type") === "PROMO", discPrice).otherwise(zero)) * 100)
+            .cast("double").as("promo_num"),
+          sum(discPrice).cast("double").as("total_rev"))
+        .select(col("mon"), (col("promo_num") / col("total_rev")).as("promo_share"),
+          col("total_rev"))
+        .orderBy("mon")
+    },
+
+    // TPC-H Q16 (parts/supplier relationship): COUNT(DISTINCT) per part
+    // attribute triple with NOT-IN/≠ exclusion filters — the one
+    // distinct-aggregate shape the relational gates didn't yet pin.
+    Q("q29_tpch_q16",
+      "SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt " +
+        "FROM part JOIN lineitem ON p_partkey = l_partkey " +
+        "WHERE p_brand <> 'Brand#11' AND p_type <> 'PROMO' " +
+        "AND p_size IN (1,5,9,13,17,21,25,29) " +
+        "GROUP BY p_brand, p_type, p_size " +
+        "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size") { (s, dir) =>
+      Tables.load(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#11" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+        .join(Tables.load(s, dir, "lineitem"), col("p_partkey") === col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"), col("p_size"))
     }
   )
 }
