@@ -124,6 +124,48 @@ object Curation {
           .orderBy("ord", "doc_id")).cast("long"))
       .select("doc_id", "shard", "pos")
 
+  /** Per-source sampling rates (percent) used by the q38 gate. */
+  val MixGateRates: Seq[(String, Int)] =
+    Seq("src0" -> 100, "src1" -> 75, "src2" -> 50, "src3" -> 25)
+  val MixGateDefault = 10
+
+  /** Deterministic data-mixing sampler: keep each document with a
+    * per-source rate (rates/den per source, defaultRate/den elsewhere),
+    * decided by content hash — the "upsample Wikipedia, downsample
+    * CommonCrawl" knob of a pretraining mix. Membership is a pure
+    * per-row projection: reproducible across runs, engines and
+    * partitionings, stable under corpus growth (a document's fate never
+    * changes as neighbors arrive — a Bernoulli `rand()` filter has
+    * neither property), and consistent across pipeline stages that
+    * re-evaluate it. One scan, zero shuffles.
+    */
+  def mixSample(df: DataFrame, rates: Seq[(String, Int)] = MixGateRates,
+      defaultRate: Int = MixGateDefault, den: Int = 100,
+      groupCol: String = "source", textCol: String = "text"): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
+      when(col(groupCol) === k, lit(v)).otherwise(acc)
+    }
+    df.filter(h60(concat(lit("mix:"), col(textCol))) % den < rate)
+  }
+
+  /** Corpus composition matrix: one row per source, one token-count
+    * column per language — the report a mixing decision reads (and the
+    * engine's PIVOT surface). One map-combinable aggregation; the
+    * language list is declared (pivot over an unbounded value set would
+    * need a distinct-collect planning pass — the declared list keeps
+    * planning data-independent, which is what you want at 100 TB).
+    */
+  def composition(df: DataFrame, langs: Seq[String] = CompositionLangs,
+      groupCol: String = "source", langCol: String = "lang",
+      textCol: String = "text"): DataFrame =
+    df.groupBy(col(groupCol).as("source"))
+      .pivot(langCol, langs)
+      .agg(sum(size(split(col(textCol), " "))).cast("long"))
+      .na.fill(0L, langs)
+
+  /** Language columns of the q39 composition gate. */
+  val CompositionLangs: Seq[String] = Seq("de", "en", "es", "fr", "zh")
+
   /** Sequence packing for pretraining: assign every document a (bin,
     * offset) position in a stream of fixed `capacity`-token sequences.
     *
@@ -253,6 +295,34 @@ object Curation {
   }
 
   def queries: Seq[Q] = Seq(
+    // Deterministic mixing sampler: per-source keep rates decided by
+    // content hash; the gate checks the per-source kept doc/token mass.
+    Q("q38_mix_sample", {
+      val rateCase = "CASE " + MixGateRates.map { case (k, v) =>
+        s"WHEN source = '$k' THEN $v" }.mkString(" ") + s" ELSE $MixGateDefault END"
+      "SELECT source, COUNT(*) AS n_docs, " +
+        "CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS n_tokens " +
+        "FROM documents WHERE " + h60Sql("'mix:'||text") + s" % 100 < $rateCase " +
+        "GROUP BY source ORDER BY source"
+    }) { (s, dir) =>
+      mixSample(Tables.load(s, dir, "documents"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))
+        .orderBy("source")
+    },
+
+    // Corpus composition matrix (source × language token counts) via
+    // Spark's PIVOT — the report a mixing decision is made from.
+    Q("q39_composition", {
+      val langCols = CompositionLangs.map(l =>
+        s"CAST(SUM(CASE WHEN lang = '$l' THEN len(string_split(text,' ')) ELSE 0 END) AS BIGINT) AS $l")
+      "SELECT source, " + langCols.mkString(", ") +
+        " FROM documents GROUP BY source ORDER BY source"
+    }) { (s, dir) =>
+      composition(Tables.load(s, dir, "documents")).orderBy("source")
+    },
+
     // Full curation pass over `documents`: dedup + quality ≥ 1/2 +
     // 'en' density gate, token budgets and fingerprint per survivor.
     Q("q73_curate",

@@ -258,6 +258,50 @@ object Similarity {
         when(col("b") <= col("bth"), 1).otherwise(0).as("proto"))
   }
 
+  /** Gate table dimensionality for the q47 oracle's generate_series. */
+  val SqDim = 64
+
+  /** 8-bit scalar quantization (SQ8) of an embedding column: per-dimension
+    * corpus [min,max] ranges, each coordinate mapped to an integer code in
+    * [0,255] — the storage-compression step a vector store runs before
+    * indexing (4× smaller than f32, distance error bounded by the grid
+    * step). The search-side counterpart is [[EmbeddingLsh.quantize]]
+    * (global ×100 grid for exact int64 dots); SQ8 is the per-dimension
+    * adaptive grid that actually ships to disk.
+    *
+    * Scale shape: the range model is ONE map-combinable aggregation keyed
+    * by the d dimension indices (posexplode partials fold min/max per
+    * dimension on every executor; the shuffle moves d rows), collected as
+    * bounded driver model state (2·d doubles — the k-means-centroid
+    * policy); code assignment is then a SHUFFLE-FREE per-row projection
+    * with the ranges as literal arrays — the corpus streams once and is
+    * never exchanged.
+    *
+    * Cross-engine exactness: x, mn, mx widen float→double exactly; the
+    * code is floor((x−mn)·255/(mx−mn)) — two IEEE-rounded ops and a
+    * correctly-rounded floor, identical in both engines — clamped to
+    * [0,255]; degenerate dimensions (mx = mn) code to 0.
+    */
+  def sq8(df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val v = df.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+    val ranges = v.select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("i")
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy("i").collect()
+    val mns = array(ranges.map(r => lit(r.getFloat(1).toDouble)): _*)
+    val mxs = array(ranges.map(r => lit(r.getFloat(2).toDouble)): _*)
+    v.select(col("vec_id"),
+      transform(col("v"), (x, i) => {
+        val mn = element_at(mns, i + 1)
+        val mx = element_at(mxs, i + 1)
+        when(mx > mn,
+          least(lit(255L), greatest(lit(0L),
+            floor((x.cast("double") - mn) * lit(255.0) / (mx - mn)))))
+          .otherwise(lit(0L))
+      }).as("codes"))
+  }
+
   /** The q78 oracle CTE chain (quantize → seed → 2 Lloyd rounds),
     * ending in `a2(vec_id, cell, dist)` — reused by q98's
     * prototypicality oracle.
@@ -330,6 +374,26 @@ object Similarity {
         s"SELECT qid, vec_id, cos FROM r WHERE rn <= $TopK ORDER BY qid, vec_id") { (s, dir) =>
       annIvf(quantized(s, dir), col("vec_id") % QueryStride === 0,
         col("vec_id") % CentroidStride === 0)
+    },
+
+    // SQ8 scalar quantization, gated in LONG FORM (vec_id, i, code):
+    // every element of every code vector is value-checked while the
+    // compared columns stay scalar-typed (the library surface [[sq8]]
+    // returns the array form; posexplode here is presentation only).
+    Q("q47_sq8_quantize",
+      "WITH e AS (SELECT vec_id, embedding AS v FROM embeddings), " +
+        s"dims AS (SELECT unnest(generate_series(1, $SqDim)) AS i), " +
+        "d AS (SELECT i, MIN(v[i]) AS mn, MAX(v[i]) AS mx " +
+        "FROM e CROSS JOIN dims GROUP BY i) " +
+        "SELECT vec_id, i - 1 AS i, " +
+        "CASE WHEN mx > mn THEN LEAST(CAST(255 AS BIGINT), GREATEST(CAST(0 AS BIGINT), " +
+        "CAST(FLOOR((v[i]::DOUBLE - mn::DOUBLE) * CAST(255.0 AS DOUBLE) / (mx::DOUBLE - mn::DOUBLE)) AS BIGINT))) " +
+        "ELSE CAST(0 AS BIGINT) END AS code " +
+        "FROM e CROSS JOIN dims JOIN d USING (i) ORDER BY vec_id, i") { (s, dir) =>
+      sq8(graft.Tables.load(s, dir, "embeddings"))
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("i", "code")))
+        .select(col("vec_id"), col("i").cast("long").as("i"), col("code"))
+        .orderBy("vec_id", "i")
     },
 
     // Integer-exact k-means training (2 Lloyd rounds, k=8): even the

@@ -323,7 +323,65 @@ object TextAnalysis {
       .orderBy(desc("c_big"), col("w1"), col("w2")).limit(k)
   }
 
+  /** Inverted-index posting lists over bigram terms, vocabulary
+    * band-selected by document frequency: terms kept when
+    * lo‰ ≤ df/corpus ≤ hi‰ (multiplicative integer compare — no FP in
+    * term selection). Too-frequent terms are stopwords (a posting list
+    * that is "most of the corpus" indexes nothing); too-rare ones are
+    * noise — the classic index-vocabulary cut.
+    *
+    * Scale shape: distinct (term, doc) pairs → one map-combinable df
+    * aggregation; the band is applied BEFORE any posting list is
+    * collected, so every `collect_list` buffer is bounded by the band's
+    * upper df by construction (a real deployment additionally shards
+    * hot terms across segment files; the band parameters are that
+    * knob). The 1-row corpus count broadcasts; the band join is
+    * vocabulary-sized (AQE broadcasts it when small).
+    */
+  def invertedIndex(df: org.apache.spark.sql.DataFrame,
+      loPermille: Int = 30, hiPermille: Int = 50,
+      idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val bg = corpus(df, idCol, textCol)
+      .select(col("doc_id"), split(col("text"), " ").as("a"))
+      .filter(size(col("a")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(a)-1), " +
+          "i -> concat_ws(' ', element_at(a,i), element_at(a,i+1)))")).as("term"))
+      .distinct()
+    val nDocs = corpus(df, idCol, textCol).agg(count(lit(1)).as("n"))
+    val band = bg.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") * 1000 >= col("n") * loPermille &&
+        col("df") * 1000 <= col("n") * hiPermille)
+      .select("term")
+    bg.join(band, Seq("term"), "left_semi")
+      .groupBy("term")
+      .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
+      .select(col("term"), size(col("postings")).cast("long").as("df"), col("postings"))
+  }
+
   def queries: Seq[Q] = Seq(
+
+    // Inverted index, gated in LONG FORM (term, df, doc_id): every
+    // posting of every band-selected term is value-checked while the
+    // compared columns stay scalar-typed ([[invertedIndex]] returns the
+    // posting-list arrays; explode here is presentation only).
+    Q("q49_inverted_index",
+      "WITH t AS (SELECT doc_id, string_split(text,' ') AS a FROM documents " +
+        "WHERE len(string_split(text,' ')) >= 2), " +
+        "bg AS (SELECT DISTINCT doc_id, a[i] || ' ' || a[i+1] AS term " +
+        "FROM t CROSS JOIN LATERAL (SELECT unnest(range(1, len(a))) AS i) u), " +
+        "nd AS (SELECT COUNT(*) AS n FROM documents), " +
+        "dfq AS (SELECT term, COUNT(*) AS df FROM bg GROUP BY term), " +
+        "band AS (SELECT term, df FROM dfq CROSS JOIN nd " +
+        "WHERE df * 1000 >= n * 30 AND df * 1000 <= n * 50) " +
+        "SELECT b.term, band.df, b.doc_id " +
+        "FROM bg b JOIN band ON b.term = band.term " +
+        "ORDER BY b.term, b.doc_id") { (s, dir) =>
+      invertedIndex(Tables.load(s, dir, "documents"))
+        .select(col("term"), col("df"), explode(col("postings")).as("doc_id"))
+        .orderBy("term", "doc_id")
+    },
 
     // Corpus bigram LM statistics: counts + exact-division conditional
     // probabilities, top-100 by frequency.

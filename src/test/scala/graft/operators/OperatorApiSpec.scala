@@ -361,4 +361,67 @@ class OperatorApiSpec extends AnyFunSuite with SparkFixture {
     // identical texts land in the same split
     assert(s1(10L) == s1(11L))
   }
+
+  test("mixSample keeps rate-100 sources whole and is partition-independent") {
+    import spark.implicits._
+    val corp = (1L to 200L).map(i => (s"grp${i % 4}", i, s"document number $i body"))
+      .toDF("src", "id", "body")
+    val rates = Seq("grp0" -> 100, "grp1" -> 0)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Curation.mixSample(df, rates, defaultRate = 50,
+          groupCol = "src", textCol = "body")
+        .select("id").as[Long].collect().toSet
+    val kept = run(corp)
+    val grp0 = (1L to 200L).filter(_ % 4 == 0).toSet
+    assert(grp0.subsetOf(kept), "rate 100 must keep every grp0 doc")
+    assert(!kept.exists(_ % 4 == 1), "rate 0 must drop every grp1 doc")
+    val mid = kept.count(i => i % 4 == 2 || i % 4 == 3)
+    assert(mid > 10 && mid < 90, s"default rate 50 wildly off: $mid of 100")
+    assert(run(corp.repartition(7)) == kept, "membership must not depend on partitioning")
+  }
+
+  test("composition pivots token counts with zero-fill for absent pairs") {
+    import spark.implicits._
+    val corp = Seq(
+      ("sA", "xx", "one two three"),
+      ("sA", "yy", "four five"),
+      ("sB", "xx", "six")).toDF("src", "language", "body")
+    val out = Curation.composition(corp, Seq("xx", "yy", "zz"),
+        groupCol = "src", langCol = "language", textCol = "body")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("sA") == ((3L, 2L, 0L)), out)
+    assert(out("sB") == ((1L, 0L, 0L)), "absent (source, lang) pairs must read 0")
+  }
+
+  test("sq8 codes hit the grid endpoints and zero degenerate dimensions") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Seq(0.0f, 10.0f, 7.5f)),
+      (2L, Seq(4.0f, 10.0f, 2.5f)),
+      (3L, Seq(2.0f, 10.0f, 5.0f))).toDF("vid", "emb")
+    val out = Similarity.sq8(vecs, "vid", "emb")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // dim 0 spans [0,4]: min codes 0, max codes 255; dim 1 is constant
+    // (degenerate) → 0; dim 2 spans [2.5,7.5]: midpoint codes 127
+    assert(out(1L)(0) == 0L && out(2L)(0) == 255L)
+    assert(out.values.forall(_(1) == 0L), "constant dimension must code 0")
+    assert(out(3L)(2) == 127L, s"midpoint code: ${out(3L)(2)}")
+    assert(out.values.flatten.forall(c => c >= 0L && c <= 255L))
+  }
+
+  test("invertedIndex band-selects vocabulary and sorts postings") {
+    import spark.implicits._
+    // "aa bb"/"bb cc" appear in docs 1,2 (df=2 of 4 docs = 500‰ — in
+    // band), "cc dd" in all 4 (1000‰ — above band), "dd ee"/"ee ff"
+    // only in doc 4 (250‰ — below band)
+    val corp = Seq(
+      (1L, "aa bb cc dd"), (2L, "aa bb cc dd"),
+      (3L, "cc dd"), (4L, "cc dd ee ff")).toDF("id", "body")
+    val idx = TextAnalysis.invertedIndex(corp, loPermille = 400,
+        hiPermille = 600, idCol = "id", textCol = "body")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2)))
+      .sortBy(_._1)
+    assert(idx.map(_._1).toSeq == Seq("aa bb", "bb cc"), idx.mkString(","))
+    assert(idx.forall(e => e._2 == 2L && e._3 == Seq(1L, 2L)), idx.mkString(","))
+  }
 }

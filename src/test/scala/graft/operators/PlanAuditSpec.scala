@@ -242,4 +242,32 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("TakeOrderedAndProject"),
       s"top-k must not global-sort:\n$p")
   }
+
+  test("mixSample is a shuffle-free per-row filter — zero exchanges") {
+    val docs = graft.Tables.load(spark, dir, "documents")
+    val p = Curation.mixSample(docs).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"sampler must never shuffle the corpus:\n$p")
+  }
+
+  test("sq8 code assignment is a shuffle-free projection with literal ranges") {
+    val e = graft.Tables.load(spark, dir, "embeddings")
+    // the range-model aggregation runs (and collects) at construction;
+    // the RETURNED frame must then be scan + project only
+    val p = Similarity.sq8(e).queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"code projection must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"ranges must be literals, not a join:\n$p")
+  }
+
+  test("q49: inverted index builds postings only for band terms — no cartesian") {
+    val p = plan("q49_inverted_index")
+    assert(!p.contains("CartesianProduct"), s"cartesian in index build:\n$p")
+  }
+
+  test("q25/q26: global-threshold gates broadcast their 1-row stats frame") {
+    for (q <- Seq("q25_tpch_q22", "q26_tpch_q11")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian:\n$p")
+      assert(p.contains("BroadcastExchange"), s"$q: stats frame must broadcast:\n$p")
+    }
+  }
 }
