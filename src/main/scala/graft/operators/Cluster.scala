@@ -166,6 +166,51 @@ object Cluster extends org.apache.spark.internal.Logging {
     labels.select(col("v"), col("lbl").as("cluster"))
   }
 
+  /** PageRank-style centrality over an undirected near-dup pair graph —
+    * the authority signal for picking the CANONICAL document of a
+    * duplicate cluster (the member most connected to the rest), and the
+    * engine's power-iteration graph primitive (the same loop computes
+    * link-graph quality weights à la Common Crawl's domain ranking).
+    *
+    * Integer-exact power iteration: scores are int64 at `scale`;
+    * contribution = score div degree (truncating — all values positive,
+    * so floor = trunc in both engines); update = (100−damp)·scale/100 +
+    * (damp·Σcontrib) div 100. No floating point anywhere, so ranks are
+    * bit-identical across engines, runs and partitionings. Bounds:
+    * Σcontrib ≤ in-degree·scale, so damp·Σ stays below 2^63 for
+    * in-degrees up to ~9·10⁷ at the default scale — beyond that, lower
+    * `scale`.
+    *
+    * Scale shape: each round is one int64-keyed join (edges ⋈ scores —
+    * AQE-skew-splittable hubs) and one map-combinable sum. The edge
+    * frame persists across the `iters` rounds and releases before
+    * return (the result is eagerly localCheckpoint()ed, the
+    * [[connectedComponents]] discipline), leaving no cached state
+    * behind. Degree and score frames are vertex-sized, never collected.
+    */
+  def centrality(pairs: DataFrame, iters: Int = 3, dampPct: Int = 85,
+      scale: Long = 1000000000L): DataFrame = {
+    val e = GraftCache.track(
+      pairs.select(col("d1").cast("long").as("src"), col("d2").cast("long").as("dst"))
+        .union(pairs.select(col("d2").cast("long").as("src"), col("d1").cast("long").as("dst")))
+        .distinct())
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val base = (100L - dampPct) * scale / 100L
+    var scores = deg.select(col("src").as("v"), lit(scale).as("score"))
+    for (_ <- 1 to iters) {
+      scores = e.join(deg, "src")
+        .join(scores, col("src") === col("v"))
+        .select(col("dst"), expr("score div deg").as("c"))
+        .groupBy("dst")
+        .agg(sum(col("c")).as("s"))
+        .select(col("dst").as("v"),
+          (lit(base) + expr(s"($dampPct * s) div 100")).as("score"))
+    }
+    val out = scores.localCheckpoint(true)
+    GraftCache.release(e)
+    out
+  }
+
   /** Map every document of an (id, text) frame to its canonical id: the
     * minimum doc_id over the union of its exact-duplicate group and the
     * connected component of [[Dedup.minhashLshPairs]] its representative
@@ -215,6 +260,32 @@ object Cluster extends org.apache.spark.internal.Logging {
       // persisted before the presentation sort: the range partitioner's
       // sample pass would otherwise execute the rep-window + join twice
       GraftCache.track(resolveDuplicates(Tables.load(s, dir, "documents")))
+        .orderBy("doc_id")
+    },
+
+    // PageRank centrality over the MinHash-LSH near-dup graph: 3
+    // integer-exact power-iteration rounds; the oracle unrolls the same
+    // rounds as chained CTEs over the identical pair set (the factored
+    // q42 chain). Every SUM is cast back to BIGINT (DuckDB HUGEINT — the
+    // r6 lesson) so both engines iterate on int64.
+    Q("q100_centrality", {
+      val damp = 85; val scale = 1000000000L
+      val base = (100L - damp) * scale / 100L
+      val rounds = (1 to 3).map { i =>
+        val prev = s"s${i - 1}"
+        s"c$i AS (SELECT e.dst AS v, CAST(SUM($prev.score // deg.deg) AS BIGINT) AS s " +
+          s"FROM e JOIN deg USING (src) JOIN $prev ON $prev.v = e.src GROUP BY e.dst), " +
+          s"s$i AS (SELECT v, $base + ($damp * s) // 100 AS score FROM c$i)"
+      }.mkString(", ")
+      "WITH " + Dedup.minhashPairsCtes + ", " +
+        "e AS (SELECT d1 AS src, d2 AS dst FROM pairs UNION SELECT d2, d1 FROM pairs), " +
+        "deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src), " +
+        s"s0 AS (SELECT src AS v, CAST($scale AS BIGINT) AS score FROM deg), " +
+        rounds +
+        " SELECT v AS doc_id, score FROM s3 ORDER BY doc_id"
+    }) { (s, dir) =>
+      centrality(Dedup.minhashLshPairs(Tables.load(s, dir, "documents")))
+        .select(col("v").as("doc_id"), col("score"))
         .orderBy("doc_id")
     },
 

@@ -360,7 +360,56 @@ object TextAnalysis {
       .select(col("term"), size(col("postings")).cast("long").as("df"), col("postings"))
   }
 
+  /** Rare-n-gram novelty score: per document, the share of bigram
+    * occurrences whose term is corpus-rare (df ≤ lo‰ of the corpus) — a
+    * content-novelty quality signal (boilerplate scores ~0, genuinely
+    * novel text high) that needs no language model: the corpus's own df
+    * table IS the model. Selection stays on integers (`df·1000 ≤ n·lo`);
+    * the score is one IEEE division of two exact integers.
+    *
+    * Scale shape: occurrences join the vocabulary-sized df table on the
+    * 60-bit term hash — an int64 shuffle join (the rare set is the LONG
+    * TAIL of the vocabulary, so broadcasting it is exactly what you
+    * cannot do at corpus scale; hot boilerplate terms are AQE-skew-
+    * splittable); then one per-document count aggregation.
+    */
+  def noveltyScore(df: org.apache.spark.sql.DataFrame, loPermille: Int = 20,
+      idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val occ = corpus(df, idCol, textCol)
+      .select(col("doc_id"), split(col("text"), " ").as("a"))
+      .filter(size(col("a")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(a)-1), " +
+          "i -> concat_ws(' ', element_at(a,i), element_at(a,i+1)))")).as("term"))
+      .select(col("doc_id"), CrossHash.h60(col("term")).as("h"))
+    val nDocs = corpus(df, idCol, textCol).agg(count(lit(1)).as("n"))
+    val dfreq = occ.distinct().groupBy("h").agg(count(lit(1)).as("df"))
+    occ.join(dfreq.crossJoin(broadcast(nDocs)), "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("df") * 1000 <= col("n") * loPermille, 1).otherwise(0))
+          .cast("long").as("n_rare"))
+      .withColumn("novelty", col("n_rare").cast("double") / col("n_bigrams"))
+  }
+
   def queries: Seq[Q] = Seq(
+
+    // Rare-bigram novelty: the corpus df table is the "language model";
+    // rare-share per document as a quality/novelty signal.
+    Q("q48_novelty",
+      "WITH t AS (SELECT doc_id, string_split(text,' ') AS a FROM documents " +
+        "WHERE len(string_split(text,' ')) >= 2), " +
+        "occ AS (SELECT doc_id, " + CrossHash.h60Sql("a[i] || ' ' || a[i+1]") + " AS h " +
+        "FROM t CROSS JOIN LATERAL (SELECT unnest(range(1, len(a))) AS i) u), " +
+        "nd AS (SELECT COUNT(*) AS n FROM documents), " +
+        "dfq AS (SELECT h, COUNT(DISTINCT doc_id) AS df FROM occ GROUP BY h) " +
+        "SELECT occ.doc_id, COUNT(*) AS n_bigrams, " +
+        "CAST(SUM(CASE WHEN df * 1000 <= n * 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare, " +
+        "CAST(SUM(CASE WHEN df * 1000 <= n * 20 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS novelty " +
+        "FROM occ JOIN dfq USING (h) CROSS JOIN nd " +
+        "GROUP BY occ.doc_id ORDER BY occ.doc_id") { (s, dir) =>
+      noveltyScore(Tables.load(s, dir, "documents")).orderBy("doc_id")
+    },
 
     // Inverted index, gated in LONG FORM (term, df, doc_id): every
     // posting of every band-selected term is value-checked while the

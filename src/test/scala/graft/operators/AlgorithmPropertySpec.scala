@@ -57,6 +57,35 @@ class AlgorithmPropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("centrality equals sequential integer power iteration on random graphs") {
+    import spark.implicits._
+    val genGraph = for {
+      n <- Gen.choose(2, 30)
+      m <- Gen.choose(1, 60)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0, n - 1); d <- Gen.choose(1, n - 1)
+      } yield (a.toLong, ((a + d) % n).toLong))
+    } yield edges
+    val (iters, damp, scale) = (3, 85L, 1000000000L)
+    val base = (100L - damp) * scale / 100L
+    for (seed <- 20L to 27L) {
+      val edges = sample(genGraph, seed)
+      // sequential reference: identical integer arithmetic
+      val und = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+      val deg = und.groupBy(_._1).map { case (v, es) => v -> es.size.toLong }
+      var score = deg.keys.map(_ -> scale).toMap
+      for (_ <- 1 to iters) {
+        val in = und.groupBy(_._2).map { case (v, es) =>
+          v -> es.map { case (s, _) => score(s) / deg(s) }.sum
+        }
+        score = in.map { case (v, s) => v -> (base + damp * s / 100L) }
+      }
+      val got = Cluster.centrality(edges.toDF("d1", "d2"))
+        .as[(Long, Long)].collect().toMap
+      assert(got == score, s"seed=$seed edges=$edges")
+    }
+  }
+
   test("dupSpans equals the sequential span-posting reference on random corpora") {
     import spark.implicits._
     // small vocab + short docs force genuine cross-document span hits

@@ -263,6 +263,22 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("CartesianProduct"), s"cartesian in index build:\n$p")
   }
 
+  test("q48: novelty joins occurrences to the df table on int64 hashes — no cartesian") {
+    val p = plan("q48_novelty")
+    assert(!p.contains("CartesianProduct"), s"cartesian in novelty scoring:\n$p")
+  }
+
+  test("centrality releases its cached edge frame before returning") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("d1", "d2")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Cluster.centrality(pairs, iters = 1).collect()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // the eager localCheckpoint RDD of the RESULT may legitimately
+    // remain (it IS the returned data); the tracked edge cache must not
+    assert(leaked.size <= 1, s"centrality leaked cached RDDs: $leaked")
+  }
+
   test("q25/q26: global-threshold gates broadcast their 1-row stats frame") {
     for (q <- Seq("q25_tpch_q22", "q26_tpch_q11")) {
       val p = plan(q)
