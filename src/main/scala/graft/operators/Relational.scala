@@ -475,23 +475,24 @@ object Relational {
     // against a share of the global total. Both sides of the HAVING stay
     // exact DECIMAL (×200 is an exact integer scale), so the share cut
     // is bit-stable; the 1-row total broadcasts.
+    // The global total re-aggregates the supplier-sized `rev` frame
+    // (exact DECIMAL sums are associative), so lineitem is scanned ONCE
+    // — at 100 TB the second fact scan is the cost that matters.
     Q("q26_tpch_q11",
-      "WITH tot AS (SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
-        "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS t FROM lineitem) " +
-        "SELECT s_suppkey, s_name, " + revenueSql + " AS value " +
-        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey CROSS JOIN tot " +
-        "GROUP BY s_suppkey, s_name, t " +
-        "HAVING SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
-        "(1 - CAST(l_discount AS DECIMAL(18,2)))) * 200 > t " +
+      "WITH rev AS (SELECT s_suppkey, s_name, " +
+        "SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS v " +
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1, 2), " +
+        "tot AS (SELECT SUM(v) AS t FROM rev) " +
+        "SELECT s_suppkey, s_name, CAST(v AS DOUBLE) AS value " +
+        "FROM rev CROSS JOIN tot WHERE v * 200 > t " +
         "ORDER BY value DESC, s_suppkey") { (s, dir) =>
-      val l = Tables.load(s, dir, "lineitem")
-      val total = l.agg(
-        sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).as("t"))
-      l.join(broadcast(Tables.load(s, dir, "supplier")),
+      val rev = Tables.load(s, dir, "lineitem")
+        .join(broadcast(Tables.load(s, dir, "supplier")),
           col("l_suppkey") === col("s_suppkey"))
-        .crossJoin(broadcast(total))
-        .groupBy("s_suppkey", "s_name", "t")
+        .groupBy("s_suppkey", "s_name")
         .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).as("v"))
+      val total = rev.agg(sum(col("v")).as("t"))
+      rev.crossJoin(broadcast(total))
         .filter(col("v") * 200 > col("t"))
         .select(col("s_suppkey"), col("s_name"), col("v").cast("double").as("value"))
         .orderBy(desc("value"), col("s_suppkey"))
@@ -566,6 +567,89 @@ object Relational {
         .groupBy("p_brand", "p_type", "p_size")
         .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
         .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"), col("p_size"))
+    },
+
+    // Window-function breadth in ONE window (one exchange + sort):
+    // ntile, percent_rank, cume_dist, nth_value, lag-with-default.
+    // (l_orderkey, l_linenumber) is NOT unique (duplicate lineitems
+    // exist), so l_quantity joins the window order: remaining ties are
+    // identical in every column a window function here pulls, making
+    // the output multiset order-independent; percent_rank and cume_dist
+    // are single IEEE divisions of exact integer ranks.
+    Q("q101_window_breadth",
+      "SELECT l_suppkey, l_orderkey, l_linenumber, " +
+        "NTILE(4) OVER w AS qtile, " +
+        "percent_rank() OVER w AS pr, " +
+        "cume_dist() OVER w AS cd, " +
+        "first_value(l_orderkey) OVER w AS first_ok, " +
+        "nth_value(l_orderkey, 3) OVER w AS third_ok, " +
+        "lag(l_quantity, 2, -1) OVER w AS lag2 " +
+        "FROM lineitem WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber, l_quantity) " +
+        "ORDER BY l_suppkey, l_orderkey, l_linenumber") { (s, dir) =>
+      val w = Window.partitionBy("l_suppkey")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          ntile(4).over(w).cast("long").as("qtile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          first(col("l_orderkey")).over(w).as("first_ok"),
+          nth_value(col("l_orderkey"), 3).over(w).as("third_ok"),
+          lag(col("l_quantity"), 2, -1).over(w).as("lag2"))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    },
+
+    // TPC-H Q17 (small-quantity-order revenue): correlated per-part
+    // average as a threshold. avg = sum/cnt is never divided — the
+    // predicate is the multiplicative `qty · 5 · cnt < sum` in exact
+    // DECIMAL, so row selection is FP-free. The per-part stats frame is
+    // part-sized; AQE localizes the join to a broadcast when small.
+    Q("q102_tpch_q17",
+      "SELECT p_brand, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price, " +
+        "COUNT(*) AS n " +
+        "FROM lineitem JOIN part ON p_partkey = l_partkey " +
+        "JOIN (SELECT l_partkey AS pk, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq, " +
+        "COUNT(*) AS cnt FROM lineitem GROUP BY 1) s ON pk = l_partkey " +
+        "WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt < sq " +
+        "GROUP BY p_brand ORDER BY p_brand") { (s, dir) =>
+      val l = Tables.load(s, dir, "lineitem")
+      val stats = l.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(dec(col("l_quantity"))).as("sq"), count(lit(1)).as("cnt"))
+      l.join(broadcast(Tables.load(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .join(stats, col("pk") === col("l_partkey"))
+        .filter(dec(col("l_quantity")) * 5 * col("cnt") < col("sq"))
+        .groupBy("p_brand")
+        .agg(sum(dec(col("l_extendedprice"))).cast("double").as("total_price"),
+          count(lit(1)).as("n"))
+        .orderBy("p_brand")
+    },
+
+    // TPC-H Q15 (top supplier): argmax against an aggregated stream —
+    // suppliers whose half-year revenue EQUALS the global max. The
+    // equality compare stays in exact DECIMAL (double only for output),
+    // so the argmax set is bit-stable; the 1-row max broadcasts.
+    Q("q103_tpch_q15",
+      "WITH rev AS (SELECT l_suppkey AS sk, " +
+        "SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS r " +
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' " +
+        "AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00' GROUP BY 1), " +
+        "mx AS (SELECT MAX(r) AS m FROM rev) " +
+        "SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_rev " +
+        "FROM supplier JOIN rev ON s_suppkey = sk CROSS JOIN mx " +
+        "WHERE r = m ORDER BY s_suppkey") { (s, dir) =>
+      val rev = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
+          col("l_shipdate") < ts("1997-07-01 00:00:00"))
+        .groupBy(col("l_suppkey").as("sk"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).as("r"))
+      val mx = rev.agg(max(col("r")).as("m"))
+      Tables.load(s, dir, "supplier")
+        .join(rev, col("s_suppkey") === col("sk"))
+        .crossJoin(broadcast(mx))
+        .filter(col("r") === col("m"))
+        .select(col("s_suppkey"), col("s_name"), col("r").cast("double").as("total_rev"))
+        .orderBy("s_suppkey")
     }
   )
 }

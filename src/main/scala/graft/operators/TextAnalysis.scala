@@ -375,13 +375,16 @@ object TextAnalysis {
     */
   def noveltyScore(df: org.apache.spark.sql.DataFrame, loPermille: Int = 20,
       idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame = {
-    val occ = corpus(df, idCol, textCol)
+    // persisted: both the df aggregation and the occurrence join read
+    // this frame (tier-2 GraftCache discipline — harness/auto-release
+    // frees it after the caller's action)
+    val occ = GraftCache.track(corpus(df, idCol, textCol)
       .select(col("doc_id"), split(col("text"), " ").as("a"))
       .filter(size(col("a")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(a)-1), " +
           "i -> concat_ws(' ', element_at(a,i), element_at(a,i+1)))")).as("term"))
-      .select(col("doc_id"), CrossHash.h60(col("term")).as("h"))
+      .select(col("doc_id"), CrossHash.h60(col("term")).as("h")))
     val nDocs = corpus(df, idCol, textCol).agg(count(lit(1)).as("n"))
     val dfreq = occ.distinct().groupBy("h").agg(count(lit(1)).as("df"))
     occ.join(dfreq.crossJoin(broadcast(nDocs)), "h")
