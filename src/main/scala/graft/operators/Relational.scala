@@ -486,11 +486,11 @@ object Relational {
         "SELECT s_suppkey, s_name, CAST(v AS DOUBLE) AS value " +
         "FROM rev CROSS JOIN tot WHERE v * 200 > t " +
         "ORDER BY value DESC, s_suppkey") { (s, dir) =>
-      val rev = Tables.load(s, dir, "lineitem")
+      val rev = GraftCache.track(Tables.load(s, dir, "lineitem")
         .join(broadcast(Tables.load(s, dir, "supplier")),
           col("l_suppkey") === col("s_suppkey"))
         .groupBy("s_suppkey", "s_name")
-        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).as("v"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).as("v")))
       val total = rev.agg(sum(col("v")).as("t"))
       rev.crossJoin(broadcast(total))
         .filter(col("v") * 200 > col("t"))
@@ -638,17 +638,291 @@ object Relational {
         "SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_rev " +
         "FROM supplier JOIN rev ON s_suppkey = sk CROSS JOIN mx " +
         "WHERE r = m ORDER BY s_suppkey") { (s, dir) =>
-      val rev = Tables.load(s, dir, "lineitem")
+      val rev = GraftCache.track(Tables.load(s, dir, "lineitem")
         .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
           col("l_shipdate") < ts("1997-07-01 00:00:00"))
         .groupBy(col("l_suppkey").as("sk"))
-        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).as("r"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))).as("r")))
       val mx = rev.agg(max(col("r")).as("m"))
       Tables.load(s, dir, "supplier")
         .join(rev, col("s_suppkey") === col("sk"))
         .crossJoin(broadcast(mx))
         .filter(col("r") === col("m"))
         .select(col("s_suppkey"), col("s_name"), col("r").cast("double").as("total_rev"))
+        .orderBy("s_suppkey")
+    },
+
+    // TPC-H Q4 (order-priority checking): EXISTS with a non-equi
+    // correlated predicate → left-semi join keyed on the order key with
+    // the inequality riding along. The testdata has no commit/receipt
+    // dates, so "late" is shipped >60 days after the order date — same
+    // semi-join shape, same pushdown surface.
+    Q("q104_tpch_q4",
+      "SELECT o_orderpriority, COUNT(*) AS order_count FROM orders " +
+        "WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' " +
+        "AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00' " +
+        "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey " +
+        "AND l_shipdate > o_orderdate + INTERVAL 60 DAY) " +
+        "GROUP BY 1 ORDER BY 1") { (s, dir) =>
+      Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= ts("1997-01-01 00:00:00") &&
+          col("o_orderdate") < ts("1997-04-01 00:00:00"))
+        .join(Tables.load(s, dir, "lineitem").select("l_orderkey", "l_shipdate"),
+          col("l_orderkey") === col("o_orderkey") &&
+            col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+
+    // TPC-H Q6 (forecasting revenue): the canonical
+    // filter-everything-aggregate-one-row query. All three predicates
+    // reach the parquet scan as pushed filters; the sum is exact
+    // DECIMAL (map-side partial agg → one row to the driver).
+    Q("q105_tpch_q6",
+      "SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue, COUNT(*) AS n " +
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' " +
+        "AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' " +
+        "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24") { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
+          col("l_shipdate") < ts("1998-01-01 00:00:00") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+          .cast("double").as("revenue"), count(lit(1)).as("n"))
+    },
+
+    // TPC-H Q19 (discounted revenue): a 3-branch disjunction mixing
+    // build-side (p_brand, p_size) and probe-side (l_quantity)
+    // predicates. The join key stays a clean equi-join — the OR rides
+    // as a post-join filter — so the broadcast hash join survives and
+    // the disjunction stays inside whole-stage codegen.
+    Q("q106_tpch_q19",
+      "SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * " +
+        "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue, COUNT(*) AS n " +
+        "FROM lineitem JOIN part ON p_partkey = l_partkey " +
+        "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11) " +
+        "OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20) " +
+        "OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)") { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .join(broadcast(Tables.load(s, dir, "part")),
+          col("p_partkey") === col("l_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("revenue"), count(lit(1)).as("n"))
+    },
+
+    // TPC-H Q13 (customer distribution): LEFT OUTER JOIN with a
+    // filter in the join condition (not a WHERE — zero-order customers
+    // must survive), then a histogram of the per-customer counts.
+    // COUNT(o_orderkey) skips the nulls the outer join manufactures.
+    Q("q107_tpch_q13",
+      "SELECT c_count, COUNT(*) AS custdist FROM (" +
+        "SELECT c_custkey, COUNT(o_orderkey) AS c_count FROM customer " +
+        "LEFT OUTER JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT' " +
+        "GROUP BY c_custkey) t " +
+        "GROUP BY c_count ORDER BY custdist DESC, c_count DESC") { (s, dir) =>
+      Tables.load(s, dir, "customer")
+        .join(Tables.load(s, dir, "orders").filter(col("o_orderpriority") =!= "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    },
+
+    // TPC-H Q21 (suppliers who kept orders waiting): the hardest
+    // subquery shape — EXISTS(other supplier on the order) AND NOT
+    // EXISTS(other LATE supplier on the order) → one semi + one anti
+    // join, both equi-keyed on the order key with the supplier
+    // inequality riding along. "Late" adapts to shipped >100 days
+    // after the order date (no receipt/commit dates in the testdata).
+    // The late frame feeds both the probe side and the anti side, so
+    // it is persisted once instead of re-scanning lineitem⋈orders.
+    Q("q108_tpch_q21",
+      "SELECT s_name, COUNT(*) AS numwait FROM lineitem l1 " +
+        "JOIN supplier ON s_suppkey = l1.l_suppkey " +
+        "JOIN orders ON o_orderkey = l1.l_orderkey " +
+        "WHERE o_orderstatus = 'F' AND l1.l_shipdate > o_orderdate + INTERVAL 100 DAY " +
+        "AND EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey " +
+        "AND l2.l_suppkey <> l1.l_suppkey) " +
+        "AND NOT EXISTS (SELECT 1 FROM lineitem l3 JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey " +
+        "WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey " +
+        "AND l3.l_shipdate > o3.o_orderdate + INTERVAL 100 DAY) " +
+        "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100") { (s, dir) =>
+      val ordF = Tables.load(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate")
+      val late = GraftCache.track(Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(ordF, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 100 DAYS"))
+        .select("l_orderkey", "l_suppkey"))
+      val others = Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+      val lateOthers = late.select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+      late
+        .join(others, col("ok2") === col("l_orderkey") &&
+          col("sk2") =!= col("l_suppkey"), "left_semi")
+        .join(lateOthers, col("ok3") === col("l_orderkey") &&
+          col("sk3") =!= col("l_suppkey"), "left_anti")
+        .join(broadcast(Tables.load(s, dir, "supplier")),
+          col("s_suppkey") === col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(desc("numwait"), col("s_name"))
+        .limit(100)
+    },
+
+    // TPC-H Q8 (national market share): the 8-table star with nation
+    // joined twice (customer region gate, supplier nation tag) and a
+    // conditional-share aggregate. Numerator and denominator are both
+    // exact DECIMAL; the single IEEE division of their double casts is
+    // the only FP step, identical in both engines (same q28 discipline).
+    Q("q109_tpch_q8",
+      "SELECT o_year, " +
+        "CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) / " +
+        "CAST(SUM(vol) AS DOUBLE) AS mkt_share FROM (" +
+        "SELECT EXTRACT(year FROM o_orderdate)::BIGINT AS o_year, " +
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS vol, " +
+        "n2.n_name AS supp_nation " +
+        "FROM part JOIN lineitem ON p_partkey = l_partkey " +
+        "JOIN supplier ON s_suppkey = l_suppkey " +
+        "JOIN orders ON o_orderkey = l_orderkey " +
+        "JOIN customer ON c_custkey = o_custkey " +
+        "JOIN nation n1 ON c_nationkey = n1.n_nationkey " +
+        "JOIN region ON n1.n_regionkey = r_regionkey " +
+        "JOIN nation n2 ON s_nationkey = n2.n_nationkey " +
+        "WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY' " +
+        "AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00') t " +
+        "GROUP BY o_year ORDER BY o_year") { (s, dir) =>
+      val vol = (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+        .cast(DecimalType(18, 4))
+      val zero = lit(0).cast(DecimalType(18, 4))
+      val custNation = Tables.load(s, dir, "nation")
+        .join(broadcast(Tables.load(s, dir, "region")
+          .filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cnk"))
+      val suppNation = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+      Tables.load(s, dir, "lineitem")
+        .join(broadcast(Tables.load(s, dir, "part")
+          .filter(col("p_type") === "ECONOMY")),
+          col("p_partkey") === col("l_partkey"))
+        .join(Tables.load(s, dir, "orders")
+          .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
+            col("o_orderdate") < ts("1998-01-01 00:00:00")),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.load(s, dir, "customer"), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(custNation), col("c_nationkey") === col("cnk"))
+        .join(broadcast(Tables.load(s, dir, "supplier")),
+          col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(suppNation), col("s_nationkey") === col("snk"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_3", vol).otherwise(zero))
+            .cast("double").as("num"),
+          sum(vol).cast("double").as("den"))
+        .select(col("o_year"), (col("num") / col("den")).as("mkt_share"))
+        .orderBy("o_year")
+    },
+
+    // TPC-H Q9 (product-type profit): part-name LIKE gate on the star,
+    // profit by supplier nation × order year. The testdata has no
+    // partsupp/supplycost, so profit is the discounted price — the join
+    // topology (part gate → lineitem → supplier → nation, orders for
+    // the year) is what this query pins.
+    Q("q110_tpch_q9",
+      "SELECT n_name AS nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit FROM (" +
+        "SELECT n_name, EXTRACT(year FROM o_orderdate)::BIGINT AS o_year, " +
+        "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS amount " +
+        "FROM part JOIN lineitem ON p_partkey = l_partkey " +
+        "JOIN supplier ON s_suppkey = l_suppkey " +
+        "JOIN orders ON o_orderkey = l_orderkey " +
+        "JOIN nation ON s_nationkey = n_nationkey " +
+        "WHERE p_name LIKE '%red%') t " +
+        "GROUP BY n_name, o_year ORDER BY nation, o_year DESC") { (s, dir) =>
+      Tables.load(s, dir, "lineitem")
+        .join(broadcast(Tables.load(s, dir, "part")
+          .filter(col("p_name").like("%red%"))),
+          col("p_partkey") === col("l_partkey"))
+        .join(Tables.load(s, dir, "orders"), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.load(s, dir, "supplier")),
+          col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(Tables.load(s, dir, "nation")),
+          col("n_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
+          .cast("double").as("sum_profit"))
+        .orderBy(col("nation"), desc("o_year"))
+    },
+
+    // TPC-H Q2 (minimum-cost supplier): the correlated scalar-MIN
+    // subquery. No partsupp in the testdata, so "cost" is the cheapest
+    // observed lineitem price per (part, supplier) — the per-part
+    // global-min equality join is the shape that matters. MIN never
+    // sums, so double is already exact; the per-part min frame derives
+    // from the persisted cost frame (one lineitem scan total).
+    Q("q111_tpch_q2",
+      "WITH cost AS (SELECT l_partkey AS pk, l_suppkey AS sk, MIN(l_extendedprice) AS c " +
+        "FROM lineitem GROUP BY 1, 2), " +
+        "mn AS (SELECT pk AS mpk, MIN(c) AS m FROM cost GROUP BY 1) " +
+        "SELECT p_partkey, s_suppkey, s_name, c AS cost FROM cost " +
+        "JOIN mn ON mpk = pk JOIN part ON p_partkey = pk JOIN supplier ON s_suppkey = sk " +
+        "WHERE p_size = 15 AND c = m ORDER BY p_partkey, s_suppkey LIMIT 100") { (s, dir) =>
+      val cost = GraftCache.track(Tables.load(s, dir, "lineitem")
+        .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .agg(min(col("l_extendedprice")).as("c")))
+      val mn = cost.groupBy(col("pk").as("mpk")).agg(min(col("c")).as("m"))
+      cost.join(mn, col("mpk") === col("pk"))
+        .filter(col("c") === col("m"))
+        .join(broadcast(Tables.load(s, dir, "part").filter(col("p_size") === 15)),
+          col("p_partkey") === col("pk"))
+        .join(broadcast(Tables.load(s, dir, "supplier")),
+          col("s_suppkey") === col("sk"))
+        .select(col("p_partkey"), col("s_suppkey"), col("s_name"), col("c").as("cost"))
+        .orderBy("p_partkey", "s_suppkey")
+        .limit(100)
+    },
+
+    // TPC-H Q20 (potential part promotion): nested IN — suppliers whose
+    // shipped volume of LIKE-gated parts crossed a threshold. The inner
+    // IN becomes a broadcast join against the filtered part keys; the
+    // outer IN a left-semi against the HAVING-filtered aggregate (small
+    // → AQE broadcasts it). The threshold compares in exact DECIMAL.
+    Q("q112_tpch_q20",
+      "SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey IN (" +
+        "SELECT l_suppkey FROM lineitem " +
+        "WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%') " +
+        "AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' " +
+        "AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' " +
+        "GROUP BY l_suppkey HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 120) " +
+        "ORDER BY s_suppkey") { (s, dir) =>
+      val eligible = Tables.load(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= ts("1997-01-01 00:00:00") &&
+          col("l_shipdate") < ts("1998-01-01 00:00:00"))
+        .join(broadcast(Tables.load(s, dir, "part")
+          .filter(col("p_name").like("red%")).select("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(sum(dec(col("l_quantity"))).as("sq"))
+        .filter(col("sq") > 120)
+        .select(col("l_suppkey").as("esk"))
+      Tables.load(s, dir, "supplier")
+        .join(eligible, col("s_suppkey") === col("esk"), "left_semi")
+        .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     }
   )
