@@ -286,4 +286,48 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       assert(p.contains("BroadcastExchange"), s"$q: stats frame must broadcast:\n$p")
     }
   }
+
+  test("q104/q108: correlated EXISTS shapes stay keyed semi/anti joins — never nested-loop") {
+    // the non-equi predicates (shipdate vs orderdate+interval, suppkey
+    // inequality) must RIDE an equi-keyed join, not replace it: a
+    // BroadcastNestedLoopJoin here is O(orders × lineitem) at 100 TB
+    val p4 = plan("q104_tpch_q4")
+    assert(p4.contains("LeftSemi"), s"q104: semi join lost:\n$p4")
+    assert(!p4.contains("CartesianProduct") && !p4.contains("BroadcastNestedLoopJoin"),
+      s"q104: EXISTS degenerated to a nested loop:\n$p4")
+    val p21 = plan("q108_tpch_q21")
+    assert(p21.contains("LeftSemi") && p21.contains("LeftAnti"),
+      s"q108: semi+anti pair lost:\n$p21")
+    assert(!p21.contains("CartesianProduct") && !p21.contains("BroadcastNestedLoopJoin"),
+      s"q108: correlation degenerated to a nested loop:\n$p21")
+  }
+
+  test("q106: the 3-branch disjunction rides a broadcast equi-join") {
+    // brand/size/quantity ORs are a post-join filter; the p_partkey
+    // equi-key must keep the broadcast hash join (TPC-H Q19's classic
+    // failure mode is OR-expansion into a nested loop)
+    val p = plan("q106_tpch_q19")
+    assert(p.contains("BroadcastHashJoin"), s"q106: broadcast join lost:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"q106: disjunction broke the equi-join:\n$p")
+  }
+
+  test("q109/q110: deep stars broadcast every dimension — fact table shuffles only to aggregate") {
+    for (q <- Seq("q109_tpch_q8", "q110_tpch_q9")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian:\n$p")
+      assert("BroadcastHashJoin".r.findAllIn(p).length >= 3,
+        s"$q: dimensions stopped broadcasting:\n$p")
+    }
+  }
+
+  test("q111/q112: correlated-MIN and nested-IN plan as keyed aggregates + equi joins") {
+    for (q <- Seq("q111_tpch_q2", "q112_tpch_q20")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: quadratic join:\n$p")
+    }
+    assert(plan("q112_tpch_q20").contains("LeftSemi"),
+      s"q112: outer IN must stay a semi join")
+  }
 }
