@@ -576,6 +576,10 @@ object Relational {
     // identical in every column a window function here pulls, making
     // the output multiset order-independent; percent_rank and cume_dist
     // are single IEEE divisions of exact integer ranks.
+    // The supplier-subset gate (suppkey ≡ 0 mod 10) drops whole window
+    // partitions, never rows within one — every function still sees
+    // full partitions, but the output (and the presentation sort) is
+    // a tenth of the fact table instead of all of it.
     Q("q101_window_breadth",
       "SELECT l_suppkey, l_orderkey, l_linenumber, " +
         "NTILE(4) OVER w AS qtile, " +
@@ -584,11 +588,13 @@ object Relational {
         "first_value(l_orderkey) OVER w AS first_ok, " +
         "nth_value(l_orderkey, 3) OVER w AS third_ok, " +
         "lag(l_quantity, 2, -1) OVER w AS lag2 " +
-        "FROM lineitem WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber, l_quantity) " +
+        "FROM lineitem WHERE l_suppkey % 10 = 0 " +
+        "WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber, l_quantity) " +
         "ORDER BY l_suppkey, l_orderkey, l_linenumber") { (s, dir) =>
       val w = Window.partitionBy("l_suppkey")
         .orderBy("l_orderkey", "l_linenumber", "l_quantity")
       Tables.load(s, dir, "lineitem")
+        .filter(col("l_suppkey") % 10 === 0)
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
           ntile(4).over(w).cast("long").as("qtile"),
           percent_rank().over(w).as("pr"),
