@@ -201,4 +201,63 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
       assert(last("g2") == Map("x" -> 2L))
     } finally q.stop()
   }
+
+  test("streaming sessionize matches the batch operator on real event data across micro-batches") {
+    // The batch operator is the oracle (itself DuckDB-oracled via q87):
+    // feed the same second-granularity events through the stateful
+    // streaming path in TWO micro-batches split on a time boundary —
+    // sessions spanning the boundary must continue through state — then
+    // close everything via the event-time timeout and compare exactly.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+
+    val gapMin = 240
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .filter(col("user_id") < 40)
+    // second-granularity timestamps (the streaming state works in epoch
+    // seconds), tolerant of the fixture's nanos-as-long parquet reading
+    val tsSec =
+      if (ev.schema("ts").dataType.typeName == "long")
+        expr("CAST(ts DIV 1000000000 AS TIMESTAMP)")
+      else expr("CAST(unix_micros(ts) DIV 1000000 * 1000000 AS TIMESTAMP)")
+    val raw = ev.select(tsSec.as("ts"),
+      col("user_id").cast("string").as("event_type"),
+      col("event_id"), lit(1.0).as("value"))
+
+    val rows = raw.select("ts", "event_type").as[(Timestamp, String)]
+      .collect().sortBy(_._1.getTime)
+    assert(rows.length > 100, s"test corpus too small: ${rows.length}")
+    val splitAt = rows(rows.length / 2)._1.getTime
+    val (b1, b2) = rows.partition(_._1.getTime < splitAt)
+    val sentinel = (new Timestamp(rows.last._1.getTime +
+      (gapMin + 120) * 60000L), "sentinel")
+
+    val input = MemoryStream[(Timestamp, String)](spark)
+    val out = EventStream.sessionize(
+      input.toDF().toDF("ts", "event_type"), gapMinutes = gapMin,
+      lateness = "1 second")
+    val q = out.writeStream
+      .format("memory").queryName("sess_eq_out").outputMode("append").start()
+    val streamed =
+      try {
+        input.addData(b1.toSeq); q.processAllAvailable()
+        input.addData(b2.toSeq); q.processAllAvailable()
+        input.addData(sentinel); q.processAllAvailable()
+        spark.table("sess_eq_out").as[EventStream.Session].collect()
+          .filter(_.event_type != "sentinel")
+          .map(s => (s.event_type, s.session_start, s.session_end, s.n_events))
+          .toSet
+      } finally q.stop()
+
+    val batch = graft.operators.Sessions.sessionize(raw, gapMinutes = gapMin,
+        userCol = "event_type")
+      .select(col("user_id"),
+        (col("start_us") / 1000000L).cast("long"),
+        (col("end_us") / 1000000L).cast("long"), col("n_events"))
+      .as[(String, Long, Long, Long)].collect().toSet
+
+    assert(streamed == batch,
+      s"streaming/batch divergence: only-streaming=${(streamed -- batch).take(5)} " +
+        s"only-batch=${(batch -- streamed).take(5)}")
+  }
 }
