@@ -260,4 +260,86 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
       s"streaming/batch divergence: only-streaming=${(streamed -- batch).take(5)} " +
         s"only-batch=${(batch -- streamed).take(5)}")
   }
+
+  test("streaming hourly aggregate matches the batch windowed aggregate on real event data") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .filter(col("user_id") < 40)
+    val tsCol =
+      if (ev.schema("ts").dataType.typeName == "long")
+        expr("timestamp_micros(ts DIV 1000)") // micros precision, like the operators
+      else col("ts")
+    val raw = ev.select(tsCol.as("ts"), col("event_type"),
+      col("value").cast("double").as("value"))
+
+    val rows = raw.as[(Timestamp, String, Double)].collect().sortBy(_._1.getTime)
+    val splitAt = rows(rows.length / 2)._1.getTime
+    val (b1, b2) = rows.partition(_._1.getTime < splitAt)
+    // far-future sentinel: watermark passes every real window's end
+    val sentinel = (new Timestamp(rows.last._1.getTime + 7200000L), "sentinel", 0.0)
+
+    val input = MemoryStream[(Timestamp, String, Double)](spark)
+    val agg = EventStream.hourlyAggregate(
+      input.toDF().toDF("ts", "event_type", "value"), lateness = "1 second")
+    val q = agg.writeStream
+      .format("memory").queryName("hr_eq_out").outputMode("append").start()
+    val streamed =
+      try {
+        input.addData(b1.toSeq); q.processAllAvailable()
+        input.addData(b2.toSeq); q.processAllAvailable()
+        input.addData(sentinel); q.processAllAvailable()
+        spark.table("hr_eq_out")
+          .filter(col("event_type") =!= "sentinel")
+          .as[(Timestamp, String, Long, Double)].collect().toSet
+      } finally q.stop()
+
+    // the batch oracle: identical expression over the same frame —
+    // windows split across the micro-batch boundary must have merged
+    val batch = raw
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(col("window.start").as("hour_ts"), col("event_type"),
+        col("n"), col("total_value"))
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    assert(streamed == batch,
+      s"divergence: only-streaming=${(streamed -- batch).take(3)} " +
+        s"only-batch=${(batch -- streamed).take(3)}")
+  }
+
+  test("streaming dedup emits exactly the batch-distinct fingerprint set, each once") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    // deterministic arrival times; lateness covers the whole span so no
+    // fingerprint state is evicted → exactly-once within the window
+    val rows = docs.as[(Long, String)].collect()
+      .map { case (id, text) => (new Timestamp(1700000000000L + id * 1000L), id, text) }
+      .sortBy(_._1.getTime)
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+
+    val input = MemoryStream[(Timestamp, Long, String)](spark)
+    val out = EventStream.dedupStream(
+      input.toDF().toDF("ts", "doc_id", "text"), lateness = "30 days")
+    val q = out.writeStream
+      .format("memory").queryName("dd_eq_out").outputMode("append").start()
+    val streamedFps =
+      try {
+        input.addData(b1.toSeq); q.processAllAvailable()
+        input.addData(b2.toSeq); q.processAllAvailable()
+        spark.table("dd_eq_out").select("fp").as[Long].collect()
+      } finally q.stop()
+
+    val batchFps = docs
+      .select(graft.functions.CrossHash.h60(col("text")).as("fp"))
+      .distinct().as[Long].collect().toSet
+    assert(streamedFps.length == streamedFps.toSet.size,
+      "a fingerprint was emitted more than once")
+    assert(streamedFps.toSet == batchFps,
+      s"fingerprint set mismatch: streaming ${streamedFps.length} vs batch ${batchFps.size}")
+  }
 }
