@@ -12,8 +12,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
 
   private val dir = "/root/testdata/sf0.001"
 
-  private def plan(name: String): String =
-    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+  private def plan(name: String): String = {
+    val p = SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+    // queries that GraftCache.track a reused frame register it with the
+    // shared session's CacheManager at CONSTRUCTION time; left in place
+    // it would substitute InMemoryRelations into later suites' plans —
+    // the exact property this spec pins
+    GraftCache.releaseAll()
+    p
+  }
 
   test("q02: predicate reaches the parquet scan as PushedFilters") {
     val p = plan("q02_filter_pushdown")
@@ -326,8 +333,8 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       val p = plan(q)
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$q: quadratic join:\n$p")
+      if (q == "q112_tpch_q20")
+        assert(p.contains("LeftSemi"), s"q112: outer IN must stay a semi join:\n$p")
     }
-    assert(plan("q112_tpch_q20").contains("LeftSemi"),
-      s"q112: outer IN must stay a semi join")
   }
 }

@@ -219,7 +219,7 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
     val tsSec =
       if (ev.schema("ts").dataType.typeName == "long")
         expr("CAST(ts DIV 1000000000 AS TIMESTAMP)")
-      else expr("CAST(unix_micros(ts) DIV 1000000 * 1000000 AS TIMESTAMP)")
+      else expr("timestamp_micros(unix_micros(ts) DIV 1000000 * 1000000)")
     val raw = ev.select(tsSec.as("ts"),
       col("user_id").cast("string").as("event_type"),
       col("event_id"), lit(1.0).as("value"))
