@@ -227,6 +227,29 @@ object Cluster extends org.apache.spark.internal.Logging {
       .select(col("doc_id"), coalesce(col("cluster"), col("rep")).as("canonical"))
   }
 
+  /** Keep-best duplicate resolution: one surviving document per
+    * duplicate cluster, chosen by QUALITY rather than id — the policy a
+    * training-data pipeline actually wants (the longest/cleanest copy
+    * survives, not whichever arrived first). The argmax is ONE
+    * map-side-combinable struct-max aggregate over the cluster key
+    * (lexicographic (score, -id) order makes the tiebreak
+    * deterministic: highest score, then lowest id), so resolution costs
+    * a single shuffle beyond the [[resolveDuplicates]] closure at any
+    * corpus size.
+    */
+  def keepBest(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", scoreCol: String = "n_chars"): DataFrame = {
+    val canon = resolveDuplicates(df, idCol, textCol)
+    val scored = df.select(col(idCol).as("doc_id"), col(scoreCol).as("score"))
+    canon.join(scored, "doc_id")
+      .groupBy("canonical")
+      .agg(
+        max(struct(col("score").as("s"), (-col("doc_id")).as("negid"))).as("best"),
+        count(lit(1)).as("n_members"))
+      .select(col("canonical"), (-col("best.negid")).as("keeper_id"),
+        col("best.s").as("keeper_chars"), col("n_members"))
+  }
+
   /** Semantic duplicate clusters over an embedding frame: canonical =
     * min vec_id of the connected component of the sign-LSH near-dup
     * pair graph ([[Dedup.embeddingNearDupPairs]]); vectors in no pair
@@ -287,6 +310,28 @@ object Cluster extends org.apache.spark.internal.Logging {
       centrality(Dedup.minhashLshPairs(Tables.load(s, dir, "documents")))
         .select(col("v").as("doc_id"), col("score"))
         .orderBy("doc_id")
+    },
+
+    // Keep-best resolution: the longest member (min-id tiebreak) of
+    // every duplicate cluster survives. Oracle = the q74 closure plus a
+    // windowed per-cluster max and a FILTERed argmin — all integer
+    // comparisons, bit-stable in both engines.
+    Q("q113_keep_best",
+      "WITH RECURSIVE " + Dedup.minhashPairsCtes + ", " +
+        "e AS (SELECT d1, d2 FROM pairs UNION SELECT d2, d1 FROM pairs), " +
+        "r AS (SELECT d1 AS v, d2 AS u FROM e " +
+        " UNION SELECT r.v, e.d2 FROM r JOIN e ON r.u = e.d1), " +
+        "lab AS (SELECT v, LEAST(v, MIN(u)) AS cluster FROM r GROUP BY v), " +
+        "rm AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep FROM documents), " +
+        "m AS (SELECT rm.doc_id AS doc_id, COALESCE(lab.cluster, rm.rep) AS canonical " +
+        "FROM rm LEFT JOIN lab ON rm.rep = lab.v), " +
+        "j AS (SELECT m.canonical, d.doc_id, d.n_chars, " +
+        "MAX(d.n_chars) OVER (PARTITION BY m.canonical) AS mx " +
+        "FROM m JOIN documents d USING (doc_id)) " +
+        "SELECT canonical, MIN(doc_id) FILTER (WHERE n_chars = mx) AS keeper_id, " +
+        "MAX(n_chars) AS keeper_chars, COUNT(*) AS n_members " +
+        "FROM j GROUP BY canonical ORDER BY canonical") { (s, dir) =>
+      keepBest(Tables.load(s, dir, "documents")).orderBy("canonical")
     },
 
     // Semantic dedup end-to-end: every vector mapped to the min-id
