@@ -337,4 +337,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
         assert(p.contains("LeftSemi"), s"q112: outer IN must stay a semi join:\n$p")
     }
   }
+
+  test("q113: keep-best argmax is a partial+final aggregate — no cartesian, no window over clusters") {
+    val p = plan("q113_keep_best")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"quadratic join in keep-best:\n$p")
+    // the survivor choice must be the struct-max AGGREGATE (map-side
+    // combinable), never a per-cluster window (single-task buffering of
+    // a hot cluster's members, no AQE skew handling)
+    assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(p).nonEmpty, p)
+  }
 }
