@@ -121,6 +121,31 @@ object EventStream {
       }
       .start()
 
+  /** Stream-stream watermarked interval join: attribute each click to
+    * every view by the same user within the preceding `withinMinutes`.
+    * The equi-key (user) bounds the hash partitioning, the event-time
+    * range plus both watermarks bound the JOIN STATE — a view's state
+    * row is dropped once the click watermark passes v_ts + within, so
+    * state is ingest-rate × window, not stream length (the property
+    * that makes a stream-stream join viable at all; an unbounded-state
+    * join is the classic streaming scale-killer). Append-mode output:
+    * a pair emits exactly once, when both sides are final.
+    */
+  def attributeClicks(views: DataFrame, clicks: DataFrame,
+      withinMinutes: Int = 30, lateness: String = "10 minutes"): DataFrame = {
+    val v = views.withWatermark("ts", lateness)
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id"))
+    val c = clicks.withWatermark("ts", lateness)
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+    c.join(v, expr(
+      s"""c_user = v_user AND v_ts <= c_ts
+         |AND v_ts >= c_ts - INTERVAL $withinMinutes MINUTES""".stripMargin))
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
+        col("c_ts"), col("v_ts"))
+  }
+
   /** One group's current heavy-hitter estimates, re-emitted per trigger. */
   case class HeavyHitters(grp: String, items: Map[String, Long])
 

@@ -342,4 +342,67 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
     assert(streamedFps.toSet == batchFps,
       s"fingerprint set mismatch: streaming ${streamedFps.length} vs batch ${batchFps.size}")
   }
+
+  test("stream-stream interval join matches the batch interval join on real event data") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .filter(col("user_id") < 40)
+    val tsCol =
+      if (ev.schema("ts").dataType.typeName == "long")
+        expr("timestamp_micros(ts DIV 1000)")
+      else col("ts")
+    val raw = ev.select(col("user_id"), tsCol.as("ts"),
+      col("event_id"), col("event_type"))
+    val views = raw.filter(col("event_type") === "view")
+      .select("user_id", "ts", "event_id")
+    val clicks = raw.filter(col("event_type") === "click")
+      .select("user_id", "ts", "event_id")
+
+    val vRows = views.as[(Long, Timestamp, Long)].collect().sortBy(_._2.getTime)
+    val cRows = clicks.as[(Long, Timestamp, Long)].collect().sortBy(_._2.getTime)
+    assert(vRows.nonEmpty && cRows.nonEmpty)
+    val maxTs = math.max(vRows.last._2.getTime, cRows.last._2.getTime)
+    // sentinel on BOTH sides: each side's watermark must pass every
+    // real pair's bound before append mode will emit it
+    val sentinelTs = new Timestamp(maxTs + 86400000L)
+
+    val vIn = MemoryStream[(Long, Timestamp, Long)](spark)
+    val cIn = MemoryStream[(Long, Timestamp, Long)](spark)
+    val joined = EventStream.attributeClicks(
+      vIn.toDF().toDF("user_id", "ts", "event_id"),
+      cIn.toDF().toDF("user_id", "ts", "event_id"),
+      withinMinutes = 30, lateness = "1 second")
+    val q = joined.writeStream
+      .format("memory").queryName("attr_out").outputMode("append").start()
+    val streamed =
+      try {
+        // two micro-batches per side, split on each side's median —
+        // pairs spanning the boundary must come from the join state
+        val (v1, v2) = vRows.partition(_._2.getTime < vRows(vRows.length / 2)._2.getTime)
+        val (c1, c2) = cRows.partition(_._2.getTime < cRows(cRows.length / 2)._2.getTime)
+        vIn.addData(v1.toSeq); cIn.addData(c1.toSeq); q.processAllAvailable()
+        vIn.addData(v2.toSeq); cIn.addData(c2.toSeq); q.processAllAvailable()
+        vIn.addData((-1L, sentinelTs, -1L)); cIn.addData((-1L, sentinelTs, -1L))
+        q.processAllAvailable()
+        spark.table("attr_out")
+          .filter(col("user_id") =!= -1L)
+          .select("user_id", "click_id", "view_id")
+          .as[(Long, Long, Long)].collect().toSet
+      } finally q.stop()
+
+    val batch = clicks.select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .join(views.select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("view_id")),
+        expr("c_user = v_user AND v_ts <= c_ts AND v_ts >= c_ts - INTERVAL 30 MINUTES"))
+      .select(col("c_user"), col("click_id"), col("view_id"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty, "fixture produced no attributable pairs — test is vacuous")
+    assert(streamed == batch,
+      s"divergence: only-streaming=${(streamed -- batch).take(3)} " +
+        s"only-batch=${(batch -- streamed).take(3)} " +
+        s"(${streamed.size} vs ${batch.size})")
+  }
 }
