@@ -531,6 +531,22 @@ object Dedup {
         .orderBy("source")
     },
 
+    // The SAME sketch computed through the pure-SQL surface: the
+    // GraftExtensions-registered graft_h60 / graft_kmv_kth_min
+    // functions, exercised end-to-end by spark.sql text (the entry
+    // point a SQL-only user of the engine gets). Same oracle shape as
+    // q46 — the two entry points must agree with DuckDB AND each other.
+    Q("q114_sql_surface",
+      "WITH h AS (SELECT DISTINCT source, " + h60Sql("text") + " AS h FROM documents), " +
+        "r AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h), " +
+        "kt AS (SELECT source, h AS kth FROM r WHERE rn = 8) " +
+        "SELECT source, kth FROM kt ORDER BY source") { (s, dir) =>
+      Tables.load(s, dir, "documents").createOrReplaceTempView("graft_documents")
+      s.sql("""SELECT source, graft_kmv_kth_min(graft_h60(text), 8) AS kth
+              |FROM graft_documents GROUP BY source
+              |HAVING kth IS NOT NULL ORDER BY source""".stripMargin)
+    },
+
     // 60-bit SimHash: per-token 60-bit hash, token-frequency-weighted
     // sign vote per bit position.
     Q("q43_simhash",

@@ -1,0 +1,91 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Expression, ExpressionInfo, Literal, Md5, Substring}
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+import graft.functions.{FreqSketchAgg, KmvSketchAgg, QDot, RollingHash, SignBands}
+
+/** SQL registrations for the engine's function surface: the same
+  * Catalyst expressions the DataFrame operators use, callable from pure
+  * `spark.sql(...)` — the analog of the reference exposing its engine
+  * to SQL-only users (its Python/`datafusion-cli` bindings run SQL
+  * text, never a DataFrame API; reference `python/python/tests/
+  * test_duckdb.py:14-59`). Registered by [[GraftExtensions]], so any
+  * session configured with the extension gets them.
+  *
+  * All functions keep the cross-engine determinism contract: integer
+  * outputs, codegen-friendly (native `doGenCode` expressions, never
+  * Scala UDFs), aggregates map-side combinable.
+  */
+object GraftFunctions {
+
+  private def info(clazz: Class[_], name: String): ExpressionInfo =
+    new ExpressionInfo(clazz.getName, null, name)
+
+  /** A literal-int argument (sketch sizes and band shapes parameterize
+    * the EXPRESSION, so they must fold at analysis time).
+    */
+  private def intArg(e: Expression, fn: String, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case _ => throw new IllegalArgumentException(
+      s"$fn: $what must be an integer literal, got $e")
+  }
+
+  /** The md5-derived 60-bit cross-engine hash ([[graft.functions.CrossHash]])
+    * as a composed expression tree — identical to the Column form, so
+    * SQL and DataFrame callers hash identically.
+    */
+  private def h60(e: Expression): Expression =
+    Cast(Conv(Substring(Md5(Cast(e, org.apache.spark.sql.types.BinaryType)),
+      Literal(1), Literal(15)), Literal(16), Literal(10)), LongType)
+
+  def register(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("graft_h60"),
+      info(classOf[Md5], "graft_h60"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_h60(str)")
+        h60(args.head)
+      }))
+
+    e.injectFunction((FunctionIdentifier("graft_rolling_hash"),
+      info(classOf[RollingHash], "graft_rolling_hash"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_rolling_hash(str)")
+        RollingHash(args.head)
+      }))
+
+    e.injectFunction((FunctionIdentifier("graft_qdot"),
+      info(classOf[QDot], "graft_qdot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_qdot(arr, arr)")
+        QDot(args.head, args(1))
+      }))
+
+    e.injectFunction((FunctionIdentifier("graft_sign_bands"),
+      info(classOf[SignBands], "graft_sign_bands"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "graft_sign_bands(arr, numBands, bandBits)")
+        SignBands(args.head,
+          intArg(args(1), "graft_sign_bands", "numBands"),
+          intArg(args(2), "graft_sign_bands", "bandBits"))
+      }))
+
+    // aggregates: the analyzer wraps a bare AggregateFunction into
+    // AggregateExpression(Complete) exactly as for built-ins
+    e.injectFunction((FunctionIdentifier("graft_kmv_kth_min"),
+      info(classOf[KmvSketchAgg], "graft_kmv_kth_min"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_kmv_kth_min(col, k)")
+        KmvSketchAgg(args.head, intArg(args(1), "graft_kmv_kth_min", "k"))
+      }))
+
+    e.injectFunction((FunctionIdentifier("graft_freq_sketch"),
+      info(classOf[FreqSketchAgg], "graft_freq_sketch"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_freq_sketch(col, capacity)")
+        FreqSketchAgg(args.head, intArg(args(1), "graft_freq_sketch", "capacity"))
+      }))
+  }
+}
