@@ -190,4 +190,87 @@ class AlgorithmPropertySpec extends AnyFunSuite with SparkFixture {
       }
     }
   }
+
+  test("sessionize equals the sequential gap-scan on random event sets") {
+    import spark.implicits._
+    // ts as LongType NANOS (the events.parquet reading mode); value in
+    // exact cents so the DECIMAL sum reference is bit-stable
+    val genEvents = for {
+      n <- Gen.choose(1, 60)
+      evs <- Gen.listOfN(n, for {
+        u <- Gen.choose(0L, 4L)
+        us <- Gen.choose(0L, 300000000L) // 5 minutes of microseconds
+        cents <- Gen.choose(0L, 9999L)
+      } yield (u, us, cents))
+    } yield evs.zipWithIndex.map { case ((u, us, c), i) =>
+      (u, us * 1000L, i.toLong, c / 100.0)
+    }
+    for (seed <- 1L to 10L) {
+      val evs = sample(genEvents, seed)
+      val gapMin = 1 + (seed % 3).toInt // 1..3 minutes
+      val gapUs = gapMin * 60L * 1000000L
+      val got = Sessions.sessionize(
+          evs.toDF("user_id", "ts", "event_id", "value"), gapMinutes = gapMin)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getDouble(5))).toSet
+      // sequential reference: per user, scan (us, id)-sorted events,
+      // break when the gap exceeds gapUs, number sessions 1..n
+      val expected = evs.groupBy(_._1).flatMap { case (u, rows) =>
+        val sorted = rows.map(r => (r._2 / 1000L, r._3, r._4)).sortBy(t => (t._1, t._2))
+        val sessions = scala.collection.mutable.ArrayBuffer
+          .empty[scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]]
+        var prev = Long.MinValue
+        sorted.foreach { e =>
+          if (sessions.isEmpty || e._1 - prev > gapUs)
+            sessions += scala.collection.mutable.ArrayBuffer(e)
+          else sessions.last += e
+          prev = e._1
+        }
+        sessions.zipWithIndex.map { case (s, i) =>
+          val sum = s.map(e => BigDecimal(e._3).setScale(2)).sum
+          (u, (i + 1).toLong, s.length.toLong, s.head._1, s.last._1, sum.toDouble)
+        }
+      }.toSet
+      assert(got == expected,
+        s"seed=$seed gap=$gapMin: only-got=${(got -- expected).take(3)} " +
+          s"only-want=${(expected -- got).take(3)}")
+    }
+  }
+
+  test("funnel equals the sequential first-touch fold on random event sets") {
+    import spark.implicits._
+    val steps = Seq("s0", "s1", "s2")
+    val types = steps :+ "noise"
+    val genEvents = for {
+      n <- Gen.choose(1, 50)
+      evs <- Gen.listOfN(n, for {
+        u <- Gen.choose(0L, 5L)
+        us <- Gen.choose(0L, 1000L)
+        t <- Gen.oneOf(types)
+      } yield (u, us * 1000L, t)) // LongType nanos again
+    } yield evs
+    for (seed <- 1L to 10L) {
+      val evs = sample(genEvents, seed)
+      val got = Sessions.funnel(evs.toDF("user_id", "ts", "event_type"), steps)
+        .select("user_id", "stage")
+        .as[(Long, Long)].collect().toMap
+      // reference: t_i = min time of step i; stage = longest chain
+      // t0 <= t1 <= ... built left to right on first-occurrence times
+      val expected = evs.groupBy(_._1).map { case (u, rows) =>
+        val firsts = steps.map(s =>
+          rows.filter(_._3 == s).map(_._2 / 1000L).minOption)
+        var stage = 0L
+        var prevT = Long.MinValue
+        var open = true
+        firsts.foreach { t =>
+          if (open) t match {
+            case Some(v) if v >= prevT => stage += 1; prevT = v
+            case _ => open = false
+          }
+        }
+        u -> stage
+      }
+      assert(got == expected, s"seed=$seed: got=$got want=$expected evs=$evs")
+    }
+  }
 }
