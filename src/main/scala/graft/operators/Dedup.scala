@@ -189,6 +189,33 @@ object Dedup {
     bucketPairs(bands, Seq("band", "sig"), bucketCap)
   }
 
+  /** Edit-distance verification of MinHash-LSH candidate pairs — the
+    * "confirm before you delete" stage of a near-dup pipeline. LSH
+    * candidates are probabilistic; production dedup re-checks each
+    * surviving pair with a true string metric before merging clusters.
+    *
+    * Emits every candidate pair with its exact Levenshtein distance,
+    * the longer text's length, and a `verified` verdict
+    * (`dist * den <= num * len_max`, default ≤ 3/4 of the longer
+    * text). Integer-exact comparison; `levenshtein` is a codegen'd
+    * built-in with identical unit-cost semantics in DuckDB.
+    *
+    * Scale shape: the O(n·m) distance runs ONLY on the LSH-bounded
+    * candidate set (BucketCap caps any bucket's pair fan-out), never
+    * all-pairs; the two text lookups are keyed joins on doc_id.
+    */
+  def verifiedNearDups(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", num: Int = 3, den: Int = 4): DataFrame = {
+    val c = corpus(df, idCol, textCol)
+    minhashLshPairs(df, idCol, textCol)
+      .join(c.select(col("doc_id").as("d1"), col("text").as("t1")), "d1")
+      .join(c.select(col("doc_id").as("d2"), col("text").as("t2")), "d2")
+      .select(col("d1"), col("d2"),
+        levenshtein(col("t1"), col("t2")).as("dist"),
+        greatest(length(col("t1")), length(col("t2"))).as("len_max"))
+      .withColumn("verified", col("dist") * den <= col("len_max") * num)
+  }
+
   /** 60-bit SimHash per document for any (id, text) frame.
     *
     * The frequency-weighted vote over distinct tokens equals the
@@ -503,6 +530,22 @@ object Dedup {
       "WITH " + minhashPairsCtes +
         " SELECT d1, d2 FROM pairs ORDER BY d1, d2") { (s, dir) =>
       minhashLshPairs(Tables.load(s, dir, "documents")).orderBy("d1", "d2")
+    },
+
+    // Exact Levenshtein verification over the LSH candidate pairs:
+    // candidates are probabilistic, the verdict is metric-exact. The
+    // oracle recomputes the full pair pipeline plus DuckDB's own
+    // levenshtein on the joined texts.
+    Q("q116_neardup_verify",
+      "WITH " + minhashPairsCtes +
+        ", j AS (SELECT p.d1 AS d1, p.d2 AS d2, " +
+        "levenshtein(a.text, b.text) AS dist, " +
+        "greatest(len(a.text), len(b.text)) AS len_max " +
+        "FROM pairs p JOIN documents a ON a.doc_id = p.d1 " +
+        "JOIN documents b ON b.doc_id = p.d2) " +
+        "SELECT d1, d2, dist, len_max, (dist * 4 <= len_max * 3) AS verified " +
+        "FROM j ORDER BY d1, d2") { (s, dir) =>
+      verifiedNearDups(Tables.load(s, dir, "documents")).orderBy("d1", "d2")
     },
 
     // KMV distinct-count sketch per source: a native Catalyst

@@ -198,6 +198,42 @@ object TextAnalysis {
         regexp_replace(col("text"), pat, mask).as("text_redacted"))
   }
 
+  /** PII patterns shared by the operator and its oracle. Restricted to
+    * the regex subset Java regex and RE2 (DuckDB) interpret identically:
+    * character classes, bounded repetition, `\b`, `\d` — no lookaround,
+    * no backreferences.
+    */
+  val PiiEmail: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiIp: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PiiPhone: String = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** PII detection + redaction — the privacy-scrub pass a training-data
+    * pipeline runs over raw web text (emails, IPv4 addresses, NANP-style
+    * phone numbers; reference's pipeline has no PII stage, this is part
+    * of the training-data surface beyond it).
+    *
+    * Counting and masking run as a SEQUENTIAL pipeline (emails, then
+    * IPs, then phones), each stage counting on the PREVIOUS stage's
+    * redacted text — so `n_*` is exactly the number of replacements
+    * performed and a span consumed by an earlier stage (digits inside
+    * an email local part, say) is never double-counted by a later one.
+    *
+    * Scale shape: one narrow projection, three codegen'd
+    * `regexp_count`/`regexp_replace` pairs per row, no shuffle at any
+    * corpus size.
+    */
+  def piiRedact(df: org.apache.spark.sql.DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val t1 = regexp_replace(col("text"), PiiEmail, "<EMAIL>")
+    val t2 = regexp_replace(t1, PiiIp, "<IP>")
+    corpus(df, idCol, textCol)
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(PiiEmail)).as("n_emails"),
+        regexp_count(t1, lit(PiiIp)).as("n_ips"),
+        regexp_count(t2, lit(PiiPhone)).as("n_phones"),
+        regexp_replace(t2, PiiPhone, "<PHONE>").as("text_clean"))
+  }
+
   /** Vocabulary pruning / OOV mapping (the tokenizer-prep step): build
     * the top-`k` token vocabulary by corpus frequency (count desc, token
     * tiebreak) and rewrite every out-of-vocabulary token to `unk`.
@@ -572,6 +608,36 @@ object TextAnalysis {
         raw"regexp_replace(text, '\b(customer|spark)\b', '<x>', 'g') AS text_redacted " +
         "FROM documents ORDER BY doc_id") { (s, dir) =>
       redactTerms(Tables.load(s, dir, "documents")).orderBy("doc_id")
+    },
+
+    // PII scrub: the documents corpus carries no PII, so the gate
+    // deterministically plants emails / IPv4s / phone spans from doc_id
+    // (identically in both engines) and verifies counts + the fully
+    // redacted text byte-for-byte.
+    Q("q115_pii_redact",
+      "WITH aug AS (SELECT doc_id, text || " +
+        "CASE WHEN doc_id % 3 != 0 THEN ' contact u' || (doc_id % 97)::VARCHAR || '@ex' || (doc_id % 7)::VARCHAR || '.com' ELSE '' END || " +
+        "CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || (doc_id % 251)::VARCHAR || '.0.1' ELSE '' END || " +
+        "CASE WHEN doc_id % 7 = 2 THEN ' call 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END AS text FROM documents), " +
+        s"s1 AS (SELECT doc_id, len(regexp_extract_all(text, '$PiiEmail')) AS n_emails, " +
+        s"regexp_replace(text, '$PiiEmail', '<EMAIL>', 'g') AS t FROM aug), " +
+        s"s2 AS (SELECT doc_id, n_emails, len(regexp_extract_all(t, '$PiiIp')) AS n_ips, " +
+        s"regexp_replace(t, '$PiiIp', '<IP>', 'g') AS t FROM s1), " +
+        s"s3 AS (SELECT doc_id, n_emails, n_ips, len(regexp_extract_all(t, '$PiiPhone')) AS n_phones, " +
+        s"regexp_replace(t, '$PiiPhone', '<PHONE>', 'g') AS t FROM s2) " +
+        "SELECT doc_id, n_emails, n_ips, n_phones, t AS text_clean FROM s3 ORDER BY doc_id") { (s, dir) =>
+      val id = col("doc_id")
+      val aug = Tables.load(s, dir, "documents").select(id, concat(
+        col("text"),
+        when(id % 3 =!= 0, concat(lit(" contact u"), (id % 97).cast("string"),
+          lit("@ex"), (id % 7).cast("string"), lit(".com"))).otherwise(lit("")),
+        when(id % 5 === 0, concat(lit(" from 10."), (id % 251).cast("string"),
+          lit(".0.1"))).otherwise(lit("")),
+        when(id % 7 === 2, concat(lit(" call 555-"),
+          lpad((id % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((id % 10000).cast("string"), 4, "0"))).otherwise(lit(""))
+      ).as("text"))
+      piiRedact(aug).orderBy("doc_id")
     },
 
     // Vocabulary pruning: top-20 corpus vocabulary (count desc, token

@@ -167,6 +167,35 @@ class OperatorApiSpec extends AnyFunSuite with SparkFixture {
     assert(wb.getInt(1) == 1 && wb.getString(2) == "<x> foxes outfox")
   }
 
+  test("piiRedact counts sequentially and never double-counts a span") {
+    import spark.implicits._
+    val out = TextAnalysis.piiRedact(Seq(
+      // a phone-shaped local part: consumed by the email stage, so the
+      // phone counter (which runs on the already-redacted text) sees 0
+      (1L, "mail 555-123-4567@evil.example.com now"),
+      (2L, "ip 10.0.0.1 and phone 555-123-4567 and a@b.co"),
+      (3L, "clean text only")
+    ).toDF("id", "body"), idCol = "id", textCol = "body")
+      .orderBy("doc_id").collect()
+    assert(out(0).getInt(1) == 1 && out(0).getInt(2) == 0 && out(0).getInt(3) == 0)
+    assert(out(0).getString(4) == "mail <EMAIL> now")
+    assert(out(1).getInt(1) == 1 && out(1).getInt(2) == 1 && out(1).getInt(3) == 1)
+    assert(out(1).getString(4) == "ip <IP> and phone <PHONE> and <EMAIL>")
+    assert(out(2).getInt(1) == 0 && out(2).getString(4) == "clean text only")
+  }
+
+  test("verifiedNearDups confirms the near-dup pair with exact distance") {
+    import spark.implicits._
+    val out = Dedup.verifiedNearDups(docs, idCol = "id", textCol = "body")
+      .as[(Long, Long, Int, Int, Boolean)].collect()
+    val p = out.find(r => r._1 == 10L && r._2 == 12L)
+    assert(p.isDefined, s"LSH candidate (10,12) missing: ${out.toSeq}")
+    // "jumps" -> "leaps": substitutions at 'j'->'l' and 'um'->'ea' = 3 edits
+    assert(p.get._3 == 3 && p.get._5, s"bad verify row: ${p.get}")
+    // the exact-dup pair (10,11) has distance 0
+    assert(out.find(r => r._1 == 10L && r._2 == 11L).forall(r => r._3 == 0 && r._5))
+  }
+
   test("vocabPrune rewrites OOV tokens and counts them") {
     import spark.implicits._
     // vocabulary = top-2 by (count desc, token): "the" (4), then the

@@ -107,6 +107,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"quadratic join reintroduced:\n$p")
   }
 
+  test("q115: PII scrub is a shuffle-free projection — no exchange before the sort") {
+    val p = plan("q115_pii_redact")
+    assert(!p.replaceAll("(?s)Sort .*", "").contains("Exchange"),
+      s"PII redaction gained a shuffle before the presentation sort:\n$p")
+  }
+
+  test("q116: levenshtein runs only on LSH candidates — equi-joins, no cartesian") {
+    val p = plan("q116_neardup_verify")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs edit distance reintroduced:\n$p")
+  }
+
   test("q63: LSH ANN candidate generation is an equi-join — no cartesian") {
     val p = plan("q63_ann_lsh")
     assert(!p.contains("CartesianProduct"), s"non-broadcast cartesian:\n$p")
