@@ -61,6 +61,9 @@ for name in sorted(oracles):
         tbl = pq.read_table(pdir)
     except Exception as e:
         print(f"FAIL {name}: read spark output: {e}"); fails += 1; continue
+    if "_graft_error" in tbl.column_names:
+        print(f"FAIL {name}: spark error: {tbl.column('_graft_error')[0].as_py()}")
+        fails += 1; continue
     try:
         # .arrow() (not fetchall) so DuckDB types surface exactly as the
         # driver's Arrow-based compare sees them (HUGEINT -> decimal128).
@@ -93,7 +96,11 @@ for pdir in sorted(glob.glob(f"{OUT}/*/")):
     name = os.path.basename(pdir.rstrip("/"))
     if name in oracles or (ONLY and name not in ONLY): continue
     try:
-        n = pq.read_table(pdir).num_rows
+        t = pq.read_table(pdir)
+        if "_graft_error" in t.column_names:
+            print(f"FAIL {name}: spark error: {t.column('_graft_error')[0].as_py()}")
+            fails += 1; continue
+        n = t.num_rows
         print(f"OK?  {name}: {n} rows (no oracle)" if n > 0 else f"FAIL {name}: 0 rows")
         if n == 0: fails += 1
     except Exception as e:

@@ -54,6 +54,19 @@ object Verify {
         System.err.println(f"[verify] $name ok (${(System.nanoTime() - t0) / 1e9}%.1fs)")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // Surface the failure to the comparator instead of vanishing: a
+        // one-row sentinel parquet whose schema can never match an oracle
+        // guarantees a RED row for this query rather than a silently
+        // shorter correctness artifact (round-7 lesson: six analysis-time
+        // failures shrank the artifact 116→110 with every row green).
+        try {
+          import spark.implicits._
+          Seq(s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}")
+            .toDF("_graft_error").coalesce(1)
+            .write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name sentinel write failed: ${e2.getMessage}")
+        }
       }
       // Drop intermediates the operators persisted for this query — 54
       // queries' caches would otherwise accumulate across the run.

@@ -91,9 +91,7 @@ object AsOfJoin {
         "SELECT event_id, user_id, last_purchase FROM r ORDER BY event_id") { (s, dir) =>
       val ev = Tables.load(s, dir, "events")
       // micros domain on both engines (see class comment)
-      val t =
-        if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType) expr("ts div 1000")
-        else expr("unix_micros(ts)")
+      val t = Tables.epochMicros(ev)
       val base = ev.select(col("event_id"), col("user_id"), col("event_type"), t.as("t"))
       val clicks = base.filter(col("event_type") === "click")
         .select("event_id", "user_id", "t")
@@ -115,9 +113,7 @@ object AsOfJoin {
         "ON p.user_id = c.user_id AND c.t >= p.pt AND c.t < p.pt + 3600000000 " +
         "ORDER BY pid, cid") { (s, dir) =>
       val ev = Tables.load(s, dir, "events")
-      val t =
-        if (ev.schema("ts").dataType == org.apache.spark.sql.types.LongType) expr("ts div 1000")
-        else expr("unix_micros(ts)")
+      val t = Tables.epochMicros(ev)
       val base = ev.select(col("event_id"), col("user_id"), col("event_type"), t.as("t"))
       val clicks = base.filter(col("event_type") === "click")
         .select(col("event_id").as("cid"), col("user_id"), col("t"))

@@ -197,12 +197,14 @@ object Dedup {
     * Emits every candidate pair with its exact Levenshtein distance,
     * the longer text's length, and a `verified` verdict
     * (`dist * den <= num * len_max`, default ≤ 3/4 of the longer
-    * text). Integer-exact comparison; `levenshtein` is a codegen'd
-    * built-in with identical unit-cost semantics in DuckDB.
+    * text). Integer-exact comparison; the distance is
+    * [[graft.functions.EditDistance]] — Myers' bit-parallel algorithm,
+    * value-identical to `levenshtein` in both engines (pinned by
+    * EditDistanceSpec) at ~1/60th the work on these document lengths.
     *
-    * Scale shape: the O(n·m) distance runs ONLY on the LSH-bounded
-    * candidate set (BucketCap caps any bucket's pair fan-out), never
-    * all-pairs; the two text lookups are keyed joins on doc_id.
+    * Scale shape: the distance runs ONLY on the LSH-bounded candidate
+    * set (BucketCap caps any bucket's pair fan-out), never all-pairs;
+    * the two text lookups are keyed joins on doc_id.
     */
   def verifiedNearDups(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", num: Int = 3, den: Int = 4): DataFrame = {
@@ -211,7 +213,7 @@ object Dedup {
       .join(c.select(col("doc_id").as("d1"), col("text").as("t1")), "d1")
       .join(c.select(col("doc_id").as("d2"), col("text").as("t2")), "d2")
       .select(col("d1"), col("d2"),
-        levenshtein(col("t1"), col("t2")).as("dist"),
+        graft.functions.EditDistance.edit_distance(col("t1"), col("t2")).as("dist"),
         greatest(length(col("t1")), length(col("t2"))).as("len_max"))
       .withColumn("verified", col("dist") * den <= col("len_max") * num)
   }

@@ -4,7 +4,7 @@ import graft.{Q, Tables}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, LongType}
+import org.apache.spark.sql.types.DecimalType
 
 /** Batch sessionization over an event stream: gap-based session
   * assignment (a new session starts when the inter-event gap exceeds
@@ -26,11 +26,11 @@ import org.apache.spark.sql.types.{DecimalType, LongType}
   */
 object Sessions {
 
-  /** Events table ts column → epoch-micros long, tolerant of the
-    * TIMESTAMP(NANOS)-as-long parquet reading (same dance as q17). */
+  /** Events table ts column → epoch-micros long; the shared tolerant
+    * accessor (long-nanos / TIMESTAMP / TIMESTAMP_NTZ all map to the
+    * same µs domain as the oracle's `epoch_us`). */
   private def microsOf(ev: DataFrame, tsCol: String): Column =
-    if (ev.schema(tsCol).dataType == LongType) expr(s"$tsCol div 1000")
-    else unix_micros(col(tsCol))
+    Tables.epochMicros(ev, tsCol)
 
   /** Sessionize any (entity, time, value) frame; returns one row per
     * session: (user_id, sess, n_events, start_us, end_us, sum_value).

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Expression, ExpressionInfo, Literal, Md5, Substring}
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
-import graft.functions.{FreqSketchAgg, KmvSketchAgg, QDot, RollingHash, SignBands}
+import graft.functions.{EditDistance, FreqSketchAgg, KmvSketchAgg, QDot, RollingHash, SignBands}
 
 /** SQL registrations for the engine's function surface: the same
   * Catalyst expressions the DataFrame operators use, callable from pure
@@ -70,6 +70,13 @@ object GraftFunctions {
         SignBands(args.head,
           intArg(args(1), "graft_sign_bands", "numBands"),
           intArg(args(2), "graft_sign_bands", "bandBits"))
+      }))
+
+    e.injectFunction((FunctionIdentifier("graft_edit_distance"),
+      info(classOf[EditDistance], "graft_edit_distance"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_edit_distance(str, str)")
+        EditDistance(args.head, args(1))
       }))
 
     // aggregates: the analyzer wraps a bare AggregateFunction into

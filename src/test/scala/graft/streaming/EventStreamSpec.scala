@@ -215,11 +215,10 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .filter(col("user_id") < 40)
     // second-granularity timestamps (the streaming state works in epoch
-    // seconds), tolerant of the fixture's nanos-as-long parquet reading
-    val tsSec =
-      if (ev.schema("ts").dataType.typeName == "long")
-        expr("CAST(ts DIV 1000000000 AS TIMESTAMP)")
-      else expr("timestamp_micros(unix_micros(ts) DIV 1000000 * 1000000)")
+    // seconds), tolerant of long-nanos / TIMESTAMP / TIMESTAMP_NTZ
+    // parquet readings via the shared epoch-micros accessor
+    val us = graft.Tables.epochMicros(ev)
+    val tsSec = timestamp_micros(us - pmod(us, lit(1000000L)))
     val raw = ev.select(tsSec.as("ts"),
       col("user_id").cast("string").as("event_type"),
       col("event_id"), lit(1.0).as("value"))
