@@ -63,6 +63,89 @@ EXPECT = {
 
 fails = 0
 
+# ---------------------------------------------------------------------------
+# Live PostgreSQL (when the host has server binaries): the postgres
+# dialect's generated SQL runs against a REAL postgres instead of the
+# DuckDB acceptance proxy — the reference validates its pg connector
+# against live Docker postgres the same way (core/tests/postgres/
+# mod.rs:204-289). No python pg driver exists here, so statements go
+# through psql with literals inlined; SELECTs come back as json_agg.
+import os
+import shutil
+
+PG_DIR, PG_PORT = "/tmp/graft_pg_live", "55432"
+
+
+def _pg_run(cmd):
+    # server processes must not run as root; shell out through `su`
+    if os.geteuid() == 0:
+        subprocess.run(["useradd", "-m", "pguser"], capture_output=True)
+        return subprocess.run(["su", "pguser", "-c", cmd],
+                              capture_output=True, text=True, cwd="/tmp")
+    return subprocess.run(cmd, shell=True, capture_output=True, text=True, cwd="/tmp")
+
+
+def pg_server_start():
+    if not shutil.which("pg_ctl") or not shutil.which("psql"):
+        return False
+    if not os.path.exists(PG_DIR):
+        if _pg_run(f"initdb -D {PG_DIR} -A trust").returncode != 0:
+            return False
+    if _pg_run(f"pg_ctl -D {PG_DIR} status").returncode != 0:
+        r = _pg_run(f"pg_ctl -D {PG_DIR} -l {PG_DIR}.log "
+                    f"-o '-p {PG_PORT} -k /tmp' -w start")
+        if r.returncode != 0:
+            return False
+    return True
+
+
+def pg_literal(v):
+    if v is None: return "NULL"
+    if isinstance(v, bool): return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)): return repr(v)
+    if isinstance(v, str): return "'" + v.replace("'", "''") + "'"
+    if isinstance(v, datetime.datetime):
+        return "TIMESTAMP '" + v.strftime("%Y-%m-%d %H:%M:%S") + "'"
+    if isinstance(v, datetime.date): return "DATE '" + v.isoformat() + "'"
+    if isinstance(v, bytes): return "'\\x" + v.hex() + "'::bytea"
+    if isinstance(v, (list, tuple)):
+        return "ARRAY[" + ",".join(pg_literal(x) for x in v) + "]"
+    raise TypeError(f"no pg literal for {type(v)}")
+
+
+class PgConn:
+    """duckdb-connection-shaped adapter over psql (execute/fetchall/close)."""
+
+    def _psql(self, sql):
+        r = subprocess.run(
+            ["psql", "-h", "/tmp", "-p", PG_PORT, "-U", "pguser",
+             "-d", "postgres", "-v", "ON_ERROR_STOP=1", "-t", "-A", "-c", sql],
+            capture_output=True, text=True)
+        if r.returncode != 0:
+            raise RuntimeError(f"psql: {r.stderr.strip()[:500]} for: {sql[:200]}")
+        return r.stdout
+
+    def execute(self, sql, params=None):
+        if params is not None:
+            parts = sql.split("?")
+            assert len(parts) == len(list(params)) + 1, sql
+            sql = parts[0] + "".join(
+                pg_literal(p) + rest for p, rest in zip(params, parts[1:]))
+        if sql.lstrip().upper().startswith("SELECT"):
+            out = self._psql("SELECT COALESCE(json_agg(row_to_json(_q)), "
+                             f"'[]'::json) FROM ({sql}) _q")
+            self._rows = [tuple(d.values()) for d in json.loads(out.strip())]
+        else:
+            self._psql(sql)
+            self._rows = []
+        return self
+
+    def fetchall(self):
+        return self._rows
+
+    def close(self):
+        pass
+
 
 def check(label, cond, detail=""):
     global fails
@@ -82,14 +165,24 @@ def sqlite_row(r):
     return base + ((json.dumps(r[9]),) if len(r) > 9 else ())
 
 
+pg_live = pg_server_start()
+print(("OK   postgres: live server on port " + PG_PORT) if pg_live
+      else "NOTE postgres: no live server available, falling back to DuckDB")
+
 for dialect in ["duckdb", "postgres", "sqlite"]:
     d = dump[dialect]
-    # duckdb/postgres run in live DuckDB; the sqlite dialect runs in
-    # REAL sqlite3 — full WHERE/conflict/offset semantics on all three.
+    # duckdb runs in live DuckDB; sqlite in REAL sqlite3; postgres in a
+    # REAL postgres when server binaries exist (DuckDB acceptance proxy
+    # otherwise) — full WHERE/conflict/offset semantics on all three.
     if dialect == "sqlite":
         con = sqlite3.connect(":memory:")
         seed_rows = [sqlite_row(r) for r in SEED]
         bind = sqlite_row
+    elif dialect == "postgres" and pg_live:
+        con = PgConn()
+        con.execute(f'DROP TABLE IF EXISTS {dump[dialect]["table"]}')
+        seed_rows = SEED
+        bind = lambda r: r
     else:
         con = duckdb.connect()
         seed_rows = SEED
@@ -159,6 +252,95 @@ for dialect in ["duckdb", "postgres", "sqlite"]:
         check(f"{dialect}: execution", False, repr(e))
     finally:
         con.close()
+
+# multi-database ATTACH: run the generated attach statements on a real
+# third connection and federate a join across main + two attached FILES
+# (reference semantics: crates/duckdb/src/conn.rs — READ_ONLY ATTACH +
+# search_path so unqualified names resolve; sqlite resolves by attach
+# order natively). The last dump element is the federation context key —
+# it must differ from the bare url so the planner never collapses a join
+# between differently-attached connections.
+import os
+for eng in ["duckdb", "sqlite"]:
+    stmts = dump.get(f"attach_{eng}")
+    if not stmts:
+        check(f"attach[{eng}]: statements emitted", False, "missing from dump")
+        continue
+    ctx, stmts = stmts[-1], stmts[:-1]
+    paths = {n: f"/tmp/graft_dlc_{n}.{eng}" for n in ["main", "sales", "ref"]}
+    for p in paths.values():
+        if os.path.exists(p): os.remove(p)
+    try:
+        opener = duckdb.connect if eng == "duckdb" else sqlite3.connect
+        # seed three separate database files, each with its own table
+        for n, p in paths.items():
+            c = opener(p)
+            c.execute(f"CREATE TABLE t_{n} (k INTEGER, v TEXT)")
+            for k in range(1, 4):
+                c.execute(f"INSERT INTO t_{n} VALUES ({k}, '{n}_{k}')")
+            c.commit() if eng == "sqlite" else None
+            c.close()
+        con = opener(paths["main"])
+        for s in stmts:
+            con.execute(s)
+        # unqualified names resolve across the attach set...
+        got = con.execute(
+            "SELECT count(*) FROM t_main JOIN t_sales ON t_main.k = t_sales.k "
+            "JOIN t_ref ON t_main.k = t_ref.k").fetchone()[0]
+        check(f"attach[{eng}]: 3-file federated join, unqualified", got == 3, got)
+        # ...and qualified attachment names work too
+        got = con.execute(
+            'SELECT count(*) FROM "sales".t_sales s JOIN "graft_att1".t_ref r '
+            "ON s.k = r.k").fetchone()[0]
+        check(f"attach[{eng}]: qualified attachment names", got == 3, got)
+        if eng == "duckdb":
+            # the reference attaches READ_ONLY; a write must be rejected
+            try:
+                con.execute("INSERT INTO \"sales\".t_sales VALUES (9, 'x')")
+                check(f"attach[{eng}]: attachments are read-only", False,
+                      "write to attached db succeeded")
+            except Exception:
+                check(f"attach[{eng}]: attachments are read-only", True)
+        con.close()
+        check(f"attach[{eng}]: context key carries attach set",
+              "attach=" in ctx and "sales=" in ctx, ctx)
+    except Exception as e:
+        check(f"attach[{eng}]: execution", False, repr(e))
+
+# pg composite / enum / range text forms: TypeMapping's parsers
+# (TypeBreadthSpec) consume exactly these literals — assert a REAL
+# postgres produces them, so the Scala parse rules can't drift from the
+# engine's output syntax (reference composite.rs reads the same wire
+# values).
+if pg_live:
+    try:
+        pc = PgConn()
+        pc.execute("DROP TYPE IF EXISTS dlc_addr CASCADE")
+        pc.execute("DROP TYPE IF EXISTS dlc_mood CASCADE")
+        pc.execute("CREATE TYPE dlc_addr AS "
+                   "(street TEXT, zip INT, ok BOOLEAN, score FLOAT8)")
+        pc.execute("CREATE TYPE dlc_mood AS ENUM ('happy', 'sad')")
+        got = pc.execute(
+            "SELECT ROW('42 Elm St', 94110, true, 1.5)::dlc_addr::text AS a, "
+            "ROW('a, \"b\" c', NULL, false, 0)::dlc_addr::text AS b, "
+            "ROW('', 1, true, 2)::dlc_addr::text AS c, "
+            "'happy'::dlc_mood::text AS m, "
+            "'[1,10)'::int4range::text AS r1, "
+            "'(,5]'::numrange::text AS r2, "  # int ranges canonicalize to [..,..+1)
+            "'empty'::int4range::text AS r3, "
+            "tsrange('2020-01-15 10:00:00','2020-02-01')::text AS r4"
+        ).fetchall()[0]
+        check("pg types: composite text form", got[0] == '("42 Elm St",94110,t,1.5)', got[0])
+        check("pg types: composite quoting/null", got[1] == '("a, ""b"" c",,f,0)', got[1])
+        check("pg types: composite empty string", got[2] == '("",1,t,2)', got[2])
+        check("pg types: enum is its label", got[3] == "happy", got[3])
+        check("pg types: int4range form", got[4] == "[1,10)", got[4])
+        check("pg types: unbounded range form", got[5] == "(,5]", got[5])
+        check("pg types: empty range form", got[6] == "empty", got[6])
+        check("pg types: tsrange quoted bounds",
+              got[7] == '["2020-01-15 10:00:00","2020-02-01 00:00:00")', got[7])
+    except Exception as e:
+        check("pg types: execution", False, repr(e))
 
 # session-settings registry: the rendered SET statements must be accepted
 # by a live engine and observably change its configuration

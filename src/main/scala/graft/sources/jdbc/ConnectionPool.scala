@@ -37,13 +37,14 @@ object ConnectionPool {
 
   // The key uses the credential SPEC (file path / env name), not the
   // resolved secret — a rotated passwordfile keeps hitting one pool.
-  // Session settings join the key: two tables on the same server with
-  // different settings must never share a physical connection.
+  // Connection-init statements (attachments + session settings) join
+  // the key: two tables on the same server with different settings or
+  // attach sets must never share a physical connection.
   private def keyOf(o: JdbcOptions): Key =
     Key(o.url, o.map.getOrElse("user", ""),
       o.map.getOrElse("password",
         o.map.getOrElse("passwordfile", o.map.getOrElse("passwordenv", ""))),
-      o.poolMax, o.sessionSettings)
+      o.poolMax, o.connectionInit)
 
   private final class Pool(key: Key, opts: Map[String, String]) {
     private val idle = new ConcurrentLinkedQueue[Connection]()

@@ -163,6 +163,19 @@ trait Dialect extends Serializable {
     case _ => None
   }
 
+  /** Per-connection statements attaching sibling database FILES so one
+    * connection federates across them (reference: DuckDB multi-database
+    * ATTACH with search-path management, `crates/duckdb/src/conn.rs:102-230`
+    * — `ATTACH IF NOT EXISTS … (READ_ONLY)` + `SET search_path`).
+    * Default: no file-attach concept — a non-empty attach list is a
+    * configuration error surfaced at option-parse time on the driver,
+    * not as N executor task failures.
+    */
+  def attachStatements(mainDb: String, attachments: Seq[(String, String)]): Seq[String] =
+    if (attachments.isEmpty) Nil
+    else throw new IllegalArgumentException(
+      s"dialect '$name' does not support attach= (only duckdb and sqlite attach database files)")
+
   /** Whether FULL OUTER JOIN may be rendered for this dialect. */
   def supportsFullOuterJoin: Boolean = true
 
@@ -283,6 +296,16 @@ object DuckDbDialect extends Dialect {
   override def arrayElementName(et: DataType): String =
     if (Dialect.isNativeArrayElement(et)) typeName(et)
     else throw new IllegalArgumentException(s"duckdb: unsupported array element $et")
+  /** The reference's attachment recipe verbatim-in-semantics
+    * (`crates/duckdb/src/conn.rs:225-236`): read-only ATTACH per file,
+    * then a search_path of main + every attachment so unqualified names
+    * resolve across all of them (qualified `name.table` also works).
+    */
+  override def attachStatements(mainDb: String, attachments: Seq[(String, String)]): Seq[String] =
+    if (attachments.isEmpty) Nil
+    else attachments.map { case (n, p) =>
+      s"ATTACH IF NOT EXISTS ${stringLiteral(p)} AS ${quote(n)} (READ_ONLY)"
+    } :+ s"SET search_path = ${stringLiteral((mainDb +: attachments.map(_._1)).mkString(","))}"
 }
 
 object SqliteDialect extends Dialect {
@@ -315,6 +338,14 @@ object SqliteDialect extends Dialect {
   // are TEXT; ISO-8601 strings compare correctly.
   override def dateLiteralSql(iso: String): String = stringLiteral(iso)
   override def timestampLiteralSql(text: String): String = stringLiteral(text)
+  /** SQLite's native multi-file federation: `ATTACH DATABASE`.
+    * Unqualified names already resolve across attached databases in
+    * attach order (no search-path concept), so only the ATTACHes render.
+    */
+  override def attachStatements(mainDb: String, attachments: Seq[(String, String)]): Seq[String] =
+    attachments.map { case (n, p) =>
+      s"ATTACH DATABASE ${stringLiteral(p)} AS ${quote(n)}"
+    }
 }
 
 object MySqlDialect extends Dialect {

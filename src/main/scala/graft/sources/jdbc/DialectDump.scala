@@ -114,6 +114,20 @@ object DialectDump {
         case (label, None) => ws.putNull(label)
       }
     }
+    // multi-database ATTACH statements (reference: DuckDB attachments +
+    // search path, crates/duckdb/src/conn.rs:102-230): the live check
+    // creates two real database files, runs these against a third
+    // connection, and joins tables across all three through it
+    for ((d, suffix) <- Seq(DuckDbDialect -> "duckdb", SqliteDialect -> "sqlite")) {
+      val att = root.putArray(s"attach_${d.name}")
+      val opts = JdbcOptions(Map(
+        "url" -> s"jdbc:${d.name}:/tmp/graft_dlc_main.$suffix",
+        "dbtable" -> "t_main",
+        "attach" -> s"sales=/tmp/graft_dlc_sales.$suffix,/tmp/graft_dlc_ref.$suffix"))
+      opts.attachInit.foreach(att.add)
+      att.add(opts.computeContext) // last element: the federation context key
+    }
+
     // session-settings registry output (engine-agnostic SET statements;
     // the live check executes them in DuckDB and reads current_setting)
     val st = root.putArray("settings")

@@ -111,7 +111,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * the reference's `get_schema` (`dbconnection.rs:216-239`). */
   private def introspect(ident: Identifier): StructType = withConn { c =>
     val ps = c.prepareStatement(s"SELECT * FROM ${qualified(ident)} WHERE 1=0")
-    try TypeMapping.schemaOf(ps.getMetaData) finally ps.close()
+    try TypeMapping.schemaOf(ps.getMetaData,
+      unsupportedAsString = options.readUnsupportedAsString)
+    finally ps.close()
   }
 
   /** Existence via catalog metadata, not a probe-SELECT: a probe that

@@ -39,8 +39,11 @@ class GraftJdbcSource extends TableProvider {
     val c = o.connect()
     try {
       val ps = c.prepareStatement(s"SELECT * FROM ${o.fromClause} WHERE 1=0")
-      try TypeMapping.schemaOf(ps.getMetaData)
-      finally ps.close()
+      try {
+        val base = TypeMapping.schemaOf(ps.getMetaData,
+          unsupportedAsString = o.readUnsupportedAsString)
+        o.customSchema.map(TypeMapping.applyOverrides(base, _)).getOrElse(base)
+      } finally ps.close()
     } finally c.close()
   }
 

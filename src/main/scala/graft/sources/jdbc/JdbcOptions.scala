@@ -109,6 +109,24 @@ final case class JdbcOptions(map: Map[String, String]) extends Serializable {
     v
   }
 
+  /** READ-side UnsupportedTypeAction (reference
+    * `crates/common/src/lib.rs:23-30`): `string` reads a column whose
+    * type Spark cannot hold exactly (e.g. pg numeric wider than 38 —
+    * Decimal256) as its exact text form instead of refusing the scan.
+    */
+  val readUnsupportedAsString: Boolean =
+    map.get("unsupportedtypeaction").exists(_.equalsIgnoreCase("string"))
+
+  /** Declared column types overlaying schema introspection (DDL
+    * string, e.g. `addr STRUCT<street: STRING, zip: INT>`): the
+    * declared-schema escape hatch for database-specific types JDBC
+    * metadata cannot describe — pg composites parse into the declared
+    * struct shape (reference `composite.rs` reads composites into
+    * typed Arrow structs the same way). Validated eagerly.
+    */
+  val customSchema: Option[org.apache.spark.sql.types.StructType] =
+    map.get("customschema").map(org.apache.spark.sql.types.StructType.fromDDL)
+
   /** Parameterized table arguments (reference: ClickHouse
     * parameterized views, `crates/common/src/util/table_arg_replace.rs:10-80`
     * rewrites `FROM t` → `FROM t(p1 = v1, …)`). When set, every
@@ -131,8 +149,50 @@ final case class JdbcOptions(map: Map[String, String]) extends Serializable {
     */
   val sessionSettings: Seq[String] = SessionSettings.statements(map)
 
-  /** Canonical identity of the remote compute context. */
-  def computeContext: String = url
+  /** Sibling database files attached to every physical connection
+    * (reference: DuckDB multi-database ATTACH,
+    * `crates/duckdb/src/conn.rs:102-230`). `attach=path1,path2` gets
+    * generated names `graft_att0…`; `attach=sales=/a.db,ref=/b.db`
+    * names them — either way tables resolve unqualified (search path /
+    * attach order) or qualified as `name.table`.
+    */
+  val attach: Seq[(String, String)] = map.get("attach").map { spec =>
+    spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq.zipWithIndex.map {
+      case (e, i) => e.split("=", 2) match {
+        case Array(n, p) if p.trim.nonEmpty => (n.trim, p.trim)
+        case _ => (s"graft_att$i", e)
+      }
+    }
+  }.getOrElse(Nil)
+
+  /** The main database's name for search-path purposes: the file stem
+    * for file-backed urls (DuckDB names them that way), else `memory`.
+    */
+  private def mainDbName: String = {
+    val path = url.substring(url.lastIndexOf(':') + 1)
+    val base = path.substring(path.lastIndexOf('/') + 1)
+    val stem = base.split('?').head.stripSuffix(".duckdb").stripSuffix(".db")
+    if (stem.isEmpty) "memory" else stem
+  }
+
+  /** Attach statements rendered by the dialect — validated eagerly so
+    * `attach=` on a dialect without file-attach fails at option-parse
+    * time on the driver. */
+  val attachInit: Seq[String] = dialect.attachStatements(mainDbName, attach)
+
+  /** Everything a fresh physical connection runs before first use:
+    * file attachments first (they define name resolution), then the
+    * validated session settings. */
+  def connectionInit: Seq[String] = attachInit ++ sessionSettings
+
+  /** Canonical identity of the remote compute context. Two tables may
+    * only federate into one remote statement when these are EQUAL —
+    * and an attach set changes what a name resolves to, so it is part
+    * of the identity (same url, different attachments ≠ same context).
+    */
+  def computeContext: String =
+    if (attach.isEmpty) url
+    else url + "#attach=" + attach.map { case (n, p) => s"$n=$p" }.sorted.mkString(",")
 
   def withTable(t: String): JdbcOptions = JdbcOptions(map + ("dbtable" -> t))
 

@@ -35,8 +35,17 @@ object TypeMapping {
     case Types.REAL => FloatType
     case Types.FLOAT | Types.DOUBLE => DoubleType
     case Types.NUMERIC | Types.DECIMAL =>
+      // documented SURVEY §1.2 choice (reference statement.rs:248-270):
+      // a decimal wider than Spark's 38 (pg numeric / Decimal256) is
+      // REJECTED, or read as its exact string form under
+      // `unsupportedtypeaction=string` — never silently clamped (a
+      // clamp corrupts values that actually use the width)
       if (precision == 0) DecimalType.SYSTEM_DEFAULT
-      else DecimalType(math.min(precision, DecimalType.MAX_PRECISION), math.min(scale, DecimalType.MAX_SCALE))
+      else if (precision > DecimalType.MAX_PRECISION || scale > DecimalType.MAX_SCALE)
+        throw new IllegalArgumentException(
+          s"decimal($precision,$scale) exceeds Spark's DECIMAL(38,38) " +
+            "(set unsupportedtypeaction=string to read it as text)")
+      else DecimalType(precision, scale)
     case Types.CHAR | Types.VARCHAR | Types.LONGVARCHAR | Types.NCHAR |
          Types.NVARCHAR | Types.LONGNVARCHAR | Types.CLOB | Types.SQLXML => StringType
     case Types.BINARY | Types.VARBINARY | Types.LONGVARBINARY | Types.BLOB => BinaryType
@@ -78,18 +87,82 @@ object TypeMapping {
     }
   }
 
+  /** Bound element type of a named Postgres range type
+    * (reference `arrow_sql_gen/schema.rs:240` maps int4range →
+    * Struct{lower,upper}; same table here).
+    */
+  def rangeElementType(typeName: String): DataType = typeName.toLowerCase match {
+    case "int4range" => IntegerType
+    case "int8range" => LongType
+    case "numrange" => DecimalType.SYSTEM_DEFAULT
+    case "daterange" => DateType
+    case "tsrange" | "tstzrange" => TimestampType
+    case _ => StringType
+  }
+
+  /** The Catalyst shape a range column reads as: typed bounds plus
+    * inclusivity flags (`[1,10)` → (1, 10, true, false); unbounded or
+    * `empty` bounds are null).
+    */
+  def rangeStruct(elem: DataType): StructType = StructType(Seq(
+    StructField("lower", elem), StructField("upper", elem),
+    StructField("lower_inc", BooleanType, nullable = false),
+    StructField("upper_inc", BooleanType, nullable = false)))
+
+  private def isRangeStruct(st: StructType): Boolean =
+    st.fields.map(_.name).sameElements(Array("lower", "upper", "lower_inc", "upper_inc"))
+
   /** Introspect a query's result schema (reference `get_schema`,
     * `dbconnection.rs:216-239`: prepared-statement metadata).
+    *
+    * Database-specific types beyond the JDBC core set map per the
+    * reference's pg table (`arrow_sql_gen/schema.rs:53-107,240`,
+    * `composite.rs`): a named range (`Types.OTHER`, name `*range`) →
+    * [[rangeStruct]]; an enum or any other `Types.OTHER` → StringType
+    * (the reference reads enums as dictionary-of-string — Spark has no
+    * dictionary type, the string IS the semantic value); a composite
+    * (`Types.STRUCT`) → its raw `(a,"b c",…)` text literal by default,
+    * or a parsed StructType when the caller DECLARES the shape in
+    * `overrides` (the `customschema` option — the declared-schema
+    * escape hatch, since JDBC metadata does not expose composite
+    * member types portably).
     */
-  def schemaOf(md: ResultSetMetaData): StructType = StructType(
+  def schemaOf(md: ResultSetMetaData,
+      overrides: Map[String, DataType] = Map.empty,
+      unsupportedAsString: Boolean = false): StructType = StructType(
     (1 to md.getColumnCount).map { i =>
-      StructField(
-        md.getColumnLabel(i),
-        if (md.getColumnType(i) == Types.ARRAY)
+      val name = md.getColumnLabel(i)
+      val declared = overrides.collectFirst {
+        case (k, v) if k.equalsIgnoreCase(name) => v
+      }
+      val dt = declared.getOrElse(md.getColumnType(i) match {
+        case Types.ARRAY =>
           ArrayType(arrayElementType(md.getColumnTypeName(i)), containsNull = true)
-        else
-          catalystType(md.getColumnType(i), md.getPrecision(i), md.getScale(i)),
-        md.isNullable(i) != ResultSetMetaData.columnNoNulls)
+        case Types.STRUCT => StringType
+        case Types.OTHER =>
+          val tn = Option(md.getColumnTypeName(i)).getOrElse("").trim.toLowerCase
+          if (tn.endsWith("range")) rangeStruct(rangeElementType(tn))
+          else StringType
+        case t =>
+          try catalystType(t, md.getPrecision(i), md.getScale(i))
+          catch {
+            // `unsupportedtypeaction=string` on the READ side: the exact
+            // text form instead of a refused column (reference
+            // UnsupportedTypeAction::String, crates/common/src/lib.rs:23-30)
+            case e: IllegalArgumentException if unsupportedAsString => StringType
+          }
+      })
+      StructField(name, dt, md.isNullable(i) != ResultSetMetaData.columnNoNulls)
+    })
+
+  /** Overlay declared column types (`customschema` option) onto an
+    * introspected schema by case-insensitive name; undeclared columns
+    * keep their introspected types.
+    */
+  def applyOverrides(base: StructType, declared: StructType): StructType =
+    StructType(base.map { f =>
+      declared.find(_.name.equalsIgnoreCase(f.name))
+        .map(d => f.copy(dataType = d.dataType)).getOrElse(f)
     })
 
   /** One column getter: ResultSet position → Catalyst internal value. */
@@ -132,7 +205,107 @@ object TypeMapping {
           raw.map(fromBoxed(et, _)).toSeq)
       }
     }
+    // composite / range columns arrive as their pg text literal
+    // (JDBC exposes no portable member accessor); parsed here into the
+    // declared struct — the read half of the reference's composite.rs
+    case st: StructType => (rs, i) => {
+      val s = rs.getString(i)
+      if (s == null) null
+      else if (isRangeStruct(st)) parseRange(s, st.fields(0).dataType)
+      else parseComposite(s, st)
+    }
     case other => throw new IllegalArgumentException(s"unsupported read type $other")
+  }
+
+  /** Split a pg composite/range body on top-level commas, honoring
+    * double-quoted segments with `""` and backslash escapes (the output
+    * syntax in the pg docs, "Composite Type Input and Output Syntax").
+    * Returns raw field texts, null for empty unquoted fields.
+    */
+  private def splitTopLevel(body: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new java.lang.StringBuilder
+    var quoted = false    // this field used quotes (so "" means empty string, not NULL)
+    var inQ = false
+    var i = 0
+    def flush(): Unit = {
+      out += (if (!quoted && cur.length == 0) null else cur.toString)
+      cur.setLength(0); quoted = false
+    }
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (inQ) {
+        if (c == '"' && i + 1 < body.length && body.charAt(i + 1) == '"') { cur.append('"'); i += 1 }
+        else if (c == '"') inQ = false
+        else if (c == '\\' && i + 1 < body.length) { cur.append(body.charAt(i + 1)); i += 1 }
+        else cur.append(c)
+      } else c match {
+        case '"' => inQ = true; quoted = true
+        case '\\' if i + 1 < body.length => cur.append(body.charAt(i + 1)); i += 1
+        case ',' => flush()
+        case other => cur.append(other)
+      }
+      i += 1
+    }
+    flush()
+    out.toSeq
+  }
+
+  /** One pg text field → Catalyst value of the target type. */
+  private def fromText(s: String, dt: DataType): Any = dt match {
+    case StringType => UTF8String.fromString(s)
+    case BooleanType => s == "t" || s == "true"
+    case ShortType => s.trim.toShort
+    case IntegerType => s.trim.toInt
+    case LongType => s.trim.toLong
+    case FloatType => s.trim.toFloat
+    case DoubleType => s.trim.toDouble
+    case d: DecimalType => Decimal(new java.math.BigDecimal(s.trim), d.precision, d.scale)
+    case DateType => DateTimeUtils.fromJavaDate(java.sql.Date.valueOf(s.trim))
+    case TimestampType | TimestampNTZType =>
+      DateTimeUtils.fromJavaTimestamp(java.sql.Timestamp.valueOf(s.trim))
+    case nested: StructType => parseComposite(s, nested)
+    case other => throw new IllegalArgumentException(s"composite field type $other")
+  }
+
+  /** `(1,"a b",t)` → InternalRow per the declared struct; empty fields
+    * are NULL (pg semantics). Nested composites recurse (their quoting
+    * unwraps one level per depth).
+    */
+  private[jdbc] def parseComposite(text: String, st: StructType): InternalRow = {
+    val t = text.trim
+    require(t.startsWith("(") && t.endsWith(")"), s"not a composite literal: $text")
+    val fields = splitTopLevel(t.substring(1, t.length - 1))
+    val row = new GenericInternalRow(st.length)
+    var i = 0
+    while (i < st.length) {
+      val raw = if (i < fields.length) fields(i) else null
+      row.update(i, if (raw == null) null else fromText(raw, st.fields(i).dataType))
+      i += 1
+    }
+    row
+  }
+
+  /** `[1,10)` / `empty` / `(,5]` → (lower, upper, lower_inc, upper_inc);
+    * unbounded or empty-range bounds are NULL.
+    */
+  private[jdbc] def parseRange(text: String, elem: DataType): InternalRow = {
+    val t = text.trim
+    val row = new GenericInternalRow(4)
+    if (t.equalsIgnoreCase("empty")) {
+      row.update(2, false); row.update(3, false)
+      return row
+    }
+    require(t.length >= 3 && "[(".contains(t.head) && "])".contains(t.last),
+      s"not a range literal: $text")
+    val bounds = splitTopLevel(t.substring(1, t.length - 1))
+    require(bounds.length == 2, s"range must have two bounds: $text")
+    def bound(s: String): Any = if (s == null || s.isEmpty) null else fromText(s, elem)
+    row.update(0, bound(bounds.head))
+    row.update(1, bound(bounds(1)))
+    row.update(2, t.head == '[' && row.isNullAt(0) == false)
+    row.update(3, t.last == ']' && row.isNullAt(1) == false)
+    row
   }
 
   /** Column getters for a result schema, refined by the LIVE ResultSet

@@ -83,4 +83,61 @@ class ConnectionPoolSpec extends AnyFunSuite with SparkFixture {
     assert(delta >= 1 && delta <= 2,
       s"4 partition readers must share <= poolmax=2 physical connections, opened $delta")
   }
+
+  test("remotestats COUNT(*) is cached: two plans, one remote round trip") {
+    val c0 = opts().connect()
+    try {
+      val st = c0.createStatement()
+      try {
+        st.execute("CREATE SCHEMA cps")
+        st.execute("CREATE TABLE cps.t1 (k BIGINT)")
+        (1 to 7).foreach(i => st.execute(s"INSERT INTO cps.t1 VALUES ($i)"))
+      } finally st.close()
+    } finally c0.close()
+    val o = opts("dbtable" -> "\"CPS\".\"T1\"", "remotestats" -> "count")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType)))
+    JdbcScan.clearStatsCache()
+    val a = JdbcScan(o, schema, where = Nil, orderBy = Nil, limit = None)
+      .estimateStatistics()
+    assert(a.numRows().getAsLong == 7)
+    // drop the backing table: a SECOND plan over the same (url, from,
+    // where) must answer from the TTL cache without touching the remote
+    // — a fresh COUNT(*) would now fail, proving one round trip total
+    val c1 = opts().connect()
+    try {
+      val st = c1.createStatement()
+      try st.execute("DROP TABLE cps.t1") finally st.close()
+    } finally c1.close()
+    val b = JdbcScan(o, schema, where = Nil, orderBy = Nil, limit = None)
+      .estimateStatistics()
+    assert(b.numRows().getAsLong == 7,
+      "second plan must reuse the cached remote count")
+    JdbcScan.clearStatsCache()
+  }
+
+  test("attach: parsing, eager dialect validation, context identity, pool separation") {
+    // named + positional entries parse; names generate where omitted
+    val o = JdbcOptions(Map("url" -> "jdbc:duckdb:/tmp/m.duckdb",
+      "attach" -> "sales=/tmp/a.duckdb,/tmp/b.duckdb"))
+    assert(o.attach == Seq("sales" -> "/tmp/a.duckdb", "graft_att1" -> "/tmp/b.duckdb"))
+    // generated statements: reference recipe — READ_ONLY attach + search
+    // path of main-file stem and every attachment (conn.rs:225-236)
+    assert(o.attachInit == Seq(
+      "ATTACH IF NOT EXISTS '/tmp/a.duckdb' AS \"sales\" (READ_ONLY)",
+      "ATTACH IF NOT EXISTS '/tmp/b.duckdb' AS \"graft_att1\" (READ_ONLY)",
+      "SET search_path = 'm,sales,graft_att1'"))
+    // federation identity: attach set changes what names resolve to, so
+    // same url with different (or no) attachments is a DIFFERENT context
+    val bare = JdbcOptions(Map("url" -> "jdbc:duckdb:/tmp/m.duckdb"))
+    assert(o.computeContext != bare.computeContext)
+    assert(o.computeContext ==
+      JdbcOptions(o.map).computeContext, "same attach set must federate")
+    // a dialect without file-attach rejects at option-parse time
+    intercept[IllegalArgumentException] {
+      JdbcOptions(Map("url" -> SparkFixture.derbyUrl, "attach" -> "/tmp/x.db")).attachInit
+    }
+    // pool separation: attach statements join the connection-init key
+    assert(o.connectionInit.startsWith(o.attachInit))
+  }
 }

@@ -100,4 +100,127 @@ class TypeBreadthSpec extends AnyFunSuite with SparkFixture {
       "TBLPROPERTIES ('unsupportedtypeaction'='ignore')")
     assert(spark.table("ext.tb.t4").schema.fieldNames.toSeq == Seq("k"))
   }
+
+  // --- pg composite / enum / range read mapping (reference
+  // arrow_sql_gen/schema.rs:53-107,240 + composite.rs). No pg JDBC
+  // driver exists in this sandbox, so the schema mapping runs over stub
+  // metadata shaped exactly as pgjdbc reports these types, and the text
+  // parsers are pinned to literals produced by a REAL postgres
+  // (scripts/dialect_live_check.py asserts pg emits these exact forms).
+
+  private def stubMd(cols: (String, Int, String)*): java.sql.ResultSetMetaData = {
+    import java.lang.reflect.{InvocationHandler, Method, Proxy}
+    Proxy.newProxyInstance(getClass.getClassLoader,
+      Array[Class[_]](classOf[java.sql.ResultSetMetaData]),
+      new InvocationHandler {
+        override def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef = {
+          def i = args(0).asInstanceOf[Integer] - 1
+          m.getName match {
+            case "getColumnCount" => Integer.valueOf(cols.length)
+            case "getColumnLabel" => cols(i)._1
+            case "getColumnType" => Integer.valueOf(cols(i)._2)
+            case "getColumnTypeName" => cols(i)._3
+            case "getPrecision" | "getScale" => Integer.valueOf(0)
+            case "isNullable" =>
+              Integer.valueOf(java.sql.ResultSetMetaData.columnNullable)
+            case other => throw new UnsupportedOperationException(other)
+          }
+        }
+      }).asInstanceOf[java.sql.ResultSetMetaData]
+  }
+
+  test("pg enum / composite / range columns map per the reference's table") {
+    val md = stubMd(
+      ("mood", java.sql.Types.OTHER, "mood_enum"),          // enum → string
+      ("span", java.sql.Types.OTHER, "int4range"),          // range → struct
+      ("tspan", java.sql.Types.OTHER, "tsrange"),
+      ("addr", java.sql.Types.STRUCT, "addr_t"),            // composite → text by default
+      ("k", java.sql.Types.BIGINT, "int8"))
+    val base = TypeMapping.schemaOf(md)
+    assert(base("mood").dataType == StringType)
+    assert(base("span").dataType ==
+      TypeMapping.rangeStruct(IntegerType))
+    assert(base("tspan").dataType == TypeMapping.rangeStruct(TimestampType))
+    assert(base("addr").dataType == StringType)
+    assert(base("k").dataType == LongType)
+    // the declared-schema escape hatch upgrades the composite to a
+    // typed struct (customschema option → applyOverrides)
+    val declared = StructType.fromDDL("addr STRUCT<street: STRING, zip: INT>")
+    val over = TypeMapping.schemaOf(md,
+      Map("addr" -> declared("addr").dataType))
+    assert(over("addr").dataType == declared("addr").dataType)
+    assert(TypeMapping.applyOverrides(base, declared)("addr").dataType ==
+      declared("addr").dataType)
+  }
+
+  test("decimal wider than 38 rejects by default, reads as text under =string") {
+    // pg numeric(76,0) — the Decimal256 case (SURVEY §1.2: reject or
+    // string, never a silent clamp that corrupts wide values)
+    val md = stubMd(("big", java.sql.Types.NUMERIC, "numeric"))
+    val e = intercept[IllegalArgumentException](TypeMapping.schemaOf(md76(md)))
+    assert(e.getMessage.contains("unsupportedtypeaction=string"))
+    assert(TypeMapping.schemaOf(md76(md), unsupportedAsString = true)("big")
+      .dataType == StringType)
+    // the option surfaces on JdbcOptions for both read call sites
+    assert(JdbcOptions(Map("url" -> "jdbc:derby:memory:x",
+      "unsupportedtypeaction" -> "string")).readUnsupportedAsString)
+    assert(!JdbcOptions(Map("url" -> "jdbc:derby:memory:x")).readUnsupportedAsString)
+  }
+
+  /** Same stub but precision/scale report 76/0 (Decimal256 width). */
+  private def md76(inner: java.sql.ResultSetMetaData): java.sql.ResultSetMetaData = {
+    import java.lang.reflect.{InvocationHandler, Method, Proxy}
+    Proxy.newProxyInstance(getClass.getClassLoader,
+      Array[Class[_]](classOf[java.sql.ResultSetMetaData]),
+      new InvocationHandler {
+        override def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef =
+          m.getName match {
+            case "getPrecision" => Integer.valueOf(76)
+            case "getScale" => Integer.valueOf(0)
+            case _ =>
+              if (args == null) m.invoke(inner) else m.invoke(inner, args: _*)
+          }
+      }).asInstanceOf[java.sql.ResultSetMetaData]
+  }
+
+  test("composite text literals parse into declared structs (pg output syntax)") {
+    val st = StructType.fromDDL(
+      "street STRING, zip INT, ok BOOLEAN, score DOUBLE").asInstanceOf[StructType]
+    // literal forms cross-pinned against real pg in dialect_live_check
+    // (pg quotes fields containing spaces; unquoted also parses)
+    val r = TypeMapping.parseComposite("""("42 Elm St",94110,t,1.5)""", st)
+    assert(r.getUTF8String(0).toString == "42 Elm St")
+    assert(r.getInt(1) == 94110 && r.getBoolean(2) && r.getDouble(3) == 1.5)
+    // quoting: embedded comma/quote/backslash, "" escape; empty field = NULL
+    val q = TypeMapping.parseComposite("""("a, ""b"" c",,f,0)""", st)
+    assert(q.getUTF8String(0).toString == """a, "b" c""")
+    assert(q.isNullAt(1) && !q.getBoolean(2))
+    // quoted empty string is "", NOT null
+    val e = TypeMapping.parseComposite("""("",1,t,2)""", st)
+    assert(!e.isNullAt(0) && e.getUTF8String(0).toString == "")
+    // nested composite recurses
+    val nested = StructType(Seq(
+      StructField("name", StringType),
+      StructField("inner", StructType(Seq(
+        StructField("a", IntegerType), StructField("b", StringType))))))
+    val n = TypeMapping.parseComposite("""(x,"(1,y)")""", nested)
+    assert(n.getStruct(1, 2).getInt(0) == 1)
+    assert(n.getStruct(1, 2).getUTF8String(1).toString == "y")
+  }
+
+  test("range text literals parse with bounds and inclusivity") {
+    val r = TypeMapping.parseRange("[1,10)", IntegerType)
+    assert(r.getInt(0) == 1 && r.getInt(1) == 10)
+    assert(r.getBoolean(2) && !r.getBoolean(3))
+    val unb = TypeMapping.parseRange("(,5]", LongType)
+    assert(unb.isNullAt(0) && unb.getLong(1) == 5L)
+    assert(!unb.getBoolean(2) && unb.getBoolean(3))
+    val empty = TypeMapping.parseRange("empty", IntegerType)
+    assert(empty.isNullAt(0) && empty.isNullAt(1))
+    assert(!empty.getBoolean(2) && !empty.getBoolean(3))
+    // timestamp bounds arrive quoted from pg
+    val ts = TypeMapping.parseRange(
+      """["2020-01-15 10:00:00","2020-02-01 00:00:00")""", TimestampType)
+    assert(!ts.isNullAt(0) && !ts.isNullAt(1) && ts.getBoolean(2) && !ts.getBoolean(3))
+  }
 }
