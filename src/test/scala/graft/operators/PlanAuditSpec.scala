@@ -117,6 +117,11 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     val p = plan("q116_neardup_verify")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"all-pairs edit distance reintroduced:\n$p")
+    // the Myers bit-parallel expression must stay INSIDE codegen (a
+    // fallback to interpreted eval would silently give back the 8×)
+    assert(p.contains("edit_distance"), s"EditDistance expression missing:\n$p")
+    assert(!p.contains("levenshtein"),
+      s"built-in O(n·m) levenshtein crept back into the verify stage:\n$p")
   }
 
   test("q63: LSH ANN candidate generation is an equi-join — no cartesian") {

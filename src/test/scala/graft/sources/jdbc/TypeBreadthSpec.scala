@@ -208,6 +208,33 @@ class TypeBreadthSpec extends AnyFunSuite with SparkFixture {
     assert(n.getStruct(1, 2).getUTF8String(1).toString == "y")
   }
 
+  test("hive-style type strings declare remote column types via customschema") {
+    // the reference carries an 893-line Hive type-text lexer/parser
+    // (arrow_sql_gen/hive_schema.rs) for declared partition schemas;
+    // Spark ships that parser natively — Hive type syntax IS Spark's
+    // DDL syntax (DataType.fromDDL) — so the customschema option IS the
+    // hive-schema path, nested/mixed-case forms included.
+    val o = JdbcOptions(Map("url" -> "jdbc:derby:memory:x",
+      "customschema" ->
+        ("addr STRUCT<street: STRING, zip: INT>, tags ARRAY<BIGINT>, " +
+          "attrs MAP<STRING, INT>, note string")))
+    val cs = o.customSchema.get
+    assert(cs("addr").dataType ==
+      StructType(Seq(StructField("street", StringType), StructField("zip", IntegerType))))
+    assert(cs("tags").dataType == ArrayType(LongType))
+    assert(cs("attrs").dataType == MapType(StringType, IntegerType))
+    assert(cs("note").dataType == StringType)
+    // deep nesting (the reference's parser recurses to depth 100)
+    val deep = JdbcOptions(Map("url" -> "jdbc:derby:memory:x",
+      "customschema" -> "c struct<a: array<struct<m: map<string, array<int>>>>>"))
+    assert(deep.customSchema.get("c").dataType.isInstanceOf[StructType])
+    // a malformed declaration fails eagerly at option-parse time
+    intercept[Exception] {
+      JdbcOptions(Map("url" -> "jdbc:derby:memory:x",
+        "customschema" -> "bad struct<")).customSchema
+    }
+  }
+
   test("range text literals parse with bounds and inclusivity") {
     val r = TypeMapping.parseRange("[1,10)", IntegerType)
     assert(r.getInt(0) == 1 && r.getInt(1) == 10)
