@@ -328,7 +328,8 @@ if pg_live:
             "'[1,10)'::int4range::text AS r1, "
             "'(,5]'::numrange::text AS r2, "  # int ranges canonicalize to [..,..+1)
             "'empty'::int4range::text AS r3, "
-            "tsrange('2020-01-15 10:00:00','2020-02-01')::text AS r4"
+            "tsrange('2020-01-15 10:00:00','2020-02-01')::text AS r4, "
+            "point(1.5,2.5)::text AS pt"
         ).fetchall()[0]
         check("pg types: composite text form", got[0] == '("42 Elm St",94110,t,1.5)', got[0])
         check("pg types: composite quoting/null", got[1] == '("a, ""b"" c",,f,0)', got[1])
@@ -339,6 +340,7 @@ if pg_live:
         check("pg types: empty range form", got[6] == "empty", got[6])
         check("pg types: tsrange quoted bounds",
               got[7] == '["2020-01-15 10:00:00","2020-02-01 00:00:00")', got[7])
+        check("pg types: point composite form", got[8] == "(1.5,2.5)", got[8])
     except Exception as e:
         check("pg types: execution", False, repr(e))
 

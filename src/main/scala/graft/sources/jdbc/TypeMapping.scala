@@ -142,6 +142,11 @@ object TypeMapping {
         case Types.OTHER =>
           val tn = Option(md.getColumnTypeName(i)).getOrElse("").trim.toLowerCase
           if (tn.endsWith("range")) rangeStruct(rangeElementType(tn))
+          // pg point "(x,y)" → struct<x,y> (reference maps it to
+          // FixedSizeList[2] of f64, schema.rs:66; a named struct is the
+          // Catalyst idiom — parseComposite reads the same text form)
+          else if (tn == "point") StructType(Seq(
+            StructField("x", DoubleType), StructField("y", DoubleType)))
           else StringType
         case t =>
           try catalystType(t, md.getPrecision(i), md.getScale(i))

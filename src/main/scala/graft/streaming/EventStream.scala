@@ -121,6 +121,58 @@ object EventStream {
       }
       .start()
 
+  /** Streaming NEAR-dup dedup for a document ingest pipeline: each
+    * micro-batch is (1) exact-deduped within itself (min-id
+    * representative per distinct text), (2) near-deduped within itself
+    * (MinHash-LSH candidate pairs, greedy min-id keep — the same
+    * [[graft.operators.Dedup.minhashLshPairs]] the batch gate q42
+    * oracles), and (3) near-deduped AGAINST THE ACCUMULATED CORPUS via
+    * the bipartite SimHash pigeonhole
+    * ([[graft.operators.Dedup.incrementalDedup]], the q80 operator,
+    * verbatim — one dedup library, both execution modes). Survivors
+    * append to `table`; the table IS the dedup state.
+    *
+    * Scale shape: corpus-vs-batch work is proportional to the BATCH
+    * (bipartite pigeonhole, never corpus×corpus), and the corpus-side
+    * signatures are one aggregation pass over the store per trigger —
+    * at high ingest rates, maintain them incrementally in a side table
+    * keyed by the same (k, cv) chunks. Deduplication state deliberately
+    * lives in the TABLE, not the streaming state store: near-dup state
+    * must cover the whole corpus forever, which no watermark can bound
+    * — the state store would grow unbounded AND vanish on checkpoint
+    * loss, while the table is durable, exactly as large as the kept
+    * corpus, and shared with the batch pipeline.
+    */
+  def nearDedupTo(docs: DataFrame, table: String, checkpointDir: String,
+      maxHamming: Int = 8,
+      queryName: String = "graft_neardedup_sink"): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        val spark = batch0.sparkSession
+        val batch = batch0.select(col("doc_id"), col("text"))
+        // (1) exact dedup within the batch — q40's min-id representative
+        val reps = batch.groupBy(col("text"))
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select(col("doc_id"), col("text"))
+        // (2) near-dup within the batch — LSH pairs (d1 < d2), drop d2
+        val inBatch = reps.join(
+          graft.operators.Dedup.minhashLshPairs(reps)
+            .select(col("d2").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        // (3) near-dup vs history — bipartite, batch-proportional; on an
+        // empty history this degenerates to a pass-through
+        val survivors = graft.operators.Dedup
+          .incrementalDedup(inBatch, spark.table(table), maxHamming = maxHamming)
+          .select(col("doc_id"))
+        inBatch.join(survivors, Seq("doc_id"))
+          .writeTo(table).append()
+        graft.operators.GraftCache.releaseAll()
+      }
+      .start()
+
   /** Stream-stream watermarked interval join: attribute each click to
     * every view by the same user within the preceding `withinMinutes`.
     * The equi-key (user) bounds the hash partitioning, the event-time

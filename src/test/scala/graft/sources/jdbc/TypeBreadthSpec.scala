@@ -135,9 +135,16 @@ class TypeBreadthSpec extends AnyFunSuite with SparkFixture {
       ("span", java.sql.Types.OTHER, "int4range"),          // range → struct
       ("tspan", java.sql.Types.OTHER, "tsrange"),
       ("addr", java.sql.Types.STRUCT, "addr_t"),            // composite → text by default
+      ("pos", java.sql.Types.OTHER, "point"),               // point → struct<x,y>
       ("k", java.sql.Types.BIGINT, "int8"))
     val base = TypeMapping.schemaOf(md)
     assert(base("mood").dataType == StringType)
+    assert(base("pos").dataType ==
+      StructType(Seq(StructField("x", DoubleType), StructField("y", DoubleType))))
+    // pg point text "(1.5,2.5)" parses through the composite reader
+    val pt = TypeMapping.parseComposite("(1.5,2.5)",
+      base("pos").dataType.asInstanceOf[StructType])
+    assert(pt.getDouble(0) == 1.5 && pt.getDouble(1) == 2.5)
     assert(base("span").dataType ==
       TypeMapping.rangeStruct(IntegerType))
     assert(base("tspan").dataType == TypeMapping.rangeStruct(TimestampType))

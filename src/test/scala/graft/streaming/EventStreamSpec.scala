@@ -179,6 +179,40 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("nearDedupTo drops exact, in-batch-near, and cross-batch-near duplicates") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ext.strm")
+    spark.sql("DROP TABLE IF EXISTS ext.strm.corpus")
+    spark.sql("CREATE TABLE ext.strm.corpus (doc_id BIGINT, text STRING)")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_neardedup_ckpt").toString
+
+    // a 40-word base text; near-dups differ in ONE word (high Jaccard on
+    // 2-shingles → LSH band collision; simhash hamming well under 8)
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    def variant(pos: Int): String =
+      (1 to 40).map(i => if (i == pos) "CHANGED" else s"tok$i").mkString(" ")
+    val distinct1 = (1 to 40).map(i => s"other$i").mkString(" ")
+    val distinct2 = (1 to 40).map(i => s"fresh$i").mkString(" ")
+
+    val input = MemoryStream[(Long, String)](spark)
+    val q = EventStream.nearDedupTo(
+      input.toDF().toDF("doc_id", "text"), "ext.strm.corpus", ckpt)
+    try {
+      // batch 1: base kept; in-batch near-dup (d2) dropped; distinct kept
+      input.addData((1L, base), (2L, variant(40)), (3L, distinct1))
+      q.processAllAvailable()
+      assert(spark.table("ext.strm.corpus").select("doc_id").as[Long].collect().toSet
+        == Set(1L, 3L))
+
+      // batch 2: exact re-arrival dropped (fp), cross-batch near-dup of
+      // the STORED corpus dropped (simhash pigeonhole), new doc kept
+      input.addData((4L, base), (5L, variant(7)), (6L, distinct2))
+      q.processAllAvailable()
+      assert(spark.table("ext.strm.corpus").select("doc_id").as[Long].collect().toSet
+        == Set(1L, 3L, 6L))
+    } finally q.stop()
+  }
+
   test("heavyHittersStream keeps a running exact sketch across micro-batches") {
     import spark.implicits._
     val input = MemoryStream[(String, String)](spark)
