@@ -74,6 +74,10 @@ import os
 import shutil
 
 PG_DIR, PG_PORT = "/tmp/graft_pg_live", "55432"
+# initdb's superuser is the OS user that runs it: the dedicated pguser
+# when we're root (postgres refuses to run as root), else whoever we are
+import getpass
+PG_ROLE = "pguser" if os.geteuid() == 0 else getpass.getuser()
 
 
 def _pg_run(cmd):
@@ -118,7 +122,7 @@ class PgConn:
 
     def _psql(self, sql):
         r = subprocess.run(
-            ["psql", "-h", "/tmp", "-p", PG_PORT, "-U", "pguser",
+            ["psql", "-h", "/tmp", "-p", PG_PORT, "-U", PG_ROLE,
              "-d", "postgres", "-v", "ON_ERROR_STOP=1", "-t", "-A", "-c", sql],
             capture_output=True, text=True)
         if r.returncode != 0:
@@ -329,7 +333,8 @@ if pg_live:
             "'(,5]'::numrange::text AS r2, "  # int ranges canonicalize to [..,..+1)
             "'empty'::int4range::text AS r3, "
             "tsrange('2020-01-15 10:00:00','2020-02-01')::text AS r4, "
-            "point(1.5,2.5)::text AS pt"
+            "point(1.5,2.5)::text AS pt, "
+            "tstzrange('2020-01-15 10:00:00+00','2020-02-01 00:00:00+00')::text AS r5"
         ).fetchall()[0]
         check("pg types: composite text form", got[0] == '("42 Elm St",94110,t,1.5)', got[0])
         check("pg types: composite quoting/null", got[1] == '("a, ""b"" c",,f,0)', got[1])
@@ -341,6 +346,11 @@ if pg_live:
         check("pg types: tsrange quoted bounds",
               got[7] == '["2020-01-15 10:00:00","2020-02-01 00:00:00")', got[7])
         check("pg types: point composite form", got[8] == "(1.5,2.5)", got[8])
+        # server TZ defaults vary; pin only the shape the Scala parser
+        # must handle — quoted bounds with a trailing UTC-offset suffix
+        import re as _re
+        check("pg types: tstzrange bounds carry an offset suffix",
+              bool(_re.match(r'^\["[^"]+[+-]\d{2}(:\d{2})?",', got[9])), got[9])
     except Exception as e:
         check("pg types: execution", False, repr(e))
 

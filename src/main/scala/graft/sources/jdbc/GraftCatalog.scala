@@ -111,9 +111,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * the reference's `get_schema` (`dbconnection.rs:216-239`). */
   private def introspect(ident: Identifier): StructType = withConn { c =>
     val ps = c.prepareStatement(s"SELECT * FROM ${qualified(ident)} WHERE 1=0")
-    try TypeMapping.schemaOf(ps.getMetaData,
-      unsupportedAsString = options.readUnsupportedAsString)
-    finally ps.close()
+    try {
+      val base = TypeMapping.schemaOf(ps.getMetaData,
+        unsupportedAsString = options.readUnsupportedAsString)
+      // catalog-level `customschema` (column-NAME-keyed, so it overlays
+      // every table in the catalog that has a matching column — declare
+      // only names that are unambiguous across the namespace)
+      options.customSchema.map(TypeMapping.applyOverrides(base, _)).getOrElse(base)
+    } finally ps.close()
   }
 
   /** Existence via catalog metadata, not a probe-SELECT: a probe that

@@ -156,22 +156,31 @@ final case class JdbcOptions(map: Map[String, String]) extends Serializable {
     * names them — either way tables resolve unqualified (search path /
     * attach order) or qualified as `name.table`.
     */
-  val attach: Seq[(String, String)] = map.get("attach").map { spec =>
-    spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq.zipWithIndex.map {
-      case (e, i) => e.split("=", 2) match {
-        case Array(n, p) if p.trim.nonEmpty => (n.trim, p.trim)
-        case _ => (s"graft_att$i", e)
+  val attach: Seq[(String, String)] = {
+    // `name=path` only when the prefix is a plain identifier — a bare
+    // path containing '=' (e.g. /data/a=b.db) stays positional; a named
+    // entry with an empty path is a configuration error, caught HERE
+    // (driver, option-parse time), not as a confusing connect failure
+    val Named = "^([A-Za-z_][A-Za-z0-9_]*)=(.*)$".r
+    map.get("attach").map { spec =>
+      spec.split(",").map(_.trim).filter(_.nonEmpty).toSeq.zipWithIndex.map {
+        case (Named(n, p), _) =>
+          if (p.isEmpty) throw new IllegalArgumentException(
+            s"attach: empty path for attachment '$n'")
+          (n, p)
+        case (e, i) => (s"graft_att$i", e)
       }
-    }
-  }.getOrElse(Nil)
+    }.getOrElse(Nil)
+  }
 
-  /** The main database's name for search-path purposes: the file stem
-    * for file-backed urls (DuckDB names them that way), else `memory`.
+  /** The main database's name for search-path purposes: DuckDB names a
+    * file-backed catalog by the basename minus its LAST extension
+    * (whatever that extension is), else `memory`.
     */
   private def mainDbName: String = {
     val path = url.substring(url.lastIndexOf(':') + 1)
-    val base = path.substring(path.lastIndexOf('/') + 1)
-    val stem = base.split('?').head.stripSuffix(".duckdb").stripSuffix(".db")
+    val base = path.substring(path.lastIndexOf('/') + 1).split('?').head
+    val stem = base.replaceAll("\\.[^.]*$", "")
     if (stem.isEmpty) "memory" else stem
   }
 
@@ -189,10 +198,13 @@ final case class JdbcOptions(map: Map[String, String]) extends Serializable {
     * only federate into one remote statement when these are EQUAL —
     * and an attach set changes what a name resolves to, so it is part
     * of the identity (same url, different attachments ≠ same context).
+    * The list is NOT sorted: unqualified-name resolution is
+    * attach-ORDER dependent (DuckDB search_path, SQLite attach order),
+    * so the same files in a different order are a different context.
     */
   def computeContext: String =
     if (attach.isEmpty) url
-    else url + "#attach=" + attach.map { case (n, p) => s"$n=$p" }.sorted.mkString(",")
+    else url + "#attach=" + attach.map { case (n, p) => s"$n=$p" }.mkString(",")
 
   def withTable(t: String): JdbcOptions = JdbcOptions(map + ("dbtable" -> t))
 

@@ -122,20 +122,16 @@ object TypeMapping {
     * (the reference reads enums as dictionary-of-string — Spark has no
     * dictionary type, the string IS the semantic value); a composite
     * (`Types.STRUCT`) → its raw `(a,"b c",…)` text literal by default,
-    * or a parsed StructType when the caller DECLARES the shape in
-    * `overrides` (the `customschema` option — the declared-schema
-    * escape hatch, since JDBC metadata does not expose composite
-    * member types portably).
+    * or a parsed StructType when the caller DECLARES the shape via
+    * [[applyOverrides]] (the `customschema` option — the
+    * declared-schema escape hatch, since JDBC metadata does not expose
+    * composite member types portably).
     */
   def schemaOf(md: ResultSetMetaData,
-      overrides: Map[String, DataType] = Map.empty,
       unsupportedAsString: Boolean = false): StructType = StructType(
     (1 to md.getColumnCount).map { i =>
       val name = md.getColumnLabel(i)
-      val declared = overrides.collectFirst {
-        case (k, v) if k.equalsIgnoreCase(name) => v
-      }
-      val dt = declared.getOrElse(md.getColumnType(i) match {
+      val dt = (md.getColumnType(i) match {
         case Types.ARRAY =>
           ArrayType(arrayElementType(md.getColumnTypeName(i)), containsNull = true)
         case Types.STRUCT => StringType
@@ -267,10 +263,29 @@ object TypeMapping {
     case DoubleType => s.trim.toDouble
     case d: DecimalType => Decimal(new java.math.BigDecimal(s.trim), d.precision, d.scale)
     case DateType => DateTimeUtils.fromJavaDate(java.sql.Date.valueOf(s.trim))
-    case TimestampType | TimestampNTZType =>
-      DateTimeUtils.fromJavaTimestamp(java.sql.Timestamp.valueOf(s.trim))
+    case TimestampType | TimestampNTZType => timestampMicros(s.trim)
     case nested: StructType => parseComposite(s, nested)
     case other => throw new IllegalArgumentException(s"composite field type $other")
+  }
+
+  /** pg timestamp text → epoch micros, timezone-exactly: a trailing
+    * UTC offset (`+00`, `-08:00` — tstzrange / timestamptz composite
+    * members carry one) anchors the instant; naive text is interpreted
+    * as UTC, matching the session timezone this engine pins — NEVER the
+    * executor JVM's default zone (`Timestamp.valueOf` would shift
+    * values on any non-UTC host).
+    */
+  private def timestampMicros(s: String): Long = {
+    val OffsetTail = "([+-]\\d{2}(?::?\\d{2})?)$".r
+    val (body, offset) = OffsetTail.findFirstIn(s) match {
+      case Some(o) => (s.dropRight(o.length), java.time.ZoneOffset.of(o))
+      case None => (s, java.time.ZoneOffset.UTC)
+    }
+    val ldt = java.time.LocalDateTime.parse(
+      body.trim.replace(' ', 'T'),
+      java.time.format.DateTimeFormatter.ISO_LOCAL_DATE_TIME)
+    val inst = ldt.toInstant(offset)
+    inst.getEpochSecond * 1000000L + inst.getNano / 1000L
   }
 
   /** `(1,"a b",t)` → InternalRow per the declared struct; empty fields

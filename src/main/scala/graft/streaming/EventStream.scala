@@ -152,14 +152,22 @@ object EventStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch0: DataFrame, _: Long) =>
         val spark = batch0.sparkSession
-        val batch = batch0.select(col("doc_id"), col("text"))
-        // (1) exact dedup within the batch — q40's min-id representative
-        val reps = batch.groupBy(col("text"))
-          .agg(min(col("doc_id")).as("doc_id"))
-          .select(col("doc_id"), col("text"))
-        // (2) near-dup within the batch — LSH pairs (d1 < d2), drop d2
+        // (1) exact dedup within the batch — q40's min-id representative.
+        // reps feeds three lineages (LSH pairs, the anti-join, the final
+        // append) — persist once, released by the trailing releaseAll.
+        val reps = graft.operators.GraftCache.track(
+          batch0.select(col("doc_id"), col("text"))
+            .groupBy(col("text"))
+            .agg(min(col("doc_id")).as("doc_id"))
+            .select(col("doc_id"), col("text")))
+        // (2) near-dup within the batch: LSH candidates are
+        // PROBABILISTIC — drop d2 only when the edit-distance metric
+        // confirms the pair (the same verified criterion as q116; an
+        // unverified band collision between distinct documents must
+        // never discard one of them)
         val inBatch = reps.join(
-          graft.operators.Dedup.minhashLshPairs(reps)
+          graft.operators.Dedup.verifiedNearDups(reps)
+            .filter(col("verified"))
             .select(col("d2").as("doc_id")).distinct(),
           Seq("doc_id"), "left_anti")
         // (3) near-dup vs history — bipartite, batch-proportional; on an

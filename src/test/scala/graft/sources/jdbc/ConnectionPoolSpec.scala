@@ -133,10 +133,27 @@ class ConnectionPoolSpec extends AnyFunSuite with SparkFixture {
     assert(o.computeContext != bare.computeContext)
     assert(o.computeContext ==
       JdbcOptions(o.map).computeContext, "same attach set must federate")
+    // ORDER is identity too: unqualified-name resolution is
+    // attach-order dependent (search_path / sqlite attach order)
+    val reordered = JdbcOptions(Map("url" -> "jdbc:duckdb:/tmp/m.duckdb",
+      "attach" -> "graft_att1=/tmp/b.duckdb,sales=/tmp/a.duckdb"))
+    assert(reordered.computeContext != o.computeContext)
     // a dialect without file-attach rejects at option-parse time
     intercept[IllegalArgumentException] {
       JdbcOptions(Map("url" -> SparkFixture.derbyUrl, "attach" -> "/tmp/x.db")).attachInit
     }
+    // a bare path containing '=' stays positional (not a name=path pair);
+    // a named entry with an empty path is rejected eagerly
+    assert(JdbcOptions(Map("url" -> "jdbc:duckdb:/tmp/m.duckdb",
+      "attach" -> "/data/a=b.db")).attach == Seq("graft_att0" -> "/data/a=b.db"))
+    intercept[IllegalArgumentException] {
+      JdbcOptions(Map("url" -> "jdbc:duckdb:/tmp/m.duckdb", "attach" -> "sales="))
+    }
+    // DuckDB names a file catalog by basename minus its LAST extension,
+    // whatever it is — search_path must use that name
+    val ddb = JdbcOptions(Map("url" -> "jdbc:duckdb:/data/corpus.ddb",
+      "attach" -> "sales=/tmp/a.duckdb"))
+    assert(ddb.attachInit.last == "SET search_path = 'corpus,sales'")
     // pool separation: attach statements join the connection-init key
     assert(o.connectionInit.startsWith(o.attachInit))
   }

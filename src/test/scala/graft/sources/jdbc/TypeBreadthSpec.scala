@@ -153,9 +153,6 @@ class TypeBreadthSpec extends AnyFunSuite with SparkFixture {
     // the declared-schema escape hatch upgrades the composite to a
     // typed struct (customschema option → applyOverrides)
     val declared = StructType.fromDDL("addr STRUCT<street: STRING, zip: INT>")
-    val over = TypeMapping.schemaOf(md,
-      Map("addr" -> declared("addr").dataType))
-    assert(over("addr").dataType == declared("addr").dataType)
     assert(TypeMapping.applyOverrides(base, declared)("addr").dataType ==
       declared("addr").dataType)
   }
@@ -252,9 +249,25 @@ class TypeBreadthSpec extends AnyFunSuite with SparkFixture {
     val empty = TypeMapping.parseRange("empty", IntegerType)
     assert(empty.isNullAt(0) && empty.isNullAt(1))
     assert(!empty.getBoolean(2) && !empty.getBoolean(3))
-    // timestamp bounds arrive quoted from pg
+    // timestamp bounds arrive quoted from pg; values are UTC-exact
+    // regardless of the executor JVM's default zone
     val ts = TypeMapping.parseRange(
       """["2020-01-15 10:00:00","2020-02-01 00:00:00")""", TimestampType)
-    assert(!ts.isNullAt(0) && !ts.isNullAt(1) && ts.getBoolean(2) && !ts.getBoolean(3))
+    assert(ts.getLong(0) ==
+      java.time.Instant.parse("2020-01-15T10:00:00Z").getEpochSecond * 1000000L)
+    assert(!ts.isNullAt(1) && ts.getBoolean(2) && !ts.getBoolean(3))
+    // tstzrange text carries a UTC-offset suffix — pg emits e.g. +00 /
+    // -08 / +05:30; the instant must anchor to THAT offset
+    val tz = TypeMapping.parseRange(
+      """["2020-01-15 10:00:00+00","2020-02-01 02:00:00-08")""", TimestampType)
+    assert(tz.getLong(0) ==
+      java.time.Instant.parse("2020-01-15T10:00:00Z").getEpochSecond * 1000000L)
+    assert(tz.getLong(1) ==
+      java.time.Instant.parse("2020-02-01T10:00:00Z").getEpochSecond * 1000000L)
+    val half = TypeMapping.parseRange(
+      """["2020-01-15 10:00:00+05:30",)""", TimestampType)
+    assert(half.getLong(0) ==
+      java.time.Instant.parse("2020-01-15T04:30:00Z").getEpochSecond * 1000000L)
+    assert(half.isNullAt(1))
   }
 }
