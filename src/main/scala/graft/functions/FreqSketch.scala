@@ -38,6 +38,8 @@ case class FreqSketchAgg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[java.util.HashMap[String, Long]] {
 
+  require(capacity >= 1, s"freq_sketch: capacity must be >= 1, got $capacity")
+
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = MapType(StringType, LongType, valueContainsNull = false)

@@ -31,6 +31,10 @@ case class KmvSketchAgg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
 
+  // fail at construction (analysis for the SQL surface), not as a
+  // NoSuchElementException on an empty buffer inside a task
+  require(k >= 1, s"kmv_kth_min: k must be >= 1, got $k")
+
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = true
   override def dataType: DataType = LongType

@@ -35,8 +35,10 @@ object Cluster extends org.apache.spark.internal.Logging {
     * TIERED BY GRAPH SIZE — the decision a 100 TB deployment actually
     * wants: the pair graph is orders of magnitude smaller than the
     * corpus, and most corpora produce one that fits a single machine
-    * easily. `limit(threshold+1).collect()` probes the size in ONE job
-    * (short-circuiting on huge graphs — no full count); at or under
+    * easily. The edge frame is persisted ONCE and its exact size read
+    * with a single `count()` (a limit-probe cannot short-circuit the
+    * aggregation pipeline that produces the edges — see the inline
+    * note at the probe); at or under
     * `smallGraphThreshold` edges the closure runs as driver-side
     * union-find with path compression (microseconds, zero supersteps —
     * the same "small model state on the driver" pattern as the k-means

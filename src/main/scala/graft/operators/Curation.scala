@@ -189,10 +189,13 @@ object Curation {
       .partitionBy("pk").orderBy("h", "doc_id")
     val wp = org.apache.spark.sql.expressions.Window
       .orderBy("pk").rowsBetween(Long.MinValue, -1)
-    val local = df.select(col(idCol).as("doc_id"),
+    // persisted: the scan + pk exchange + running-sum window feed BOTH
+    // the per-bucket totals aggregation and the final join — untracked,
+    // the operator's dominant cost would execute twice per action
+    val local = GraftCache.track(df.select(col(idCol).as("doc_id"),
         size(split(col(textCol), " ")).as("n"), h60(col(textCol)).as("h"))
       .withColumn("pk", (col("h") % parts).cast("int"))
-      .withColumn("cum", sum("n").over(w))
+      .withColumn("cum", sum("n").over(w)))
     val prefix = local.groupBy("pk").agg(max("cum").as("tot"))
       .withColumn("pre", coalesce(sum("tot").over(wp), lit(0L)))
       .select("pk", "pre")

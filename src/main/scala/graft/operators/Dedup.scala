@@ -414,7 +414,7 @@ object Dedup {
 
   // Quantized embeddings + sign-LSH primitives live in [[EmbeddingLsh]]
   // (shared with the ANN similarity-search operators, q62/q63).
-  import EmbeddingLsh.{quantized, quantizedSql, qdot, qdotSql, hcomp}
+  import EmbeddingLsh.{quantized, quantizedSql, qdot, qdotSql}
 
   /** The q45 oracle as a reusable CTE chain over quantized-vector CTE
     * `src(vec_id, q, nrm)`, ending in `epairs(v1, v2, dot, na, nb)` —
@@ -424,19 +424,9 @@ object Dedup {
     * over the exact-dedup representatives only.
     */
   private[operators] def embPairsCtesFor(src: String): String = {
-    val nh = NumBands * BandBits
-    val bits = (0 until nh).map { j =>
-      s"CASE WHEN list_aggregate([q[i+1] * ${hcomp(j)} FOR i IN generate_series(0,63)], 'sum')::BIGINT >= 0 " +
-        s"THEN 1::BIGINT ELSE 0::BIGINT END AS bit$j"
-    }.mkString(", ")
-    val bandvals = (0 until NumBands).map { k =>
-      "(" + (0 until BandBits).map(r => s"bit${BandBits * k + r} * ${1L << r}").mkString(" + ") + s") AS band$k"
-    }.mkString(", ")
-    val bands = (0 until NumBands)
-      .map(k => s"SELECT vec_id, $k AS k, band$k AS bv FROM bd").mkString(" UNION ALL ")
-    s"bits AS (SELECT vec_id, $bits FROM $src), " +
-      s"bd AS (SELECT vec_id, $bandvals FROM bits), " +
-      s"bands AS ($bands), " +
+    // the bits/bd/bands chain is EmbeddingLsh.bandsSql — one rendering
+    // of the sign-LSH geometry shared with the q63 ANN oracle
+    EmbeddingLsh.bandsSql(src) + ", " +
       s"bandsf AS ${capBucketsSql("bands", BucketCap, "vec_id, k, bv", "k", "bv")}, " +
       "cand AS (SELECT DISTINCT x.vec_id AS v1, y.vec_id AS v2 FROM bandsf x JOIN bandsf y " +
       " ON x.k = y.k AND x.bv = y.bv AND x.vec_id < y.vec_id), " +
@@ -595,26 +585,17 @@ object Dedup {
     // 60-bit SimHash: per-token 60-bit hash, token-frequency-weighted
     // sign vote per bit position.
     Q("q43_simhash",
-      "WITH tok AS (SELECT doc_id, t AS tok, COUNT(*) AS cnt FROM " +
-        " (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents) GROUP BY 1, 2), " +
-        "th AS (SELECT doc_id, cnt, " + h60Sql("tok") + " AS th FROM tok), " +
-        "bits AS (SELECT doc_id, b, SUM(CASE WHEN (th >> b) & 1 = 1 THEN cnt ELSE -cnt END) AS sb " +
-        " FROM th CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) GROUP BY 1, 2) " +
-        "SELECT doc_id, SUM(CASE WHEN sb > 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT AS simhash " +
-        "FROM bits GROUP BY doc_id ORDER BY doc_id") { (s, dir) =>
+      // the tok/th/bits/sh chain is simhashSql — ONE rendering of the
+      // SimHash vote arithmetic, shared with q44 and q80's oracles
+      "WITH " + simhashSql("documents", "") +
+        " SELECT doc_id, simhash FROM sh ORDER BY doc_id") { (s, dir) =>
       simhashOf(Tables.load(s, dir, "documents")).orderBy("doc_id")
     },
 
     // Candidate pairs: equal 15-bit chunk (pigeonhole over 4 chunks
     // guarantees recall for hamming ≤ 3), then exact hamming ≤ 8 filter.
     Q("q44_simhash_pairs",
-      "WITH tok AS (SELECT doc_id, t AS tok, COUNT(*) AS cnt FROM " +
-        " (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM documents) GROUP BY 1, 2), " +
-        "th AS (SELECT doc_id, cnt, " + h60Sql("tok") + " AS th FROM tok), " +
-        "bits AS (SELECT doc_id, b, SUM(CASE WHEN (th >> b) & 1 = 1 THEN cnt ELSE -cnt END) AS sb " +
-        " FROM th CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) GROUP BY 1, 2), " +
-        "sh AS (SELECT doc_id, SUM(CASE WHEN sb > 0 THEN 1::BIGINT << b ELSE 0 END)::BIGINT AS simhash " +
-        " FROM bits GROUP BY doc_id), " +
+      "WITH " + simhashSql("documents", "") + ", " +
         "ch AS (SELECT doc_id, simhash, k, (simhash >> (15 * k)) & 32767 AS cv " +
         " FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k)), " +
         s"chf AS ${capBucketsSql("ch", BucketCap, "doc_id, simhash, k, cv", "k", "cv")}, " +

@@ -68,8 +68,12 @@ object EmbeddingLsh {
       graft.functions.SignBands.sign_bands(col("q"), NumBands, BandBits))
       .as(Seq("k", "bv")))
 
-  /** DuckDB CTE fragments `bits`, `bd`, `bands` over CTE `n`. */
-  def bandsSql: String = {
+  /** DuckDB CTE fragments `bits`, `bd`, `bands` over source CTE `src`
+    * (default `n`). The ONE rendering of the sign-LSH geometry — the
+    * q45/q63/q89/q91 oracles all instantiate it, so a change to the
+    * hyperplane formula cannot diverge them.
+    */
+  def bandsSql(src: String = "n"): String = {
     val nh = NumBands * BandBits
     val bits = (0 until nh).map { j =>
       s"CASE WHEN list_aggregate([q[i+1] * ${hcomp(j)} FOR i IN generate_series(0,63)], 'sum')::BIGINT >= 0 " +
@@ -80,7 +84,7 @@ object EmbeddingLsh {
     }.mkString(", ")
     val bands = (0 until NumBands)
       .map(k => s"SELECT vec_id, $k AS k, band$k AS bv FROM bd").mkString(" UNION ALL ")
-    s"bits AS (SELECT vec_id, $bits FROM n), " +
+    s"bits AS (SELECT vec_id, $bits FROM $src), " +
       s"bd AS (SELECT vec_id, $bandvals FROM bits), " +
       s"bands AS ($bands)"
   }

@@ -114,7 +114,15 @@ object GraftCache {
       val sess = sessionRef.get()
       if (sess != null) {
         if (activeScopes.get() == 0) releaseFor(sess)
-        else pendingSessions.add(sess) // drained at scope exit
+        else {
+          pendingSessions.add(sess) // drained at scope exit
+          // the last scope may have exited — and drained — between the
+          // check above and the add, which would strand this session
+          // pending forever (listener callbacks run on the async bus);
+          // re-check and drain our own addition if we lost that race
+          if (activeScopes.get() == 0 && pendingSessions.remove(sess))
+            releaseFor(sess)
+        }
       }
     }
     override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =

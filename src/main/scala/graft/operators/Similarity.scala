@@ -71,6 +71,19 @@ object Similarity {
       .orderBy("qid", "vec_id")
   }
 
+  /** Exact-cosine re-rank of (qid, vec_id) candidate pairs against the
+    * quantized frame `n`, shared by the LSH and IVF ANN paths so a
+    * change to the re-rank (ties, persists) cannot diverge them.
+    */
+  private def rerank(cand: DataFrame, n: DataFrame, k: Int): DataFrame = {
+    val p = cand
+      .join(n.select(col("vec_id").as("qid"), col("q").as("qq"), col("nrm").as("qn")), Seq("qid"))
+      .join(n, Seq("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        cosOf(col("qq"), col("qn"), col("q"), col("nrm")).as("cos"))
+    topK(p, k)
+  }
+
   /** Exact top-k cosine neighbors of every vector satisfying `isQuery`
     * (a predicate over `vec_id`). `n` is a quantized (vec_id, q, nrm)
     * frame. The query set is broadcast; the vector set streams once.
@@ -104,12 +117,7 @@ object Similarity {
           col("vb.vec_id") =!= qb("qid"))
       .select(col("qid"), col("vb.vec_id").as("vec_id"))
       .distinct()
-    val p = cand
-      .join(n.select(col("vec_id").as("qid"), col("q").as("qq"), col("nrm").as("qn")), Seq("qid"))
-      .join(n, Seq("vec_id"))
-      .select(col("qid"), col("vec_id"),
-        cosOf(col("qq"), col("qn"), col("q"), col("nrm")).as("cos"))
-    topK(p, k)
+    rerank(cand, n, k)
   }
 
   /** IVF top-k: vectors satisfying `isCentroid` seed the coarse
@@ -144,12 +152,7 @@ object Similarity {
     val cand = probes.join(asg, Seq("cid"))
       .filter(col("vec_id") =!= col("qid"))
       .select("qid", "vec_id")
-    val p = cand
-      .join(n.select(col("vec_id").as("qid"), col("q").as("qq"), col("nrm").as("qn")), Seq("qid"))
-      .join(n, Seq("vec_id"))
-      .select(col("qid"), col("vec_id"),
-        cosOf(col("qq"), col("qn"), col("q"), col("nrm")).as("cos"))
-    topK(p, k)
+    rerank(cand, n, k)
   }
 
   /** Integer-exact k-means (Lloyd) TRAINING for the IVF coarse
@@ -285,12 +288,16 @@ object Similarity {
   def sq8(df: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val v = df.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+    // aggregate over the DOUBLE widening so the collected model state
+    // is element-type agnostic (float[], double[], decimal[] vectors
+    // all work — getFloat on a double column would ClassCast)
     val ranges = v.select(posexplode(col("v")).as(Seq("i", "x")))
       .groupBy("i")
-      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
       .orderBy("i").collect()
-    val mns = array(ranges.map(r => lit(r.getFloat(1).toDouble)): _*)
-    val mxs = array(ranges.map(r => lit(r.getFloat(2).toDouble)): _*)
+    val mns = array(ranges.map(r => lit(r.getDouble(1))).toIndexedSeq: _*)
+    val mxs = array(ranges.map(r => lit(r.getDouble(2))).toIndexedSeq: _*)
     v.select(col("vec_id"),
       transform(col("v"), (x, i) => {
         val mn = element_at(mns, i + 1)
@@ -340,7 +347,7 @@ object Similarity {
     },
 
     Q("q63_ann_lsh",
-      "WITH " + quantizedSql + ", " + bandsSql + ", " +
+      "WITH " + quantizedSql + ", " + bandsSql() + ", " +
         s"bandsf AS ${Dedup.capBucketsSql("bands", Dedup.BucketCap, "vec_id, k, bv", "k", "bv")}, " +
         s"cand AS (SELECT DISTINCT qb.vec_id AS qid, vb.vec_id AS vec_id FROM bandsf qb " +
         s" JOIN bandsf vb ON qb.k = vb.k AND qb.bv = vb.bv " +

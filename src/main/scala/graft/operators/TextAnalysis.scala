@@ -191,12 +191,34 @@ object TextAnalysis {
       terms: Seq[String] = Seq("customer", "spark"),
       mask: String = "<x>", idCol: String = "doc_id",
       textCol: String = "text"): org.apache.spark.sql.DataFrame = {
-    val pat = terms.mkString("\\b(", "|", ")\\b")
+    // escape per-character, NOT Pattern.quote: RE2 (the DuckDB oracle's
+    // engine) has no \Q…\E, so a term like "c++" or "a.b" must become
+    // literal via backslash escapes both engines read identically.
+    // \b only exists at word-char/non-word-char transitions, so it is
+    // asserted per term edge ONLY where the edge is a word character —
+    // "\bc\+\+\b" can never match "c++ " (no boundary between + and
+    // space), and RE2 has no lookaround to express the general case.
+    def isWord(c: Char) =
+      (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '_'
+    val pat = terms.filter(_.nonEmpty).map { t =>
+      (if (isWord(t.head)) "\\b" else "") + escapeRegex(t) +
+        (if (isWord(t.last)) "\\b" else "")
+    }.mkString("(", "|", ")")
     corpus(df, idCol, textCol)
       .select(col("doc_id"),
         regexp_count(col("text"), lit(pat)).as("n_redacted"),
         regexp_replace(col("text"), pat, mask).as("text_redacted"))
   }
+
+  /** Escape a literal string for use inside a regex, in the shared
+    * Java-regex ∩ RE2 dialect (backslash-escape each metacharacter —
+    * `\Q…\E` is Java-only).
+    */
+  private[operators] def escapeRegex(s: String): String =
+    s.flatMap { c =>
+      if ("\\^$.|?*+()[]{}".indexOf(c) >= 0) s"\\$c" else c.toString
+    }
 
   /** PII patterns shared by the operator and its oracle. Restricted to
     * the regex subset Java regex and RE2 (DuckDB) interpret identically:

@@ -76,7 +76,9 @@ object FederationRule extends Rule[LogicalPlan] {
           Some(Leaf(
             t.options.computeContext,
             t.options,
-            t.options.table,
+            // fromClause, not table: parameterized tables (tableargs)
+            // must render their argument list in federated SQL too
+            t.options.fromClause,
             r.output.map(a => a.exprId -> s"${d.quote(embedded)}.${d.quote(a.name)}").toMap,
             r.output,
             embedded))
@@ -85,7 +87,7 @@ object FederationRule extends Rule[LogicalPlan] {
           Some(Leaf(
             t.options.computeContext,
             t.options,
-            s"${t.options.table} ${d.quote(alias)}",
+            s"${t.options.fromClause} ${d.quote(alias)}",
             r.output.map(a => a.exprId -> s"${d.quote(alias)}.${d.quote(a.name)}").toMap,
             r.output,
             alias))
@@ -152,7 +154,11 @@ object FederationRule extends Rule[LogicalPlan] {
     val tbl = GraftJdbcTable(
       s"federated:${opts.computeContext}",
       StructType(fields),
-      JdbcOptions(opts.withTable(derived).map + ("derivedalias" -> alias)))
+      // drop tableargs: the derived table already embeds the original
+      // FROM (with its args); keeping the option would re-render the
+      // argument list after the derived alias — invalid SQL
+      JdbcOptions(opts.withTable(derived).map
+        - "tableargs" + ("derivedalias" -> alias)))
     val newOut = out.zipWithIndex.map { case (a, i) =>
       AttributeReference(s"c$i", a.dataType, a.nullable)()
     }

@@ -62,12 +62,17 @@ object DocumentTable {
   private[document] def files(path: String): Seq[Path] = {
     val p = Paths.get(path)
     val all =
-      if (Files.isDirectory(p))
-        Files.list(p).iterator().asScala.toSeq
+      if (Files.isDirectory(p)) {
+        // Files.list holds a directory handle until closed — a
+        // streaming source calls this every trigger, so relying on GC
+        // leaks one FD per micro-batch
+        val st = Files.list(p)
+        try st.iterator().asScala.toSeq
           .filter(f => Files.isRegularFile(f))
           .filterNot(f => f.getFileName.toString.startsWith("_") ||
             f.getFileName.toString.startsWith("."))
-      else Seq(p)
+        finally st.close()
+      } else Seq(p)
     all.sortBy(_.getFileName.toString)
   }
 
@@ -76,9 +81,24 @@ object DocumentTable {
     val path = o.getOrElse("path",
       throw new IllegalArgumentException("document source needs option 'path'"))
     val sampleSize = o.getOrElse("samplesize", "100").toInt
-    val sample = files(path).iterator.flatMap { f =>
-      Files.newBufferedReader(f, StandardCharsets.UTF_8).lines().iterator().asScala
-    }.filter(_.nonEmpty).take(sampleSize).map(mapper.readTree).toSeq
+    // read each file's contribution eagerly and CLOSE it — a lazy
+    // lines() iterator abandoned by take(sampleSize) keeps its reader
+    // (and FD) open until GC
+    val sample = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      val it = files(path).iterator
+      while (buf.size < sampleSize && it.hasNext) {
+        val r = Files.newBufferedReader(it.next(), StandardCharsets.UTF_8)
+        try {
+          val lines = r.lines().iterator()
+          while (buf.size < sampleSize && lines.hasNext) {
+            val line = lines.next()
+            if (line.nonEmpty) buf += line
+          }
+        } finally r.close()
+      }
+      buf.toSeq.map(mapper.readTree)
+    }
     val inferred = SchemaInference.infer(sample,
       o.getOrElse("flattendepth", "0").toInt)
     val declared = o.get("declared").map(StructType.fromDDL)

@@ -24,7 +24,18 @@ import org.apache.spark.unsafe.types.UTF8String
 sealed trait FilterDoc extends Serializable {
   /** Canonical JSON rendering (sorted, deterministic) — the wire form. */
   def json: String
-  def matches(doc: JsonNode): Boolean
+  /** SQL three-valued evaluation: Some(true/false) definite, None =
+    * UNKNOWN (a null/missing operand). Kleene logic composes UNKNOWN
+    * through AND/OR/NOT, so a pushed `NOT(k = 5)` over a document
+    * missing `k` evaluates UNKNOWN — not true — exactly as Spark's own
+    * post-scan filter would.
+    */
+  def eval(doc: JsonNode): Option[Boolean]
+  /** A pushed filter returns a row only when DEFINITELY true (SQL
+    * semantics drop UNKNOWN rows; these predicates are reported as
+    * exactly pushed, so Spark never re-checks).
+    */
+  final def matches(doc: JsonNode): Boolean = eval(doc).contains(true)
 }
 
 object FilterDoc {
@@ -73,23 +84,36 @@ object FilterDoc {
 
   private def isNullish(n: JsonNode): Boolean = n == null || n.isNull
 
-  /** Numeric-or-string three-way compare; None = incomparable.
+  /** The converter's string form of a node ([[DocumentSource]]'s
+    * StringType getter: text as-is, anything else JSON-serialized). */
+  private def asConvertedString(n: JsonNode): String =
+    if (n.isTextual) n.asText else DocumentTable.mapper.writeValueAsString(n)
+
+  /** Numeric-or-string three-way compare over a NON-null node.
     *
     * Integral node vs integral literal compares in exact integer
     * arithmetic (BigInteger covers int64 and beyond): these predicates
     * are reported as EXACTLY pushed, so Spark drops its own copy of the
     * filter — a double-rounded compare would silently match wrong rows
-    * for values beyond 2^53. Doubles stay IEEE compares.
+    * for values beyond 2^53. Doubles stay IEEE compares. Type-mismatched
+    * nodes COERCE exactly as the scan's [[DocumentSource]] converter
+    * does (Jackson asLong/asDouble/asBoolean, JSON text form) — the
+    * pushed filter and a scan-then-filter plan must agree row-for-row
+    * even over irregular documents.
     */
   private def cmp(n: JsonNode, v: Any): Option[Int] = v match {
     case null => None
-    case s: String => if (n.isTextual) Some(n.asText.compareTo(s)) else None
-    case b: Boolean => if (n.isBoolean) Some(java.lang.Boolean.compare(n.asBoolean, b)) else None
-    case num: java.lang.Number if n.isNumber =>
+    case s: String => Some(asConvertedString(n).compareTo(s))
+    case b: Boolean => Some(java.lang.Boolean.compare(n.asBoolean, b))
+    case num: java.lang.Number =>
       num match {
         case _: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer |
-             _: java.lang.Long if n.isIntegralNumber =>
-          Some(n.bigIntegerValue.compareTo(java.math.BigInteger.valueOf(num.longValue)))
+             _: java.lang.Long =>
+          if (n.isIntegralNumber)
+            Some(n.bigIntegerValue.compareTo(java.math.BigInteger.valueOf(num.longValue)))
+          else if (n.isNumber)
+            Some(java.lang.Double.compare(n.asDouble, num.doubleValue))
+          else Some(java.lang.Long.compare(n.asLong, num.longValue))
         case _ => Some(java.lang.Double.compare(n.asDouble, num.doubleValue))
       }
     case _ => None
@@ -98,18 +122,18 @@ object FilterDoc {
   private case class Cmp(field: Seq[String], op: String, value: Any) extends FilterDoc {
     def json: String =
       s"""{"${esc(field.mkString("."))}": {"$$$op": ${renderValue(value)}}}"""
-    def matches(doc: JsonNode): Boolean = {
+    def eval(doc: JsonNode): Option[Boolean] = {
       val n = path(doc, field)
       op match {
-        case "eq" if value == null => isNullish(n)
-        case "ne" if value == null => !isNullish(n)
-        case _ if isNullish(n) => false
-        case "eq" => cmp(n, value).contains(0)
-        case "ne" => cmp(n, value).exists(_ != 0)
-        case "lt" => cmp(n, value).exists(_ < 0)
-        case "lte" => cmp(n, value).exists(_ <= 0)
-        case "gt" => cmp(n, value).exists(_ > 0)
-        case "gte" => cmp(n, value).exists(_ >= 0)
+        case "eq" if value == null => Some(isNullish(n)) // IS NULL: never unknown
+        case "ne" if value == null => Some(!isNullish(n))
+        case _ if isNullish(n) => None // null operand → UNKNOWN
+        case "eq" => cmp(n, value).map(_ == 0)
+        case "ne" => cmp(n, value).map(_ != 0)
+        case "lt" => cmp(n, value).map(_ < 0)
+        case "lte" => cmp(n, value).map(_ <= 0)
+        case "gt" => cmp(n, value).map(_ > 0)
+        case "gte" => cmp(n, value).map(_ >= 0)
       }
     }
   }
@@ -117,9 +141,16 @@ object FilterDoc {
   private case class InList(field: Seq[String], values: Seq[Any]) extends FilterDoc {
     def json: String =
       s"""{"${esc(field.mkString("."))}": {"$$in": [${values.map(renderValue).mkString(", ")}]}}"""
-    def matches(doc: JsonNode): Boolean = {
+    def eval(doc: JsonNode): Option[Boolean] = {
       val n = path(doc, field)
-      !isNullish(n) && values.exists(v => cmp(n, v).contains(0))
+      if (isNullish(n)) None
+      else {
+        val cs = values.map(v => if (v == null) None else cmp(n, v))
+        if (cs.exists(_.contains(0))) Some(true)
+        // SQL IN: no match but a NULL in the list → UNKNOWN, not false
+        else if (cs.exists(_.isEmpty)) None
+        else Some(false)
+      }
     }
   }
 
@@ -127,18 +158,31 @@ object FilterDoc {
     def json: String =
       s"""{"${esc(field.mkString("."))}": {"$$regex": "${esc(pattern)}"}}"""
     private val rx = java.util.regex.Pattern.compile(pattern)
-    def matches(doc: JsonNode): Boolean = {
+    def eval(doc: JsonNode): Option[Boolean] = {
       val n = path(doc, field)
-      !isNullish(n) && n.isTextual && rx.matcher(n.asText).find()
+      if (isNullish(n)) None
+      else Some(rx.matcher(asConvertedString(n)).find())
     }
   }
 
   private case class Bool(op: String, kids: Seq[FilterDoc]) extends FilterDoc {
     def json: String = s"""{"$$$op": [${kids.map(_.json).mkString(", ")}]}"""
-    def matches(doc: JsonNode): Boolean = op match {
-      case "and" => kids.forall(_.matches(doc))
-      case "or" => kids.exists(_.matches(doc))
-      case "nor" => !kids.exists(_.matches(doc))
+    def eval(doc: JsonNode): Option[Boolean] = {
+      val es = kids.map(_.eval(doc))
+      op match { // Kleene three-valued AND / OR / NOT(OR)
+        case "and" =>
+          if (es.exists(_.contains(false))) Some(false)
+          else if (es.exists(_.isEmpty)) None
+          else Some(true)
+        case "or" =>
+          if (es.exists(_.contains(true))) Some(true)
+          else if (es.exists(_.isEmpty)) None
+          else Some(false)
+        case "nor" =>
+          if (es.exists(_.contains(true))) Some(false)
+          else if (es.exists(_.isEmpty)) None
+          else Some(true)
+      }
     }
   }
 

@@ -149,6 +149,14 @@ trait Dialect extends Serializable {
   /** Render a TIMESTAMP literal from `yyyy-MM-dd HH:mm:ss[.SSSSSS]`. */
   def timestampLiteralSql(text: String): String = s"TIMESTAMP '$text'"
 
+  /** A TZ-AWARE (instant) timestamp literal; `text` is UTC wall time.
+    * Defaults to the naive form — correct wherever the column type is
+    * itself naive (Derby/SQLite/MySQL map TimestampType to plain
+    * TIMESTAMP/TEXT). Dialects whose TimestampType columns are
+    * timestamptz MUST anchor the offset.
+    */
+  def zonedTimestampLiteralSql(text: String): String = timestampLiteralSql(text)
+
   /** Render a temporal-field extraction over an already-rendered source
     * expression, or None when this dialect cannot (the predicate then
     * stays on the Spark side — graceful partial pushdown, the same
@@ -273,6 +281,12 @@ object PostgresDialect extends Dialect {
     case other => throw new IllegalArgumentException(
       s"postgres: unsupported array element $other")
   }
+  /** TimestampType columns are TIMESTAMPTZ here: a naive literal would
+    * be read in the remote SESSION's timezone, silently shifting pushed
+    * comparisons on any server not set to UTC — anchor the UTC text.
+    */
+  override def zonedTimestampLiteralSql(text: String): String =
+    s"TIMESTAMP WITH TIME ZONE '$text+00'"
 }
 
 /** DuckDB — Postgres-family quoting, types, and ON CONFLICT; the
@@ -351,6 +365,11 @@ object SqliteDialect extends Dialect {
 object MySqlDialect extends Dialect {
   val name = "mysql"
   override def quote(ident: String): String = "`" + ident.replace("`", "``") + "`"
+  // MySQL string literals treat backslash as an escape character (the
+  // one engine here that does) — without doubling, the unparser's
+  // LIKE-escape rendering ('%10\%%' ESCAPE '\') parses as garbage
+  override def stringLiteral(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
   override def stringType: String = "LONGTEXT"
   override def typeName(dt: DataType): String = dt match {
     case BooleanType => "TINYINT(1)"
@@ -381,11 +400,31 @@ object MySqlDialect extends Dialect {
     Some(s"ANALYZE TABLE ${quoted(Seq(ns, table))}")
   override def concatSql(parts: Seq[String]): String =
     parts.mkString("CONCAT(", ", ", ")")
-  private val NullsOrder = """(?i)\s+NULLS\s+(FIRST|LAST)""".r
-  /** MySQL windows reject NULLS FIRST/LAST — strip them, like the
-    * reference's mysql_window.rs AST visitor.
+  private val NullsOrder =
+    ("""(?i)([\w.]+|`(?:[^`]|``)+`|"[^"]+")""" +
+      """(\s+(?:ASC|DESC))?\s+NULLS\s+(FIRST|LAST)""").r
+  /** MySQL rejects NULLS FIRST/LAST (reference mysql_window.rs strips
+    * them) — but a blanket strip CHANGES RESULTS for half the cases:
+    * MySQL's defaults are ASC→nulls-first, DESC→nulls-last, so only
+    * those two spellings strip safely; the other two rewrite to the
+    * standard `IS [NOT] NULL` leading-key emulation. Operands more
+    * complex than an identifier are left untouched — MySQL then errors
+    * loudly instead of silently reordering.
     */
-  override def repairSql(sql: String): String = NullsOrder.replaceAllIn(sql, "")
+  override def repairSql(sql: String): String =
+    NullsOrder.replaceAllIn(sql, m => {
+      val x = m.group(1)
+      val dir = Option(m.group(2)).map(_.trim.toUpperCase).getOrElse("ASC")
+      val keep = if (m.group(2) == null) x else s"$x ${dir}"
+      val rep = (dir, m.group(3).toUpperCase) match {
+        case ("ASC", "FIRST") => keep              // MySQL ASC default
+        case ("DESC", "LAST") => keep              // MySQL DESC default
+        case ("ASC", "LAST") => s"$x IS NULL, $keep"
+        case ("DESC", "FIRST") => s"$x IS NOT NULL, $keep"
+        case _ => keep
+      }
+      java.util.regex.Matcher.quoteReplacement(rep)
+    })
 }
 
 /** ClickHouse: backtick quoting, native type names, no OVERWRITE-style

@@ -373,15 +373,28 @@ final case class JdbcReaderFactory(options: JdbcOptions, schema: StructType)
 final class JdbcPartitionReader(options: JdbcOptions, schema: StructType, sql: String)
   extends PartitionReader[InternalRow] with Logging {
 
-  private lazy val conn = options.connect()
+  // per-resource open flags guard close(): forcing the lazies there
+  // would EXECUTE the remote query for readers that never produced a
+  // row — e.g. the N−1 tasks a satisfied LIMIT kills before their
+  // first next() would each fire a full remote scan just to close it
+  // (and a lazy whose initializer THREW must never be re-forced)
+  @volatile private var connOpened = false
+  @volatile private var stmtOpened = false
+  @volatile private var rsOpened = false
+  private lazy val conn = {
+    val c = options.connect(); connOpened = true; c
+  }
   private lazy val stmt = {
     val s = conn.createStatement()
+    stmtOpened = true
     s.setFetchSize(options.fetchSize)
     s
   }
   private lazy val rs = {
     logInfo(s"graft-jdbc scan: $sql")
-    stmt.executeQuery(sql)
+    val r = stmt.executeQuery(sql)
+    rsOpened = true
+    r
   }
   // metadata-aware: TIME columns normalize to the epoch day regardless
   // of the driver's date-component convention
@@ -390,6 +403,10 @@ final class JdbcPartitionReader(options: JdbcOptions, schema: StructType, sql: S
   override def next(): Boolean = rs.next()
   override def get(): InternalRow = TypeMapping.readRow(rs, getters)
   override def close(): Unit = {
-    try rs.close() finally try stmt.close() finally conn.close()
+    try { if (rsOpened) rs.close() }
+    finally {
+      try { if (stmtOpened) stmt.close() }
+      finally { if (connOpened) conn.close() }
+    }
   }
 }

@@ -40,7 +40,12 @@ final class Unparser(dialect: Dialect) extends Serializable {
   }
 
   def expr(e: Expression): Option[String] = e match {
-    case f: NamedReference => Some(dialect.quoted(f.fieldNames.toSeq))
+    // multi-part references are NESTED STRUCT FIELDS (pt.x) — rendering
+    // them as a dotted identifier chain makes the remote parse "pt" as
+    // a table alias; the predicate must stay on the Spark side
+    case f: NamedReference if f.fieldNames.length == 1 =>
+      Some(dialect.quoted(f.fieldNames.toSeq))
+    case _: NamedReference => None
     case l: Literal[_] => literal(l)
     case c: org.apache.spark.sql.connector.expressions.Cast
         if dialect.supportsType(c.dataType) =>
@@ -118,7 +123,10 @@ final class Unparser(dialect: Dialect) extends Serializable {
       case (Some(col), Some(l: Literal[_])) if l.dataType == StringType =>
         val raw = l.value.asInstanceOf[UTF8String].toString
         val esc = raw.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
-        Some(s"($col LIKE ${dialect.stringLiteral(pre + esc + post)} ESCAPE '\\')")
+        // the escape-char literal routes through the dialect too: MySQL
+        // literals backslash-escape, so a hardcoded '\' is unterminated
+        Some(s"($col LIKE ${dialect.stringLiteral(pre + esc + post)} " +
+          s"ESCAPE ${dialect.stringLiteral("\\")})")
       case _ => None
     }
 
@@ -148,7 +156,13 @@ final class Unparser(dialect: Dialect) extends Serializable {
         val base = t.format(DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
         val frac = Math.floorMod(micros, 1000000L)
         val fracStr = if (frac == 0L) "" else f".$frac%06d"
-        Some(dialect.timestampLiteralSql(s"$base$fracStr"))
+        // tz-aware TimestampType renders through the ZONED hook: the
+        // text is UTC wall time, and a dialect whose column type is
+        // timestamptz (Postgres) must anchor the literal to +00 or the
+        // remote session timezone silently shifts pushed comparisons
+        if (l.dataType == TimestampType)
+          Some(dialect.zonedTimestampLiteralSql(s"$base$fracStr"))
+        else Some(dialect.timestampLiteralSql(s"$base$fracStr"))
       case _ => None
     }
   }

@@ -165,6 +165,12 @@ class OperatorApiSpec extends AnyFunSuite with SparkFixture {
     val wb = TextAnalysis.redactTerms(Seq((1L, "fox foxes outfox"))
         .toDF("id", "body"), Seq("fox"), "<x>", "id", "body").collect()(0)
     assert(wb.getInt(1) == 1 && wb.getString(2) == "<x> foxes outfox")
+    // blocklist terms are LITERALS: regex metacharacters must neither
+    // throw ("c++") nor overmatch ("a.b" redacting "arb")
+    val meta = TextAnalysis.redactTerms(
+      Seq((1L, "c++ and arb and a.b here")).toDF("id", "body"),
+      Seq("c++", "a.b"), "<x>", "id", "body").collect()(0)
+    assert(meta.getInt(1) == 2 && meta.getString(2) == "<x> and arb and <x> here")
   }
 
   test("piiRedact counts sequentially and never double-counts a span") {

@@ -74,4 +74,22 @@ class DocumentPropertySpec extends AnyFunSuite with SparkFixture {
     }
     mirror.unpersist()
   }
+
+  test("pushed NOT over a missing field drops the row (three-valued logic)") {
+    // NOT survives translation only over non-negatable predicates
+    // (Catalyst rewrites NOT(a > b) to a <= b before pushdown); a doc
+    // with NO tag evaluates NOT(tag LIKE 'al%') to UNKNOWN — SQL drops
+    // it, and the pushed evaluator must agree (two-valued $nor
+    // semantics would emit it: the round-8 review finding)
+    val got = collection.filter(!col("tag").startsWith("al"))
+      .select("tag").collect()
+    assert(got.nonEmpty)
+    assert(got.forall(r => !r.isNullAt(0)),
+      "a row with a missing/null tag leaked through pushed NOT")
+    // and the pushed plan really did push it (not a silent fallback)
+    val pushed = collection.filter(!col("tag").startsWith("al"))
+      .queryExecution.executedPlan.toString
+    assert(pushed.contains("regex") || pushed.contains("nor"),
+      s"predicate unexpectedly not pushed:\n$pushed")
+  }
 }

@@ -53,13 +53,18 @@ class UnparserSpec extends AnyFunSuite {
 
   test("literals: date, timestamp, string escaping, null") {
     assert(u.literal(TestExprs.lit(19000, DateType)).contains("DATE '2022-01-08'"))
-    // 2021-01-01 00:00:00 UTC in micros: seconds must not be dropped
-    // (Derby rejects a timestamp literal without them).
+    // tz-aware TimestampType anchors the UTC text on pg: its columns
+    // are TIMESTAMPTZ, and a naive literal would be read in the remote
+    // SESSION zone, silently shifting pushed comparisons off-UTC
     assert(u.literal(TestExprs.lit(1609459200000000L, TimestampType))
-      .contains("TIMESTAMP '2021-01-01 00:00:00'"))
-    // fractional micros render zero-padded; whole seconds render none
+      .contains("TIMESTAMP WITH TIME ZONE '2021-01-01 00:00:00+00'"))
+    // fractional micros render zero-padded; whole seconds render none;
+    // naive dialects (Derby) keep the naive form — their columns are
+    // plain TIMESTAMP, read without session conversion
     assert(u.literal(TestExprs.lit(1609459200000123L, TimestampType))
-      .contains("TIMESTAMP '2021-01-01 00:00:00.000123'"))
+      .contains("TIMESTAMP WITH TIME ZONE '2021-01-01 00:00:00.000123+00'"))
+    assert(new Unparser(DerbyDialect).literal(TestExprs.lit(1609459200000000L, TimestampType))
+      .contains("TIMESTAMP '2021-01-01 00:00:00'"))
     assert(u.literal(TestExprs.lit(UTF8String.fromString("o'hare"), StringType))
       .contains("'o''hare'"))
     assert(u.literal(TestExprs.lit(null, IntegerType)).contains("NULL"))
@@ -151,10 +156,32 @@ class UnparserSpec extends AnyFunSuite {
   */
 class DialectSpec extends AnyFunSuite {
 
-  test("mysql repair strips NULLS FIRST/LAST") {
+  test("mysql repair handles NULLS FIRST/LAST without changing results") {
+    // MySQL defaults: ASC→nulls first, DESC→nulls last — those two
+    // spellings strip; the other two must REWRITE (a blanket strip
+    // silently reorders, e.g. ASC NULLS LAST would return NULL rows
+    // first instead of the smallest non-null values)
     val sql = "SELECT rank() OVER (ORDER BY a DESC NULLS LAST) FROM t ORDER BY b NULLS FIRST"
     assert(MySqlDialect.repairSql(sql) ==
       "SELECT rank() OVER (ORDER BY a DESC) FROM t ORDER BY b")
+    assert(MySqlDialect.repairSql("ORDER BY `c` ASC NULLS LAST") ==
+      "ORDER BY `c` IS NULL, `c` ASC")
+    assert(MySqlDialect.repairSql("ORDER BY `c` DESC NULLS FIRST") ==
+      "ORDER BY `c` IS NOT NULL, `c` DESC")
+    assert(MySqlDialect.repairSql("ORDER BY c NULLS LAST LIMIT 5") ==
+      "ORDER BY c IS NULL, c LIMIT 5")
+  }
+
+  test("mysql string literals double backslashes (LIKE escapes survive)") {
+    // MySQL literals treat backslash as an escape char — the rendered
+    // LIKE pattern and its ESCAPE clause must double them
+    assert(MySqlDialect.stringLiteral("""%10\%%""") == """'%10\\%%'""")
+    val mu = new Unparser(MySqlDialect)
+    import org.apache.spark.sql.graftx.TestExprs
+    assert(mu.expr(new Predicate("CONTAINS", Array(
+      org.apache.spark.sql.connector.expressions.Expressions.column("s"),
+      TestExprs.lit(UTF8String.fromString("10%"), StringType))))
+      .contains("(`s` LIKE '%10\\\\%%' ESCAPE '\\\\')"))
   }
 
   test("sqlite repair rewrites interval addition to datetime()") {
