@@ -105,6 +105,34 @@ object Dedup {
       .agg(min(col("doc_id")).as("survivor"), count(lit(1)).as("n_copies"))
       .select(col("survivor"), col("n_copies"), h60(col("text")).as("fp"))
 
+  /** Normalized exact dedup (the C4/RefinedWeb first pass): documents
+    * equal after case-folding, punctuation-stripping and whitespace
+    * collapse are duplicates even when their raw bytes differ —
+    * catching the re-hosted copy with different capitalization or
+    * list markup that byte-exact dedup ([[exactDedup]]) misses, at
+    * exact-dedup cost (one map-side-combinable hash aggregate, no
+    * pairing). Output per normalized-content group: survivor (min id),
+    * copy count, DISTINCT raw-variant count (how much work the
+    * normalization did beyond byte equality) and the normalized
+    * fingerprint.
+    *
+    * Scale: the group key here is the normalized text itself so the
+    * gate is value-exact; at corpus scale group on `fp` (the emitted
+    * 60-bit fingerprint, or a 128-bit hash) so the shuffle moves 8–16
+    * bytes per doc instead of the document body.
+    */
+  def normalizedDedup(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    corpus(df, idCol, textCol)
+      .select(col("doc_id"), col("text"),
+        trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")).as("norm"))
+      .groupBy(col("norm"))
+      .agg(min(col("doc_id")).as("survivor"),
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("text")).as("n_variants"))
+      .select(col("survivor"), col("n_copies"), col("n_variants"),
+        h60(col("norm")).as("fp"))
+
   /** Representative pairs with word-bigram Jaccard above `jacNum/jacDen`
     * (exact integer comparison), hot shingles above `dfCap` ignored.
     * Output: (d1, d2, n_inter, n_union).
@@ -497,6 +525,19 @@ object Dedup {
       "SELECT MIN(doc_id) AS survivor, COUNT(*) AS n_copies, " +
         h60Sql("text") + " AS fp FROM documents GROUP BY text ORDER BY survivor") { (s, dir) =>
       exactDedup(Tables.load(s, dir, "documents")).orderBy("survivor")
+    },
+
+    // Normalized exact dedup: same aggregate shape as q40 over the
+    // case-folded / punctuation-stripped / whitespace-collapsed text.
+    // `[^a-z0-9]+` means the same thing to Java regex and RE2, so both
+    // engines produce identical normal forms.
+    Q("q118_normalized_dedup",
+      "WITH nrm AS (SELECT doc_id, text, " +
+        "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm FROM documents) " +
+        "SELECT MIN(doc_id) AS survivor, COUNT(*) AS n_copies, " +
+        "COUNT(DISTINCT text) AS n_variants, " +
+        h60Sql("norm") + " AS fp FROM nrm GROUP BY norm ORDER BY survivor") { (s, dir) =>
+      normalizedDedup(Tables.load(s, dir, "documents")).orderBy("survivor")
     },
 
     // Representative pairs with word-bigram Jaccard > 0.2 over shingles

@@ -309,6 +309,67 @@ object Similarity {
       }).as("codes"))
   }
 
+  /** Recall@k of an approximate ANN result against the exact one — the
+    * evaluation operator that closes the ANN loop: an index whose recall
+    * is unmeasured is unshippable, and at corpus scale the measurement
+    * itself must be a query (sample queries, run both paths, join), not
+    * a notebook. Inputs are two (qid, vec_id, …) top-k frames (e.g.
+    * [[annBruteForce]] as the yardstick and [[annIvf]] or [[annLsh]] as
+    * the candidate); output is one row per query:
+    * (qid, k_exact, hits) with recall = hits / k_exact left to the
+    * consumer so the gate stays pure-integer (the Q-doc's
+    * "no division in compared values" rule).
+    *
+    * Scale shape: both inputs are top-k results — k rows per query —
+    * so the join and per-query count aggregate move k·Q rows however
+    * large the corpus is; the expensive part is producing the inputs,
+    * which share one persisted quantized frame.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact.select(col("qid"), col("vec_id"))
+      .join(approx.select(col("qid"), col("vec_id"), lit(1L).as("hit")),
+        Seq("qid", "vec_id"), "left")
+      .groupBy("qid")
+      .agg(count(lit(1)).as("k_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .orderBy("qid")
+
+  /** Shared oracle fragments: query-set CTE `qs`, brute-force chain
+    * ending in `bf(qid, vec_id, cos)`, IVF chain ending in
+    * `ivf(qid, vec_id, cos)`. CTE names are disjoint so q62, q70 and
+    * the q117 recall gate all instantiate the SAME fragments — the
+    * estimator and its yardstick cannot silently diverge from the
+    * operators they grade.
+    */
+  private def topkSql(pairs: String, out: String): String =
+    s"$out AS (SELECT qid, vec_id, cos FROM (SELECT qid, vec_id, cos, " +
+      "row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn " +
+      s"FROM $pairs) WHERE rn <= $TopK)"
+
+  private val qsCte: String =
+    s"qs AS (SELECT vec_id AS qid, q AS qq, nrm AS qn FROM n WHERE vec_id % $QueryStride = 0)"
+
+  private val bruteCtes: String =
+    s"bfp AS (SELECT qid, n.vec_id AS vec_id, $cosSql AS cos FROM qs JOIN n ON n.vec_id <> qs.qid), " +
+      topkSql("bfp", "bf")
+
+  private val ivfCtes: String =
+    s"cents AS (SELECT vec_id AS cid, q AS cq, nrm AS cn FROM n WHERE vec_id % $CentroidStride = 0), " +
+      s"iasg0 AS (SELECT n.vec_id AS vec_id, c.cid AS cid, " +
+      s"(${qdotSql("n.q", "c.cq")})::DOUBLE / sqrt((n.nrm * c.cn)::DOUBLE) AS cos FROM n JOIN cents c ON true), " +
+      "iasg AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
+      "row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid DESC) AS rn FROM iasg0) WHERE rn = 1), " +
+      s"ipr0 AS (SELECT qs.qid AS qid, c.cid AS cid, " +
+      s"(${qdotSql("qs.qq", "c.cq")})::DOUBLE / sqrt((qs.qn * c.cn)::DOUBLE) AS cos FROM qs JOIN cents c ON true), " +
+      "iprobe AS (SELECT qid, cid FROM (SELECT qid, cid, " +
+      s"row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn FROM ipr0) WHERE rn <= $NProbe), " +
+      "icand AS (SELECT iprobe.qid AS qid, iasg.vec_id AS vec_id FROM iprobe " +
+      " JOIN iasg ON iprobe.cid = iasg.cid AND iasg.vec_id <> iprobe.qid), " +
+      "ivp AS (SELECT icand.qid, icand.vec_id, " +
+      s"(${qdotSql("a.q", "b.q")})::DOUBLE / sqrt((a.nrm * b.nrm)::DOUBLE) AS cos " +
+      " FROM icand JOIN n a ON icand.qid = a.vec_id JOIN n b ON icand.vec_id = b.vec_id), " +
+      topkSql("ivp", "ivf")
+
   /** The q78 oracle CTE chain (quantize → seed → 2 Lloyd rounds),
     * ending in `a2(vec_id, cell, dist)` — reused by q98's
     * prototypicality oracle.
@@ -338,11 +399,8 @@ object Similarity {
   def queries: Seq[Q] = Seq(
 
     Q("q62_ann_bruteforce",
-      "WITH " + quantizedSql + ", " +
-        s"qs AS (SELECT vec_id AS qid, q AS qq, nrm AS qn FROM n WHERE vec_id % $QueryStride = 0), " +
-        s"p AS (SELECT qid, n.vec_id AS vec_id, $cosSql AS cos FROM qs JOIN n ON n.vec_id <> qs.qid), " +
-        "r AS (SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM p) " +
-        s"SELECT qid, vec_id, cos FROM r WHERE rn <= $TopK ORDER BY qid, vec_id") { (s, dir) =>
+      "WITH " + quantizedSql + ", " + qsCte + ", " + bruteCtes +
+        " SELECT qid, vec_id, cos FROM bf ORDER BY qid, vec_id") { (s, dir) =>
       annBruteForce(quantized(s, dir), col("vec_id") % QueryStride === 0)
     },
 
@@ -361,26 +419,28 @@ object Similarity {
     },
 
     Q("q70_ann_ivf",
-      "WITH " + quantizedSql + ", " +
-        s"cents AS (SELECT vec_id AS cid, q AS cq, nrm AS cn FROM n WHERE vec_id % $CentroidStride = 0), " +
-        s"asg0 AS (SELECT n.vec_id AS vec_id, c.cid AS cid, " +
-        s"(${qdotSql("n.q", "c.cq")})::DOUBLE / sqrt((n.nrm * c.cn)::DOUBLE) AS cos FROM n JOIN cents c ON true), " +
-        "asg AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, " +
-        "row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid DESC) AS rn FROM asg0) WHERE rn = 1), " +
-        s"qs AS (SELECT vec_id AS qid, q AS qq, nrm AS qn FROM n WHERE vec_id % $QueryStride = 0), " +
-        s"pr0 AS (SELECT qs.qid AS qid, c.cid AS cid, " +
-        s"(${qdotSql("qs.qq", "c.cq")})::DOUBLE / sqrt((qs.qn * c.cn)::DOUBLE) AS cos FROM qs JOIN cents c ON true), " +
-        "probe AS (SELECT qid, cid FROM (SELECT qid, cid, " +
-        s"row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rn FROM pr0) WHERE rn <= $NProbe), " +
-        "cand AS (SELECT probe.qid AS qid, asg.vec_id AS vec_id FROM probe " +
-        " JOIN asg ON probe.cid = asg.cid AND asg.vec_id <> probe.qid), " +
-        "p AS (SELECT cand.qid, cand.vec_id, " +
-        s"(${qdotSql("a.q", "b.q")})::DOUBLE / sqrt((a.nrm * b.nrm)::DOUBLE) AS cos " +
-        " FROM cand JOIN n a ON cand.qid = a.vec_id JOIN n b ON cand.vec_id = b.vec_id), " +
-        "r AS (SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM p) " +
-        s"SELECT qid, vec_id, cos FROM r WHERE rn <= $TopK ORDER BY qid, vec_id") { (s, dir) =>
+      "WITH " + quantizedSql + ", " + qsCte + ", " + ivfCtes +
+        " SELECT qid, vec_id, cos FROM ivf ORDER BY qid, vec_id") { (s, dir) =>
       annIvf(quantized(s, dir), col("vec_id") % QueryStride === 0,
         col("vec_id") % CentroidStride === 0)
+    },
+
+    // ANN index-quality evaluation: per-query recall of the IVF path
+    // against the exact brute-force yardstick, as pure integers
+    // (hits of k_exact). Both sides instantiate the same oracle
+    // fragments as q62/q70, and the Spark side reuses the operators
+    // themselves over ONE shared persisted quantized frame.
+    Q("q117_ann_recall",
+      "WITH " + quantizedSql + ", " + qsCte + ", " + bruteCtes + ", " + ivfCtes +
+        " SELECT bf.qid AS qid, COUNT(*)::BIGINT AS k_exact, " +
+        "SUM(CASE WHEN ivf.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS hits " +
+        "FROM bf LEFT JOIN ivf ON bf.qid = ivf.qid AND bf.vec_id = ivf.vec_id " +
+        "GROUP BY bf.qid ORDER BY qid") { (s, dir) =>
+      val n = GraftCache.track(quantized(s, dir))
+      val isQ = col("vec_id") % QueryStride === 0
+      recallAtK(
+        annBruteForce(n, isQ),
+        annIvf(n, isQ, col("vec_id") % CentroidStride === 0))
     },
 
     // SQ8 scalar quantization, gated in LONG FORM (vec_id, i, code):

@@ -35,6 +35,34 @@ class OperatorApiSpec extends AnyFunSuite with SparkFixture {
       .as[(Long, Long)].collect().sortBy(_._1)
   }
 
+  test("normalizedDedup collapses case/punctuation/whitespace variants") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "Hello, World!"),
+      (2L, "hello   world"), // same after normalization
+      (3L, "HELLO WORLD."), // same after normalization
+      (4L, "hello there world") // different
+    ).toDF("id", "body")
+    val out = Dedup.normalizedDedup(d, idCol = "id", textCol = "body")
+      .select(col("survivor"), col("n_copies"), col("n_variants"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 3L, 3L), (4L, 1L, 1L)))
+    // byte-exact dedup sees 4 distinct texts — the normalization did the work
+    assert(Dedup.exactDedup(d, "id", "body").count() == 4)
+  }
+
+  test("recallAtK: approx==exact gives full recall; misses are counted") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L)).toDF("qid", "vec_id")
+    val full = Similarity.recallAtK(exact, exact)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(full.toSeq == Seq((1L, 2L, 2L), (2L, 1L, 1L)))
+    val approx = Seq((1L, 10L), (1L, 99L)).toDF("qid", "vec_id") // one hit, qid 2 absent
+    val part = Similarity.recallAtK(exact, approx)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(part.toSeq == Seq((1L, 2L, 1L), (2L, 1L, 0L)))
+  }
+
   test("jaccardPairs + minhashLshPairs + simhashPairs find the near-dup pair") {
     import spark.implicits._
     val jac = Dedup.jaccardPairs(docs, "id", "body")
