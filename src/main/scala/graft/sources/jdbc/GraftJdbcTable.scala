@@ -29,12 +29,16 @@ final case class GraftJdbcTable(
   override def name(): String = ident
   override def schema(): StructType = schema0
 
-  override def capabilities(): util.Set[TableCapability] =
-    Set(
+  override def capabilities(): util.Set[TableCapability] = {
+    val base = Set(
       TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE,
-      TableCapability.OVERWRITE_BY_FILTER).asJava
+      TableCapability.OVERWRITE_BY_FILTER)
+    // incremental readStream when a watermark column is declared
+    (if (options.streamColumn.isDefined) base + TableCapability.MICRO_BATCH_READ
+     else base).asJava
+  }
 
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder = {
     // Merge per-read options (fetchsize, partitioncolumn, …) over table opts.

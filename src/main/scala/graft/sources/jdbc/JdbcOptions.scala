@@ -40,6 +40,24 @@ final case class JdbcOptions(map: Map[String, String]) extends Serializable {
   val upperBound: Option[Long] = map.get("upperbound").map(_.toLong)
   val numPartitions: Int = map.getOrElse("numpartitions", "1").toInt
 
+  /** Incremental streaming: the monotonically increasing numeric column
+    * whose max value is the micro-batch watermark ([[JdbcMicroBatchStream]]).
+    * Setting it makes the table MICRO_BATCH_READ-capable.
+    */
+  val streamColumn: Option[String] = map.get("streamcolumn")
+
+  /** Approximate max rows per streaming micro-batch (admission control);
+    * unset = drain everything available each trigger.
+    */
+  val streamRate: Option[Int] = {
+    val v = map.get("streamrate").map(_.toInt)
+    if (v.exists(_ <= 0))
+      throw new IllegalArgumentException(s"streamrate must be positive, got ${v.get}")
+    if (v.isDefined && streamColumn.isEmpty)
+      throw new IllegalArgumentException("streamrate requires streamcolumn")
+    v
+  }
+
   /** Conflict handling for appends — the reference's full OnConflict
     * surface (`on_conflict.rs:21-26,113-140`). Accepted `upsertmode`
     * values: `update` | `do_nothing` (conflict target from

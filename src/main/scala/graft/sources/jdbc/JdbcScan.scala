@@ -309,6 +309,21 @@ final case class JdbcScan(
 
   override def toBatch: Batch = this
 
+  /** Incremental streaming read ([[JdbcMicroBatchStream]]): pushed
+    * predicates and pruned columns ride into every micro-batch; fetch
+    * pushdowns cannot occur on the streaming path (Spark pushes no
+    * TopN/limit/aggregate into an unbounded scan), so the guard is an
+    * invariant check, not a policy.
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    val wcol = options.streamColumn.getOrElse(throw new IllegalStateException(
+      "streaming read requires streamcolumn=<monotonically increasing numeric column>"))
+    require(aggSelect.isEmpty && orderBy.isEmpty && limit.isEmpty && pushedOffset.isEmpty,
+      "fetch/aggregate pushdown cannot compose with a streaming scan")
+    new JdbcMicroBatchStream(options, schema, where, wcol)
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     (options.partitionColumn, options.lowerBound, options.upperBound) match {
       case (Some(col), Some(lo), Some(hi)) if options.numPartitions > 1 =>
