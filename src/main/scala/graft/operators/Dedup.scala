@@ -199,22 +199,72 @@ object Dedup {
       .distinct()
   }
 
-  /** MinHash-LSH candidate pairs (d1 < d2) for any (id, text) frame. */
-  def minhashLshPairs(df: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", bucketCap: Int = BucketCap): DataFrame = {
-    val mh = shinglesOf(corpus(df, idCol, textCol), dedup = false)
+  /** MinHash signatures (doc_id, m0..m15) of a (doc_id, text) corpus:
+    * 16 permutation minima computed as 16 MIN aggregate columns in ONE
+    * groupBy — no row explosion.
+    */
+  def minhashSignatures(c: DataFrame): DataFrame =
+    shinglesOf(c, dedup = false)
       .select(col("doc_id"), (col("h") % P).as("hm"))
       .groupBy("doc_id")
       .agg(
         min((col("hm") * MC.A(0) + MC.B(0)) % P).as("m0"),
         (1 until MC.NumHashes).map(j =>
           min((col("hm") * MC.A(j) + MC.B(j)) % P).as(s"m$j")): _*)
+
+  /** Banded rows (doc_id, band, sig) of a signature frame. */
+  private def lshBands(mh: DataFrame): DataFrame = {
     val bandCols = (0 until MC.NumHashes / MC.BandRows).map { k =>
       concat_ws(",", (0 until MC.BandRows).map(r => col(s"m${MC.BandRows * k + r}")): _*)
     }
-    val bands = mh.select(col("doc_id"),
+    mh.select(col("doc_id"),
       posexplode(array(bandCols: _*)).as(Seq("band", "sig")))
-    bucketPairs(bands, Seq("band", "sig"), bucketCap)
+  }
+
+  /** MinHash-LSH candidate pairs (d1 < d2) for any (id, text) frame. */
+  def minhashLshPairs(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", bucketCap: Int = BucketCap): DataFrame =
+    bucketPairs(lshBands(minhashSignatures(corpus(df, idCol, textCol))),
+      Seq("band", "sig"), bucketCap)
+
+  /** MinHash estimator calibration over the LSH candidate pairs: for
+    * each pair, the signature agreement count (of [[MinhashConf.NumHashes]]
+    * components — matches/16 is the Jaccard ESTIMATE) next to the TRUE
+    * shingle-set intersection and union sizes. The report that tells
+    * you whether 16 permutations and 4×4 banding are enough for YOUR
+    * corpus before you spend a cluster-day deduplicating 100 TB with
+    * them — estimator quality must itself be a query.
+    *
+    * All-integer output (d1, d2, sig_matches, n_inter, n_union); the
+    * consumer divides. Scale shape: true-Jaccard counting runs ONLY on
+    * the LSH-bounded candidate pairs (pairs × shingles-per-doc keyed
+    * joins), the signature frame is one row of 16 ints per doc, and
+    * both are computed once and shared via [[GraftCache]].
+    */
+  def minhashCalibration(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", bucketCap: Int = BucketCap): DataFrame = {
+    val c = corpus(df, idCol, textCol)
+    val mh = GraftCache.track(minhashSignatures(c))
+    val pairs = GraftCache.track(bucketPairs(lshBands(mh), Seq("band", "sig"), bucketCap))
+    val sh = GraftCache.track(shinglesOf(c))
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.as("x"), col("d1") === col("x.doc_id"))
+      .join(sh.as("y"), col("d2") === col("y.doc_id") && col("x.h") === col("y.h"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("i"))
+    val matches = (0 until MC.NumHashes)
+      .map(j => when(col(s"a.m$j") === col(s"b.m$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs
+      .join(mh.as("a"), col("d1") === col("a.doc_id"))
+      .join(mh.as("b"), col("d2") === col("b.doc_id"))
+      .select(col("d1"), col("d2"), matches.cast("long").as("sig_matches"))
+      .join(inter, Seq("d1", "d2"), "left")
+      .join(sz.select(col("doc_id").as("d1"), col("n").as("nx")), "d1")
+      .join(sz.select(col("doc_id").as("d2"), col("n").as("ny")), "d2")
+      .select(col("d1"), col("d2"), col("sig_matches"),
+        coalesce(col("i"), lit(0L)).as("n_inter"),
+        (col("nx") + col("ny") - coalesce(col("i"), lit(0L))).as("n_union"))
   }
 
   /** Edit-distance verification of MinHash-LSH candidate pairs — the
@@ -563,6 +613,28 @@ object Dedup {
       "WITH " + minhashPairsCtes +
         " SELECT d1, d2 FROM pairs ORDER BY d1, d2") { (s, dir) =>
       minhashLshPairs(Tables.load(s, dir, "documents")).orderBy("d1", "d2")
+    },
+
+    // MinHash calibration: per candidate pair, signature agreement
+    // (the estimate's numerator) next to true shingle intersection and
+    // union — the estimator-quality report, all integers.
+    Q("q119_minhash_calibration", {
+      val matchSum = (0 until MC.NumHashes)
+        .map(j => s"CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END").mkString(" + ")
+      "WITH " + minhashPairsCtes + ", " +
+        "sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id), " +
+        "ji AS (SELECT p.d1, p.d2, COUNT(*) AS i FROM pairs p " +
+        " JOIN sh x ON x.doc_id = p.d1 " +
+        " JOIN sh y ON y.doc_id = p.d2 AND x.h = y.h GROUP BY 1, 2), " +
+        s"sm AS (SELECT p.d1, p.d2, ($matchSum)::BIGINT AS sig_matches FROM pairs p " +
+        " JOIN mh a ON a.doc_id = p.d1 JOIN mh b ON b.doc_id = p.d2) " +
+        "SELECT sm.d1, sm.d2, sm.sig_matches, COALESCE(ji.i, 0) AS n_inter, " +
+        "sx.n + sy.n - COALESCE(ji.i, 0) AS n_union " +
+        "FROM sm LEFT JOIN ji ON sm.d1 = ji.d1 AND sm.d2 = ji.d2 " +
+        "JOIN sz sx ON sm.d1 = sx.doc_id JOIN sz sy ON sm.d2 = sy.doc_id " +
+        "ORDER BY sm.d1, sm.d2"
+    }) { (s, dir) =>
+      minhashCalibration(Tables.load(s, dir, "documents")).orderBy("d1", "d2")
     },
 
     // Exact Levenshtein verification over the LSH candidate pairs:

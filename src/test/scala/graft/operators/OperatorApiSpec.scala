@@ -63,6 +63,18 @@ class OperatorApiSpec extends AnyFunSuite with SparkFixture {
     assert(part.toSeq == Seq((1L, 2L, 1L), (2L, 1L, 0L)))
   }
 
+  test("minhashCalibration reports exact shingle overlap for LSH pairs") {
+    import spark.implicits._
+    val out = Dedup.minhashCalibration(docs, idCol = "id", textCol = "body")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val p = out.find(r => r._1 == 10L && r._2 == 12L)
+      .getOrElse(fail(s"near-dup pair not a candidate: ${out.mkString(",")}"))
+    // bigram sets: 8 each, differing in (fox jumps|leaps), (jumps|leaps over)
+    assert(p._4 == 6L && p._5 == 10L, s"true Jaccard wrong: $p")
+    assert(p._3 >= 4L && p._3 <= 16L, s"signature matches out of range: $p")
+    assert(out.forall(r => r._4 <= r._5 && r._3 <= 16L))
+  }
+
   test("jaccardPairs + minhashLshPairs + simhashPairs find the near-dup pair") {
     import spark.implicits._
     val jac = Dedup.jaccardPairs(docs, "id", "body")

@@ -50,6 +50,28 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert("HashAggregate".r.findAllIn(p).length >= 2, p) // partial + final
   }
 
+  test("q118: normalized dedup is one hash aggregate over a projection") {
+    val p = plan("q118_normalized_dedup")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, p) // partial + final
+    assert(!p.contains("Join"), s"normalization must not join:\n$p")
+  }
+
+  test("q117: recall evaluation — broadcast query set, no cartesian on data") {
+    val p = plan("q117_ann_recall")
+    assert(!p.contains("CartesianProduct"), p)
+    // both ANN paths broadcast the tiny query/centroid sets; the only
+    // nested-loop joins allowed are those broadcast cross joins
+    assert(p.contains("BroadcastNestedLoopJoin Cross") || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q119: calibration joins are keyed — no cartesian, int64 shingle keys") {
+    val p = plan("q119_minhash_calibration")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"quadratic join in calibration:\n$p")
+    assert(p.contains("[h#") || p.contains("(h#") || p.contains(", h#"),
+      s"shingle-hash join key lost:\n$p")
+  }
+
   test("q45: near-dup has NO cross/nested-loop join — LSH equi-joins only") {
     val p = plan("q45_embedding_neardup")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
