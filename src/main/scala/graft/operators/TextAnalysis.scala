@@ -59,16 +59,39 @@ object TextAnalysis {
           stopHits.cast("double") / size(toks)).as("quality"))
   }
 
+  /** The stopword-density language heuristic as a column expression
+    * (shared by [[langId]], the q32 gate, and the q120 confusion
+    * matrix): `en` when stopword density exceeds 1/`densityDen`,
+    * multiplicative integer compare.
+    */
+  def langPred(text: org.apache.spark.sql.Column,
+      stopwords: Seq[String] = Seq("the", "a"),
+      densityDen: Int = 20): org.apache.spark.sql.Column = {
+    val a = split(text, " ")
+    val stopHits = size(filter(a, t => t.isin(stopwords: _*)))
+    when(stopHits * densityDen > size(a), "en").otherwise("unk")
+  }
+
   /** Stopword-density language heuristic (integer threshold compare). */
   def langId(df: org.apache.spark.sql.DataFrame, idCol: String = "doc_id",
       textCol: String = "text",
       stopwords: Seq[String] = Seq("the", "a"),
-      densityDen: Int = 20): org.apache.spark.sql.DataFrame = {
-    val stopHits = size(filter(toks, t => t.isin(stopwords: _*)))
+      densityDen: Int = 20): org.apache.spark.sql.DataFrame =
     corpus(df, idCol, textCol)
       .select(col("doc_id"),
-        when(stopHits * densityDen > size(toks), "en").otherwise("unk").as("lang_pred"))
-  }
+        langPred(col("text"), stopwords, densityDen).as("lang_pred"))
+
+  /** Classifier evaluation as a query: the confusion matrix of a
+    * predicted label column against a ground-truth column — ONE
+    * map-side-combinable aggregation whose output is |labels|² rows at
+    * any corpus size. The same eval-as-query discipline as the ANN
+    * recall gate ([[Similarity.recallAtK]]): a heuristic whose accuracy
+    * is unmeasured at corpus scale is unshippable.
+    */
+  def confusionMatrix(df: org.apache.spark.sql.DataFrame, actualCol: String,
+      predCol: String): org.apache.spark.sql.DataFrame =
+    df.groupBy(col(actualCol).as("actual"), col(predCol).as("predicted"))
+      .agg(count(lit(1)).as("n"))
 
   /** BPE-ish subword proxy pattern: letter runs, single digits, single
     * punctuation — the GPT-2 pre-tokenizer's shape without lookarounds,
@@ -550,11 +573,24 @@ object TextAnalysis {
         "CASE WHEN len(list_filter(string_split(text,' '), t -> t IN ('the','a'))) * 20 > len(string_split(text,' ')) " +
         "THEN 'en' ELSE 'unk' END AS lang_pred " +
         "FROM documents ORDER BY doc_id") { (s, dir) =>
-      val stopHits = size(filter(toks, t => t.isin("the", "a")))
       Tables.load(s, dir, "documents")
-        .select(col("doc_id"), col("lang"),
-          when(stopHits * 20 > size(toks), "en").otherwise("unk").as("lang_pred"))
+        .select(col("doc_id"), col("lang"), langPred(col("text")).as("lang_pred"))
         .orderBy("doc_id")
+    },
+
+    // Language-ID accuracy report: confusion matrix of the q32
+    // heuristic against the corpus's ground-truth lang column — one
+    // aggregation, |labels|² output rows at any scale.
+    Q("q120_langid_confusion",
+      "SELECT lang AS actual, " +
+        "CASE WHEN len(list_filter(string_split(text,' '), t -> t IN ('the','a'))) * 20 > len(string_split(text,' ')) " +
+        "THEN 'en' ELSE 'unk' END AS predicted, COUNT(*) AS n " +
+        "FROM documents GROUP BY 1, 2 ORDER BY actual, predicted") { (s, dir) =>
+      confusionMatrix(
+        Tables.load(s, dir, "documents")
+          .select(col("lang"), langPred(col("text")).as("lang_pred")),
+        "lang", "lang_pred")
+        .orderBy("actual", "predicted")
     },
 
     Q("q33_fingerprint",

@@ -20,11 +20,12 @@ class BenchContractSpec extends AnyFunSuite {
 
   test("worst-case bench JSON line stays under the 2 KB collector tail") {
     // mirror Bench's emission shape with worst-case widths: every
-    // median 4 digits (xxxx.xxx) and every query also in the stall map
+    // median 4 digits (xxxx.xx, two decimals per Bench.f2); `only` and
+    // `reps` are not emitted on full runs
     val medians = SparkEntry.all
-      .map(q => "\"" + qid(q.name) + "\":9999.999").mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":99999.999,"unit":"sec","reps":3,""" +
-      s""""only":null,"queries":$medians,"stalls":{},""" +
+      .map(q => "\"" + qid(q.name) + "\":9999.99").mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":99999.999,"unit":"sec",""" +
+      s""""queries":$medians,"stalls":{},""" +
       s""""failed":[],"sf":"/root/testdata/sf0.1"}"""
     assert(line.length <= 1900,
       s"bench JSON would be ${line.length} B; trim before the harness truncates it")

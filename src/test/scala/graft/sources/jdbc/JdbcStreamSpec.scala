@@ -76,6 +76,41 @@ class JdbcStreamSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("JDBC stream composes with the near-dedup curation sink end to end") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // remote ingest table (streamed) and remote corpus table (sink +
+    // dedup state) — the whole loop lives in the external database
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ext.stc")
+    spark.sql("DROP TABLE IF EXISTS ext.stc.corpus")
+    spark.sql("CREATE TABLE ext.stc.corpus (doc_id BIGINT, text STRING)")
+    exec("CREATE TABLE STING (ID BIGINT, DOC_ID BIGINT, BODY VARCHAR(500))")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_jstream_ckpt").toString
+
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val variant = (1 to 40).map(i => if (i == 40) "CHANGED" else s"tok$i").mkString(" ")
+    val distinct1 = (1 to 40).map(i => s"other$i").mkString(" ")
+    val distinct2 = (1 to 40).map(i => s"fresh$i").mkString(" ")
+    def ins(id: Long, doc: Long, t: String): Unit =
+      exec(s"INSERT INTO STING VALUES ($id, $doc, '$t')")
+
+    ins(1, 1, base); ins(2, 2, variant); ins(3, 3, distinct1)
+    val docs = streamOf("STING")
+      .select(col("DOC_ID").as("doc_id"), col("BODY").as("text"))
+    val q = graft.streaming.EventStream.nearDedupTo(docs, "ext.stc.corpus", ckpt,
+      queryName = "graft_jdbc_neardedup")
+    try {
+      q.processAllAvailable()
+      assert(spark.table("ext.stc.corpus").select("doc_id").as[Long].collect().toSet
+        == Set(1L, 3L))
+      // next poll: exact re-arrival and a fresh doc
+      ins(4, 4, base); ins(5, 5, distinct2)
+      q.processAllAvailable()
+      assert(spark.table("ext.stc.corpus").select("doc_id").as[Long].collect().toSet
+        == Set(1L, 3L, 5L))
+    } finally q.stop()
+  }
+
   test("batch-only tables refuse streaming; offsets round-trip json") {
     exec("CREATE TABLE STEV4 (ID BIGINT, V VARCHAR(20))")
     // without streamcolumn the table has no MICRO_BATCH_READ capability
