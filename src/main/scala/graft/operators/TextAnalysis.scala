@@ -25,6 +25,10 @@ object TextAnalysis {
 
   private def toks = split(col("text"), " ")
 
+  /** q121 histogram-sketch capacity (small enough that the gate
+    * exercises the COARSE regime on the test corpus). */
+  val HistCap = 16
+
   // ---- public library surface -------------------------------------------
   // Each operator takes any (id, text) frame; the q30-q34 gate entries
   // below are these operators instantiated on the `documents` table.
@@ -80,6 +84,24 @@ object TextAnalysis {
     corpus(df, idCol, textCol)
       .select(col("doc_id"),
         langPred(col("text"), stopwords, densityDen).as("lang_pred"))
+
+  /** Per-group adaptive histogram of an integral column, long form
+    * (grp, shift, bin_lo, cnt) — [[graft.functions.RankHist]]'s
+    * capacity-bounded power-of-two sketch. Complements the EXACT
+    * [[lengthQuantiles]]: that operator shuffles every row to its
+    * group; this one's aggregation state is O(capacity) longs per
+    * group, map-side combinable, with a `2^shift` value-error bound on
+    * any quantile read from it — and because greedy coarsening is
+    * merge-order independent, the output is bit-identical across
+    * partitionings, merge orders, and engines (the q121 gate
+    * hash-matches DuckDB even in the approximate regime).
+    */
+  def valueHistogram(df: org.apache.spark.sql.DataFrame, groupCol: String,
+      valueCol: String, capacity: Int): org.apache.spark.sql.DataFrame =
+    df.groupBy(col(groupCol).as("grp"))
+      .agg(graft.functions.RankHist.rank_hist(col(valueCol), capacity).as("h"))
+      .select(col("grp"), col("h.shift").as("shift"), explode(col("h.bins")).as("b"))
+      .select(col("grp"), col("shift"), col("b.bin_lo").as("bin_lo"), col("b.cnt").as("cnt"))
 
   /** Classifier evaluation as a query: the confusion matrix of a
     * predicted label column against a ground-truth column — ONE
@@ -576,6 +598,27 @@ object TextAnalysis {
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), col("lang"), langPred(col("text")).as("lang_pred"))
         .orderBy("doc_id")
+    },
+
+    // Adaptive power-of-two histogram sketch of document lengths per
+    // source (capacity 16): the oracle independently derives the
+    // minimal shift (the smallest grid where distinct bins fit) and
+    // rebuilds the histogram — matching it value-for-value proves the
+    // sketch's coarsening is canonical, not merge-order-dependent.
+    Q("q121_rank_histogram", {
+      val cap = HistCap
+      "WITH v AS (SELECT source, n_chars AS v FROM documents), " +
+        "shs AS (SELECT unnest(generate_series(0, 62)) AS s), " +
+        "nb AS (SELECT source, s, COUNT(DISTINCT v // (1::BIGINT << s)) AS n " +
+        "FROM v CROSS JOIN shs GROUP BY 1, 2), " +
+        s"ms AS (SELECT source, CAST(MIN(s) AS INTEGER) AS shift FROM nb WHERE n <= $cap GROUP BY source) " +
+        "SELECT v.source AS grp, ms.shift AS shift, " +
+        "(v // (1::BIGINT << ms.shift)) * (1::BIGINT << ms.shift) AS bin_lo, COUNT(*) AS cnt " +
+        "FROM v JOIN ms ON v.source = ms.source " +
+        "GROUP BY 1, 2, 3 ORDER BY grp, bin_lo"
+    }) { (s, dir) =>
+      valueHistogram(Tables.load(s, dir, "documents"), "source", "n_chars", HistCap)
+        .orderBy("grp", "bin_lo")
     },
 
     // Language-ID accuracy report: confusion matrix of the q32

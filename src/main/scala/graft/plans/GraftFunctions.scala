@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Expression, ExpressionInfo, Literal, Md5, Substring}
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
-import graft.functions.{EditDistance, FreqSketchAgg, KmvSketchAgg, QDot, RollingHash, SignBands}
+import graft.functions.{EditDistance, FreqSketchAgg, KmvSketchAgg, QDot, RankHistAgg, RollingHash, SignBands}
 
 /** SQL registrations for the engine's function surface: the same
   * Catalyst expressions the DataFrame operators use, callable from pure
@@ -93,6 +93,13 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_freq_sketch(col, capacity)")
         FreqSketchAgg(args.head, intArg(args(1), "graft_freq_sketch", "capacity"))
+      }))
+
+    e.injectFunction((FunctionIdentifier("graft_rank_hist"),
+      info(classOf[RankHistAgg], "graft_rank_hist"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_rank_hist(col, capacity)")
+        RankHistAgg(args.head, intArg(args(1), "graft_rank_hist", "capacity"))
       }))
   }
 }
