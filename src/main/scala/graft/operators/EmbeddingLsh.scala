@@ -22,12 +22,16 @@ object EmbeddingLsh {
   val BandBits = 6
 
   /** Quantize any (id, float-vector) frame: int64 vector (×100) + int64
-    * squared norm, output columns (vec_id, q, nrm). Library entry point —
-    * every cosine downstream is exact integer arithmetic.
+    * squared norm, output columns (vec_id, q, nrm) plus any `keep`
+    * passthrough columns (labels, sources — still a pure projection,
+    * no join needed to retain them). Library entry point — every
+    * cosine downstream is exact integer arithmetic.
     */
-  def quantize(df: DataFrame, idCol: String, vecCol: String): DataFrame =
-    df.select(col(idCol).as("vec_id"), expr(
-        s"transform($vecCol, x -> cast(round(cast(x AS double) * 100, 0) AS bigint))").as("q"))
+  def quantize(df: DataFrame, idCol: String, vecCol: String,
+      keep: Seq[String] = Nil): DataFrame =
+    df.select(col(idCol).as("vec_id") +: expr(
+        s"transform($vecCol, x -> cast(round(cast(x AS double) * 100, 0) AS bigint))").as("q")
+        +: keep.map(col): _*)
       .withColumn("nrm", expr("aggregate(q, cast(0 AS bigint), (acc, x) -> acc + x * x)"))
 
   /** The gate's `embeddings` table quantized. */

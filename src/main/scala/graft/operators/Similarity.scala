@@ -309,6 +309,30 @@ object Similarity {
       }).as("codes"))
   }
 
+  /** Hard-negative mining for contrastive training: for every query
+    * vector, the top-k most-similar vectors with a DIFFERENT label —
+    * the near-misses that actually teach a metric-learning model (a
+    * random negative is trivially far; the informative ones are the
+    * closest wrong answers). Input is a quantized frame that carries a
+    * `label` column ([[EmbeddingLsh.quantize]] with `keep`).
+    *
+    * Scale shape: identical to [[annBruteForce]] — query set broadcast,
+    * one pass over the vectors, per-query TopK window; the label
+    * mismatch is a predicate on the broadcast pair stream, not a join.
+    * For corpus-scale mining swap the candidate source to the LSH/IVF
+    * paths exactly as q63/q70 do for retrieval.
+    */
+  def hardNegatives(n: DataFrame, isQuery: Column, k: Int = TopK): DataFrame = {
+    val qs = n.filter(isQuery)
+      .select(col("vec_id").as("qid"), col("q").as("qq"),
+        col("nrm").as("qn"), col("label").as("qlabel"))
+    val p = n.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("qid") && col("label") =!= col("qlabel"))
+      .select(col("qid"), col("vec_id"),
+        cosOf(col("qq"), col("qn"), col("q"), col("nrm")).as("cos"))
+    topK(p, k)
+  }
+
   /** Recall@k of an approximate ANN result against the exact one — the
     * evaluation operator that closes the ANN loop: an index whose recall
     * is unmeasured is unshippable, and at corpus scale the measurement
@@ -441,6 +465,24 @@ object Similarity {
       recallAtK(
         annBruteForce(n, isQ),
         annIvf(n, isQ, col("vec_id") % CentroidStride === 0))
+    },
+
+    // Hard-negative mining: per query, the nearest vectors of a
+    // DIFFERENT label — same exact-cosine machinery as q62 with the
+    // label-mismatch predicate on the broadcast pair stream.
+    Q("q122_hard_negatives",
+      "WITH " + quantizedSql + ", " +
+        "nl AS (SELECT n.vec_id AS vec_id, q, nrm, label FROM n JOIN embeddings USING (vec_id)), " +
+        s"hq AS (SELECT vec_id AS qid, q AS qq, nrm AS qn, label AS ql FROM nl WHERE vec_id % $QueryStride = 0), " +
+        "hp AS (SELECT qid, nl.vec_id AS vec_id, " +
+        s"(${qdotSql("hq.qq", "nl.q")})::DOUBLE / sqrt((hq.qn * nl.nrm)::DOUBLE) AS cos " +
+        "FROM hq JOIN nl ON nl.vec_id <> hq.qid AND nl.label <> hq.ql) " +
+        "SELECT qid, vec_id, cos FROM (SELECT qid, vec_id, cos, " +
+        "row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM hp) " +
+        s"WHERE rn <= $TopK ORDER BY qid, vec_id") { (s, dir) =>
+      val e = graft.Tables.load(s, dir, "embeddings")
+      val n = quantize(e, "vec_id", "embedding", keep = Seq("label"))
+      hardNegatives(n, col("vec_id") % QueryStride === 0)
     },
 
     // SQ8 scalar quantization, gated in LONG FORM (vec_id, i, code):

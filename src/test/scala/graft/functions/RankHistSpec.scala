@@ -69,6 +69,29 @@ class RankHistSpec extends AnyFunSuite with SparkFixture {
     assert(sql == df)
   }
 
+  test("rank_hist aggregates across streaming micro-batches (complete mode)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(String, Long)](spark)
+    val agg = input.toDF().toDF("grp", "v").groupBy("grp")
+      .agg(RankHist.rank_hist(col("v"), 4).as("h"))
+      .select(col("grp"), col("h.shift").as("shift"), col("h.bins").as("bins"))
+    val q = agg.writeStream.format("memory").queryName("rh_stream")
+      .outputMode("complete").start()
+    try {
+      input.addData(("a", 1L), ("a", 2L), ("a", 3L))
+      q.processAllAvailable()
+      input.addData(("a", 64L), ("a", 65L), ("b", 7L))
+      q.processAllAvailable()
+      val rows = spark.table("rh_stream").collect()
+        .map(r => r.getString(0) -> ((r.getInt(1),
+          r.getSeq[Row](2).map(b => (b.getLong(0), b.getLong(1)))))).toMap
+      // the streamed state must equal the batch sketch over all values
+      assert(rows("a") == reference(Seq(1L, 2L, 3L, 64L, 65L), 4))
+      assert(rows("b") == (0, Seq((7L, 1L))))
+    } finally q.stop()
+  }
+
   test("capacity below 2 fails at construction") {
     intercept[IllegalArgumentException] {
       RankHist.rank_hist(col("v"), 1)

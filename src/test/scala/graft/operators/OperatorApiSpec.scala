@@ -184,6 +184,23 @@ class OperatorApiSpec extends AnyFunSuite with SparkFixture {
     assert(ivf.groupBy(_.getLong(0)).values.forall(_.length <= 3))
   }
 
+  test("hardNegatives returns only cross-label neighbors") {
+    import spark.implicits._
+    val vecs = (0 until 12).map { i =>
+      (i.toLong, (i % 3), Array.tabulate(64)(j => ((i * 7 + j) % 13 - 6) / 10.0f))
+    }.toDF("key", "lbl", "vec")
+    val n = EmbeddingLsh.quantize(vecs, idCol = "key", vecCol = "vec",
+      keep = Seq("lbl")).withColumnRenamed("lbl", "label")
+    val out = Similarity.hardNegatives(n, col("vec_id") % 4 === 0, k = 3).collect()
+    assert(out.nonEmpty)
+    val lbl = (id: Long) => id % 3
+    out.foreach { r =>
+      assert(r.getLong(0) % 4 == 0 && r.getLong(0) != r.getLong(1))
+      assert(lbl(r.getLong(0)) != lbl(r.getLong(1)), s"same-label negative: $r")
+    }
+    assert(out.groupBy(_.getLong(0)).values.forall(_.length <= 3))
+  }
+
   test("text analysis operators accept caller-named columns") {
     val ts = TextAnalysis.tokenStats(docs, "id", "body").collect()
     assert(ts.length == 4 && ts.forall(_.getInt(1) > 0))
