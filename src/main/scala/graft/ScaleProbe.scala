@@ -9,10 +9,34 @@ import org.apache.spark.sql.functions._
   * (the BASELINE entries cite runs of this probe, not hand runs).
   *
   * Usage: `sbt "runMain graft.ScaleProbe <sfDir> <factor> <op>"`
-  * where op ∈ {neardup (q116 chain), lsh (q42 chain), dedup (q40)}.
+  * where op ∈ {neardup (q116 chain), lsh (q42 chain), dedup (q40),
+  * annbrute (q62 exact top-k), annivf (q70 inverted-file top-k)}.
   * Emits one JSON line: {"op":…,"factor":N,"rows":R,"sec":S}.
+  *
+  * The ANN pair is the scale argument for the IVF index: brute-force
+  * work is N·Q (queries scale with the corpus, so N× data is N²×
+  * dots), while IVF holds ~N·Q·NProbe/C with C growing with N — the
+  * divergence of the two curves at 10× is the measured reason the
+  * approximate path exists.
   */
 object ScaleProbe {
+
+  /** N copies of `embeddings` with shifted ids and a per-copy
+    * DETERMINISTIC component perturbation (copy index mixed into two
+    * coordinates before quantization) so copies are near but not
+    * identical in cosine space — cell occupancy and top-k structure
+    * stay realistic instead of N identical stacked vectors.
+    */
+  def scaledEmbeddings(spark: SparkSession, dir: String, factor: Int): DataFrame = {
+    val base = Tables.load(spark, dir, "embeddings").select("vec_id", "embedding")
+    val shift = 1L << 32
+    (0 until factor).map { i =>
+      base.select((col("vec_id") + lit(i * shift)).as("vec_id"),
+        expr(s"transform(embedding, (x, j) -> " +
+          s"CAST(x + CASE WHEN j < 2 THEN ${i}.0 / 50.0 ELSE 0.0 END AS FLOAT))")
+          .as("embedding"))
+    }.reduce(_ unionByName _)
+  }
 
   /** N copies of `documents` with doc_ids shifted per copy and EVERY
     * token suffixed with the copy index — copies share zero shingles,
@@ -47,12 +71,18 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val docs = scaledDocuments(spark, sfDir, factor)
+    lazy val docs = scaledDocuments(spark, sfDir, factor)
+    lazy val vecs = operators.EmbeddingLsh.quantize(
+      scaledEmbeddings(spark, sfDir, factor), "vec_id", "embedding")
+    val isQuery = col("vec_id") % operators.Similarity.QueryStride === 0
     def run(): Long = {
       val df = op match {
         case "neardup" => operators.Dedup.verifiedNearDups(docs)
         case "lsh" => operators.Dedup.minhashLshPairs(docs)
         case "dedup" => docs.groupBy("text").agg(min("doc_id").as("doc_id"))
+        case "annbrute" => operators.Similarity.annBruteForce(vecs, isQuery)
+        case "annivf" => operators.Similarity.annIvf(vecs, isQuery,
+          col("vec_id") % operators.Similarity.CentroidStride === 0)
         case other => throw new IllegalArgumentException(s"unknown op $other")
       }
       val n = df.count()

@@ -96,6 +96,34 @@ object EventStream {
       }
       .start()
 
+  /** Incremental MATERIALIZED-VIEW maintenance into a remote keyed
+    * table: feed an UPDATE-mode streaming aggregate here and each
+    * trigger's changed rows are UPSERTED into `table` on `keys` — the
+    * remote summary converges to what the batch aggregate over all
+    * input would say, updated incrementally per micro-batch.
+    *
+    * Exactly-once EFFECT over an at-least-once channel: a replayed or
+    * revised aggregate row overwrites itself by key (the engine's W6
+    * conflict-aware writer), so retries and revisions are idempotent —
+    * the classic keyed-upsert escape from streaming's delivery
+    * semantics, and the reason this needs no sink-side transaction
+    * log. Composed with the JDBC micro-batch SOURCE, the whole
+    * incremental-view loop (remote fact table → stream → aggregate →
+    * remote summary table) runs against external databases with Spark
+    * as the incremental maintenance engine.
+    */
+  def maintainTo(updates: DataFrame, table: String, keys: Seq[String],
+      checkpointDir: String,
+      queryName: String = "graft_maintain_sink"): StreamingQuery =
+    updates.writeStream
+      .outputMode(OutputMode.Update)
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.writeTo(table).option("upsertkeys", keys.mkString(",")).append()
+      }
+      .start()
+
   /** Streaming ingest curation: every micro-batch is decontaminated
     * against a STATIC benchmark frame with the SAME batch operator the
     * offline pipeline uses ([[graft.operators.Curation.decontaminate]]

@@ -111,6 +111,33 @@ class JdbcStreamSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("incremental view maintenance: JDBC stream -> aggregate -> remote upsert") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ext.stc")
+    spark.sql("DROP TABLE IF EXISTS ext.stc.summary")
+    spark.sql("CREATE TABLE ext.stc.summary (user_id BIGINT, n BIGINT, total BIGINT)")
+    exec("CREATE TABLE STMV (ID BIGINT, USER_ID BIGINT, V BIGINT)")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mv_ckpt").toString
+
+    exec("INSERT INTO STMV VALUES (1, 100, 5), (2, 100, 7), (3, 200, 1)")
+    val agg = streamOf("STMV")
+      .groupBy(col("USER_ID").as("user_id"))
+      .agg(count(lit(1)).as("n"), sum(col("V")).as("total"))
+    val q = graft.streaming.EventStream.maintainTo(
+      agg, "ext.stc.summary", Seq("user_id"), ckpt, queryName = "graft_mv")
+    try {
+      q.processAllAvailable()
+      def summary() = spark.table("ext.stc.summary")
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(summary() == Seq((100L, 2L, 12L), (200L, 1L, 1L)))
+      // more facts arrive: the revised rows UPSERT (no duplicate keys)
+      exec("INSERT INTO STMV VALUES (4, 100, 3), (5, 300, 9)")
+      q.processAllAvailable()
+      assert(summary() == Seq((100L, 3L, 15L), (200L, 1L, 1L), (300L, 1L, 9L)))
+    } finally q.stop()
+  }
+
   test("batch-only tables refuse streaming; offsets round-trip json") {
     exec("CREATE TABLE STEV4 (ID BIGINT, V VARCHAR(20))")
     // without streamcolumn the table has no MICRO_BATCH_READ capability
