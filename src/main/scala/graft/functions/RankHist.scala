@@ -174,6 +174,10 @@ object RankHist {
     * multiset). Within `2^shift` of the true quantile.
     */
   def quantile(shift: Int, bins: Seq[(Long, Long)], permille: Int): Long = {
+    require(bins.nonEmpty,
+      "rank_hist quantile: empty histogram (group had no non-null values)")
+    require(permille >= 0 && permille <= 1000,
+      s"rank_hist quantile: permille must be in [0, 1000], got $permille")
     val total = bins.map(_._2).sum
     val target = math.max(1L, (total * permille + 999) / 1000)
     var cum = 0L

@@ -204,8 +204,12 @@ object Dedup {
     * groupBy — no row explosion.
     */
   def minhashSignatures(c: DataFrame): DataFrame =
-    shinglesOf(c, dedup = false)
-      .select(col("doc_id"), (col("h") % P).as("hm"))
+    signaturesOf(shinglesOf(c, dedup = false))
+
+  /** Signatures from an already-computed (doc_id, h) shingle stream —
+    * the seam that lets [[minhashCalibration]] shingle ONCE. */
+  private def signaturesOf(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), (col("h") % P).as("hm"))
       .groupBy("doc_id")
       .agg(
         min((col("hm") * MC.A(0) + MC.B(0)) % P).as("m0"),
@@ -244,9 +248,12 @@ object Dedup {
   def minhashCalibration(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", bucketCap: Int = BucketCap): DataFrame = {
     val c = corpus(df, idCol, textCol)
-    val mh = GraftCache.track(minhashSignatures(c))
+    // shingle ONCE: the raw stream feeds both the signatures and (via
+    // distinct) the true-Jaccard sets
+    val raw = GraftCache.track(shinglesOf(c, dedup = false))
+    val mh = GraftCache.track(signaturesOf(raw))
     val pairs = GraftCache.track(bucketPairs(lshBands(mh), Seq("band", "sig"), bucketCap))
-    val sh = GraftCache.track(shinglesOf(c))
+    val sh = GraftCache.track(raw.distinct())
     val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = pairs
       .join(sh.as("x"), col("d1") === col("x.doc_id"))

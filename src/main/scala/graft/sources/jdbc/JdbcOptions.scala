@@ -58,6 +58,20 @@ final case class JdbcOptions(map: Map[String, String]) extends Serializable {
     v
   }
 
+  /** Watermark lag in stream-column units: the delivered offset stays
+    * this far behind the observed max, tolerating commit-order skew on
+    * tied values (timestamp columns). 0 (default) for strictly
+    * monotonic keys.
+    */
+  val streamLag: Long = {
+    val v = map.get("streamlag").map(_.toLong).getOrElse(0L)
+    if (v < 0)
+      throw new IllegalArgumentException(s"streamlag must be >= 0, got $v")
+    if (v > 0 && streamColumn.isEmpty)
+      throw new IllegalArgumentException("streamlag requires streamcolumn")
+    v
+  }
+
   /** Conflict handling for appends — the reference's full OnConflict
     * surface (`on_conflict.rs:21-26,113-140`). Accepted `upsertmode`
     * values: `update` | `do_nothing` (conflict target from

@@ -321,6 +321,12 @@ final case class JdbcScan(
       "streaming read requires streamcolumn=<monotonically increasing numeric column>"))
     require(aggSelect.isEmpty && orderBy.isEmpty && limit.isEmpty && pushedOffset.isEmpty,
       "fetch/aggregate pushdown cannot compose with a streaming scan")
+    // NULL watermark values fall outside every (start, end] range and
+    // are never delivered — surface the hazard once, at stream start
+    schema.fields.find(_.name.equalsIgnoreCase(wcol)).filter(_.nullable).foreach { _ =>
+      logWarning(s"graft-jdbc stream: column '$wcol' is nullable — rows with a " +
+        "NULL watermark value are never delivered (declare it NOT NULL)")
+    }
     new JdbcMicroBatchStream(options, schema, where, wcol)
   }
 

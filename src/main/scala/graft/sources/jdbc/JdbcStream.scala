@@ -15,14 +15,24 @@ import org.apache.spark.sql.types.StructType
   * standard JDBC-ingest pattern (poll an append-only table by a
   * monotonically increasing column).
   *
-  * Contract: `streamcolumn` names a monotonically increasing numeric
-  * column (an auto-increment key, an epoch stamp). The offset is a
-  * WATERMARK — the greatest value already processed — and each
-  * micro-batch reads `(start, end]`, so a row is never delivered twice
-  * and Spark's offset log makes redelivery after restart exact. Rows
-  * inserted later with values at or below the watermark are ignored,
-  * never duplicated (same late-arrival contract as the document
-  * source's file-name watermark, and as any polling ingester).
+  * Contract: `streamcolumn` names a monotonically increasing
+  * NON-NULL numeric column (an auto-increment key, an epoch stamp).
+  * The offset is a WATERMARK — the greatest value already processed —
+  * and each micro-batch reads `(start, end]`, so a row is never
+  * delivered twice and Spark's offset log makes redelivery after
+  * restart exact. Rows inserted later with values at or below the
+  * watermark are ignored, never duplicated (same late-arrival
+  * contract as the document source's file-name watermark, and as any
+  * polling ingester); rows whose stream column is NULL fall outside
+  * every `(start, end]` range and are never delivered (a nullable
+  * column is flagged with a warning at stream start).
+  *
+  * For STAMP columns, where many rows share a value and commit order
+  * is not stamp order, set `streamlag=N`: the delivered watermark is
+  * held N stamp-units behind the observed max, so a transaction
+  * committing a boundary-valued row just after the probe lands in a
+  * later batch instead of below the watermark. Keys that are strictly
+  * monotonic need no lag.
   *
   * Pushed-down predicates from the scan builder apply to BOTH the
   * watermark probe and the batch reads: the remote server filters
@@ -101,12 +111,26 @@ final class JdbcMicroBatchStream(
       case m: ReadMaxRows => Some(math.min(m.maxRows(), Int.MaxValue.toLong).toInt)
       case _ => None
     }
-    JdbcStreamOffset(maxWatermark(from, cap))
+    val probed = maxWatermark(from, cap)
+    lastProbed = math.max(lastProbed, probed)
+    // `streamlag`: hold the delivered watermark `lag` units behind the
+    // observed max, so a concurrent transaction committing a row AT the
+    // probed boundary (routine when the column is a timestamp — many
+    // rows share a stamp and commit order ≠ stamp order) lands inside a
+    // later batch instead of below the watermark. Zero (the default)
+    // is for strictly monotonic keys, where ties cannot exist.
+    val end = math.max(from, probed - options.streamLag)
+    JdbcStreamOffset(end)
   }
 
-  /** True end of the remote stream right now, for progress reporting. */
-  override def reportLatestOffset(): Offset =
-    JdbcStreamOffset(maxWatermark(Long.MinValue, None))
+  /** Last observed remote max, for progress reporting. Deliberately NOT
+    * a fresh uncapped MAX query: on a large un-indexed ingest table
+    * that is a full scan per trigger paid for a metric; the admission
+    * probe's running max serves the same purpose (it understates
+    * backlog by at most one rate-capped batch).
+    */
+  @volatile private var lastProbed: Long = Long.MinValue
+  override def reportLatestOffset(): Offset = JdbcStreamOffset(lastProbed)
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(

@@ -97,4 +97,10 @@ class RankHistSpec extends AnyFunSuite with SparkFixture {
       RankHist.rank_hist(col("v"), 1)
     }
   }
+
+  test("quantile rejects an empty histogram and out-of-range permille loudly") {
+    intercept[IllegalArgumentException] { RankHist.quantile(0, Nil, 500) }
+    intercept[IllegalArgumentException] { RankHist.quantile(0, Seq((1L, 1L)), 1001) }
+    assert(RankHist.quantile(0, Seq((1L, 1L)), 1000) == 1L)
+  }
 }

@@ -111,6 +111,24 @@ class JdbcStreamSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("streamlag holds the delivered watermark behind the observed max") {
+    exec("CREATE TABLE STEV5 (ID BIGINT, V VARCHAR(20))")
+    exec("INSERT INTO STEV5 VALUES (10,'a'), (11,'b'), (12,'c')")
+    val q = streamOf("STEV5", "streamlag" -> "2").writeStream
+      .format("memory").queryName("jstream5").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      import spark.implicits._
+      // watermark = 12 - lag 2 = 10: only the safely-settled row flows
+      assert(spark.table("jstream5").select("ID").as[Long].collect().toSet == Set(10L))
+      // a fresh max advances the lagged watermark past the held rows
+      exec("INSERT INTO STEV5 VALUES (20, 'd')")
+      q.processAllAvailable()
+      assert(spark.table("jstream5").select("ID").as[Long].collect().toSet
+        == Set(10L, 11L, 12L))
+    } finally q.stop()
+  }
+
   test("incremental view maintenance: JDBC stream -> aggregate -> remote upsert") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
