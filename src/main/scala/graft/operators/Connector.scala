@@ -215,6 +215,29 @@ object Connector {
         .orderBy("s_nationkey")
     },
 
+    // EXPRESSION aggregate pushdown: the group key is YEAR(date) — the
+    // whole GROUP BY, expression included, executes inside Derby, with
+    // the scan schema introspected from the remote statement itself
+    // (remote engines disagree on expression result types; the remote's
+    // prepared-statement metadata is the source of truth).
+    Q("q123_jdbc_expr_agg",
+      "SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS y, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total " +
+        "FROM orders GROUP BY 1 ORDER BY y") { (s, dir) =>
+      gate(s, dir)
+      val t = "gate.app.t123"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice").cast(D).as("o_totalprice"))
+        .writeTo(t).create()
+      s.table(t)
+        .groupBy(year(col("o_orderdate")).as("y"))
+        .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("sd"))
+        .select(col("y"), col("n"), col("sd").cast("double").as("total"))
+        .orderBy("y")
+    },
+
     // Overwrite-by-filter (SupportsOverwriteV2): only rows matching the
     // predicate are replaced, atomically via the staged swap — new rows
     // land, non-matching originals survive byte-identically.

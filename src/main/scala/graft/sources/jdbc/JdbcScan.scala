@@ -34,7 +34,8 @@ final class JdbcScanBuilder(options: JdbcOptions, tableSchema: StructType)
     with SupportsPushDownLimit
     with SupportsPushDownTopN
     with SupportsPushDownOffset
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with Logging {
 
   private val unparser = new Unparser(options.dialect)
   private var schema: StructType = tableSchema
@@ -109,8 +110,9 @@ final class JdbcScanBuilder(options: JdbcOptions, tableSchema: StructType)
     val grpFields = agg.groupByExpressions.toSeq.map(fieldOf)
     val aggTypes = agg.aggregateExpressions.toSeq.map(aggResultType)
     val aggSqls = agg.aggregateExpressions.toSeq.map(unparser.agg)
-    if (grpFields.exists(_.isEmpty) || aggTypes.exists(_.isEmpty) || aggSqls.exists(_.isEmpty))
-      return None
+    if (aggSqls.exists(_.isEmpty)) return None
+    if (grpFields.exists(_.isEmpty) || aggTypes.exists(_.isEmpty))
+      return translateGeneral(agg, aggSqls.map(_.get))
     val d = options.dialect
     val grpCols = grpFields.map(_.get)
     val sel =
@@ -120,6 +122,50 @@ final class JdbcScanBuilder(options: JdbcOptions, tableSchema: StructType)
       grpCols.map(f => StructField(f.name, f.dataType, nullable = true)) ++
         aggTypes.zipWithIndex.map { case (t, i) => StructField(s"agg$i", t.get, nullable = true) })
     Some((sel, grpCols.map(f => d.quote(f.name)), schema))
+  }
+
+  /** General-expression aggregate pushdown: GROUP BY keys and aggregate
+    * arguments that are rendered EXPRESSIONS (`YEAR(ts)`, `SUM(a * b)`)
+    * rather than plain columns. The result types of such expressions
+    * are the REMOTE engine's business (Derby's YEAR() is INTEGER,
+    * another dialect's EXTRACT may be BIGINT), so the scan schema comes
+    * from prepared-statement introspection of the generated statement —
+    * the same source of truth Spark's own JDBC v2 uses
+    * (`JDBCRDD.getQueryOutputSchema`); `V2ScanRelationPushDown` then
+    * casts the scan's columns to the plan's expected types positionally.
+    * Introspection is cached per (url, sql) and a remote failure simply
+    * keeps the aggregate local.
+    */
+  private def translateGeneral(agg: Aggregation,
+      aggSqls: Seq[String]): Option[(Seq[String], Seq[String], StructType)] = {
+    val d = options.dialect
+    val grpSqls = agg.groupByExpressions.toSeq.map(unparser.expr)
+    if (grpSqls.exists(_.isEmpty)) return None
+    val sel =
+      grpSqls.zipWithIndex.map { case (s, i) => s"${s.get} AS ${d.quote(s"g$i")}" } ++
+        aggSqls.zipWithIndex.map { case (s, i) => s"$s AS ${d.quote(s"agg$i")}" }
+    val group = grpSqls.map(_.get)
+    val whereClause =
+      if (pushedSql.isEmpty) "" else pushedSql.mkString(" WHERE ", " AND ", "")
+    val groupClause = if (group.isEmpty) "" else group.mkString(" GROUP BY ", ", ", "")
+    val probe = d.repairSql(
+      s"SELECT ${sel.mkString(", ")} FROM ${options.fromClause}$whereClause$groupClause")
+    try {
+      val sch = JdbcOptions.schemaCache.getOrElseUpdate((options.url, probe), {
+        val c = options.connect()
+        try {
+          val ps = c.prepareStatement(probe)
+          try TypeMapping.schemaOf(ps.getMetaData,
+            unsupportedAsString = options.readUnsupportedAsString)
+          finally ps.close()
+        } finally c.close()
+      })
+      Some((sel, group, sch))
+    } catch {
+      case e: Exception =>
+        logInfo(s"graft-jdbc: expression-aggregate introspection failed, staying local: $e")
+        None
+    }
   }
 
   // Complete-only pushdown: with one input partition the remote result

@@ -194,6 +194,35 @@ class JdbcRoundTripSpec extends AnyFunSuite with SparkFixture {
     assert(got == exp)
   }
 
+  test("expression aggregate pushdown: GROUP BY year(ts) / SUM(a*b) run remotely") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ext.rt")
+    spark.sql("DROP TABLE IF EXISTS ext.rt.tga")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.year
+    val rows = Seq(
+      (1L, java.sql.Timestamp.valueOf("1995-03-15 10:00:00"), 10L),
+      (2L, java.sql.Timestamp.valueOf("1995-07-01 00:00:00"), 20L),
+      (3L, java.sql.Timestamp.valueOf("1996-03-02 23:59:59"), 40L),
+      (4L, java.sql.Timestamp.valueOf("1996-11-20 08:30:00"), 80L))
+    rows.toDF("k", "ts", "v").writeTo("ext.rt.tga").create()
+
+    // group key is an EXPRESSION: the remote statement carries
+    // GROUP BY YEAR(...) and the result types come from Derby itself
+    val byYear = spark.table("ext.rt.tga")
+      .groupBy(year($"ts").as("y")).agg(sum($"v").as("sv"))
+    val p1 = planOf(byYear)
+    assert(p1.contains("YEAR(") && p1.contains("GROUP BY"), s"year-key not pushed:\n$p1")
+    assert(byYear.collect().map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+      == Seq((1995, 30L), (1996, 120L)))
+
+    // aggregate ARGUMENT is an expression: SUM(v * k) global aggregate
+    val prod = spark.table("ext.rt.tga").agg(sum($"v" * $"k").as("s"))
+    val p2 = planOf(prod)
+    assert(p2.contains("SUM(") && (p2.contains("* ") || p2.contains("*\"")),
+      s"product-sum not pushed:\n$p2")
+    assert(prod.head().getLong(0) == rows.map(r => r._3 * r._1).sum)
+  }
+
   test("CREATE TABLE with primary key and index DDL (W9/W10)") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS ext.rt")
     spark.sql("DROP TABLE IF EXISTS ext.rt.t8")
