@@ -75,6 +75,26 @@ class FederationSpec extends AnyFunSuite with SparkFixture {
       Seq((1L, "alice")))
   }
 
+  test("expression GROUP BY pushes into the collapsed federation scan") {
+    setup()
+    import spark.implicits._
+    // join collapses first; the aggregate with an EXPRESSION argument
+    // (SUM(amount * seg)) then rides the standard DSv2 pushdown into
+    // the SAME collapsed statement — one scan, remote GROUP BY
+    val df = spark.table("ext.fed.orders")
+      .join(spark.table("ext.fed.cust"), $"ocid" === $"cid")
+      .groupBy($"seg")
+      .agg(count(lit(1)).as("n"), sum($"amount" * $"seg").as("ws"))
+      .orderBy("seg")
+    assert(scanCount(df) == 1,
+      s"expected 1 collapsed scan:\n${df.queryExecution.executedPlan}")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GROUP BY"), s"aggregate not pushed:\n$plan")
+    assert(plan.contains("SUM("), s"weighted sum not pushed:\n$plan")
+    assert(df.collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq((1, 3L, 425.0), (2, 1L, 80.0)))
+  }
+
   test("three-way join collapses bottom-up into one statement") {
     setup()
     spark.sql("DROP TABLE IF EXISTS ext.fed.seg")
