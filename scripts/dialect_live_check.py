@@ -210,6 +210,13 @@ for dialect in ["duckdb", "postgres", "sqlite"]:
             check(f"{dialect}: where[{label}] == {EXPECT[label]}",
                   got == EXPECT[label], f"got {got}: {sql}")
 
+        # streaming watermark probe (rate-capped max): first 3 keys > 2
+        # of the pristine seed 1..8 are 3,4,5 -> probe returns 5
+        if d.get("stream_probe"):
+            got = con.execute(d["stream_probe"]).fetchall()[0][0]
+            check(f"{dialect}: streaming capped watermark probe == 5",
+                  got == 5, f"got {got}: {d['stream_probe']}")
+
         # native-array (duckdb/postgres) or JSON-TEXT (sqlite) round-trip
         st0 = state()
         want = [5, 15] if dialect != "sqlite" else json.dumps([5, 15])

@@ -107,6 +107,13 @@ object DialectDump {
       o.put("upsert_degenerate", d.upsertStatement(t, Seq("k"), Seq("k")))
       o.put("topn", s"SELECT ${d.quote("k")} FROM $t ORDER BY ${d.quote("k")} DESC " +
         d.limitOffsetClause(Some(3), Some(2)))
+      // the streaming source's rate-capped watermark probe
+      // (JdbcMicroBatchStream.maxWatermark): max of the first N
+      // unprocessed keys — seed keys 1..8, lower bound 2, cap 3 → 5
+      o.put("stream_probe",
+        s"SELECT MAX(graft_w) FROM (SELECT ${d.quote("k")} AS graft_w FROM $t " +
+          s"WHERE ${d.quote("k")} > 2 ORDER BY ${d.quote("k")} " +
+          d.limitOffsetClause(Some(3), None) + ") graft_lim")
       o.put("analyze", d.analyzeStatement("main", "dlc_t").orNull)
       val ws = o.putObject("where")
       whereSamples(d).foreach {
