@@ -153,9 +153,13 @@ object Bench {
     val onlyJson = only.fold("")(o =>
       "\"only\":" + o.map("\"" + _ + "\"").mkString("[", ",", "]") + ",")
     val total = results.map(_._2).sum
+    // sf emits as its basename ("sf0.1") — the directory prefix spent
+    // 15 B of the collector-tail budget on information the harness
+    // already knows (it set SPARK_GRAFT_SF_DIR)
+    val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
       onlyJson + s""""queries":$medians,"stalls":$stalls,""" +
-      s""""failed":$fails,"sf":"$sfDir"}""")
+      s""""failed":$fails,"sf":"$sfName"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -57,7 +57,119 @@ object Connector {
     full
   }
 
+  /** Register a FILE-backed DuckDB database as catalog `dgate` — the
+    * second live wire-level engine (the reference's flagship connector,
+    * `crates/duckdb/src/lib.rs`). The JDBC driver is discovered from the
+    * machine-local artifact cache at build time; the file lives in
+    * java.io.tmpdir per sf-dir and every gate query drop+CTASes its own
+    * tables, so runs are idempotent.
+    */
+  private def duckGate(s: SparkSession, dir: String): String = {
+    val f = s"${sys.props("java.io.tmpdir")}/graft_duck_gate_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_") + ".duckdb"
+    s.conf.set("spark.sql.catalog.dgate", "graft.sources.jdbc.GraftCatalog")
+    s.conf.set("spark.sql.catalog.dgate.url", s"jdbc:duckdb:$f")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS dgate.app")
+    f
+  }
+
   def queries: Seq[Q] = Seq(
+
+    // DuckDB wire round-trip (S1/P1/P2 on the SECOND live engine): CTAS
+    // into a file-backed DuckDB over JDBC, read back with filter +
+    // projection pushdown; the oracle is the same query over the source
+    // parquet, so a hash match proves the whole wire pipeline.
+    Q("q124_duckdb_roundtrip",
+      "SELECT c_custkey, c_name, c_acctbal FROM customer " +
+        "WHERE c_nationkey IN (3, 7) AND c_acctbal > 100 ORDER BY c_custkey") { (s, dir) =>
+      duckGate(s, dir)
+      val t = "dgate.app.t124"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      Tables.load(s, dir, "customer").writeTo(t).create()
+      s.table(t).filter(col("c_nationkey").isin(3, 7) && col("c_acctbal") > 100)
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    },
+
+    // W5 file-swap overwrite-by-filter: the refresh stages into a FRESH
+    // database file, non-matching live rows ride over, and the file is
+    // atomically renamed over the live path (reference file_swap.rs).
+    // Same declared mutation as q66 but through the swap machinery — a
+    // hash match proves the two overwrite strategies agree exactly.
+    Q("q125_duckdb_fileswap",
+      "SELECT s_suppkey, 'X_' || s_name AS s_name, s_nationkey, s_acctbal " +
+        "FROM supplier WHERE s_nationkey < 5 " +
+        "UNION ALL SELECT s_suppkey, s_name, s_nationkey, s_acctbal " +
+        "FROM supplier WHERE s_nationkey >= 10 ORDER BY s_suppkey") { (s, dir) =>
+      duckGate(s, dir)
+      val t = "dgate.app.t125"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      Tables.load(s, dir, "supplier").writeTo(t).create()
+      Tables.load(s, dir, "supplier")
+        .filter(col("s_nationkey") < 5)
+        .select(col("s_suppkey"), concat(lit("X_"), col("s_name")).as("s_name"),
+          col("s_nationkey"), col("s_acctbal"))
+        .writeTo(t).option("overwritemode", "fileswap")
+        .overwrite(col("s_nationkey") < 10)
+      s.table(t).orderBy("s_suppkey")
+    },
+
+    // WINDOW pushdown (federation rule, Window arm): top-3 customers by
+    // balance per nation — ROW_NUMBER runs INSIDE DuckDB over the wire,
+    // the rank filter pushes as a WHERE around the collapsed subquery,
+    // and only 3 rows per nation ever reach Spark. At 100 TB this is a
+    // remote TopK-per-group instead of a full-table shuffle-sort.
+    Q("q127_duckdb_window_pushdown",
+      "SELECT c_nationkey, c_custkey, c_acctbal, rn FROM (" +
+        "SELECT c_nationkey, c_custkey, c_acctbal, ROW_NUMBER() OVER (" +
+        "PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS rn " +
+        "FROM customer) WHERE rn <= 3 ORDER BY c_nationkey, rn") { (s, dir) =>
+      duckGate(s, dir)
+      val t = "dgate.app.t127"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      Tables.load(s, dir, "customer")
+        .select("c_custkey", "c_nationkey", "c_acctbal").writeTo(t).create()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      s.table(t)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("c_nationkey", "c_custkey", "c_acctbal", "rn")
+        .orderBy("c_nationkey", "rn")
+    },
+
+    // Multi-file ATTACH federation on the wire (reference
+    // `crates/duckdb/src/conn.rs:102-230`): nation lives in one DuckDB
+    // FILE, region in a sibling file; one connection attaches both and
+    // the join collapses into ONE remote statement across files.
+    Q("q126_duckdb_attach_federation",
+      "SELECT n_nationkey, n_name, r_name FROM nation JOIN region " +
+        "ON n_regionkey = r_regionkey WHERE r_regionkey <> 3 " +
+        "ORDER BY n_nationkey") { (s, dir) =>
+      val mainFile = duckGate(s, dir)
+      s.sql("DROP TABLE IF EXISTS dgate.app.t126n")
+      Tables.load(s, dir, "nation").writeTo("dgate.app.t126n").create()
+      val sibFile = s"${sys.props("java.io.tmpdir")}/graft_duck_sib_" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_") + ".duckdb"
+      s.conf.set("spark.sql.catalog.dsib", "graft.sources.jdbc.GraftCatalog")
+      s.conf.set("spark.sql.catalog.dsib.url", s"jdbc:duckdb:$sibFile")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS dsib.app")
+      s.sql("DROP TABLE IF EXISTS dsib.app.t126r")
+      Tables.load(s, dir, "region").writeTo("dsib.app.t126r").create()
+      def attached(table: String) = s.read
+        .format("graft.sources.jdbc.GraftJdbcSource")
+        .option("url", s"jdbc:duckdb:$mainFile")
+        .option("attach", s"sib=$sibFile")
+        .option("dbtable", table)
+        .load()
+      attached("\"app\".\"t126n\"")
+        .join(attached("\"sib\".\"app\".\"t126r\""),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_regionkey") =!= 3)
+        .select("n_nationkey", "n_name", "r_name")
+        .orderBy("n_nationkey")
+    },
 
     // Scan with projection + IN-filter pushdown: WHERE reaches Derby SQL.
     Q("q50_jdbc_roundtrip_scan",

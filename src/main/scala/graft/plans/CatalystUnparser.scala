@@ -2,6 +2,7 @@ package graft.plans
 
 import graft.sources.jdbc.{Dialect, Unparser}
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
 
 /** Catalyst `Expression` → dialect SQL, for the federation rule.
   *
@@ -60,6 +61,107 @@ final class CatalystUnparser(dialect: Dialect, attrSql: Map[ExprId, String]) {
       expr(c.child).map(s => s"CAST($s AS ${dialect.typeName(c.dataType)})")
     case _ => None
   }
+
+  /** ORDER BY key with the direction AND null ordering always explicit:
+    * engines disagree on defaults (Postgres ASC puts nulls LAST, Spark
+    * FIRST), so implicit null placement silently reorders; the MySQL
+    * dialect's repairSql rewrites the explicit spelling to its
+    * emulation (reference `mysql_window.rs:44-73`).
+    */
+  def sortOrder(so: SortOrder): Option[String] =
+    expr(so.child).map { s =>
+      val dir = so.direction match {
+        case Ascending => "ASC"
+        case Descending => "DESC"
+      }
+      val nulls = so.nullOrdering match {
+        case NullsFirst => "NULLS FIRST"
+        case NullsLast => "NULLS LAST"
+      }
+      s"$s $dir $nulls"
+    }
+
+  /** A complete `fn(...) OVER (PARTITION BY … ORDER BY … [frame])`
+    * rendering, or None when any piece is outside the translatable set
+    * (all-or-nothing, like [[expr]]).
+    *
+    * Ranking/offset functions omit the frame clause (Catalyst attaches
+    * their implied frame, which MySQL REJECTS on ranking functions and
+    * every engine ignores); aggregate functions render the plan's frame
+    * explicitly when it is one of the exactly-portable shapes.
+    */
+  def windowExpr(we: WindowExpression): Option[String] = {
+    val spec = we.windowSpec
+    val (fnSql, needsFrame): (Option[String], Boolean) = we.windowFunction match {
+      case _: RowNumber => (Some("ROW_NUMBER()"), false)
+      case _: Rank => (Some("RANK()"), false)
+      case _: DenseRank => (Some("DENSE_RANK()"), false)
+      case Lead(in, Literal(off, _), default, false) =>
+        (offsetFn("LEAD", in, off, default), false)
+      case Lag(in, Literal(off, _), default, false) =>
+        (offsetFn("LAG", in, off, default), false)
+      case AggregateExpression(fn, _, false, None, _) =>
+        val sql = fn match {
+          case Sum(c, _) => expr(c).map(s => s"SUM($s)")
+          case Min(c) => expr(c).map(s => s"MIN($s)")
+          case Max(c) => expr(c).map(s => s"MAX($s)")
+          case Count(Seq(Literal(1, _))) => Some("COUNT(*)")
+          case Count(Seq(c)) => expr(c).map(s => s"COUNT($s)")
+          case _ => None
+        }
+        (sql, true)
+      case _ => (None, false)
+    }
+    for {
+      f <- fnSql
+      parts <- all(spec.partitionSpec)
+      orders <- {
+        val rendered = spec.orderSpec.map(sortOrder)
+        if (rendered.forall(_.isDefined)) Some(rendered.map(_.get)) else None
+      }
+      frame <- frameSql(spec.frameSpecification, needsFrame)
+    } yield {
+      val clauses = Seq(
+        if (parts.isEmpty) "" else s"PARTITION BY ${parts.mkString(", ")}",
+        if (orders.isEmpty) "" else s"ORDER BY ${orders.mkString(", ")}",
+        frame).filter(_.nonEmpty)
+      s"$f OVER (${clauses.mkString(" ")})"
+    }
+  }
+
+  /** LEAD/LAG with a literal offset; Catalyst's offset for LAG is
+    * already negative — the SQL spelling wants its magnitude.
+    */
+  private def offsetFn(kw: String, in: Expression, off: Any,
+      default: Expression): Option[String] = {
+    val n = math.abs(off.asInstanceOf[Int])
+    val d = default match {
+      case Literal(null, _) => Some(None)
+      case l: Literal => expr(l).map(Some(_))
+      case _ => None
+    }
+    for { i <- expr(in); ds <- d }
+      yield ds.fold(s"$kw($i, $n)")(s => s"$kw($i, $n, $s)")
+  }
+
+  /** Only the exactly-portable frames render; anything else refuses the
+    * pushdown rather than risking engine-specific frame semantics.
+    */
+  private def frameSql(frame: WindowFrame, wanted: Boolean): Option[String] =
+    if (!wanted) Some("")
+    else frame match {
+      case UnspecifiedFrame => Some("")
+      case SpecifiedWindowFrame(ft, lo, hi) =>
+        val kw = ft match { case RowFrame => "ROWS"; case RangeFrame => "RANGE" }
+        def bound(b: Expression): Option[String] = b match {
+          case UnboundedPreceding => Some("UNBOUNDED PRECEDING")
+          case UnboundedFollowing => Some("UNBOUNDED FOLLOWING")
+          case CurrentRow => Some("CURRENT ROW")
+          case _ => None
+        }
+        for { l <- bound(lo); h <- bound(hi) } yield s"$kw BETWEEN $l AND $h"
+      case _ => None
+    }
 
   private def all(es: Seq[Expression]): Option[Seq[String]] = {
     val rendered = es.map(expr)

@@ -201,6 +201,40 @@ object FederationRule extends Rule[LogicalPlan] {
       } else None
       collapsed.getOrElse(u)
 
+    // Same-server WINDOW collapse: every window expression of the node
+    // renders from its own embedded spec (Catalyst already groups
+    // compatible specs into one Window node), producing
+    // `(SELECT cols…, fn() OVER (…) AS cK… FROM leg) alias`. The
+    // reference federation ships any same-source subplan its unparser
+    // can express (federation.rs:62-110); windows are the one relational
+    // shape Spark's own DSv2 pushdown has no API for, so the rule covers
+    // them. A Filter above (rank <= k) then pushes into the collapsed
+    // scan as a plain WHERE via the standard pushdown path — at scale
+    // that turns a full-table shuffle-sort into a remote TopK-per-group.
+    case w @ Window(wes, _, _, child, _) if wes.nonEmpty =>
+      val collapsed = for {
+        l <- leafOf(child)
+        if l.opts.dialect.supportsWindowFunctions
+        u = new CatalystUnparser(l.opts.dialect, l.attrs)
+        rendered <- {
+          val rs = wes.map {
+            case al @ Alias(we: WindowExpression, _) =>
+              u.windowExpr(we).map(al.toAttribute -> _)
+            case _ => None
+          }
+          if (rs.forall(_.isDefined)) Some(rs.map(_.get)) else None
+        }
+      } yield {
+        val d = l.opts.dialect
+        val alias = fresh()
+        val out = l.visible ++ rendered.map(_._1)
+        val proj = (l.visible.map(a => l.attrs(a.exprId)) ++ rendered.map(_._2))
+          .zipWithIndex.map { case (s, i) => s"$s AS ${d.quote(s"c$i")}" }
+        wrap(out, l.opts,
+          s"(SELECT ${proj.mkString(", ")} FROM ${l.from}) ${d.quote(alias)}", alias)
+      }
+      collapsed.getOrElse(w)
+
     case j @ Join(left, right, jt, cond, _) =>
       val collapsed =
         for {

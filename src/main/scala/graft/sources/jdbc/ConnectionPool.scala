@@ -50,6 +50,21 @@ object ConnectionPool {
     private val idle = new ConcurrentLinkedQueue[Connection]()
     private val permits = new Semaphore(key.max, true)
     val opened = new AtomicLong(0)
+    /** A retired pool closes connections on release instead of idling
+      * them, so a drained identity holds no file descriptors (the
+      * DuckDB file-swap repoint needs the per-path instance fully gone
+      * before the new file becomes visible to a fresh connection).
+      */
+    @volatile var retired = false
+
+    /** Close all idle connections now; report whether every permit is
+      * home (nothing checked out).
+      */
+    def drain(): Boolean = {
+      var c = idle.poll()
+      while (c != null) { closeQuietly(c); c = idle.poll() }
+      permits.availablePermits() == key.max
+    }
 
     def acquire(): Connection = {
       if (!permits.tryAcquire(AcquireTimeoutSec, TimeUnit.SECONDS))
@@ -78,7 +93,7 @@ object ConnectionPool {
     }
 
     def release(c: Connection): Unit =
-      try { if (reset(c)) idle.offer(c) else closeQuietly(c) }
+      try { if (!retired && reset(c)) idle.offer(c) else closeQuietly(c) }
       finally permits.release()
 
     /** Back to autocommit, warnings cleared; false → do not reuse. */
@@ -137,4 +152,31 @@ object ConnectionPool {
     */
   private[jdbc] def physicalOpens(o: JdbcOptions): Long =
     pools.get(keyOf(o)).map(_.opened.get()).getOrElse(0L)
+
+  /** Retire every pool of `url` and wait (bounded) for full drain.
+    *
+    * The DuckDB file-swap repoint (reference `file_swap.rs` step 4 —
+    * "atomically repoint the connection pool") maps onto JDBC like
+    * this: the driver caches ONE database instance per path while any
+    * connection to it is open, so a fresh connection observes a swapped
+    * file only after the last old connection closes. Retiring closes
+    * all idle connections immediately and makes checked-out ones close
+    * on release; the wait gives in-flight readers a drain window.
+    * Returns true when fully drained; false = timeout expired with
+    * borrowers still out (they keep reading the retiring instance and
+    * a fresh checkout sees the new file only after they finish —
+    * exactly the reference's "in-flight readers drain against the old
+    * instance" semantics, stretched over the drain window).
+    */
+  private[jdbc] def retireAndDrain(url: String, timeoutMs: Long = 15000): Boolean = {
+    val targets = pools.toSeq.filter(_._1.url == url)
+    targets.foreach { case (k, p) => p.retired = true; pools.remove(k) }
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var done = false
+    while (!done && System.currentTimeMillis() < deadline) {
+      done = targets.forall(_._2.drain())
+      if (!done) Thread.sleep(50)
+    }
+    done || targets.forall(_._2.drain())
+  }
 }

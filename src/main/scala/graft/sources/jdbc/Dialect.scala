@@ -184,8 +184,24 @@ trait Dialect extends Serializable {
     else throw new IllegalArgumentException(
       s"dialect '$name' does not support attach= (only duckdb and sqlite attach database files)")
 
+  /** Table rename DDL. ANSI-ish `ALTER TABLE … RENAME TO` is what
+    * Postgres / DuckDB / SQLite accept; Derby and MySQL override with
+    * their `RENAME TABLE` forms.
+    */
+  def renameTableSql(oldQualified: String, newName: String): String =
+    s"ALTER TABLE $oldQualified RENAME TO ${quote(newName)}"
+
   /** Whether FULL OUTER JOIN may be rendered for this dialect. */
   def supportsFullOuterJoin: Boolean = true
+
+  /** Whether window functions (`fn() OVER (…)`) may be rendered for
+    * this dialect — gates the federation rule's Window collapse.
+    * Derby's OVER clause takes neither PARTITION BY nor ORDER BY, so it
+    * opts out; MySQL opts in and its NULLS-ordering repair
+    * ([[MySqlDialect.repairSql]], reference `mysql_window.rs:44-73`)
+    * applies inside OVER clauses too.
+    */
+  def supportsWindowFunctions: Boolean = true
 
   /** Whether one statement may hold two DISTINCT aggregates (Derby
     * cannot); plans that need more stay local over the scanned rows. */
@@ -200,11 +216,15 @@ trait Dialect extends Serializable {
 /** Apache Derby — the live embedded backend for tests and queries. */
 object DerbyDialect extends Dialect {
   val name = "derby"
+  override def renameTableSql(oldQualified: String, newName: String): String =
+    s"RENAME TABLE $oldQualified TO ${quote(newName)}"
   override def limitClause(n: Int): String = s"FETCH FIRST $n ROWS ONLY"
   override def limitOffsetClause(limit: Option[Int], offset: Option[Int]): String =
     (offset.map(m => s"OFFSET $m ROWS") ++ limit.map(limitClause)).mkString(" ")
   // Derby has no FULL OUTER JOIN.
   override def supportsFullOuterJoin: Boolean = false
+  // Derby's ROW_NUMBER() OVER () takes no PARTITION BY / ORDER BY.
+  override def supportsWindowFunctions: Boolean = false
   override def supportsMultipleDistinctAggregates: Boolean = false
   override def singleWriterUpserts: Boolean = true
   override def modSql(a: String, b: String): String = s"MOD($a, $b)"
@@ -370,6 +390,8 @@ object MySqlDialect extends Dialect {
   // LIKE-escape rendering ('%10\%%' ESCAPE '\') parses as garbage
   override def stringLiteral(s: String): String =
     "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+  override def renameTableSql(oldQualified: String, newName: String): String =
+    s"RENAME TABLE $oldQualified TO ${quote(newName)}"
   override def stringType: String = "LONGTEXT"
   override def typeName(dt: DataType): String = dt match {
     case BooleanType => "TINYINT(1)"
@@ -437,6 +459,8 @@ object ClickHouseDialect extends Dialect {
   // merge-tree engines keep their own part statistics; no ANALYZE analog
   override def analyzeStatement(ns: String, table: String): Option[String] = None
   override def quote(ident: String): String = "`" + ident.replace("`", "``") + "`"
+  override def renameTableSql(oldQualified: String, newName: String): String =
+    s"RENAME TABLE $oldQualified TO ${quote(newName)}"
   override def stringType: String = "String"
   override def typeName(dt: DataType): String = dt match {
     case ByteType => "Int8"
@@ -461,6 +485,13 @@ object ClickHouseDialect extends Dialect {
 }
 
 object Dialect {
+  /** `DatabaseMetaData.getTables` type filter that matches base tables on
+    * every live engine: Derby reports "TABLE", DuckDB "BASE TABLE" — the
+    * filter is an exact-match list, so carrying both is harmless where
+    * only one exists.
+    */
+  private[jdbc] val TableTypes: Array[String] = Array("TABLE", "BASE TABLE")
+
   /** The ONE whitelist of array element types the native-array dialects
     * declare in DDL, bind via `createArrayOf` (TypeMapping's boxing
     * match covers exactly this set), and read back — shared so the

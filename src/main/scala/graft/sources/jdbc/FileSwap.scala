@@ -1,0 +1,256 @@
+package graft.sources.jdbc
+
+import org.apache.spark.internal.Logging
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.sql.Connection
+import java.util.concurrent.atomic.AtomicLong
+
+/** Full-refresh database **file swap** for file-backed DuckDB tables —
+  * the W5 capability (reference `crates/duckdb/src/file_swap.rs:1-60`,
+  * `write.rs:429-438`), re-expressed over JDBC.
+  *
+  * An in-place overwrite rewrites the table inside the live database
+  * file; DuckDB only reclaims dropped-table space at a CHECKPOINT, and
+  * checkpointing a live instance under load either fails (plain) or
+  * aborts other transactions (FORCE) — so the live file grows without
+  * bound under repeated full refreshes. The swap path instead:
+  *
+  *  1. **Stage** — partition writers stream the refreshed data into a
+  *     fresh `.refresh.<millis>-<seq>.building` database file; the live
+  *     file serves queries untouched.
+  *  2. **Copy** — at commit, the staging instance ATTACHes the live file
+  *     READ_ONLY and copies every *other* table (and, best-effort, the
+  *     views) into itself; the refreshed table's stale rows are
+  *     deliberately left behind — that is where space is reclaimed.
+  *  3. **Checkpoint** — the staging file checkpoints and closes, leaving
+  *     a compact, WAL-free, self-contained database; the `.building`
+  *     suffix drops off (the generation is now *complete*).
+  *  4. **Swap** — the live identity's connection pool retires and
+  *     drains, the live WAL (if any) is neutralized by a final
+  *     checkpoint of the retiring instance, and the generation file is
+  *     atomically renamed over the live path. A fresh connection
+  *     observes the new file; in-flight readers drain against the old
+  *     inode (the rename never disturbs them).
+  *
+  * JDBC-level divergences from the reference, both documented here
+  * deliberately: (a) the reference PRAGMA-disables checkpoint-on-
+  * shutdown on the retiring instance — unreachable through pooled JDBC,
+  * so the retiring WAL is neutralized by an explicit drained-instance
+  * CHECKPOINT instead; (b) secondary indexes of copied tables are not
+  * re-created (PRIMARY KEY of the refreshed table is).
+  *
+  * Like the reference's in-process DuckDB, a file-backed database is
+  * single-machine by nature: writers and the committing driver must
+  * share a filesystem (local[*] or a shared mount). The swap itself is
+  * driver-side and O(other tables), not O(refreshed data).
+  */
+object FileSwap extends Logging {
+
+  private[jdbc] val GenerationInfix = ".refresh."
+  private[jdbc] val BuildingSuffix = ".building"
+  private val WalSuffix = ".wal"
+
+  /** Monotonic per-process sequence + millis timestamp: generation names
+    * never collide within a process (reference `file_swap.rs:70-78`).
+    */
+  private val generationSeq = new AtomicLong(0)
+
+  private[jdbc] def walOf(p: String): String = p + WalSuffix
+
+  /** A fresh `.building` staging path for `livePath`. */
+  private[jdbc] def newBuildingPath(livePath: String): String =
+    s"$livePath$GenerationInfix${System.currentTimeMillis()}-" +
+      s"${generationSeq.getAndIncrement()}$BuildingSuffix"
+
+  /** The stable identity of the file at `path`, used to detect
+    * out-of-band replacement between stage start and swap (the
+    * reference's dev+inode `file_identity`, `conn.rs:77-92`, guarded by
+    * its pool's open descriptor). Pooled JDBC may have NO connection
+    * open to pin the inode against reuse, so the creation time joins
+    * the key: a deleted-and-recreated file differs even when the
+    * filesystem hands the inode straight back. None = missing.
+    */
+  private[jdbc] def identityOf(path: String): Option[(AnyRef, AnyRef)] = {
+    val p = Paths.get(path)
+    if (Files.exists(p)) {
+      val a = Files.readAttributes(p, classOf[java.nio.file.attribute.BasicFileAttributes])
+      Some((a.fileKey(), a.creationTime()))
+    } else None
+  }
+
+  private def exec(c: Connection, sql: String): Unit = {
+    val st = c.createStatement()
+    try st.execute(sql) finally st.close()
+  }
+
+  private def deleteIfExists(path: String): Boolean =
+    Files.deleteIfExists(Paths.get(path))
+
+  /** Step 2+3: copy every non-target table (and best-effort the views)
+    * from the live file into the staging instance, then checkpoint so
+    * the staging file is complete and WAL-free. Runs on a STAGING
+    * connection (`stagingOpts`); `targetNs`/`targetTable` is the
+    * refreshed table whose stale copy stays behind.
+    */
+  private[jdbc] def copyOthersAndCheckpoint(stagingOpts: JdbcOptions, livePath: String,
+      targetNs: String, targetTable: String,
+      preserveWhere: Option[String] = None, targetCols: Seq[String] = Nil): Unit = {
+    val d = stagingOpts.dialect
+    val c = stagingOpts.connect()
+    try {
+      exec(c, s"ATTACH IF NOT EXISTS ${d.stringLiteral(livePath)} AS \"graft_live\" (READ_ONLY)")
+      try {
+        // overwrite-by-filter under fileswap: non-matching live rows of
+        // the TARGET table ride into the refreshed copy
+        preserveWhere.foreach { keep =>
+          val cols = targetCols.mkString(", ")
+          exec(c, s"INSERT INTO ${d.quoted(Seq(targetNs, targetTable))} ($cols) " +
+            s"SELECT $cols FROM ${d.quoted(Seq("graft_live", targetNs, targetTable))} " +
+            s"WHERE $keep")
+        }
+        // every other base table rides over (reference file_swap step 2)
+        val st = c.createStatement()
+        val tables = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        val rs = st.executeQuery(
+          "SELECT table_schema, table_name FROM \"graft_live\".information_schema.tables " +
+            "WHERE table_type = 'BASE TABLE'")
+        while (rs.next()) tables += ((rs.getString(1), rs.getString(2)))
+        rs.close()
+        tables.foreach { case (ns, t) =>
+          if (!(ns.equalsIgnoreCase(targetNs) && t.equalsIgnoreCase(targetTable))) {
+            if (ns != "main") exec(c, s"CREATE SCHEMA IF NOT EXISTS ${d.quote(ns)}")
+            exec(c, s"CREATE TABLE ${d.quoted(Seq(ns, t))} AS " +
+              s"SELECT * FROM ${d.quoted(Seq("graft_live", ns, t))}")
+          }
+        }
+        // views ride over best-effort: their stored SQL references names
+        // as originally written, which resolve identically post-swap
+        try {
+          val vrs = st.executeQuery(
+            "SELECT sql FROM duckdb_views() WHERE database_name = 'graft_live' AND NOT internal")
+          val views = scala.collection.mutable.ArrayBuffer.empty[String]
+          while (vrs.next()) views += vrs.getString(1)
+          vrs.close()
+          views.foreach { v =>
+            try exec(c, v)
+            catch { case e: java.sql.SQLException =>
+              logWarning(s"file-swap: view did not transfer (${e.getMessage}); dropping it") }
+          }
+        } catch { case e: java.sql.SQLException =>
+          logWarning(s"file-swap: view enumeration failed (${e.getMessage})") }
+        st.close()
+      } finally exec(c, "DETACH \"graft_live\"")
+      exec(c, "CHECKPOINT")
+    } finally c.close()
+  }
+
+  /** Step 4: retire+drain both identities, neutralize the live WAL,
+    * rename `.building` → complete generation → atomically over the live
+    * path. Throws if the live file changed identity since `liveIdentity`
+    * was recorded (out-of-band replacement ⇒ the refresh is stale).
+    */
+  private[jdbc] def swapIntoLive(stagingUrl: String, buildingPath: String,
+      liveUrl: String, livePath: String, liveIdentity: Option[(AnyRef, AnyRef)]): Unit = {
+    ConnectionPool.retireAndDrain(stagingUrl)
+
+    if (identityOf(livePath) != liveIdentity) {
+      deleteIfExists(buildingPath); deleteIfExists(walOf(buildingPath))
+      throw new IllegalStateException(
+        s"file-swap aborted: $livePath was replaced out-of-band during the refresh " +
+          "(reference file_swap.rs aborts identically); the live file is untouched")
+    }
+
+    if (!ConnectionPool.retireAndDrain(liveUrl))
+      logWarning(s"file-swap: connections to $liveUrl still checked out after the " +
+        "drain window; they finish against the retiring instance")
+    // A WAL at the live path belongs to the RETIRING generation; were it
+    // left behind, the next open of the NEW file would replay foreign
+    // WAL. The drained instance checkpoints it away (divergence (a) in
+    // the scaladoc); a fresh single connection can always checkpoint.
+    if (Files.exists(Paths.get(walOf(livePath)))) {
+      val c = JdbcOptions.physicalConnect(liveUrl, Map.empty)
+      try exec(c, "CHECKPOINT") finally c.close()
+      ConnectionPool.retireAndDrain(liveUrl)
+      if (deleteIfExists(walOf(livePath)))
+        logWarning(s"file-swap: removed a live WAL that survived the retiring checkpoint")
+    }
+
+    val completed = buildingPath.stripSuffix(BuildingSuffix)
+    Files.move(Paths.get(buildingPath), Paths.get(completed),
+      StandardCopyOption.ATOMIC_MOVE)
+    deleteIfExists(walOf(buildingPath))
+    Files.move(Paths.get(completed), Paths.get(livePath),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    logInfo(s"file-swap: $livePath refreshed from generation ${completed.substring(livePath.length)}")
+  }
+
+  /** Drop an abandoned staging file (write abort / failed commit). */
+  private[jdbc] def discardStaging(stagingUrl: String, buildingPath: String): Unit = {
+    ConnectionPool.retireAndDrain(stagingUrl)
+    deleteIfExists(buildingPath)
+    deleteIfExists(walOf(buildingPath))
+  }
+
+  /** The outcome of boot-time generation recovery. */
+  final case class Recovery(adopted: Option[String], removed: Seq[String])
+
+  /** Recover from an interrupted swap, before any pool exists for
+    * `livePath` (reference `recover_database_file_generations`,
+    * `file_swap.rs:104-120`). Rules, in order:
+    *  - `*.refresh.*.building` files (and WALs) are incomplete staging
+    *    output from a crashed swap: always deleted.
+    *  - If the live file exists it is authoritative: every completed
+    *    generation is deleted.
+    *  - Otherwise the newest completed generation (by millis-seq) is
+    *    adopted — renamed to the live path; older ones are deleted. A
+    *    generation with a leftover WAL never checkpointed cleanly and is
+    *    treated as incomplete.
+    */
+  def recover(livePath: String): Recovery = {
+    val live = Paths.get(livePath)
+    val dir = Option(live.getParent).getOrElse(Paths.get("."))
+    if (!Files.isDirectory(dir)) return Recovery(None, Nil)
+    val prefix = live.getFileName.toString + GenerationInfix
+    val siblings: Seq[Path] = {
+      val s = Files.list(dir)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(_.getFileName.toString.startsWith(prefix)).toList
+      } finally s.close()
+    }
+    val removed = scala.collection.mutable.ArrayBuffer.empty[String]
+    def rm(p: Path): Unit = if (Files.deleteIfExists(p)) removed += p.toString
+
+    val (incomplete, rest) = siblings.partition { p =>
+      val n = p.getFileName.toString
+      n.endsWith(BuildingSuffix) || n.endsWith(BuildingSuffix + WalSuffix)
+    }
+    incomplete.foreach(rm)
+    val (wals, candidates0) = rest.partition(_.getFileName.toString.endsWith(WalSuffix))
+    // a completed-looking generation whose WAL survived never closed
+    // cleanly: incomplete, out it goes with its WAL
+    val tainted = candidates0.filter(p => Files.exists(Paths.get(walOf(p.toString))))
+    tainted.foreach(rm); wals.foreach(rm)
+    val candidates = candidates0.filterNot(tainted.contains)
+
+    if (Files.exists(live)) { candidates.foreach(rm); Recovery(None, removed.toList) }
+    else if (candidates.isEmpty) Recovery(None, removed.toList)
+    else {
+      def genKey(p: Path): (Long, Long) = {
+        val tail = p.getFileName.toString.stripPrefix(prefix)
+        tail.split("-", 2) match {
+          case Array(ms, sq) =>
+            (try ms.toLong catch { case _: NumberFormatException => 0L },
+              try sq.toLong catch { case _: NumberFormatException => 0L })
+          case _ => (0L, 0L)
+        }
+      }
+      val newest = candidates.maxBy(genKey)
+      candidates.filterNot(_ == newest).foreach(rm)
+      Files.move(newest, live, StandardCopyOption.ATOMIC_MOVE)
+      logInfo(s"file-swap recovery: adopted ${newest.getFileName} as $livePath")
+      Recovery(Some(newest.toString), removed.toList)
+    }
+  }
+}

@@ -39,6 +39,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def initialize(name: String, opts: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     options = JdbcOptions.fromJava(opts.asCaseSensitiveMap())
+    // interrupted-file-swap recovery runs before the first connection
+    // (reference boots `recover_database_file_generations` before pool
+    // creation, `crates/duckdb/src/lib.rs:59`)
+    options.duckdbFile.foreach { f =>
+      val r = FileSwap.recover(f)
+      if (r.adopted.nonEmpty || r.removed.nonEmpty)
+        logInfo(s"file-swap recovery for $f: adopted=${r.adopted} removed=${r.removed}")
+    }
   }
 
   override def name(): String = catalogName
@@ -99,7 +107,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def listTables(namespace: Array[String]): Array[Identifier] = withConn { c =>
     val schemaPat = if (namespace.isEmpty) null else namespace.head
-    val rs = c.getMetaData.getTables(null, schemaPat, "%", Array("TABLE"))
+    val rs = c.getMetaData.getTables(null, schemaPat, "%", Dialect.TableTypes)
     val out = ArrayBuffer.empty[Identifier]
     while (rs.next())
       out += Identifier.of(Array(rs.getString("TABLE_SCHEM")), rs.getString("TABLE_NAME"))
@@ -128,7 +136,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     */
   override def tableExists(ident: Identifier): Boolean = withConn { c =>
     val ns = if (ident.namespace().isEmpty) null else ident.namespace().head
-    val rs = c.getMetaData.getTables(null, ns, ident.name(), Array("TABLE"))
+    val rs = c.getMetaData.getTables(null, ns, ident.name(), Dialect.TableTypes)
     try {
       var found = false
       while (!found && rs.next())
@@ -222,8 +230,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     withConn { c =>
       val st = c.createStatement()
-      try st.executeUpdate(
-        s"RENAME TABLE ${qualified(oldIdent)} TO ${dialect.quote(newIdent.name)}")
+      try st.executeUpdate(dialect.renameTableSql(qualified(oldIdent), newIdent.name))
       finally st.close()
     }
 }

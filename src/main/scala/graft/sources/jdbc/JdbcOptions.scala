@@ -119,6 +119,35 @@ final case class JdbcOptions(map: Map[String, String]) extends Serializable {
     * need a target; `do_nothing_all` is active with none. */
   val upsertActive: Boolean = upsertKeys.nonEmpty || upsertMode == "do_nothing_all"
 
+  /** The database FILE behind an in-process file-backed url, when there
+    * is one (`jdbc:duckdb:/path/db.duckdb`); None = in-memory or a
+    * served engine.
+    */
+  val duckdbFile: Option[String] =
+    if (url.startsWith("jdbc:duckdb:"))
+      Some(url.stripPrefix("jdbc:duckdb:").split(';').head).filter(_.nonEmpty)
+    else None
+
+  /** Overwrite strategy (W4/W5). `staged` (default): rows are replaced
+    * inside the live store via the atomic staged-table swap. `fileswap`
+    * (file-backed DuckDB only): the refresh is staged into a FRESH
+    * database file that is atomically renamed over the live one —
+    * reclaiming the space of every prior refresh, which the in-place
+    * form cannot (reference `crates/duckdb/src/write_settings.rs:12-36`,
+    * `file_swap.rs`). Validated eagerly on the driver.
+    */
+  val overwriteMode: String = {
+    val v = map.getOrElse("overwritemode", "staged").toLowerCase
+    if (v != "staged" && v != "fileswap")
+      throw new IllegalArgumentException(
+        s"overwritemode must be 'staged' or 'fileswap', got '$v'")
+    if (v == "fileswap" && (dialect != DuckDbDialect || duckdbFile.isEmpty))
+      throw new IllegalArgumentException(
+        "overwritemode=fileswap needs a file-backed DuckDB url " +
+          s"(jdbc:duckdb:/path/db.duckdb); got '$url'")
+    v
+  }
+
   /** Max pooled physical connections per executor JVM for this identity
     * (reference sizes its bb8/r2d2 pools the same way,
     * `db_connection_pool/mod.rs:59-64`). */
@@ -206,13 +235,13 @@ final case class JdbcOptions(map: Map[String, String]) extends Serializable {
   }
 
   /** The main database's name for search-path purposes: DuckDB names a
-    * file-backed catalog by the basename minus its LAST extension
-    * (whatever that extension is), else `memory`.
+    * file-backed catalog by the basename truncated at its FIRST dot
+    * (probed live: `a.sf0.01.duckdb` → catalog `a`), else `memory`.
     */
   private def mainDbName: String = {
     val path = url.substring(url.lastIndexOf(':') + 1)
     val base = path.substring(path.lastIndexOf('/') + 1).split('?').head
-    val stem = base.replaceAll("\\.[^.]*$", "")
+    val stem = base.split('.').head
     if (stem.isEmpty) "memory" else stem
   }
 

@@ -107,6 +107,29 @@ final case class JdbcBatchWrite(options: JdbcOptions, schema: StructType,
 
   private def truncate: Boolean = overwrite.isDefined
 
+  /** W5: this overwrite rebuilds the whole database FILE and swaps it
+    * over the live path ([[FileSwap]]) instead of staging a table inside
+    * the live store. Validated by [[JdbcOptions.overwriteMode]] to be
+    * file-backed DuckDB.
+    */
+  private def fileswap: Boolean = truncate && options.overwriteMode == "fileswap"
+
+  private val livePath: String = options.duckdbFile.getOrElse("")
+  /** Fresh generation file (`…refresh.<ms>-<seq>.building`) — fixed per
+    * BatchWrite so factory, commit and abort address the same staging
+    * database; plus the live file's identity at write start, for the
+    * out-of-band replacement abort.
+    */
+  private val buildingPath: String =
+    if (fileswap) FileSwap.newBuildingPath(livePath) else ""
+  private val liveIdentity: Option[(AnyRef, AnyRef)] =
+    if (fileswap) FileSwap.identityOf(livePath) else None
+  private def stagingUrl: String = s"jdbc:duckdb:$buildingPath"
+  /** Writer/commit options pointed at the staging file; sibling
+    * attachments stay off it (the refresh touches ONE database). */
+  private def stagingOpts: JdbcOptions =
+    JdbcOptions(options.map - "attach" + ("url" -> stagingUrl))
+
   /** `"ns"."t"` → `"ns"."t__stage_<millisHex>_<nanoHex>"` (suffix inside
     * the final quote). The per-write unique id (reference stages into
     * `__data_<ts>`, `creator.rs:220-520`) keeps two concurrent
@@ -146,7 +169,7 @@ final case class JdbcBatchWrite(options: JdbcOptions, schema: StructType,
     */
   private def dropStaleStages(c: Connection): Unit = options.table match {
     case QuotedPair(ns, t) =>
-      val rs = c.getMetaData.getTables(null, ns, t + "__stage_%", Array("TABLE"))
+      val rs = c.getMetaData.getTables(null, ns, t + "__stage_%", Dialect.TableTypes)
       val stale = scala.collection.mutable.ArrayBuffer.empty[String]
       while (rs.next()) stale += rs.getString("TABLE_NAME")
       rs.close()
@@ -164,7 +187,41 @@ final case class JdbcBatchWrite(options: JdbcOptions, schema: StructType,
     case _ => () // non-catalog table string; nothing to sweep
   }
 
+  /** Live table's PRIMARY KEY columns (fileswap re-creates it on the
+    * refreshed table — reference's TableManager rebuilds constraints);
+    * best-effort: engines without the metadata call report none.
+    */
+  private def livePrimaryKey(ns: String, t: String): Seq[String] =
+    try withConn { c =>
+      val pk = scala.collection.mutable.ArrayBuffer.empty[(Short, String)]
+      val rs = c.getMetaData.getPrimaryKeys(null, ns, t)
+      while (rs.next()) pk += ((rs.getShort("KEY_SEQ"), rs.getString("COLUMN_NAME")))
+      rs.close()
+      pk.sortBy(_._1).map(_._2).toSeq
+    } catch { case _: java.sql.SQLException => Nil }
+
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    if (fileswap) {
+      // stage into a FRESH database file: namespace + table shell first
+      val d = options.dialect
+      val pk = options.table match {
+        case QuotedPair(ns, t) => livePrimaryKey(ns, t)
+        case _ => Nil
+      }
+      val pkClause =
+        if (pk.isEmpty) ""
+        else pk.map(d.quote).mkString(", PRIMARY KEY (", ", ", ")")
+      val c = stagingOpts.connect()
+      try {
+        options.table match {
+          case QuotedPair(ns, _) if ns != "main" =>
+            exec(c, s"CREATE SCHEMA IF NOT EXISTS ${d.quote(ns)}")
+          case _ => ()
+        }
+        exec(c, s"CREATE TABLE ${options.table} (${d.columnDefs(schema)}$pkClause)")
+      } finally c.close()
+      return JdbcWriterFactory(stagingOpts, schema)
+    }
     if (truncate) withConn { c =>
       dropStaleStages(c)
       exec(c, s"CREATE TABLE $stageTable (${options.dialect.columnDefs(schema)})")
@@ -175,7 +232,23 @@ final case class JdbcBatchWrite(options: JdbcOptions, schema: StructType,
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val rows = messages.collect { case JdbcCommit(n) => n }.sum
-    if (truncate) withConn { c =>
+    if (fileswap) {
+      val (ns, t) = options.table match {
+        case QuotedPair(n0, t0) => (n0, t0)
+        case bare => ("main", bare.toString)
+      }
+      // predicate overwrite under fileswap: the rows the predicate does
+      // NOT match ride from the live file into the refreshed table, so
+      // the swap is still a complete database
+      val preserve = overwrite.get match {
+        case Nil => None
+        case conds => Some(conds.mkString("NOT (", " AND ", ")"))
+      }
+      FileSwap.copyOthersAndCheckpoint(stagingOpts, livePath, ns, t,
+        preserveWhere = preserve,
+        targetCols = schema.fields.map(f => options.dialect.quote(f.name)).toSeq)
+      FileSwap.swapIntoLive(stagingUrl, buildingPath, options.url, livePath, liveIdentity)
+    } else if (truncate) withConn { c =>
       // the atomic swap: matching rows are replaced in ONE remote txn
       c.setAutoCommit(false)
       val cols = schema.fields.map(f => options.dialect.quote(f.name)).mkString(", ")
@@ -205,7 +278,8 @@ final case class JdbcBatchWrite(options: JdbcOptions, schema: StructType,
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =
-    if (truncate) withConn { c =>
+    if (fileswap) FileSwap.discardStaging(stagingUrl, buildingPath)
+    else if (truncate) withConn { c =>
       try exec(c, s"DROP TABLE $stageTable") catch { case _: java.sql.SQLException => }
     }
 }

@@ -20,13 +20,15 @@ class BenchContractSpec extends AnyFunSuite {
 
   test("worst-case bench JSON line stays under the 2 KB collector tail") {
     // mirror Bench's emission shape with worst-case widths: every
-    // median 4 digits (xxxx.xx, two decimals per Bench.f2); `only` and
-    // `reps` are not emitted on full runs
+    // median 3 digits (xxx.xx, two decimals per Bench.f2 — the driver
+    // kills a bench run at its 590 s timeout, so no emitted line can
+    // carry a 4-digit-seconds median); `only` and `reps` are not
+    // emitted on full runs, `sf` emits as its basename
     val medians = SparkEntry.all
-      .map(q => "\"" + qid(q.name) + "\":9999.99").mkString("{", ",", "}")
+      .map(q => "\"" + qid(q.name) + "\":999.99").mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":99999.999,"unit":"sec",""" +
       s""""queries":$medians,"stalls":{},""" +
-      s""""failed":[],"sf":"/root/testdata/sf0.1"}"""
+      s""""failed":[],"sf":"sf0.1"}"""
     assert(line.length <= 1900,
       s"bench JSON would be ${line.length} B; trim before the harness truncates it")
   }

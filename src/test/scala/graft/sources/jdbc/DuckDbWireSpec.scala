@@ -1,0 +1,194 @@
+package graft.sources.jdbc
+
+import graft.SparkFixture
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Live wire-level tests of the DuckDB connector: the whole DSv2 surface
+  * (catalog DDL, pushdown scan, TopN, aggregate pushdown, native
+  * ON CONFLICT upsert, DELETE/UPDATE, multi-file ATTACH federation)
+  * executing against a real in-process DuckDB over its JDBC driver — the
+  * reference's flagship connector (`crates/duckdb/src/lib.rs`), which
+  * until now was validated at the SQL-semantics level only
+  * (`scripts/dialect_live_check.py`).
+  *
+  * The driver jar is discovered from the machine-local artifact cache at
+  * build time (no resolution, no network); when absent every test here
+  * self-skips via `assume`.
+  */
+class DuckDbWireSpec extends AnyFunSuite with SparkFixture {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private lazy val available: Boolean = DuckDbWireSpec.driverPresent
+
+  private lazy val dbPath: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_duck").toString
+    s"$dir/wire.duckdb"
+  }
+
+  private def init(): Unit = {
+    assume(available, "duckdb_jdbc driver not on classpath")
+    spark.conf.set("spark.sql.catalog.duck", "graft.sources.jdbc.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.duck.url", s"jdbc:duckdb:$dbPath")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS duck.app")
+  }
+
+  test("catalog DDL + append + filter/projection pushdown on live DuckDB") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS duck.app.t1")
+    spark.sql("CREATE TABLE duck.app.t1 (k BIGINT, name STRING, grp INT)")
+    import spark.implicits._
+    (1L to 20L).map(i => (i, s"name_$i", (i % 4).toInt)).toDF("k", "name", "grp")
+      .writeTo("duck.app.t1").append()
+
+    val df = spark.table("duck.app.t1").filter($"grp" === 2).select("k", "name")
+    val plan = planOf(df)
+    assert(plan.contains("GraftJdbcScan"))
+    assert(plan.contains("\"grp\" = 2"), s"filter not pushed:\n$plan")
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq == Seq(2L, 6L, 10L, 14L, 18L))
+
+    // catalog discovery sees the table (DuckDB reports BASE TABLE)
+    val listed = spark.sql("SHOW TABLES IN duck.app").collect().map(_.getString(1))
+    assert(listed.contains("t1"), listed.mkString(","))
+  }
+
+  test("TopN + aggregate pushdown execute remotely on live DuckDB") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS duck.app.t2")
+    import spark.implicits._
+    (1L to 50L).map(i => (i, (i % 5).toInt, i * 10))
+      .toDF("k", "g", "v").writeTo("duck.app.t2").create()
+
+    val top = spark.table("duck.app.t2").orderBy($"v".desc, $"k").limit(3)
+    val topPlan = planOf(top)
+    assert(topPlan.contains("ORDER BY") && topPlan.contains("LIMIT 3"),
+      s"TopN not pushed:\n$topPlan")
+    assert(top.collect().map(_.getLong(0)).toSeq == Seq(50L, 49L, 48L))
+
+    val agg = spark.table("duck.app.t2").groupBy($"g")
+      .agg(count(lit(1)).as("n"), sum($"v").as("sv")).orderBy($"g")
+    val aggPlan = planOf(agg)
+    assert(aggPlan.contains("GROUP BY"), s"aggregate not pushed:\n$aggPlan")
+    val rows = agg.collect()
+    assert(rows.length == 5 && rows.forall(_.getLong(1) == 10L))
+  }
+
+  test("native ON CONFLICT upsert (update + do_nothing) over the wire") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS duck.app.t3")
+    spark.sql("CREATE TABLE duck.app.t3 (k BIGINT, v STRING) " +
+      "TBLPROPERTIES ('primarykeys'='k')")
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v").writeTo("duck.app.t3").append()
+
+    // DO UPDATE path: k=2 rewrites, k=4 inserts
+    Seq((2L, "B2"), (4L, "d")).toDF("k", "v")
+      .writeTo("duck.app.t3").option("upsertkeys", "k").append()
+    val afterUpdate = spark.table("duck.app.t3").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(afterUpdate == Seq((1L, "a"), (2L, "B2"), (3L, "c"), (4L, "d")))
+
+    // DO NOTHING path: k=1 must keep "a", k=5 inserts
+    Seq((1L, "CLOBBER"), (5L, "e")).toDF("k", "v")
+      .writeTo("duck.app.t3").option("upsertmode", "do_nothing:k").append()
+    val afterNothing = spark.table("duck.app.t3").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(afterNothing == Seq((1L, "a"), (2L, "B2"), (3L, "c"), (4L, "d"), (5L, "e")))
+  }
+
+  test("DELETE FROM + UPDATE DML push to live DuckDB") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS duck.app.t4")
+    import spark.implicits._
+    (1L to 10L).map(i => (i, i.toDouble)).toDF("k", "v").writeTo("duck.app.t4").create()
+
+    spark.sql("DELETE FROM duck.app.t4 WHERE k > 8")
+    assert(spark.table("duck.app.t4").count() == 8)
+
+    Dml.update(spark, "duck.app.t4", Seq("v" -> (col("v") * lit(3.0))), col("k") <= 2)
+    val vs = spark.table("duck.app.t4").orderBy("k").collect().map(_.getDouble(1)).toSeq
+    assert(vs == Seq(3.0, 6.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0))
+  }
+
+  test("window functions collapse into the remote scan (ROW_NUMBER + SUM OVER)") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS duck.app.t5")
+    import spark.implicits._
+    // g: 3 groups of 4; v descending within group is deterministic
+    (1L to 12L).map(i => ((i % 3).toInt, i, i * 2))
+      .toDF("g", "k", "v").writeTo("duck.app.t5").create()
+
+    import org.apache.spark.sql.expressions.{Window => W}
+    val byG = W.partitionBy($"g").orderBy($"v".desc, $"k")
+    val df = spark.table("duck.app.t5")
+      .withColumn("rn", row_number().over(byG))
+      .withColumn("gsum", sum($"v").over(W.partitionBy($"g")))
+    val plan = planOf(df)
+    assert(plan.contains("ROW_NUMBER() OVER"), s"window not collapsed:\n$plan")
+    assert(plan.contains("SUM") && plan.contains("PARTITION BY"), plan)
+    assert(!plan.contains("Window"), s"a local Window exec survived:\n$plan")
+
+    val rows = df.collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(3), r.getLong(4)))
+    // group g: members i with i%3==g; gsum = sum(2i); rn orders by v desc
+    val expected = (1L to 12L).groupBy(_ % 3).flatMap { case (g, is) =>
+      val sorted = is.sortBy(-_)
+      sorted.zipWithIndex.map { case (i, idx) =>
+        (g.toInt, i, idx + 1, is.map(_ * 2).sum)
+      }
+    }.toSet
+    assert(rows.toSet == expected, rows.mkString(","))
+
+    // the classic top-1-per-group: the rank filter pushes as a WHERE
+    // AROUND the collapsed window subquery (remote TopK-per-group)
+    val top = df.filter($"rn" === 1).select("g", "k")
+    val topPlan = planOf(top)
+    assert(topPlan.contains("ROW_NUMBER() OVER") && topPlan.contains("WHERE"),
+      s"rank filter did not push:\n$topPlan")
+    assert(top.collect().map(r => (r.getInt(0), r.getLong(1))).toSet ==
+      Set((0, 12L), (1, 10L), (2, 11L)))
+  }
+
+  test("multi-file ATTACH federation: a cross-file join collapses to ONE remote scan") {
+    init()
+    val dir = java.nio.file.Files.createTempDirectory("graft_duck_att").toString
+    val salesPath = s"$dir/sales.duckdb"
+    val refPath = s"$dir/refdata.duckdb"
+    // build the two sibling files over plain wire connections
+    def seed(path: String, ddl: Seq[String]): Unit = {
+      val c = java.sql.DriverManager.getConnection(s"jdbc:duckdb:$path")
+      try { val st = c.createStatement(); ddl.foreach(st.execute); st.close() }
+      finally c.close()
+    }
+    seed(salesPath, Seq(
+      "CREATE TABLE sales(id BIGINT, cust BIGINT, amt DOUBLE)",
+      "INSERT INTO sales SELECT r, r % 3, r * 1.5 FROM range(9) t(r)"))
+    seed(refPath, Seq(
+      "CREATE TABLE custs(cust BIGINT, name VARCHAR)",
+      "INSERT INTO custs VALUES (0,'zero'),(1,'one'),(2,'two')"))
+
+    def attached(table: String) = spark.read
+      .format("graft.sources.jdbc.GraftJdbcSource")
+      .option("url", s"jdbc:duckdb:$salesPath")
+      .option("attach", s"refdata=$refPath")
+      .option("dbtable", table)
+      .load()
+
+    val joined = attached("sales")
+      .join(attached("\"refdata\".\"main\".\"custs\""), "cust")
+      .groupBy("name").agg(sum("amt").as("total")).orderBy("name")
+    val plan = planOf(joined)
+    assert(plan.contains("JOIN"), s"attach federation did not collapse:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"join ran locally:\n$plan")
+    val rows = joined.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(rows == Seq(("one", 18.0), ("two", 22.5), ("zero", 13.5)), rows.mkString(","))
+  }
+}
+
+object DuckDbWireSpec {
+  lazy val driverPresent: Boolean =
+    try { Class.forName("org.duckdb.DuckDBDriver"); true }
+    catch { case _: ClassNotFoundException => false }
+}

@@ -1,0 +1,173 @@
+package graft.sources.jdbc
+
+import graft.SparkFixture
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.file.{Files, Paths}
+import java.sql.DriverManager
+
+/** W5: full-refresh file-swap overwrite for file-backed DuckDB
+  * (reference `crates/duckdb/src/file_swap.rs` end-to-end tests
+  * `:1039,1139,1187` — swap correctness, space reclamation, out-of-band
+  * abort — plus `recover_database_file_generations`).
+  */
+class FileSwapSpec extends AnyFunSuite with SparkFixture {
+
+  private def freshDb(): String = {
+    val dir = Files.createTempDirectory("graft_swap").toString
+    s"$dir/live.duckdb"
+  }
+
+  private def sqlOn(path: String, stmts: String*): Unit = {
+    val c = DriverManager.getConnection(s"jdbc:duckdb:$path")
+    try { val st = c.createStatement(); stmts.foreach(st.execute); st.close() }
+    finally c.close()
+  }
+
+  private def catalogFor(path: String, name: String): Unit = {
+    spark.conf.set(s"spark.sql.catalog.$name", "graft.sources.jdbc.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$name.url", s"jdbc:duckdb:$path")
+  }
+
+  private def strays(path: String): Seq[String] = {
+    val dir = Paths.get(path).getParent
+    val s = Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.contains(FileSwap.GenerationInfix)).toList
+    } finally s.close()
+  }
+
+  test("fileswap overwrite refreshes the table, preserves siblings and views, leaves no strays") {
+    assume(DuckDbWireSpec.driverPresent)
+    val path = freshDb()
+    sqlOn(path,
+      "CREATE SCHEMA app",
+      "CREATE TABLE app.target AS SELECT r AS k, 'old_' || r AS v FROM range(5) t(r)",
+      "CREATE TABLE app.sibling AS SELECT r AS id FROM range(7) t(r)",
+      "CREATE VIEW app.sib_view AS SELECT count(*) AS n FROM app.sibling")
+    catalogFor(path, "swap1")
+    import spark.implicits._
+
+    (100L to 102L).map(i => (i, s"new_$i")).toDF("k", "v")
+      .writeTo("swap1.app.target").option("overwritemode", "fileswap")
+      .overwrite(org.apache.spark.sql.functions.lit(true))
+
+    val rows = spark.table("swap1.app.target").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((100L, "new_100"), (101L, "new_101"), (102L, "new_102")))
+    assert(spark.table("swap1.app.sibling").count() == 7)
+    // the view rode the swap (reference copies views, file_swap.rs step 2)
+    val c = DriverManager.getConnection(s"jdbc:duckdb:$path")
+    try {
+      val rs = c.createStatement().executeQuery("SELECT n FROM app.sib_view")
+      rs.next(); assert(rs.getLong(1) == 7)
+    } finally c.close()
+    assert(strays(path).isEmpty, strays(path).mkString(","))
+    assert(!Files.exists(Paths.get(path + ".wal")), "live WAL survived the swap")
+  }
+
+  test("fileswap overwrite-by-filter preserves the non-matching rows") {
+    assume(DuckDbWireSpec.driverPresent)
+    val path = freshDb()
+    sqlOn(path,
+      "CREATE SCHEMA app",
+      "CREATE TABLE app.t AS SELECT r AS k, r * 10 AS v FROM range(10) t(r)")
+    catalogFor(path, "swap2")
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+
+    // replace rows with k < 3; rows k >= 3 must survive byte-identical
+    Seq((0L, 999L), (1L, 888L)).toDF("k", "v")
+      .writeTo("swap2.app.t").option("overwritemode", "fileswap")
+      .overwrite(col("k") < 3)
+
+    val rows = spark.table("swap2.app.t").orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows == Seq((0L, 999L), (1L, 888L)) ++ (3L to 9L).map(i => (i, i * 10)))
+  }
+
+  test("fileswap reclaims space that an in-place overwrite cannot") {
+    assume(DuckDbWireSpec.driverPresent)
+    val path = freshDb()
+    // grow the live file with incompressible data the refresh replaces
+    // (the reference's reclaim test seeds md5 output the same way,
+    // file_swap.rs:1139-1177)
+    sqlOn(path, "CREATE SCHEMA app",
+      "CREATE TABLE app.big AS SELECT r AS k, md5(r::VARCHAR) AS pad FROM range(500000) t(r)",
+      "CHECKPOINT")
+    catalogFor(path, "swap3")
+    val sizeBefore = Files.size(Paths.get(path))
+
+    import spark.implicits._
+    Seq((1L, "tiny")).toDF("k", "pad")
+      .writeTo("swap3.app.big").option("overwritemode", "fileswap")
+      .overwrite(org.apache.spark.sql.functions.lit(true))
+    val sizeAfter = Files.size(Paths.get(path))
+
+    assert(spark.table("swap3.app.big").count() == 1)
+    assert(sizeAfter < sizeBefore,
+      s"fileswap did not reclaim space: $sizeAfter >= $sizeBefore (reference " +
+        "test_overwrite_file_swap_reclaims_space asserts the same)")
+  }
+
+  test("out-of-band replacement aborts the swap and leaves the live file untouched") {
+    assume(DuckDbWireSpec.driverPresent)
+    val path = freshDb()
+    sqlOn(path, "CREATE TABLE t AS SELECT 1 AS k")
+    val stale = FileSwap.identityOf(path)
+    // replace the live file out-of-band (new inode)
+    Files.delete(Paths.get(path))
+    sqlOn(path, "CREATE TABLE t AS SELECT 2 AS k")
+
+    val building = FileSwap.newBuildingPath(path)
+    sqlOn(building, "CREATE TABLE t AS SELECT 3 AS k", "CHECKPOINT")
+    ConnectionPool.retireAndDrain(s"jdbc:duckdb:$building")
+
+    val e = intercept[IllegalStateException] {
+      FileSwap.swapIntoLive(s"jdbc:duckdb:$building", building,
+        s"jdbc:duckdb:$path", path, stale)
+    }
+    assert(e.getMessage.contains("out-of-band"))
+    assert(!Files.exists(Paths.get(building)), "staging not cleaned up")
+    val c = DriverManager.getConnection(s"jdbc:duckdb:$path")
+    try {
+      val rs = c.createStatement().executeQuery("SELECT k FROM t")
+      rs.next(); assert(rs.getInt(1) == 2, "live file was disturbed")
+    } finally c.close()
+  }
+
+  test("boot recovery: .building deleted; newest completed generation adopted when live missing") {
+    assume(DuckDbWireSpec.driverPresent)
+    val path = freshDb()
+    // a crashed swap left: one .building (incomplete), two completed
+    // generations, no live file
+    val b = FileSwap.newBuildingPath(path)
+    Files.write(Paths.get(b), "junk".getBytes)
+    Files.write(Paths.get(b + ".wal"), "junk".getBytes)
+    val gen1 = s"$path${FileSwap.GenerationInfix}1000-0"
+    val gen2 = s"$path${FileSwap.GenerationInfix}2000-1"
+    sqlOn(gen1, "CREATE TABLE t AS SELECT 'older' AS tag", "CHECKPOINT")
+    sqlOn(gen2, "CREATE TABLE t AS SELECT 'newest' AS tag", "CHECKPOINT")
+    ConnectionPool.retireAndDrain(s"jdbc:duckdb:$gen1")
+    ConnectionPool.retireAndDrain(s"jdbc:duckdb:$gen2")
+
+    val r = FileSwap.recover(path)
+    assert(r.adopted.contains(gen2))
+    assert(Files.exists(Paths.get(path)))
+    assert(strays(path).isEmpty, strays(path).mkString(","))
+    val c = DriverManager.getConnection(s"jdbc:duckdb:$path")
+    try {
+      val rs = c.createStatement().executeQuery("SELECT tag FROM t")
+      rs.next(); assert(rs.getString(1) == "newest")
+    } finally c.close()
+
+    // and when the live file EXISTS, it is authoritative: generations die
+    val gen3 = s"$path${FileSwap.GenerationInfix}3000-2"
+    Files.write(Paths.get(gen3), "leftover".getBytes)
+    val r2 = FileSwap.recover(path)
+    assert(r2.adopted.isEmpty && r2.removed.contains(gen3))
+    assert(strays(path).isEmpty)
+  }
+}
