@@ -217,6 +217,27 @@ for dialect in ["duckdb", "postgres", "sqlite"]:
             check(f"{dialect}: streaming capped watermark probe == 5",
                   got == 5, f"got {got}: {d['stream_probe']}")
 
+        # window-collapse SQL (federation rule's Window arm): executed on
+        # the pristine seed k=1..8 with i = k%4 — groups {4,8},{1,5},
+        # {2,6},{3,7}. rownum orders k DESC within group; runsum is the
+        # ROWS-framed running sum ASC; lead(k,1) is the next k or NULL.
+        if d.get("window"):
+            w = d["window"]
+            exp = {
+                "rownum": [(k, 1 if k >= 5 else 2) for k in range(1, 9)],
+                "runsum": [(k, k if k <= 4 else 2 * k - 4) for k in range(1, 9)],
+                "lead": [(k, k + 4 if k <= 4 else None) for k in range(1, 9)],
+            }
+            for label, want in exp.items():
+                if w.get(label) is None:
+                    check(f"{dialect}: window[{label}] rendered", False,
+                          "unparser returned None")
+                    continue
+                got = [(r[0], None if r[1] is None else int(r[1]))
+                       for r in con.execute(w[label]).fetchall()]
+                check(f"{dialect}: window[{label}] semantics",
+                      got == want, f"got {got}: {w[label]}")
+
         # native-array (duckdb/postgres) or JSON-TEXT (sqlite) round-trip
         st0 = state()
         want = [5, 15] if dialect != "sqlite" else json.dumps([5, 15])

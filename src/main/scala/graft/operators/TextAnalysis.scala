@@ -498,7 +498,67 @@ object TextAnalysis {
       .withColumn("novelty", col("n_rare").cast("double") / col("n_bigrams"))
   }
 
+  /** Trained linear text classifier — the fastText-recipe "quality
+    * classifier" step of web-corpus curation (CCNet-style: learn a
+    * lexicon from weakly-labeled seed data, score everything): token
+    * weights are learned from a TRAIN split (`doc_id % 5 != 0`) as the
+    * difference of class-conditional RATES, then each TEST document is
+    * scored by the sum of its tokens' weights.
+    *
+    * Everything is integer-exact so both engines agree bit-for-bit:
+    * `w(t) = cp·10⁶ div np − cn·10⁶ div nn` (scaled integer rates,
+    * truncating division on positive operands — identical in Spark
+    * `div` and DuckDB `//`), no logs, no FP division. Weights are
+    * bounded by 10⁶, so a document score fits a long at ANY corpus
+    * size; the lexicon is pruned to tokens with ≥ 5 training
+    * occurrences (model size bounded, hapax noise dropped). Scale: one
+    * tok-keyed shuffle for training stats, one tok-keyed join (AQE
+    * skew-splittable; broadcastable when the pruned lexicon is small)
+    * for scoring — no per-class cartesian anywhere.
+    */
+  def nbLexicon(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("tok"))
+    val stats = toks.filter(col("doc_id") % 5 =!= 0)
+      .groupBy("tok")
+      .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("cp"),
+        sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("cn"))
+      .filter(col("cp") + col("cn") >= 5)
+    // class totals: 2 longs of driver state (k-bounded model metadata)
+    val tot = stats.agg(sum("cp"), sum("cn")).head()
+    val (np, nn) = (tot.getLong(0), tot.getLong(1))
+    val weighted = stats.select(col("tok"),
+      (expr(s"cp * 1000000L div ${np}L") - expr(s"cn * 1000000L div ${nn}L")).as("w"))
+    toks.filter(col("doc_id") % 5 === 0)
+      .join(weighted, "tok")
+      .groupBy("doc_id", "lang").agg(sum("w").as("score"))
+      .groupBy(col("lang"),
+        when(col("score") > 0, "en").otherwise("other").as("pred"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   def queries: Seq[Q] = Seq(
+
+    // Trained lexicon classifier (fastText-recipe): integer-exact
+    // confusion counts of the en-vs-other prediction on the test split.
+    Q("q128_nb_classifier",
+      "WITH toks AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok " +
+        "FROM documents), " +
+        "stats AS (SELECT tok, " +
+        "SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS cp, " +
+        "SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS cn " +
+        "FROM toks WHERE doc_id % 5 <> 0 GROUP BY tok " +
+        "HAVING SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) + " +
+        "SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) >= 5), " +
+        "tot AS (SELECT SUM(cp) AS np, SUM(cn) AS nn FROM stats), " +
+        "scored AS (SELECT t.doc_id, t.lang, " +
+        "SUM(s.cp * 1000000 // tot.np - s.cn * 1000000 // tot.nn) AS score " +
+        "FROM toks t, stats s, tot WHERE t.tok = s.tok AND t.doc_id % 5 = 0 " +
+        "GROUP BY t.doc_id, t.lang) " +
+        "SELECT lang, CASE WHEN score > 0 THEN 'en' ELSE 'other' END AS pred, " +
+        "COUNT(*) AS n FROM scored GROUP BY lang, pred ORDER BY lang, pred") { (s, dir) =>
+      nbLexicon(Tables.load(s, dir, "documents")).orderBy("lang", "pred")
+    },
 
     // Rare-bigram novelty: the corpus df table is the "language model";
     // rare-share per document as a quality/novelty signal.

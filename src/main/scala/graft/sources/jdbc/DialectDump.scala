@@ -115,6 +115,38 @@ object DialectDump {
           s"WHERE ${d.quote("k")} > 2 ORDER BY ${d.quote("k")} " +
           d.limitOffsetClause(Some(3), None) + ") graft_lim")
       o.put("analyze", d.analyzeStatement("main", "dlc_t").orNull)
+      // window-collapse SQL exactly as the federation rule's Window arm
+      // renders it (CatalystUnparser.windowExpr — explicit NULLS
+      // ordering, frames only on aggregates), executed live with
+      // semantic assertions on all three engines
+      if (d.supportsWindowFunctions) {
+        import org.apache.spark.sql.catalyst.expressions.{
+          AttributeReference, Ascending, Descending, SortOrder, Literal,
+          WindowExpression, WindowSpecDefinition, SpecifiedWindowFrame,
+          UnspecifiedFrame, RowFrame, UnboundedPreceding, CurrentRow,
+          RowNumber, Lead}
+        import org.apache.spark.sql.catalyst.expressions.aggregate.{
+          AggregateExpression, Complete, Sum}
+        val aK = AttributeReference("k", LongType)()
+        val aI = AttributeReference("i", IntegerType)()
+        val cu = new graft.plans.CatalystUnparser(d,
+          Map(aK.exprId -> d.quote("k"), aI.exprId -> d.quote("i")))
+        val frame = SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)
+        val w = o.putObject("window")
+        def put(label: String, rendered: Option[String]): Unit = rendered match {
+          case Some(r) => w.put(label, d.repairSql(
+            s"SELECT ${d.quote("k")}, $r AS wv FROM $t ORDER BY 1"))
+          case None => w.putNull(label)
+        }
+        put("rownum", cu.windowExpr(WindowExpression(RowNumber(),
+          WindowSpecDefinition(Seq(aI), Seq(SortOrder(aK, Descending)), frame))))
+        put("runsum", cu.windowExpr(WindowExpression(
+          AggregateExpression(Sum(aK), Complete, isDistinct = false),
+          WindowSpecDefinition(Seq(aI), Seq(SortOrder(aK, Ascending)), frame))))
+        put("lead", cu.windowExpr(WindowExpression(
+          Lead(aK, Literal(1), Literal(null, LongType), ignoreNulls = false),
+          WindowSpecDefinition(Seq(aI), Seq(SortOrder(aK, Ascending)), UnspecifiedFrame))))
+      }
       val ws = o.putObject("where")
       whereSamples(d).foreach {
         case (label, Some(sql)) => ws.put(label, s"SELECT COUNT(*) FROM $t WHERE $sql")

@@ -22,6 +22,23 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     p
   }
 
+  test("q127: window + rank filter collapse into ONE remote DuckDB scan") {
+    assume(graft.sources.jdbc.DuckDbWireSpec.driverPresent)
+    val p = plan("q127_duckdb_window_pushdown")
+    assert(p.contains("ROW_NUMBER() OVER"), s"window not in remote SQL:\n$p")
+    assert(!p.contains("Window"), s"a local Window exec survived:\n$p")
+    // the rank predicate wraps the collapsed subquery as a remote WHERE
+    assert(p.contains("WHERE") && p.contains("<= 3"), s"rank filter not remote:\n$p")
+  }
+
+  test("q126: cross-file ATTACH join is one remote statement — no local join") {
+    assume(graft.sources.jdbc.DuckDbWireSpec.driverPresent)
+    val p = plan("q126_duckdb_attach_federation")
+    assert(p.contains("JOIN"), s"attach federation did not collapse:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"join ran locally:\n$p")
+  }
+
   test("q02: predicate reaches the parquet scan as PushedFilters") {
     val p = plan("q02_filter_pushdown")
     assert(p.contains("PushedFilters:") && p.contains("GreaterThan(l_quantity"), p)

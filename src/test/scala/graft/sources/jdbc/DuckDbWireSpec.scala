@@ -150,6 +150,46 @@ class DuckDbWireSpec extends AnyFunSuite with SparkFixture {
       Set((0, 12L), (1, 10L), (2, 11L)))
   }
 
+  test("property: random window shapes — collapsed == local execution") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS duck.app.wp")
+    import spark.implicits._
+    val data = (1L to 40L).map(i =>
+      (i, (i % 5).toInt, ((i * 7) % 13).toInt, ((i * 11) % 9).toDouble))
+    data.toDF("k", "g", "v", "x").writeTo("duck.app.wp").create()
+    val local = data.toDF("k", "g", "v", "x")
+
+    import org.apache.spark.sql.expressions.{Window => W}
+    def build(seed: Int, base: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val rnd = new scala.util.Random(seed)
+      val part =
+        if (rnd.nextBoolean()) Seq(col("g")) else Seq(col("g"), col("v") % 2)
+      // unique k tiebreaker keeps every ranking/offset deterministic
+      val oc = if (rnd.nextBoolean()) col("v") else col("x")
+      val ord = Seq(if (rnd.nextBoolean()) oc.asc else oc.desc, col("k").asc)
+      val w = W.partitionBy(part: _*).orderBy(ord: _*)
+      val f = rnd.nextInt(6) match {
+        case 0 => row_number()
+        case 1 => rank()
+        case 2 => sum(col("v"))
+        case 3 => count(lit(1))
+        case 4 => lead(col("v"), 1)
+        case 5 => lag(col("x"), 2)
+      }
+      val df = base.withColumn("wv", f.over(w))
+      if (rnd.nextBoolean()) df.filter(col("k") % 3 === 0) else df
+    }
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.mkString("|")).sorted.toSeq
+
+    for (seed <- 1 to 12) {
+      val remote = build(seed, spark.table("duck.app.wp"))
+      assert(!planOf(remote).contains("Window"),
+        s"seed=$seed did not collapse:\n${planOf(remote)}")
+      assert(rows(remote) == rows(build(seed, local)), s"seed=$seed diverged")
+    }
+  }
+
   test("multi-file ATTACH federation: a cross-file join collapses to ONE remote scan") {
     init()
     val dir = java.nio.file.Files.createTempDirectory("graft_duck_att").toString
