@@ -119,10 +119,31 @@ object ConnectionPool {
   private def poolFor(o: JdbcOptions): Pool =
     pools.getOrElseUpdate(keyOf(o), new Pool(keyOf(o), o.map))
 
+  /** URLs currently inside a file-swap window: a fresh checkout between
+    * the drain and the rename would re-instantiate the per-path DuckDB
+    * instance over the OLD inode and pin every later reader to stale
+    * data — so checkouts for a gated url WAIT for the swap to finish
+    * (the reference's pool repoint is atomic in-process,
+    * `file_swap.rs` step 4; this gate is the JDBC equivalent).
+    */
+  private val gated = TrieMap.empty[String, java.util.concurrent.CountDownLatch]
+
+  private[jdbc] def gate(url: String): Unit = {
+    gated.putIfAbsent(url, new java.util.concurrent.CountDownLatch(1)); ()
+  }
+
+  private[jdbc] def ungate(url: String): Unit =
+    gated.remove(url).foreach(_.countDown())
+
   /** Borrow a physical connection and wrap it so `close()` releases it
     * back to this pool; all other Connection methods delegate.
     */
   def acquire(o: JdbcOptions): Connection = {
+    gated.get(o.url).foreach { l =>
+      if (!l.await(AcquireTimeoutSec, TimeUnit.SECONDS))
+        throw new SQLTransientConnectionException(
+          s"file swap did not finish within ${AcquireTimeoutSec}s for ${o.url}")
+    }
     val pool = poolFor(o)
     val real = pool.acquire()
     val handler = new InvocationHandler {

@@ -161,28 +161,37 @@ object FileSwap extends Logging {
           "(reference file_swap.rs aborts identically); the live file is untouched")
     }
 
-    if (!ConnectionPool.retireAndDrain(liveUrl))
-      logWarning(s"file-swap: connections to $liveUrl still checked out after the " +
-        "drain window; they finish against the retiring instance")
-    // A WAL at the live path belongs to the RETIRING generation; were it
-    // left behind, the next open of the NEW file would replay foreign
-    // WAL. The drained instance checkpoints it away (divergence (a) in
-    // the scaladoc); a fresh single connection can always checkpoint.
-    if (Files.exists(Paths.get(walOf(livePath)))) {
-      val c = JdbcOptions.physicalConnect(liveUrl, Map.empty)
-      try exec(c, "CHECKPOINT") finally c.close()
-      ConnectionPool.retireAndDrain(liveUrl)
-      if (deleteIfExists(walOf(livePath)))
-        logWarning(s"file-swap: removed a live WAL that survived the retiring checkpoint")
-    }
+    // Gate fresh checkouts of the live url for the whole swap window: a
+    // checkout BETWEEN drain and rename would re-instantiate the
+    // per-path instance over the old inode and pin later readers to
+    // stale data. Gated checkouts wait (~the swap, sub-second) and then
+    // observe the new file — the reference's atomic pool repoint.
+    ConnectionPool.gate(liveUrl)
+    try {
+      if (!ConnectionPool.retireAndDrain(liveUrl))
+        logWarning(s"file-swap: connections to $liveUrl still checked out after the " +
+          "drain window; they finish against the retiring instance")
+      // A WAL at the live path belongs to the RETIRING generation; were it
+      // left behind, the next open of the NEW file would replay foreign
+      // WAL. The drained instance checkpoints it away (divergence (a) in
+      // the scaladoc); a fresh single connection can always checkpoint.
+      if (Files.exists(Paths.get(walOf(livePath)))) {
+        val c = JdbcOptions.physicalConnect(liveUrl, Map.empty)
+        try exec(c, "CHECKPOINT") finally c.close()
+        ConnectionPool.retireAndDrain(liveUrl)
+        if (deleteIfExists(walOf(livePath)))
+          logWarning(s"file-swap: removed a live WAL that survived the retiring checkpoint")
+      }
 
-    val completed = buildingPath.stripSuffix(BuildingSuffix)
-    Files.move(Paths.get(buildingPath), Paths.get(completed),
-      StandardCopyOption.ATOMIC_MOVE)
-    deleteIfExists(walOf(buildingPath))
-    Files.move(Paths.get(completed), Paths.get(livePath),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    logInfo(s"file-swap: $livePath refreshed from generation ${completed.substring(livePath.length)}")
+      val completed = buildingPath.stripSuffix(BuildingSuffix)
+      Files.move(Paths.get(buildingPath), Paths.get(completed),
+        StandardCopyOption.ATOMIC_MOVE)
+      deleteIfExists(walOf(buildingPath))
+      Files.move(Paths.get(completed), Paths.get(livePath),
+        StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    } finally ConnectionPool.ungate(liveUrl)
+    logInfo(s"file-swap: $livePath refreshed from generation " +
+      buildingPath.stripSuffix(BuildingSuffix).substring(livePath.length))
   }
 
   /** Drop an abandoned staging file (write abort / failed commit). */

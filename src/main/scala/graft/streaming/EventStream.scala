@@ -209,6 +209,43 @@ object EventStream {
       }
       .start()
 
+  /** Streaming ANN serving: every micro-batch of probe vectors is
+    * scored against a STATIC corpus through the same IVF chain the
+    * batch gate q70 oracles ([[graft.operators.Similarity.annIvf]] —
+    * one ANN library, both execution modes), and the exact-cosine
+    * top-k `(qid, vec_id, cos)` rows append to `table`. Probe ids must
+    * be disjoint from corpus ids (the id is the pair identity).
+    *
+    * Scale shape: centroids broadcast; a probe ranks only the members
+    * of its `nprobe` nearest cells, so per-trigger work is
+    * probe-proportional — never corpus × corpus. The corpus side
+    * re-evaluates per trigger (stream-static semantics, so a refreshed
+    * corpus is picked up); at high trigger rates hand in an
+    * already-persisted corpus frame.
+    */
+  def annSinkTo(probes: DataFrame, corpus: DataFrame, table: String,
+      checkpointDir: String, nprobe: Int = 4, k: Int = 5,
+      centroidStride: Int = 25,
+      queryName: String = "graft_ann_sink"): StreamingQuery =
+    probes.writeStream
+      .outputMode(OutputMode.Append)
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import graft.operators.{EmbeddingLsh, GraftCache, Similarity}
+        val all = EmbeddingLsh.quantize(corpus, "vec_id", "embedding")
+          .withColumn("is_q", lit(false))
+          .unionByName(EmbeddingLsh.quantize(batch, "vec_id", "embedding")
+            .withColumn("is_q", lit(true)))
+        Similarity.annIvf(all,
+            isQuery = col("is_q"),
+            isCentroid = !col("is_q") && col("vec_id") % centroidStride === 0,
+            nprobe = nprobe, k = k)
+          .writeTo(table).append()
+        GraftCache.releaseAll()
+      }
+      .start()
+
   /** Stream-stream watermarked interval join: attribute each click to
     * every view by the same user within the preceding `withinMinutes`.
     * The equi-key (user) bounds the hash partitioning, the event-time

@@ -39,6 +39,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"join ran locally:\n$p")
   }
 
+  test("q129: remote-collapsed dims BROADCAST into the local fact join") {
+    assume(graft.sources.jdbc.DuckDbWireSpec.driverPresent)
+    val p = plan("q129_cross_source_broadcast")
+    // dims pre-join remotely (one scan carrying a JOIN) …
+    assert(p.contains("GraftJdbcScan") && p.contains("JOIN"), p)
+    // … and the tiny result broadcasts; the fact side never shuffles
+    assert(p.contains("BroadcastHashJoin"), s"dims did not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"fact shuffled for the join:\n$p")
+  }
+
   test("q02: predicate reaches the parquet scan as PushedFilters") {
     val p = plan("q02_filter_pushdown")
     assert(p.contains("PushedFilters:") && p.contains("GreaterThan(l_quantity"), p)

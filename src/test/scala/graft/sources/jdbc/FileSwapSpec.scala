@@ -112,6 +112,53 @@ class FileSwapSpec extends AnyFunSuite with SparkFixture {
         "test_overwrite_file_swap_reclaims_space asserts the same)")
   }
 
+  test("swap under a concurrent pooled reader: every read sees a complete generation") {
+    assume(DuckDbWireSpec.driverPresent)
+    val path = freshDb()
+    // generation 1: 500 rows of value 1 (sum = 500)
+    sqlOn(path, "CREATE SCHEMA app",
+      "CREATE TABLE app.t AS SELECT 1::BIGINT AS v FROM range(500)")
+    catalogFor(path, "swap5")
+    val opts = JdbcOptions(Map("url" -> s"jdbc:duckdb:$path"))
+
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val readerError = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    @volatile var stop = false
+    val reader = new Thread(() => {
+      try while (!stop) {
+        val c = opts.connect()
+        try {
+          val rs = c.createStatement().executeQuery("SELECT SUM(v) FROM app.t")
+          rs.next(); seen.add(rs.getLong(1)); rs.close()
+        } finally c.close()
+      } catch { case t: Throwable => readerError.set(t) }
+    })
+    reader.start()
+    Thread.sleep(100)
+
+    // generation 2: 300 rows of value 1000 (sum = 300000) via fileswap
+    import spark.implicits._
+    (1 to 300).map(_ => 1000L).toDF("v")
+      .writeTo("swap5.app.t").option("overwritemode", "fileswap")
+      .overwrite(org.apache.spark.sql.functions.lit(true))
+
+    // the reader must observe the new generation shortly after the swap
+    val deadline = System.currentTimeMillis() + 10000
+    while (!seen.contains(300000L) && readerError.get() == null &&
+      System.currentTimeMillis() < deadline) Thread.sleep(20)
+    stop = true
+    reader.join(5000)
+
+    assert(readerError.get() == null,
+      s"reader failed during the swap: ${readerError.get()}")
+    // only complete generations, never a torn mixture
+    import scala.jdk.CollectionConverters._
+    val observed = seen.asScala.toSet
+    assert(observed.subsetOf(Set(500L, 300000L)), observed.toString)
+    assert(observed.contains(300000L),
+      s"reader never saw the new generation: $observed")
+  }
+
   test("out-of-band replacement aborts the swap and leaves the live file untouched") {
     assume(DuckDbWireSpec.driverPresent)
     val path = freshDb()

@@ -213,6 +213,47 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("annSinkTo serves each probe batch the exact IVF top-k of the batch operator") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ext.strm")
+    spark.sql("DROP TABLE IF EXISTS ext.strm.annres")
+    spark.sql("CREATE TABLE ext.strm.annres (qid BIGINT, vec_id BIGINT, cos DOUBLE)")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ann_ckpt").toString
+
+    // deterministic 8-dim corpus, ids 0..99; probe ids start at 1000
+    def vec(seed: Long): Array[Float] =
+      (0 until 8).map(d => (((seed * 31 + d * 7) % 19) - 9) / 3.0f).toArray
+    val corpus = (0L until 100L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+
+    val input = MemoryStream[(Long, Array[Float])](spark)
+    val q = EventStream.annSinkTo(
+      input.toDF().toDF("vec_id", "embedding"), corpus, "ext.strm.annres", ckpt,
+      nprobe = 3, k = 4)
+    try {
+      input.addData((1000L, vec(3)), (1001L, vec(55)))
+      q.processAllAvailable()
+      input.addData((1002L, vec(77)))
+      q.processAllAvailable()
+
+      // oracle: the BATCH IVF chain over corpus ∪ all probes
+      val all = graft.operators.EmbeddingLsh.quantize(
+        corpus.unionByName(Seq((1000L, vec(3)), (1001L, vec(55)), (1002L, vec(77)))
+          .toDF("vec_id", "embedding")), "vec_id", "embedding")
+      val expect = graft.operators.Similarity.annIvf(all,
+          isQuery = col("vec_id") >= 1000L,
+          isCentroid = col("vec_id") < 1000L && col("vec_id") % 25 === 0,
+          nprobe = 3, k = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      graft.operators.GraftCache.releaseAll()
+
+      val got = spark.table("ext.strm.annres")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expect, s"streaming=$got batch=$expect")
+      assert(got.map(_._1) == Set(1000L, 1001L, 1002L))
+    } finally q.stop()
+  }
+
   test("heavyHittersStream keeps a running exact sketch across micro-batches") {
     import spark.implicits._
     val input = MemoryStream[(String, String)](spark)
