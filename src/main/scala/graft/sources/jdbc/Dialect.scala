@@ -184,6 +184,20 @@ trait Dialect extends Serializable {
     else throw new IllegalArgumentException(
       s"dialect '$name' does not support attach= (only duckdb and sqlite attach database files)")
 
+  /** Render one VALUES placeholder for a column of `dt` in generated
+    * INSERT statements — plain `?` everywhere by default. Engines whose
+    * JDBC driver cannot bind a native array (DuckDB throws
+    * NotSupported on `createArrayOf` — live-wire finding) override to
+    * wrap the array placeholder in a remote cast over a TEXT bind.
+    */
+  def insertPlaceholder(dt: DataType): String = "?"
+
+  /** Whether native-array columns bind as the engine's list-literal
+    * TEXT (paired with [[insertPlaceholder]]'s cast) instead of
+    * `Connection.createArrayOf`.
+    */
+  def arrayBindAsText: Boolean = false
+
   /** Table rename DDL. ANSI-ish `ALTER TABLE … RENAME TO` is what
     * Postgres / DuckDB / SQLite accept; Derby and MySQL override with
     * their `RENAME TABLE` forms.
@@ -330,6 +344,19 @@ object DuckDbDialect extends Dialect {
   override def arrayElementName(et: DataType): String =
     if (Dialect.isNativeArrayElement(et)) typeName(et)
     else throw new IllegalArgumentException(s"duckdb: unsupported array element $et")
+  /** DuckDB's JDBC driver reads arrays natively but throws
+    * NotSupported on `createArrayOf` (live-wire finding): arrays bind
+    * as JSON text, cast remotely through JSON — the plain
+    * VARCHAR→LIST cast in v1.0 splits on commas with NO quoting
+    * mechanism (probed live: `'["a,b"]'` becomes `['"a', 'b"']`-ish),
+    * while the JSON route round-trips every element exactly.
+    */
+  override def arrayBindAsText: Boolean = true
+  override def insertPlaceholder(dt: DataType): String = dt match {
+    case ArrayType(et, _) if Dialect.isNativeArrayElement(et) =>
+      s"CAST(CAST(? AS JSON) AS ${typeName(dt)})"
+    case _ => "?"
+  }
   /** The reference's attachment recipe verbatim-in-semantics
     * (`crates/duckdb/src/conn.rs:225-236`): read-only ATTACH per file,
     * then a search_path of main + every attachment so unqualified names

@@ -96,7 +96,7 @@ object DialectDump {
       o.put("create",
         s"CREATE TABLE $t (${d.columnDefs(schema)}, PRIMARY KEY (${d.quote("k")}))")
       o.put("insert", s"INSERT INTO $t (${cols.map(d.quote).mkString(", ")}) " +
-        s"VALUES (${cols.map(_ => "?").mkString(", ")})")
+        s"VALUES (${schema.fields.map(f => d.insertPlaceholder(f.dataType)).mkString(", ")})")
       // upserts bind the scalar columns only: live DuckDB (the checking
       // engine) cannot UPDATE a LIST column inside ON CONFLICT, and a
       // key+payload upsert over scalars is the representative case

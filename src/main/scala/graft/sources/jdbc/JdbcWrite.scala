@@ -315,7 +315,7 @@ class JdbcRowWriter(options: JdbcOptions, schema: StructType)
         doNothing = options.upsertMode != "update")
     else
       s"INSERT INTO ${options.table} (${cols.map(d.quote).mkString(", ")}) " +
-        s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+        s"VALUES (${schema.fields.map(f => d.insertPlaceholder(f.dataType)).mkString(", ")})"
   private val ps = conn.prepareStatement(insertSql)
   private val setters = schema.fields.map(f => TypeMapping.setter(f.dataType, d))
   private val sqlTypes = schema.fields.map(f => TypeMapping.jdbcType(f.dataType, d))

@@ -182,7 +182,15 @@ object TypeMapping {
       if (v == null) null else Decimal(v, d.precision, d.scale)
     }
     case StringType => (rs, i) => UTF8String.fromString(rs.getString(i))
-    case BinaryType => (rs, i) => rs.getBytes(i)
+    case BinaryType => (rs, i) =>
+      // getBytes first; DuckDB's JDBC driver throws NotSupported on it
+      // (live-wire finding) and serves binary only through a Blob
+      try rs.getBytes(i)
+      catch {
+        case _: java.sql.SQLFeatureNotSupportedException =>
+          val b = rs.getBlob(i)
+          if (b == null) null else b.getBytes(1, b.length().toInt)
+      }
     case DateType => (rs, i) => {
       val v = rs.getDate(i)
       if (v == null) null else DateTimeUtils.fromJavaDate(v)
@@ -385,6 +393,17 @@ object TypeMapping {
     * fallback; everything else delegates to [[setter]].
     */
   def setter(dt: DataType, dialect: Dialect): Setter = dt match {
+    // text bind (DuckDB: its JDBC driver reads arrays but has no
+    // createArrayOf — the array binds as JSON and the insert
+    // placeholder casts it back to the native list type remotely; the
+    // same toJson renderer as the nested-as-JSON fallback, so element
+    // encoding cannot drift between the two paths)
+    case at @ ArrayType(_, _) if dialect.supportsNativeArrays &&
+        dialect.arrayBindAsText && dialect.supportsArrayElement(at.elementType) =>
+      (ps, row, f, p) => {
+        if (row.isNullAt(f)) ps.setNull(p, Types.VARCHAR)
+        else ps.setString(p, toJson(at, row.get(f, at)))
+      }
     // native path ONLY for elements the dialect can bind — everything
     // else (nested-of-nested, temporal elements) keeps the JSON-text
     // fallback its DDL maps to TEXT

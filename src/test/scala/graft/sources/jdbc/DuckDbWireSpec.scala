@@ -150,6 +150,33 @@ class DuckDbWireSpec extends AnyFunSuite with SparkFixture {
       Set((0, 12L), (1, 10L), (2, 11L)))
   }
 
+  test("native LIST columns round-trip over the wire (text-literal bind + remote cast)") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS duck.app.t6")
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1L, 2L, 3L), Seq("plain", "o'quote", "a,b")),
+      (2L, Seq.empty[Long], Seq.empty[String]),
+      (3L, null, null))
+      .toDF("k", "nums", "strs")
+    df.writeTo("duck.app.t6").create()
+
+    val back = spark.table("duck.app.t6").orderBy("k").collect()
+    assert(back(0).getSeq[Long](1) == Seq(1L, 2L, 3L))
+    assert(back(0).getSeq[String](2) == Seq("plain", "o'quote", "a,b"))
+    assert(back(1).getSeq[Long](1).isEmpty && back(1).getSeq[String](2).isEmpty)
+    assert(back(2).isNullAt(1) && back(2).isNullAt(2))
+    // and the column is a REAL list remotely, not text
+    val c = java.sql.DriverManager.getConnection(s"jdbc:duckdb:$dbPath")
+    try {
+      val rs = c.createStatement().executeQuery(
+        "SELECT typeof(nums), nums[2] FROM app.t6 WHERE k = 1")
+      rs.next()
+      assert(rs.getString(1) == "BIGINT[]", rs.getString(1))
+      assert(rs.getLong(2) == 2L)
+    } finally c.close()
+  }
+
   test("property: random window shapes — collapsed == local execution") {
     init()
     spark.sql("DROP TABLE IF EXISTS duck.app.wp")

@@ -56,7 +56,19 @@ class RoundTripPropertySpec extends AnyFunSuite with SparkFixture {
   } yield Seq(b, s, i, l, f, d, dec, str, bin, dt, ts)
 
   test("all scalar families round-trip through Derby exactly (with nulls)") {
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS ext.rtp")
+    roundTrip("ext", "ext.rtp.t")
+  }
+
+  test("all scalar families round-trip through wire-level DuckDB exactly (with nulls)") {
+    assume(DuckDbWireSpec.driverPresent)
+    spark.conf.set("spark.sql.catalog.rtduck", "graft.sources.jdbc.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.rtduck.url",
+      s"jdbc:duckdb:${java.nio.file.Files.createTempDirectory("graft_rtp").toString}/rt.duckdb")
+    roundTrip("rtduck", "rtduck.rtp.t")
+  }
+
+  private def roundTrip(catalog: String, table: String): Unit = {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $catalog.rtp")
     import scala.jdk.CollectionConverters._
     val samples = (1L to 4L).map { seed =>
       Gen.listOfN(25, genRowValues)
@@ -66,9 +78,9 @@ class RoundTripPropertySpec extends AnyFunSuite with SparkFixture {
     samples.foreach { rowVals =>
       val rows = rowVals.zipWithIndex.map { case (vs, i) => Row.fromSeq(i.toLong +: vs) }
       val df = spark.createDataFrame(rows.asJava, schema)
-      spark.sql("DROP TABLE IF EXISTS ext.rtp.t")
-      df.writeTo("ext.rtp.t").create()
-      val back = spark.table("ext.rtp.t").collect()
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      df.writeTo(table).create()
+      val back = spark.table(table).collect()
         .map(r => r.getLong(0) -> r).toMap
       assert(back.size == rows.size)
       rows.foreach { exp =>
