@@ -83,6 +83,33 @@ object ScaleProbe {
         case "annbrute" => operators.Similarity.annBruteForce(vecs, isQuery)
         case "annivf" => operators.Similarity.annIvf(vecs, isQuery,
           col("vec_id") % operators.Similarity.CentroidStride === 0)
+        // Prepared-batch INSERT throughput through the DSv2 write path
+        // into a live engine — the ONE performance artifact the
+        // reference publishes is exactly this shape
+        // (`benches/sqlite_insert_benchmark.rs:41-140`, rows/sec and
+        // µs/row per batches×rows config). factor × 100k synthetic
+        // rows; batch size from SPARK_GRAFT_BATCH (default 1000).
+        case ins @ ("insertderby" | "insertduckdb") =>
+          val url =
+            if (ins == "insertderby")
+              s"jdbc:derby:memory:graft_insb_${System.nanoTime()};create=true"
+            else {
+              val d = java.nio.file.Files.createTempDirectory("graft_insb")
+              s"jdbc:duckdb:$d/ins.duckdb"
+            }
+          spark.conf.set("spark.sql.catalog.insb", "graft.sources.jdbc.GraftCatalog")
+          spark.conf.set("spark.sql.catalog.insb.url", url)
+          spark.conf.set("spark.sql.catalog.insb.batchsize",
+            sys.env.getOrElse("SPARK_GRAFT_BATCH", "1000"))
+          spark.sql("CREATE NAMESPACE IF NOT EXISTS insb.app")
+          val t = s"insb.app.t${System.nanoTime()}"
+          val rows = factor.toLong * 100000L
+          spark.range(rows).select(col("id"),
+            (col("id") % 997).as("grp"),
+            concat(lit("name_"), col("id")).as("name"),
+            ((col("id") * 7 % 10000) / 100.0).as("v"))
+            .writeTo(t).create()
+          spark.table(t)
         case other => throw new IllegalArgumentException(s"unknown op $other")
       }
       val n = df.count()
