@@ -85,12 +85,23 @@ object Connector {
   private def ensureDuckCopy(s: SparkSession, dir: String, src: String,
       dst: String, cols: Seq[String]): String = {
     duckGate(s, dir)
-    val full = s"dgate.app.$dst"
+    // the source parquet's mtime is part of the table NAME: regenerated
+    // testdata (same row count, different values — it has happened to
+    // events.ts twice) gets a fresh copy instead of a stale hash
+    // mismatch that looks like an operator bug. Older generations of
+    // the same dst are dropped.
+    val mtime = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(s"$dir/$src.parquet")).toMillis
+    val full = s"dgate.app.${dst}_${java.lang.Long.toHexString(mtime)}"
     val want = Tables.load(s, dir, src).select(cols.map(col): _*)
     val fresh =
       try s.table(full).count() == want.count()
       catch { case _: Exception => false }
     if (!fresh) {
+      s.sql(s"SHOW TABLES IN dgate.app").collect()
+        .map(_.getString(1)).filter(t => t.startsWith(dst + "_") &&
+          t != s"${dst}_${java.lang.Long.toHexString(mtime)}")
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS dgate.app.`$t`"))
       s.sql(s"DROP TABLE IF EXISTS $full")
       want.writeTo(full).create()
     }

@@ -524,9 +524,19 @@ object TextAnalysis {
       .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("cp"),
         sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("cn"))
       .filter(col("cp") + col("cn") >= 5)
-    // class totals: 2 longs of driver state (k-bounded model metadata)
+    // class totals: 2 longs of driver state (k-bounded model metadata).
+    // Both classes must be represented — an empty lexicon NULLs the
+    // sums, and a missing class makes the scaled-rate division
+    // engine-divergent (Spark div-by-zero is NULL, DuckDB // errors);
+    // fail HERE with the actual problem instead
     val tot = stats.agg(sum("cp"), sum("cn")).head()
-    val (np, nn) = (tot.getLong(0), tot.getLong(1))
+    val (np, nn) =
+      (if (tot.isNullAt(0)) 0L else tot.getLong(0),
+        if (tot.isNullAt(1)) 0L else tot.getLong(1))
+    if (np <= 0 || nn <= 0)
+      throw new IllegalArgumentException(
+        s"nbLexicon: the train split must contain BOTH classes with >=5-occurrence " +
+          s"tokens (positive total $np, negative total $nn)")
     val weighted = stats.select(col("tok"),
       (expr(s"cp * 1000000L div ${np}L") - expr(s"cn * 1000000L div ${nn}L")).as("w"))
     toks.filter(col("doc_id") % 5 === 0)

@@ -96,9 +96,12 @@ final class CatalystUnparser(dialect: Dialect, attrSql: Map[ExprId, String]) {
       case _: RowNumber => (Some("ROW_NUMBER()"), false)
       case _: Rank => (Some("RANK()"), false)
       case _: DenseRank => (Some("DENSE_RANK()"), false)
-      case Lead(in, Literal(off, _), default, false) =>
+      // only POSITIVE literal offsets push: Lead/Lag.unapply yield the
+      // raw user-typed inputOffset, so lead(c, -1) (legal, behaves as
+      // lag) must stay local rather than render as the wrong direction
+      case Lead(in, Literal(off: Int, _), default, false) if off > 0 =>
         (offsetFn("LEAD", in, off, default), false)
-      case Lag(in, Literal(off, _), default, false) =>
+      case Lag(in, Literal(off: Int, _), default, false) if off > 0 =>
         (offsetFn("LAG", in, off, default), false)
       case AggregateExpression(fn, _, false, None, _) =>
         val sql = fn match {
@@ -129,12 +132,9 @@ final class CatalystUnparser(dialect: Dialect, attrSql: Map[ExprId, String]) {
     }
   }
 
-  /** LEAD/LAG with a literal offset; Catalyst's offset for LAG is
-    * already negative — the SQL spelling wants its magnitude.
-    */
-  private def offsetFn(kw: String, in: Expression, off: Any,
+  /** LEAD/LAG with a positive literal offset (the caller's guard). */
+  private def offsetFn(kw: String, in: Expression, n: Int,
       default: Expression): Option[String] = {
-    val n = math.abs(off.asInstanceOf[Int])
     val d = default match {
       case Literal(null, _) => Some(None)
       case l: Literal => expr(l).map(Some(_))

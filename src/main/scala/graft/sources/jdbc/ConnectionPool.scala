@@ -137,15 +137,39 @@ object ConnectionPool {
 
   /** Borrow a physical connection and wrap it so `close()` releases it
     * back to this pool; all other Connection methods delegate.
+    *
+    * The gate is re-checked AFTER the pool borrow: a thread that passed
+    * the first check just before `gate()` was installed would otherwise
+    * create a fresh pool during the drain-to-rename window — a pool the
+    * swap's earlier retire snapshot never saw, pinning every later
+    * reader to the pre-swap instance. Ordering makes the re-check
+    * sound: this pool entered the map BEFORE the re-check, so if the
+    * re-check sees no gate, any later swap's retire pass (which runs
+    * after its gate()) will see and retire this pool.
     */
   def acquire(o: JdbcOptions): Connection = {
-    gated.get(o.url).foreach { l =>
+    def awaitGate(): Unit = gated.get(o.url).foreach { l =>
       if (!l.await(AcquireTimeoutSec, TimeUnit.SECONDS))
         throw new SQLTransientConnectionException(
           s"file swap did not finish within ${AcquireTimeoutSec}s for ${o.url}")
     }
-    val pool = poolFor(o)
-    val real = pool.acquire()
+    var attempt = 0
+    var pool: Pool = null
+    var real: Connection = null
+    while (real == null) {
+      awaitGate()
+      pool = poolFor(o)
+      val c = pool.acquire()
+      if (gated.contains(o.url) || pool.retired) {
+        // raced a swap: hand the connection straight back (a retired
+        // pool closes it) and wait the gate out
+        pool.release(c)
+        attempt += 1
+        if (attempt > 100)
+          throw new SQLTransientConnectionException(
+            s"file swaps kept gating ${o.url} across $attempt borrow attempts")
+      } else real = c
+    }
     val handler = new InvocationHandler {
       @volatile private var released = false
       override def invoke(p: Any, m: Method, args: Array[AnyRef]): AnyRef =

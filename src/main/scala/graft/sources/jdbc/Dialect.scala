@@ -77,6 +77,15 @@ trait Dialect extends Serializable {
   /** Element type name passed to `createArrayOf` (native-array dialects). */
   def arrayElementName(et: DataType): String = typeName(et)
 
+  /** Typed VALUES placeholders (per-column [[insertPlaceholder]]s when
+    * the caller supplied them, plain `?` otherwise) — shared by the
+    * upsert renderers so an array column's remote JSON cast rides into
+    * conflict statements too, not just plain INSERTs.
+    */
+  protected def valuesPlaceholders(cols: Seq[String],
+      placeholders: Seq[String]): Seq[String] =
+    Option(placeholders).getOrElse(cols.map(_ => "?"))
+
   /** Whether `et` can bind through `createArrayOf` (the same set the
     * dialect's array DDL declares natively); false → JSON-text fallback.
     */
@@ -104,14 +113,14 @@ trait Dialect extends Serializable {
     * 14,73-106`) instead of DO UPDATE.
     */
   def upsertStatement(table: String, cols: Seq[String], keys: Seq[String],
-      doNothing: Boolean = false): String = {
+      doNothing: Boolean = false, placeholders: Seq[String] = null): String = {
     // Empty keys = the reference's DoNothingAll: a target-less
     // ON CONFLICT DO NOTHING (any constraint violation skips the row,
     // `on_conflict.rs:32`).
     val target = if (keys.isEmpty) "" else s" (${keys.map(quote).mkString(", ")})"
     val insert =
       s"INSERT INTO $table (${cols.map(quote).mkString(", ")}) " +
-        s"VALUES (${cols.map(_ => "?").mkString(", ")}) " +
+        s"VALUES (${valuesPlaceholders(cols, placeholders).mkString(", ")}) " +
         s"ON CONFLICT$target"
     val non = cols.filterNot(c => keys.exists(_.equalsIgnoreCase(c)))
     // All columns in the conflict target leaves nothing to update — the
@@ -260,7 +269,7 @@ object DerbyDialect extends Dialect {
   // Derby has no ON CONFLICT / MERGE-over-VALUES; the writer falls back
   // to UPDATE-then-INSERT per row inside the partition transaction.
   override def upsertStatement(table: String, cols: Seq[String], keys: Seq[String],
-      doNothing: Boolean = false): String =
+      doNothing: Boolean = false, placeholders: Seq[String] = null): String =
     throw new UnsupportedOperationException("derby: use update-else-insert")
   def updateStatement(table: String, cols: Seq[String], keys: Seq[String]): String = {
     val sets = cols.filterNot(keys.contains).map(c => s"${quote(c)} = ?").mkString(", ")
@@ -425,22 +434,23 @@ object MySqlDialect extends Dialect {
     case _ => super.typeName(dt)
   }
   override def upsertStatement(table: String, cols: Seq[String], keys: Seq[String],
-      doNothing: Boolean = false): String = {
+      doNothing: Boolean = false, placeholders: Seq[String] = null): String = {
+    val ph = valuesPlaceholders(cols, placeholders).mkString(", ")
     if (doNothing)
       // MySQL's do-nothing conflict form (keys are whatever unique
       // constraints exist; the column list is ignored by the syntax)
       s"INSERT IGNORE INTO $table (${cols.map(quote).mkString(", ")}) " +
-        s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+        s"VALUES ($ph)"
     else {
       val non = cols.filterNot(c => keys.exists(_.equalsIgnoreCase(c)))
       if (non.isEmpty)
         // all columns are constraint columns: nothing to update — degrade
         // to the do-nothing form like the reference (`on_conflict.rs:53-59`)
         s"INSERT IGNORE INTO $table (${cols.map(quote).mkString(", ")}) " +
-          s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+          s"VALUES ($ph)"
       else {
         val sets = non.map(c => s"${quote(c)} = VALUES(${quote(c)})").mkString(", ")
-        s"INSERT INTO $table (${cols.map(quote).mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")}) " +
+        s"INSERT INTO $table (${cols.map(quote).mkString(", ")}) VALUES ($ph) " +
           s"ON DUPLICATE KEY UPDATE $sets"
       }
     }
@@ -504,11 +514,11 @@ object ClickHouseDialect extends Dialect {
     case _ => super.typeName(dt)
   }
   override def upsertStatement(table: String, cols: Seq[String], keys: Seq[String],
-      doNothing: Boolean = false): String =
+      doNothing: Boolean = false, placeholders: Seq[String] = null): String =
     // ReplacingMergeTree semantics: the insert IS the upsert (and the
     // engine keeps one version at merge time either way)
     s"INSERT INTO $table (${cols.map(quote).mkString(", ")}) " +
-      s"VALUES (${cols.map(_ => "?").mkString(", ")})"
+      s"VALUES (${valuesPlaceholders(cols, placeholders).mkString(", ")})"
 }
 
 object Dialect {

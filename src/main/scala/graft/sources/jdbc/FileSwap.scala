@@ -33,12 +33,12 @@ import java.util.concurrent.atomic.AtomicLong
   *     observes the new file; in-flight readers drain against the old
   *     inode (the rename never disturbs them).
   *
-  * JDBC-level divergences from the reference, both documented here
-  * deliberately: (a) the reference PRAGMA-disables checkpoint-on-
-  * shutdown on the retiring instance — unreachable through pooled JDBC,
-  * so the retiring WAL is neutralized by an explicit drained-instance
-  * CHECKPOINT instead; (b) secondary indexes of copied tables are not
-  * re-created (PRIMARY KEY of the refreshed table is).
+  * JDBC-level divergence from the reference, documented deliberately:
+  * the reference PRAGMA-disables checkpoint-on-shutdown on the
+  * retiring instance — unreachable through pooled JDBC, so the
+  * retiring WAL is neutralized by an explicit drained-instance
+  * CHECKPOINT instead. Copied tables keep their PRIMARY KEYs (stored
+  * DDL, not CTAS) and secondary indexes/views transfer best-effort.
   *
   * Like the reference's in-process DuckDB, a file-backed database is
   * single-machine by nature: writers and the committing driver must
@@ -109,21 +109,43 @@ object FileSwap extends Logging {
             s"SELECT $cols FROM ${d.quoted(Seq("graft_live", targetNs, targetTable))} " +
             s"WHERE $keep")
         }
-        // every other base table rides over (reference file_swap step 2)
+        // every other base table rides over WITH its constraints: the
+        // stored CREATE TABLE text (duckdb_tables().sql — carries
+        // PRIMARY KEY; DuckDB 1.0 has no post-hoc ADD CONSTRAINT, so a
+        // bare CTAS would silently strip the PK and break later
+        // upserts on the sibling) + INSERT-SELECT for the rows
+        // (reference file_swap step 2)
         val st = c.createStatement()
-        val tables = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        val tables = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
         val rs = st.executeQuery(
-          "SELECT table_schema, table_name FROM \"graft_live\".information_schema.tables " +
-            "WHERE table_type = 'BASE TABLE'")
-        while (rs.next()) tables += ((rs.getString(1), rs.getString(2)))
+          "SELECT schema_name, table_name, sql FROM duckdb_tables() " +
+            "WHERE database_name = 'graft_live' AND NOT internal")
+        while (rs.next()) tables += ((rs.getString(1), rs.getString(2), rs.getString(3)))
         rs.close()
-        tables.foreach { case (ns, t) =>
+        tables.foreach { case (ns, t, ddl) =>
           if (!(ns.equalsIgnoreCase(targetNs) && t.equalsIgnoreCase(targetTable))) {
             if (ns != "main") exec(c, s"CREATE SCHEMA IF NOT EXISTS ${d.quote(ns)}")
-            exec(c, s"CREATE TABLE ${d.quoted(Seq(ns, t))} AS " +
+            exec(c, ddl)
+            exec(c, s"INSERT INTO ${d.quoted(Seq(ns, t))} " +
               s"SELECT * FROM ${d.quoted(Seq("graft_live", ns, t))}")
           }
         }
+        // secondary indexes ride over from their stored DDL (reference
+        // copies "every other table, view, and index", file_swap.rs
+        // step 2); best-effort like views
+        try {
+          val irs = st.executeQuery(
+            "SELECT sql FROM duckdb_indexes() WHERE database_name = 'graft_live'")
+          val idx = scala.collection.mutable.ArrayBuffer.empty[String]
+          while (irs.next()) idx += irs.getString(1)
+          irs.close()
+          idx.filter(_ != null).foreach { ddl =>
+            try exec(c, ddl)
+            catch { case e: java.sql.SQLException =>
+              logWarning(s"file-swap: index did not transfer (${e.getMessage})") }
+          }
+        } catch { case e: java.sql.SQLException =>
+          logWarning(s"file-swap: index enumeration failed (${e.getMessage})") }
         // views ride over best-effort: their stored SQL references names
         // as originally written, which resolve identically post-swap
         try {
@@ -231,19 +253,34 @@ object FileSwap extends Logging {
     val removed = scala.collection.mutable.ArrayBuffer.empty[String]
     def rm(p: Path): Unit = if (Files.deleteIfExists(p)) removed += p.toString
 
+    // Deletions are AGE-GATED: a catalog can initialize (lazily, at any
+    // time) while another catalog over the SAME file has a swap in
+    // flight — its young `.building` staging file and its
+    // just-completed generation must survive this sweep. Only files
+    // older than the stale threshold (no swap runs for an hour;
+    // unparseable stamps count as ancient) are crash leftovers.
+    def bornAt(p: Path): Long = {
+      val tail = p.getFileName.toString.stripPrefix(prefix)
+      try tail.takeWhile(_.isDigit).toLong catch { case _: NumberFormatException => 0L }
+    }
+    val now = System.currentTimeMillis()
+    def stale(p: Path): Boolean = now - bornAt(p) > JdbcBatchWrite.StaleStageAgeMs
+
     val (incomplete, rest) = siblings.partition { p =>
       val n = p.getFileName.toString
       n.endsWith(BuildingSuffix) || n.endsWith(BuildingSuffix + WalSuffix)
     }
-    incomplete.foreach(rm)
+    incomplete.filter(stale).foreach(rm)
     val (wals, candidates0) = rest.partition(_.getFileName.toString.endsWith(WalSuffix))
     // a completed-looking generation whose WAL survived never closed
     // cleanly: incomplete, out it goes with its WAL
     val tainted = candidates0.filter(p => Files.exists(Paths.get(walOf(p.toString))))
-    tainted.foreach(rm); wals.foreach(rm)
+    tainted.filter(stale).foreach(rm); wals.filter(stale).foreach(rm)
     val candidates = candidates0.filterNot(tainted.contains)
 
-    if (Files.exists(live)) { candidates.foreach(rm); Recovery(None, removed.toList) }
+    if (Files.exists(live)) {
+      candidates.filter(stale).foreach(rm); Recovery(None, removed.toList)
+    }
     else if (candidates.isEmpty) Recovery(None, removed.toList)
     else {
       def genKey(p: Path): (Long, Long) = {

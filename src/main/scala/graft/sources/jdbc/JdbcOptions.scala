@@ -125,7 +125,11 @@ final case class JdbcOptions(map: Map[String, String]) extends Serializable {
     */
   val duckdbFile: Option[String] =
     if (url.startsWith("jdbc:duckdb:"))
-      Some(url.stripPrefix("jdbc:duckdb:").split(';').head).filter(_.nonEmpty)
+      Some(url.stripPrefix("jdbc:duckdb:").split(';').head)
+        // ":memory:" (and any ":named:" form) is NOT a file: fileswap
+        // against it would stage into a named in-memory database and
+        // fail only at the rename, after all data was written
+        .filter(p => p.nonEmpty && !p.startsWith(":"))
     else None
 
   /** Overwrite strategy (W4/W5). `staged` (default): rows are replaced

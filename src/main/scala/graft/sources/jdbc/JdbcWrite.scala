@@ -239,10 +239,13 @@ final case class JdbcBatchWrite(options: JdbcOptions, schema: StructType,
       }
       // predicate overwrite under fileswap: the rows the predicate does
       // NOT match ride from the live file into the refreshed table, so
-      // the swap is still a complete database
+      // the swap is still a complete database. IS NOT TRUE, not NOT(…):
+      // the staged path's DELETE removes only rows where the predicate
+      // is TRUE, so a NULL-valued predicate row SURVIVES there — the
+      // three-valued spelling keeps the two strategies value-identical
       val preserve = overwrite.get match {
         case Nil => None
-        case conds => Some(conds.mkString("NOT (", " AND ", ")"))
+        case conds => Some(conds.mkString("(", " AND ", ") IS NOT TRUE"))
       }
       FileSwap.copyOthersAndCheckpoint(stagingOpts, livePath, ns, t,
         preserveWhere = preserve,
@@ -312,7 +315,8 @@ class JdbcRowWriter(options: JdbcOptions, schema: StructType)
   private val insertSql =
     if (options.upsertActive)
       d.upsertStatement(options.table, cols, options.upsertKeys,
-        doNothing = options.upsertMode != "update")
+        doNothing = options.upsertMode != "update",
+        placeholders = schema.fields.map(f => d.insertPlaceholder(f.dataType)).toSeq)
     else
       s"INSERT INTO ${options.table} (${cols.map(d.quote).mkString(", ")}) " +
         s"VALUES (${schema.fields.map(f => d.insertPlaceholder(f.dataType)).mkString(", ")})"

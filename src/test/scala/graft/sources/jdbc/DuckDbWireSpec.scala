@@ -140,6 +140,17 @@ class DuckDbWireSpec extends AnyFunSuite with SparkFixture {
     }.toSet
     assert(rows.toSet == expected, rows.mkString(","))
 
+    // NEGATIVE offsets must stay LOCAL: lead(v, -1) legally behaves as
+    // lag — rendering it remotely would flip the direction (review
+    // finding; Lead.unapply yields the raw user-typed offset)
+    val neg = spark.table("duck.app.t5").withColumn("wv", lead($"v", -1).over(byG))
+    assert(planOf(neg).contains("Window"),
+      s"negative-offset window must not collapse:\n${planOf(neg)}")
+    val negLocal = (1L to 12L).map(i => ((i % 3).toInt, i, i * 2))
+      .toDF("g", "k", "v").withColumn("wv", lead($"v", -1).over(byG))
+    assert(neg.collect().map(_.mkString("|")).sorted.toSeq ==
+      negLocal.collect().map(_.mkString("|")).sorted.toSeq)
+
     // the classic top-1-per-group: the rank filter pushes as a WHERE
     // AROUND the collapsed window subquery (remote TopK-per-group)
     val top = df.filter($"rn" === 1).select("g", "k")

@@ -45,7 +45,11 @@ class FileSwapSpec extends AnyFunSuite with SparkFixture {
     sqlOn(path,
       "CREATE SCHEMA app",
       "CREATE TABLE app.target AS SELECT r AS k, 'old_' || r AS v FROM range(5) t(r)",
-      "CREATE TABLE app.sibling AS SELECT r AS id FROM range(7) t(r)",
+      // the sibling carries a PRIMARY KEY: the swap must preserve it
+      // (stored-DDL copy, not CTAS — review finding: a CTAS would
+      // silently strip it and break later ON CONFLICT upserts)
+      "CREATE TABLE app.sibling (id BIGINT PRIMARY KEY)",
+      "INSERT INTO app.sibling SELECT r FROM range(7) t(r)",
       "CREATE VIEW app.sib_view AS SELECT count(*) AS n FROM app.sibling")
     catalogFor(path, "swap1")
     import spark.implicits._
@@ -63,6 +67,11 @@ class FileSwapSpec extends AnyFunSuite with SparkFixture {
     try {
       val rs = c.createStatement().executeQuery("SELECT n FROM app.sib_view")
       rs.next(); assert(rs.getLong(1) == 7)
+      // … and so did the sibling's PRIMARY KEY: ON CONFLICT still works
+      c.createStatement().execute(
+        "INSERT INTO app.sibling VALUES (3) ON CONFLICT DO NOTHING")
+      val rc = c.createStatement().executeQuery("SELECT count(*) FROM app.sibling")
+      rc.next(); assert(rc.getLong(1) == 7, "sibling PK lost in the swap")
     } finally c.close()
     assert(strays(path).isEmpty, strays(path).mkString(","))
     assert(!Files.exists(Paths.get(path + ".wal")), "live WAL survived the swap")
@@ -188,11 +197,16 @@ class FileSwapSpec extends AnyFunSuite with SparkFixture {
   test("boot recovery: .building deleted; newest completed generation adopted when live missing") {
     assume(DuckDbWireSpec.driverPresent)
     val path = freshDb()
-    // a crashed swap left: one .building (incomplete), two completed
-    // generations, no live file
-    val b = FileSwap.newBuildingPath(path)
+    // a crashed swap left: one STALE .building (incomplete; deletions
+    // are age-gated so only old files sweep — a young .building may
+    // belong to a live concurrent swap), two completed generations,
+    // no live file
+    val b = s"$path${FileSwap.GenerationInfix}500-0${FileSwap.BuildingSuffix}"
     Files.write(Paths.get(b), "junk".getBytes)
     Files.write(Paths.get(b + ".wal"), "junk".getBytes)
+    // and one YOUNG .building that must SURVIVE the sweep
+    val young = FileSwap.newBuildingPath(path)
+    Files.write(Paths.get(young), "inflight".getBytes)
     val gen1 = s"$path${FileSwap.GenerationInfix}1000-0"
     val gen2 = s"$path${FileSwap.GenerationInfix}2000-1"
     sqlOn(gen1, "CREATE TABLE t AS SELECT 'older' AS tag", "CHECKPOINT")
@@ -203,14 +217,18 @@ class FileSwapSpec extends AnyFunSuite with SparkFixture {
     val r = FileSwap.recover(path)
     assert(r.adopted.contains(gen2))
     assert(Files.exists(Paths.get(path)))
-    assert(strays(path).isEmpty, strays(path).mkString(","))
+    assert(Files.exists(Paths.get(young)), "in-flight .building was swept")
+    assert(strays(path) == Seq(Paths.get(young).getFileName.toString),
+      strays(path).mkString(","))
+    Files.delete(Paths.get(young))
     val c = DriverManager.getConnection(s"jdbc:duckdb:$path")
     try {
       val rs = c.createStatement().executeQuery("SELECT tag FROM t")
       rs.next(); assert(rs.getString(1) == "newest")
     } finally c.close()
 
-    // and when the live file EXISTS, it is authoritative: generations die
+    // and when the live file EXISTS, it is authoritative: STALE
+    // generations die
     val gen3 = s"$path${FileSwap.GenerationInfix}3000-2"
     Files.write(Paths.get(gen3), "leftover".getBytes)
     val r2 = FileSwap.recover(path)
