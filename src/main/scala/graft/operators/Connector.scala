@@ -202,6 +202,28 @@ object Connector {
         .orderBy("r_name")
     },
 
+    // FROM-expression table on the wire (S3, the reference's DuckDB
+    // `read_csv(...)`-as-table pattern, `crates/duckdb/src/sql_table.rs:
+    // 30-60`): the remote DuckDB reads the PARQUET FILE directly via
+    // its read_parquet table function — zero copy, no CTAS — and the
+    // whole filtered GROUP BY executes inside DuckDB (filter + agg
+    // pushdown over a function scan). At scale this is federation to an
+    // engine that owns the data files; Spark ships back k rows.
+    Q("q130_duckdb_read_parquet",
+      "SELECT l_returnflag, COUNT(*) AS n, MIN(l_orderkey) AS min_ok, " +
+        "MAX(l_orderkey) AS max_ok FROM lineitem WHERE l_quantity > 25 " +
+        "GROUP BY l_returnflag ORDER BY l_returnflag") { (s, dir) =>
+      s.read.format("graft.sources.jdbc.GraftJdbcSource")
+        .option("url", "jdbc:duckdb:")
+        .option("dbtable", s"read_parquet('$dir/lineitem.parquet')")
+        .load()
+        .filter(col("l_quantity") > 25)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), min("l_orderkey").as("min_ok"),
+          max("l_orderkey").as("max_ok"))
+        .orderBy("l_returnflag")
+    },
+
     // Multi-file ATTACH federation on the wire (reference
     // `crates/duckdb/src/conn.rs:102-230`): nation lives in one DuckDB
     // FILE, region in a sibling file; one connection attaches both and

@@ -547,7 +547,35 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** One BPE merge round — tokenizer induction as a query: count every
+    * adjacent character pair inside every word occurrence across the
+    * corpus and emit the top merge candidates. The hot loop of
+    * byte-pair-encoding vocabulary training (iterate: merge the top
+    * pair, recount) expressed as ONE aggregation; integer-exact, the
+    * pair space is alphabet²-bounded so the shuffle is tiny at any
+    * corpus size and the count is map-side combinable.
+    */
+  def bpeMergeCandidates(df: org.apache.spark.sql.DataFrame, k: Int = 20): org.apache.spark.sql.DataFrame =
+    df.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair")).limit(k)
+
   def queries: Seq[Q] = Seq(
+
+    // Tokenizer induction (BPE): the top-20 adjacent-pair merge
+    // candidates of the corpus, integer-exact.
+    Q("q131_bpe_merge",
+      "WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents), " +
+        "p AS (SELECT substring(w, i, 2) AS pair FROM w " +
+        "CROSS JOIN LATERAL (SELECT unnest(range(1, length(w))) AS i) u " +
+        "WHERE length(w) >= 2) " +
+        "SELECT pair, COUNT(*) AS n FROM p GROUP BY pair " +
+        "ORDER BY n DESC, pair LIMIT 20") { (s, dir) =>
+      bpeMergeCandidates(Tables.load(s, dir, "documents"))
+    },
 
     // Trained lexicon classifier (fastText-recipe): integer-exact
     // confusion counts of the en-vs-other prediction on the test split.

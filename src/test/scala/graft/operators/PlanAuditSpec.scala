@@ -49,6 +49,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("SortMergeJoin"), s"fact shuffled for the join:\n$p")
   }
 
+  test("q130: remote DuckDB reads the parquet file itself — filter AND GROUP BY inside the function scan") {
+    assume(graft.sources.jdbc.DuckDbWireSpec.driverPresent)
+    val p = plan("q130_duckdb_read_parquet")
+    assert(p.contains("read_parquet("), s"function scan missing:\n$p")
+    assert(p.contains("WHERE") && p.contains("GROUP BY"),
+      s"filter/agg did not push into the function scan:\n$p")
+  }
+
   test("q02: predicate reaches the parquet scan as PushedFilters") {
     val p = plan("q02_filter_pushdown")
     assert(p.contains("PushedFilters:") && p.contains("GreaterThan(l_quantity"), p)
