@@ -110,6 +110,33 @@ object ScaleProbe {
             ((col("id") * 7 % 10000) / 100.0).as("v"))
             .writeTo(t).create()
           spark.table(t)
+        // W5 file-swap cost vs SIBLING data volume: the swap's price is
+        // copying every OTHER table into the staging generation (the
+        // refreshed table itself is tiny here), so wall should scale
+        // with factor × 100k sibling rows — the measured form of the
+        // "swap is O(other tables), not O(refreshed data)" claim.
+        case "fileswap" =>
+          val dir0 = java.nio.file.Files.createTempDirectory("graft_swapb")
+          val path = s"$dir0/live.duckdb"
+          val url = s"jdbc:duckdb:$path"
+          val c = java.sql.DriverManager.getConnection(url)
+          try {
+            val st = c.createStatement()
+            st.execute("CREATE SCHEMA IF NOT EXISTS app")
+            st.execute("CREATE TABLE IF NOT EXISTS app.sib AS " +
+              s"SELECT r AS id, md5(r::VARCHAR) AS pad FROM range(${factor.toLong * 100000L}) t(r)")
+            st.execute("CREATE TABLE IF NOT EXISTS app.t (k BIGINT)")
+            st.execute("CHECKPOINT")
+            st.close()
+          } finally c.close()
+          // (the seeding connection was never pooled; its close releases
+          // the per-path instance, so the catalog below opens fresh)
+          spark.conf.set("spark.sql.catalog.swapb", "graft.sources.jdbc.GraftCatalog")
+          spark.conf.set("spark.sql.catalog.swapb.url", url)
+          spark.range(10).select(col("id").as("k"))
+            .writeTo("swapb.app.t").option("overwritemode", "fileswap")
+            .overwrite(lit(true))
+          spark.table("swapb.app.t")
         case other => throw new IllegalArgumentException(s"unknown op $other")
       }
       val n = df.count()
