@@ -228,6 +228,59 @@ class DuckDbWireSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("micro-batch streaming source runs on the DuckDB wire (exactly-once)") {
+    init()
+    val c = java.sql.DriverManager.getConnection(s"jdbc:duckdb:$dbPath")
+    try {
+      val st = c.createStatement()
+      st.execute("CREATE TABLE app.stream_src (id BIGINT, v VARCHAR)")
+      st.execute("INSERT INTO app.stream_src VALUES (1, 'a'), (2, 'b')")
+      st.close()
+    } finally c.close()
+
+    val q = spark.readStream.format("graft.sources.jdbc.GraftJdbcSource")
+      .option("url", s"jdbc:duckdb:$dbPath")
+      .option("dbtable", "\"app\".\"stream_src\"")
+      .option("streamcolumn", "id")
+      .load()
+      .writeStream.format("memory").queryName("duckstream").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("duckstream").count() == 2)
+      val c2 = java.sql.DriverManager.getConnection(s"jdbc:duckdb:$dbPath")
+      try c2.createStatement().execute("INSERT INTO app.stream_src VALUES (3, 'c')")
+      finally c2.close()
+      q.processAllAvailable()
+      import spark.implicits._
+      assert(spark.table("duckstream").as[(Long, String)].collect().sortBy(_._1).toSeq
+        == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    } finally q.stop()
+  }
+
+  test("negative control: a Derby x DuckDB join never collapses, and is still exact") {
+    init()
+    // one leg per ENGINE: contexts differ, so AllowedFor(context)
+    // equality must refuse the merge — on two REAL engines, not a mock
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ext.xe")
+    spark.sql("DROP TABLE IF EXISTS ext.xe.dn")
+    spark.sql("DROP TABLE IF EXISTS duck.app.dr")
+    import spark.implicits._
+    (1L to 6L).map(i => (i, s"n$i", (i % 2).toInt)).toDF("nk", "nname", "rk")
+      .writeTo("ext.xe.dn").create()
+    Seq((0, "AMERICA"), (1, "EUROPE")).toDF("rk", "rname")
+      .writeTo("duck.app.dr").create()
+
+    val joined = spark.table("ext.xe.dn")
+      .join(spark.table("duck.app.dr"), "rk")
+      .select("nk", "nname", "rname").orderBy("nk")
+    val plan = planOf(joined)
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
+      s"cross-engine join must stay local:\n$plan")
+    val rows = joined.collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(rows.toSeq == Seq(1L -> "EUROPE", 2L -> "AMERICA", 3L -> "EUROPE",
+      4L -> "AMERICA", 5L -> "EUROPE", 6L -> "AMERICA"), rows.mkString(","))
+  }
+
   test("multi-file ATTACH federation: a cross-file join collapses to ONE remote scan") {
     init()
     val dir = java.nio.file.Files.createTempDirectory("graft_duck_att").toString
