@@ -71,6 +71,24 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // one-time live-file seed + catalog registration for the fileswap op
+    lazy val fileswapLiveReady: Unit = {
+      val dir0 = java.nio.file.Files.createTempDirectory("graft_swapb")
+      val path = s"$dir0/live.duckdb"
+      val url = s"jdbc:duckdb:$path"
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        val st = c.createStatement()
+        st.execute("CREATE SCHEMA app")
+        st.execute("CREATE TABLE app.sib AS " +
+          s"SELECT r AS id, md5(r::VARCHAR) AS pad FROM range(${factor.toLong * 100000L}) t(r)")
+        st.execute("CREATE TABLE app.t (k BIGINT)")
+        st.execute("CHECKPOINT")
+        st.close()
+      } finally c.close()
+      spark.conf.set("spark.sql.catalog.swapb", "graft.sources.jdbc.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.swapb.url", url)
+    }
     lazy val docs = scaledDocuments(spark, sfDir, factor)
     lazy val vecs = operators.EmbeddingLsh.quantize(
       scaledEmbeddings(spark, sfDir, factor), "vec_id", "embedding")
@@ -115,24 +133,12 @@ object ScaleProbe {
         // refreshed table itself is tiny here), so wall should scale
         // with factor × 100k sibling rows — the measured form of the
         // "swap is O(other tables), not O(refreshed data)" claim.
+        // Setup (seed + catalog) happens ONCE, outside both the warm-up
+        // and the timed run — Spark caches the catalog plugin by NAME,
+        // so per-run conf.set would be ignored anyway (review finding);
+        // the timed region is exactly stage→copy→checkpoint→swap.
         case "fileswap" =>
-          val dir0 = java.nio.file.Files.createTempDirectory("graft_swapb")
-          val path = s"$dir0/live.duckdb"
-          val url = s"jdbc:duckdb:$path"
-          val c = java.sql.DriverManager.getConnection(url)
-          try {
-            val st = c.createStatement()
-            st.execute("CREATE SCHEMA IF NOT EXISTS app")
-            st.execute("CREATE TABLE IF NOT EXISTS app.sib AS " +
-              s"SELECT r AS id, md5(r::VARCHAR) AS pad FROM range(${factor.toLong * 100000L}) t(r)")
-            st.execute("CREATE TABLE IF NOT EXISTS app.t (k BIGINT)")
-            st.execute("CHECKPOINT")
-            st.close()
-          } finally c.close()
-          // (the seeding connection was never pooled; its close releases
-          // the per-path instance, so the catalog below opens fresh)
-          spark.conf.set("spark.sql.catalog.swapb", "graft.sources.jdbc.GraftCatalog")
-          spark.conf.set("spark.sql.catalog.swapb.url", url)
+          fileswapLiveReady
           spark.range(10).select(col("id").as("k"))
             .writeTo("swapb.app.t").option("overwritemode", "fileswap")
             .overwrite(lit(true))

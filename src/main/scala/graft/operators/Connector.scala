@@ -98,8 +98,12 @@ object Connector {
       try s.table(full).count() == want.count()
       catch { case _: Exception => false }
     if (!fresh) {
+      // sweep superseded generations AND the legacy un-suffixed copy
+      // (from the pre-mtime scheme) — either would otherwise sit in the
+      // persistent gate file forever, inflating every q125 swap's
+      // other-tables copy
       s.sql(s"SHOW TABLES IN dgate.app").collect()
-        .map(_.getString(1)).filter(t => t.startsWith(dst + "_") &&
+        .map(_.getString(1)).filter(t => (t == dst || t.startsWith(dst + "_")) &&
           t != s"${dst}_${java.lang.Long.toHexString(mtime)}")
         .foreach(t => s.sql(s"DROP TABLE IF EXISTS dgate.app.`$t`"))
       s.sql(s"DROP TABLE IF EXISTS $full")

@@ -161,8 +161,14 @@ object ConnectionPool {
       pool = poolFor(o)
       val c = pool.acquire()
       if (gated.contains(o.url) || pool.retired) {
-        // raced a swap: hand the connection straight back (a retired
-        // pool closes it) and wait the gate out
+        // raced a swap: this pool (and its just-opened connection to
+        // the PRE-swap file) must die, not idle — a pool created after
+        // the swap's retire snapshot is invisible to the swap, so
+        // releasing into it would hand the stale connection out again
+        // after the gate lifts. Retire it ourselves and drop it from
+        // the map; release then closes the connection.
+        pool.retired = true
+        pools.remove(keyOf(o), pool)
         pool.release(c)
         attempt += 1
         if (attempt > 100)

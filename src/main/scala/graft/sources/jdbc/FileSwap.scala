@@ -58,6 +58,23 @@ object FileSwap extends Logging {
 
   private[jdbc] def walOf(p: String): String = p + WalSuffix
 
+  /** The ONE parser of a generation filename's `<millis>-<seq>` stamp
+    * (tail after `livePath.refresh.`, suffixes and all) — shared by the
+    * recovery age gate and the adoption ordering so the two can never
+    * disagree about a name. Unparseable pieces read as 0 (ancient /
+    * oldest).
+    */
+  private[jdbc] def generationStamp(nameTail: String): (Long, Long) = {
+    def num(t: String): Long = {
+      val d = t.takeWhile(_.isDigit)
+      if (d.isEmpty) 0L else try d.toLong catch { case _: NumberFormatException => 0L }
+    }
+    nameTail.split("-", 2) match {
+      case Array(ms, sq) => (num(ms), num(sq))
+      case _ => (num(nameTail), 0L)
+    }
+  }
+
   /** A fresh `.building` staging path for `livePath`. */
   private[jdbc] def newBuildingPath(livePath: String): String =
     s"$livePath$GenerationInfix${System.currentTimeMillis()}-" +
@@ -228,11 +245,16 @@ object FileSwap extends Logging {
 
   /** Recover from an interrupted swap, before any pool exists for
     * `livePath` (reference `recover_database_file_generations`,
-    * `file_swap.rs:104-120`). Rules, in order:
-    *  - `*.refresh.*.building` files (and WALs) are incomplete staging
-    *    output from a crashed swap: always deleted.
-    *  - If the live file exists it is authoritative: every completed
-    *    generation is deleted.
+    * `file_swap.rs:104-120`). Every DELETION is age-gated on the
+    * filename's millis stamp ([[JdbcBatchWrite.StaleStageAgeMs]]):
+    * recovery runs at CATALOG initialize, which is lazy and can fire
+    * while another catalog over the same file has a swap in flight —
+    * that swap's young `.building` and just-completed generation must
+    * survive the sweep. Rules, in order:
+    *  - STALE `*.refresh.*.building` files (and WALs) are incomplete
+    *    staging output from a crashed swap: deleted.
+    *  - If the live file exists it is authoritative: stale completed
+    *    generations are deleted.
     *  - Otherwise the newest completed generation (by millis-seq) is
     *    adopted — renamed to the live path; older ones are deleted. A
     *    generation with a leftover WAL never checkpointed cleanly and is
@@ -259,10 +281,8 @@ object FileSwap extends Logging {
     // just-completed generation must survive this sweep. Only files
     // older than the stale threshold (no swap runs for an hour;
     // unparseable stamps count as ancient) are crash leftovers.
-    def bornAt(p: Path): Long = {
-      val tail = p.getFileName.toString.stripPrefix(prefix)
-      try tail.takeWhile(_.isDigit).toLong catch { case _: NumberFormatException => 0L }
-    }
+    def bornAt(p: Path): Long =
+      generationStamp(p.getFileName.toString.stripPrefix(prefix))._1
     val now = System.currentTimeMillis()
     def stale(p: Path): Boolean = now - bornAt(p) > JdbcBatchWrite.StaleStageAgeMs
 
@@ -283,15 +303,8 @@ object FileSwap extends Logging {
     }
     else if (candidates.isEmpty) Recovery(None, removed.toList)
     else {
-      def genKey(p: Path): (Long, Long) = {
-        val tail = p.getFileName.toString.stripPrefix(prefix)
-        tail.split("-", 2) match {
-          case Array(ms, sq) =>
-            (try ms.toLong catch { case _: NumberFormatException => 0L },
-              try sq.toLong catch { case _: NumberFormatException => 0L })
-          case _ => (0L, 0L)
-        }
-      }
+      def genKey(p: Path): (Long, Long) =
+        generationStamp(p.getFileName.toString.stripPrefix(prefix))
       val newest = candidates.maxBy(genKey)
       candidates.filterNot(_ == newest).foreach(rm)
       Files.move(newest, live, StandardCopyOption.ATOMIC_MOVE)
