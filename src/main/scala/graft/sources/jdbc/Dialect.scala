@@ -12,9 +12,13 @@ import org.apache.spark.sql.types._
   * (`crates/mysql/src/mysql_window.rs:44-73`) and SQLite interval →
   * `datetime()` rewriting (`crates/sqlite/src/sqlite_interval.rs:10-60`).
   *
-  * Only [[DerbyDialect]] runs live in this environment (embedded JDBC,
-  * zero egress); the others are exercised by golden-SQL unit tests, the
-  * same strategy the reference uses for its dialect coverage.
+  * Live coverage in this environment (zero egress): Derby and DuckDB
+  * run wire-level JDBC in every spec run; the postgres and sqlite
+  * dialects execute their generated SQL with semantic assertions on a
+  * real PostgreSQL 15 and real sqlite3 via
+  * `scripts/dialect_live_check.py`; MySQL and ClickHouse rest on
+  * golden-SQL tests mirroring the reference's vectors (no server
+  * binaries exist here — SURVEY §5 records the descope).
   */
 trait Dialect extends Serializable {
   def name: String

@@ -159,6 +159,17 @@ class DuckDbWireSpec extends AnyFunSuite with SparkFixture {
       s"rank filter did not push:\n$topPlan")
     assert(top.collect().map(r => (r.getInt(0), r.getLong(1))).toSet ==
       Set((0, 12L), (1, 10L), (2, 11L)))
+
+    // TopN composes ON TOP of the collapsed window: Spark's standard
+    // SupportsPushDownTopN splices ORDER BY + LIMIT around the windowed
+    // derived table — window, rank filter, sort and limit all remote
+    val topn = df.filter($"rn" === 1).orderBy($"gsum".desc, $"g").limit(2)
+      .select("g", "k", "gsum")
+    val topnPlan = planOf(topn)
+    assert(topnPlan.contains("ROW_NUMBER() OVER") && topnPlan.contains("LIMIT 2"),
+      s"TopN did not splice around the window subquery:\n$topnPlan")
+    assert(topn.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((0, 12L, 60L), (2, 11L, 52L)))
   }
 
   test("native LIST columns round-trip over the wire (text-literal bind + remote cast)") {
