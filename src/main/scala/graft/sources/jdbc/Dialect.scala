@@ -211,6 +211,15 @@ trait Dialect extends Serializable {
     */
   def arrayBindAsText: Boolean = false
 
+  /** Rows per INSERT statement on the append path: engines whose JDBC
+    * batch machinery degenerates to row-at-a-time execution get
+    * multi-row `VALUES (…),(…),…` statements instead. 1 = the plain
+    * single-row prepared batch (Derby's real batching is already fast;
+    * the others are unmeasured here). DuckDB overrides: measured 31×
+    * (200 k rows, 47.5 s single-row batch → 1.5 s at 100 rows/stmt).
+    */
+  def multiRowInsertBatch: Int = 1
+
   /** Table rename DDL. ANSI-ish `ALTER TABLE … RENAME TO` is what
     * Postgres / DuckDB / SQLite accept; Derby and MySQL override with
     * their `RENAME TABLE` forms.
@@ -365,6 +374,9 @@ object DuckDbDialect extends Dialect {
     * while the JSON route round-trips every element exactly.
     */
   override def arrayBindAsText: Boolean = true
+  /** The driver's executeBatch runs its prepared statement once per
+    * row internally — multi-row VALUES is the measured 31× fix. */
+  override def multiRowInsertBatch: Int = 100
   override def insertPlaceholder(dt: DataType): String = dt match {
     case ArrayType(et, _) if Dialect.isNativeArrayElement(et) =>
       s"CAST(CAST(? AS JSON) AS ${typeName(dt)})"

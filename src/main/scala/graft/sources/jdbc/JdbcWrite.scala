@@ -326,21 +326,61 @@ class JdbcRowWriter(options: JdbcOptions, schema: StructType)
   private var inBatch = 0
   private var total = 0L
 
-  override def write(row: InternalRow): Unit = {
+  /** Multi-row VALUES append (plain inserts only — upserts keep the
+    * single-row conflict statement): K rows buffered, bound at K×cols
+    * parameter offsets, executed as ONE statement. DuckDB's JDBC
+    * executeBatch runs row-at-a-time internally; this path measured
+    * 31× faster there ([[Dialect.multiRowInsertBatch]]).
+    */
+  private val multiK: Int = if (options.upsertActive) 1 else options.insertRows
+  private val multiPs =
+    if (multiK <= 1) None
+    else {
+      val cols = schema.fields.map(f => d.quote(f.name)).mkString(", ")
+      val oneRow = schema.fields.map(f => d.insertPlaceholder(f.dataType)).mkString("(", ", ", ")")
+      Some(conn.prepareStatement(
+        s"INSERT INTO ${options.table} ($cols) VALUES " +
+          Seq.fill(multiK)(oneRow).mkString(", ")))
+    }
+  private val buf = new scala.collection.mutable.ArrayBuffer[InternalRow](multiK)
+
+  private def bindAt(stmt: java.sql.PreparedStatement, row: InternalRow, base: Int): Unit = {
     var i = 0
     while (i < setters.length) {
-      if (row.isNullAt(i)) ps.setNull(i + 1, sqlTypes(i))
-      else setters(i)(ps, row, i, i + 1)
+      if (row.isNullAt(i)) stmt.setNull(base + i + 1, sqlTypes(i))
+      else setters(i)(stmt, row, i, base + i + 1)
       i += 1
     }
-    ps.addBatch()
-    inBatch += 1
+  }
+
+  override def write(row: InternalRow): Unit = {
     total += 1
-    if (inBatch >= options.batchSize) flush()
+    multiPs match {
+      case Some(mp) =>
+        buf += row.copy()
+        if (buf.length == multiK) {
+          var r = 0
+          while (r < multiK) { bindAt(mp, buf(r), r * setters.length); r += 1 }
+          mp.execute()
+          buf.clear()
+        }
+      case None =>
+        bindAt(ps, row, 0)
+        ps.addBatch()
+        inBatch += 1
+        if (inBatch >= options.batchSize) flush()
+    }
   }
 
   protected def flush(): Unit = {
     if (inBatch > 0) { ps.executeBatch(); inBatch = 0 }
+    // multi-row remainder (fewer than K rows) drains through the
+    // single-row statement
+    if (buf.nonEmpty) {
+      buf.foreach { r => bindAt(ps, r, 0); ps.addBatch() }
+      buf.clear()
+      ps.executeBatch()
+    }
   }
 
   override def commit(): WriterCommitMessage = {
@@ -352,7 +392,7 @@ class JdbcRowWriter(options: JdbcOptions, schema: StructType)
   override def abort(): Unit = conn.rollback()
 
   override def close(): Unit = {
-    try ps.close() finally conn.close()
+    try { multiPs.foreach(_.close()); ps.close() } finally conn.close()
   }
 }
 
