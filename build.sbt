@@ -15,7 +15,11 @@ libraryDependencies ++= Seq(
 // (live wire specs, q124+ gates) self-skips when the glob comes up empty.
 val duckdbJdbcJar: Seq[File] = {
   val cache = file(sys.props.getOrElse("user.home", "/root")) / ".cache" / "coursier"
-  if (cache.exists) (cache ** "duckdb_jdbc-*.jar").get().take(1) else Seq.empty
+  // Sort descending by filename so that with several cached driver
+  // versions the pick is deterministic (highest-sorting version wins);
+  // the live-probed quirks in CLAUDE.md were established against v1.0.
+  if (cache.exists) (cache ** "duckdb_jdbc-*.jar").get().sortBy(_.getName).reverse.take(1)
+  else Seq.empty
 }
 Compile / unmanagedJars ++= duckdbJdbcJar.map(Attributed.blank(_))
 Test / fork := true

@@ -17,9 +17,21 @@ import org.apache.spark.sql.SparkSession
   * unrelated to the plans (BASELINE.md records 410.8 s vs 56.3 s
   * back-to-back on identical code), so each query is timed
   * SPARK_GRAFT_REPS times (default 3) and the REPORTED number is the
-  * per-query MEDIAN. Queries whose worst rep exceeded 2× the median land
-  * in `"stalls"` (worst-rep seconds) so a stall is visible but never
-  * pollutes the headline metric.
+  * per-query MEDIAN.
+  *
+  * Self-diagnosis (round-9, per the r8 verdict): the artifact must let a
+  * reader DISTINGUISH a host/JVM stall from a plan regression without
+  * access to this machine. The `"diag"` map carries, for the ≤10 most
+  * suspicious queries (stall outliers first, then largest medians),
+  * `[best-rep sec, worst-rep sec, GC share of wall %, process-CPU
+  * cores busy]`: a best rep near the isolated median proves the slow
+  * reps were phase; a high GC share proves JVM heap pressure; CPU cores
+  * busy ≪ parallelism proves starvation (host phase), while ≈parallelism
+  * says the plan really burned that time. `"gcsec"` (total JVM GC in the
+  * timed phase) and `"warmsec"` (untimed warm-up pass duration — a slow
+  * warm-up flags a degraded host before any timed rep) complete the
+  * picture. Full per-rep wall/gc/cpu detail for EVERY query goes to
+  * stderr.
   *
   * Reps are COLD with respect to caching: the cache is cleared before
   * each rep's timer starts, so persist()-using queries (the LSH dedup /
@@ -95,26 +107,44 @@ object Bench {
     val spark = extra.foldLeft(b0) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM telemetry taps for the self-diagnosing artifact: cumulative GC
+    // wall-time across all collectors, and cumulative process CPU time
+    // (JDK built-ins; zero overhead between reads).
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    def cpuNanos(): Long = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
+      case _ => -1L
+    }
     // Untimed warm-up pass: JIT, codegen caches, parquet footers and the
     // page cache all reach steady state before anything is measured —
     // the numbers then reflect the engine, not first-touch effects
     // (this host also shows intermittent first-materialization stalls
-    // that would otherwise land inside one arbitrary timed query).
+    // that would otherwise land inside one arbitrary timed query). Its
+    // DURATION is emitted (`warmsec`): a slow warm-up is host-phase
+    // evidence that predates every timed rep.
+    val warm0 = System.nanoTime()
     selected.foreach { case (_, fn) =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () } // the timed pass reports failures
       graft.operators.GraftCache.releaseAll()
       spark.catalog.clearCache()
     }
+    val warmSec = (System.nanoTime() - warm0) / 1e9
     var failed = List.empty[String]
+    val gcTimed0 = gcMillis()
+    // name, median, min, max, gcPct (GC share of summed rep wall, %),
+    // cpuCores (process CPU seconds per wall second across reps)
     val results = selected.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      val reps3 = (1 to reps).map { _ =>
         // Cold rep: drop any persisted intermediates BEFORE the timer so
         // every rep pays full materialization (and so 53 queries × persist()
         // never accumulate into storage-memory eviction thrash).
         graft.operators.GraftCache.releaseAll()
         spark.catalog.clearCache()
-        val t0 = System.nanoTime()
+        val (gc0, cpu0, t0) = (gcMillis(), cpuNanos(), System.nanoTime())
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
           if (!failed.contains(name)) {
@@ -123,30 +153,48 @@ object Bench {
             e.printStackTrace()
           }
         }
-        (System.nanoTime() - t0) / 1e9
+        val wall = (System.nanoTime() - t0) / 1e9
+        (wall, (gcMillis() - gc0) / 1e3, (cpuNanos() - cpu0) / 1e9)
       }
       System.err.println(s"[bench] $name reps=" +
-        times.map(t => f"$t%.3f").mkString(","))
-      val sortedT = times.sorted
-      (name, sortedT(sortedT.length / 2), sortedT.head, sortedT.last)
+        reps3.map(r => f"${r._1}%.3f").mkString(",") +
+        " gc=" + reps3.map(r => f"${r._2}%.2f").mkString(",") +
+        " cpu=" + reps3.map(r => f"${r._3}%.1f").mkString(","))
+      val sortedT = reps3.map(_._1).sorted
+      val wallSum = reps3.map(_._1).sum
+      val gcPct = math.round(100.0 * reps3.map(_._2).sum / math.max(wallSum, 1e-9))
+      val cpuCores =
+        if (reps3.exists(_._3 < 0)) -1.0 else reps3.map(_._3).sum / math.max(wallSum, 1e-9)
+      (name, sortedT(sortedT.length / 2), sortedT.head, sortedT.last, gcPct, cpuCores)
     }
+    val gcTimedSec = (gcMillis() - gcTimed0) / 1e3
     def f3(v: Double): String = "%.3f".formatLocal(Locale.ROOT, v)
-    // Per-query values at TWO decimals: 120+ queries × one saved byte is
-    // what keeps the worst-case line inside the collector tail
-    // (BenchContractSpec pins the budget); full 3-decimal per-rep detail
-    // is on stderr above.
-    def f2(v: Double): String = "%.2f".formatLocal(Locale.ROOT, v)
+    // Per-query precision is ADAPTIVE — two decimals under 10 s, one
+    // decimal from 10 s up (a 45-second median does not need centisecond
+    // precision, and 120+ queries × one saved byte is what keeps the
+    // worst-case line inside the ~2 KB collector tail; BenchContractSpec
+    // pins the budget). Full 3-decimal per-rep detail is on stderr above.
+    def fq(v: Double): String =
+      (if (v < 10) "%.2f" else "%.1f").formatLocal(Locale.ROOT, v)
+    def f1(v: Double): String = "%.1f".formatLocal(Locale.ROOT, v)
     // Keys are the leading qNN id (unique across the suite; full names are
     // in BASELINE.md) — the full-name map alone is ~1.8 KB and the
     // collecting harness keeps only ~2 KB of output tail.
     def qid(name: String): String = name.takeWhile(_ != '_')
     val medians = results
-      .map(r => "\"" + qid(r._1) + "\":" + f2(r._2)).mkString("{", ",", "}")
-    // Only worst-reps that look like stalls (>2× the median and >2 s over
-    // it) are reported — keeps the line compact for the collecting harness.
-    val stalls = results
-      .filter(r => r._4 > 2 * r._2 && r._4 - r._2 > 2.0)
-      .map(r => "\"" + qid(r._1) + "\":" + f2(r._4)).mkString("{", ",", "}")
+      .map(r => "\"" + qid(r._1) + "\":" + fq(r._2)).mkString("{", ",", "}")
+    // Self-diagnosis map (replaces r≤8's "stalls"): [best rep, worst rep,
+    // GC % of wall, CPU cores busy] for the ≤8 most suspicious queries —
+    // stall outliers (worst > 2× median and > 2 s over it) first, then the
+    // largest medians ≥ 1 s. Bounded at 8 entries for the line budget.
+    val isStall = (r: (String, Double, Double, Double, Long, Double)) =>
+      r._4 > 2 * r._2 && r._4 - r._2 > 2.0
+    val suspicious = (results.filter(isStall) ++
+      results.filterNot(isStall).filter(_._2 >= 1.0).sortBy(-_._2)).take(8)
+    val diag = suspicious
+      .map(r => "\"" + qid(r._1) + "\":[" + fq(r._3) + "," + fq(r._4) + "," +
+        r._5 + "," + f1(r._6) + "]")
+      .mkString("{", ",", "}")
     val fails = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
     // `only` appears only when set (iteration runs — short query lists);
     // `reps` lives on stderr: both trims buy line budget for the full run
@@ -158,7 +206,8 @@ object Bench {
     // already knows (it set SPARK_GRAFT_SF_DIR)
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
-      onlyJson + s""""queries":$medians,"stalls":$stalls,""" +
+      onlyJson + s""""queries":$medians,"diag":$diag,""" +
+      s""""gcsec":${math.round(gcTimedSec)},"warmsec":${math.round(warmSec)},""" +
       s""""failed":$fails,"sf":"$sfName"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

@@ -19,10 +19,14 @@ import java.util.concurrent.atomic.AtomicLong
   *  1. **Stage** — partition writers stream the refreshed data into a
   *     fresh `.refresh.<millis>-<seq>.building` database file; the live
   *     file serves queries untouched.
-  *  2. **Copy** — at commit, the staging instance ATTACHes the live file
-  *     READ_ONLY and copies every *other* table (and, best-effort, the
-  *     views) into itself; the refreshed table's stale rows are
-  *     deliberately left behind — that is where space is reclaimed.
+  *  2. **Copy** — at commit, with the live identity's pool GATED and
+  *     drained (the reference pauses writers for this step,
+  *     `file_swap.rs:17,36` — pooled JDBC cannot tell a reader checkout
+  *     from a writer one, so both pause), the staging instance ATTACHes
+  *     the live file READ_ONLY and copies every *other* table (and,
+  *     best-effort, the views) into itself; the refreshed table's stale
+  *     rows are deliberately left behind — that is where space is
+  *     reclaimed.
   *  3. **Checkpoint** — the staging file checkpoints and closes, leaving
   *     a compact, WAL-free, self-contained database; the `.building`
   *     suffix drops off (the generation is now *complete*).
@@ -88,13 +92,41 @@ object FileSwap extends Logging {
     * the key: a deleted-and-recreated file differs even when the
     * filesystem hands the inode straight back. None = missing.
     */
-  private[jdbc] def identityOf(path: String): Option[(AnyRef, AnyRef)] = {
+  private[jdbc] final case class FileIdentity(key: AnyRef,
+      created: java.nio.file.attribute.FileTime,
+      modified: java.nio.file.attribute.FileTime) {
+    /** On filesystems without birth-time support the JDK reports
+      * last-modified AS creationTime, so `created == modified` flags a
+      * snapshot whose creation stamp moves with every routine touch
+      * (sibling write, checkpoint) — useless as identity. A genuinely
+      * never-modified file also reads equal; falling back to
+      * fileKey-only there merely drops the inode-reuse refinement.
+      */
+    def birthTimeTrustworthy: Boolean = created != modified
+  }
+
+  private[jdbc] def identityOf(path: String): Option[FileIdentity] = {
     val p = Paths.get(path)
     if (Files.exists(p)) {
       val a = Files.readAttributes(p, classOf[java.nio.file.attribute.BasicFileAttributes])
-      Some((a.fileKey(), a.creationTime()))
+      Some(FileIdentity(a.fileKey(), a.creationTime(), a.lastModifiedTime()))
     } else None
   }
+
+  /** Identity comparison that tolerates birth-time-unsupported
+    * filesystems: when either snapshot's creation stamp is
+    * indistinguishable from its mtime, only the fileKey decides —
+    * otherwise a routine touch of the live file between write start and
+    * commit would spuriously abort every fileswap.
+    */
+  private[jdbc] def identityMatches(a: Option[FileIdentity], b: Option[FileIdentity]): Boolean =
+    (a, b) match {
+      case (None, None) => true
+      case (Some(x), Some(y)) =>
+        x.key == y.key &&
+          (x.created == y.created || !x.birthTimeTrustworthy || !y.birthTimeTrustworthy)
+      case _ => false
+    }
 
   private def exec(c: Connection, sql: String): Unit = {
     val st = c.createStatement()
@@ -184,16 +216,63 @@ object FileSwap extends Logging {
     } finally c.close()
   }
 
+  /** The whole commit sequence: gate → drain → copy → checkpoint →
+    * swap, with the live url's pool gate latched for the ENTIRE
+    * copy→rename window. The reference runs its sibling copy "under
+    * the pool's exclusive write gate (writers are paused)"
+    * (`file_swap.rs:17,36`); gating only from the rename onward would
+    * leave a lost-write window — a sibling-table write committed to the
+    * live file after its snapshot was copied would be silently
+    * discarded when the generation is renamed over it. JDBC has no
+    * read/write checkout distinction, so the gate pauses readers too;
+    * the cost is O(other tables), same as the copy itself.
+    */
+  private[jdbc] def commitSwap(stagingOpts: JdbcOptions, stagingUrl: String,
+      buildingPath: String, liveUrl: String, livePath: String,
+      liveIdentity: Option[FileIdentity], targetNs: String, targetTable: String,
+      preserveWhere: Option[String], targetCols: Seq[String],
+      drainTimeoutMs: Long = 15000): Unit = {
+    ConnectionPool.gate(liveUrl)
+    try {
+      drainOrAbort(liveUrl, stagingUrl, buildingPath, drainTimeoutMs)
+      copyOthersAndCheckpoint(stagingOpts, livePath, targetNs, targetTable,
+        preserveWhere, targetCols)
+      swapIntoLive(stagingUrl, buildingPath, liveUrl, livePath, liveIdentity,
+        alreadyGated = true, drainTimeoutMs = drainTimeoutMs)
+    } finally ConnectionPool.ungate(liveUrl)
+  }
+
+  /** Drain the live identity or ABORT the swap. Proceeding with
+    * connections still checked out is not merely "they finish against
+    * the retiring instance": the driver caches ONE database instance
+    * per path while any connection is open, so a straggler would pin
+    * every FRESH post-ungate checkout to the pre-swap instance with no
+    * error — indefinite stale reads. Aborting (retriably) leaves the
+    * live file untouched and the refresh repeatable.
+    */
+  private def drainOrAbort(liveUrl: String, stagingUrl: String, buildingPath: String,
+      timeoutMs: Long = 15000): Unit =
+    if (!ConnectionPool.retireAndDrain(liveUrl, timeoutMs)) {
+      discardStaging(stagingUrl, buildingPath)
+      throw new java.sql.SQLTransientConnectionException(
+        s"file-swap aborted: connections to $liveUrl were still checked out after the " +
+          "drain window; a straggler would pin fresh readers to the pre-swap instance. " +
+          "The live file is untouched; retry the refresh.")
+    }
+
   /** Step 4: retire+drain both identities, neutralize the live WAL,
     * rename `.building` → complete generation → atomically over the live
     * path. Throws if the live file changed identity since `liveIdentity`
     * was recorded (out-of-band replacement ⇒ the refresh is stale).
+    * `alreadyGated` = the caller ([[commitSwap]]) installed the pool
+    * gate before the sibling copy and still holds it.
     */
   private[jdbc] def swapIntoLive(stagingUrl: String, buildingPath: String,
-      liveUrl: String, livePath: String, liveIdentity: Option[(AnyRef, AnyRef)]): Unit = {
+      liveUrl: String, livePath: String, liveIdentity: Option[FileIdentity],
+      alreadyGated: Boolean = false, drainTimeoutMs: Long = 15000): Unit = {
     ConnectionPool.retireAndDrain(stagingUrl)
 
-    if (identityOf(livePath) != liveIdentity) {
+    if (!identityMatches(identityOf(livePath), liveIdentity)) {
       deleteIfExists(buildingPath); deleteIfExists(walOf(buildingPath))
       throw new IllegalStateException(
         s"file-swap aborted: $livePath was replaced out-of-band during the refresh " +
@@ -205,11 +284,9 @@ object FileSwap extends Logging {
     // per-path instance over the old inode and pin later readers to
     // stale data. Gated checkouts wait (~the swap, sub-second) and then
     // observe the new file — the reference's atomic pool repoint.
-    ConnectionPool.gate(liveUrl)
+    if (!alreadyGated) ConnectionPool.gate(liveUrl)
     try {
-      if (!ConnectionPool.retireAndDrain(liveUrl))
-        logWarning(s"file-swap: connections to $liveUrl still checked out after the " +
-          "drain window; they finish against the retiring instance")
+      drainOrAbort(liveUrl, stagingUrl, buildingPath, drainTimeoutMs)
       // A WAL at the live path belongs to the RETIRING generation; were it
       // left behind, the next open of the NEW file would replay foreign
       // WAL. The drained instance checkpoints it away (divergence (a) in
@@ -228,7 +305,7 @@ object FileSwap extends Logging {
       deleteIfExists(walOf(buildingPath))
       Files.move(Paths.get(completed), Paths.get(livePath),
         StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    } finally ConnectionPool.ungate(liveUrl)
+    } finally if (!alreadyGated) ConnectionPool.ungate(liveUrl)
     logInfo(s"file-swap: $livePath refreshed from generation " +
       buildingPath.stripSuffix(BuildingSuffix).substring(livePath.length))
   }
@@ -306,7 +383,9 @@ object FileSwap extends Logging {
       def genKey(p: Path): (Long, Long) =
         generationStamp(p.getFileName.toString.stripPrefix(prefix))
       val newest = candidates.maxBy(genKey)
-      candidates.filterNot(_ == newest).foreach(rm)
+      // same age gate as every other deletion: a YOUNG older generation
+      // can belong to another catalog's in-flight swap over this path
+      candidates.filterNot(_ == newest).filter(stale).foreach(rm)
       Files.move(newest, live, StandardCopyOption.ATOMIC_MOVE)
       logInfo(s"file-swap recovery: adopted ${newest.getFileName} as $livePath")
       Recovery(Some(newest.toString), removed.toList)

@@ -122,7 +122,7 @@ final case class JdbcBatchWrite(options: JdbcOptions, schema: StructType,
     */
   private val buildingPath: String =
     if (fileswap) FileSwap.newBuildingPath(livePath) else ""
-  private val liveIdentity: Option[(AnyRef, AnyRef)] =
+  private val liveIdentity: Option[FileSwap.FileIdentity] =
     if (fileswap) FileSwap.identityOf(livePath) else None
   private def stagingUrl: String = s"jdbc:duckdb:$buildingPath"
   /** Writer/commit options pointed at the staging file; sibling
@@ -247,10 +247,11 @@ final case class JdbcBatchWrite(options: JdbcOptions, schema: StructType,
         case Nil => None
         case conds => Some(conds.mkString("(", " AND ", ") IS NOT TRUE"))
       }
-      FileSwap.copyOthersAndCheckpoint(stagingOpts, livePath, ns, t,
+      // gate→drain→copy→swap in one guarded window: see FileSwap.commitSwap
+      FileSwap.commitSwap(stagingOpts, stagingUrl, buildingPath,
+        options.url, livePath, liveIdentity, ns, t,
         preserveWhere = preserve,
         targetCols = schema.fields.map(f => options.dialect.quote(f.name)).toSeq)
-      FileSwap.swapIntoLive(stagingUrl, buildingPath, options.url, livePath, liveIdentity)
     } else if (truncate) withConn { c =>
       // the atomic swap: matching rows are replaced in ONE remote txn
       c.setAutoCommit(false)

