@@ -59,6 +59,8 @@ EXPECT = {
     "coalesce_abs": sum(1 for r in SEED if abs(r[0] - 9) == 1),
     "date_literal": sum(1 for r in SEED if r[6] >= datetime.date(1995, 1, 1)),
     "ts_literal": sum(1 for r in SEED if r[7] < datetime.datetime(1996, 1, 1)),
+    # NULLIF(i, 3) IS NOT DISTINCT FROM NULL -> true exactly where i == 3
+    "nullsafe_eq": sum(1 for r in SEED if r[2] == 3),
 }
 
 fails = 0

@@ -184,13 +184,13 @@ object Bench {
     val medians = results
       .map(r => "\"" + qid(r._1) + "\":" + fq(r._2)).mkString("{", ",", "}")
     // Self-diagnosis map (replaces r≤8's "stalls"): [best rep, worst rep,
-    // GC % of wall, CPU cores busy] for the ≤8 most suspicious queries —
+    // GC % of wall, CPU cores busy] for the ≤7 most suspicious queries —
     // stall outliers (worst > 2× median and > 2 s over it) first, then the
-    // largest medians ≥ 1 s. Bounded at 8 entries for the line budget.
+    // largest medians ≥ 1 s. Bounded at 7 entries for the line budget.
     val isStall = (r: (String, Double, Double, Double, Long, Double)) =>
       r._4 > 2 * r._2 && r._4 - r._2 > 2.0
     val suspicious = (results.filter(isStall) ++
-      results.filterNot(isStall).filter(_._2 >= 1.0).sortBy(-_._2)).take(8)
+      results.filterNot(isStall).filter(_._2 >= 1.0).sortBy(-_._2)).take(7)
     val diag = suspicious
       .map(r => "\"" + qid(r._1) + "\":[" + fq(r._3) + "," + fq(r._4) + "," +
         r._5 + "," + f1(r._6) + "]")
@@ -207,7 +207,8 @@ object Bench {
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
       onlyJson + s""""queries":$medians,"diag":$diag,""" +
-      s""""gcsec":${math.round(gcTimedSec)},"warmsec":${math.round(warmSec)},""" +
+      s""""gcsec":${math.min(999, math.round(gcTimedSec))},""" +
+      s""""warmsec":${math.min(999, math.round(warmSec))},""" +
       s""""failed":$fails,"sf":"$sfName"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

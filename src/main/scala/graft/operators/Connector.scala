@@ -263,6 +263,54 @@ object Connector {
         .orderBy("n_nationkey")
     },
 
+    // SET-OP federation collapse (reference federation.rs:62-110 ships
+    // any same-source subplan the unparser expresses): Catalyst rewrites
+    // INTERSECT → Distinct(semi-join on null-safe equality) and EXCEPT →
+    // Distinct(anti-join); the federation rule collapses the joins as
+    // (NOT) EXISTS with IS NOT DISTINCT FROM conditions and wraps the
+    // distinct as SELECT DISTINCT — the whole chained
+    // (a INTERSECT b) EXCEPT c executes as ONE remote DuckDB statement.
+    // At 100 TB: set-ops between remote tables never ship either input.
+    Q("q132_duckdb_setop_pushdown",
+      "SELECT c_nationkey FROM customer WHERE c_acctbal > 100 " +
+        "INTERSECT SELECT c_nationkey FROM customer WHERE c_acctbal < 500 " +
+        "EXCEPT SELECT c_nationkey FROM customer WHERE c_custkey < 50 " +
+        "ORDER BY c_nationkey") { (s, dir) =>
+      val t = ensureDuckCopy(s, dir, "customer", "t124",
+        Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal"))
+      val a = s.table(t).filter(col("c_acctbal") > 100).select("c_nationkey")
+      val b = s.table(t).filter(col("c_acctbal") < 500).select("c_nationkey")
+      val c = s.table(t).filter(col("c_custkey") < 50).select("c_nationkey")
+      a.intersect(b).except(c).orderBy("c_nationkey")
+    },
+
+    // pincolumns catch-all projection on the wire (reference
+    // schema_projection.rs:1-70): the 4-column remote table reads as
+    // (c_custkey, c_name, data) where data is a sorted-key JSON object
+    // of the unpinned columns; extracting c_acctbal back out of the
+    // JSON and hash-matching the raw parquet oracle proves the fold is
+    // value-exact, not just shaped right. The pinned filter still
+    // pushes remotely.
+    Q("q133_jdbc_catchall_projection",
+      "SELECT c_custkey, c_name, c_acctbal FROM customer " +
+        "WHERE c_custkey <= 200 ORDER BY c_custkey") { (s, dir) =>
+      val t = ensureDuckCopy(s, dir, "customer", "t124",
+        Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal"))
+      val f = s"${sys.props("java.io.tmpdir")}/graft_duck_gate_" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_") + ".duckdb"
+      val bare = t.stripPrefix("dgate.app.")
+      s.read.format("graft.sources.jdbc.GraftJdbcSource")
+        .option("url", s"jdbc:duckdb:$f")
+        .option("dbtable", s""""app"."$bare"""")
+        .option("pincolumns", "c_custkey,c_name")
+        .load()
+        .filter(col("c_custkey") <= 200)
+        .withColumn("c_acctbal",
+          get_json_object(col("data"), "$.c_acctbal").cast("double"))
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    },
+
     // Scan with projection + IN-filter pushdown: WHERE reaches Derby SQL.
     Q("q50_jdbc_roundtrip_scan",
       "SELECT n_nationkey, n_name, n_regionkey FROM nation " +

@@ -31,6 +31,10 @@ final class CatalystUnparser(dialect: Dialect, attrSql: Map[ExprId, String]) {
     case Or(l, r) => bin("OR", l, r)
     case Not(c) => expr(c).map(s => s"(NOT $s)")
     case EqualTo(l, r) => bin("=", l, r)
+    // Spark `<=>`; Catalyst's INTERSECT/EXCEPT → semi/anti-join rewrite
+    // emits these as the join conditions (set-op equality is null-safe)
+    case EqualNullSafe(l, r) =>
+      for { ls <- expr(l); rs <- expr(r); s <- dialect.nullSafeEqSql(ls, rs) } yield s
     case LessThan(l, r) => bin("<", l, r)
     case LessThanOrEqual(l, r) => bin("<=", l, r)
     case GreaterThan(l, r) => bin(">", l, r)

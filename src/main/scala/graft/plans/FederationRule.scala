@@ -235,6 +235,39 @@ object FederationRule extends Rule[LogicalPlan] {
       }
       collapsed.getOrElse(w)
 
+    // DISTINCT collapse: Catalyst rewrites `Distinct` (and the distinct
+    // halves of UNION / INTERSECT / EXCEPT — ReplaceDistinctWithAggregate,
+    // ReplaceIntersectWithSemiJoin, ReplaceExceptWithAntiJoin, all in the
+    // Replace Operators batch that runs BEFORE this rule) into an
+    // Aggregate whose grouping and result sets are the same bare
+    // attributes with no aggregate functions. Over a collapsible leg that
+    // is exactly `SELECT DISTINCT …` — so, because transformUp collapses
+    // the Union / semi-join / anti-join underneath FIRST, a whole
+    // `a INTERSECT b` / `a EXCEPT b` / `a UNION b` between same-context
+    // scans becomes ONE remote statement. (INTERSECT ALL / EXCEPT ALL
+    // rewrite to ReplicateRows generators and deliberately stay local.)
+    case agg: Aggregate
+        if agg.groupingExpressions.nonEmpty &&
+          agg.groupingExpressions.forall(_.isInstanceOf[Attribute]) &&
+          agg.aggregateExpressions.forall(_.isInstanceOf[Attribute]) &&
+          agg.groupingExpressions.map(_.asInstanceOf[Attribute].exprId).toSet ==
+            agg.aggregateExpressions.map(_.asInstanceOf[Attribute].exprId).toSet =>
+      val collapsed = for {
+        l <- leafOf(agg.child)
+        outAttrs = agg.aggregateExpressions.map(_.asInstanceOf[Attribute])
+        if outAttrs.forall(a => l.attrs.contains(a.exprId))
+      } yield {
+        val d = l.opts.dialect
+        val alias = fresh()
+        val proj = outAttrs.zipWithIndex.map { case (a, i) =>
+          s"${l.attrs(a.exprId)} AS ${d.quote(s"c$i")}"
+        }
+        wrap(outAttrs, l.opts,
+          s"(SELECT DISTINCT ${proj.mkString(", ")} FROM ${l.from}) ${d.quote(alias)}",
+          alias)
+      }
+      collapsed.getOrElse(agg)
+
     case j @ Join(left, right, jt, cond, _) =>
       val collapsed =
         for {

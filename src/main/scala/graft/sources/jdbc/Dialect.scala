@@ -227,6 +227,16 @@ trait Dialect extends Serializable {
   def renameTableSql(oldQualified: String, newName: String): String =
     s"ALTER TABLE $oldQualified RENAME TO ${quote(newName)}"
 
+  /** Null-safe equality (Spark `<=>`) over two rendered operands, or
+    * None when this dialect has no spelling for it. ANSI
+    * `IS NOT DISTINCT FROM` by default (DuckDB / Postgres / ClickHouse);
+    * MySQL spells it `<=>`, SQLite `IS`, Derby has nothing. Gates the
+    * federation collapse of Catalyst's INTERSECT/EXCEPT rewrites, whose
+    * semi/anti join conditions are null-safe per SQL set-op semantics.
+    */
+  def nullSafeEqSql(a: String, b: String): Option[String] =
+    Some(s"($a IS NOT DISTINCT FROM $b)")
+
   /** Whether FULL OUTER JOIN may be rendered for this dialect. */
   def supportsFullOuterJoin: Boolean = true
 
@@ -263,6 +273,9 @@ object DerbyDialect extends Dialect {
   override def supportsWindowFunctions: Boolean = false
   override def supportsMultipleDistinctAggregates: Boolean = false
   override def singleWriterUpserts: Boolean = true
+  // Derby has no IS NOT DISTINCT FROM / <=> — null-safe comparisons
+  // (and hence INTERSECT/EXCEPT collapse) stay on the Spark side.
+  override def nullSafeEqSql(a: String, b: String): Option[String] = None
   override def modSql(a: String, b: String): String = s"MOD($a, $b)"
   // Derby has no EXTRACT; YEAR()..SECOND() exist, QUARTER does not.
   override def extractSql(field: String, src: String): Option[String] = field match {
@@ -396,6 +409,8 @@ object DuckDbDialect extends Dialect {
 
 object SqliteDialect extends Dialect {
   val name = "sqlite"
+  // SQLite's null-safe equality operator is `IS`
+  override def nullSafeEqSql(a: String, b: String): Option[String] = Some(s"($a IS $b)")
   override def typeName(dt: DataType): String = dt match {
     case ByteType | ShortType | IntegerType | LongType | BooleanType => "INTEGER"
     case FloatType | DoubleType => "REAL"
@@ -436,6 +451,8 @@ object SqliteDialect extends Dialect {
 
 object MySqlDialect extends Dialect {
   val name = "mysql"
+  // MySQL has no IS NOT DISTINCT FROM; its null-safe equality is `<=>`
+  override def nullSafeEqSql(a: String, b: String): Option[String] = Some(s"($a <=> $b)")
   override def quote(ident: String): String = "`" + ident.replace("`", "``") + "`"
   // MySQL string literals treat backslash as an escape character (the
   // one engine here that does) — without doubling, the unparser's

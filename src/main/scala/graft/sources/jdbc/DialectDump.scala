@@ -63,7 +63,12 @@ object DialectDump {
       "date_literal" -> u.expr(new Predicate(">=",
         Array(col("dt"), lit(9131, DateType)))), // 1995-01-01 epoch-day
       "ts_literal" -> u.expr(new Predicate("<",
-        Array(col("ts"), lit(820454400000000L, TimestampNTZType)))) // 1996-01-01 UTC micros
+        Array(col("ts"), lit(820454400000000L, TimestampNTZType)))), // 1996-01-01 UTC micros
+      // null-safe equality spelling (gates the INTERSECT/EXCEPT
+      // federation collapse): NULLIF synthesizes a NULL remotely, so a
+      // non-null-safe `=` would count 0 — the live engines prove the
+      // IS NOT DISTINCT FROM / IS spellings really match NULL to NULL
+      "nullsafe_eq" -> d.nullSafeEqSql(s"NULLIF(${d.quote("i")}, 3)", "NULL")
     )
   }
 

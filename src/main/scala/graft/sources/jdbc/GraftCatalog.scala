@@ -125,7 +125,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       // catalog-level `customschema` (column-NAME-keyed, so it overlays
       // every table in the catalog that has a matching column — declare
       // only names that are unambiguous across the namespace)
-      options.customSchema.map(TypeMapping.applyOverrides(base, _)).getOrElse(base)
+      val merged =
+        options.customSchema.map(TypeMapping.applyOverrides(base, _)).getOrElse(base)
+      // pincolumns catch-all projection (schema_projection.rs analog)
+      SchemaProjection.project(merged, options)
     } finally ps.close()
   }
 

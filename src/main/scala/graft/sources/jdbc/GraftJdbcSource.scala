@@ -42,7 +42,10 @@ class GraftJdbcSource extends TableProvider {
       try {
         val base = TypeMapping.schemaOf(ps.getMetaData,
           unsupportedAsString = o.readUnsupportedAsString)
-        o.customSchema.map(TypeMapping.applyOverrides(base, _)).getOrElse(base)
+        val merged =
+          o.customSchema.map(TypeMapping.applyOverrides(base, _)).getOrElse(base)
+        // pincolumns catch-all projection (schema_projection.rs analog)
+        SchemaProjection.project(merged, o)
       } finally ps.close()
     } finally c.close()
   }

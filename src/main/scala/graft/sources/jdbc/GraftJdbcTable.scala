@@ -30,6 +30,11 @@ final case class GraftJdbcTable(
   override def schema(): StructType = schema0
 
   override def capabilities(): util.Set[TableCapability] = {
+    // a pincolumns-projected table is READ-ONLY: its exposed shape no
+    // longer matches the remote table, so a write through it would have
+    // to invert the catch-all fold — refuse at the capability level
+    if (options.pinColumns.isDefined)
+      return Set[TableCapability](TableCapability.BATCH_READ).asJava
     val base = Set(
       TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE,
@@ -56,7 +61,8 @@ final case class GraftJdbcTable(
   private def unparser = new Unparser(options.dialect)
 
   override def canDeleteWhere(predicates: Array[Predicate]): Boolean =
-    predicates.forall(p => unparser.expr(p).isDefined)
+    options.pinColumns.isEmpty && // projected tables are read-only
+      predicates.forall(p => unparser.expr(p).isDefined)
 
   override def deleteWhere(predicates: Array[Predicate]): Unit = {
     val u = unparser

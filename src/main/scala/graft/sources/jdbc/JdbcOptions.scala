@@ -202,6 +202,36 @@ final case class JdbcOptions(map: Map[String, String]) extends Serializable {
   val customSchema: Option[org.apache.spark.sql.types.StructType] =
     map.get("customschema").map(org.apache.spark.sql.types.StructType.fromDDL)
 
+  /** Schema projection (reference `crates/common/src/schema_projection
+    * .rs:1-70`): `pincolumns=a,b,c` keeps the named remote columns as
+    * their own typed columns and collapses EVERY other remote column
+    * into one catch-all JSON string column ([[catchAllColumn]]) — the
+    * wide-table escape hatch: a 400-column remote table reads as
+    * `a, b, c, data` without declaring 400 fields. Validated eagerly:
+    * duplicates and a pin named like the catch-all fail at option-parse
+    * time on the driver.
+    */
+  val pinColumns: Option[Seq[String]] = map.get("pincolumns").map { spec =>
+    val pins = spec.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    if (pins.isEmpty)
+      throw new IllegalArgumentException("pincolumns: at least one column required")
+    val dups = pins.groupBy(_.toLowerCase).collect { case (k, vs) if vs.sizeIs > 1 => k }
+    if (dups.nonEmpty)
+      throw new IllegalArgumentException(
+        s"pincolumns: duplicate column(s): ${dups.mkString(", ")}")
+    pins
+  }
+
+  /** The catch-all column's exposed name (only meaningful with
+    * `pincolumns`); reference `JSON_OBJECT_MARKER` column. */
+  val catchAllColumn: String = {
+    val n = map.getOrElse("catchallcolumn", "data")
+    if (pinColumns.exists(_.exists(_.equalsIgnoreCase(n))))
+      throw new IllegalArgumentException(
+        s"catchallcolumn '$n' collides with a pinned column")
+    n
+  }
+
   /** Parameterized table arguments (reference: ClickHouse
     * parameterized views, `crates/common/src/util/table_arg_replace.rs:10-80`
     * rewrites `FROM t` → `FROM t(p1 = v1, …)`). When set, every

@@ -39,6 +39,21 @@ final class JdbcScanBuilder(options: JdbcOptions, tableSchema: StructType)
 
   private val unparser = new Unparser(options.dialect)
   private var schema: StructType = tableSchema
+
+  /** With a pincolumns projection, the catch-all column has no remote
+    * existence: any pushdown piece referencing it must refuse (the
+    * rendered `"data"` would be a remote unknown-column error). Pinned
+    * columns keep the whole pushdown surface.
+    */
+  private def touchesCatchAll(e: Expression): Boolean =
+    options.pinColumns.isDefined && {
+      val ca = options.catchAllColumn
+      def walk(x: Expression): Boolean = x match {
+        case n: NamedReference => n.fieldNames.exists(_.equalsIgnoreCase(ca))
+        case other => other.children().exists(walk)
+      }
+      walk(e)
+    }
   private var pushedSql: Seq[String] = Nil
   private var pushed: Array[Predicate] = Array.empty
   private var limit: Option[Int] = None
@@ -102,6 +117,9 @@ final class JdbcScanBuilder(options: JdbcOptions, tableSchema: StructType)
   }
 
   private def translate(agg: Aggregation): Option[(Seq[String], Seq[String], StructType)] = {
+    // catch-all references cannot exist remotely — whole aggregate stays local
+    if (agg.groupByExpressions.exists(touchesCatchAll) ||
+      agg.aggregateExpressions.exists(touchesCatchAll)) return None
     // Derby cannot evaluate two DISTINCT aggregates in one statement
     // ("Multiple DISTINCT aggregates are not supported") — such plans
     // stay local over the scanned rows. Found by AggPushdownPropertySpec.
@@ -185,7 +203,8 @@ final class JdbcScanBuilder(options: JdbcOptions, tableSchema: StructType)
     }
 
   override def pushPredicates(predicates: Array[Predicate]): Array[Predicate] = {
-    val rendered = predicates.map(p => p -> unparser.expr(p))
+    val rendered = predicates.map(p =>
+      p -> (if (touchesCatchAll(p)) None else unparser.expr(p)))
     pushed = rendered.collect { case (p, Some(_)) => p }
     pushedSql = rendered.collect { case (_, Some(s)) => s }.toSeq
     rendered.collect { case (p, None) => p }
@@ -208,6 +227,8 @@ final class JdbcScanBuilder(options: JdbcOptions, tableSchema: StructType)
 
   override def pushTopN(orders: Array[SortOrder], n: Int): Boolean = {
     if (aggSchema.isDefined) return false
+    // a sort key on the catch-all column has no remote rendering
+    if (orders.exists(o => touchesCatchAll(o.expression()))) return false
     val rendered = orders.toSeq.map(unparser.sort)
     if (rendered.forall(_.isDefined)) {
       orderBy = rendered.map(_.get)
@@ -237,9 +258,22 @@ final class JdbcScanBuilder(options: JdbcOptions, tableSchema: StructType)
     else { offset = Some(n); true }
   }
 
-  override def build(): Scan =
+  override def build(): Scan = {
+    // pincolumns projection: when the surviving schema still carries the
+    // catch-all column, the scan must fetch every non-pinned remote
+    // column and fold it in the reader (alphabetical — reference
+    // BTreeMap ordering). Pruned-away catch-all = a plain pinned scan.
+    val catchAll: Option[(String, StructType)] =
+      if (aggSchema.isDefined) None
+      else options.pinColumns.flatMap { pins =>
+        schema.fields.find(_.name.equalsIgnoreCase(options.catchAllColumn)).map { _ =>
+          (options.catchAllColumn,
+            SchemaProjection.restFields(SchemaProjection.fullRemoteSchema(options), pins))
+        }
+      }
     JdbcScan(options, aggSchema.getOrElse(schema), pushedSql, orderBy, limit,
-      aggSelect, groupBySql, pushedOffset = offset)
+      aggSelect, groupBySql, pushedOffset = offset, catchAll = catchAll)
+  }
 }
 
 final case class JdbcScan(
@@ -250,7 +284,8 @@ final case class JdbcScan(
     limit: Option[Int],
     aggSelect: Seq[String] = Nil,
     groupBy: Seq[String] = Nil,
-    pushedOffset: Option[Int] = None) extends Scan with Batch
+    pushedOffset: Option[Int] = None,
+    catchAll: Option[(String, StructType)] = None) extends Scan with Batch
     with SupportsRuntimeV2Filtering with SupportsReportStatistics with Logging {
 
   override def readSchema(): StructType = schema
@@ -320,8 +355,9 @@ final case class JdbcScan(
 
   override def filterAttributes(): Array[NamedReference] =
     if (aggSelect.nonEmpty || fetchIsPushed) Array.empty // no remote names / fetch pushed
-    else schema.fields.map(f =>
-      org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
+    else schema.fields
+      .filterNot(f => catchAll.exists(_._1.equalsIgnoreCase(f.name)))
+      .map(f => org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
 
   override def filter(predicates: Array[Predicate]): Unit = {
     if (fetchIsPushed || aggSelect.nonEmpty) return // see filterAttributes
@@ -336,7 +372,16 @@ final case class JdbcScan(
     val d = options.dialect
     val cols =
       if (aggSelect.nonEmpty) aggSelect.mkString(", ")
-      else schema.fields.map(f => d.quote(f.name)).mkString(", ")
+      else catchAll match {
+        // pinned survivors first, then every folded remote column; a
+        // degenerate all-empty projection renders the reference's
+        // synthetic SELECT 1
+        case Some((ca, rest)) =>
+          val sel = schema.fields.filterNot(_.name.equalsIgnoreCase(ca))
+            .map(f => d.quote(f.name)) ++ rest.fields.map(f => d.quote(f.name))
+          if (sel.isEmpty) "1" else sel.mkString(", ")
+        case None => schema.fields.map(f => d.quote(f.name)).mkString(", ")
+      }
     val conds = where ++ runtimeWhere ++ rangePred
     val whereClause =
       if (conds.isEmpty) "" else conds.mkString(" WHERE ", " AND ", "")
@@ -397,7 +442,7 @@ final case class JdbcScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    JdbcReaderFactory(options, schema)
+    JdbcReaderFactory(options, schema, catchAll)
 }
 
 object JdbcScan {
@@ -428,17 +473,41 @@ object JdbcScan {
 
 final case class JdbcInputPartition(sql: String, idx: Int) extends InputPartition
 
-final case class JdbcReaderFactory(options: JdbcOptions, schema: StructType)
+final case class JdbcReaderFactory(options: JdbcOptions, schema: StructType,
+    catchAll: Option[(String, StructType)] = None)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new JdbcPartitionReader(options, schema, partition.asInstanceOf[JdbcInputPartition].sql)
+    new JdbcPartitionReader(options, schema,
+      partition.asInstanceOf[JdbcInputPartition].sql, catchAll)
 }
 
 /** Executor-side cursor: streams `fetchSize`-row chunks from the remote
   * statement (reference: Postgres 4000-row chunking, `conn.rs:443`).
+  *
+  * With a `catchAll` projection the physical cursor carries the pinned
+  * survivors followed by every folded remote column; `get()` re-shapes
+  * each physical row into the output schema, serializing the folded
+  * tail as one sorted-key JSON object string (the reference's
+  * `project_row`, `schema_projection.rs`). No folded columns at all →
+  * the catch-all reads as SQL NULL.
   */
-final class JdbcPartitionReader(options: JdbcOptions, schema: StructType, sql: String)
+final class JdbcPartitionReader(options: JdbcOptions, schema: StructType, sql: String,
+    catchAll: Option[(String, StructType)] = None)
   extends PartitionReader[InternalRow] with Logging {
+
+  // physical result schema (what the rendered SQL actually selects)
+  private val physSchema: StructType = catchAll match {
+    case Some((ca, rest)) =>
+      StructType(schema.fields.filterNot(_.name.equalsIgnoreCase(ca)) ++ rest.fields)
+    case None => schema
+  }
+  // output index → physical index, -1 marking the catch-all slot
+  private val outIndex: Option[Array[Int]] = catchAll.map { case (ca, _) =>
+    var p = 0
+    schema.fields.map { f =>
+      if (f.name.equalsIgnoreCase(ca)) -1 else { val i = p; p += 1; i }
+    }
+  }
 
   // per-resource open flags guard close(): forcing the lazies there
   // would EXECUTE the remote query for readers that never produced a
@@ -465,10 +534,38 @@ final class JdbcPartitionReader(options: JdbcOptions, schema: StructType, sql: S
   }
   // metadata-aware: TIME columns normalize to the epoch day regardless
   // of the driver's date-component convention
-  private lazy val getters = TypeMapping.getters(schema, rs.getMetaData)
+  private lazy val getters = TypeMapping.getters(physSchema, rs.getMetaData)
 
   override def next(): Boolean = rs.next()
-  override def get(): InternalRow = TypeMapping.readRow(rs, getters)
+  override def get(): InternalRow = {
+    val phys = TypeMapping.readRow(rs, getters)
+    outIndex match {
+      case None => phys
+      case Some(idx) =>
+        val (_, rest) = catchAll.get
+        val pinnedCount = idx.count(_ >= 0)
+        def physGet(p: Int): Any =
+          if (phys.isNullAt(p)) null else phys.get(p, physSchema.fields(p).dataType)
+        val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(idx.length)
+        var i = 0
+        while (i < idx.length) {
+          if (idx(i) >= 0) out.update(i, physGet(idx(i)))
+          else if (rest.isEmpty) out.update(i, null)
+          else {
+            val restRow =
+              new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(rest.length)
+            var j = 0
+            while (j < rest.length) {
+              restRow.update(j, physGet(pinnedCount + j)); j += 1
+            }
+            out.update(i, org.apache.spark.unsafe.types.UTF8String.fromString(
+              TypeMapping.toJson(rest, restRow)))
+          }
+          i += 1
+        }
+        out
+    }
+  }
   override def close(): Unit = {
     try { if (rsOpened) rs.close() }
     finally {

@@ -27,11 +27,11 @@ class BenchContractSpec extends AnyFunSuite {
     // on full runs, `sf` emits as its basename
     val medians = SparkEntry.all
       .map(q => "\"" + qid(q.name) + "\":999.9").mkString("{", ",", "}")
-    val diag = (1 to 8)
+    val diag = (1 to 7)
       .map(i => "\"q1${i}0\":[999.9,999.9,100,32.0]").mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":99999.999,"unit":"sec",""" +
       s""""queries":$medians,"diag":$diag,""" +
-      s""""gcsec":9999,"warmsec":9999,""" +
+      s""""gcsec":999,"warmsec":999,""" +
       s""""failed":[],"sf":"sf0.1"}"""
     assert(line.length <= 2000,
       s"bench JSON would be ${line.length} B; trim before the harness truncates it")

@@ -57,6 +57,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"filter/agg did not push into the function scan:\n$p")
   }
 
+  test("q132: chained INTERSECT/EXCEPT is ONE remote statement — no local join, no local distinct") {
+    assume(graft.sources.jdbc.DuckDbWireSpec.driverPresent)
+    val p = plan("q132_duckdb_setop_pushdown")
+    assert("GraftJdbcScan".r.findAllIn(p).length == 1,
+      s"set-op chain did not collapse to one scan:\n$p")
+    assert(p.contains("IS NOT DISTINCT FROM"),
+      s"intersect's null-safe equality not in the remote SQL:\n$p")
+    assert(p.contains("NOT EXISTS"), s"except's anti-join not remote:\n$p")
+    assert(p.contains("SELECT DISTINCT"), s"distinct not remote:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("HashAggregate"), s"a local set-op stage survived:\n$p")
+  }
+
   test("q02: predicate reaches the parquet scan as PushedFilters") {
     val p = plan("q02_filter_pushdown")
     assert(p.contains("PushedFilters:") && p.contains("GreaterThan(l_quantity"), p)

@@ -190,6 +190,37 @@ class FederationSpec extends AnyFunSuite with SparkFixture {
     assert(scanCount(dup) == 1 && dup.count() == 6)
   }
 
+  test("UNION DISTINCT collapses to one remote SELECT DISTINCT statement") {
+    setup()
+    import spark.implicits._
+    // Catalyst rewrites Distinct(Union) → Aggregate(out, out, Union);
+    // the union arm collapses the branches, the distinct arm then wraps
+    // the result as SELECT DISTINCT — one remote statement end to end
+    val a = spark.table("ext.fed.cust").filter($"seg" === 1).select("cid", "cname")
+    val b = spark.table("ext.fed.cust").select("cid", "cname")
+    val df = a.union(b).distinct().orderBy("cid")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(scanCount(df) == 1, s"union distinct should collapse:\n$plan")
+    assert(plan.contains("SELECT DISTINCT"), s"no remote DISTINCT:\n$plan")
+    assert(plan.contains("UNION ALL"), s"branches not collapsed:\n$plan")
+    assert(df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "alice"), (2L, "bob"), (3L, "carol")))
+  }
+
+  test("INTERSECT stays local on a dialect without null-safe equality (Derby)") {
+    setup()
+    import spark.implicits._
+    // Derby has no IS NOT DISTINCT FROM: the semi-join's <=> conditions
+    // must refuse to unparse, leaving two scans — and exact results
+    val a = spark.table("ext.fed.cust").filter($"seg" === 1).select("cid", "cname")
+    val b = spark.table("ext.fed.cust").select("cid", "cname")
+    val df = a.intersect(b).orderBy("cid")
+    assert(scanCount(df) == 2,
+      s"Derby INTERSECT must stay local:\n${df.queryExecution.executedPlan}")
+    assert(df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "alice"), (3L, "carol")))
+  }
+
   test("distinct servers are never merged") {
     setup()
     // second, separate Derby database = different compute context

@@ -268,6 +268,47 @@ class DuckDbWireSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("INTERSECT and EXCEPT collapse to one remote statement on live DuckDB") {
+    init()
+    spark.sql("DROP TABLE IF EXISTS duck.app.so")
+    import spark.implicits._
+    // grp is NULLABLE: set-op equality is null-safe, so a NULL group must
+    // intersect with itself — exactly what IS NOT DISTINCT FROM renders
+    (1L to 10L).map(i => (i, if (i % 5 == 0) null else s"g${i % 3}"))
+      .toDF("k", "grp").writeTo("duck.app.so").create()
+
+    val a = spark.table("duck.app.so").filter($"k" <= 7).select("grp")
+    val b = spark.table("duck.app.so").filter($"k" >= 4).select("grp")
+
+    val inter = a.intersect(b).orderBy("grp")
+    val iPlan = planOf(inter)
+    assert(iPlan.split("GraftJdbcScan").length - 1 == 1,
+      s"INTERSECT did not collapse to one scan:\n$iPlan")
+    assert(iPlan.contains("IS NOT DISTINCT FROM"),
+      s"null-safe equality not rendered:\n$iPlan")
+    assert(iPlan.contains("SELECT DISTINCT"), s"no remote DISTINCT:\n$iPlan")
+    // rows 4..7 have grps g1,null,g0,g1 — intersect {g0,g1,g2,null} = all
+    // (Spark ascending sort puts NULL first)
+    assert(inter.collect().map(r => Option(r.getString(0)).getOrElse("NULL")).toSeq ==
+      Seq("NULL", "g0", "g1", "g2"))
+
+    val exc = a.except(b).orderBy("grp")
+    val ePlan = planOf(exc)
+    assert(ePlan.split("GraftJdbcScan").length - 1 == 1,
+      s"EXCEPT did not collapse to one scan:\n$ePlan")
+    assert(ePlan.contains("NOT EXISTS"), s"no remote NOT EXISTS:\n$ePlan")
+    // a = {g1,g2,g0,g1,null,g0,g1}, b covers g0,g1,g2,null → empty
+    assert(exc.collect().isEmpty)
+
+    // …and a differing EXCEPT, to prove values flow: rows k<=4 minus k>=4
+    val a2 = spark.table("duck.app.so").filter($"k" <= 4).select("k")
+    val b2 = spark.table("duck.app.so").filter($"k" >= 4).select("k")
+    val e2 = a2.except(b2).orderBy("k")
+    assert(e2.queryExecution.executedPlan.toString
+      .split("GraftJdbcScan").length - 1 == 1)
+    assert(e2.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("negative control: a Derby x DuckDB join never collapses, and is still exact") {
     init()
     // one leg per ENGINE: contexts differ, so AllowedFor(context)
@@ -290,6 +331,15 @@ class DuckDbWireSpec extends AnyFunSuite with SparkFixture {
     val rows = joined.collect().map(r => (r.getLong(0), r.getString(2)))
     assert(rows.toSeq == Seq(1L -> "EUROPE", 2L -> "AMERICA", 3L -> "EUROPE",
       4L -> "AMERICA", 5L -> "EUROPE", 6L -> "AMERICA"), rows.mkString(","))
+
+    // mixed-context SET-OPS never merge either: the INTERSECT's semi-join
+    // legs live on different engines, so two scans must remain
+    val xInter = spark.table("ext.xe.dn").select("rk")
+      .intersect(spark.table("duck.app.dr").select("rk")).orderBy("rk")
+    val xPlan = planOf(xInter)
+    assert(xPlan.split("GraftJdbcScan").length - 1 == 2,
+      s"cross-engine INTERSECT must stay two scans:\n$xPlan")
+    assert(xInter.collect().map(_.getInt(0)).toSeq == Seq(0, 1))
   }
 
   test("multi-file ATTACH federation: a cross-file join collapses to ONE remote scan") {
