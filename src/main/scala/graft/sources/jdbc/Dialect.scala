@@ -214,9 +214,12 @@ trait Dialect extends Serializable {
   /** Rows per INSERT statement on the append path: engines whose JDBC
     * batch machinery degenerates to row-at-a-time execution get
     * multi-row `VALUES (…),(…),…` statements instead. 1 = the plain
-    * single-row prepared batch (Derby's real batching is already fast;
-    * the others are unmeasured here). DuckDB overrides: measured 31×
+    * single-row prepared batch. DuckDB overrides: measured 31×
     * (200 k rows, 47.5 s single-row batch → 1.5 s at 100 rows/stmt).
+    * Derby measured the other way (round-9 A/B, BASELINE.md): 100-row
+    * VALUES is 2.16 s vs 2.07 s for its real batch at 200 k rows — its
+    * executeBatch already saturates, so it stays at 1. `insertrows=`
+    * overrides per table either way.
     */
   def multiRowInsertBatch: Int = 1
 
