@@ -16,6 +16,9 @@ import scala.util.Random
   * mirror. Whether a predicate pushes fully, partially or not at all is
   * irrelevant to the caller — THE RESULT MUST NOT CHANGE. This is the
   * contract the per-construct goldens in UnparserSpec cannot sweep.
+  * The sweep runs against BOTH live wire engines: Derby and (when the
+  * cached driver jar exists) DuckDB, whose dialect spells LIKE escapes,
+  * quoting and temporal extraction differently.
   */
 class PushdownPropertySpec extends AnyFunSuite with SparkFixture {
 
@@ -33,11 +36,13 @@ class PushdownPropertySpec extends AnyFunSuite with SparkFixture {
       (k, d, s, ts)
     }
 
-  private def setup(): Unit = {
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS ext.pp")
-    spark.sql("DROP TABLE IF EXISTS ext.pp.t")
+  /** Create `<catalog>.pp.t` with the fixture rows and return its name. */
+  private def setup(catalog: String): String = {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $catalog.pp")
+    spark.sql(s"DROP TABLE IF EXISTS $catalog.pp.t")
     import spark.implicits._
-    rows.toDF("k", "d", "s", "ts").writeTo("ext.pp.t").create()
+    rows.toDF("k", "d", "s", "ts").writeTo(s"$catalog.pp.t").create()
+    s"$catalog.pp.t"
   }
 
   /** Random predicate over columns k/d/s/ts, identical for both sides. */
@@ -65,17 +70,38 @@ class PushdownPropertySpec extends AnyFunSuite with SparkFixture {
   private def sortedRows(df: DataFrame): Seq[String] =
     df.collect().map(_.mkString("|")).sorted.toSeq
 
-  test("random predicates: pushed Derby scan == in-memory mirror") {
-    setup()
+  /** Sweep `seeds` random predicates against table `name`, comparing each
+    * result to the in-memory mirror filtered by the identical predicate.
+    */
+  private def sweep(name: String, seeds: Range): Unit = {
     import spark.implicits._
     val local = rows.toDF("k", "d", "s", "ts")
-    val remote = spark.table("ext.pp.t")
-    for (seed <- 1 to 40) {
+    val remote = spark.table(name)
+    for (seed <- seeds) {
       val p1 = pred(new Random(seed))
       val p2 = pred(new Random(seed))
       val (got, want) = (sortedRows(remote.filter(p1)), sortedRows(local.filter(p2)))
       assert(got == want,
         s"seed=$seed predicate=${p1} diverged:\n got=$got\nwant=$want")
     }
+  }
+
+  test("random predicates: pushed Derby scan == in-memory mirror") {
+    sweep(setup("ext"), 1 to 40)
+  }
+
+  // The same grammar against the flagship connector's LIVE wire: DuckDB's
+  // dialect diverges from Derby's exactly where unparse bugs hide (LIKE
+  // escape spelling, quoting, EXTRACT forms, modulo), and its evaluation
+  // of the pushed SQL is the real engine's, not Derby's. Self-skips when
+  // the locally cached driver jar is absent.
+  test("random predicates: pushed live-DuckDB scan == in-memory mirror") {
+    assume(DuckDbWireSpec.driverPresent, "duckdb_jdbc driver not on classpath")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ppduck").toString
+    spark.conf.set("spark.sql.catalog.ppduck", "graft.sources.jdbc.GraftCatalog")
+    // basename must differ from the "pp" schema: DuckDB names the file's
+    // catalog after the basename and "pp.t" would become ambiguous
+    spark.conf.set("spark.sql.catalog.ppduck.url", s"jdbc:duckdb:$dir/sweep.duckdb")
+    sweep(setup("ppduck"), 1 to 40)
   }
 }
