@@ -8,8 +8,9 @@ import org.scalatest.funsuite.AnyFunSuite
 import scala.util.Random
 
 /** Randomized aggregate-pushdown equivalence: GROUP BY plans whose
-  * aggregates push into the remote Derby SQL must produce the same
-  * rows as the identical plan over an in-memory mirror — NULL-skipping
+  * aggregates push into the remote SQL (live Derby AND live DuckDB)
+  * must produce the same rows as the identical plan over an in-memory
+  * mirror — NULL-skipping
   * aggregate semantics, empty groups, filters below the aggregate, and
   * the distinct flavors included. (The single golden is q57; this
   * sweeps the combinations.)
@@ -24,11 +25,12 @@ class AggPushdownPropertySpec extends AnyFunSuite with SparkFixture {
       (g, v, d)
     }
 
-  private def setup(): Unit = {
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS ext.ap")
-    spark.sql("DROP TABLE IF EXISTS ext.ap.t")
+  private def setup(catalog: String): String = {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $catalog.ap")
+    spark.sql(s"DROP TABLE IF EXISTS $catalog.ap.t")
     import spark.implicits._
-    rows.toDF("g", "v", "d").writeTo("ext.ap.t").create()
+    rows.toDF("g", "v", "d").writeTo(s"$catalog.ap.t").create()
+    s"$catalog.ap.t"
   }
 
   private def aggs(rnd: Random): Seq[Column] = {
@@ -56,14 +58,28 @@ class AggPushdownPropertySpec extends AnyFunSuite with SparkFixture {
   private def sortedRows(df: DataFrame): Seq[String] =
     df.collect().map(_.mkString("|")).sorted.toSeq
 
-  test("random GROUP BY aggregates: pushed Derby scan == in-memory mirror") {
-    setup()
+  private def sweep(name: String): Unit = {
     import spark.implicits._
     val local = rows.toDF("g", "v", "d")
     for (seed <- 1 to 25) {
-      val got = sortedRows(build(spark.table("ext.ap.t"), seed))
+      val got = sortedRows(build(spark.table(name), seed))
       val want = sortedRows(build(local, seed))
       assert(got == want, s"seed=$seed diverged:\n got=$got\nwant=$want")
     }
+  }
+
+  test("random GROUP BY aggregates: pushed Derby scan == in-memory mirror") {
+    sweep(setup("ext"))
+  }
+
+  // Same sweep on the flagship connector's live wire: DuckDB evaluates
+  // the pushed SUM/AVG/COUNT(DISTINCT) SQL itself, so NULL-skipping and
+  // distinct semantics are checked against the real engine, not Derby.
+  test("random GROUP BY aggregates: pushed live-DuckDB scan == in-memory mirror") {
+    assume(DuckDbWireSpec.driverPresent, "duckdb_jdbc driver not on classpath")
+    val dir = java.nio.file.Files.createTempDirectory("graft_apduck").toString
+    spark.conf.set("spark.sql.catalog.apduck", "graft.sources.jdbc.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.apduck.url", s"jdbc:duckdb:$dir/sweep.duckdb")
+    sweep(setup("apduck"))
   }
 }

@@ -47,7 +47,7 @@ class PushdownPropertySpec extends AnyFunSuite with SparkFixture {
 
   /** Random predicate over columns k/d/s/ts, identical for both sides. */
   private def pred(rnd: Random, depth: Int = 0): Column = {
-    def leaf: Column = rnd.nextInt(10) match {
+    def leaf: Column = rnd.nextInt(15) match {
       case 0 => col("k") > lit(rnd.nextInt(40).toLong)
       case 1 => col("k") % lit(2 + rnd.nextInt(5)) === lit(rnd.nextInt(3))
       case 2 => col("d") <= lit(rnd.nextInt(50).toDouble)
@@ -58,6 +58,11 @@ class PushdownPropertySpec extends AnyFunSuite with SparkFixture {
       case 7 => year(col("ts")) === lit(1994 + rnd.nextInt(4))
       case 8 => month(col("ts")) <= lit(1 + rnd.nextInt(12))
       case 9 => when(col("k") > 20, col("d")).otherwise(col("d") + 10) > lit(15.0)
+      case 10 => coalesce(col("k"), lit(0L)) > lit(rnd.nextInt(40).toLong)
+      case 11 => col("d").between(lit(rnd.nextInt(20).toDouble), lit(20 + rnd.nextInt(30).toDouble))
+      case 12 => concat(col("s"), lit("#")).endsWith(Seq("id#", "%_#", s"${rnd.nextInt(40)}#")(rnd.nextInt(3)))
+      case 13 => substring(col("s"), 2, 3) === Seq("lai", "re%", "nde", "ord")(rnd.nextInt(4))
+      case 14 => abs(col("d") - lit(20.0)) < lit(rnd.nextInt(15).toDouble)
     }
     if (depth >= 2 || rnd.nextInt(3) == 0) leaf
     else rnd.nextInt(3) match {
