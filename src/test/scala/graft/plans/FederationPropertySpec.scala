@@ -8,7 +8,8 @@ import org.scalatest.funsuite.AnyFunSuite
 import scala.util.Random
 
 /** Randomized equivalence: for random leg shapes (filters, projections)
-  * and join/union compositions over SAME-SERVER Derby tables, the
+  * and join/union/set-op compositions over SAME-SERVER tables (live
+  * Derby, and live DuckDB when the cached driver jar exists), the
   * federation-collapsed result must equal the identical DataFrame
   * program over in-memory mirrors of the same data — null-extension
   * semantics, duplicate preservation and filter placement included.
@@ -22,13 +23,13 @@ class FederationPropertySpec extends AnyFunSuite with SparkFixture {
   private lazy val ordRows =
     (1L to 30L).map(i => (100 + i, i % 15 + 1, (i * 13 % 9) * 25.0))
 
-  private def setup(): Unit = {
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS ext.fp")
-    spark.sql("DROP TABLE IF EXISTS ext.fp.cust")
-    spark.sql("DROP TABLE IF EXISTS ext.fp.ord")
+  private def setup(catalog: String): Unit = {
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $catalog.fp")
+    spark.sql(s"DROP TABLE IF EXISTS $catalog.fp.cust")
+    spark.sql(s"DROP TABLE IF EXISTS $catalog.fp.ord")
     import spark.implicits._
-    custRows.toDF("cid", "cname", "seg", "bal").writeTo("ext.fp.cust").create()
-    ordRows.toDF("oid", "ocid", "amount").writeTo("ext.fp.ord").create()
+    custRows.toDF("cid", "cname", "seg", "bal").writeTo(s"$catalog.fp.cust").create()
+    ordRows.toDF("oid", "ocid", "amount").writeTo(s"$catalog.fp.ord").create()
   }
 
   /** The same logical leg over either the remote table or its mirror. */
@@ -48,36 +49,65 @@ class FederationPropertySpec extends AnyFunSuite with SparkFixture {
   private def rows(df: DataFrame): Seq[String] =
     df.collect().map(_.mkString("|")).sorted.toSeq
 
-  test("random join/union shapes: collapsed == local execution") {
-    setup()
+  private val joinTypes = Seq("inner", "left", "right", "left_semi", "left_anti", "cross")
+
+  // self-contained per (seed, tables): fresh Randoms inside, so the
+  // remote and local sides build the IDENTICAL plan shape
+  private def build(seed: Int, cust: DataFrame, ord: DataFrame): DataFrame = {
+    val shape = new Random(seed)
+    val rnd = new Random(seed * 1000)
+    val l = leg(cust, rnd, "bal", Seq("cid", "cname", "seg"))
+    val r = leg(ord, rnd, "amount", Seq("ocid", "amount"))
+    shape.nextInt(5) match {
+      case 0 => // join
+        val jt = joinTypes(shape.nextInt(joinTypes.length))
+        if (jt == "cross") l.crossJoin(r)
+        else l.join(r, col("cid") === col("ocid"), jt)
+      case 1 => // self-union of the cust leg (positional UNION ALL)
+        val l2 = leg(cust, new Random(seed * 2000), "bal", Seq("cid", "cname", "seg"))
+        l.select("cid").union(l2.select("cid"))
+      case 2 => // join then filter above the collapse
+        l.join(r, col("cid") === col("ocid"), "left")
+          .filter(col("cid") % 2 === 1)
+      case 3 => // DISTINCT set-op between two cust legs (collapses on
+        // dialects with a null-safe equality spelling; Derby stays local
+        // — the result must be identical either way)
+        val a = leg(cust, new Random(seed * 3000), "bal", Seq("cid", "cname", "seg"))
+          .select("cid", "seg")
+        val b = cust.filter(col("seg") =!= lit(shape.nextInt(4))).select("cid", "seg")
+        if (shape.nextBoolean()) a.intersect(b) else a.except(b)
+      case 4 => // UNION DISTINCT via the distinct-Aggregate rewrite
+        val l2 = leg(cust, new Random(seed * 2000), "bal", Seq("cid", "cname", "seg"))
+        l.select("cid", "seg").union(l2.select("cid", "seg")).distinct()
+    }
+  }
+
+  private def sweep(catalog: String): Unit = {
     import spark.implicits._
     val custLocal = custRows.toDF("cid", "cname", "seg", "bal")
     val ordLocal = ordRows.toDF("oid", "ocid", "amount")
-    val joinTypes = Seq("inner", "left", "right", "left_semi", "left_anti", "cross")
-    // self-contained per (seed, tables): fresh Randoms inside, so the
-    // remote and local sides build the IDENTICAL plan shape
-    def build(seed: Int, cust: DataFrame, ord: DataFrame): DataFrame = {
-      val shape = new Random(seed)
-      val rnd = new Random(seed * 1000)
-      val l = leg(cust, rnd, "bal", Seq("cid", "cname", "seg"))
-      val r = leg(ord, rnd, "amount", Seq("ocid", "amount"))
-      shape.nextInt(3) match {
-        case 0 => // join
-          val jt = joinTypes(shape.nextInt(joinTypes.length))
-          if (jt == "cross") l.crossJoin(r)
-          else l.join(r, col("cid") === col("ocid"), jt)
-        case 1 => // self-union of the cust leg (positional UNION ALL)
-          val l2 = leg(cust, new Random(seed * 2000), "bal", Seq("cid", "cname", "seg"))
-          l.select("cid").union(l2.select("cid"))
-        case 2 => // join then filter above the collapse
-          l.join(r, col("cid") === col("ocid"), "left")
-            .filter(col("cid") % 2 === 1)
-      }
-    }
-    for (seed <- 1 to 14) {
-      val remote = build(seed, spark.table("ext.fp.cust"), spark.table("ext.fp.ord"))
+    for (seed <- 1 to 20) {
+      val remote = build(seed, spark.table(s"$catalog.fp.cust"), spark.table(s"$catalog.fp.ord"))
       val local = build(seed, custLocal, ordLocal)
       assert(rows(remote) == rows(local), s"seed=$seed diverged")
     }
+  }
+
+  test("random join/union/set-op shapes: collapsed == local execution (Derby)") {
+    setup("ext")
+    sweep("ext")
+  }
+
+  // On live DuckDB the case-3/4 shapes actually COLLAPSE (null-safe
+  // equality exists), so the sweep checks the generated set-op SQL's
+  // semantics on the real engine, not just the local fallback.
+  test("random join/union/set-op shapes: collapsed == local execution (live DuckDB)") {
+    assume(graft.sources.jdbc.DuckDbWireSpec.driverPresent,
+      "duckdb_jdbc driver not on classpath")
+    val dir = java.nio.file.Files.createTempDirectory("graft_fpduck").toString
+    spark.conf.set("spark.sql.catalog.fpduck", "graft.sources.jdbc.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.fpduck.url", s"jdbc:duckdb:$dir/sweep.duckdb")
+    setup("fpduck")
+    sweep("fpduck")
   }
 }
