@@ -307,7 +307,7 @@ final case class JdbcScan(
       val whereClause =
         if (where.isEmpty) "" else where.mkString(" WHERE ", " AND ", "")
       val countSql = s"SELECT COUNT(*) FROM ${options.fromClause}$whereClause"
-      val n = JdbcScan.cachedCount(options.url + " " + countSql) {
+      val n = JdbcScan.cachedCount(options.url + "\u0000" + countSql) {
         val c = options.connect()
         try {
           val st = c.createStatement()
