@@ -67,6 +67,13 @@ class TopNPropertySpec extends AnyFunSuite with SparkFixture {
       val want = ordered(build(local, seed))
       assert(got == want, s"seed=$seed diverged:\n got=$got\nwant=$want")
     }
+    // Prove the sweep exercises the PUSHED path, not a silent local
+    // fallback: a null-ordering multi-key TopN must reach the remote SQL
+    val probe = spark.table(name)
+      .orderBy(col("k").desc_nulls_last, col("r").asc).limit(5)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("ORDER BY") && plan.contains("NULLS LAST"),
+      s"TopN with null ordering not pushed:\n$plan")
   }
 
   test("random ORDER BY/OFFSET/LIMIT: pushed Derby scan == in-memory mirror") {
