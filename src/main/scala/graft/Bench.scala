@@ -21,7 +21,7 @@ import org.apache.spark.sql.SparkSession
   *
   * Self-diagnosis (round-9, per the r8 verdict): the artifact must let a
   * reader DISTINGUISH a host/JVM stall from a plan regression without
-  * access to this machine. The `"diag"` map carries, for the ≤10 most
+  * access to this machine. The `"diag"` map carries, for the ≤5 most
   * suspicious queries (stall outliers first, then largest medians),
   * `[best-rep sec, worst-rep sec, GC share of wall %, process-CPU
   * cores busy]`: a best rep near the isolated median proves the slow
@@ -32,6 +32,17 @@ import org.apache.spark.sql.SparkSession
   * warm-up flags a degraded host before any timed rep) complete the
   * picture. Full per-rep wall/gc/cpu detail for EVERY query goes to
   * stderr.
+  *
+  * Isolated re-measure (round-10, per the r9 verdict): any query whose
+  * suite median exceeds 2× its own best rep (and by more than 0.5 s) is
+  * automatically re-run ONCE, isolated, after the whole suite finishes —
+  * the host has had time to exit whatever phase inflated the suite pass,
+  * and nothing else is contending. The `"iso"` map carries those
+  * single-shot seconds (≤5 entries, largest medians first): an isolated
+  * number near the best rep CONVICTS the suite median as host phase in
+  * the artifact itself; an isolated number near the median convicts the
+  * plan. The reported per-query median is NOT replaced — `iso` is
+  * evidence alongside it, not a substitute.
   *
   * Reps are COLD with respect to caching: the cache is cleared before
   * each rep's timer starts, so persist()-using queries (the LSH dedup /
@@ -184,18 +195,42 @@ object Bench {
     val medians = results
       .map(r => "\"" + qid(r._1) + "\":" + fq(r._2)).mkString("{", ",", "}")
     // Self-diagnosis map (replaces r≤8's "stalls"): [best rep, worst rep,
-    // GC % of wall, CPU cores busy] for the ≤7 most suspicious queries —
+    // GC % of wall, CPU cores busy] for the ≤5 most suspicious queries —
     // stall outliers (worst > 2× median and > 2 s over it) first, then the
-    // largest medians ≥ 1 s. Bounded at 7 entries for the line budget.
+    // largest medians ≥ 1 s. Bounded at 5 entries for the line budget
+    // (was 7 in r9; the iso map now carries the adjudicating evidence for
+    // flagged queries, so diag+iso together cover more than r9's diag-7).
     val isStall = (r: (String, Double, Double, Double, Long, Double)) =>
       r._4 > 2 * r._2 && r._4 - r._2 > 2.0
     val suspicious = (results.filter(isStall) ++
-      results.filterNot(isStall).filter(_._2 >= 1.0).sortBy(-_._2)).take(7)
+      results.filterNot(isStall).filter(_._2 >= 1.0).sortBy(-_._2)).take(5)
     val diag = suspicious
       .map(r => "\"" + qid(r._1) + "\":[" + fq(r._3) + "," + fq(r._4) + "," +
         r._5 + "," + f1(r._6) + "]")
       .mkString("{", ",", "}")
-    val fails = failed.reverse.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Isolated re-measure at suite end (see scaladoc): one cold single
+    // shot per flagged query, in a map keyed like `queries`. Runs AFTER
+    // the per-rep stderr dump so a crash here still leaves the full
+    // suite detail on stderr.
+    val flagged = results
+      .filter(r => r._2 > 2 * r._3 && r._2 - r._3 > 0.5)
+      .sortBy(-_._2).take(5)
+    val iso = flagged.map { case (name, _, _, _, _, _) =>
+      graft.operators.GraftCache.releaseAll()
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () } // already reported by the timed pass
+      val wall = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name isolated=$wall%.3f")
+      (name, wall)
+    }
+    // `failed` emits only when non-empty (the empty list spent 12 B of
+    // the collector-tail budget on information `rc=0` already carries).
+    val fails = if (failed.isEmpty) "" else
+      "\"failed\":" + failed.reverse.map("\"" + _ + "\"")
+        .mkString("[", ",", "],")
     // `only` appears only when set (iteration runs — short query lists);
     // `reps` lives on stderr: both trims buy line budget for the full run
     val onlyJson = only.fold("")(o =>
@@ -205,11 +240,14 @@ object Bench {
     // 15 B of the collector-tail budget on information the harness
     // already knows (it set SPARK_GRAFT_SF_DIR)
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    val isoJson = if (iso.isEmpty) "" else
+      "\"iso\":" + iso.map(r => "\"" + qid(r._1) + "\":" + fq(r._2))
+        .mkString("{", ",", "},")
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
-      onlyJson + s""""queries":$medians,"diag":$diag,""" +
+      onlyJson + s""""queries":$medians,"diag":$diag,$isoJson""" +
       s""""gcsec":${math.min(999, math.round(gcTimedSec))},""" +
       s""""warmsec":${math.min(999, math.round(warmSec))},""" +
-      s""""failed":$fails,"sf":"$sfName"}""")
+      fails + s""""sf":"$sfName"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -284,6 +284,28 @@ object Connector {
       a.intersect(b).except(c).orderBy("c_nationkey")
     },
 
+    // Bag-semantics set-op federation (round-10): INTERSECT ALL /
+    // EXCEPT ALL rewrite to local ReplicateRows counting plans inside
+    // Catalyst, so SetOpAllRule intercepts them pre-rewrite and the
+    // whole chained (a INTERSECT ALL b) EXCEPT ALL c runs as ONE live
+    // DuckDB statement — duplicate counts survive end to end. The
+    // oracle runs the identical ALL forms in DuckDB over the parquet.
+    Q("q134_duckdb_setop_all_pushdown",
+      "SELECT x FROM ((SELECT c_nationkey AS x FROM customer WHERE c_acctbal > 100 " +
+        "INTERSECT ALL SELECT c_nationkey AS x FROM customer WHERE c_acctbal < 500) " +
+        "EXCEPT ALL SELECT c_nationkey AS x FROM customer WHERE c_custkey < 50) t " +
+        "ORDER BY x") { (s, dir) =>
+      val t = ensureDuckCopy(s, dir, "customer", "t124",
+        Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal"))
+      val a = s.table(t).filter(col("c_acctbal") > 100)
+        .select(col("c_nationkey").as("x"))
+      val b = s.table(t).filter(col("c_acctbal") < 500)
+        .select(col("c_nationkey").as("x"))
+      val c = s.table(t).filter(col("c_custkey") < 50)
+        .select(col("c_nationkey").as("x"))
+      a.intersectAll(b).exceptAll(c).orderBy("x")
+    },
+
     // pincolumns catch-all projection on the wire (reference
     // schema_projection.rs:1-70): the 4-column remote table reads as
     // (c_custkey, c_name, data) where data is a sorted-key JSON object
@@ -296,8 +318,9 @@ object Connector {
         "WHERE c_custkey <= 200 ORDER BY c_custkey") { (s, dir) =>
       val t = ensureDuckCopy(s, dir, "customer", "t124",
         Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal"))
-      val f = s"${sys.props("java.io.tmpdir")}/graft_duck_gate_" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_") + ".duckdb"
+      // idempotent: returns the SAME gate-file path ensureDuckCopy used
+      // (re-deriving it inline would silently split if the scheme moved)
+      val f = duckGate(s, dir)
       val bare = t.stripPrefix("dgate.app.")
       s.read.format("graft.sources.jdbc.GraftJdbcSource")
         .option("url", s"jdbc:duckdb:$f")
@@ -305,8 +328,10 @@ object Connector {
         .option("pincolumns", "c_custkey,c_name")
         .load()
         .filter(col("c_custkey") <= 200)
+        // graft_json_get: the blessed one-liner for catch-all
+        // extract-back (bare key, no JSONPath) — gate-covered here
         .withColumn("c_acctbal",
-          get_json_object(col("data"), "$.c_acctbal").cast("double"))
+          expr("graft_json_get(data, 'c_acctbal')").cast("double"))
         .select("c_custkey", "c_name", "c_acctbal")
         .orderBy("c_custkey")
     },

@@ -610,6 +610,9 @@ object Relational {
     // predicate is the multiplicative `qty · 5 · cnt < sum` in exact
     // DECIMAL, so row selection is FP-free. The per-part stats frame is
     // part-sized; AQE localizes the join to a broadcast when small.
+    // The 3-column lineitem projection feeds BOTH the stats aggregate
+    // and the probe side — persisted so the fact table is scanned once
+    // (q103/q26/q108 precedent; at 100× the double scan is pure waste).
     Q("q102_tpch_q17",
       "SELECT p_brand, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price, " +
         "COUNT(*) AS n " +
@@ -618,7 +621,8 @@ object Relational {
         "COUNT(*) AS cnt FROM lineitem GROUP BY 1) s ON pk = l_partkey " +
         "WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt < sq " +
         "GROUP BY p_brand ORDER BY p_brand") { (s, dir) =>
-      val l = Tables.load(s, dir, "lineitem")
+      val l = GraftCache.track(Tables.load(s, dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice"))
       val stats = l.groupBy(col("l_partkey").as("pk"))
         .agg(sum(dec(col("l_quantity"))).as("sq"), count(lit(1)).as("cnt"))
       l.join(broadcast(Tables.load(s, dir, "part")),

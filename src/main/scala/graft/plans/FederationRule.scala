@@ -50,14 +50,14 @@ import java.util.concurrent.atomic.AtomicInteger
 object FederationRule extends Rule[LogicalPlan] {
 
   private val counter = new AtomicInteger()
-  private def fresh(): String = s"fj${counter.getAndIncrement()}"
+  private[plans] def fresh(): String = s"fj${counter.getAndIncrement()}"
 
   /** One collapsible leg: FROM-clause SQL + attribute rendering map.
     * `topAlias` is the leg's outermost correlation name — two legs with
     * the same topAlias (the same derived table joined to itself) cannot
     * share a FROM scope and are left uncollapsed.
     */
-  private case class Leaf(
+  private[plans] case class Leaf(
       ctx: String,
       opts: JdbcOptions,
       from: String,
@@ -65,9 +65,22 @@ object FederationRule extends Rule[LogicalPlan] {
       visible: Seq[Attribute],
       topAlias: String)
 
-  private def leafOf(plan: LogicalPlan): Option[Leaf] = plan match {
+  private[plans] def leafOf(plan: LogicalPlan): Option[Leaf] = plan match {
+    // Analyzer-time plans (SetOpAllRule runs post-hoc resolution, before
+    // the optimizer strips these) wrap relations in SubqueryAlias; it
+    // only affects name scoping, attribute identity is by exprId.
+    case SubqueryAlias(_, child) => leafOf(child)
     case r: DataSourceV2Relation if r.table.isInstanceOf[GraftJdbcTable] =>
       val t = r.table.asInstanceOf[GraftJdbcTable]
+      // A pincolumns-projected table exposes a catch-all JSON column
+      // that does NOT exist remotely: collapsing such a leg would render
+      // `alias."data"` into the remote SQL (unknown-column error — or,
+      // worse, silently read a real remote column of that name instead
+      // of the JSON fold). JdbcScan.touchesCatchAll refuses this at the
+      // DSv2 pushdown layer; refuse it here too so projected tables
+      // always take the standard scan path, where the fold is built.
+      if (t.options.pinColumns.isDefined) None
+      else {
       val d = t.options.dialect
       t.options.map.get("derivedalias") match {
         // A previously-collapsed subquery: `(SELECT …) "fjK"` is already
@@ -91,6 +104,7 @@ object FederationRule extends Rule[LogicalPlan] {
             r.output.map(a => a.exprId -> s"${d.quote(alias)}.${d.quote(a.name)}").toMap,
             r.output,
             alias))
+      }
       }
 
     // Attribute-only projections narrow the visible column set.
@@ -146,7 +160,7 @@ object FederationRule extends Rule[LogicalPlan] {
     * outer Project restores the original attribute ids. Shared by the
     * join and union collapse arms.
     */
-  private def wrap(out: Seq[Attribute], opts: JdbcOptions, derived: String,
+  private[plans] def wrap(out: Seq[Attribute], opts: JdbcOptions, derived: String,
       alias: String): LogicalPlan = {
     val fields = out.zipWithIndex.map { case (a, i) =>
       StructField(s"c$i", a.dataType, a.nullable)
@@ -322,4 +336,67 @@ object FederationRule extends Rule[LogicalPlan] {
         }
       collapsed.getOrElse(j)
   }
+}
+
+/** Bag-semantics set-op federation: collapse same-server
+  * `INTERSECT ALL` / `EXCEPT ALL` into one remote statement.
+  *
+  * The DISTINCT set-op forms reach [[FederationRule]] as the semi/anti
+  * join + distinct-Aggregate trees Catalyst's Replace Operators batch
+  * produces, and collapse there. The ALL forms instead rewrite to
+  * `Generate(ReplicateRows …)` counting plans (`RewriteExceptAll` /
+  * `RewriteIntersectAll`) — a shape no remote SQL corresponds to — and
+  * Replace Operators runs BEFORE every optimizer extension point. So
+  * this rule intercepts PRE-rewrite, as a post-hoc resolution rule: at
+  * that point the plan still holds the `Except`/`Intersect` nodes with
+  * `isAll=true`, and a same-compute-context pair of collapsible legs
+  * renders directly as the reference unparser would
+  * (`crates/common/src/sql/sql_provider_datafusion/federation.rs:62-110`
+  * ships arbitrary set-op subplans). Capability-gated per dialect
+  * ([[graft.sources.jdbc.Dialect.supportsSetOpAll]]); unsupported
+  * dialects keep Spark's local ReplicateRows plan.
+  *
+  * NULL semantics match by construction: SQL set ops group NULLs as
+  * equal on every engine, exactly like Spark's counting rewrite.
+  *
+  * At scale the collapse ships only the bag difference/intersection
+  * instead of both full tables — same argument as the join collapse.
+  */
+object SetOpAllRule extends Rule[LogicalPlan] {
+  import FederationRule.{Leaf, fresh, leafOf, wrap}
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case s @ Except(left, right, true) =>
+      collapse(s, "EXCEPT ALL", left, right).getOrElse(s)
+    case s @ Intersect(left, right, true) =>
+      collapse(s, "INTERSECT ALL", left, right).getOrElse(s)
+  }
+
+  private def collapse(op: LogicalPlan, kw: String, left: LogicalPlan,
+      right: LogicalPlan): Option[LogicalPlan] =
+    for {
+      l <- leafOf(left)
+      r <- leafOf(right)
+      // never merge distinct servers (AllowedFor(context) equality)
+      if l.ctx == r.ctx
+      if l.opts.dialect.supportsSetOpAll
+      // positional arity must line up on both branches (type coercion
+      // already ran — WidenSetOperationTypes precedes post-hoc rules)
+      if op.output.nonEmpty
+      if l.visible.length == op.output.length &&
+        r.visible.length == op.output.length
+    } yield {
+      val d = l.opts.dialect
+      val alias = fresh()
+      def branch(leaf: Leaf): String = {
+        val proj = leaf.visible.zipWithIndex.map { case (a, i) =>
+          s"${leaf.attrs(a.exprId)} AS ${d.quote(s"c$i")}"
+        }
+        // each branch is its own FROM scope: a self-set-op's duplicate
+        // correlation names are fine (unlike the join arm)
+        s"SELECT ${proj.mkString(", ")} FROM ${leaf.from}"
+      }
+      wrap(op.output, l.opts,
+        s"(${branch(l)} $kw ${branch(r)}) ${d.quote(alias)}", alias)
+    }
 }

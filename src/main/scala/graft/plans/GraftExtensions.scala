@@ -12,6 +12,10 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => FederationRule)
+    // ALL set-ops must be caught BEFORE the optimizer's Replace
+    // Operators batch rewrites them to ReplicateRows counting plans —
+    // post-hoc resolution is the last hook that still sees them.
+    e.injectPostHocResolutionRule(_ => SetOpAllRule)
     GraftFunctions.register(e)
   }
 }

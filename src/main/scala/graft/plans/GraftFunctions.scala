@@ -2,8 +2,9 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Cast, Conv, Expression, ExpressionInfo, Literal, Md5, Substring}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Concat, Conv, Expression, ExpressionInfo, GetJsonObject, Literal, Md5, Substring}
 import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
 
 import graft.functions.{EditDistance, FreqSketchAgg, KmvSketchAgg, QDot, RankHistAgg, RollingHash, SignBands}
 
@@ -100,6 +101,23 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_rank_hist(col, capacity)")
         RankHistAgg(args.head, intArg(args(1), "graft_rank_hist", "capacity"))
+      }))
+
+    // The blessed extraction path for the pincolumns catch-all column
+    // (reference schema_projection.rs's JSON fold): a bare KEY instead
+    // of JSONPath syntax — `graft_json_get(data, 'age')` ≡
+    // `get_json_object(data, '$.age')`. Composed over Spark's native
+    // GetJsonObject (codegen'd, whole-stage-compatible); the path
+    // concat constant-folds for literal keys. Always evaluated LOCALLY
+    // above the scan — the catch-all has no remote existence, and
+    // JdbcScan/FederationRule refuse any pushdown touching it.
+    e.injectFunction((FunctionIdentifier("graft_json_get"),
+      info(classOf[GetJsonObject], "graft_json_get"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_json_get(json, key)")
+        GetJsonObject(args.head,
+          Concat(Seq(Literal(UTF8String.fromString("$."),
+            org.apache.spark.sql.types.StringType), args(1))))
       }))
   }
 }

@@ -256,6 +256,18 @@ trait Dialect extends Serializable {
     * cannot); plans that need more stay local over the scanned rows. */
   def supportsMultipleDistinctAggregates: Boolean = true
 
+  /** Whether `INTERSECT ALL` / `EXCEPT ALL` may be rendered — gates the
+    * bag-semantics set-op federation collapse (the DISTINCT forms ride
+    * the semi/anti/aggregate rewrites instead and are gated by
+    * [[nullSafeEqSql]]). Probed LIVE on Derby 10.16 and DuckDB (both
+    * accept the ALL forms); PostgreSQL has them since forever. SQLite's
+    * compound SELECT has no ALL variants, ClickHouse's bare
+    * INTERSECT/EXCEPT are already bag-semantics with no `ALL` keyword,
+    * and MySQL grew them only in 8.0.31 (version-dependent, never
+    * executable here) — all three stay local.
+    */
+  def supportsSetOpAll: Boolean = false
+
   /** Whether upserts must run as ONE writer: page-locking embedded
     * stores (Derby) serialize concurrent update-else-insert writers on
     * lock waits; row-locking servers take key-clustered parallelism. */
@@ -277,8 +289,11 @@ object DerbyDialect extends Dialect {
   override def supportsMultipleDistinctAggregates: Boolean = false
   override def singleWriterUpserts: Boolean = true
   // Derby has no IS NOT DISTINCT FROM / <=> — null-safe comparisons
-  // (and hence INTERSECT/EXCEPT collapse) stay on the Spark side.
+  // (and hence the DISTINCT INTERSECT/EXCEPT collapse) stay on the
+  // Spark side. The ALL forms collapse fine: Derby's own set-op
+  // machinery handles NULL grouping (live-probed, Derby 10.16).
   override def nullSafeEqSql(a: String, b: String): Option[String] = None
+  override def supportsSetOpAll: Boolean = true
   override def modSql(a: String, b: String): String = s"MOD($a, $b)"
   // Derby has no EXTRACT; YEAR()..SECOND() exist, QUARTER does not.
   override def extractSql(field: String, src: String): Option[String] = field match {
@@ -333,6 +348,7 @@ object DerbyDialect extends Dialect {
 object PostgresDialect extends Dialect {
   val name = "postgres"
   override def supportsNativeArrays: Boolean = true
+  override def supportsSetOpAll: Boolean = true
   override def typeName(dt: DataType): String = dt match {
     case BinaryType => "BYTEA"
     case TimestampType => "TIMESTAMPTZ"
@@ -366,6 +382,8 @@ object PostgresDialect extends Dialect {
   */
 object DuckDbDialect extends Dialect {
   val name = "duckdb"
+  // live-probed: DuckDB executes INTERSECT ALL / EXCEPT ALL natively
+  override def supportsSetOpAll: Boolean = true
   // DuckDB has native LIST columns (the reference's duckdb connector
   // maps them to Arrow List, crates/duckdb); same `element[]` DDL as
   // Postgres, proven by dialect_live_check executing it live.

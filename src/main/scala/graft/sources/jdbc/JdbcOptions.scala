@@ -313,10 +313,18 @@ final case class JdbcOptions(map: Map[String, String]) extends Serializable {
 
   def withTable(t: String): JdbcOptions = JdbcOptions(map + ("dbtable" -> t))
 
+  /** Opt-in connect-time validation ([[Preflight]] — the reference's
+    * `ns_lookup.rs` analog): URL-shape check, file-path existence for
+    * embedded engines, DNS + bounded TCP probe for servers. */
+  val preflight: Boolean = map.get("preflight").exists(_.toBoolean)
+
   /** A pooled connection for this identity; `close()` returns it to the
     * per-JVM pool ([[ConnectionPool]]) instead of tearing it down.
     */
-  def connect(): Connection = ConnectionPool.acquire(this)
+  def connect(): Connection = {
+    if (preflight) Preflight.ensure(this)
+    ConnectionPool.acquire(this)
+  }
 
   /** Credentials never echo into plans, logs, or error messages (the
     * reference wraps every secret option, `util/secrets.rs`). */

@@ -40,16 +40,32 @@ final class JdbcScanBuilder(options: JdbcOptions, tableSchema: StructType)
   private val unparser = new Unparser(options.dialect)
   private var schema: StructType = tableSchema
 
-  /** With a pincolumns projection, the catch-all column has no remote
-    * existence: any pushdown piece referencing it must refuse (the
-    * rendered `"data"` would be a remote unknown-column error). Pinned
-    * columns keep the whole pushdown surface.
+  /** Pins declared but absent from the remote table (lower-cased). The
+    * exposed schema gives them the reference's Utf8 fallback
+    * (`schema_projection.rs` `field_for`); the scan renders them as a
+    * typed NULL (null-for-missing-field semantics) and they are excluded
+    * from every pushdown surface exactly like the catch-all column.
+    * Cheap: `fullRemoteSchema` is cached per compute context + FROM.
+    */
+  private lazy val ghostPins: Set[String] = options.pinColumns match {
+    case None => Set.empty
+    case Some(pins) =>
+      val remote = SchemaProjection.fullRemoteSchema(options)
+      pins.filterNot(p => remote.fields.exists(_.name.equalsIgnoreCase(p)))
+        .map(_.toLowerCase).toSet
+  }
+
+  /** With a pincolumns projection, the catch-all column — and any ghost
+    * pin — has no remote existence: any pushdown piece referencing one
+    * must refuse (the rendered `"data"` would be a remote unknown-column
+    * error). Truly-remote pinned columns keep the whole pushdown surface.
     */
   private def touchesCatchAll(e: Expression): Boolean =
     options.pinColumns.isDefined && {
       val ca = options.catchAllColumn
       def walk(x: Expression): Boolean = x match {
-        case n: NamedReference => n.fieldNames.exists(_.equalsIgnoreCase(ca))
+        case n: NamedReference => n.fieldNames.exists(f =>
+          f.equalsIgnoreCase(ca) || ghostPins(f.toLowerCase))
         case other => other.children().exists(walk)
       }
       walk(e)
@@ -272,7 +288,8 @@ final class JdbcScanBuilder(options: JdbcOptions, tableSchema: StructType)
         }
       }
     JdbcScan(options, aggSchema.getOrElse(schema), pushedSql, orderBy, limit,
-      aggSelect, groupBySql, pushedOffset = offset, catchAll = catchAll)
+      aggSelect, groupBySql, pushedOffset = offset, catchAll = catchAll,
+      ghostPins = if (aggSchema.isDefined) Set.empty else ghostPins)
   }
 }
 
@@ -285,7 +302,8 @@ final case class JdbcScan(
     aggSelect: Seq[String] = Nil,
     groupBy: Seq[String] = Nil,
     pushedOffset: Option[Int] = None,
-    catchAll: Option[(String, StructType)] = None) extends Scan with Batch
+    catchAll: Option[(String, StructType)] = None,
+    ghostPins: Set[String] = Set.empty) extends Scan with Batch
     with SupportsRuntimeV2Filtering with SupportsReportStatistics with Logging {
 
   override def readSchema(): StructType = schema
@@ -356,7 +374,8 @@ final case class JdbcScan(
   override def filterAttributes(): Array[NamedReference] =
     if (aggSelect.nonEmpty || fetchIsPushed) Array.empty // no remote names / fetch pushed
     else schema.fields
-      .filterNot(f => catchAll.exists(_._1.equalsIgnoreCase(f.name)))
+      .filterNot(f => catchAll.exists(_._1.equalsIgnoreCase(f.name)) ||
+        ghostPins(f.name.toLowerCase))
       .map(f => org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
 
   override def filter(predicates: Array[Predicate]): Unit = {
@@ -370,6 +389,13 @@ final case class JdbcScan(
 
   private def sqlFor(rangePred: Option[String]): String = {
     val d = options.dialect
+    // A ghost pin (declared but absent remotely) renders as a typed NULL
+    // aliased to its exposed name — the reference's null-for-missing-field
+    // semantics — instead of a quoted column the remote would reject.
+    def colSql(name: String): String =
+      if (ghostPins(name.toLowerCase))
+        s"CAST(NULL AS ${d.stringType}) AS ${d.quote(name)}"
+      else d.quote(name)
     val cols =
       if (aggSelect.nonEmpty) aggSelect.mkString(", ")
       else catchAll match {
@@ -378,9 +404,9 @@ final case class JdbcScan(
         // synthetic SELECT 1
         case Some((ca, rest)) =>
           val sel = schema.fields.filterNot(_.name.equalsIgnoreCase(ca))
-            .map(f => d.quote(f.name)) ++ rest.fields.map(f => d.quote(f.name))
+            .map(f => colSql(f.name)) ++ rest.fields.map(f => d.quote(f.name))
           if (sel.isEmpty) "1" else sel.mkString(", ")
-        case None => schema.fields.map(f => d.quote(f.name)).mkString(", ")
+        case None => schema.fields.map(f => colSql(f.name)).mkString(", ")
       }
     val conds = where ++ runtimeWhere ++ rangePred
     val whereClause =

@@ -18,22 +18,29 @@ class BenchContractSpec extends AnyFunSuite {
     assert(dups.isEmpty, s"duplicate bench ids: ${dups.mkString(",")}")
   }
 
-  test("worst-case bench JSON line stays under the 2 KB collector tail") {
-    // mirror Bench's emission shape with worst-case widths: every
-    // median at the adaptive-precision maximum (999.9 — the driver
-    // kills a bench run at its 590 s timeout, so no emitted line can
-    // carry a 4-digit-seconds median); the diag map at its 10-entry cap
-    // with every field at max width; `only` and `reps` are not emitted
-    // on full runs, `sf` emits as its basename
-    val medians = SparkEntry.all
-      .map(q => "\"" + qid(q.name) + "\":999.9").mkString("{", ",", "}")
-    val diag = (1 to 7)
-      .map(i => "\"q1${i}0\":[999.9,999.9,100,32.0]").mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":99999.999,"unit":"sec",""" +
-      s""""queries":$medians,"diag":$diag,""" +
-      s""""gcsec":999,"warmsec":999,""" +
-      s""""failed":[],"sf":"sf0.1"}"""
-    assert(line.length <= 2000,
+  test("worst-case bench JSON line fits the collector tail BESIDE sbt's trailer") {
+    // The collector keeps the LAST 2000 chars of combined output, and
+    // sbt prints a "[success] Total time: …" trailer (~80 B observed in
+    // BENCH_r09's tail) AFTER the JSON line — so the line's real budget
+    // is ~1918 B, not 2000. Worst-case width model: the driver kills a
+    // bench run at its 590 s timeout, and for each query the sum of its
+    // reps is ≥ 2× its median (sorted a≤m≤b: a+m+b ≥ m+b ≥ 2m), so the
+    // sum of EMITTED medians is ≤ 295 s — at most 29 medians can reach
+    // the 5-char adaptive-precision width (each needs ≥ 9.995 s), the
+    // rest are ≤ 4 chars ("9.99"). diag at its 5-entry cap, iso at its
+    // 5-entry cap, every field at max width; `only`/`reps`/empty
+    // `failed` are not emitted on clean full runs, `sf` is a basename.
+    val widths = Seq.fill(29)("590.0") ++ Seq.fill(SparkEntry.all.size - 29)("9.99")
+    val medians = SparkEntry.all.zip(widths)
+      .map { case (q, w) => "\"" + qid(q.name) + "\":" + w }.mkString("{", ",", "}")
+    val diag = (1 to 5)
+      .map(i => "\"q1${i}0\":[590.0,590.0,100,32.0]").mkString("{", ",", "}")
+    val iso = (1 to 5)
+      .map(i => "\"q1${i}0\":590.0").mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":590.000,"unit":"sec",""" +
+      s""""queries":$medians,"diag":$diag,"iso":$iso,""" +
+      s""""gcsec":999,"warmsec":999,"sf":"sf0.1"}"""
+    assert(line.length <= 1918,
       s"bench JSON would be ${line.length} B; trim before the harness truncates it")
   }
 

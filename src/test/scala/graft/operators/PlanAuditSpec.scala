@@ -70,6 +70,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       !p.contains("HashAggregate"), s"a local set-op stage survived:\n$p")
   }
 
+  test("q134: chained INTERSECT ALL / EXCEPT ALL is ONE remote native set-op statement") {
+    assume(graft.sources.jdbc.DuckDbWireSpec.driverPresent)
+    val p = plan("q134_duckdb_setop_all_pushdown")
+    assert("GraftJdbcScan".r.findAllIn(p).length == 1,
+      s"ALL set-op chain did not collapse to one scan:\n$p")
+    assert(p.contains("INTERSECT ALL") && p.contains("EXCEPT ALL"),
+      s"native ALL set-ops not in the remote SQL:\n$p")
+    // the local ReplicateRows counting plan must be fully displaced
+    assert(!p.contains("Generate") && !p.contains("HashAggregate") &&
+      !p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"a local counting stage survived:\n$p")
+  }
+
   test("q02: predicate reaches the parquet scan as PushedFilters") {
     val p = plan("q02_filter_pushdown")
     assert(p.contains("PushedFilters:") && p.contains("GreaterThan(l_quantity"), p)

@@ -221,6 +221,75 @@ class FederationSpec extends AnyFunSuite with SparkFixture {
       Seq((1L, "alice"), (3L, "carol")))
   }
 
+  test("EXCEPT ALL / INTERSECT ALL collapse to one remote statement (live Derby)") {
+    setup()
+    spark.sql("DROP TABLE IF EXISTS ext.fed.baga")
+    spark.sql("DROP TABLE IF EXISTS ext.fed.bagb")
+    import spark.implicits._
+    // bag semantics are the whole point: duplicate counts must survive
+    Seq(1L, 1L, 1L, 2L, 3L).toDF("x").writeTo("ext.fed.baga").create()
+    Seq(1L, 2L, 2L).toDF("x").writeTo("ext.fed.bagb").create()
+    val a = spark.table("ext.fed.baga")
+    val b = spark.table("ext.fed.bagb")
+
+    val ex = a.exceptAll(b).orderBy("x")
+    val pex = ex.queryExecution.executedPlan.toString
+    assert(scanCount(ex) == 1, s"EXCEPT ALL should collapse:\n$pex")
+    assert(pex.contains("EXCEPT ALL"), s"no remote EXCEPT ALL:\n$pex")
+    assert(!pex.contains("ReplicateRows"), s"local counting plan leaked:\n$pex")
+    assert(ex.collect().map(_.getLong(0)).toSeq == Seq(1L, 1L, 3L))
+
+    val in = a.intersectAll(b).orderBy("x")
+    val pin = in.queryExecution.executedPlan.toString
+    assert(scanCount(in) == 1, s"INTERSECT ALL should collapse:\n$pin")
+    assert(pin.contains("INTERSECT ALL"), s"no remote INTERSECT ALL:\n$pin")
+    assert(in.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+
+    // a filtered leg rides inside the collapsed statement
+    val fx = a.filter($"x" > 1).exceptAll(b).orderBy("x")
+    assert(scanCount(fx) == 1,
+      s"filtered-leg EXCEPT ALL should collapse:\n${fx.queryExecution.executedPlan}")
+    assert(fx.collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
+  test("SetOpAllRule is capability-gated: SQLite-dialect legs stay local (rule-level)") {
+    import graft.sources.jdbc.{GraftJdbcTable, JdbcOptions}
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    import org.apache.spark.sql.catalyst.plans.logical.Except
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    // no connection is made: the table gets an explicit schema, and the
+    // rule only inspects options — exactly what makes a pure capability
+    // check possible for a dialect with no live wire in this sandbox
+    def rel(url: String) = {
+      val schema = StructType(Seq(StructField("x", LongType)))
+      val t = GraftJdbcTable("t", schema,
+        JdbcOptions(Map("url" -> url, "dbtable" -> "t")))
+      DataSourceV2Relation(t, Seq(AttributeReference("x", LongType)()),
+        None, None, CaseInsensitiveStringMap.empty())
+    }
+    assert(!graft.sources.jdbc.SqliteDialect.supportsSetOpAll)
+    assert(!graft.sources.jdbc.ClickHouseDialect.supportsSetOpAll)
+    val sqlite = Except(rel("jdbc:sqlite:/tmp/x.db"),
+      rel("jdbc:sqlite:/tmp/x.db"), isAll = true)
+    assert(SetOpAllRule(sqlite).isInstanceOf[Except],
+      "SQLite must keep the local ReplicateRows path")
+    // same shape on a supporting dialect rewrites to a collapsed scan
+    // whose derived-table SQL (in the new relation's options) carries
+    // the native set-op
+    val derby = Except(rel("jdbc:derby:memory:probe"),
+      rel("jdbc:derby:memory:probe"), isAll = true)
+    val rewritten = SetOpAllRule(derby)
+    assert(!rewritten.isInstanceOf[Except], rewritten.toString)
+    val derived = rewritten.collect {
+      case r: DataSourceV2Relation => r.table.asInstanceOf[GraftJdbcTable]
+    }
+    assert(derived.size == 1 &&
+      derived.head.options.map("dbtable").contains("EXCEPT ALL"),
+      rewritten.toString)
+  }
+
   test("distinct servers are never merged") {
     setup()
     // second, separate Derby database = different compute context

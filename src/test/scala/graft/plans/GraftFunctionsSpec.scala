@@ -65,4 +65,33 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkFixture {
       .as[Map[String, Long]].head()
     assert(m == Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
   }
+
+  test("graft_json_get: bare-key catch-all extraction ≡ get_json_object, codegen'd") {
+    import spark.implicits._
+    val df = Seq(
+      ("""{"age":34,"name":"alice","tags":["x"]}""", "age"),
+      ("""{"age":null,"name":"bob"}""", "age"),
+      ("""{"name":"carol"}""", "age")).toDF("data", "k")
+    df.createOrReplaceTempView("jg_in")
+    // literal key: the JSONPath concat constant-folds
+    val lit = spark.sql(
+      "SELECT graft_json_get(data, 'age') AS v FROM jg_in").as[String].collect().toSeq
+    val ref = df.select(get_json_object(col("data"), "$.age").as("v"))
+      .as[String].collect().toSeq
+    assert(lit == ref && lit == Seq("34", null, null))
+    // dynamic key column works too (path built per row)
+    val dyn = spark.sql(
+      "SELECT graft_json_get(data, k) AS v FROM jg_in").as[String].collect().toSeq
+    assert(dyn == lit)
+    // stays inside whole-stage codegen: no UDF, native GetJsonObject
+    // (a non-local source — the literal frame folds to LocalTableScan)
+    val plan = spark.range(10)
+      .selectExpr("""concat('{"age":', id, '}') AS data""")
+      .selectExpr("graft_json_get(data, 'age') AS v")
+      .queryExecution.executedPlan.toString
+    // the `*(N)` prefix marks whole-stage-codegen stages; the folded
+    // `$.age` path shows the literal-key concat constant-folded
+    assert(plan.contains("*(1) Project") &&
+      plan.contains("get_json_object") && plan.contains("$.age"), plan)
+  }
 }

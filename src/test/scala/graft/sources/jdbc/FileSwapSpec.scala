@@ -274,6 +274,103 @@ class FileSwapSpec extends AnyFunSuite with SparkFixture {
     assert(committed.get() > 0, "writer never committed — test proved nothing")
   }
 
+  test("property: N readers + M sibling writers + one swap — no lost write, no stale read after ungate (seeded)") {
+    assume(DuckDbWireSpec.driverPresent)
+    // The adversarial version of the two directed tests above: random
+    // thread counts and timings, every committed sibling VALUE must
+    // survive (stronger than a count — a count can mask swap-window
+    // duplicates hiding a loss), and every read that STARTS after the
+    // swap call returns must see the new generation. Seeds are fixed so
+    // a failure reproduces; override with GRAFT_SWAP_SEED to explore.
+    val seeds = sys.env.get("GRAFT_SWAP_SEED").map(s => Seq(s.toLong))
+      .getOrElse(Seq(42L, 20260814L))
+    for (seed <- seeds) {
+      val rnd = new scala.util.Random(seed)
+      val nReaders = 2 + rnd.nextInt(3)
+      val nWriters = 1 + rnd.nextInt(3)
+      val path = freshDb()
+      sqlOn(path,
+        "CREATE SCHEMA app",
+        "CREATE TABLE app.target AS SELECT 1::BIGINT AS gen FROM range(50)",
+        "CREATE TABLE app.sibling (id BIGINT)")
+      val cat = s"swapp${seed % 1000}"
+      catalogFor(path, cat)
+      val opts = JdbcOptions(Map("url" -> s"jdbc:duckdb:$path"))
+
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      // (readStartNanos, generationSeen) for the stale-read assertion
+      val reads = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+      val committed = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+      @volatile var stop = false
+
+      val readers = (1 to nReaders).map { _ =>
+        val jitter = rnd.nextInt(5)
+        new Thread(() => {
+          try while (!stop) {
+            val t0 = System.nanoTime()
+            val c = opts.connect()
+            try {
+              val rs = c.createStatement()
+                .executeQuery("SELECT MAX(gen) FROM app.target")
+              rs.next(); reads.add((t0, rs.getLong(1))); rs.close()
+            } finally c.close()
+            if (jitter > 0) Thread.sleep(jitter)
+          } catch { case t: Throwable => errors.add(t) }
+        })
+      }
+      val writers = (1 to nWriters).map { w =>
+        val jitter = rnd.nextInt(5)
+        new Thread(() => {
+          var i = 0L
+          try while (!stop) {
+            val v = w * 1000000L + i
+            val c = opts.connect()
+            try {
+              c.createStatement().execute(s"INSERT INTO app.sibling VALUES ($v)")
+              committed.add(v); i += 1
+            } finally c.close()
+            if (jitter > 0) Thread.sleep(jitter)
+          } catch { case t: Throwable => errors.add(t) }
+        })
+      }
+      (readers ++ writers).foreach(_.start())
+      Thread.sleep(20 + rnd.nextInt(80))
+
+      import spark.implicits._
+      (1 to 30).map(_ => 2L).toDF("gen")
+        .writeTo(s"$cat.app.target").option("overwritemode", "fileswap")
+        .overwrite(org.apache.spark.sql.functions.lit(true))
+      val ungated = System.nanoTime() // swap returned ⇒ gate released
+
+      Thread.sleep(100)
+      stop = true
+      (readers ++ writers).foreach(_.join(10000))
+
+      assert(errors.isEmpty,
+        s"seed=$seed: concurrent thread failed: ${errors.peek()}")
+      // every committed sibling value survived the swap
+      val c = opts.connect()
+      val survived = try {
+        val rs = c.createStatement().executeQuery("SELECT id FROM app.sibling")
+        val b = Set.newBuilder[Long]
+        while (rs.next()) b += rs.getLong(1)
+        b.result()
+      } finally c.close()
+      import scala.jdk.CollectionConverters._
+      val lost = committed.asScala.toSet -- survived
+      assert(lost.isEmpty, s"seed=$seed: lost sibling writes: ${lost.take(5)}")
+      assert(committed.size > 0, s"seed=$seed: writers never committed")
+      // no torn generation ever; no stale generation after the ungate
+      val all = reads.asScala.toList
+      assert(all.forall(r => r._2 == 1L || r._2 == 2L),
+        s"seed=$seed: torn read: ${all.filterNot(r => r._2 == 1L || r._2 == 2L).take(3)}")
+      val staleAfter = all.filter(r => r._1 > ungated && r._2 != 2L)
+      assert(staleAfter.isEmpty,
+        s"seed=$seed: ${staleAfter.size} reads started after ungate saw the old generation")
+      assert(all.nonEmpty, s"seed=$seed: readers never read")
+    }
+  }
+
   test("identityMatches tolerates birth-time-unsupported filesystems") {
     import java.nio.file.attribute.FileTime
     val k1: AnyRef = "dev1-ino1"

@@ -1,0 +1,92 @@
+package graft.sources.jdbc
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Connect-time preflight validation (reference `crates/common/src/util/
+  * ns_lookup.rs:1-60`): connection-string typos become crisp, classified
+  * errors before pool construction.
+  */
+class PreflightSpec extends AnyFunSuite {
+
+  private def opts(url: String, extra: (String, String)*) =
+    JdbcOptions(Map("url" -> url, "dbtable" -> "t", "preflight" -> "true") ++ extra)
+
+  test("malformed URLs fail permanently with the offending shape named") {
+    val e1 = intercept[IllegalArgumentException] {
+      Preflight.check(opts("derby:memory:x"))
+    }
+    assert(e1.getMessage.contains("preflight") &&
+      e1.getMessage.contains("must start with 'jdbc:'"), e1.getMessage)
+
+    val e2 = intercept[IllegalArgumentException] {
+      Preflight.check(opts("jdbc:postgresql://"))
+    }
+    assert(e2.getMessage.contains("no host"), e2.getMessage)
+
+    val e3 = intercept[IllegalArgumentException] {
+      Preflight.check(opts("jdbc:postgresql://host:notaport/db"))
+    }
+    assert(e3.getMessage.contains("bad port"), e3.getMessage)
+  }
+
+  test("a nonexistent database path fails crisply (embedded engines)") {
+    // DuckDB/SQLite create a missing FILE on demand (the write path
+    // depends on that) — but a missing parent DIRECTORY is always a typo
+    val e = intercept[IllegalArgumentException] {
+      Preflight.check(opts("jdbc:duckdb:/no/such/dir/graft_x.duckdb"))
+    }
+    assert(e.getMessage.contains("parent directory does not exist"), e.getMessage)
+
+    // Derby without ;create=true requires the database to exist
+    val e2 = intercept[IllegalArgumentException] {
+      Preflight.check(opts(s"jdbc:derby:${sys.props("java.io.tmpdir")}/graft_no_such_db"))
+    }
+    assert(e2.getMessage.contains("does not exist") &&
+      e2.getMessage.contains("create=true"), e2.getMessage)
+
+    // …and with ;create=true an existing parent is enough
+    Preflight.check(opts(
+      s"jdbc:derby:${sys.props("java.io.tmpdir")}/graft_pf_new;create=true"))
+    // in-memory databases have no path to validate
+    Preflight.check(opts("jdbc:derby:memory:pf"))
+    Preflight.check(opts("jdbc:sqlite::memory:"))
+  }
+
+  test("an unresolvable host fails permanently; an unreachable port fails transiently") {
+    val e = intercept[IllegalArgumentException] {
+      Preflight.check(opts("jdbc:postgresql://graft-no-such-host.invalid/db"))
+    }
+    assert(e.getMessage.contains("cannot resolve host"), e.getMessage)
+
+    // port 1 on loopback: resolves, refuses — the server-may-be-down
+    // case, classified transient (SQLState 08001) so the connect retry
+    // loop treats it exactly like any other connection failure
+    val e2 = intercept[java.sql.SQLTransientConnectionException] {
+      Preflight.check(opts("jdbc:postgresql://127.0.0.1:1/db",
+        "preflighttimeoutms" -> "500"))
+    }
+    assert(e2.getSQLState == "08001", e2.getMessage)
+    assert(RetriableErrors.isTransient(e2))
+  }
+
+  test("preflight=true is wired into connect(): happy path still connects, bad path fails first") {
+    Preflight.reset()
+    val good = opts("jdbc:derby:memory:pfok;create=true")
+    val c = good.connect()
+    try assert(!c.isClosed) finally c.close()
+
+    val e = intercept[IllegalArgumentException] {
+      opts("jdbc:duckdb:/no/such/dir/x.duckdb").connect()
+    }
+    assert(e.getMessage.contains("preflight"), e.getMessage)
+  }
+
+  test("a successful probe is cached per compute context") {
+    Preflight.reset()
+    val o = opts("jdbc:derby:memory:pfcache;create=true")
+    Preflight.ensure(o)
+    // second ensure is a no-op (cached) — provable via a URL that would
+    // now FAIL a fresh check but shares the compute context map entry
+    Preflight.ensure(o)
+  }
+}

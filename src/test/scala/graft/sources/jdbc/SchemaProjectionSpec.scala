@@ -114,7 +114,9 @@ class SchemaProjectionSpec extends AnyFunSuite with SparkFixture {
       e.getMessage.toLowerCase.contains("batch_write") ||
       e.getMessage.toLowerCase.contains("unsupported"), e.getMessage)
 
-    // a pin the remote table lacks: Utf8 fallback (reference field_for)
+    // a pin the remote table lacks: Utf8 fallback (reference field_for),
+    // and it must actually SCAN — the generated SQL renders the ghost as
+    // a typed NULL, not as a quoted column the remote would reject
     val withGhost = spark.read.format("graft.sources.jdbc.GraftJdbcSource")
       .option("url", SparkFixture.derbyUrl)
       .option("dbtable", "\"proj\".\"wide\"")
@@ -122,6 +124,36 @@ class SchemaProjectionSpec extends AnyFunSuite with SparkFixture {
       .load()
     assert(withGhost.schema("ghost").dataType ==
       org.apache.spark.sql.types.StringType)
+    val ghostRows = withGhost.orderBy("id").collect()
+    assert(ghostRows.length == 3)
+    assert(ghostRows.forall(_.isNullAt(1)), "ghost pin must read as NULL")
+    // the catch-all still folds the real remote columns alongside a ghost
+    assert(ghostRows(0).getLong(0) == 1L &&
+      ghostRows(0).getString(2).contains("\"name\":\"alice\""),
+      ghostRows(0).toString)
+
+    import org.apache.spark.sql.functions._
+    // a filter on the ghost pin must stay LOCAL (no remote unknown-column
+    // error) and evaluate over the null column
+    assert(withGhost.filter(col("ghost").isNull).count() == 3)
+    assert(withGhost.filter(col("ghost") === "x").count() == 0)
+  }
+
+  test("federation never collapses a pincolumns-projected table") {
+    // The catch-all column has no remote existence: a federation
+    // collapse (here a same-source UNION ALL / self-join) would render
+    // `alias."data"` into the remote SQL — unknown-column error, or a
+    // silent wrong read if the remote really had a column of that name.
+    // leafOf refuses projected tables, so these plans stay local.
+    seedDerby()
+    val df = projected()
+    val u = df.unionAll(df)
+    assert(u.count() == 6)
+    assert(u.filter(org.apache.spark.sql.functions.col("id") === 1)
+      .collect().forall(_.getString(2).contains("\"color\":\"red\"")))
+
+    val j = df.as("a").join(df.as("b"), "id")
+    assert(j.count() == 3)
   }
 
   test("option validation: duplicate pins and a pin/catch-all collision fail eagerly") {
