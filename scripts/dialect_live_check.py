@@ -240,6 +240,35 @@ for dialect in ["duckdb", "postgres", "sqlite"]:
                 check(f"{dialect}: window[{label}] semantics",
                       got == want, f"got {got}: {w[label]}")
 
+        # bag-semantics set-ops (SetOpAllRule's rendered shape) over the
+        # pristine seed: i = k%4, so a = [1,2,3,0,1,2,3,0] and the k<=6
+        # branch b = [1,2,3,0,1,2]. INTERSECT ALL = min-counts = 6 rows
+        # (DISTINCT would be 4); EXCEPT ALL = count difference = 2 rows
+        # (DISTINCT would be 0) — the counts PROVE bag semantics ran.
+        so = d.get("setop_all")
+        if so:
+            got = con.execute(so["intersect_all"]).fetchall()[0][0]
+            check(f"{dialect}: INTERSECT ALL bag count == 6 (not DISTINCT's 4)",
+                  got == 6, f"got {got}: {so['intersect_all']}")
+            got = con.execute(so["except_all"]).fetchall()[0][0]
+            check(f"{dialect}: EXCEPT ALL bag count == 2 (not DISTINCT's 0)",
+                  got == 2, f"got {got}: {so['except_all']}")
+        elif dialect == "sqlite":
+            # capability negative on the LIVE engine: sqlite's compound
+            # SELECT has no ALL variants — supportsSetOpAll=false
+            # matches engine reality, not just documentation
+            try:
+                con.execute(f'SELECT "i" FROM {d["table"]} INTERSECT ALL '
+                            f'SELECT "i" FROM {d["table"]}')
+                check("sqlite: INTERSECT ALL rejected (gate matches engine)",
+                      False, "statement was accepted")
+            except Exception:
+                check("sqlite: INTERSECT ALL rejected (gate matches engine)",
+                      True)
+        else:
+            check(f"{dialect}: setop_all missing for a supporting dialect",
+                  False, "dump has no setop_all")
+
         # native-array (duckdb/postgres) or JSON-TEXT (sqlite) round-trip
         st0 = state()
         want = [5, 15] if dialect != "sqlite" else json.dumps([5, 15])

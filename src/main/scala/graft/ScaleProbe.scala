@@ -55,6 +55,36 @@ object ScaleProbe {
     }.reduce(_ unionByName _)
   }
 
+  /** A scaled RELATIONAL dataset directory: the two fact tables
+    * (lineitem, orders) unioned N× with per-copy shifted ORDER keys —
+    * copies join among themselves exactly like the base data — while
+    * dimension keys stay unshifted, so the 1× dims (symlinked) remain
+    * valid join targets. That is the realistic warehouse shape: facts
+    * grow ~linearly, dims grow much slower, and the broadcast-dim
+    * strategy the suite's plans pin must keep holding as facts scale.
+    * Returns the directory, laid out exactly like a testdata sf dir so
+    * the PRODUCTION `SparkEntry.queries` run on it unmodified.
+    */
+  def scaledRelationalDir(spark: SparkSession, dir: String, factor: Int): String = {
+    val out = java.nio.file.Files.createTempDirectory(s"graft_rel${factor}x_").toString
+    val shift = 1L << 32
+    def scaleFact(name: String, keyCol: String): Unit = {
+      val base = Tables.load(spark, dir, name)
+      (0 until factor).map { i =>
+        base.withColumn(keyCol, col(keyCol) + lit(i * shift))
+      }.reduce(_ unionByName _)
+        .write.parquet(s"$out/$name.parquet")
+    }
+    scaleFact("lineitem", "l_orderkey")
+    scaleFact("orders", "o_orderkey")
+    for (t <- Seq("customer", "supplier", "part", "nation", "region",
+        "events", "documents", "embeddings"))
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(s"$out/$t.parquet"),
+        java.nio.file.Paths.get(s"$dir/$t.parquet"))
+    out
+  }
+
   def main(args: Array[String]): Unit = {
     val (sfDir, factor, op) =
       (args(0), args(1).toInt, if (args.length > 2) args(2) else "neardup")
@@ -71,6 +101,40 @@ object ScaleProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Relational N× curve (the dedup-decade counterpart): run the
+    // TPC-H-shaped flagship suite queries COLD over N× fact tables.
+    // Per query: one warm pass at the BASE sf dir (JIT + codegen for
+    // these exact plan shapes, cheap), then ONE timed pass at N× —
+    // emits a per-query map alongside the usual op line. Queries via
+    // SPARK_GRAFT_QUERIES (Bench qid matching).
+    if (op == "relational") {
+      val wanted = sys.env.getOrElse("SPARK_GRAFT_QUERIES",
+        "q06,q08,q14,q102,q108,q109").split(',').toSeq
+      val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+        wanted.exists(p => p == n || p == n.takeWhile(_ != '_'))
+      }
+      val scaledDir = scaledRelationalDir(spark, sfDir, factor)
+      val rows = Tables.load(spark, scaledDir, "lineitem").count()
+      def once(fn: (SparkSession, String) => DataFrame, dir: String): Double = {
+        operators.GraftCache.releaseAll(); spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val timed = selected.map { case (name, fn) =>
+        once(fn, sfDir) // warm the plan shape at base scale, untimed
+        val sec = once(fn, scaledDir)
+        System.err.println(f"[scaleprobe] $name ${factor}x $sec%.3f s")
+        name.takeWhile(_ != '_') -> sec
+      }
+      val total = timed.map(_._2).sum
+      val qmap = timed.map { case (q, s) => f""""$q":$s%.3f""" }.mkString("{", ",", "}")
+      // scalastyle:off println
+      println(f"""{"op":"relational","factor":$factor,"rows":$rows,"sec":$total%.3f,"queries":$qmap}""")
+      // scalastyle:on println
+      spark.stop()
+      return
+    }
     // one-time live-file seed + catalog registration for the fileswap op
     lazy val fileswapLiveReady: Unit = {
       val dir0 = java.nio.file.Files.createTempDirectory("graft_swapb")

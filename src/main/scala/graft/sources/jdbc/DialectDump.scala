@@ -152,6 +152,21 @@ object DialectDump {
           Lead(aK, Literal(1), Literal(null, LongType), ignoreNulls = false),
           WindowSpecDefinition(Seq(aI), Seq(SortOrder(aK, Ascending)), UnspecifiedFrame))))
       }
+      // bag-semantics set-op SQL exactly as SetOpAllRule renders it
+      // (c0 branch aliases, derived-table correlation name) — the live
+      // check executes it with counts that DISTINGUISH ALL from
+      // DISTINCT semantics, and proves the capability gate matches the
+      // engine on the one dialect that opts out (sqlite rejects ALL)
+      if (d.supportsSetOpAll) {
+        val so = o.putObject("setop_all")
+        def branch(whereSql: String) =
+          s"SELECT ${d.quote("i")} AS ${d.quote("c0")} FROM $t$whereSql"
+        val b = branch(s" WHERE ${d.quote("k")} <= 6")
+        so.put("intersect_all",
+          s"SELECT COUNT(*) FROM (${branch("")} INTERSECT ALL $b) ${d.quote("fj0")}")
+        so.put("except_all",
+          s"SELECT COUNT(*) FROM (${branch("")} EXCEPT ALL $b) ${d.quote("fj0")}")
+      } else o.putNull("setop_all")
       val ws = o.putObject("where")
       whereSamples(d).foreach {
         case (label, Some(sql)) => ws.put(label, s"SELECT COUNT(*) FROM $t WHERE $sql")
