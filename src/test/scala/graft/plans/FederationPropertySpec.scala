@@ -58,7 +58,7 @@ class FederationPropertySpec extends AnyFunSuite with SparkFixture {
     val rnd = new Random(seed * 1000)
     val l = leg(cust, rnd, "bal", Seq("cid", "cname", "seg"))
     val r = leg(ord, rnd, "amount", Seq("ocid", "amount"))
-    shape.nextInt(5) match {
+    shape.nextInt(6) match {
       case 0 => // join
         val jt = joinTypes(shape.nextInt(joinTypes.length))
         if (jt == "cross") l.crossJoin(r)
@@ -79,6 +79,15 @@ class FederationPropertySpec extends AnyFunSuite with SparkFixture {
       case 4 => // UNION DISTINCT via the distinct-Aggregate rewrite
         val l2 = leg(cust, new Random(seed * 2000), "bal", Seq("cid", "cname", "seg"))
         l.select("cid", "seg").union(l2.select("cid", "seg")).distinct()
+      case 5 => // bag-semantics ALL set-op between two cust legs —
+        // collapses pre-rewrite (SetOpAllRule) on dialects with native
+        // INTERSECT ALL / EXCEPT ALL (Derby AND DuckDB both have them);
+        // duplicate COUNTS must match the local ReplicateRows plan
+        // exactly, which is the whole bag-semantics contract
+        val a = leg(cust, new Random(seed * 3000), "bal", Seq("cid", "cname", "seg"))
+          .select("seg") // seg repeats across cids → real duplicate bags
+        val b = cust.filter(col("seg") =!= lit(shape.nextInt(4))).select("seg")
+        if (shape.nextBoolean()) a.intersectAll(b) else a.exceptAll(b)
     }
   }
 
