@@ -135,6 +135,53 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // Federation-collapse payoff, measured: the SAME join+aggregate over
+    // a live DuckDB fact table (factor × 100k rows) and a 1k-row dim,
+    // once with both tables on one server (collapses to ONE remote
+    // statement — only ~1k aggregated rows cross the wire) and once
+    // with the dim on a SECOND server (never merged — Spark must pull
+    // the whole fact table through JDBC and join locally). The gap IS
+    // the federation argument at scale, in seconds.
+    if (op == "federation") {
+      val dirA = java.nio.file.Files.createTempDirectory("graft_feda")
+      val dirB = java.nio.file.Files.createTempDirectory("graft_fedb")
+      val (urlA, urlB) = (s"jdbc:duckdb:$dirA/a.duckdb", s"jdbc:duckdb:$dirB/b.duckdb")
+      val rows = factor.toLong * 100000L
+      for ((url, ddl) <- Seq(
+          urlA -> Seq(
+            "CREATE SCHEMA app",
+            s"CREATE TABLE app.fact AS SELECT r AS k, r % 1000 AS grp, " +
+              s"(r * 7 % 10000) / 100.0 AS v FROM range($rows) t(r)",
+            "CREATE TABLE app.dim AS SELECT r AS grp, 'g' || r AS name FROM range(1000) t(r)"),
+          urlB -> Seq(
+            "CREATE SCHEMA app",
+            "CREATE TABLE app.dim AS SELECT r AS grp, 'g' || r AS name FROM range(1000) t(r)"))) {
+        val c = java.sql.DriverManager.getConnection(url)
+        try { val st = c.createStatement(); ddl.foreach(st.execute); st.close() }
+        finally c.close()
+      }
+      spark.conf.set("spark.sql.catalog.feda", "graft.sources.jdbc.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.feda.url", urlA)
+      spark.conf.set("spark.sql.catalog.fedb", "graft.sources.jdbc.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.fedb.url", urlB)
+      def q(dimTable: String): DataFrame = spark.table("feda.app.fact")
+        .join(spark.table(dimTable), "grp")
+        .groupBy("name").agg(sum("v").as("sv"), count(lit(1)).as("n"))
+      def time(dimTable: String): Double = {
+        val t0 = System.nanoTime()
+        q(dimTable).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      time("feda.app.dim"); time("fedb.app.dim") // untimed warm-up
+      val collapsed = time("feda.app.dim")
+      val crossServer = time("fedb.app.dim")
+      // scalastyle:off println
+      println(f"""{"op":"federation","factor":$factor,"rows":$rows,""" +
+        f""""sec":$collapsed%.3f,"cross_server_sec":$crossServer%.3f}""")
+      // scalastyle:on println
+      spark.stop()
+      return
+    }
     // one-time live-file seed + catalog registration for the fileswap op
     lazy val fileswapLiveReady: Unit = {
       val dir0 = java.nio.file.Files.createTempDirectory("graft_swapb")
