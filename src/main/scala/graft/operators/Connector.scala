@@ -306,6 +306,32 @@ object Connector {
       a.intersectAll(b).exceptAll(c).orderBy("x")
     },
 
+    // Ghost-pin semantics on the wire (round-10): a pin the remote
+    // table LACKS reads as a typed NULL (the reference's
+    // null-for-missing-field, schema_projection.rs `field_for`), while
+    // real pins keep their values and the catch-all still folds the
+    // rest — all value-exact vs the raw parquet oracle. The read also
+    // runs with preflight=true, so the ns_lookup-analog validation path
+    // is exercised inside the oracled gate suite, not just in specs.
+    Q("q135_jdbc_ghost_pin",
+      "SELECT c_custkey, CAST(NULL AS VARCHAR) AS ghost, c_name FROM customer " +
+        "WHERE c_custkey <= 100 ORDER BY c_custkey") { (s, dir) =>
+      val t = ensureDuckCopy(s, dir, "customer", "t124",
+        Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal"))
+      val f = duckGate(s, dir)
+      val bare = t.stripPrefix("dgate.app.")
+      s.read.format("graft.sources.jdbc.GraftJdbcSource")
+        .option("url", s"jdbc:duckdb:$f")
+        .option("dbtable", s""""app"."$bare"""")
+        .option("pincolumns", "c_custkey,ghost")
+        .option("preflight", "true")
+        .load()
+        .filter(col("c_custkey") <= 100)
+        .withColumn("c_name", expr("graft_json_get(data, 'c_name')"))
+        .select("c_custkey", "ghost", "c_name")
+        .orderBy("c_custkey")
+    },
+
     // pincolumns catch-all projection on the wire (reference
     // schema_projection.rs:1-70): the 4-column remote table reads as
     // (c_custkey, c_name, data) where data is a sorted-key JSON object

@@ -290,6 +290,33 @@ class FederationSpec extends AnyFunSuite with SparkFixture {
       rewritten.toString)
   }
 
+  test("collapse and results survive AQE (the production setting)") {
+    // The local harness runs AQE off (BASELINE round-6 measurement);
+    // a real cluster runs it ON. The federation rule fires at logical
+    // optimization, before AQE's runtime re-planning, so the collapsed
+    // scan must be identical and the results exact under both settings.
+    setup()
+    import spark.implicits._
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      val df = spark.table("ext.fed.orders")
+        .join(spark.table("ext.fed.cust"), $"ocid" === $"cid")
+        .filter($"seg" === 1)
+        .groupBy($"cname").agg(org.apache.spark.sql.functions.sum($"amount").as("s"))
+        .orderBy("cname")
+      assert(scanCount(df) == 1,
+        s"AQE broke the collapse:\n${df.queryExecution.executedPlan}")
+      assert(df.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+        Seq(("alice", 350.0), ("carol", 75.0)))
+
+      val ex = spark.table("ext.fed.cust").select("cid")
+        .exceptAll(spark.table("ext.fed.cust").select("cid").filter($"cid" > 1))
+      assert(scanCount(ex) == 1,
+        s"AQE broke the ALL set-op collapse:\n${ex.queryExecution.executedPlan}")
+      assert(ex.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "false")
+  }
+
   test("distinct servers are never merged") {
     setup()
     // second, separate Derby database = different compute context
