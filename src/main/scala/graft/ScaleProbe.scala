@@ -66,7 +66,24 @@ object ScaleProbe {
     * the PRODUCTION `SparkEntry.queries` run on it unmodified.
     */
   def scaledRelationalDir(spark: SparkSession, dir: String, factor: Int): String = {
+    // SPARK_GRAFT_SCALED_DIR pins the output path and REUSES an already
+    // -built dataset (cross-engine comparisons run the oracle over the
+    // same files; rebuilding 60 M rows per probe invocation would also
+    // dominate the wall)
+    sys.env.get("SPARK_GRAFT_SCALED_DIR").foreach { p =>
+      val path = java.nio.file.Paths.get(p)
+      if (java.nio.file.Files.isDirectory(path.resolve("lineitem.parquet")) ||
+        java.nio.file.Files.isRegularFile(path.resolve("lineitem.parquet")))
+        return p
+      java.nio.file.Files.createDirectories(path)
+      return buildScaledInto(spark, dir, factor, p.toString)
+    }
     val out = java.nio.file.Files.createTempDirectory(s"graft_rel${factor}x_").toString
+    buildScaledInto(spark, dir, factor, out)
+  }
+
+  private def buildScaledInto(spark: SparkSession, dir: String, factor: Int,
+      out: String): String = {
     val shift = 1L << 32
     def scaleFact(name: String, keyCol: String): Unit = {
       val base = Tables.load(spark, dir, name)
