@@ -110,7 +110,12 @@ object ScaleProbe {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "4"))
-      .config("spark.sql.files.maxPartitionBytes", (1 << 20).toString)
+      // 1 MB splits keep all 32 cores busy on sf0.1's ~10 MB files; at
+      // 100× they shatter a 1.5 GB fact into ~1500 tasks whose launch
+      // overhead dominates — override to taste per factor (the same
+      // scale-with-the-data lesson as SPARK_GRAFT_SHUFFLE)
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAXPART", (1 << 20).toString))
       .config("spark.sql.adaptive.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
