@@ -204,6 +204,47 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // Streaming throughput curve: N micro-batches of the events table
+    // (one file per batch; each copy's event-times shifted forward one
+    // hour and user ids key-shifted, so the watermark ADVANCES batch to
+    // batch and windows close and evict state exactly as in production)
+    // through the watermarked hourly aggregate, file source →
+    // processAllAvailable. Extends BASELINE round-6's MemoryStream
+    // measurement a decade with the production source path.
+    if (op == "stream") {
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_streamsrc").toString
+      val base = Tables.load(spark, sfDir, "events")
+      val evts = base.select(
+        timestamp_micros(Tables.epochMicros(base)).as("ts"),
+        col("event_type"), col("value"), col("user_id"))
+      val shift = 1L << 32
+      (0 until factor).foreach { i =>
+        evts.select(
+          (col("ts") + expr(s"INTERVAL $i HOURS")).as("ts"),
+          col("event_type"), col("value"),
+          (col("user_id") + lit(i * shift)).as("user_id"))
+          .coalesce(1).write.mode("append").parquet(srcDir)
+      }
+      val rows = spark.read.parquet(srcDir).count()
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_streamck").toString
+      val stream = spark.readStream
+        .schema(spark.read.parquet(srcDir).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+      val t0 = System.nanoTime()
+      val q = streaming.EventStream.hourlyAggregate(stream)
+        .writeStream.format("noop").outputMode("append")
+        .option("checkpointLocation", ckpt).start()
+      q.processAllAvailable()
+      q.stop()
+      val sec = (System.nanoTime() - t0) / 1e9
+      // scalastyle:off println
+      println(f"""{"op":"stream","factor":$factor,"rows":$rows,"sec":$sec%.3f,""" +
+        f""""rate":${math.round(rows / sec)}}""")
+      // scalastyle:on println
+      spark.stop()
+      return
+    }
     // one-time live-file seed + catalog registration for the fileswap op
     lazy val fileswapLiveReady: Unit = {
       val dir0 = java.nio.file.Files.createTempDirectory("graft_swapb")
