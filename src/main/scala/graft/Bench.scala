@@ -215,16 +215,28 @@ object Bench {
     val flagged = results
       .filter(r => r._2 > 2 * r._3 && r._2 - r._3 > 0.5)
       .sortBy(-_._2).take(5)
-    val iso = flagged.map { case (name, _, _, _, _, _) =>
+    val iso = flagged.flatMap { case (name, _, _, _, _, _) =>
       graft.operators.GraftCache.releaseAll()
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () } // already reported by the timed pass
+      val ok =
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          true
+        } catch { case e: Throwable =>
+          // a query can fail HERE having passed every timed rep (e.g.
+          // transient gate-file contention at suite end) — emitting its
+          // time-to-failure would read as a fast isolated run and
+          // manufacture the exact wrong host-phase verdict; drop it
+          System.err.println(s"[bench] $name isolated FAILED: $e")
+          false
+        }
       val wall = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name isolated=$wall%.3f")
-      (name, wall)
+      if (ok) {
+        System.err.println(f"[bench] $name isolated=$wall%.3f")
+        Some((name, wall))
+      } else None
     }
     // `failed` emits only when non-empty (the empty list spent 12 B of
     // the collector-tail budget on information `rc=0` already carries).

@@ -72,9 +72,20 @@ object ScaleProbe {
     // dominate the wall)
     sys.env.get("SPARK_GRAFT_SCALED_DIR").foreach { p =>
       val path = java.nio.file.Paths.get(p)
-      if (java.nio.file.Files.isDirectory(path.resolve("lineitem.parquet")) ||
-        java.nio.file.Files.isRegularFile(path.resolve("lineitem.parquet")))
+      def present(t: String) =
+        java.nio.file.Files.exists(path.resolve(t + ".parquet"))
+      if (present("lineitem") && present("orders")) {
+        // validate the reused dataset really IS this factor — silently
+        // adopting a prior run's files would emit a mislabeled result
+        val have = spark.read.parquet(s"$p/lineitem.parquet").count()
+        val want = Tables.load(spark, dir, "lineitem").count() * factor
+        if (have != want) throw new IllegalStateException(
+          s"SPARK_GRAFT_SCALED_DIR=$p holds $have lineitem rows but factor " +
+            s"$factor needs $want — clear the directory or fix the factor")
         return p
+      }
+      if (present("lineitem") || present("orders")) throw new IllegalStateException(
+        s"SPARK_GRAFT_SCALED_DIR=$p is a half-built dataset — clear it")
       java.nio.file.Files.createDirectories(path)
       return buildScaledInto(spark, dir, factor, p.toString)
     }
@@ -96,9 +107,11 @@ object ScaleProbe {
     scaleFact("orders", "o_orderkey")
     for (t <- Seq("customer", "supplier", "part", "nation", "region",
         "events", "documents", "embeddings"))
+      // absolute target: a relative one would resolve against the LINK's
+      // directory, dangling whenever sfDir was given relative to cwd
       java.nio.file.Files.createSymbolicLink(
         java.nio.file.Paths.get(s"$out/$t.parquet"),
-        java.nio.file.Paths.get(s"$dir/$t.parquet"))
+        java.nio.file.Paths.get(s"$dir/$t.parquet").toAbsolutePath)
     out
   }
 

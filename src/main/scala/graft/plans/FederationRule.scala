@@ -65,11 +65,20 @@ object FederationRule extends Rule[LogicalPlan] {
       visible: Seq[Attribute],
       topAlias: String)
 
-  private[plans] def leafOf(plan: LogicalPlan): Option[Leaf] = plan match {
+  /** `newAlias` allocates correlation names for the leaf's derived
+    * tables. The optimizer path uses the global [[fresh]] counter
+    * (aliases land only in OPTIMIZED plans, so cache lookup — which
+    * canonicalizes ANALYZED plans — is unaffected); [[SetOpAllRule]]
+    * rewrites at analysis time and passes a DETERMINISTIC per-collapse
+    * allocator instead, so two identical programs produce identical
+    * analyzed plans and `df.cache()` still matches.
+    */
+  private[plans] def leafOf(plan: LogicalPlan,
+      newAlias: () => String = () => fresh()): Option[Leaf] = plan match {
     // Analyzer-time plans (SetOpAllRule runs post-hoc resolution, before
     // the optimizer strips these) wrap relations in SubqueryAlias; it
     // only affects name scoping, attribute identity is by exprId.
-    case SubqueryAlias(_, child) => leafOf(child)
+    case SubqueryAlias(_, child) => leafOf(child, newAlias)
     case r: DataSourceV2Relation if r.table.isInstanceOf[GraftJdbcTable] =>
       val t = r.table.asInstanceOf[GraftJdbcTable]
       // A pincolumns-projected table exposes a catch-all JSON column
@@ -96,7 +105,7 @@ object FederationRule extends Rule[LogicalPlan] {
             r.output,
             embedded))
         case None =>
-          val alias = fresh()
+          val alias = newAlias()
           Some(Leaf(
             t.options.computeContext,
             t.options,
@@ -109,7 +118,7 @@ object FederationRule extends Rule[LogicalPlan] {
 
     // Attribute-only projections narrow the visible column set.
     case Project(items, child) =>
-      leafOf(child).flatMap { l =>
+      leafOf(child, newAlias).flatMap { l =>
         val mapped: Seq[Option[(Attribute, String)]] = items.map {
           case a: AttributeReference => l.attrs.get(a.exprId).map(a -> _)
           case al @ Alias(c: AttributeReference, _) =>
@@ -126,10 +135,10 @@ object FederationRule extends Rule[LogicalPlan] {
     // applies BEFORE any outer join's null extension — exact semantics
     // for every join type.
     case Filter(cond, child) =>
-      leafOf(child).flatMap { l =>
+      leafOf(child, newAlias).flatMap { l =>
         new CatalystUnparser(l.opts.dialect, l.attrs).expr(cond).map { w =>
           val d = l.opts.dialect
-          val alias = fresh()
+          val alias = newAlias()
           val cols = l.visible.zipWithIndex.map { case (a, i) =>
             s"${l.attrs(a.exprId)} AS ${d.quote(s"c$i")}"
           }
@@ -192,7 +201,7 @@ object FederationRule extends Rule[LogicalPlan] {
     // is positional UNION ALL; byName/allowMissing variants and
     // Distinct-above stay local.
     case u @ Union(children, false, false) if children.length >= 2 =>
-      val leaves = children.map(leafOf)
+      val leaves = children.map(c => leafOf(c))
       val collapsed = if (leaves.forall(_.isDefined)) {
         val ls = leaves.map(_.get)
         // u.output.nonEmpty: a fully-pruned union (bare COUNT above it)
@@ -259,7 +268,9 @@ object FederationRule extends Rule[LogicalPlan] {
     // the Union / semi-join / anti-join underneath FIRST, a whole
     // `a INTERSECT b` / `a EXCEPT b` / `a UNION b` between same-context
     // scans becomes ONE remote statement. (INTERSECT ALL / EXCEPT ALL
-    // rewrite to ReplicateRows generators and deliberately stay local.)
+    // never reach this rule: [[SetOpAllRule]] collapses them
+    // pre-rewrite on capable dialects; elsewhere they stay local as
+    // Catalyst's ReplicateRows counting plans.)
     case agg: Aggregate
         if agg.groupingExpressions.nonEmpty &&
           agg.groupingExpressions.forall(_.isInstanceOf[Attribute]) &&
@@ -363,7 +374,7 @@ object FederationRule extends Rule[LogicalPlan] {
   * instead of both full tables — same argument as the join collapse.
   */
 object SetOpAllRule extends Rule[LogicalPlan] {
-  import FederationRule.{Leaf, fresh, leafOf, wrap}
+  import FederationRule.{Leaf, leafOf, wrap}
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case s @ Except(left, right, true) =>
@@ -373,10 +384,17 @@ object SetOpAllRule extends Rule[LogicalPlan] {
   }
 
   private def collapse(op: LogicalPlan, kw: String, left: LogicalPlan,
-      right: LogicalPlan): Option[LogicalPlan] =
+      right: LogicalPlan): Option[LogicalPlan] = {
+    // deterministic per-collapse alias allocation: identical programs
+    // must yield identical ANALYZED plans (this rule runs at analysis
+    // time, so a counter-unique alias would defeat `df.cache()` plan
+    // matching). Distinct correlation names within one statement, same
+    // names across identical statements.
+    var n = -1
+    val det = () => { n += 1; s"g$n" }
     for {
-      l <- leafOf(left)
-      r <- leafOf(right)
+      l <- leafOf(left, det)
+      r <- leafOf(right, det)
       // never merge distinct servers (AllowedFor(context) equality)
       if l.ctx == r.ctx
       if l.opts.dialect.supportsSetOpAll
@@ -385,9 +403,17 @@ object SetOpAllRule extends Rule[LogicalPlan] {
       if op.output.nonEmpty
       if l.visible.length == op.output.length &&
         r.visible.length == op.output.length
+      // and the leg COLUMN TYPES must already agree: this rule runs
+      // BEFORE checkAnalysis, so an incoercible set-op (bool vs int)
+      // still holds its raw legs here — collapsing it would hide the
+      // analysis error and ship a query the remote engine coerces by
+      // ITS rules. Legs that coerced successfully carry Cast-Projects,
+      // which leafOf already refuses, so equal leg types is exactly
+      // the collapsible set.
+      if l.visible.map(_.dataType) == r.visible.map(_.dataType) &&
+        l.visible.map(_.dataType) == op.output.map(_.dataType)
     } yield {
       val d = l.opts.dialect
-      val alias = fresh()
       def branch(leaf: Leaf): String = {
         val proj = leaf.visible.zipWithIndex.map { case (a, i) =>
           s"${leaf.attrs(a.exprId)} AS ${d.quote(s"c$i")}"
@@ -396,7 +422,15 @@ object SetOpAllRule extends Rule[LogicalPlan] {
         // correlation names are fine (unlike the join arm)
         s"SELECT ${proj.mkString(", ")} FROM ${leaf.from}"
       }
-      wrap(op.output, l.opts,
-        s"(${branch(l)} $kw ${branch(r)}) ${d.quote(alias)}", alias)
+      // content-derived outer alias: deterministic for identical
+      // programs (cache matching), distinct for distinct set-ops (so
+      // an outer join of two different collapsed set-ops keeps
+      // distinct topAliases and can itself collapse; two copies of the
+      // SAME set-op share the alias and the join arm's self-join guard
+      // correctly refuses, exactly like any other self-joined leg)
+      val body = s"${branch(l)} $kw ${branch(r)}"
+      val alias = "gs" + java.lang.Integer.toHexString(body.hashCode)
+      wrap(op.output, l.opts, s"($body) ${d.quote(alias)}", alias)
     }
+  }
 }

@@ -256,6 +256,15 @@ trait Dialect extends Serializable {
     * cannot); plans that need more stay local over the scanned rows. */
   def supportsMultipleDistinctAggregates: Boolean = true
 
+  /** A typed NULL select-list item aliased to `name` — how a ghost pin
+    * (a `pincolumns` entry the remote table lacks) renders in scan SQL.
+    * The default casts through [[stringType]], which doubles as a CAST
+    * target on the standard-SQL engines; dialects whose CAST grammar
+    * rejects their own DDL string type override.
+    */
+  def nullColumnSql(name: String): String =
+    s"CAST(NULL AS $stringType) AS ${quote(name)}"
+
   /** Whether `INTERSECT ALL` / `EXCEPT ALL` may be rendered — gates the
     * bag-semantics set-op federation collapse (the DISTINCT forms ride
     * the semi/anti/aggregate rewrites instead and are gated by
@@ -474,6 +483,9 @@ object MySqlDialect extends Dialect {
   val name = "mysql"
   // MySQL has no IS NOT DISTINCT FROM; its null-safe equality is `<=>`
   override def nullSafeEqSql(a: String, b: String): Option[String] = Some(s"($a <=> $b)")
+  // MySQL's CAST grammar takes CHAR, not the LONGTEXT DDL type
+  override def nullColumnSql(name: String): String =
+    s"CAST(NULL AS CHAR) AS ${quote(name)}"
   override def quote(ident: String): String = "`" + ident.replace("`", "``") + "`"
   // MySQL string literals treat backslash as an escape character (the
   // one engine here that does) — without doubling, the unparser's
@@ -549,6 +561,9 @@ object ClickHouseDialect extends Dialect {
   val name = "clickhouse"
   // merge-tree engines keep their own part statistics; no ANALYZE analog
   override def analyzeStatement(ns: String, table: String): Option[String] = None
+  // ClickHouse rejects CAST(NULL AS String) — NULL needs a Nullable type
+  override def nullColumnSql(name: String): String =
+    s"CAST(NULL AS Nullable(String)) AS ${quote(name)}"
   override def quote(ident: String): String = "`" + ident.replace("`", "``") + "`"
   override def renameTableSql(oldQualified: String, newName: String): String =
     s"RENAME TABLE $oldQualified TO ${quote(newName)}"

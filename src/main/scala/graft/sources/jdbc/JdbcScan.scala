@@ -392,9 +392,10 @@ final case class JdbcScan(
     // A ghost pin (declared but absent remotely) renders as a typed NULL
     // aliased to its exposed name — the reference's null-for-missing-field
     // semantics — instead of a quoted column the remote would reject.
+    // Dialect-routed: MySQL/ClickHouse CAST grammars reject their own
+    // DDL string type.
     def colSql(name: String): String =
-      if (ghostPins(name.toLowerCase))
-        s"CAST(NULL AS ${d.stringType}) AS ${d.quote(name)}"
+      if (ghostPins(name.toLowerCase)) d.nullColumnSql(name)
       else d.quote(name)
     val cols =
       if (aggSelect.nonEmpty) aggSelect.mkString(", ")

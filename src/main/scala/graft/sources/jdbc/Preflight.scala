@@ -57,7 +57,7 @@ object Preflight {
       bad(s"malformed JDBC url '$url': expected 'jdbc:<subprotocol>:…'")
     val tail = rest.substring(sub.length + 1)
     sub match {
-      case "derby" => checkDerby(tail, url)
+      case "derby" => checkDerby(tail, url, o)
       case "duckdb" => checkFilePath(tail, url)
       case "sqlite" =>
         if (tail != ":memory:" && !tail.isEmpty) checkFilePath(tail, url)
@@ -69,10 +69,15 @@ object Preflight {
   private def bad(msg: String): Nothing =
     throw new IllegalArgumentException(s"preflight: $msg")
 
-  private def checkDerby(tail: String, url: String): Unit = {
+  private def checkDerby(tail: String, url: String, o: JdbcOptions): Unit = {
     if (tail.isEmpty) bad(s"malformed Derby url '$url': empty database name")
-    if (tail.startsWith("memory:")) return
-    val attrs = tail.split(';')
+    // Derby Network Server form (jdbc:derby://host:port/db) is a SERVER
+    // url, not an embedded path — route it to the DNS/TCP probe
+    if (tail.startsWith("//")) { checkServer("derby", tail, url, o); return }
+    // non-filesystem subsubprotocols have no path to validate
+    if (Seq("memory:", "classpath:", "jar:").exists(tail.startsWith)) return
+    val pathTail = if (tail.startsWith("directory:")) tail.stripPrefix("directory:") else tail
+    val attrs = pathTail.split(';')
     val path = attrs.head
     if (path.isEmpty) return // attribute-only URLs (e.g. ;shutdown=true)
     val create = attrs.tail.exists(_.equalsIgnoreCase("create=true"))
@@ -102,14 +107,22 @@ object Preflight {
       o: JdbcOptions): Unit = {
     val authority = tail.stripPrefix("//").takeWhile(c => c != '/' && c != '?')
     if (authority.isEmpty) bad(s"malformed server url '$url': no host")
-    val (host, port) = authority.lastIndexOf(':') match {
-      case -1 => (authority, defaultPort(sub))
-      case i =>
-        val ps = authority.substring(i + 1)
-        if (!ps.forall(_.isDigit) || ps.isEmpty)
-          bad(s"malformed server url '$url': bad port '$ps'")
-        (authority.substring(0, i), ps.toInt)
-    }
+    // bracketed IPv6 hosts ([::1], [::1]:5433) carry colons INSIDE the
+    // brackets — only a colon AFTER the closing bracket is a port
+    val (host, port) =
+      if (authority.startsWith("[")) {
+        val close = authority.indexOf(']')
+        if (close < 0) bad(s"malformed server url '$url': unterminated IPv6 bracket")
+        val h = authority.substring(1, close)
+        authority.substring(close + 1) match {
+          case "" => (h, defaultPort(sub))
+          case p if p.startsWith(":") => (h, parsePort(p.substring(1), url))
+          case junk => bad(s"malformed server url '$url': unexpected '$junk' after IPv6 host")
+        }
+      } else authority.lastIndexOf(':') match {
+        case -1 => (authority, defaultPort(sub))
+        case i => (authority.substring(0, i), parsePort(authority.substring(i + 1), url))
+      }
     if (host.isEmpty) bad(s"malformed server url '$url': empty host")
     val timeoutMs = o.map.getOrElse("preflighttimeoutms", "3000").toInt
     // DNS first (ns_lookup.rs's lookup_host step): an unresolvable name
@@ -134,10 +147,19 @@ object Preflight {
     }
   }
 
+  private def parsePort(ps: String, url: String): Int = {
+    if (ps.isEmpty || !ps.forall(_.isDigit) || ps.length > 5)
+      bad(s"malformed server url '$url': bad port '$ps'")
+    val p = ps.toInt
+    if (p < 1 || p > 65535) bad(s"malformed server url '$url': port $p out of range")
+    p
+  }
+
   private def defaultPort(sub: String): Int = sub match {
     case "postgresql" => 5432
     case "mysql" | "mariadb" => 3306
     case "clickhouse" => 8123
+    case "derby" => 1527 // Derby Network Server
     case _ => bad(s"no default port known for 'jdbc:$sub'; specify one explicitly")
   }
 

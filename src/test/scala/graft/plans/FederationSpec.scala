@@ -288,6 +288,50 @@ class FederationSpec extends AnyFunSuite with SparkFixture {
     assert(derived.size == 1 &&
       derived.head.options.map("dbtable").contains("EXCEPT ALL"),
       rewritten.toString)
+
+    // legs whose column TYPES disagree must NOT collapse: the rule runs
+    // before checkAnalysis, and collapsing an incoercible set-op would
+    // hide Spark's analysis error behind the remote engine's own
+    // coercion rules
+    def relOf(dt: org.apache.spark.sql.types.DataType) = {
+      val schema = StructType(Seq(StructField("x", dt)))
+      val t = GraftJdbcTable("t", schema,
+        JdbcOptions(Map("url" -> "jdbc:derby:memory:probe", "dbtable" -> "t")))
+      DataSourceV2Relation(t, Seq(AttributeReference("x", dt)()),
+        None, None, CaseInsensitiveStringMap.empty())
+    }
+    val mixed = Except(relOf(LongType),
+      relOf(org.apache.spark.sql.types.BooleanType), isAll = true)
+    assert(SetOpAllRule(mixed).isInstanceOf[Except],
+      "type-mismatched legs must stay un-collapsed for checkAnalysis to reject")
+  }
+
+  test("ALL set-op collapse is deterministic: identical programs hit the cache") {
+    setup()
+    import spark.implicits._
+    import graft.sources.jdbc.GraftJdbcTable
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+    def prog() = spark.table("ext.fed.cust").select("cid")
+      .exceptAll(spark.table("ext.fed.cust").select("cid").filter($"cid" > 1))
+    // the derived-table SQL (incl. correlation aliases) must be
+    // IDENTICAL across two builds of the same program — this rule runs
+    // at analysis time, so a counter-unique alias would make every
+    // analyzed plan unique and defeat df.cache() matching
+    def derivedSql(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.analyzed.collect {
+        case r: DataSourceV2Relation if r.table.isInstanceOf[GraftJdbcTable] =>
+          r.table.asInstanceOf[GraftJdbcTable].options.map("dbtable")
+      }
+    assert(derivedSql(prog()) == derivedSql(prog()))
+
+    val cached = prog().cache()
+    try {
+      cached.count() // materialize
+      val reused = prog()
+      assert(reused.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"),
+        s"identical program missed the cache:\n${reused.queryExecution.optimizedPlan}")
+      assert(reused.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    } finally cached.unpersist()
   }
 
   test("collapse and results survive AQE (the production setting)") {

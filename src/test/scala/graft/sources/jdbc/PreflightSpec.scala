@@ -81,6 +81,51 @@ class PreflightSpec extends AnyFunSuite {
     assert(e.getMessage.contains("preflight"), e.getMessage)
   }
 
+  test("Derby subsubprotocols route correctly: network server probes, jar/classpath skip") {
+    // jdbc:derby://host:port/db is the NETWORK SERVER form — a server
+    // probe (here: loopback port 1 refuses → transient), never a
+    // filesystem check on the pseudo-path "//127.0.0.1:1/db"
+    val e = intercept[java.sql.SQLTransientConnectionException] {
+      Preflight.check(opts("jdbc:derby://127.0.0.1:1/db",
+        "preflighttimeoutms" -> "500"))
+    }
+    assert(e.getSQLState == "08001", e.getMessage)
+
+    // non-filesystem subsubprotocols have nothing to validate
+    Preflight.check(opts("jdbc:derby:classpath:/some/db"))
+    Preflight.check(opts("jdbc:derby:jar:(x.jar)db"))
+    // directory: is the explicit filesystem form — validated like a path
+    val e2 = intercept[IllegalArgumentException] {
+      Preflight.check(opts(
+        s"jdbc:derby:directory:${sys.props("java.io.tmpdir")}/graft_no_such_db2"))
+    }
+    assert(e2.getMessage.contains("does not exist"), e2.getMessage)
+  }
+
+  test("IPv6 hosts and port bounds parse correctly") {
+    // bracketed IPv6 with a port: brackets shield the inner colons
+    val e = intercept[java.sql.SQLTransientConnectionException] {
+      Preflight.check(opts("jdbc:postgresql://[::1]:1/db",
+        "preflighttimeoutms" -> "500"))
+    }
+    assert(e.getSQLState == "08001", e.getMessage)
+    // bracketed IPv6 WITHOUT a port: must not mis-split at the inner colon
+    val e2 = intercept[Exception] {
+      Preflight.check(opts("jdbc:postgresql://[::1]/db",
+        "preflighttimeoutms" -> "500"))
+    }
+    assert(!e2.getMessage.contains("bad port"), e2.getMessage)
+
+    val e3 = intercept[IllegalArgumentException] {
+      Preflight.check(opts("jdbc:postgresql://h:99999999/db"))
+    }
+    assert(e3.getMessage.contains("bad port"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException] {
+      Preflight.check(opts("jdbc:postgresql://h:70000/db"))
+    }
+    assert(e4.getMessage.contains("out of range"), e4.getMessage)
+  }
+
   test("a successful probe is cached per compute context") {
     Preflight.reset()
     val o = opts("jdbc:derby:memory:pfcache;create=true")

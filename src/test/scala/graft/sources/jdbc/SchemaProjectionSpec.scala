@@ -156,6 +156,16 @@ class SchemaProjectionSpec extends AnyFunSuite with SparkFixture {
     assert(j.count() == 3)
   }
 
+  test("ghost-pin NULL rendering is dialect-routed (CAST grammar differences)") {
+    // MySQL's CAST takes CHAR (not its LONGTEXT DDL type); ClickHouse
+    // needs Nullable(String); standard-SQL engines cast via stringType
+    assert(DerbyDialect.nullColumnSql("g") == """CAST(NULL AS VARCHAR(32672)) AS "g"""")
+    assert(DuckDbDialect.nullColumnSql("g") == """CAST(NULL AS TEXT) AS "g"""")
+    assert(PostgresDialect.nullColumnSql("g") == """CAST(NULL AS TEXT) AS "g"""")
+    assert(MySqlDialect.nullColumnSql("g") == "CAST(NULL AS CHAR) AS `g`")
+    assert(ClickHouseDialect.nullColumnSql("g") == "CAST(NULL AS Nullable(String)) AS `g`")
+  }
+
   test("option validation: duplicate pins and a pin/catch-all collision fail eagerly") {
     intercept[IllegalArgumentException] {
       JdbcOptions(Map("url" -> "jdbc:derby:memory:x", "dbtable" -> "t",
