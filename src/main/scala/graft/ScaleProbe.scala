@@ -224,16 +224,76 @@ object ScaleProbe {
     // through the watermarked hourly aggregate, file source →
     // processAllAvailable. Extends BASELINE round-6's MemoryStream
     // measurement a decade with the production source path.
+    // Stateful streaming dedup at N×: every event carries a DISTINCT
+    // fingerprint (worst case for dedup state), event-times advance one
+    // hour per micro-batch, lateness is 10 minutes — so the watermark
+    // EVICTS each batch's fingerprints as soon as the next batch lands.
+    // `statemax` (max `numRowsTotal` across progress events) is the
+    // direct observation that state stays ~one batch deep while N×100k
+    // distinct keys stream through — the "bounded by rate × lateness,
+    // not corpus size" claim ([[streaming.EventStream.dedupStream]])
+    // read off the state store itself.
+    if (op == "streamdedup") {
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_sdsrc").toString
+      val base = Tables.load(spark, sfDir, "events")
+      // batch i occupies EXACTLY hour window [i h, (i+1) h): the base
+      // table's timestamps span weeks, so a naive +i h shift would leave
+      // batch 0's watermark ABOVE most later batches and the stream
+      // would silently drop them as late (caught by numRowsDropped —
+      // rate without this fix measured drop throughput, not work)
+      val hourUs = 3600L * 1000000L
+      val evts = base.select(
+        timestamp_micros(pmod(Tables.epochMicros(base), lit(hourUs)))
+          .as("off"),
+        col("event_id"), col("props"))
+      val shift = 1L << 32
+      (0 until factor).foreach { i =>
+        evts.select(
+          (col("off") + expr(s"INTERVAL $i HOURS")).as("ts"),
+          (col("event_id") + lit(i * shift)).as("doc_id"),
+          // the id rides INSIDE the text so every row's fingerprint is
+          // distinct — maximal dedup state, none of it droppable early
+          concat(col("props"), lit(s"#$i#"), col("event_id")).as("text"))
+          .coalesce(1).write.mode("append").parquet(srcDir)
+      }
+      val rows = spark.read.parquet(srcDir).count()
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_sdck").toString
+      val stream = spark.readStream
+        .schema(spark.read.parquet(srcDir).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir)
+      val t0 = System.nanoTime()
+      val q = streaming.EventStream.dedupStream(stream)
+        .writeStream.format("noop").outputMode("append")
+        .option("checkpointLocation", ckpt).start()
+      q.processAllAvailable()
+      val sos = q.recentProgress.flatMap(p => Option(p.stateOperators).toSeq.flatten)
+      val stateMax = sos.map(_.numRowsTotal).foldLeft(0L)(math.max)
+      val dropped = sos.map(_.numRowsDroppedByWatermark).sum
+      q.stop()
+      val sec = (System.nanoTime() - t0) / 1e9
+      // scalastyle:off println
+      println(f"""{"op":"streamdedup","factor":$factor,"rows":$rows,"sec":$sec%.3f,""" +
+        f""""rate":${math.round(rows / sec)},"statemax":$stateMax,"dropped":$dropped}""")
+      // scalastyle:on println
+      spark.stop()
+      return
+    }
     if (op == "stream") {
       val srcDir = java.nio.file.Files.createTempDirectory("graft_streamsrc").toString
       val base = Tables.load(spark, sfDir, "events")
+      // batch i occupies EXACTLY hour window [i h, (i+1) h) — see the
+      // streamdedup op for why a naive shift would drop later batches
+      // as late instead of streaming them
+      val hourUs = 3600L * 1000000L
       val evts = base.select(
-        timestamp_micros(Tables.epochMicros(base)).as("ts"),
+        timestamp_micros(pmod(Tables.epochMicros(base), lit(hourUs)))
+          .as("off"),
         col("event_type"), col("value"), col("user_id"))
       val shift = 1L << 32
       (0 until factor).foreach { i =>
         evts.select(
-          (col("ts") + expr(s"INTERVAL $i HOURS")).as("ts"),
+          (col("off") + expr(s"INTERVAL $i HOURS")).as("ts"),
           col("event_type"), col("value"),
           (col("user_id") + lit(i * shift)).as("user_id"))
           .coalesce(1).write.mode("append").parquet(srcDir)
