@@ -21,7 +21,7 @@ import org.apache.spark.sql.SparkSession
   *
   * Self-diagnosis (round-9, per the r8 verdict): the artifact must let a
   * reader DISTINGUISH a host/JVM stall from a plan regression without
-  * access to this machine. The `"diag"` map carries, for the ≤5 most
+  * access to this machine. The `"diag"` map carries, for the ≤4 most
   * suspicious queries (stall outliers first, then largest medians),
   * `[best-rep sec, worst-rep sec, GC share of wall %, process-CPU
   * cores busy]`: a best rep near the isolated median proves the slow
@@ -38,7 +38,7 @@ import org.apache.spark.sql.SparkSession
   * automatically re-run ONCE, isolated, after the whole suite finishes —
   * the host has had time to exit whatever phase inflated the suite pass,
   * and nothing else is contending. The `"iso"` map carries those
-  * single-shot seconds (≤5 entries, largest medians first): an isolated
+  * single-shot seconds (≤4 entries, largest medians first): an isolated
   * number near the best rep CONVICTS the suite median as host phase in
   * the artifact itself; an isolated number near the median convicts the
   * plan. The reported per-query median is NOT replaced — `iso` is
@@ -197,13 +197,13 @@ object Bench {
     // Self-diagnosis map (replaces r≤8's "stalls"): [best rep, worst rep,
     // GC % of wall, CPU cores busy] for the ≤5 most suspicious queries —
     // stall outliers (worst > 2× median and > 2 s over it) first, then the
-    // largest medians ≥ 1 s. Bounded at 5 entries for the line budget
+    // largest medians ≥ 1 s. Bounded at 4 entries for the line budget
     // (was 7 in r9; the iso map now carries the adjudicating evidence for
     // flagged queries, so diag+iso together cover more than r9's diag-7).
     val isStall = (r: (String, Double, Double, Double, Long, Double)) =>
       r._4 > 2 * r._2 && r._4 - r._2 > 2.0
     val suspicious = (results.filter(isStall) ++
-      results.filterNot(isStall).filter(_._2 >= 1.0).sortBy(-_._2)).take(5)
+      results.filterNot(isStall).filter(_._2 >= 1.0).sortBy(-_._2)).take(4)
     val diag = suspicious
       .map(r => "\"" + qid(r._1) + "\":[" + fq(r._3) + "," + fq(r._4) + "," +
         r._5 + "," + f1(r._6) + "]")
@@ -214,7 +214,7 @@ object Bench {
     // suite detail on stderr.
     val flagged = results
       .filter(r => r._2 > 2 * r._3 && r._2 - r._3 > 0.5)
-      .sortBy(-_._2).take(5)
+      .sortBy(-_._2).take(4)
     val iso = flagged.flatMap { case (name, _, _, _, _, _) =>
       graft.operators.GraftCache.releaseAll()
       spark.catalog.clearCache()

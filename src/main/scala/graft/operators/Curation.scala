@@ -250,6 +250,37 @@ object Curation {
       .select("grp", "doc_id")
   }
 
+  /** Deterministic WEIGHTED top-k sampling — priority sampling
+    * (Duffield/Lund/Thorup) with an integer-exact key. Each document
+    * draws its "uniform" from the cross-engine content hash
+    * (u = h60(text)+1 ∈ [1, 2^60]) and competes with priority w/u;
+    * selecting the k highest priorities favors heavy documents in
+    * exactly the w-proportional way weighted reservoir sampling does,
+    * and the whole selection is a pure function of the corpus — two
+    * engines, or two runs months apart, pick the SAME k documents.
+    *
+    * The sort key is `u div w` ASCENDING (integer division): for
+    * positive integers it orders identically to w/u descending up to
+    * floor-ties, which the (u, id) tiebreak resolves deterministically.
+    * No floating-point ln/pow (the textbook A-ES key) ever enters the
+    * comparison, so there is no cross-engine ulp hazard at the k-th
+    * boundary — same discipline as the DECIMAL money sums.
+    *
+    * Weight defaults to the document's n_chars (sample ∝ length — the
+    * common "token-mass" proxy); any positive integer column works.
+    */
+  def weightedSample(df: DataFrame, k: Int,
+      weightCol: String = "n_chars", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val u = (h60(col(textCol)) + 1).as("u")
+    df.select(col(idCol).as("doc_id"), col("source"),
+        col(weightCol).cast("long").as("w"), u)
+      .withColumn("pk", expr("u div greatest(w, 1)"))
+      .orderBy("pk", "u", "doc_id")
+      .limit(k)
+      .select("doc_id", "source", "w", "pk")
+  }
+
   /** The CAPSTONE composition — "documents in → training corpus out"
     * with BOTH dedup families: exact dedup picks one representative per
     * byte-identical text, semantic dedup keeps one representative per
@@ -443,6 +474,19 @@ object Curation {
         .agg(count(lit(1)).as("n_docs"),
           sum(size(split(col("text"), " "))).as("n_tokens"))
         .orderBy("source", "split")
+    },
+
+    // Deterministic weighted top-k sampling (priority sampling with an
+    // integer-exact key — see weightedSample): longer documents are
+    // proportionally favored, and the selected SET is bit-identical
+    // across engines because the priority order never touches floats.
+    Q("q136_weighted_sample",
+      "WITH m AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w, " +
+        "(" + h60Sql("text") + " + 1) AS u FROM documents), " +
+        "p AS (SELECT doc_id, source, w, u // GREATEST(w, 1) AS pk, u FROM m) " +
+        "SELECT doc_id, source, w, pk FROM p " +
+        "ORDER BY pk, u, doc_id LIMIT 500") { (s, dir) =>
+      weightedSample(Tables.load(s, dir, "documents"), 500)
     },
 
     // Deterministic shard + intra-shard order for training layout: the

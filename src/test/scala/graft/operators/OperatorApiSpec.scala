@@ -286,6 +286,33 @@ class OperatorApiSpec extends AnyFunSuite with SparkFixture {
     assert(sample(11) == got)
   }
 
+  test("weightedSample: integer-exact priority order, weight-monotone, partition-stable") {
+    import spark.implicits._
+    val df = (1L to 400L).map(i =>
+      (i, s"g${i % 2}", 1L + (i * i) % 50, s"doc body $i"))
+      .toDF("doc_id", "source", "n_chars", "text")
+    def run(parts: Int) = Curation.weightedSample(df.repartition(parts), 60)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val got = run(4)
+    assert(got.length == 60)
+    // deterministic: identical selection AND order under repartitioning
+    assert(run(13).toSeq == got.toSeq)
+    // the emitted priority key really is u div max(w,1) for every row,
+    // and the selection is the GLOBAL top-k of that key (local recompute)
+    val all = df.select(col("doc_id"), col("n_chars"),
+        (graft.functions.CrossHash.h60(col("text")) + 1).as("u"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val keyed = all.map { case (id, w, u) => (u / math.max(w, 1L), u, id, w) }.sorted
+    assert(got.map(_._1).toSeq == keyed.take(60).map(_._3).toSeq)
+    assert(got.forall { case (id, w, pk) =>
+      keyed.exists(k => k._3 == id && k._1 == pk && k._4 == w) })
+    // weight-monotone in expectation: the mean weight of the selected
+    // set must exceed the corpus mean (the point of weighting)
+    val meanSel = got.map(_._2).sum.toDouble / got.length
+    val meanAll = all.map(_._2).sum.toDouble / all.length
+    assert(meanSel > meanAll, s"selected mean $meanSel <= corpus mean $meanAll")
+  }
+
   test("heavyHitters accepts caller-named text columns") {
     val hh = TextAnalysis.heavyHitters(docs, k = 3, capacity = 64,
       textCol = "body").collect()
