@@ -306,6 +306,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q136: weighted sample is a TakeOrderedAndProject, never a global sort") {
+    // priority sampling's top-k must plan as per-partition TopK + merge
+    // (O(k) state per partition) — a global Sort would shuffle the
+    // whole corpus to rank 500 rows
+    val p = plan("q136_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("\n+- Sort") && !p.contains("rangepartitioning"),
+      s"global sort leaked into the sample plan:\n$p")
+  }
+
   test("q85: stratified sample windows shuffle once on the group key") {
     val p = plan("q85_stratified_sample")
     assert("hashpartitioning".r.findAllIn(p).length <= 1, p)
