@@ -195,7 +195,7 @@ object Bench {
     val medians = results
       .map(r => "\"" + qid(r._1) + "\":" + fq(r._2)).mkString("{", ",", "}")
     // Self-diagnosis map (replaces r≤8's "stalls"): [best rep, worst rep,
-    // GC % of wall, CPU cores busy] for the ≤5 most suspicious queries —
+    // GC % of wall, CPU cores busy] for the ≤4 most suspicious queries —
     // stall outliers (worst > 2× median and > 2 s over it) first, then the
     // largest medians ≥ 1 s. Bounded at 4 entries for the line budget
     // (was 7 in r9; the iso map now carries the adjudicating evidence for

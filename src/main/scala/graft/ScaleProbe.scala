@@ -233,8 +233,17 @@ object ScaleProbe {
     // distinct keys stream through — the "bounded by rate × lateness,
     // not corpus size" claim ([[streaming.EventStream.dedupStream]])
     // read off the state store itself.
-    if (op == "streamdedup") {
-      val srcDir = java.nio.file.Files.createTempDirectory("graft_sdsrc").toString
+    if (op == "streamdedup" || op == "stream") {
+      // Shared harness for the two streaming probes (a divergence here
+      // once let one probe measure drop-throughput — keep it single):
+      // batch i's per-copy projection goes through the PRODUCTION file
+      // source as exactly one micro-batch, with every progress event
+      // retained (the default 100-entry recentProgress window would
+      // silently exclude early batches from dropped/statemax at
+      // factor ≥ ~100).
+      spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
+        (factor + 100).toString)
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_streamsrc").toString
       val base = Tables.load(spark, sfDir, "events")
       // batch i occupies EXACTLY hour window [i h, (i+1) h): the base
       // table's timestamps span weeks, so a naive +i h shift would leave
@@ -242,61 +251,22 @@ object ScaleProbe {
       // would silently drop them as late (caught by numRowsDropped —
       // rate without this fix measured drop throughput, not work)
       val hourUs = 3600L * 1000000L
-      val evts = base.select(
-        timestamp_micros(pmod(Tables.epochMicros(base), lit(hourUs)))
-          .as("off"),
-        col("event_id"), col("props"))
+      val off = timestamp_micros(pmod(Tables.epochMicros(base), lit(hourUs)))
       val shift = 1L << 32
+      def writeBatch(i: Int, projected: DataFrame): Unit =
+        projected.coalesce(1).write.mode("append").parquet(srcDir)
       (0 until factor).foreach { i =>
-        evts.select(
-          (col("off") + expr(s"INTERVAL $i HOURS")).as("ts"),
-          (col("event_id") + lit(i * shift)).as("doc_id"),
+        val ts = (off + expr(s"INTERVAL $i HOURS")).as("ts")
+        if (op == "streamdedup")
           // the id rides INSIDE the text so every row's fingerprint is
           // distinct — maximal dedup state, none of it droppable early
-          concat(col("props"), lit(s"#$i#"), col("event_id")).as("text"))
-          .coalesce(1).write.mode("append").parquet(srcDir)
-      }
-      val rows = spark.read.parquet(srcDir).count()
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_sdck").toString
-      val stream = spark.readStream
-        .schema(spark.read.parquet(srcDir).schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(srcDir)
-      val t0 = System.nanoTime()
-      val q = streaming.EventStream.dedupStream(stream)
-        .writeStream.format("noop").outputMode("append")
-        .option("checkpointLocation", ckpt).start()
-      q.processAllAvailable()
-      val sos = q.recentProgress.flatMap(p => Option(p.stateOperators).toSeq.flatten)
-      val stateMax = sos.map(_.numRowsTotal).foldLeft(0L)(math.max)
-      val dropped = sos.map(_.numRowsDroppedByWatermark).sum
-      q.stop()
-      val sec = (System.nanoTime() - t0) / 1e9
-      // scalastyle:off println
-      println(f"""{"op":"streamdedup","factor":$factor,"rows":$rows,"sec":$sec%.3f,""" +
-        f""""rate":${math.round(rows / sec)},"statemax":$stateMax,"dropped":$dropped}""")
-      // scalastyle:on println
-      spark.stop()
-      return
-    }
-    if (op == "stream") {
-      val srcDir = java.nio.file.Files.createTempDirectory("graft_streamsrc").toString
-      val base = Tables.load(spark, sfDir, "events")
-      // batch i occupies EXACTLY hour window [i h, (i+1) h) — see the
-      // streamdedup op for why a naive shift would drop later batches
-      // as late instead of streaming them
-      val hourUs = 3600L * 1000000L
-      val evts = base.select(
-        timestamp_micros(pmod(Tables.epochMicros(base), lit(hourUs)))
-          .as("off"),
-        col("event_type"), col("value"), col("user_id"))
-      val shift = 1L << 32
-      (0 until factor).foreach { i =>
-        evts.select(
-          (col("off") + expr(s"INTERVAL $i HOURS")).as("ts"),
-          col("event_type"), col("value"),
-          (col("user_id") + lit(i * shift)).as("user_id"))
-          .coalesce(1).write.mode("append").parquet(srcDir)
+          writeBatch(i, base.select(ts,
+            (col("event_id") + lit(i * shift)).as("doc_id"),
+            concat(col("props"), lit(s"#$i#"), col("event_id")).as("text")))
+        else
+          writeBatch(i, base.select(ts,
+            col("event_type"), col("value"),
+            (col("user_id") + lit(i * shift)).as("user_id")))
       }
       val rows = spark.read.parquet(srcDir).count()
       val ckpt = java.nio.file.Files.createTempDirectory("graft_streamck").toString
@@ -304,16 +274,24 @@ object ScaleProbe {
         .schema(spark.read.parquet(srcDir).schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(srcDir)
+      val pipeline =
+        if (op == "streamdedup") streaming.EventStream.dedupStream(stream)
+        else streaming.EventStream.hourlyAggregate(stream)
       val t0 = System.nanoTime()
-      val q = streaming.EventStream.hourlyAggregate(stream)
+      val q = pipeline
         .writeStream.format("noop").outputMode("append")
         .option("checkpointLocation", ckpt).start()
       q.processAllAvailable()
+      // BOTH ops emit dropped (and statemax): the rate must never be
+      // able to silently become a drop-throughput number again
+      val sos = q.recentProgress.flatMap(p => Option(p.stateOperators).toSeq.flatten)
+      val stateMax = sos.map(_.numRowsTotal).foldLeft(0L)(math.max)
+      val dropped = sos.map(_.numRowsDroppedByWatermark).sum
       q.stop()
       val sec = (System.nanoTime() - t0) / 1e9
       // scalastyle:off println
-      println(f"""{"op":"stream","factor":$factor,"rows":$rows,"sec":$sec%.3f,""" +
-        f""""rate":${math.round(rows / sec)}}""")
+      println(f"""{"op":"$op%s","factor":$factor,"rows":$rows,"sec":$sec%.3f,""" +
+        f""""rate":${math.round(rows / sec)},"statemax":$stateMax,"dropped":$dropped}""")
       // scalastyle:on println
       spark.stop()
       return

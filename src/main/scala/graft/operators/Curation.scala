@@ -271,14 +271,15 @@ object Curation {
     */
   def weightedSample(df: DataFrame, k: Int,
       weightCol: String = "n_chars", idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      carryCols: Seq[String] = Seq("source")): DataFrame = {
     val u = (h60(col(textCol)) + 1).as("u")
-    df.select(col(idCol).as("doc_id"), col("source"),
-        col(weightCol).cast("long").as("w"), u)
+    df.select(col(idCol).as("doc_id") +: carryCols.map(col) :+
+        col(weightCol).cast("long").as("w") :+ u: _*)
       .withColumn("pk", expr("u div greatest(w, 1)"))
       .orderBy("pk", "u", "doc_id")
       .limit(k)
-      .select("doc_id", "source", "w", "pk")
+      .select("doc_id" +: carryCols :+ "w" :+ "pk" map col: _*)
   }
 
   /** The CAPSTONE composition — "documents in → training corpus out"
