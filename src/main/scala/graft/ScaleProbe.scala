@@ -314,7 +314,26 @@ object ScaleProbe {
       spark.conf.set("spark.sql.catalog.swapb", "graft.sources.jdbc.GraftCatalog")
       spark.conf.set("spark.sql.catalog.swapb.url", url)
     }
-    lazy val docs = scaledDocuments(spark, sfDir, factor)
+    // SPARK_GRAFT_DOCS_DIR materializes the scaled corpus as parquet
+    // (built once, reused with a row-count validation like the
+    // relational SCALED_DIR) so (a) the op reads from disk like a real
+    // pipeline and (b) a DuckDB oracle can run over the SAME files for
+    // cross-engine comparisons.
+    lazy val docs = sys.env.get("SPARK_GRAFT_DOCS_DIR") match {
+      case Some(p) =>
+        val f = java.nio.file.Paths.get(p, "documents.parquet")
+        if (!java.nio.file.Files.exists(f)) {
+          java.nio.file.Files.createDirectories(f.getParent)
+          scaledDocuments(spark, sfDir, factor).write.parquet(f.toString)
+        }
+        val df = spark.read.parquet(f.toString)
+        val want = Tables.load(spark, sfDir, "documents").count() * factor
+        val have = df.count()
+        if (have != want) throw new IllegalStateException(
+          s"SPARK_GRAFT_DOCS_DIR=$p holds $have rows but factor $factor needs $want")
+        df
+      case None => scaledDocuments(spark, sfDir, factor)
+    }
     lazy val vecs = operators.EmbeddingLsh.quantize(
       scaledEmbeddings(spark, sfDir, factor), "vec_id", "embedding")
     val isQuery = col("vec_id") % operators.Similarity.QueryStride === 0
