@@ -57,6 +57,7 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val benchStart = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
@@ -216,6 +217,15 @@ object Bench {
       .filter(r => r._2 > 2 * r._3 && r._2 - r._3 > 0.5)
       .sortBy(-_._2).take(4)
     val iso = flagged.flatMap { case (name, _, _, _, _, _) =>
+      // The driver kills the process at 590 s. The iso pass triggers on
+      // hosts slow enough to FLAG queries — exactly when four extra cold
+      // shots could push past the kill and lose the entire JSON line.
+      // Skip remaining shots once elapsed wall nears the budget: a
+      // missing iso entry is recoverable evidence, a lost artifact isn't.
+      if ((System.nanoTime() - benchStart) / 1e9 > 500.0) {
+        System.err.println(s"[bench] $name isolated SKIPPED (wall budget)")
+        None
+      } else {
       graft.operators.GraftCache.releaseAll()
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
@@ -237,6 +247,7 @@ object Bench {
         System.err.println(f"[bench] $name isolated=$wall%.3f")
         Some((name, wall))
       } else None
+      }
     }
     // `failed` emits only when non-empty (the empty list spent 12 B of
     // the collector-tail budget on information `rc=0` already carries).

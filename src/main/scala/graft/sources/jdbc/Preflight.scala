@@ -105,8 +105,14 @@ object Preflight {
 
   private def checkServer(sub: String, tail: String, url: String,
       o: JdbcOptions): Unit = {
-    val authority = tail.stripPrefix("//").takeWhile(c => c != '/' && c != '?')
-    if (authority.isEmpty) bad(s"malformed server url '$url': no host")
+    val rawAuthority = tail.stripPrefix("//").takeWhile(c => c != '/' && c != '?')
+    if (rawAuthority.isEmpty) bad(s"malformed server url '$url': no host")
+    // credentials-in-URL (user:pass@host:port, legal Connector/J syntax):
+    // everything up to the LAST '@' is userinfo, not host — without this
+    // strip the ':' split would parse host='user:pass@host' and fail a
+    // perfectly valid URL as a permanent error
+    val authority = rawAuthority.substring(rawAuthority.lastIndexOf('@') + 1)
+    if (authority.isEmpty) bad(s"malformed server url '$url': no host after userinfo")
     // bracketed IPv6 hosts ([::1], [::1]:5433) carry colons INSIDE the
     // brackets — only a colon AFTER the closing bracket is a port
     val (host, port) =
@@ -124,9 +130,20 @@ object Preflight {
         case i => (authority.substring(0, i), parsePort(authority.substring(i + 1), url))
       }
     if (host.isEmpty) bad(s"malformed server url '$url': empty host")
-    val timeoutMs = o.map.getOrElse("preflighttimeoutms", "3000").toInt
+    // a malformed timeout is a CONFIG error — route it through the same
+    // permanent-IllegalArgument taxonomy as every other option typo
+    // instead of leaking a raw NumberFormatException
+    val timeoutRaw = o.map.getOrElse("preflighttimeoutms", "3000")
+    val timeoutMs = timeoutRaw.trim match {
+      case t if t.nonEmpty && t.forall(_.isDigit) && t.length <= 9 && t.toInt > 0 => t.toInt
+      case _ => bad(s"preflighttimeoutms must be a positive integer, got '$timeoutRaw'")
+    }
     // DNS first (ns_lookup.rs's lookup_host step): an unresolvable name
-    // is a config error — permanent, fail fast with the hostname
+    // is a config error — permanent, fail fast with the hostname.
+    // NOTE: this resolution runs on the OS resolver's own timeout, not
+    // preflighttimeoutms — the JDK offers no bounded getByName, and a
+    // watchdog thread would leak the lookup. Only the TCP connect below
+    // honors the configured bound.
     val addr =
       try InetAddress.getByName(host)
       catch {

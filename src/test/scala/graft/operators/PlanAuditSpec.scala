@@ -104,6 +104,26 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     val p = plan("q14_multi_join")
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 3, p)
     assert(!p.contains("SortMergeJoin"), s"dim join fell back to SMJ:\n$p")
+    // reduced-side-first (r10 verdict): orders is cut to a 2-column
+    // survivor set by a LEFT SEMI against the dim chain BEFORE meeting
+    // lineitem (a semi keeps Catalyst's size estimate = the orders
+    // side, so the planner broadcasts the RIGHT side of the fact join
+    // at every scale), and the fact join builds from that reduced side
+    // — lineitem is never the build side
+    assert(p.contains("LeftSemi"), s"orders not semi-reduced before the fact join:\n$p")
+    val factJoin = p.linesIterator
+      .find(l => l.contains("BroadcastHashJoin") && l.contains("l_orderkey")).getOrElse("")
+    assert(factJoin.contains("BuildRight"),
+      s"fact join does not build from the reduced orders side:\n$p")
+  }
+
+  test("q137: bloom runtime filter sits on the probe SCAN, under the exact semi join") {
+    val p = plan("q137_bloom_runtime_filter")
+    assert(p.contains("might_contain"), s"bloom filter not in the plan:\n$p")
+    // the bloom must filter orders BELOW the semi join (scan-side), and
+    // the exact join must survive to discard false positives
+    assert(p.contains("LeftSemi"), s"exact semi join eliminated:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"semi join shuffled the probe side:\n$p")
   }
 
   test("q40: exact dedup is one hash aggregate with map-side partial") {
