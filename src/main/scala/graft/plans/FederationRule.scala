@@ -293,6 +293,46 @@ object FederationRule extends Rule[LogicalPlan] {
       }
       collapsed.getOrElse(agg)
 
+    // Global-Sort collapse over an ALREADY-FEDERATED leg (r10 verdict
+    // 7a): `(a INTERSECT ALL b) ORDER BY x` ships the ORDER BY inside
+    // the one remote statement instead of pulling the set-op result
+    // into a local sort. Three guards make this exact, not hopeful:
+    //   - only derived legs (a collapsed set-op/join/window — raw-table
+    //     Sort+LIMIT must keep riding the DSv2 TopN pushdown path);
+    //   - only dialects where a parenthesized ORDER BY is documented or
+    //     live-probed to survive the enclosing SELECT
+    //     ([[graft.sources.jdbc.Dialect.supportsSortedDerivedTable]]);
+    //   - only single-partition scans (a range-partitioned read
+    //     interleaves partitions and no remote ORDER BY can survive
+    //     that — exactly why the reference's always-1-partition scans
+    //     can always ship sorts, mod.rs:313).
+    // Direction AND null ordering render explicitly (engines disagree
+    // on defaults). A LIMIT above still pushes into the collapsed scan
+    // afterwards — ordered remote stream + remote LIMIT = remote TopN.
+    case s @ Sort(order, true, child, _) =>
+      val collapsed = for {
+        l <- leafOf(child)
+        if l.opts.map.contains("derivedalias")
+        if l.opts.dialect.supportsSortedDerivedTable
+        if l.opts.partitionColumn.isEmpty
+        if l.visible.map(_.exprId) == s.output.map(_.exprId)
+        u = new CatalystUnparser(l.opts.dialect, l.attrs)
+        keys <- {
+          val ks = order.map(u.sortOrder)
+          if (ks.forall(_.isDefined)) Some(ks.map(_.get)) else None
+        }
+      } yield {
+        val d = l.opts.dialect
+        val alias = fresh()
+        val proj = l.visible.zipWithIndex.map { case (a, i) =>
+          s"${l.attrs(a.exprId)} AS ${d.quote(s"c$i")}"
+        }
+        wrap(s.output, l.opts,
+          s"(SELECT ${proj.mkString(", ")} FROM ${l.from} " +
+            s"ORDER BY ${keys.mkString(", ")}) ${d.quote(alias)}", alias)
+      }
+      collapsed.getOrElse(s)
+
     case j @ Join(left, right, jt, cond, _) =>
       val collapsed =
         for {

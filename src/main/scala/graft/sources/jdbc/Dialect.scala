@@ -281,6 +281,19 @@ trait Dialect extends Serializable {
     * stores (Derby) serialize concurrent update-else-insert writers on
     * lock waits; row-locking servers take key-clustered parallelism. */
   def singleWriterUpserts: Boolean = false
+
+  /** Whether `(SELECT … ORDER BY …) alias` is accepted AND its order
+    * observed by a plain enclosing SELECT — the gate for collapsing a
+    * global Sort (without LIMIT) into an already-federated derived leg.
+    * True only where the behavior is engine-documented or live-probed:
+    * DuckDB (preserve_insertion_order, probed by the ordered federation
+    * spec), SQLite (the flattener hoists a subquery ORDER BY into the
+    * outer query), PostgreSQL (ordered subquery streams through a
+    * projection-only outer select). MySQL documents that it IGNORES
+    * derived-table ORDER BY without LIMIT — stays false; ClickHouse and
+    * Derby are unprobed/unspecified — false.
+    */
+  def supportsSortedDerivedTable: Boolean = false
 }
 
 /** Apache Derby — the live embedded backend for tests and queries. */
@@ -356,6 +369,7 @@ object DerbyDialect extends Dialect {
   */
 object PostgresDialect extends Dialect {
   val name = "postgres"
+  override def supportsSortedDerivedTable: Boolean = true
   override def supportsNativeArrays: Boolean = true
   override def supportsSetOpAll: Boolean = true
   override def typeName(dt: DataType): String = dt match {
@@ -391,6 +405,7 @@ object PostgresDialect extends Dialect {
   */
 object DuckDbDialect extends Dialect {
   val name = "duckdb"
+  override def supportsSortedDerivedTable: Boolean = true
   // live-probed: DuckDB executes INTERSECT ALL / EXCEPT ALL natively
   override def supportsSetOpAll: Boolean = true
   // DuckDB has native LIST columns (the reference's duckdb connector
@@ -439,6 +454,7 @@ object DuckDbDialect extends Dialect {
 
 object SqliteDialect extends Dialect {
   val name = "sqlite"
+  override def supportsSortedDerivedTable: Boolean = true
   // SQLite's null-safe equality operator is `IS`
   override def nullSafeEqSql(a: String, b: String): Option[String] = Some(s"($a IS $b)")
   override def typeName(dt: DataType): String = dt match {

@@ -126,6 +126,15 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(!p.contains("SortMergeJoin"), s"semi join shuffled the probe side:\n$p")
   }
 
+  test("q102: part-bounded stats frame broadcasts; the fact side is never a build side") {
+    val p = plan("q102_tpch_q17")
+    // both joins build from the small side (part dim, part-keyed stats);
+    // a size-estimate regression that demotes either to a fact-sorting
+    // SMJ — or flips a build side to the probe leg — fails here
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("SortMergeJoin"), s"stats join fell back to SMJ:\n$p")
+  }
+
   test("q40: exact dedup is one hash aggregate with map-side partial") {
     val p = plan("q40_exact_dedup")
     assert("HashAggregate".r.findAllIn(p).length >= 2, p) // partial + final

@@ -58,7 +58,7 @@ class FederationPropertySpec extends AnyFunSuite with SparkFixture {
     val rnd = new Random(seed * 1000)
     val l = leg(cust, rnd, "bal", Seq("cid", "cname", "seg"))
     val r = leg(ord, rnd, "amount", Seq("ocid", "amount"))
-    shape.nextInt(6) match {
+    shape.nextInt(7) match {
       case 0 => // join
         val jt = joinTypes(shape.nextInt(joinTypes.length))
         if (jt == "cross") l.crossJoin(r)
@@ -88,6 +88,23 @@ class FederationPropertySpec extends AnyFunSuite with SparkFixture {
           .select("seg") // seg repeats across cids → real duplicate bags
         val b = cust.filter(col("seg") =!= lit(shape.nextInt(4))).select("seg")
         if (shape.nextBoolean()) a.intersectAll(b) else a.exceptAll(b)
+      case 6 => // three-branch chain with MIXED ALL/DISTINCT set-ops
+        // (r10 verdict 7b): stresses SetOpAllRule's deterministic alias
+        // allocation under nesting — the inner collapse's derived table
+        // becomes a LEG of the outer one — and the interleaving of the
+        // pre-rewrite ALL collapse with the optimizer-time DISTINCT
+        // rewrites. Duplicate counts must match Spark's local plans
+        // through both layers.
+        val a = leg(cust, new Random(seed * 3000), "bal", Seq("cid", "cname", "seg"))
+          .select("seg")
+        val b = cust.filter(col("seg") =!= lit(shape.nextInt(4))).select("seg")
+        val c = leg(cust, new Random(seed * 5000), "bal", Seq("cid", "cname", "seg"))
+          .select("seg")
+        val ops = Seq[(DataFrame, DataFrame) => DataFrame](
+          _.intersectAll(_), _.exceptAll(_), _.intersect(_), _.except(_), _.union(_))
+        val op1 = ops(shape.nextInt(ops.length))
+        val op2 = ops(shape.nextInt(ops.length))
+        op2(op1(a, b), c)
     }
   }
 
@@ -118,5 +135,55 @@ class FederationPropertySpec extends AnyFunSuite with SparkFixture {
     spark.conf.set("spark.sql.catalog.fpduck.url", s"jdbc:duckdb:$dir/sweep.duckdb")
     setup("fpduck")
     sweep("fpduck")
+  }
+
+  test("ORDER BY over a collapsed set-op chain ships remotely and arrives ordered (live DuckDB)") {
+    assume(graft.sources.jdbc.DuckDbWireSpec.driverPresent,
+      "duckdb_jdbc driver not on classpath")
+    val dir = java.nio.file.Files.createTempDirectory("graft_fpsort").toString
+    spark.conf.set("spark.sql.catalog.fpsort", "graft.sources.jdbc.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.fpsort.url", s"jdbc:duckdb:$dir/sort.duckdb")
+    setup("fpsort")
+    import spark.implicits._
+    val custLocal = custRows.toDF("cid", "cname", "seg", "bal")
+    def program(cust: DataFrame): DataFrame = {
+      val a = cust.select("cid", "seg")
+      val b = cust.filter(col("seg") =!= 2).select("cid", "seg")
+      val c = cust.filter(col("bal") > 20).select("cid", "seg")
+      // three-branch: ALL inner, ALL outer — then a global sort above
+      a.intersectAll(b).exceptAll(c)
+        .orderBy(col("seg").desc, col("cid").asc)
+    }
+    val remote = program(spark.table("fpsort.fp.cust"))
+    val p = remote.queryExecution.executedPlan.toString
+    // the pin (verdict 7b): the whole three-branch chain is ONE remote
+    // statement carrying both native ALL set-ops AND the ORDER BY; no
+    // local Sort exec survives
+    assert("GraftJdbcScan".r.findAllIn(p).length == 1,
+      s"three-branch chain did not collapse to one scan:\n$p")
+    assert(p.contains("INTERSECT ALL") && p.contains("EXCEPT ALL"), p)
+    assert(p.contains("ORDER BY"), s"sort did not ship remotely:\n$p")
+    assert(!p.contains("Sort ["), s"a local Sort exec survived:\n$p")
+    // ordered equivalence ON THE WIRE: collected row ORDER (not just the
+    // sorted multiset) must equal the local plan's, which keeps its Sort
+    val got = remote.collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val exp = program(custLocal).collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got == exp, s"remote order diverged:\ngot $got\nexp $exp")
+  }
+
+  test("Derby (no sorted-derived-table capability) keeps the Sort local — negative control") {
+    setup("ext")
+    val a = spark.table("ext.fp.cust").select("seg")
+    val b = spark.table("ext.fp.cust").filter(col("seg") =!= 1).select("seg")
+    val df = a.intersectAll(b).orderBy(col("seg").desc)
+    val p = df.queryExecution.executedPlan.toString
+    // the ALL set-op still collapses (Derby supports it) …
+    assert(p.contains("INTERSECT ALL"), p)
+    // … but the ORDER BY must NOT be pushed into the derived table, and
+    // the local Sort must survive to guarantee the order
+    assert(!p.contains("ORDER BY"), s"sort pushed to a non-capable dialect:\n$p")
+    assert(p.contains("Sort ["), s"local sort missing:\n$p")
+    val got = df.collect().map(_.getInt(0)).toSeq
+    assert(got == got.sorted.reverse, s"result not ordered: $got")
   }
 }

@@ -1,0 +1,132 @@
+package graft.streaming
+
+import graft.SparkFixture
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.sql.Timestamp
+
+/** Checkpoint-restart equivalence (r10 verdict #6): the property a
+  * 100 TB/day pipeline actually relies on is not that a stream runs,
+  * but that a stream KILLED mid-corpus and restarted from its
+  * checkpoint converges to the same result as an uninterrupted run —
+  * exactly-once across restart, including recovered dedup STATE (a
+  * duplicate arriving after the restart of the query must still be
+  * dropped by state persisted before it).
+  *
+  * Both tests drive the PRODUCTION file source → operator → durable
+  * sink path: the parquet sink's commit log gives exactly-once file
+  * output; the JDBC keyed upsert gives exactly-once EFFECT over the
+  * at-least-once foreachBatch channel (re-delivered batches overwrite
+  * themselves by key).
+  */
+class RestartSpec extends AnyFunSuite with SparkFixture {
+
+  private val schema = StructType(Seq(
+    StructField("ts", TimestampType),
+    StructField("doc_id", LongType),
+    StructField("text", StringType)))
+
+  private def addFile(dir: String, rows: Seq[(Timestamp, Long, String)]): Unit = {
+    import spark.implicits._
+    // one file per call → one micro-batch under maxFilesPerTrigger=1
+    rows.toDF("ts", "doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(dir)
+  }
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("dedupStream restarted from checkpoint equals the uninterrupted run (state survives)") {
+    import spark.implicits._
+    val base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(120)
+      .as[(Long, String)].collect()
+    val t0 = 1700000000000L
+    def row(i: Int, id: Long, text: String) = (new Timestamp(t0 + i * 1000L), id, text)
+    // four single-file micro-batches; batch 3 RE-DELIVERS batch-1 texts
+    // under fresh doc_ids — they arrive only AFTER the restart, so
+    // dropping them requires the state store recovered from checkpoint
+    val b1 = base.slice(0, 30).zipWithIndex.map { case ((id, tx), i) => row(i, id, tx) }
+    val b2 = base.slice(30, 60).zipWithIndex.map { case ((id, tx), i) => row(100 + i, id, tx) }
+    val b3 = base.slice(0, 30).zipWithIndex.map { case ((id, tx), i) =>
+      row(200 + i, 900000L + id, tx) }
+    val b4 = base.slice(60, 120).zipWithIndex.map { case ((id, tx), i) => row(300 + i, id, tx) }
+
+    def runCorpus(srcDir: String, outDir: String, ckpt: String,
+        phases: Seq[Seq[Seq[(Timestamp, Long, String)]]]): Unit =
+      phases.foreach { files =>
+        files.foreach(addFile(srcDir, _))
+        val q = EventStream.dedupStream(
+          spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(srcDir),
+          lateness = "30 days")
+          .writeStream.format("parquet")
+          .option("path", outDir).option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+      }
+
+    // interrupted: two batches, STOP (checkpointed), two more, restart
+    val (srcA, outA, ckA) = (tmp("rst_srcA"), tmp("rst_outA"), tmp("rst_ckA"))
+    runCorpus(srcA, outA, ckA, Seq(Seq(b1, b2), Seq(b3, b4)))
+    // uninterrupted control: same corpus, one query lifetime
+    val (srcB, outB, ckB) = (tmp("rst_srcB"), tmp("rst_outB"), tmp("rst_ckB"))
+    runCorpus(srcB, outB, ckB, Seq(Seq(b1, b2, b3, b4)))
+
+    def fps(dir: String): Seq[Long] =
+      spark.read.parquet(dir).select("fp").as[Long].collect().toSeq
+    val (a, b) = (fps(outA), fps(outB))
+    assert(a.length == a.toSet.size,
+      s"restart re-emitted a fingerprint: ${a.length} rows, ${a.toSet.size} distinct")
+    assert(a.toSet == b.toSet && a.length == b.length,
+      s"interrupted run (${a.length}) != uninterrupted run (${b.length})")
+    // and both equal the batch-distinct oracle over the full corpus
+    val batchFps = (b1 ++ b2 ++ b3 ++ b4).map(_._3).toSeq.toDF("text")
+      .select(graft.functions.CrossHash.h60(col("text")).as("fp"))
+      .distinct().as[Long].collect().toSet
+    assert(a.toSet == batchFps,
+      s"streamed set ${a.length} != batch distinct ${batchFps.size}")
+    // the cross-restart duplicates really were dropped by recovered state
+    assert(a.length == (b1 ++ b2 ++ b4).map(_._3).distinct.length)
+  }
+
+  test("maintainTo restarted from checkpoint converges the remote view to the batch aggregate") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS ext.rst")
+    spark.sql("DROP TABLE IF EXISTS ext.rst.summary")
+    spark.sql("CREATE TABLE ext.rst.summary (user_id BIGINT, n BIGINT, total BIGINT)")
+    val (srcDir, ckpt) = (tmp("rst_mv_src"), tmp("rst_mv_ck"))
+    val t0 = 1700000000000L
+    // (ts, user_id, value-as-text) reusing the 3-column file helper
+    val b1 = Seq((new Timestamp(t0), 100L, "5"), (new Timestamp(t0 + 1000), 100L, "7"),
+      (new Timestamp(t0 + 2000), 200L, "1"))
+    val b2 = Seq((new Timestamp(t0 + 3000), 100L, "3"), (new Timestamp(t0 + 4000), 300L, "9"))
+
+    def runPhase(files: Seq[Seq[(Timestamp, Long, String)]]): Unit = {
+      files.foreach(addFile(srcDir, _))
+      val agg = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .select(col("doc_id").as("user_id"), col("text").cast("long").as("v"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("total"))
+      val q = EventStream.maintainTo(agg, "ext.rst.summary", Seq("user_id"), ckpt,
+        queryName = "graft_rst_mv")
+      try q.processAllAvailable() finally q.stop()
+    }
+    def summary(): Seq[(Long, Long, Long)] = spark.table("ext.rst.summary")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+
+    runPhase(Seq(b1))
+    assert(summary() == Seq((100L, 2L, 12L), (200L, 1L, 1L)))
+    // restart: the aggregate's state (per-user running sums) must be
+    // recovered — user 100's revision counts ALL its rows, and the
+    // keyed upsert keeps the view duplicate-free even if the channel
+    // re-delivers the pre-restart batch
+    runPhase(Seq(b2))
+    assert(summary() == Seq((100L, 3L, 15L), (200L, 1L, 1L), (300L, 1L, 9L)),
+      s"remote view diverged after restart: ${summary()}")
+  }
+}
