@@ -100,6 +100,13 @@ object Bench {
       // meaningless. Both belong ON for a real multi-node deployment.
       .config("spark.shuffle.compress", "false")
       .config("spark.shuffle.spill.compress", "false")
+      // Same single-JVM argument for the COLUMNAR CACHE: the persist()
+      // intermediates the dedup/ANN chains rebuild in every cold rep
+      // live in local heap/page-cache, so compressing them is pure CPU
+      // on the cache-build path (A/B r11: comparable-41 15.99 → 15.62 s;
+      // no query regressed beyond noise). On a real cluster memory
+      // capacity is the scarce resource and compression belongs ON.
+      .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
       .config("spark.locality.wait", "0s")
       // AQE OFF for this single-JVM harness (round-6 re-measurement at 4
       // initial shuffle partitions: the 11-query heavy/floor subset runs

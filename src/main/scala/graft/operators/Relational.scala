@@ -199,20 +199,38 @@ object Relational {
         .select("c_custkey", "c_name").orderBy("c_custkey")
     },
 
+    // ROLLUP via pre-aggregation: Spark executes ROLLUP/CUBE as an
+    // Expand that replicates EVERY input row once per grouping set
+    // (×3 here) before the hash aggregate — at 100 TB that triples the
+    // fact-table flow for subtotals derivable from the finest level.
+    // Aggregating by (flag, status) FIRST (600 k → 6 rows; the partial
+    // long-cents sums re-sum exactly, q06's argument) and rolling up
+    // the 6-row frame computes the identical result with the Expand
+    // applied to 6 rows instead of the fact table. Valid because the
+    // grouping keys are non-null in this data model — with nullable
+    // keys the re-aggregation would conflate data-NULL groups with
+    // subtotal rows (use grouping_id at the outer level, as q90 does).
     Q("q12_rollup",
       "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, " +
         "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
         "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
         "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST") { (s, dir) =>
       Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("pn"),
+          sum((dec(col("l_quantity")) * lit(100)).cast("long")).as("pq"))
         .rollup("l_returnflag", "l_linestatus")
-        .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+        .agg(sum(col("pn")).as("n"),
+          (sum(col("pq")).cast("double") / lit(100.0)).as("sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     },
 
     // Full CUBE with ANSI GROUPING() labels (q12 covers ROLLUP): all
-    // four grouping combinations in one pass, gid = the standard bitmask
-    // (bit set ⇔ the column is aggregated away in that row).
+    // four grouping combinations, gid = the standard bitmask (bit set ⇔
+    // the column is aggregated away in that row). Same pre-aggregation
+    // shape as q12 — the Expand (×4 here) runs over the 6-row partial
+    // frame, never the fact table; grouping_id is computed at the CUBE
+    // level so subtotal rows stay distinguishable regardless of data.
     Q("q90_cube_grouping",
       "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, " +
         "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, " +
@@ -220,9 +238,12 @@ object Relational {
         "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) " +
         "ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST") { (s, dir) =>
       Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("pn"),
+          sum((dec(col("l_quantity")) * lit(100)).cast("long")).as("pq"))
         .cube("l_returnflag", "l_linestatus")
-        .agg(count(lit(1)).as("n"),
-          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        .agg(sum(col("pn")).as("n"),
+          (sum(col("pq")).cast("double") / lit(100.0)).as("sum_qty"),
           grouping_id("l_returnflag", "l_linestatus").as("gid"))
         .select("l_returnflag", "l_linestatus", "n", "sum_qty", "gid")
         .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,

@@ -94,4 +94,45 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkFixture {
     assert(plan.contains("*(1) Project") &&
       plan.contains("get_json_object") && plan.contains("$.age"), plan)
   }
+
+  test("graft_json_get rejects JSONPath metacharacters in literal keys (ADVICE r10)") {
+    spark.range(1).selectExpr("""'{"a":{"b":1}}' AS data""")
+      .createOrReplaceTempView("jg_meta")
+    for (k <- Seq("a.b", "a[0]", "*", "a'b", "$x", "t?")) {
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT graft_json_get(data, '${k.replace("'", "''")}') FROM jg_meta")
+          .collect()
+      }
+      assert(e.getMessage.contains("metacharacters"), s"key '$k': ${e.getMessage}")
+    }
+    // non-literal keys stay the caller's contract — still evaluate
+    assert(spark.sql(
+      "SELECT graft_json_get(data, concat('a', '')) FROM jg_meta").count() == 1)
+  }
+
+  test("graft_bloom_agg/graft_might_contain: no false negatives, exact after the verifying join") {
+    import spark.implicits._
+    (1L to 500L).map(i => i * 7).toDF("k").createOrReplaceTempView("bl_build")
+    spark.range(0, 5000).toDF("k").createOrReplaceTempView("bl_probe")
+    // every true member passes (a bloom filter can never drop a member)
+    val kept = spark.sql(
+      "SELECT k FROM bl_probe WHERE graft_might_contain(" +
+        "(SELECT graft_bloom_agg(k, 1000) FROM bl_build), k)")
+      .as[Long].collect().toSet
+    val members = (1L to 500L).map(_ * 7).filter(_ < 5000).toSet
+    assert(members.subsetOf(kept), s"bloom dropped ${members -- kept}")
+    // and the filter is selective: false positives are a small residue,
+    // discarded exactly by the semi join (the q137 contract)
+    assert(kept.size < 2500, s"bloom not selective: ${kept.size} of 5000 kept")
+    val exact = spark.sql(
+      "SELECT p.k FROM bl_probe p WHERE graft_might_contain(" +
+        "(SELECT graft_bloom_agg(k, 1000) FROM bl_build), p.k) " +
+        "AND p.k IN (SELECT k FROM bl_build)").as[Long].collect().toSet
+    assert(exact == members)
+    // arity misuse fails at analysis with the documented signature
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_might_contain(1) FROM bl_probe").collect()
+    }
+    assert(e.getMessage.contains("graft_might_contain"), e.getMessage)
+  }
 }
