@@ -171,6 +171,32 @@ class FederationPropertySpec extends AnyFunSuite with SparkFixture {
     assert(got == exp, s"remote order diverged:\ngot $got\nexp $exp")
   }
 
+  test("LIMIT above a collapsed sorted set-op pushes into the same scan — remote TopN (live DuckDB)") {
+    assume(graft.sources.jdbc.DuckDbWireSpec.driverPresent,
+      "duckdb_jdbc driver not on classpath")
+    val dir = java.nio.file.Files.createTempDirectory("graft_fptopn").toString
+    spark.conf.set("spark.sql.catalog.fptopn", "graft.sources.jdbc.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.fptopn.url", s"jdbc:duckdb:$dir/topn.duckdb")
+    setup("fptopn")
+    import spark.implicits._
+    val custLocal = custRows.toDF("cid", "cname", "seg", "bal")
+    def program(cust: DataFrame): DataFrame =
+      cust.select("cid", "seg")
+        .intersectAll(cust.filter(col("seg") =!= 2).select("cid", "seg"))
+        .orderBy(col("cid").desc).limit(3)
+    val remote = program(spark.table("fptopn.fp.cust"))
+    val p = remote.queryExecution.executedPlan.toString
+    // ORDER BY collapsed into the derived leg AND the limit pushed onto
+    // the same scan: ordered remote stream + remote LIMIT = remote TopN
+    assert("GraftJdbcScan".r.findAllIn(p).length == 1, p)
+    assert(p.contains("ORDER BY"), s"sort not remote:\n$p")
+    assert(p.toLowerCase.contains("limit"), s"limit not pushed:\n$p")
+    assert(!p.contains("Sort ["), s"local sort survived:\n$p")
+    val got = remote.collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val exp = program(custLocal).collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got == exp, s"remote TopN diverged:\ngot $got\nexp $exp")
+  }
+
   test("Derby (no sorted-derived-table capability) keeps the Sort local — negative control") {
     setup("ext")
     val a = spark.table("ext.fp.cust").select("seg")
