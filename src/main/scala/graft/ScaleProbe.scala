@@ -242,6 +242,50 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // Sessions/window-family curve (r11): the four event-analytics
+    // queries (sessionize, funnel, retention, lead-lag) share ONE
+    // user-key exchange by design — this measures that claim across a
+    // scale decade instead of arguing it. N× events with per-copy
+    // shifted user AND event ids: copies never share a window
+    // partition, so the work scales N× with zero cross-copy
+    // interaction, exactly the relational curve's key-shift model. The
+    // PRODUCTION SparkEntry queries run unmodified (presentation sort
+    // included — output production is part of the honest cost, as in
+    // the relational probe).
+    if (op == "sessions") {
+      val out = java.nio.file.Files.createTempDirectory(s"graft_ev${factor}x_").toString
+      val base = Tables.load(spark, sfDir, "events")
+      val shift = 1L << 32
+      (0 until factor).map { i =>
+        base.withColumn("user_id", col("user_id") + lit(i * shift))
+          .withColumn("event_id", col("event_id") + lit(i * shift))
+      }.reduce(_ unionByName _).write.parquet(s"$out/events.parquet")
+      for (t <- Seq("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "documents", "embeddings"))
+        java.nio.file.Files.createSymbolicLink(
+          java.nio.file.Paths.get(s"$out/$t.parquet"),
+          java.nio.file.Paths.get(s"$sfDir/$t.parquet").toAbsolutePath)
+      val rows = spark.read.parquet(s"$out/events.parquet").count()
+      val names = Seq("q87_sessionize", "q92_funnel", "q93_lead_lag", "q94_retention")
+      val timed = names.map { name =>
+        val fn = SparkEntry.queries(name)
+        operators.GraftCache.releaseAll(); spark.catalog.clearCache()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save() // warm, untimed
+        operators.GraftCache.releaseAll(); spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        fn(spark, out).write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[scaleprobe] $name ${factor}x $sec%.3f s")
+        name.takeWhile(_ != '_') -> sec
+      }
+      val qmap = timed.map { case (q, s) => f""""$q":$s%.3f""" }.mkString("{", ",", "}")
+      // scalastyle:off println
+      println(f"""{"op":"sessions","factor":$factor,"rows":$rows,""" +
+        f""""sec":${timed.map(_._2).sum}%.3f,"queries":$qmap}""")
+      // scalastyle:on println
+      spark.stop()
+      return
+    }
     // Streaming throughput curve: N micro-batches of the events table
     // (one file per batch; each copy's event-times shifted forward one
     // hour and user ids key-shifted, so the watermark ADVANCES batch to
