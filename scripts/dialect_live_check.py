@@ -219,6 +219,16 @@ for dialect in ["duckdb", "postgres", "sqlite"]:
             check(f"{dialect}: streaming capped watermark probe == 5",
                   got == 5, f"got {got}: {d['stream_probe']}")
 
+        # sorted-derived-table (federation rule's Sort arm): the
+        # parenthesized ORDER BY must survive the enclosing SELECT with
+        # the EXACT row order — seed i=k%4 with NULLIF(i,3) nulls at
+        # k=3,7: DESC NULLS LAST then k ASC -> 2,6,1,5,4,8,3,7
+        if d.get("sorted_derived"):
+            got = [int(r[1]) for r in con.execute(d["sorted_derived"]).fetchall()]
+            check(f"{dialect}: sorted derived table preserves ORDER BY",
+                  got == [2, 6, 1, 5, 4, 8, 3, 7],
+                  f"got {got}: {d['sorted_derived']}")
+
         # window-collapse SQL (federation rule's Window arm): executed on
         # the pristine seed k=1..8 with i = k%4 — groups {4,8},{1,5},
         # {2,6},{3,7}. rownum orders k DESC within group; runsum is the

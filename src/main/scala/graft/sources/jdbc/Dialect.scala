@@ -285,13 +285,14 @@ trait Dialect extends Serializable {
   /** Whether `(SELECT … ORDER BY …) alias` is accepted AND its order
     * observed by a plain enclosing SELECT — the gate for collapsing a
     * global Sort (without LIMIT) into an already-federated derived leg.
-    * True only where the behavior is engine-documented or live-probed:
-    * DuckDB (preserve_insertion_order, probed by the ordered federation
-    * spec), SQLite (the flattener hoists a subquery ORDER BY into the
-    * outer query), PostgreSQL (ordered subquery streams through a
-    * projection-only outer select). MySQL documents that it IGNORES
-    * derived-table ORDER BY without LIMIT — stays false; ClickHouse and
-    * Derby are unprobed/unspecified — false.
+    * True only where the behavior is LIVE-PROBED: dialect_live_check
+    * executes the Sort arm's exact rendering (derived ORDER BY with
+    * explicit direction + NULLS placement over synthesized NULLs) on
+    * real DuckDB, real sqlite3, and a real PostgreSQL 15 and asserts
+    * the exact row order; the ordered federation spec additionally
+    * proves it end-to-end on the DuckDB wire. MySQL documents that it
+    * IGNORES derived-table ORDER BY without LIMIT — stays false;
+    * ClickHouse and Derby are unprobed/unspecified — false.
     */
   def supportsSortedDerivedTable: Boolean = false
 }

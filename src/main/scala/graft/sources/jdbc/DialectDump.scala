@@ -120,6 +120,23 @@ object DialectDump {
           s"WHERE ${d.quote("k")} > 2 ORDER BY ${d.quote("k")} " +
           d.limitOffsetClause(Some(3), None) + ") graft_lim")
       o.put("analyze", d.analyzeStatement("main", "dlc_t").orNull)
+      // sorted-derived-table SQL exactly as the federation rule's Sort
+      // arm renders it (parenthesized ORDER BY with explicit direction
+      // AND nulls placement over a derived leg) — the capability claim
+      // behind `supportsSortedDerivedTable` executed LIVE with an
+      // exact-row-order assertion; NULLIF synthesizes NULLs so the
+      // NULLS LAST placement is proven, not assumed
+      if (d.supportsSortedDerivedTable) {
+        def q(s: String) = d.quote(s)
+        o.put("sorted_derived",
+          s"SELECT ${q("c0")}, ${q("c1")} FROM (" +
+            s"SELECT ${q("g0")}.${q("c0")} AS ${q("c0")}, " +
+            s"${q("g0")}.${q("c1")} AS ${q("c1")} " +
+            s"FROM (SELECT NULLIF(${q("i")}, 3) AS ${q("c0")}, " +
+            s"${q("k")} AS ${q("c1")} FROM $t) ${q("g0")} " +
+            s"ORDER BY ${q("g0")}.${q("c0")} DESC NULLS LAST, " +
+            s"${q("g0")}.${q("c1")} ASC NULLS FIRST) ${q("fjs")}")
+      }
       // window-collapse SQL exactly as the federation rule's Window arm
       // renders it (CatalystUnparser.windowExpr — explicit NULLS
       // ordering, frames only on aggregates), executed live with
