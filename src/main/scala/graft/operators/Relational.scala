@@ -600,19 +600,30 @@ object Relational {
         "CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS total_rev " +
         "FROM lineitem JOIN part ON l_partkey = p_partkey " +
         "GROUP BY 1 ORDER BY 1") { (s, dir) =>
+      // q06's int64 trick, applied to BOTH sums: the per-row value is
+      // still the oracle's DECIMAL(18,4) product cast, but it
+      // accumulates as exact long TEN-THOUSANDTHS ((18,4) × 10⁴ is
+      // integral; sums sit far under 2^63), so the month aggregate runs
+      // primitive buffers instead of two 128-bit decimal sums over the
+      // joined stream. The 12-ROW output converts back to exact DECIMAL
+      // (S/10⁴ has exactly 4 decimals — the division is value-exact at
+      // the result scale) so the ×100 and the double casts round the
+      // SAME exact rationals the oracle rounds, at zero per-row cost.
       val discPrice = (dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))
         .cast(DecimalType(18, 4))
-      val zero = lit(0).cast(DecimalType(18, 4))
+      val tenK = (discPrice * lit(10000)).cast("long")
+      def asDec4(c: Column): Column = c.cast(DecimalType(28, 0)) / lit(10000)
       Tables.load(s, dir, "lineitem")
         .join(broadcast(Tables.load(s, dir, "part")),
           col("l_partkey") === col("p_partkey"))
         .groupBy(date_trunc("month", col("l_shipdate")).as("mon"))
         .agg(
-          (sum(when(col("p_type") === "PROMO", discPrice).otherwise(zero)) * 100)
-            .cast("double").as("promo_num"),
-          sum(discPrice).cast("double").as("total_rev"))
-        .select(col("mon"), (col("promo_num") / col("total_rev")).as("promo_share"),
-          col("total_rev"))
+          sum(when(col("p_type") === "PROMO", tenK).otherwise(lit(0L))).as("num_tk"),
+          sum(tenK).as("den_tk"))
+        .select(col("mon"),
+          ((asDec4(col("num_tk")) * 100).cast("double") /
+            asDec4(col("den_tk")).cast("double")).as("promo_share"),
+          asDec4(col("den_tk")).cast("double").as("total_rev"))
         .orderBy("mon")
     },
 
