@@ -286,6 +286,73 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // Connected-components TIER A/B over the production MinHash-LSH
+    // pair graph at N×. The tiered-closure claim ("driver union-find at
+    // or under the threshold, star contraction above,
+    // identical labeling either way") has so far been measured only
+    // incidentally (the r7 20× threshold regression); this probe makes
+    // it a first-class curve. Protocol: materialize the pair graph to
+    // parquet ONCE (timed separately as `pairs_sec` — proposal cost is
+    // q42's story, not the closure's), then run each shape cold on the
+    // identical on-disk edges — the NATURAL tier, the FORCED distributed
+    // tier (smallGraphThreshold=0), and the 3-round integer-exact
+    // centrality loop — with a 1× warm pass per shape (JIT/codegen, the
+    // relational probe's protocol). The two tiers' labelings must agree
+    // by order/partitioning-independent signature or the probe throws.
+    if (op == "cluster") {
+      val out = java.nio.file.Files.createTempDirectory(s"graft_cc${factor}x_").toString
+      def buildPairs(f: Int, path: String): Unit = {
+        operators.Dedup.minhashLshPairs(scaledDocuments(spark, sfDir, f))
+          .select("d1", "d2").write.parquet(path)
+        operators.GraftCache.releaseAll(); spark.catalog.clearCache()
+      }
+      val t0 = System.nanoTime()
+      buildPairs(factor, s"$out/pairs.parquet")
+      val pairsSec = (System.nanoTime() - t0) / 1e9
+      buildPairs(1, s"$out/warm.parquet")
+      val pairs = spark.read.parquet(s"$out/pairs.parquet")
+      val warm = spark.read.parquet(s"$out/warm.parquet")
+      val edges = pairs.count()
+      // signature = (label rows, Σ xxhash64(row) as DECIMAL(38,0) — the
+      // int64 sum would trip ANSI overflow): equal multisets of
+      // (v, cluster) rows give equal signatures regardless of order,
+      // partitioning, or which tier produced them; count guards the
+      // degenerate empty case
+      def sig(df: DataFrame): (Long, java.math.BigDecimal) = {
+        val r = df.agg(count(lit(1)),
+          sum(xxhash64(df.columns.map(col): _*).cast("decimal(38,0)"))).head()
+        (r.getLong(0), r.getDecimal(1))
+      }
+      def timedRun(name: String, fn: DataFrame => DataFrame)
+          : ((String, Double), (Long, java.math.BigDecimal)) = {
+        operators.GraftCache.releaseAll(); spark.catalog.clearCache()
+        sig(fn(warm)) // warm, untimed
+        operators.GraftCache.releaseAll(); spark.catalog.clearCache()
+        val t = System.nanoTime()
+        val s = sig(fn(pairs))
+        val sec = (System.nanoTime() - t) / 1e9
+        System.err.println(f"[scaleprobe] cluster/$name ${factor}x $sec%.3f s sig=$s")
+        ((name, sec), s)
+      }
+      val (tTier, sTier) = timedRun("cc_tiered",
+        p => operators.Cluster.connectedComponents(p))
+      val (tDist, sDist) = timedRun("cc_dist",
+        p => operators.Cluster.connectedComponents(p, smallGraphThreshold = 0))
+      val rounds = operators.Cluster.lastDistributedRounds.get()
+      require(sTier == sDist,
+        s"tier labelings diverge at ${factor}x: driver=$sTier distributed=$sDist")
+      val (tRank, _) = timedRun("centrality", p => operators.Cluster.centrality(p))
+      val verts = pairs.select(explode(array(col("d1"), col("d2")))).distinct().count()
+      val timed = Seq(tTier, tDist, tRank)
+      val qmap = timed.map { case (q, s) => f""""$q":$s%.3f""" }.mkString("{", ",", "}")
+      // scalastyle:off println
+      println(f"""{"op":"cluster","factor":$factor,"edges":$edges,"verts":$verts,""" +
+        f""""pairs_sec":$pairsSec%.3f,"rounds":$rounds,"tiers_agree":true,""" +
+        f""""sec":${timed.map(_._2).sum}%.3f,"queries":$qmap}""")
+      // scalastyle:on println
+      spark.stop()
+      return
+    }
     // Streaming throughput curve: N micro-batches of the events table
     // (one file per batch; each copy's event-times shifted forward one
     // hour and user ids key-shifted, so the watermark ADVANCES batch to

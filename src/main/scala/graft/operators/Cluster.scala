@@ -11,20 +11,22 @@ import org.apache.spark.sql.functions._
   * representative per near-duplicate CLUSTER" requires the transitive
   * closure of the pairwise relation, not the pairs themselves.
   *
-  * Scale design (100 TB): connected components run as iterative
-  * min-label propagation over the PAIR GRAPH, which is orders of
-  * magnitude smaller than the corpus (only documents that appear in
-  * some near-dup pair participate; everything else never leaves the
-  * one-pass representative mapping). Each round is one equi-join plus
-  * one map-side-combinable min-aggregation — no windows, nothing
-  * driver-side except the O(1) convergence probe. Convergence takes
-  * O(diameter) rounds; near-dup graphs are unions of quasi-cliques
-  * (every member pairs with most others), so the observed diameter is
-  * 2-4. For adversarial long-chain graphs the star-contraction
-  * alternative (Kiveris et al., "Connected Components in MapReduce and
-  * Beyond", SoCC'14) converges in O(log n) rounds at the cost of two
-  * joins per round; `maxIters` makes the trade explicit by failing loudly
-  * instead of looping unboundedly.
+  * Scale design (100 TB): connected components run over the PAIR
+  * GRAPH, which is orders of magnitude smaller than the corpus (only
+  * documents that appear in some near-dup pair participate; everything
+  * else never leaves the one-pass representative mapping). The
+  * distributed tier is alternating star contraction (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14): O(log n)
+  * rounds regardless of graph diameter, with an edge frame that
+  * SHRINKS as components contract. An iterative min-label loop
+  * (1 join/round but O(diameter) rounds over the FULL edge set) was
+  * this tier's first implementation and was retired on measurement:
+  * the r11 cluster scale probe found the LSH pair graph's diameter
+  * GROWING with corpus size (supersteps 10 → 26 across 1×→100×, wall
+  * 24.0 s at 2.08 M edges) while star contraction stayed flat
+  * (4 → 5 rounds, 13.2 s, identical labeling) — the near-dup-graphs-
+  * are-shallow assumption does not survive scale. `maxIters` still
+  * fails loudly instead of looping unboundedly.
   */
 object Cluster extends org.apache.spark.internal.Logging {
 
@@ -42,23 +44,22 @@ object Cluster extends org.apache.spark.internal.Logging {
     * `smallGraphThreshold` edges the closure runs as driver-side
     * union-find with path compression (microseconds, zero supersteps —
     * the same "small model state on the driver" pattern as the k-means
-    * centroids), above it the distributed min-label loop below takes
-    * over. Both paths produce the identical deterministic labeling
+    * centroids), above it [[connectedComponentsStar]] takes over.
+    * Both paths produce the identical deterministic labeling
     * (component min), so callers and oracles cannot tell them apart;
     * AlgorithmPropertySpec cross-checks them against each other and a
     * sequential reference. `smallGraphThreshold = 0` forces the
     * distributed path (plan audits use this).
     *
-    * Distributed path: every superstep ends in an EAGER
-    * `localCheckpoint` — without the lineage cut, round k's logical
-    * plan embeds round k−1's twice (union + convergence probe), so the
-    * tree doubles per round and ~20 rounds exhaust the DRIVER heap
-    * during analysis — the classic iterative-DataFrame failure. The
-    * checkpoint keeps each round's plan O(1) deep; on a real cluster
-    * one would use reliable `checkpoint()` (localCheckpoint trades
-    * executor-loss recovery for speed — the right trade in a
-    * single-JVM harness, and the label frame is tiny relative to the
-    * corpus either way).
+    * Distributed path: every round ends in an EAGER `localCheckpoint` —
+    * without the lineage cut, round k's logical plan embeds round
+    * k−1's several times over, the tree grows geometrically and ~20
+    * rounds exhaust the DRIVER heap during analysis — the classic
+    * iterative-DataFrame failure. The checkpoint keeps each round's
+    * plan O(1) deep; on a real cluster one would use reliable
+    * `checkpoint()` (localCheckpoint trades executor-loss recovery for
+    * speed — the right trade in a single-JVM harness, and the
+    * contracted edge frame is tiny relative to the corpus either way).
     */
   /** Edge counts up to this collect() in ONE job inside the driver
     * tier (≈70 MB of Rows); between this and `smallGraphThreshold` the
@@ -109,7 +110,7 @@ object Cluster extends org.apache.spark.internal.Logging {
     // streaming between that and smallGraphThreshold (the driver never
     // holds the edge set — union-find state is two longs per vertex;
     // this is what lets the threshold sit at 4M edges without the
-    // r6-advice memory spike), and the distributed min-label loop above.
+    // r6-advice memory spike), and star contraction above.
     val cached = GraftCache.track(pairsLong)
     try {
       val n = if (smallGraphThreshold > 0) cached.count() else Long.MaxValue
@@ -117,55 +118,84 @@ object Cluster extends org.apache.spark.internal.Logging {
         return unionFind(java.util.Arrays.asList(cached.collect(): _*).iterator())
       if (n <= smallGraphThreshold)
         return unionFind(cached.toLocalIterator())
-      connectedComponentsDistributed(cached, maxIters)
+      connectedComponentsStar(cached, maxIters)
     } finally GraftCache.release(cached)
   }
 
-  private def connectedComponentsDistributed(
+  /** Superstep count of the most recent distributed closure — a probe
+    * tap (the O(diameter) convergence claim is only checkable if the
+    * round count is observable), not part of the operator contract. */
+  private[graft] val lastDistributedRounds =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Alternating star contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC'14): each round runs
+    * large-star (every neighbor LARGER than u re-attaches to
+    * m = min(N(u) ∪ {u})) then small-star (every neighbor ≤ u, and u
+    * itself, re-attach to the min of that closed neighborhood), until
+    * the edge set stops changing — at which point the edges ARE the
+    * answer: star graphs (child → component-min root).
+    *
+    * Why star contraction and not min-label propagation (this tier's
+    * first implementation): min-label's round count is the graph
+    * DIAMETER, and the cluster scale probe measured that diameter
+    * growing with corpus size (10 → 26 supersteps across 1×→100×:
+    * near-dup chains get longer as more document variants appear).
+    * Star contraction's round count is O(log n) regardless of
+    * diameter, and — the part that matters at 100 TB — its edge frame
+    * SHRINKS as components contract, so later rounds join less data,
+    * where min-label re-joins the full edge set every round. Measured
+    * on the identical 2.08 M-edge graph: 13.2 s / 5 rounds vs
+    * 24.0 s / 26, identical labeling.
+    *
+    * Loop discipline: eager localCheckpoint per round (the plan would
+    * otherwise grow geometrically), an EXACT fixed-point test (star
+    * forests are precisely the fixed points of the large+small round),
+    * loud failure at `maxIters`.
+    */
+  private[graft] def connectedComponentsStar(
       pairsLong: DataFrame, maxIters: Int): DataFrame = {
-    val edges = GraftCache.track(
-      pairsLong.select(col("d1").as("src"), col("d2").as("dst"))
-        .union(pairsLong.select(col("d2").as("src"), col("d1").as("dst"))))
-    // Initialization IS the first superstep: the vertex-set aggregation
-    // the init needs anyway also takes min(v, min neighbor), so the
-    // loop starts one round ahead.
-    var labels = edges.groupBy(col("src").as("v")).agg(min(col("dst")).as("mn"))
-      .select(col("v"), least(col("v"), col("mn")).as("lbl"))
+    var e = pairsLong
+      .select(least(col("d1"), col("d2")).as("u"),
+        greatest(col("d1"), col("d2")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .select(col("v").as("u"), col("u").as("v")) // orient child→parent
       .localCheckpoint(true)
     var it = 0
     var done = false
-    val t00 = System.nanoTime()
     while (!done) {
       it += 1
-      val t0 = System.nanoTime()
       require(it <= maxIters,
         s"connectedComponents: no convergence after $maxIters rounds " +
-          "(graph diameter exceeds the bound; raise maxIters or contract stars)")
-      // One shuffle per round: each vertex takes the min over its own
-      // label and its neighbors'. The `own` column (null on messages,
-      // the old label on the vertex's own row) rides the SAME
-      // aggregation as max(), so the convergence probe is a filter over
-      // the checkpointed rows — no extra join per round. (Pointer-
-      // halving via a label self-join was measured here and REJECTED:
-      // it did not reduce rounds on near-dup graphs — the min label
-      // concentrates quickly, so label-of-label jumps add a join per
-      // round without shortening the tail.)
-      val msgs = edges.join(labels, col("src") === col("v"))
-        .select(col("dst").as("v"), col("lbl"),
-          lit(null).cast("long").as("own"))
-      val next = labels.withColumn("own", col("lbl")).union(msgs)
-        .groupBy("v").agg(min("lbl").as("lbl"), max("own").as("prev"))
+          "(star contraction needs O(log n) rounds; raise maxIters)")
+      // large-star on the symmetric closure: every neighbor v > u
+      // attaches to m = min(N(u) ∪ {u})
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val ls = sym.join(lsMin, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+      // small-star on the (child > parent) orientation: u and all its
+      // parents re-attach to the smallest parent
+      val ssMin = ls.groupBy("u").agg(min(col("v")).as("m"))
+      val next = ls.join(ssMin, "u")
+        .select(explode(array(
+            struct(col("v").as("u"), col("m").as("v")),
+            struct(col("u").as("u"), col("m").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
         .localCheckpoint(true)
-      done = next.filter(col("lbl") < col("prev")).isEmpty
-      labels = next.select(col("v"), col("lbl"))
-      logInfo(f"cc round $it done=$done " +
-        f"(${(System.nanoTime() - t0) / 1e9}%.2fs, total ${(System.nanoTime() - t00) / 1e9}%.2fs)")
+      // EXACT fixed-point test, no hash: the round maps an edge set to
+      // itself iff it is a star forest, i.e. no parent is also a child
+      // — one semi join over the (shrinking) checkpointed frame
+      done = next.join(next.select(col("u").as("pv")).distinct(),
+        col("v") === col("pv"), "left_semi").isEmpty
+      e = next
     }
-    // labels is localCheckpoint()ed: its plan no longer reads edges, so
-    // the persisted edge frame releases HERE, not at session teardown —
-    // the operator is leak-free for library users, not just the harness.
-    GraftCache.release(edges)
-    labels.select(col("v"), col("lbl").as("cluster"))
+    lastDistributedRounds.set(it)
+    val roots = e.select(col("v").as("u"), col("v"))
+    e.union(roots).distinct()
+      .select(col("u").as("v"), col("v").as("cluster"))
   }
 
   /** PageRank-style centrality over an undirected near-dup pair graph —

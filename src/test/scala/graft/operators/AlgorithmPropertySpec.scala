@@ -43,7 +43,7 @@ class AlgorithmPropertySpec extends AnyFunSuite with SparkFixture {
       val expected = verts.groupBy(find).values
         .flatMap(vs => vs.map(_ -> vs.min)).toMap
       // BOTH tiers must equal the reference: the driver union-find fast
-      // path (default threshold) and the distributed min-label loop
+      // path (default threshold) and the distributed star-contraction
       // (threshold 0 forces it)
       val gotDriver = Cluster.connectedComponents(edges.toDF("d1", "d2"))
         .as[(Long, Long)].collect().toMap

@@ -46,7 +46,7 @@ class GraftCacheSpec extends AnyFunSuite with SparkFixture {
     spark.catalog.clearCache()
     import spark.implicits._
     val chain = (0L until 50L).map(i => (i, i + 1)).toDF("d1", "d2")
-    // distributed tier: persists the edge frame, loops, checkpoints labels
+    // distributed tier: tracks the pair frame, contracts stars, checkpoints rounds
     val cc = Cluster.connectedComponents(chain, smallGraphThreshold = 0)
     assert(cc.count() == 51)
     assert(GraftCache.trackedCount === 0,

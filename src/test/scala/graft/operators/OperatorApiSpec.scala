@@ -346,21 +346,22 @@ class OperatorApiSpec extends AnyFunSuite with SparkFixture {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L), cc)
   }
 
-  test("connectedComponents fails loudly when the diameter exceeds maxIters") {
+  test("connectedComponents fails loudly when rounds exceed maxIters") {
     import spark.implicits._
-    // a 12-vertex path needs ~11 min-propagation rounds; threshold 0
-    // forces the distributed loop (the guard lives there — the driver
-    // union-find tier has no iteration bound to exceed)
-    val chain = (0 until 11).map(i => (i.toLong, i + 1L)).toDF("d1", "d2")
+    // star contraction halves a path's height per round, so a
+    // 200-vertex path needs ~log2(200) ≈ 8 rounds — robustly over a
+    // bound of 2; threshold 0 forces the distributed tier (the guard
+    // lives there — the driver union-find has no iteration bound)
+    val chain = (0 until 199).map(i => (i.toLong, i + 1L)).toDF("d1", "d2")
     val e = intercept[IllegalArgumentException] {
-      Cluster.connectedComponents(chain, maxIters = 3, smallGraphThreshold = 0)
+      Cluster.connectedComponents(chain, maxIters = 2, smallGraphThreshold = 0)
         .collect()
     }
     assert(e.getMessage.contains("no convergence"), e.getMessage)
     // and converges fine when the bound allows
     val cc = Cluster.connectedComponents(chain, maxIters = 15, smallGraphThreshold = 0)
       .as[(Long, Long)].collect()
-    assert(cc.forall(_._2 == 0L) && cc.length == 12, cc.mkString(","))
+    assert(cc.forall(_._2 == 0L) && cc.length == 200, cc.mkString(","))
   }
 
   test("resolveDuplicates maps exact+near dups to one canonical id") {
