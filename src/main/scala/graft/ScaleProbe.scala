@@ -286,6 +286,49 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // Curation-family curve: the training-data selection operators
+    // (hash split, sequence packing's distributed two-pass prefix sum,
+    // per-source token-budget window, stratified sampling, shard
+    // order, weighted top-k) COLD over N× doc_id-shifted documents —
+    // the PRODUCTION queries run unmodified, the sessions-probe
+    // protocol. q91 (semantic curate) is deliberately excluded: it
+    // joins the 1× embeddings table, so scaling documents alone would
+    // measure a shape production never runs.
+    if (op == "curation") {
+      val out = java.nio.file.Files.createTempDirectory(s"graft_doc${factor}x_").toString
+      val base = Tables.load(spark, sfDir, "documents")
+      val shift = 1L << 32
+      (0 until factor).map { i =>
+        base.withColumn("doc_id", col("doc_id") + lit(i * shift))
+      }.reduce(_ unionByName _).write.parquet(s"$out/documents.parquet")
+      for (t <- Seq("region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "embeddings"))
+        java.nio.file.Files.createSymbolicLink(
+          java.nio.file.Paths.get(s"$out/$t.parquet"),
+          java.nio.file.Paths.get(s"$sfDir/$t.parquet").toAbsolutePath)
+      val rows = spark.read.parquet(s"$out/documents.parquet").count()
+      val names = Seq("q77_hash_split", "q81_pack_sequences",
+        "q82_token_budget", "q85_stratified_sample", "q99_shard_order",
+        "q136_weighted_sample")
+      val timed = names.map { name =>
+        val fn = SparkEntry.queries(name)
+        operators.GraftCache.releaseAll(); spark.catalog.clearCache()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save() // warm, untimed
+        operators.GraftCache.releaseAll(); spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        fn(spark, out).write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[scaleprobe] $name ${factor}x $sec%.3f s")
+        name.takeWhile(_ != '_') -> sec
+      }
+      val qmap = timed.map { case (q, s) => f""""$q":$s%.3f""" }.mkString("{", ",", "}")
+      // scalastyle:off println
+      println(f"""{"op":"curation","factor":$factor,"rows":$rows,""" +
+        f""""sec":${timed.map(_._2).sum}%.3f,"queries":$qmap}""")
+      // scalastyle:on println
+      spark.stop()
+      return
+    }
     // Connected-components TIER A/B over the production MinHash-LSH
     // pair graph at N×. The tiered-closure claim ("driver union-find at
     // or under the threshold, star contraction above,
