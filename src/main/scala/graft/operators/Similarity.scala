@@ -537,6 +537,33 @@ object Similarity {
         "CASE WHEN ab.b <= th.bth THEN 1 ELSE 0 END AS proto " +
         "FROM ab JOIN th ON ab.cell = th.cell ORDER BY ab.vec_id") { (s, dir) =>
       semanticOutliers(quantized(s, dir)).orderBy("vec_id")
+    },
+
+    // Exact d×d Gramian of the quantized corpus: the single-pass,
+    // map-side-combinable statistic PCA / whitening / OPQ rotation
+    // training reads off an embedding corpus. ONE aggregation with
+    // O(d²) mergeable int64 state ([[graft.functions.Gram]] — the
+    // shuffle carries one 2 080-long partial per partition at d = 64,
+    // NEVER vector data), then a d²-row explode whose size depends on
+    // d alone, not the corpus. The oracle computes the same sums from
+    // an unnest self-join — exact int64 on both engines.
+    Q("q138_gram_matrix",
+      "WITH " + quantizedSql + ", " +
+        "u0 AS (SELECT vec_id, q, UNNEST(generate_series(1, len(q))) AS ix FROM n), " +
+        "u AS (SELECT vec_id, ix - 1 AS i, q[ix] AS x FROM u0) " +
+        "SELECT a.i AS i, b.i AS j, CAST(SUM(a.x * b.x) AS BIGINT) AS g " +
+        "FROM u a JOIN u b USING (vec_id) GROUP BY 1, 2 ORDER BY i, j") { (s, dir) =>
+      gramMatrix(quantized(s, dir)).orderBy("i", "j")
     }
   )
+
+  /** Exact d×d Gramian of a [[EmbeddingLsh.quantize]]d frame as
+    * (i, j, g) rows — see the q138 gate note for the scale shape.
+    */
+  def gramMatrix(n0: DataFrame): DataFrame =
+    n0.agg(graft.functions.Gram.gram(col("q")).as("gm"))
+      .select(posexplode(col("gm")).as(Seq("i", "r")))
+      .select(col("i"), posexplode(col("r")).as(Seq("j", "g")))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        col("g"))
 }

@@ -1,0 +1,76 @@
+package graft.functions
+
+import graft.SparkFixture
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Gramian TypedImperativeAggregate: exact int64 Σ q·qᵀ with O(d²)
+  * mergeable state — correctness against a sequential reference,
+  * partitioning independence, and loud failure on ragged input.
+  */
+class GramSpec extends AnyFunSuite with SparkFixture {
+
+  private def brute(vecs: Seq[Array[Long]]): Map[(Int, Int), Long] = {
+    val d = vecs.head.length
+    (for (i <- 0 until d; j <- 0 until d)
+      yield (i, j) -> vecs.map(v => v(i) * v(j)).sum).toMap
+  }
+
+  test("gramMatrix equals the sequential Gramian, any partitioning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = Seq.fill(50)(Array.fill(5)(rnd.nextInt(201).toLong - 100))
+    val want = brute(vecs)
+    for (parts <- Seq(1, 7)) {
+      val df = vecs.map(v => Tuple1(v.toSeq)).toDF("q").repartition(parts)
+      val got = Similarity.gramMatrix(df).collect()
+        .map(r => (r.getLong(0).toInt, r.getLong(1).toInt) -> r.getLong(2)).toMap
+      assert(got == want, s"parts=$parts")
+    }
+  }
+
+  test("output is the full symmetric matrix with d*d rows") {
+    import spark.implicits._
+    val df = Seq(Tuple1(Seq(1L, 2L, 3L)), Tuple1(Seq(-1L, 0L, 4L))).toDF("q")
+    val rows = Similarity.gramMatrix(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rows.size == 9)
+    for (i <- 0L until 3L; j <- 0L until 3L)
+      assert(rows((i, j)) == rows((j, i)), s"asymmetric at ($i,$j)")
+    assert(rows((0L, 0L)) == 1L * 1L + (-1L) * (-1L))
+    assert(rows((0L, 2L)) == 1L * 3L + (-1L) * 4L)
+  }
+
+  test("null vectors are skipped; all-null group yields no rows") {
+    import spark.implicits._
+    val df = Seq(Some(Seq(2L, 3L)), None, Some(Seq(1L, 1L))).toDF("q")
+    val rows = Similarity.gramMatrix(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rows((0L, 1L)) == 2L * 3L + 1L * 1L)
+    val empty = Similarity.gramMatrix(
+      Seq(Option.empty[Seq[Long]]).toDF("q"))
+    assert(empty.count() == 0)
+  }
+
+  test("ragged input fails loudly, not silently") {
+    import spark.implicits._
+    val df = Seq(Tuple1(Seq(1L, 2L)), Tuple1(Seq(1L, 2L, 3L))).toDF("q")
+      .coalesce(1)
+    val e = intercept[Exception] {
+      Similarity.gramMatrix(df).collect()
+    }
+    assert(e.getMessage.contains("ragged") ||
+      Option(e.getCause).exists(_.getMessage.contains("ragged")), e.getMessage)
+  }
+
+  test("serialization round-trip preserves dimension, count and sums") {
+    val agg = GramAgg(org.apache.spark.sql.catalyst.expressions.Literal(null,
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)))
+    val buf = new GramBuf(3, 5L, Array(1L, 2L, 3L, 4L, 5L, 6L))
+    val back = agg.deserialize(agg.serialize(buf))
+    assert(back.d == 3 && back.n == 5L && back.acc.toSeq == buf.acc.toSeq)
+    val empty = agg.deserialize(agg.serialize(agg.createAggregationBuffer()))
+    assert(empty.d == -1 && empty.acc == null)
+  }
+}

@@ -345,6 +345,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"global sort leaked into the sample plan:\n$p")
   }
 
+  test("q138: Gramian is one object agg — no join, no vector shuffle") {
+    // the corpus reduces map-side to O(d²) partial buffers; the only
+    // exchange may carry those partials to the single final aggregate
+    // — never vector rows, and the d²-row explode sits above the agg
+    val p = plan("q138_gram_matrix")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"), p)
+    assert(!p.contains("Join"), s"gramian must not join:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"only the SinglePartition partial merge may shuffle:\n$p")
+  }
+
   test("q85: stratified sample windows shuffle once on the group key") {
     val p = plan("q85_stratified_sample")
     assert("hashpartitioning".r.findAllIn(p).length <= 1, p)
