@@ -554,6 +554,29 @@ object Similarity {
         "SELECT a.i AS i, b.i AS j, CAST(SUM(a.x * b.x) AS BIGINT) AS g " +
         "FROM u a JOIN u b USING (vec_id) GROUP BY 1, 2 ORDER BY i, j") { (s, dir) =>
       gramMatrix(quantized(s, dir)).orderBy("i", "j")
+    },
+
+    // Exact covariance NUMERATOR matrix n·G − s·sᵀ via the augmented-
+    // vector trick: prepending 1 to every vector makes ONE Gramian pass
+    // carry the count (cell 0,0), the linear sums (row 0) and G (the
+    // rest) — mean-centering without a second corpus pass. The matrix
+    // arithmetic runs post-aggregation over d² rows in DECIMAL(18,0)
+    // products (exact to 10³⁷ — safe where n·G overflows int64 at
+    // ~10¹⁹); both engines emit DECIMAL(38,0), compared exactly.
+    Q("q139_covariance",
+      "WITH " + quantizedSql + ", " +
+        "q1 AS (SELECT vec_id, [CAST(1 AS BIGINT)] || q AS q FROM n), " +
+        "u0 AS (SELECT vec_id, q, UNNEST(generate_series(1, len(q))) AS ix FROM q1), " +
+        "u AS (SELECT vec_id, ix - 1 AS i, q[ix] AS x FROM u0), " +
+        "g AS (SELECT a.i AS i, b.i AS j, CAST(SUM(a.x * b.x) AS BIGINT) AS g " +
+        " FROM u a JOIN u b USING (vec_id) GROUP BY 1, 2), " +
+        "nn AS (SELECT g::DECIMAL(18,0) AS n FROM g WHERE i = 0 AND j = 0), " +
+        "s AS (SELECT j - 1 AS k, g::DECIMAL(18,0) AS s FROM g WHERE i = 0 AND j > 0) " +
+        "SELECT gi.i - 1 AS i, gi.j - 1 AS j, " +
+        "CAST(nn.n * gi.g::DECIMAL(18,0) - si.s * sj.s AS DECIMAL(38,0)) AS c " +
+        "FROM g gi CROSS JOIN nn JOIN s si ON gi.i - 1 = si.k JOIN s sj ON gi.j - 1 = sj.k " +
+        "WHERE gi.i > 0 AND gi.j > 0 ORDER BY i, j") { (s, dir) =>
+      covarianceMatrix(quantized(s, dir)).orderBy("i", "j")
     }
   )
 
@@ -566,4 +589,32 @@ object Similarity {
       .select(col("i"), posexplode(col("r")).as(Seq("j", "g")))
       .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
         col("g"))
+
+  /** Exact covariance numerators n·Gᵢⱼ − sᵢ·sⱼ of a quantized frame as
+    * (i, j, c DECIMAL(38,0)) rows — ONE corpus pass (the augmented
+    * Gramian), then d²-row driver-scale arithmetic. Divide by n·(n−1)
+    * (or n²) downstream for the sample (population) covariance; the
+    * numerators stay integer-exact so the division point — and any
+    * float rounding — is the CALLER's choice, not baked in here.
+    */
+  def covarianceMatrix(n0: DataFrame): DataFrame = {
+    // four branches (n, sᵢ, sⱼ, G) read the Gramian — persist the
+    // d²-row frame so the corpus aggregation runs once, not per branch
+    val g = GraftCache.track(
+      gramMatrix(n0.select(concat(array(lit(1L)), col("q")).as("q"))))
+    val nn = g.filter(col("i") === 0 && col("j") === 0)
+      .select(col("g").cast("decimal(18,0)").as("n"))
+    val s = g.filter(col("i") === 0 && col("j") > 0)
+    val si = s.select((col("j") - 1).as("ki"), col("g").cast("decimal(18,0)").as("si"))
+    val sj = s.select((col("j") - 1).as("kj"), col("g").cast("decimal(18,0)").as("sj"))
+    g.filter(col("i") > 0 && col("j") > 0)
+      .select((col("i") - 1).as("i"), (col("j") - 1).as("j"),
+        col("g").cast("decimal(18,0)").as("g"))
+      .join(broadcast(si), col("i") === col("ki"))
+      .join(broadcast(sj), col("j") === col("kj"))
+      .crossJoin(broadcast(nn))
+      .select(col("i"), col("j"),
+        (col("n") * col("g") - col("si") * col("sj"))
+          .cast("decimal(38,0)").as("c"))
+  }
 }

@@ -64,6 +64,23 @@ class GramSpec extends AnyFunSuite with SparkFixture {
       Option(e.getCause).exists(_.getMessage.contains("ragged")), e.getMessage)
   }
 
+  test("covarianceMatrix equals the sequential numerators n·G − s·sᵀ") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vecs = Seq.fill(40)(Array.fill(4)(rnd.nextInt(401).toLong - 200))
+    val n = vecs.length.toLong
+    val s = (0 until 4).map(i => vecs.map(_(i)).sum)
+    val g = brute(vecs)
+    val want = (for (i <- 0 until 4; j <- 0 until 4)
+      yield (i, j) -> BigDecimal(n * g((i, j)) - s(i) * s(j))).toMap
+    val df = vecs.map(v => Tuple1(v.toSeq)).toDF("q").repartition(5)
+    val got = Similarity.covarianceMatrix(df).collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt) ->
+        BigDecimal(r.getDecimal(2))).toMap
+    graft.operators.GraftCache.releaseAll()
+    assert(got == want)
+  }
+
   test("serialization round-trip preserves dimension, count and sums") {
     val agg = GramAgg(org.apache.spark.sql.catalyst.expressions.Literal(null,
       org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)))
