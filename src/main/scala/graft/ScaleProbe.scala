@@ -86,10 +86,14 @@ object ScaleProbe {
         // the dataset — a row-count match alone would silently join the
         // scaled facts against STALE dims from a different sfDir of the
         // same size; require one dim link to resolve under this sfDir
+        // compare REAL paths: the same base dir expressed relative, with
+        // '.'/'..' components, or through a parent symlink must not
+        // falsely reject a consistent dataset
         val dimLink = path.resolve("nation.parquet")
-        val wantDim = java.nio.file.Paths.get(s"$dir/nation.parquet").toAbsolutePath
+        val wantDim =
+          java.nio.file.Paths.get(s"$dir/nation.parquet").toRealPath()
         if (java.nio.file.Files.isSymbolicLink(dimLink) &&
-            java.nio.file.Files.readSymbolicLink(dimLink) != wantDim)
+            dimLink.toRealPath() != wantDim)
           throw new IllegalStateException(
             s"SPARK_GRAFT_SCALED_DIR=$p dims point at " +
               s"${java.nio.file.Files.readSymbolicLink(dimLink)} but this run's " +
@@ -126,6 +130,50 @@ object ScaleProbe {
         java.nio.file.Paths.get(s"$out/$t.parquet"),
         java.nio.file.Paths.get(s"$dir/$t.parquet").toAbsolutePath)
     out
+  }
+
+  /** Shared protocol for the per-family scale curves (sessions,
+    * curation, and any future family): N× copies of ONE fact table with
+    * per-copy key-shifted columns — copies never interact, so work
+    * scales N×, the relational curve's model — 1× symlinked siblings,
+    * then each PRODUCTION query warmed untimed at 1× (JIT + codegen for
+    * the exact plan shape) and timed COLD at N×, emitting the
+    * driver-parseable JSON line. The family is only (name, fact table,
+    * shift columns, query list); the measurement discipline itself
+    * lives here once, so a protocol fix cannot diverge across families.
+    */
+  private def familyCurve(spark: SparkSession, sfDir: String, factor: Int,
+      opName: String, table: String, shiftCols: Seq[String],
+      names: Seq[String]): Unit = {
+    val out = java.nio.file.Files.createTempDirectory(
+      s"graft_${opName}${factor}x_").toString
+    val base = Tables.load(spark, sfDir, table)
+    val shift = 1L << 32
+    (0 until factor).map { i =>
+      shiftCols.foldLeft(base)((d, c) => d.withColumn(c, col(c) + lit(i * shift)))
+    }.reduce(_ unionByName _).write.parquet(s"$out/$table.parquet")
+    for (t <- Tables.names if t != table)
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(s"$out/$t.parquet"),
+        java.nio.file.Paths.get(s"$sfDir/$t.parquet").toAbsolutePath)
+    val rows = spark.read.parquet(s"$out/$table.parquet").count()
+    val timed = names.map { name =>
+      val fn = SparkEntry.queries(name)
+      operators.GraftCache.releaseAll(); spark.catalog.clearCache()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save() // warm, untimed
+      operators.GraftCache.releaseAll(); spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      fn(spark, out).write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[scaleprobe] $name ${factor}x $sec%.3f s")
+      name.takeWhile(_ != '_') -> sec
+    }
+    val qmap = timed.map { case (q, s) => f""""$q":$s%.3f""" }.mkString("{", ",", "}")
+    // scalastyle:off println
+    println(f"""{"op":"$opName","factor":$factor,"rows":$rows,""" +
+      f""""sec":${timed.map(_._2).sum}%.3f,"queries":$qmap}""")
+    // scalastyle:on println
+    spark.stop()
   }
 
   def main(args: Array[String]): Unit = {
@@ -253,37 +301,9 @@ object ScaleProbe {
     // included — output production is part of the honest cost, as in
     // the relational probe).
     if (op == "sessions") {
-      val out = java.nio.file.Files.createTempDirectory(s"graft_ev${factor}x_").toString
-      val base = Tables.load(spark, sfDir, "events")
-      val shift = 1L << 32
-      (0 until factor).map { i =>
-        base.withColumn("user_id", col("user_id") + lit(i * shift))
-          .withColumn("event_id", col("event_id") + lit(i * shift))
-      }.reduce(_ unionByName _).write.parquet(s"$out/events.parquet")
-      for (t <- Seq("region", "nation", "customer", "supplier", "part",
-          "orders", "lineitem", "documents", "embeddings"))
-        java.nio.file.Files.createSymbolicLink(
-          java.nio.file.Paths.get(s"$out/$t.parquet"),
-          java.nio.file.Paths.get(s"$sfDir/$t.parquet").toAbsolutePath)
-      val rows = spark.read.parquet(s"$out/events.parquet").count()
-      val names = Seq("q87_sessionize", "q92_funnel", "q93_lead_lag", "q94_retention")
-      val timed = names.map { name =>
-        val fn = SparkEntry.queries(name)
-        operators.GraftCache.releaseAll(); spark.catalog.clearCache()
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save() // warm, untimed
-        operators.GraftCache.releaseAll(); spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        fn(spark, out).write.format("noop").mode("overwrite").save()
-        val sec = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[scaleprobe] $name ${factor}x $sec%.3f s")
-        name.takeWhile(_ != '_') -> sec
-      }
-      val qmap = timed.map { case (q, s) => f""""$q":$s%.3f""" }.mkString("{", ",", "}")
-      // scalastyle:off println
-      println(f"""{"op":"sessions","factor":$factor,"rows":$rows,""" +
-        f""""sec":${timed.map(_._2).sum}%.3f,"queries":$qmap}""")
-      // scalastyle:on println
-      spark.stop()
+      familyCurve(spark, sfDir, factor, "sessions", "events",
+        Seq("user_id", "event_id"),
+        Seq("q87_sessionize", "q92_funnel", "q93_lead_lag", "q94_retention"))
       return
     }
     // Curation-family curve: the training-data selection operators
@@ -295,38 +315,10 @@ object ScaleProbe {
     // joins the 1× embeddings table, so scaling documents alone would
     // measure a shape production never runs.
     if (op == "curation") {
-      val out = java.nio.file.Files.createTempDirectory(s"graft_doc${factor}x_").toString
-      val base = Tables.load(spark, sfDir, "documents")
-      val shift = 1L << 32
-      (0 until factor).map { i =>
-        base.withColumn("doc_id", col("doc_id") + lit(i * shift))
-      }.reduce(_ unionByName _).write.parquet(s"$out/documents.parquet")
-      for (t <- Seq("region", "nation", "customer", "supplier", "part",
-          "orders", "lineitem", "events", "embeddings"))
-        java.nio.file.Files.createSymbolicLink(
-          java.nio.file.Paths.get(s"$out/$t.parquet"),
-          java.nio.file.Paths.get(s"$sfDir/$t.parquet").toAbsolutePath)
-      val rows = spark.read.parquet(s"$out/documents.parquet").count()
-      val names = Seq("q77_hash_split", "q81_pack_sequences",
-        "q82_token_budget", "q85_stratified_sample", "q99_shard_order",
-        "q136_weighted_sample")
-      val timed = names.map { name =>
-        val fn = SparkEntry.queries(name)
-        operators.GraftCache.releaseAll(); spark.catalog.clearCache()
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save() // warm, untimed
-        operators.GraftCache.releaseAll(); spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        fn(spark, out).write.format("noop").mode("overwrite").save()
-        val sec = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[scaleprobe] $name ${factor}x $sec%.3f s")
-        name.takeWhile(_ != '_') -> sec
-      }
-      val qmap = timed.map { case (q, s) => f""""$q":$s%.3f""" }.mkString("{", ",", "}")
-      // scalastyle:off println
-      println(f"""{"op":"curation","factor":$factor,"rows":$rows,""" +
-        f""""sec":${timed.map(_._2).sum}%.3f,"queries":$qmap}""")
-      // scalastyle:on println
-      spark.stop()
+      familyCurve(spark, sfDir, factor, "curation", "documents",
+        Seq("doc_id"),
+        Seq("q77_hash_split", "q81_pack_sequences", "q82_token_budget",
+          "q85_stratified_sample", "q99_shard_order", "q136_weighted_sample"))
       return
     }
     // Connected-components TIER A/B over the production MinHash-LSH

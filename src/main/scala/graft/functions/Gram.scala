@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -49,6 +50,14 @@ case class GramAgg(
   override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(ArrayType(LongType))
   override def prettyName: String = "graft_gram"
+  // ARRAY<BIGINT> only ([[Gram.gram]] widens narrower arrays by cast);
+  // without this check, getLong over 4-byte UnsafeArrayData slots
+  // would return plausible garbage instead of an analysis error
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"graft_gram needs ARRAY<BIGINT>, got ${t.catalogString}")
+  }
 
   override def createAggregationBuffer(): GramBuf = new GramBuf(-1, 0L, null)
 
@@ -57,6 +66,11 @@ case class GramAgg(
     if (v != null) {
       val arr = v.asInstanceOf[ArrayData]
       val d = arr.numElements()
+      // a vector with ANY null component is skipped whole, like SQL
+      // aggregates skip NULL inputs — a partial read would silently
+      // treat the null slot as 0 (Unsafe) or NPE (Generic)
+      var k = 0
+      while (k < d) { if (arr.isNullAt(k)) return buf; k += 1 }
       if (buf.d < 0) { buf.d = d; buf.acc = new Array[Long](d * (d + 1) / 2) }
       else require(d == buf.d,
         s"graft_gram: ragged input — vector of length $d after ${buf.d}")
@@ -143,8 +157,11 @@ case class GramAgg(
 
 object Gram {
   /** Full symmetric d×d int64 Gramian of the ARRAY<BIGINT> column `c`
-    * as ARRAY<ARRAY<BIGINT>> (null over an empty group).
+    * as ARRAY<ARRAY<BIGINT>> (null over an empty group). Narrower
+    * integer arrays widen via the cast; the aggregate itself rejects
+    * anything that isn't ARRAY<BIGINT> after it.
     */
   def gram(c: Column): Column =
-    Bridge.column(GramAgg(Bridge.expression(c)).toAggregateExpression())
+    Bridge.column(GramAgg(
+      Bridge.expression(c.cast("array<bigint>"))).toAggregateExpression())
 }

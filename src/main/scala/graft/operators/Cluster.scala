@@ -194,8 +194,20 @@ object Cluster extends org.apache.spark.internal.Logging {
     }
     lastDistributedRounds.set(it)
     val roots = e.select(col("v").as("u"), col("v"))
-    e.union(roots).distinct()
+    val labeled = e.union(roots).distinct()
       .select(col("u").as("v"), col("v").as("cluster"))
+    // A vertex appearing ONLY in self-loop pairs never enters the star
+    // loop (the u≠v filter drops it) but the driver union-find tier DOES
+    // label it — and the two tiers must produce the identical labeling
+    // (ScaleProbe's cluster A/B asserts it). Re-attach those vertices as
+    // their own singletons; the self-loop frame is a filter over the
+    // already-cached pairs and is empty for dedup pair sources, so the
+    // anti join costs one near-empty broadcast.
+    val selfOnly = pairsLong.filter(col("d1") === col("d2"))
+      .select(col("d1").as("v")).distinct()
+      .join(labeled, Seq("v"), "left_anti")
+      .select(col("v"), col("v").as("cluster"))
+    labeled.union(selfOnly)
   }
 
   /** PageRank-style centrality over an undirected near-dup pair graph —

@@ -114,24 +114,27 @@ object Relational {
       // still rounded by the same DECIMAL(18,2) cast the oracle declares,
       // but the aggregation buffer is a primitive long instead of the
       // +10-precision (128-bit) decimal Spark promotes SUM(DECIMAL) to.
-      // Exactness is unchanged — sum(cents) is exact in int64, and
-      // nearest-double(N)/100.0 with N < 2^53 equals
-      // nearest-double(DECIMAL N/100) (both are the single correctly
-      // rounded conversion of the same rational), so the hash still
-      // matches the oracle bit-for-bit. The two PRODUCT terms stay in
-      // DECIMAL: their per-row rounding semantics (scale-4 cast, scale-6
-      // product) are part of the declared result and have no exact
-      // integer carrier that survives 2^53 at cluster scale.
+      // The 6-ROW output converts back through exact decimal division
+      // (S/100 has exactly 2 decimals — value-exact at the result scale,
+      // q28's pattern) so the double cast is the SINGLE correctly
+      // rounded conversion of the same rational the oracle rounds, for
+      // EVERY int64 sum — not just those under 2^53 (a double-then-
+      // divide conversion would round twice past that, and 100 TB
+      // groups cross it). The two PRODUCT terms stay in DECIMAL: their
+      // per-row rounding semantics (scale-4 cast, scale-6 product) are
+      // part of the declared result and have no exact integer carrier.
       def cents(c: Column): Column = (dec(c) * lit(100)).cast("long")
+      def money(sumCents: Column): Column =
+        (sumCents.cast(DecimalType(28, 0)) / lit(100)).cast("double")
       Tables.load(s, dir, "lineitem")
         .filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          (sum(cents(col("l_quantity"))).cast("double") / lit(100.0)).as("sum_qty"),
-          (sum(cents(col("l_extendedprice"))).cast("double") / lit(100.0)).as("sum_base_price"),
+          money(sum(cents(col("l_quantity")))).as("sum_qty"),
+          money(sum(cents(col("l_extendedprice")))).as("sum_base_price"),
           sum(discPrice).cast("double").as("sum_disc_price"),
           sum(discPrice * (lit(1) + dec(col("l_tax")))).cast("double").as("sum_charge"),
-          (sum(cents(col("l_quantity"))).cast("double") / lit(100.0) / count(lit(1))).as("avg_qty"),
+          (money(sum(cents(col("l_quantity")))) / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     },
@@ -221,7 +224,9 @@ object Relational {
           sum((dec(col("l_quantity")) * lit(100)).cast("long")).as("pq"))
         .rollup("l_returnflag", "l_linestatus")
         .agg(sum(col("pn")).as("n"),
-          (sum(col("pq")).cast("double") / lit(100.0)).as("sum_qty"))
+          // exact decimal division then ONE double rounding (q06's note)
+          ((sum(col("pq")).cast(DecimalType(28, 0)) / lit(100))
+            .cast("double")).as("sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     },
 
@@ -243,7 +248,8 @@ object Relational {
           sum((dec(col("l_quantity")) * lit(100)).cast("long")).as("pq"))
         .cube("l_returnflag", "l_linestatus")
         .agg(sum(col("pn")).as("n"),
-          (sum(col("pq")).cast("double") / lit(100.0)).as("sum_qty"),
+          ((sum(col("pq")).cast(DecimalType(28, 0)) / lit(100))
+            .cast("double")).as("sum_qty"),
           grouping_id("l_returnflag", "l_linestatus").as("gid"))
         .select("l_returnflag", "l_linestatus", "n", "sum_qty", "gid")
         .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,

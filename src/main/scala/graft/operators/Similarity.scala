@@ -598,10 +598,14 @@ object Similarity {
     * float rounding — is the CALLER's choice, not baked in here.
     */
   def covarianceMatrix(n0: DataFrame): DataFrame = {
-    // four branches (n, sᵢ, sⱼ, G) read the Gramian — persist the
-    // d²-row frame so the corpus aggregation runs once, not per branch
-    val g = GraftCache.track(
-      gramMatrix(n0.select(concat(array(lit(1L)), col("q")).as("q"))))
+    // four branches (n, sᵢ, sⱼ, G) read the Gramian — eagerly
+    // localCheckpoint the d²-row frame so the corpus aggregation runs
+    // once, not per branch. Checkpoint, not a tracked persist: the
+    // blocks are reference-managed (ContextCleaner frees them when the
+    // returned frame is dropped), so repeated library calls don't
+    // accumulate pinned cache entries the caller never knew to release.
+    val g = gramMatrix(n0.select(concat(array(lit(1L)), col("q")).as("q")))
+      .localCheckpoint(true)
     val nn = g.filter(col("i") === 0 && col("j") === 0)
       .select(col("g").cast("decimal(18,0)").as("n"))
     val s = g.filter(col("i") === 0 && col("j") > 0)

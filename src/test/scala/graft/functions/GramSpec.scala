@@ -53,6 +53,28 @@ class GramSpec extends AnyFunSuite with SparkFixture {
     assert(empty.count() == 0)
   }
 
+  test("a vector with ANY null component is skipped whole") {
+    import spark.implicits._
+    // a partial read would treat the null slot as 0 (Unsafe) or NPE
+    // (Generic) — the contract is SQL-like: null input rows don't count
+    val df = Seq(Some(Seq(Some(2L), Some(3L))), Some(Seq(Some(1L), None)),
+      Some(Seq(Some(1L), Some(1L)))).toDF("q")
+    val rows = Similarity.gramMatrix(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rows((0L, 1L)) == 2L * 3L + 1L * 1L, rows)
+  }
+
+  test("ARRAY<INT> input widens via implicit cast instead of misreading") {
+    import spark.implicits._
+    // without declared inputTypes, getLong over 4-byte slots returned
+    // plausible garbage; with them the analyzer inserts the array cast
+    val df = Seq(Tuple1(Seq(3, 4)), Tuple1(Seq(1, 2))).toDF("q")
+    val rows = Similarity.gramMatrix(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rows == Map((0L, 0L) -> 10L, (0L, 1L) -> 14L,
+      (1L, 0L) -> 14L, (1L, 1L) -> 20L), rows)
+  }
+
   test("ragged input fails loudly, not silently") {
     import spark.implicits._
     val df = Seq(Tuple1(Seq(1L, 2L)), Tuple1(Seq(1L, 2L, 3L))).toDF("q")

@@ -346,6 +346,41 @@ class OperatorApiSpec extends AnyFunSuite with SparkFixture {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L), cc)
   }
 
+  test("cents-sum → double converts with ONE rounding past 2^53") {
+    import spark.implicits._
+    // q06/q12/q90 accumulate money as int64 cents; group sums at 100 TB
+    // cross 2^53, where cast-to-double-then-divide rounds TWICE and
+    // diverges from the oracle's single correctly-rounded DECIMAL→double
+    // conversion. The production form divides in exact decimal first.
+    val ns = (1L to 200L).map(k => (1L << 53) + 7 * k)
+    def want(n: Long): Double =
+      new java.math.BigDecimal(n).movePointLeft(2).doubleValue()
+    assert(ns.exists(n => n.toDouble / 100.0 != want(n)),
+      "candidate set has no double-rounding witness — widen it")
+    val got = ns.toDF("c")
+      .select(col("c"),
+        (col("c").cast(org.apache.spark.sql.types.DecimalType(28, 0)) /
+          lit(100)).cast("double").as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for (n <- ns) assert(got(n) == want(n), s"n=$n")
+  }
+
+  test("connectedComponents labels self-loop-only vertices in BOTH tiers") {
+    import spark.implicits._
+    // vertex 5 and 7 appear only as self-loops, 2 has a self-loop AND a
+    // real edge — every tier must emit the identical labeling (the
+    // cluster scale probe asserts tier agreement on arbitrary pair
+    // sources, so a self-loop row must not vanish from the star path)
+    val pairs = Seq((5L, 5L), (1L, 2L), (7L, 7L), (2L, 2L)).toDF("d1", "d2")
+    val want = Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 7L -> 7L)
+    val driver = Cluster.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    val starred = Cluster.connectedComponents(pairs, smallGraphThreshold = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(driver == want, driver)
+    assert(starred == want, starred)
+  }
+
   test("connectedComponents fails loudly when rounds exceed maxIters") {
     import spark.implicits._
     // star contraction halves a path's height per round, so a
