@@ -187,7 +187,6 @@ object Bench {
       (name, sortedT(sortedT.length / 2), sortedT.head, sortedT.last, gcPct, cpuCores)
     }
     val gcTimedSec = (gcMillis() - gcTimed0) / 1e3
-    def f3(v: Double): String = "%.3f".formatLocal(Locale.ROOT, v)
     // Per-query precision is ADAPTIVE — two decimals under 10 s, one
     // decimal from 10 s up (a 45-second median does not need centisecond
     // precision, and 120+ queries × one saved byte is what keeps the
@@ -203,15 +202,16 @@ object Bench {
     val medians = results
       .map(r => "\"" + qid(r._1) + "\":" + fq(r._2)).mkString("{", ",", "}")
     // Self-diagnosis map (replaces r≤8's "stalls"): [best rep, worst rep,
-    // GC % of wall, CPU cores busy] for the ≤4 most suspicious queries —
+    // GC % of wall, CPU cores busy] for the ≤3 most suspicious queries —
     // stall outliers (worst > 2× median and > 2 s over it) first, then the
-    // largest medians ≥ 1 s. Bounded at 4 entries for the line budget
-    // (was 7 in r9; the iso map now carries the adjudicating evidence for
-    // flagged queries, so diag+iso together cover more than r9's diag-7).
+    // largest medians ≥ 1 s. Bounded at 3 entries for the line budget
+    // (was 7 in r9, 4 through r11's 139th query; the iso map carries the
+    // adjudicating evidence for flagged queries, so diag+iso together
+    // still cover more than r9's diag-7).
     val isStall = (r: (String, Double, Double, Double, Long, Double)) =>
       r._4 > 2 * r._2 && r._4 - r._2 > 2.0
     val suspicious = (results.filter(isStall) ++
-      results.filterNot(isStall).filter(_._2 >= 1.0).sortBy(-_._2)).take(4)
+      results.filterNot(isStall).filter(_._2 >= 1.0).sortBy(-_._2)).take(3)
     val diag = suspicious
       .map(r => "\"" + qid(r._1) + "\":[" + fq(r._3) + "," + fq(r._4) + "," +
         r._5 + "," + f1(r._6) + "]")
@@ -273,7 +273,9 @@ object Bench {
     val isoJson = if (iso.isEmpty) "" else
       "\"iso\":" + iso.map(r => "\"" + qid(r._1) + "\":" + fq(r._2))
         .mkString("{", ",", "},")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
+    // total at ONE decimal: the per-query medians carry the detail and
+    // the worst-case "590.000" spent 2 B of line budget on noise digits
+    println(s"""{"metric":"total","value":${f1(total)},"unit":"sec",""" +
       onlyJson + s""""queries":$medians,"diag":$diag,$isoJson""" +
       s""""gcsec":${math.min(999, math.round(gcTimedSec))},""" +
       s""""warmsec":${math.min(999, math.round(warmSec))},""" +

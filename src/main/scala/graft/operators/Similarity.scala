@@ -577,6 +577,34 @@ object Similarity {
         "FROM g gi CROSS JOIN nn JOIN s si ON gi.i - 1 = si.k JOIN s sj ON gi.j - 1 = sj.k " +
         "WHERE gi.i > 0 AND gi.j > 0 ORDER BY i, j") { (s, dir) =>
       covarianceMatrix(quantized(s, dir)).orderBy("i", "j")
+    },
+
+    // Pearson correlation matrix of the quantized corpus — the feature-
+    // redundancy statistic for pruning near-duplicate embedding
+    // dimensions. Same ONE corpus pass as q139 (the augmented Gramian);
+    // the normalization corr = c / (√vᵢᵢ·√vⱼⱼ) runs over d² rows with
+    // the SAME float expression shape on both engines: decimal→double
+    // casts, IEEE sqrt/multiply/divide are each correctly rounded, so
+    // identical exact-integer inputs give bit-identical doubles.
+    Q("q140_correlation",
+      "WITH " + quantizedSql + ", " +
+        "q1 AS (SELECT vec_id, [CAST(1 AS BIGINT)] || q AS q FROM n), " +
+        "u0 AS (SELECT vec_id, q, UNNEST(generate_series(1, len(q))) AS ix FROM q1), " +
+        "u AS (SELECT vec_id, ix - 1 AS i, q[ix] AS x FROM u0), " +
+        "g AS (SELECT a.i AS i, b.i AS j, CAST(SUM(a.x * b.x) AS BIGINT) AS g " +
+        " FROM u a JOIN u b USING (vec_id) GROUP BY 1, 2), " +
+        "nn AS (SELECT g::DECIMAL(18,0) AS n FROM g WHERE i = 0 AND j = 0), " +
+        "s AS (SELECT j - 1 AS k, g::DECIMAL(18,0) AS s FROM g WHERE i = 0 AND j > 0), " +
+        "c AS (SELECT gi.i - 1 AS i, gi.j - 1 AS j, " +
+        "CAST(nn.n * gi.g::DECIMAL(18,0) - si.s * sj.s AS DECIMAL(38,0)) AS c " +
+        "FROM g gi CROSS JOIN nn JOIN s si ON gi.i - 1 = si.k JOIN s sj ON gi.j - 1 = sj.k " +
+        "WHERE gi.i > 0 AND gi.j > 0), " +
+        "d AS (SELECT i AS k, c AS v FROM c WHERE i = j) " +
+        "SELECT c.i AS i, c.j AS j, " +
+        "c.c::DOUBLE / (SQRT(di.v::DOUBLE) * SQRT(dj.v::DOUBLE)) AS corr " +
+        "FROM c JOIN d di ON c.i = di.k JOIN d dj ON c.j = dj.k " +
+        "WHERE di.v > 0 AND dj.v > 0 ORDER BY i, j") { (s, dir) =>
+      correlationMatrix(quantized(s, dir)).orderBy("i", "j")
     }
   )
 
@@ -620,5 +648,28 @@ object Similarity {
       .select(col("i"), col("j"),
         (col("n") * col("g") - col("si") * col("sj"))
           .cast("decimal(38,0)").as("c"))
+  }
+
+  /** Pearson correlation matrix corr(i,j) = cᵢⱼ / (√cᵢᵢ·√cⱼⱼ) over the
+    * exact covariance numerators — constant (zero-variance) dimensions
+    * are dropped rather than emitted as NaN/∞. The float finish
+    * normalizes per ROW of a d²-row frame: the square roots are taken
+    * of exact integers cast to double, so any engine evaluating the
+    * same expression shape reproduces the doubles bit-for-bit (each of
+    * cast, sqrt, multiply, divide is correctly rounded; √vᵢ·√vⱼ avoids
+    * the vᵢ·vⱼ product, which would overflow DECIMAL(38) at ~10¹⁹
+    * per-dimension sums of squares long before the doubles degrade).
+    */
+  def correlationMatrix(n0: DataFrame): DataFrame = {
+    val cov = covarianceMatrix(n0)
+    def diag(k: String, v: String) = cov.filter(col("i") === col("j"))
+      .select(col("i").as(k), col("c").as(v))
+    cov.join(broadcast(diag("ki", "vi")), col("i") === col("ki"))
+      .join(broadcast(diag("kj", "vj")), col("j") === col("kj"))
+      .filter(col("vi") > 0 && col("vj") > 0)
+      .select(col("i"), col("j"),
+        (col("c").cast("double") /
+          (sqrt(col("vi").cast("double")) * sqrt(col("vj").cast("double"))))
+          .as("corr"))
   }
 }

@@ -33,11 +33,11 @@ class BenchContractSpec extends AnyFunSuite {
     val widths = Seq.fill(29)("590.0") ++ Seq.fill(SparkEntry.all.size - 29)("9.99")
     val medians = SparkEntry.all.zip(widths)
       .map { case (q, w) => "\"" + qid(q.name) + "\":" + w }.mkString("{", ",", "}")
-    val diag = (1 to 4)
+    val diag = (1 to 3)
       .map(i => "\"q1${i}0\":[590.0,590.0,100,32.0]").mkString("{", ",", "}")
     val iso = (1 to 4)
       .map(i => "\"q1${i}0\":590.0").mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":590.000,"unit":"sec",""" +
+    val line = s"""{"metric":"total","value":590.0,"unit":"sec",""" +
       s""""queries":$medians,"diag":$diag,"iso":$iso,""" +
       s""""gcsec":999,"warmsec":999,"sf":"sf0.1"}"""
     assert(line.length <= 1918,

@@ -103,6 +103,25 @@ class GramSpec extends AnyFunSuite with SparkFixture {
     assert(got == want)
   }
 
+  test("correlationMatrix normalizes exactly and drops zero-variance dims") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // last dimension CONSTANT → zero variance → dropped, not NaN
+    val vecs = Seq.fill(30)(Array.fill(3)(rnd.nextInt(201).toLong - 100) :+ 5L)
+    val n = vecs.length.toLong
+    val s = (0 until 4).map(i => vecs.map(_(i)).sum)
+    val g = brute(vecs)
+    def num(i: Int, j: Int): Long = n * g((i, j)) - s(i) * s(j)
+    assert(num(3, 3) == 0L, "constant dim must have zero variance")
+    val want = (for (i <- 0 until 3; j <- 0 until 3) yield (i, j) ->
+      num(i, j).toDouble /
+        (math.sqrt(num(i, i).toDouble) * math.sqrt(num(j, j).toDouble))).toMap
+    val df = vecs.map(v => Tuple1(v.toSeq)).toDF("q").repartition(3)
+    val got = Similarity.correlationMatrix(df).collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt) -> r.getDouble(2)).toMap
+    assert(got == want) // bit-exact: same cast/sqrt/divide shape
+  }
+
   test("serialization round-trip preserves dimension, count and sums") {
     val agg = GramAgg(org.apache.spark.sql.catalyst.expressions.Literal(null,
       org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)))

@@ -356,6 +356,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"only the SinglePartition partial merge may shuffle:\n$p")
   }
 
+  test("q140: correlation normalizes over broadcast diagonals — no shuffle join") {
+    // the d²-row covariance frame (checkpointed — the corpus pass is
+    // q138's pinned shape) joins its own d-row diagonal twice; both
+    // must broadcast, never sort-merge or re-shuffle the matrix
+    val p = plan("q140_correlation")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"diagonal join must broadcast:\n$p")
+  }
+
   test("q85: stratified sample windows shuffle once on the group key") {
     val p = plan("q85_stratified_sample")
     assert("hashpartitioning".r.findAllIn(p).length <= 1, p)
