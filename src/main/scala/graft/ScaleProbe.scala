@@ -321,6 +321,18 @@ object ScaleProbe {
           "q85_stratified_sample", "q99_shard_order", "q136_weighted_sample"))
       return
     }
+    // Text-analysis family curve: the per-row scoring/tokenization
+    // operators (token stats, language id, rolling fingerprints, BPE)
+    // COLD over N× doc_id-shifted documents. The design claim under
+    // measure is SHUFFLE-FREENESS: these are HOF/codegen projections,
+    // so cost should track the scan linearly with no re-shuffle knee —
+    // the complement of the sessions curve's one-exchange claim.
+    if (op == "text") {
+      familyCurve(spark, sfDir, factor, "text", "documents", Seq("doc_id"),
+        Seq("q30_token_stats", "q32_lang_id", "q34_rolling_fingerprint",
+          "q35_bpe_tokens"))
+      return
+    }
     // Connected-components TIER A/B over the production MinHash-LSH
     // pair graph at N×. The tiered-closure claim ("driver union-find at
     // or under the threshold, star contraction above,
