@@ -333,6 +333,17 @@ object ScaleProbe {
           "q35_bpe_tokens"))
       return
     }
+    // Embedding-statistics family curve: the Gramian / covariance /
+    // correlation queries COLD over N× vec_id-shifted embeddings. The
+    // design claim under measure: ONE corpus pass with O(d²) mergeable
+    // state — the shuffle carries d²-long partials per partition, never
+    // vectors, so the curve should be scan-bound and near-flat until
+    // per-row d²/2 multiply-adds dominate.
+    if (op == "gram") {
+      familyCurve(spark, sfDir, factor, "gram", "embeddings", Seq("vec_id"),
+        Seq("q138_gram_matrix", "q139_covariance", "q140_correlation"))
+      return
+    }
     // Connected-components TIER A/B over the production MinHash-LSH
     // pair graph at N×. The tiered-closure claim ("driver union-find at
     // or under the threshold, star contraction above,
