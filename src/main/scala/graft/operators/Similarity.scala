@@ -605,6 +605,34 @@ object Similarity {
         "FROM c JOIN d di ON c.i = di.k JOIN d dj ON c.j = dj.k " +
         "WHERE di.v > 0 AND dj.v > 0 ORDER BY i, j") { (s, dir) =>
       correlationMatrix(quantized(s, dir)).orderBy("i", "j")
+    },
+
+    // Per-dimension z-score standardization (feature normalization
+    // before k-means / ANN): z = (n·x − s)/√v over exact integer
+    // numerators from ONE augmented-Gramian pass — no float mean ever
+    // forms, so the cast/sqrt/divide finish is bit-identical on both
+    // engines. Long-form output value-checks every standardized
+    // component (q47's gating style).
+    Q("q141_standardize",
+      "WITH " + quantizedSql + ", " +
+        "q1 AS (SELECT vec_id, [CAST(1 AS BIGINT)] || q AS q FROM n), " +
+        "u0 AS (SELECT vec_id, q, UNNEST(generate_series(1, len(q))) AS ix FROM q1), " +
+        "u AS (SELECT vec_id, ix - 1 AS i, q[ix] AS x FROM u0), " +
+        "g AS (SELECT a.i AS i, b.i AS j, CAST(SUM(a.x * b.x) AS BIGINT) AS g " +
+        " FROM u a JOIN u b USING (vec_id) GROUP BY 1, 2), " +
+        "nn AS (SELECT g::DECIMAL(18,0) AS n FROM g WHERE i = 0 AND j = 0), " +
+        "s AS (SELECT j - 1 AS k, g::DECIMAL(18,0) AS s FROM g WHERE i = 0 AND j > 0), " +
+        "d AS (SELECT g.i - 1 AS k, " +
+        "CAST(nn.n * g.g::DECIMAL(18,0) - s.s * s.s AS DECIMAL(38,0)) AS v " +
+        "FROM g CROSS JOIN nn JOIN s ON g.i - 1 = s.k " +
+        "WHERE g.i = g.j AND g.i > 0), " +
+        "uv AS (SELECT vec_id, q, UNNEST(generate_series(1, len(q))) AS ix FROM n), " +
+        "uw AS (SELECT vec_id, ix - 1 AS i, q[ix] AS x FROM uv) " +
+        "SELECT uw.vec_id AS vec_id, uw.i AS i, " +
+        "CAST(nn.n * uw.x - s.s AS DOUBLE) / SQRT(d.v::DOUBLE) AS z " +
+        "FROM uw CROSS JOIN nn JOIN s ON uw.i = s.k JOIN d ON uw.i = d.k " +
+        "WHERE d.v > 0 ORDER BY vec_id, i") { (s, dir) =>
+      standardize(quantized(s, dir)).orderBy("vec_id", "i")
     }
   )
 
@@ -625,15 +653,20 @@ object Similarity {
     * numerators stay integer-exact so the division point — and any
     * float rounding — is the CALLER's choice, not baked in here.
     */
-  def covarianceMatrix(n0: DataFrame): DataFrame = {
-    // four branches (n, sᵢ, sⱼ, G) read the Gramian — eagerly
-    // localCheckpoint the d²-row frame so the corpus aggregation runs
-    // once, not per branch. Checkpoint, not a tracked persist: the
-    // blocks are reference-managed (ContextCleaner frees them when the
-    // returned frame is dropped), so repeated library calls don't
-    // accumulate pinned cache entries the caller never knew to release.
-    val g = gramMatrix(n0.select(concat(array(lit(1L)), col("q")).as("q")))
+  /** The augmented Gramian (prepend 1 to every vector): ONE corpus pass
+    * whose d²-row result carries the count (0,0), the linear sums
+    * (row 0) and G — eagerly localCheckpointed so the branches reading
+    * it never re-run the pass. Checkpoint, not a tracked persist: the
+    * blocks are reference-managed (ContextCleaner frees them when the
+    * returned frame is dropped), so repeated library calls don't
+    * accumulate pinned cache entries the caller never knew to release.
+    */
+  private def augmentedGram(n0: DataFrame): DataFrame =
+    gramMatrix(n0.select(concat(array(lit(1L)), col("q")).as("q")))
       .localCheckpoint(true)
+
+  def covarianceMatrix(n0: DataFrame): DataFrame = {
+    val g = augmentedGram(n0)
     val nn = g.filter(col("i") === 0 && col("j") === 0)
       .select(col("g").cast("decimal(18,0)").as("n"))
     val s = g.filter(col("i") === 0 && col("j") > 0)
@@ -671,5 +704,36 @@ object Similarity {
         (col("c").cast("double") /
           (sqrt(col("vi").cast("double")) * sqrt(col("vj").cast("double"))))
           .as("corr"))
+  }
+
+  /** Per-dimension z-score standardization of a quantized frame as
+    * (vec_id, i, z) rows — feature normalization before k-means / ANN,
+    * the training-pipeline staple. Algebra avoids ever forming a float
+    * mean: z = (x − s/n)/(√v/n) = (n·x − s)/√v with s the linear sums
+    * and v = n·G − s² the variance numerators, ALL exact integers from
+    * the one augmented-Gramian corpus pass — so the float finish is the
+    * same cast/sqrt/divide shape as q140 and both engines emit
+    * bit-identical doubles. The per-row work is a d-row broadcast join
+    * + projection: shuffle-free beyond the Gramian's O(d²) partials.
+    * Zero-variance dimensions are dropped, not emitted as NaN.
+    */
+  def standardize(n0: DataFrame): DataFrame = {
+    val g = augmentedGram(n0)
+    val nn = g.filter(col("i") === 0 && col("j") === 0)
+      .select(col("g").cast("decimal(18,0)").as("n"))
+    val s = g.filter(col("i") === 0 && col("j") > 0)
+      .select((col("j") - 1).as("k"), col("g").cast("decimal(18,0)").as("s"))
+    val d = g.filter(col("i") === col("j") && col("i") > 0)
+      .select((col("i") - 1).as("kd"), col("g").cast("decimal(18,0)").as("gii"))
+    val stats = s.join(d, col("k") === col("kd")).crossJoin(nn)
+      .select(col("k"), col("n"), col("s"),
+        (col("n") * col("gii") - col("s") * col("s"))
+          .cast("decimal(38,0)").as("v"))
+      .filter(col("v") > 0)
+    n0.select(col("vec_id"), posexplode(col("q")).as(Seq("i", "x")))
+      .join(broadcast(stats), col("i") === col("k"))
+      .select(col("vec_id"), col("i").cast("long").as("i"),
+        ((col("n") * col("x") - col("s")).cast("double") /
+          sqrt(col("v").cast("double"))).as("z"))
   }
 }

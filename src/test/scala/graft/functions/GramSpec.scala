@@ -122,6 +122,24 @@ class GramSpec extends AnyFunSuite with SparkFixture {
     assert(got == want) // bit-exact: same cast/sqrt/divide shape
   }
 
+  test("standardize matches the sequential z-score on exact numerators") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val vecs = Seq.fill(25)(Array.fill(3)(rnd.nextInt(201).toLong - 100))
+    val n = vecs.length.toLong
+    val s = (0 until 3).map(i => vecs.map(_(i)).sum)
+    val g = brute(vecs)
+    def v(i: Int): Long = n * g((i, i)) - s(i) * s(i)
+    val want = (for ((vec, id) <- vecs.zipWithIndex; i <- 0 until 3) yield
+      (id.toLong, i.toLong) ->
+        (n * vec(i) - s(i)).toDouble / math.sqrt(v(i).toDouble)).toMap
+    val df = vecs.zipWithIndex.map { case (q, id) => (id.toLong, q.toSeq) }
+      .toDF("vec_id", "q").repartition(4)
+    val got = Similarity.standardize(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got == want) // bit-exact: same multiply/cast/sqrt/divide shape
+  }
+
   test("serialization round-trip preserves dimension, count and sums") {
     val agg = GramAgg(org.apache.spark.sql.catalyst.expressions.Literal(null,
       org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)))

@@ -366,6 +366,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"diagonal join must broadcast:\n$p")
   }
 
+  test("q141: z-score is a broadcast-stats projection — no fact-side shuffle join") {
+    // the d-row stats frame broadcasts into the exploded value stream;
+    // the only permissible exchanges are the (checkpoint-hidden) Gramian
+    // partial merge and the presentation sort — never a value re-shuffle
+    val p = plan("q141_standardize")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"stats join must broadcast:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"the value stream must not re-shuffle:\n$p")
+  }
+
   test("q85: stratified sample windows shuffle once on the group key") {
     val p = plan("q85_stratified_sample")
     assert("hashpartitioning".r.findAllIn(p).length <= 1, p)
