@@ -341,7 +341,8 @@ object ScaleProbe {
     // per-row d²/2 multiply-adds dominate.
     if (op == "gram") {
       familyCurve(spark, sfDir, factor, "gram", "embeddings", Seq("vec_id"),
-        Seq("q138_gram_matrix", "q139_covariance", "q140_correlation"))
+        Seq("q138_gram_matrix", "q139_covariance", "q140_correlation",
+          "q141_standardize"))
       return
     }
     // Connected-components TIER A/B over the production MinHash-LSH
