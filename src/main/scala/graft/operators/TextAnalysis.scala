@@ -129,7 +129,12 @@ object TextAnalysis {
     corpus(df, idCol, textCol)
       .select(col("doc_id"),
         size(toks).as("n_ws_tokens"),
-        size(regexp_extract_all(col("text"), lit(BpePattern), lit(0))).as("n_bpe_tokens"))
+        // count by char-class scan, not regex: the BPE pattern is a
+        // deterministic partition of character classes, and the regex
+        // engine's alternation loop was the text curve's dominant
+        // per-row cost (A/B at the 500 k-doc point: regexp_extract_all
+        // 7.4 s ≈ regexp_count 7.7 s vs byte scan 0.53 s — see BpeCount)
+        graft.functions.BpeCount.bpe_count(col("text")).as("n_bpe_tokens"))
 
   /** Repetition metrics per document (Gopher-style quality signals):
     * duplicate-bigram count (n_bigrams − distinct bigrams) and the
