@@ -88,12 +88,19 @@ object ScaleProbe {
         // same size; require one dim link to resolve under this sfDir
         // compare REAL paths: the same base dir expressed relative, with
         // '.'/'..' components, or through a parent symlink must not
-        // falsely reject a consistent dataset
+        // falsely reject a consistent dataset. A DANGLING dim link (its
+        // base dir was deleted — the exact staleness this guard exists
+        // for) must still reach the explanatory error below, so fall
+        // back to the link's raw normalized target instead of letting
+        // toRealPath throw a bare NoSuchFileException.
         val dimLink = path.resolve("nation.parquet")
-        val wantDim =
-          java.nio.file.Paths.get(s"$dir/nation.parquet").toRealPath()
+        def real(p: java.nio.file.Path, fb: => java.nio.file.Path) =
+          try p.toRealPath() catch { case _: java.io.IOException => fb }
+        val wantDim = real(java.nio.file.Paths.get(s"$dir/nation.parquet"),
+          java.nio.file.Paths.get(s"$dir/nation.parquet").toAbsolutePath.normalize())
         if (java.nio.file.Files.isSymbolicLink(dimLink) &&
-            dimLink.toRealPath() != wantDim)
+            real(dimLink,
+              java.nio.file.Files.readSymbolicLink(dimLink).normalize()) != wantDim)
           throw new IllegalStateException(
             s"SPARK_GRAFT_SCALED_DIR=$p dims point at " +
               s"${java.nio.file.Files.readSymbolicLink(dimLink)} but this run's " +
@@ -177,6 +184,11 @@ object ScaleProbe {
   }
 
   def main(args: Array[String]): Unit = {
+    // this main's JSON lines are machine-parsed: every f"…%.3f" below
+    // must render a '.' decimal point regardless of host locale (Bench
+    // uses formatLocal(Locale.ROOT,…) per call; a dedicated main can
+    // pin the process default once and cover every site)
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val (sfDir, factor, op) =
       (args(0), args(1).toInt, if (args.length > 2) args(2) else "neardup")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftx.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, IntegerType, LongType, ShortType}
 
 import java.nio.ByteBuffer
 
@@ -50,14 +50,25 @@ case class GramAgg(
   override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(ArrayType(LongType))
   override def prettyName: String = "graft_gram"
-  // ARRAY<BIGINT> only ([[Gram.gram]] widens narrower arrays by cast);
-  // without this check, getLong over 4-byte UnsafeArrayData slots
-  // would return plausible garbage instead of an analysis error
+  // Integral arrays only, widened NATIVELY by the element reader below —
+  // not by a cast in the builder, which would also accept array<double>
+  // (silent truncation) or array<string> (elements nulled): exactly the
+  // plausible-garbage class this check exists to reject loudly.
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(LongType | IntegerType | ShortType | ByteType, _) =>
+      TypeCheckResult.TypeCheckSuccess
     case t => TypeCheckResult.TypeCheckFailure(
-      s"graft_gram needs ARRAY<BIGINT>, got ${t.catalogString}")
+      s"graft_gram needs an integral array (ARRAY<BIGINT>..ARRAY<TINYINT>), " +
+        s"got ${t.catalogString}")
   }
+
+  @transient private lazy val getElem: (ArrayData, Int) => Long =
+    child.dataType match {
+      case ArrayType(IntegerType, _) => (a, i) => a.getInt(i).toLong
+      case ArrayType(ShortType, _) => (a, i) => a.getShort(i).toLong
+      case ArrayType(ByteType, _) => (a, i) => a.getByte(i).toLong
+      case _ => (a, i) => a.getLong(i)
+    }
 
   override def createAggregationBuffer(): GramBuf = new GramBuf(-1, 0L, null)
 
@@ -77,10 +88,10 @@ case class GramAgg(
       var i = 0
       var idx = 0
       while (i < d) {
-        val xi = arr.getLong(i)
+        val xi = getElem(arr, i)
         var j = i
         while (j < d) {
-          buf.acc(idx) += xi * arr.getLong(j)
+          buf.acc(idx) += xi * getElem(arr, j)
           idx += 1
           j += 1
         }
@@ -156,12 +167,12 @@ case class GramAgg(
 }
 
 object Gram {
-  /** Full symmetric d×d int64 Gramian of the ARRAY<BIGINT> column `c`
+  /** Full symmetric d×d int64 Gramian of an integral-array column `c`
     * as ARRAY<ARRAY<BIGINT>> (null over an empty group). Narrower
-    * integer arrays widen via the cast; the aggregate itself rejects
-    * anything that isn't ARRAY<BIGINT> after it.
+    * integer arrays widen inside the aggregate's element reader; any
+    * non-integral array (double, string, …) fails analysis loudly —
+    * no builder-side cast exists to silently truncate through.
     */
   def gram(c: Column): Column =
-    Bridge.column(GramAgg(
-      Bridge.expression(c.cast("array<bigint>"))).toAggregateExpression())
+    Bridge.column(GramAgg(Bridge.expression(c)).toAggregateExpression())
 }

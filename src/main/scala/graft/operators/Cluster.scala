@@ -199,15 +199,26 @@ object Cluster extends org.apache.spark.internal.Logging {
     // A vertex appearing ONLY in self-loop pairs never enters the star
     // loop (the u≠v filter drops it) but the driver union-find tier DOES
     // label it — and the two tiers must produce the identical labeling
-    // (ScaleProbe's cluster A/B asserts it). Re-attach those vertices as
-    // their own singletons; the self-loop frame is a filter over the
-    // already-cached pairs and is empty for dedup pair sources, so the
-    // anti join costs one near-empty broadcast.
-    val selfOnly = pairsLong.filter(col("d1") === col("d2"))
-      .select(col("d1").as("v")).distinct()
-      .join(labeled, Seq("v"), "left_anti")
-      .select(col("v"), col("v").as("cluster"))
-    labeled.union(selfOnly)
+    // (ScaleProbe's cluster A/B asserts it). Everything touching
+    // pairsLong materializes EAGERLY here, while the caller's persist is
+    // still alive (the returned plan must not reference the input — the
+    // caller unpersists it on return, and a lazy branch would silently
+    // recompute the whole pair-proposal pipeline); and the singleton set
+    // is derived WITHOUT joining against the O(V) labeled frame — the
+    // tiny self-vertex frame broadcasts INTO one edge scan instead, so
+    // no full-vertex build side exists at any corpus size.
+    val sv = pairsLong.filter(col("d1") === col("d2"))
+      .select(col("d1").as("v")).distinct().localCheckpoint(true)
+    if (sv.isEmpty) labeled // the normal case: one cheap filter job
+    else {
+      val covered = pairsLong.filter(col("d1") =!= col("d2"))
+        .select(explode(array(col("d1"), col("d2"))).as("v"))
+        .join(broadcast(sv), Seq("v"), "left_semi").distinct()
+      val selfOnly = sv.join(covered, Seq("v"), "left_anti")
+        .select(col("v"), col("v").as("cluster"))
+        .localCheckpoint(true) // both sides tiny; eager before unpersist
+      labeled.union(selfOnly)
+    }
   }
 
   /** PageRank-style centrality over an undirected near-dup pair graph —

@@ -43,6 +43,17 @@ object EmbeddingLsh {
       "FROM embeddings), " +
       "n AS (SELECT vec_id, q, list_aggregate([x * x FOR x IN q], 'sum')::BIGINT AS nrm FROM q0)"
 
+  /** `nf`: the quantized frame under LISTWISE DELETION — a vector with
+    * ANY null component contributes nothing, count included. This is
+    * [[graft.functions.GramAgg]]'s null contract, declared in the
+    * oracle rather than left to a bare SUM's per-element null skip
+    * (which would still count the vector and keep its other
+    * components). Append after [[quantizedSql]].
+    */
+  val nullFreeSql: String =
+    "nf AS (SELECT vec_id, q FROM n " +
+      "WHERE len(q) = len(list_filter(q, x -> x IS NOT NULL))), "
+
   /** Exact int64 dot product of two quantized vectors (Spark side): a
     * native codegen expression ([[graft.functions.QDot]]) — the HOF
     * formulation (`aggregate(zip_with(...))`) interprets its lambda per

@@ -29,6 +29,13 @@ import org.apache.spark.sql.types.DecimalType
 object Relational {
   private val D = DecimalType(18, 2)
   private def dec(c: Column): Column = c.cast(D)
+  /** Money as exact int64 cents: per-row rounding is the oracle's
+    * DECIMAL(18,2) cast, the aggregation buffer a primitive long. */
+  private def cents(c: Column): Column = (dec(c) * lit(100)).cast("long")
+  /** Exact decimal division then ONE double rounding — valid for every
+    * int64 cents sum, not just those under 2^53 (q06's note). */
+  private def money(sumCents: Column): Column =
+    (sumCents.cast(DecimalType(28, 0)) / lit(100)).cast("double")
   // Session-timezone-based parse (UTC via config): identical row selection
   // to the DuckDB oracle's naive timestamps on any host timezone.
   private def ts(s: String): Column = to_timestamp(lit(s))
@@ -123,9 +130,6 @@ object Relational {
       // groups cross it). The two PRODUCT terms stay in DECIMAL: their
       // per-row rounding semantics (scale-4 cast, scale-6 product) are
       // part of the declared result and have no exact integer carrier.
-      def cents(c: Column): Column = (dec(c) * lit(100)).cast("long")
-      def money(sumCents: Column): Column =
-        (sumCents.cast(DecimalType(28, 0)) / lit(100)).cast("double")
       Tables.load(s, dir, "lineitem")
         .filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -221,12 +225,10 @@ object Relational {
       Tables.load(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("pn"),
-          sum((dec(col("l_quantity")) * lit(100)).cast("long")).as("pq"))
+          sum(cents(col("l_quantity"))).as("pq"))
         .rollup("l_returnflag", "l_linestatus")
         .agg(sum(col("pn")).as("n"),
-          // exact decimal division then ONE double rounding (q06's note)
-          ((sum(col("pq")).cast(DecimalType(28, 0)) / lit(100))
-            .cast("double")).as("sum_qty"))
+          money(sum(col("pq"))).as("sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     },
 
@@ -245,11 +247,10 @@ object Relational {
       Tables.load(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("pn"),
-          sum((dec(col("l_quantity")) * lit(100)).cast("long")).as("pq"))
+          sum(cents(col("l_quantity"))).as("pq"))
         .cube("l_returnflag", "l_linestatus")
         .agg(sum(col("pn")).as("n"),
-          ((sum(col("pq")).cast(DecimalType(28, 0)) / lit(100))
-            .cast("double")).as("sum_qty"),
+          money(sum(col("pq"))).as("sum_qty"),
           grouping_id("l_returnflag", "l_linestatus").as("gid"))
         .select("l_returnflag", "l_linestatus", "n", "sum_qty", "gid")
         .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,

@@ -549,7 +549,11 @@ object Similarity {
     // an unnest self-join — exact int64 on both engines.
     Q("q138_gram_matrix",
       "WITH " + quantizedSql + ", " +
-        "u0 AS (SELECT vec_id, q, UNNEST(generate_series(1, len(q))) AS ix FROM n), " +
+        // listwise deletion, the operator's contract: a vector with ANY
+        // null component contributes nothing (count included) — not the
+        // per-element null-skip a bare SUM(a.x*b.x) would give
+        nullFreeSql +
+        "u0 AS (SELECT vec_id, q, UNNEST(generate_series(1, len(q))) AS ix FROM nf), " +
         "u AS (SELECT vec_id, ix - 1 AS i, q[ix] AS x FROM u0) " +
         "SELECT a.i AS i, b.i AS j, CAST(SUM(a.x * b.x) AS BIGINT) AS g " +
         "FROM u a JOIN u b USING (vec_id) GROUP BY 1, 2 ORDER BY i, j") { (s, dir) =>
@@ -565,7 +569,8 @@ object Similarity {
     // ~10¹⁹); both engines emit DECIMAL(38,0), compared exactly.
     Q("q139_covariance",
       "WITH " + quantizedSql + ", " +
-        "q1 AS (SELECT vec_id, [CAST(1 AS BIGINT)] || q AS q FROM n), " +
+        nullFreeSql +
+        "q1 AS (SELECT vec_id, [CAST(1 AS BIGINT)] || q AS q FROM nf), " +
         "u0 AS (SELECT vec_id, q, UNNEST(generate_series(1, len(q))) AS ix FROM q1), " +
         "u AS (SELECT vec_id, ix - 1 AS i, q[ix] AS x FROM u0), " +
         "g AS (SELECT a.i AS i, b.i AS j, CAST(SUM(a.x * b.x) AS BIGINT) AS g " +
@@ -588,7 +593,8 @@ object Similarity {
     // identical exact-integer inputs give bit-identical doubles.
     Q("q140_correlation",
       "WITH " + quantizedSql + ", " +
-        "q1 AS (SELECT vec_id, [CAST(1 AS BIGINT)] || q AS q FROM n), " +
+        nullFreeSql +
+        "q1 AS (SELECT vec_id, [CAST(1 AS BIGINT)] || q AS q FROM nf), " +
         "u0 AS (SELECT vec_id, q, UNNEST(generate_series(1, len(q))) AS ix FROM q1), " +
         "u AS (SELECT vec_id, ix - 1 AS i, q[ix] AS x FROM u0), " +
         "g AS (SELECT a.i AS i, b.i AS j, CAST(SUM(a.x * b.x) AS BIGINT) AS g " +
@@ -615,7 +621,8 @@ object Similarity {
     // component (q47's gating style).
     Q("q141_standardize",
       "WITH " + quantizedSql + ", " +
-        "q1 AS (SELECT vec_id, [CAST(1 AS BIGINT)] || q AS q FROM n), " +
+        nullFreeSql +
+        "q1 AS (SELECT vec_id, [CAST(1 AS BIGINT)] || q AS q FROM nf), " +
         "u0 AS (SELECT vec_id, q, UNNEST(generate_series(1, len(q))) AS ix FROM q1), " +
         "u AS (SELECT vec_id, ix - 1 AS i, q[ix] AS x FROM u0), " +
         "g AS (SELECT a.i AS i, b.i AS j, CAST(SUM(a.x * b.x) AS BIGINT) AS g " +

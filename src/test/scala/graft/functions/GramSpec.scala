@@ -75,6 +75,18 @@ class GramSpec extends AnyFunSuite with SparkFixture {
       (1L, 0L) -> 14L, (1L, 1L) -> 20L), rows)
   }
 
+  test("non-integral arrays fail analysis loudly (no silent truncation)") {
+    import spark.implicits._
+    // raw float embeddings passed without quantizing must error, not
+    // truncate toward zero into a plausible-looking Gramian
+    val df = Seq(Tuple1(Seq(1.5, 2.5))).toDF("q")
+    val e = intercept[Exception] {
+      Similarity.gramMatrix(df).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("integral") ||
+      e.getMessage.contains("graft_gram"), e.getMessage)
+  }
+
   test("ragged input fails loudly, not silently") {
     import spark.implicits._
     val df = Seq(Tuple1(Seq(1L, 2L)), Tuple1(Seq(1L, 2L, 3L))).toDF("q")
