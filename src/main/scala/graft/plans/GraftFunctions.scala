@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Cast, Concat, Conv, Expression
 import org.apache.spark.sql.types.{IntegerType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{EditDistance, FreqSketchAgg, KmvSketchAgg, QDot, RankHistAgg, RollingHash, SignBands}
+import graft.functions.{BpeCount, EditDistance, FreqSketchAgg, GramAgg, KmvSketchAgg, QDot, RankHistAgg, RollingHash, SignBands}
 
 /** SQL registrations for the engine's function surface: the same
   * Catalyst expressions the DataFrame operators use, callable from pure
@@ -57,6 +57,13 @@ object GraftFunctions {
         RollingHash(args.head)
       }))
 
+    e.injectFunction((FunctionIdentifier("graft_bpe_count"),
+      info(classOf[BpeCount], "graft_bpe_count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_bpe_count(str)")
+        BpeCount(args.head)
+      }))
+
     e.injectFunction((FunctionIdentifier("graft_qdot"),
       info(classOf[QDot], "graft_qdot"),
       (args: Seq[Expression]) => {
@@ -101,6 +108,13 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 2, "graft_rank_hist(col, capacity)")
         RankHistAgg(args.head, intArg(args(1), "graft_rank_hist", "capacity"))
+      }))
+
+    e.injectFunction((FunctionIdentifier("graft_gram"),
+      info(classOf[GramAgg], "graft_gram"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_gram(integral_array)")
+        GramAgg(args.head)
       }))
 
     // Runtime-filter surface for star joins: a Bloom filter built from

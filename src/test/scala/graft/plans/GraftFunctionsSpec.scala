@@ -66,6 +66,27 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkFixture {
     assert(m == Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
   }
 
+  test("graft_bpe_count and graft_gram evaluate the native expressions in SQL") {
+    import spark.implicits._
+    val bc = spark.sql("SELECT graft_bpe_count('don''t stop!') AS c").as[Int].head()
+    assert(bc == 5) // don / ' / t / stop / !
+    // the Gramian aggregate wraps like a built-in aggregate and matches
+    // the Column form used by Similarity.gramMatrix
+    Seq(Tuple1(Seq(1L, 2L)), Tuple1(Seq(3L, 4L))).toDF("q")
+      .createOrReplaceTempView("gram_in")
+    val g = spark.sql("SELECT graft_gram(q) AS g FROM gram_in")
+      .as[Seq[Seq[Long]]].head()
+    assert(g == Seq(Seq(1L * 1 + 3L * 3, 1L * 2 + 3L * 4),
+      Seq(1L * 2 + 3L * 4, 2L * 2 + 4L * 4)))
+    // non-integral arrays fail analysis through the SQL surface too
+    Seq(Tuple1(Seq(1.5, 2.5))).toDF("q").createOrReplaceTempView("gram_bad")
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_gram(q) FROM gram_bad").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("integral") ||
+      e.getMessage.contains("graft_gram"), e.getMessage)
+  }
+
   test("graft_json_get: bare-key catch-all extraction ≡ get_json_object, codegen'd") {
     import spark.implicits._
     val df = Seq(
