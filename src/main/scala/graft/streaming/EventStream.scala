@@ -38,6 +38,29 @@ object EventStream {
         col("window.start").as("hour_ts"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Embedding-drift monitor: per event-time window, the augmented
+    * Gramian of a quantized embedding stream — count (cell 0,0),
+    * per-dimension sums (row 0) and the full second-moment matrix in
+    * ONE mergeable O(d²) aggregate ([[graft.functions.GramAgg]] runs
+    * inside the streaming state store like any built-in typed
+    * aggregate; the watermark evicts closed windows, so state is
+    * #open-windows × d²/2 longs regardless of stream rate). Downstream
+    * monitors derive per-window mean/variance/covariance drift from
+    * the exact integers with no second pass — the streaming
+    * counterpart of the batch q138/q139 statistics.
+    *
+    * Input: (ts, q ARRAY<BIGINT>) — a quantized embedding stream.
+    * Append-mode compatible.
+    */
+  def driftStats(vecs: DataFrame, windowLen: String = "1 hour",
+      lateness: String = "10 minutes"): DataFrame =
+    vecs
+      .select(col("ts"), concat(array(lit(1L)), col("q")).as("q"))
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(graft.functions.Gram.gram(col("q")).as("gm"))
+      .select(col("window.start").as("window_ts"), col("gm"))
+
   /** Streaming exact dedup for a document ingest pipeline: only the
     * FIRST arrival of each content fingerprint survives; re-arrivals
     * within the watermark are dropped, and fingerprint state older

@@ -52,6 +52,34 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("driftStats: per-window augmented Gramian equals the batch statistic") {
+    import spark.implicits._
+    val input = MemoryStream[(Timestamp, Seq[Long])](spark)
+    val out = EventStream.driftStats(
+      input.toDF().toDF("ts", "q"), windowLen = "1 hour", lateness = "5 minutes")
+    val q = out.writeStream
+      .format("memory").queryName("drift_out").outputMode("append").start()
+    try {
+      val hour10 = Seq(Seq(2L, 3L), Seq(-1L, 4L), Seq(0L, 5L))
+      input.addData(hour10.zipWithIndex.map { case (v, i) =>
+        (ts(s"2024-01-01 10:0$i:00"), v) }: _*)
+      input.addData((ts("2024-01-01 11:20:00"), Seq(7L, 7L)))
+      q.processAllAvailable()
+      val rows = spark.table("drift_out").collect()
+      assert(rows.length == 1, rows.mkString(","))
+      val gm = rows.head
+        .getAs[scala.collection.Seq[scala.collection.Seq[Long]]](1)
+        .map(_.toSeq).toSeq
+      // batch reference: augmented Gramian of the hour-10 vectors
+      val aug = hour10.map(1L +: _)
+      val want = (0 until 3).map(i => (0 until 3).map(j =>
+        aug.map(v => v(i) * v(j)).sum))
+      assert(gm == want, gm)
+      // cell (0,0) is the window's vector count, row 0 the linear sums
+      assert(gm(0)(0) == 3L && gm(0)(1) == 1L && gm(0)(2) == 12L)
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first arrival per fingerprint, bounded state") {
     import spark.implicits._
     val input = MemoryStream[(Timestamp, Long, String)](spark)
