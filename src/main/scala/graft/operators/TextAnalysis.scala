@@ -46,7 +46,10 @@ object TextAnalysis {
         length(col("text")).as("len_chars"),
         ((length(col("text")) - (size(toks) - lit(1))).cast("double") / size(toks))
           .as("avg_tok_len"),
-        regexp_count(col("text"), lit("[aeiou]+")).as("n_vowel_runs"))
+        // class-run byte scan, not the regex engine (the BpeCount
+        // lesson; CharRunCountSpec pins equality with the regex)
+        graft.functions.CharRunCount.char_run_count(col("text"), "aeiou")
+          .as("n_vowel_runs"))
 
   /** Distinct-ratio minus stopword-ratio quality score. */
   def qualityScore(df: org.apache.spark.sql.DataFrame, idCol: String = "doc_id",
