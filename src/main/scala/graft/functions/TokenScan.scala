@@ -1,0 +1,101 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.graftx.Bridge
+import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Single-space token scans — the allocation-free twins of
+  * `size(split(text, " "))` and `size(filter(split(text, " "),
+  * t.isin(words)))`, byte-equal to those forms on every input
+  * (Spark's split keeps trailing empty segments, so the token count
+  * is exactly #spaces + 1; empty segments never equal a non-empty
+  * word). The split-based forms allocate a token ARRAY per row only
+  * to count it — the q35/q30 lesson ([[BpeCount]]) applied to the
+  * stopword-density family (lang-id, confusion matrix).
+  */
+case class TokenCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "token_count"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenScan.tokenCount(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenScan.tokenCount($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenCount =
+    copy(child = newChild)
+}
+
+/** Count of space-delimited segments byte-equal to any of the literal
+  * `words` (the stopword-hit counter).
+  */
+case class TokenHits(child: Expression, words: Seq[String])
+  extends UnaryExpression {
+
+  require(words.nonEmpty && words.forall(_.nonEmpty),
+    "token_hits: words must be non-empty")
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "token_hits"
+
+  @transient private lazy val wordBytes: Array[Array[Byte]] =
+    words.map(_.getBytes("UTF-8")).toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenScan.hits(input.asInstanceOf[UTF8String], wordBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenWords", wordBytes, "byte[][]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenScan.hits($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenHits =
+    copy(child = newChild)
+}
+
+object TokenScan {
+  def tokenCount(s: UTF8String): Int = {
+    val b = s.getBytes
+    var c = 1
+    var i = 0
+    while (i < b.length) { if (b(i) == ' ') c += 1; i += 1 }
+    c
+  }
+
+  def hits(s: UTF8String, words: Array[Array[Byte]]): Int = {
+    val b = s.getBytes
+    var c = 0
+    var start = 0
+    var i = 0
+    while (i <= b.length) {
+      if (i == b.length || b(i) == ' ') {
+        val len = i - start
+        var w = 0
+        var matched = false
+        while (!matched && w < words.length) {
+          val wb = words(w)
+          if (wb.length == len) {
+            var k = 0
+            while (k < len && wb(k) == b(start + k)) k += 1
+            matched = k == len
+          }
+          w += 1
+        }
+        if (matched) c += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    c
+  }
+
+  def token_count(c: Column): Column =
+    Bridge.column(TokenCount(Bridge.expression(c.cast("string"))))
+
+  def token_hits(c: Column, words: Seq[String]): Column =
+    Bridge.column(TokenHits(Bridge.expression(c.cast("string")), words))
+}

@@ -74,9 +74,11 @@ object TextAnalysis {
   def langPred(text: org.apache.spark.sql.Column,
       stopwords: Seq[String] = Seq("the", "a"),
       densityDen: Int = 20): org.apache.spark.sql.Column = {
-    val a = split(text, " ")
-    val stopHits = size(filter(a, t => t.isin(stopwords: _*)))
-    when(stopHits * densityDen > size(a), "en").otherwise("unk")
+    // allocation-free token scans ([[graft.functions.TokenScan]]) —
+    // byte-equal to size(split)/size(filter(split)), no per-row array
+    val stopHits = graft.functions.TokenScan.token_hits(text, stopwords)
+    when(stopHits * densityDen > graft.functions.TokenScan.token_count(text),
+      "en").otherwise("unk")
   }
 
   /** Stopword-density language heuristic (integer threshold compare). */
