@@ -36,8 +36,8 @@ case class TokenCount(child: Expression) extends UnaryExpression {
 case class TokenHits(child: Expression, words: Seq[String])
   extends UnaryExpression {
 
-  require(words.nonEmpty && words.forall(_.nonEmpty),
-    "token_hits: words must be non-empty")
+  require(words.nonEmpty && words.forall(w => w.nonEmpty && !w.contains(' ')),
+    "token_hits: words must be non-empty and cannot contain the delimiter")
 
   override def dataType: DataType = IntegerType
   override def prettyName: String = "token_hits"
