@@ -175,4 +175,13 @@ object Gram {
     */
   def gram(c: Column): Column =
     Bridge.column(GramAgg(Bridge.expression(c)).toAggregateExpression())
+
+  /** The augmented-vector convention, defined ONCE for batch and
+    * streaming callers: prepend a constant 1 so a single Gramian pass
+    * carries the count (cell 0,0), the linear sums (row 0) and G.
+    */
+  def augmented(c: Column): Column = {
+    import org.apache.spark.sql.functions.{array, concat, lit}
+    concat(array(lit(1L)), c)
+  }
 }

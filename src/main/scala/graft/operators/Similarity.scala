@@ -669,7 +669,7 @@ object Similarity {
     * accumulate pinned cache entries the caller never knew to release.
     */
   private def augmentedGram(n0: DataFrame): DataFrame =
-    gramMatrix(n0.select(concat(array(lit(1L)), col("q")).as("q")))
+    gramMatrix(n0.select(graft.functions.Gram.augmented(col("q")).as("q")))
       .localCheckpoint(true)
 
   def covarianceMatrix(n0: DataFrame): DataFrame = {

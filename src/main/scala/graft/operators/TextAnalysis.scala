@@ -37,19 +37,25 @@ object TextAnalysis {
       textCol: String) =
     df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
 
-  /** Token/char counts + vowel-run density per document. */
+  /** Token/char counts + vowel-run density per document. Fully
+    * split-free: every column is a byte scan or length — q30 carries
+    * no per-row array allocation at all ([[graft.functions.TokenScan]]
+    * pins `token_count` ≡ `size(split(text, " "))`).
+    */
   def tokenStats(df: org.apache.spark.sql.DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): org.apache.spark.sql.DataFrame =
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val nTok = graft.functions.TokenScan.token_count(col("text"))
     corpus(df, idCol, textCol)
       .select(col("doc_id"),
-        size(toks).as("n_tokens"),
+        nTok.as("n_tokens"),
         length(col("text")).as("len_chars"),
-        ((length(col("text")) - (size(toks) - lit(1))).cast("double") / size(toks))
+        ((length(col("text")) - (nTok - lit(1))).cast("double") / nTok)
           .as("avg_tok_len"),
         // class-run byte scan, not the regex engine (the BpeCount
         // lesson; CharRunCountSpec pins equality with the regex)
         graft.functions.CharRunCount.char_run_count(col("text"), "aeiou")
           .as("n_vowel_runs"))
+  }
 
   /** Distinct-ratio minus stopword-ratio quality score. */
   def qualityScore(df: org.apache.spark.sql.DataFrame, idCol: String = "doc_id",
@@ -75,8 +81,12 @@ object TextAnalysis {
       stopwords: Seq[String] = Seq("the", "a"),
       densityDen: Int = 20): org.apache.spark.sql.Column = {
     // allocation-free token scans ([[graft.functions.TokenScan]]) —
-    // byte-equal to size(split)/size(filter(split)), no per-row array
-    val stopHits = graft.functions.TokenScan.token_hits(text, stopwords)
+    // byte-equal to size(split)/size(filter(split)), no per-row array.
+    // An empty stopword list classifies everything 'unk', as the old
+    // filter/isin form did (token_hits itself requires non-empty words)
+    val stopHits =
+      if (stopwords.isEmpty) lit(0)
+      else graft.functions.TokenScan.token_hits(text, stopwords)
     when(stopHits * densityDen > graft.functions.TokenScan.token_count(text),
       "en").otherwise("unk")
   }
@@ -133,7 +143,7 @@ object TextAnalysis {
       textCol: String = "text"): org.apache.spark.sql.DataFrame =
     corpus(df, idCol, textCol)
       .select(col("doc_id"),
-        size(toks).as("n_ws_tokens"),
+        graft.functions.TokenScan.token_count(col("text")).as("n_ws_tokens"),
         // count by char-class scan, not regex: the BPE pattern is a
         // deterministic partition of character classes, and the regex
         // engine's alternation loop was the text curve's dominant

@@ -50,18 +50,21 @@ object GraftFunctions {
         h60(args.head)
       }))
 
+    // string scans take Cast(_, String) like their Column builders do —
+    // a raw non-string arg would fail at EXECUTION time (codegen/CCE)
+    // instead of analysis
     e.injectFunction((FunctionIdentifier("graft_rolling_hash"),
       info(classOf[RollingHash], "graft_rolling_hash"),
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_rolling_hash(str)")
-        RollingHash(args.head)
+        RollingHash(Cast(args.head, org.apache.spark.sql.types.StringType))
       }))
 
     e.injectFunction((FunctionIdentifier("graft_bpe_count"),
       info(classOf[BpeCount], "graft_bpe_count"),
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_bpe_count(str)")
-        BpeCount(args.head)
+        BpeCount(Cast(args.head, org.apache.spark.sql.types.StringType))
       }))
 
     e.injectFunction((FunctionIdentifier("graft_qdot"),

@@ -55,7 +55,7 @@ object EventStream {
   def driftStats(vecs: DataFrame, windowLen: String = "1 hour",
       lateness: String = "10 minutes"): DataFrame =
     vecs
-      .select(col("ts"), concat(array(lit(1L)), col("q")).as("q"))
+      .select(col("ts"), graft.functions.Gram.augmented(col("q")).as("q"))
       .withWatermark("ts", lateness)
       .groupBy(window(col("ts"), windowLen))
       .agg(graft.functions.Gram.gram(col("q")).as("gm"))
