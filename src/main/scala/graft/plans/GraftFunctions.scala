@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Cast, Concat, Conv, Expression
 import org.apache.spark.sql.types.{IntegerType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{BpeCount, EditDistance, FreqSketchAgg, GramAgg, KmvSketchAgg, QDot, RankHistAgg, RollingHash, SignBands}
+import graft.functions.{BpeCount, CharRunCount, EditDistance, FreqSketchAgg, GramAgg, KmvSketchAgg, QDot, RankHistAgg, RollingHash, SignBands, TokenCount, TokenHits}
 
 /** SQL registrations for the engine's function surface: the same
   * Catalyst expressions the DataFrame operators use, callable from pure
@@ -65,6 +65,37 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "graft_bpe_count(str)")
         BpeCount(Cast(args.head, org.apache.spark.sql.types.StringType))
+      }))
+
+    e.injectFunction((FunctionIdentifier("graft_char_run_count"),
+      info(classOf[CharRunCount], "graft_char_run_count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "graft_char_run_count(str, asciiClass)")
+        val cls = args(1) match {
+          case Literal(v, _) if v != null => v.toString
+          case other => throw new IllegalArgumentException(
+            s"graft_char_run_count: class must be a string literal, got $other")
+        }
+        CharRunCount(Cast(args.head, org.apache.spark.sql.types.StringType), cls)
+      }))
+
+    e.injectFunction((FunctionIdentifier("graft_token_count"),
+      info(classOf[TokenCount], "graft_token_count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_token_count(str)")
+        TokenCount(Cast(args.head, org.apache.spark.sql.types.StringType))
+      }))
+
+    e.injectFunction((FunctionIdentifier("graft_token_hits"),
+      info(classOf[TokenHits], "graft_token_hits"),
+      (args: Seq[Expression]) => {
+        require(args.length >= 2, "graft_token_hits(str, word, ...)")
+        val words = args.tail.map {
+          case Literal(v, _) if v != null => v.toString
+          case other => throw new IllegalArgumentException(
+            s"graft_token_hits: words must be string literals, got $other")
+        }
+        TokenHits(Cast(args.head, org.apache.spark.sql.types.StringType), words)
       }))
 
     e.injectFunction((FunctionIdentifier("graft_qdot"),

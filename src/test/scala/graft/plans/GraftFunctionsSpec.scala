@@ -87,6 +87,22 @@ class GraftFunctionsSpec extends AnyFunSuite with SparkFixture {
       e.getMessage.contains("graft_gram"), e.getMessage)
   }
 
+  test("graft_char_run_count / graft_token_count / graft_token_hits in SQL") {
+    import spark.implicits._
+    val r = spark.sql(
+      "SELECT graft_char_run_count('banana', 'aeiou') AS runs, " +
+        "graft_token_count('a the fox') AS n, " +
+        "graft_token_hits('a the fox', 'the', 'a') AS h")
+      .as[(Int, Int, Int)].head()
+    assert(r == ((3, 3, 2)))
+    // non-literal class/word args are rejected at analysis, like the
+    // sketch-shape literals
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_char_run_count('x', concat('a','e'))").collect()
+    }
+    assert(e.getMessage.contains("literal"), e.getMessage)
+  }
+
   test("graft_json_get: bare-key catch-all extraction ≡ get_json_object, codegen'd") {
     import spark.implicits._
     val df = Seq(
