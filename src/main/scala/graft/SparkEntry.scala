@@ -19,7 +19,8 @@ object SparkEntry {
       operators.Connector.queries ++
       operators.DocumentOps.queries ++
       operators.Similarity.queries ++
-      operators.Multimodal.queries
+      operators.Multimodal.queries ++
+      operators.Layout.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Multi-way star join + aggregation: the shape this engine exists for.

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftx.Bridge
+
+import graft.{Q, Tables}
+import graft.functions.ZOrder
+
+/** Multi-dimensional data layout: Z-order clustered writes and the
+  * zone-map arithmetic that proves they prune.
+  *
+  * The 100 TB story: a lake table is scanned through file/row-group
+  * min-max statistics. A LINEAR sort gives selective statistics to its
+  * leading column only — a predicate on any other column still reads
+  * every file. Clustering by the interleaved [[ZOrder]] key bounds
+  * EVERY participating dimension inside each file (a file covering a
+  * contiguous z-range covers a small hyper-rectangle of the key space),
+  * so point/range predicates on dimension 2 or 3 skip most files too.
+  * ZOrderSpec measures exactly that: same rows, same file count, only
+  * the layout differs — the z-layout's candidate-file set for a
+  * second-dimension predicate is a fraction of the linear layout's.
+  *
+  * The reference never owns file layout (it streams remote results;
+  * `core/src/sql/sql_provider_datafusion/mod.rs:312-317` declares every
+  * scan a single bounded partition), but a training-data pipeline that
+  * WRITES curated corpora decides its own layout — this is the
+  * write-side twin of the scan-side pruning the connector layer pushes
+  * to remotes.
+  */
+object Layout {
+
+  /** Linear min-max scaling of an integral column into the 16-bit rank
+    * domain [[ZOrder.Bits]] expects, in exact integer arithmetic
+    * (`div`, never `/` — CLAUDE.md rule). Contract: `max - min` must
+    * stay under 2^47 so `(v - min) * 65535` cannot overflow a Long —
+    * true for every key domain this engine targets (monotone ids,
+    * sizes, dates-as-days, bucket ranks).
+    */
+  def rankScale(v: Column, min: Long, max: Long): Column = {
+    val span = max - min
+    require(span >= 0, s"rankScale: min $min > max $max")
+    require(span < (1L << 47), s"rankScale: span $span risks Long overflow")
+    if (span == 0) lit(0L)
+    else Bridge.column(IntegralDivide(
+      Bridge.expression((v.cast("long") - lit(min)) * lit(ZOrder.Mask)),
+      Bridge.expression(lit(span))))
+  }
+
+  /** Collect per-column min/max in ONE tiny aggregate (driver state =
+    * 2 longs per column — k-bounded, never data-sized).
+    */
+  def columnRanges(df: DataFrame, cols: Seq[String]): Map[String, (Long, Long)] = {
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c).cast("long")).as(s"__min_$c"),
+      max(col(c).cast("long")).as(s"__max_$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.zipWithIndex.map { case (c, i) =>
+      c -> (row.getLong(2 * i), row.getLong(2 * i + 1))
+    }.toMap
+  }
+
+  /** The clustered z-key for `cols` over `df`, range-normalized per
+    * column so arbitrary domains fill the 16-bit lattice.
+    */
+  def zkey(df: DataFrame, cols: Seq[String]): Column = {
+    val ranges = columnRanges(df, cols)
+    ZOrder.zorder(cols.map { c =>
+      val (lo, hi) = ranges(c)
+      rankScale(col(c), lo, hi)
+    }: _*)
+  }
+
+  /** Write `df` as `files` parquet files clustered on the z-key of
+    * `cols`: range-partition by key (each file owns a contiguous
+    * z-range ⇒ a small hyper-rectangle per file) and sort within
+    * partitions (row groups inside a file tighten the same way). Two
+    * passes over the input (range-boundary sampling + write) — the
+    * standard price of a clustered rewrite, amortized over every scan
+    * that prunes thereafter.
+    */
+  def clusterWrite(df: DataFrame, cols: Seq[String], out: String, files: Int): Unit =
+    clustered(df, cols, files).write.mode("overwrite").parquet(out)
+
+  /** The pre-write clustered frame ([[clusterWrite]] minus the sink) —
+    * PlanAuditSpec pins its shape: ONE range exchange on the z-key plus
+    * a per-partition sort, never a global sort (each output file is
+    * independently sorted; no total order across files is needed or
+    * paid for).
+    */
+  def clustered(df: DataFrame, cols: Seq[String], files: Int): DataFrame = {
+    val k = zkey(df, cols)
+    df.repartitionByRange(files, k).sortWithinPartitions(k)
+  }
+
+  /** Linear-layout control for the same write (sorted by the FIRST
+    * column only) — what z-order is measured against.
+    */
+  def linearWrite(df: DataFrame, leading: String, out: String, files: Int): Unit =
+    df.repartitionByRange(files, col(leading))
+      .sortWithinPartitions(col(leading))
+      .write.mode("overwrite").parquet(out)
+
+  /** Per-file zone map of one column — the min-max statistics a
+    * pruning scan consults, read back as data (one aggregate over the
+    * files; at lake scale this comes free from footers/manifests).
+    */
+  def zoneMap(spark: SparkSession, path: String, c: String): DataFrame =
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(c)).cast("long").as("lo"), max(col(c)).cast("long").as("hi"))
+
+  /** How many files a stats-pruned scan with predicate `c = v` must
+    * read under this layout.
+    */
+  def candidateFiles(zm: DataFrame, v: Long): Long =
+    zm.filter(col("lo") <= v && col("hi") >= v).count()
+
+  // ---- gate -------------------------------------------------------------
+
+  /** q142: the z-key itself, oracle-matched bit-for-bit — DuckDB
+    * reproduces the interleave with 16 shift-mask terms per column
+    * ([[ZOrder.sql]]), so the cross-engine contract covers the exact
+    * key every clustered write orders by. Raw TPC-H keys at gate scale
+    * sit under 2^16, so they interleave unscaled (the rankScale path is
+    * ZOrderSpec's, where min/max normalization is asserted
+    * order-preserving).
+    */
+  def queries: Seq[Q] = Seq(
+    Q("q142_zorder_key",
+      "SELECT p_partkey, p_size, " +
+        ZOrder.sql("p_partkey", "p_size") + " AS zkey, " +
+        ZOrder.sql("p_partkey", "p_size", "length(p_name)") + " AS zkey3 " +
+        "FROM part ORDER BY zkey, p_partkey LIMIT 200") { (s, dir) =>
+      val p = Tables.load(s, dir, "part")
+      p.select(col("p_partkey"), col("p_size"),
+          ZOrder.zorder(col("p_partkey"), col("p_size")).as("zkey"),
+          ZOrder.zorder(col("p_partkey"), col("p_size"),
+            length(col("p_name"))).as("zkey3"))
+        .orderBy(col("zkey"), col("p_partkey"))
+        .limit(200)
+    }
+  )
+}

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Cast, Concat, Conv, Expression
 import org.apache.spark.sql.types.{IntegerType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.functions.{BpeCount, CharRunCount, EditDistance, FreqSketchAgg, GramAgg, KmvSketchAgg, QDot, RankHistAgg, RollingHash, SignBands, TokenCount, TokenHits}
+import graft.functions.{BpeCount, CharRunCount, EditDistance, FreqSketchAgg, GramAgg, KmvSketchAgg, QDot, RankHistAgg, RollingHash, SignBands, TokenCount, TokenHits, ZOrder2, ZOrder3}
 
 /** SQL registrations for the engine's function surface: the same
   * Catalyst expressions the DataFrame operators use, callable from pure
@@ -179,6 +179,22 @@ object GraftFunctions {
         require(args.length == 2, "graft_might_contain(bloom, col)")
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(args.head,
           new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(args(1))))
+      }))
+
+    // Z-order interleaved key (graft.operators.Layout's clustering
+    // primitive): 2 or 3 integral args, each masked to 16 bits, bit i
+    // of arg j at position i*n+j. Args cast to LONG like the Column
+    // builder, so SQL and DataFrame callers key identically.
+    e.injectFunction((FunctionIdentifier("graft_zorder"),
+      info(classOf[ZOrder2], "graft_zorder"),
+      (args: Seq[Expression]) => {
+        val longs = args.map(Cast(_, LongType))
+        longs match {
+          case Seq(a, b) => ZOrder2(a, b)
+          case Seq(a, b, c) => ZOrder3(a, b, c)
+          case _ => throw new IllegalArgumentException(
+            "graft_zorder takes 2 or 3 integral columns")
+        }
       }))
 
     // The blessed extraction path for the pincolumns catch-all column

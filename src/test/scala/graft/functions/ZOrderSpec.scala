@@ -1,0 +1,120 @@
+package graft.functions
+
+import graft.SparkFixture
+import graft.operators.Layout
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The z-order key and the clustered layout it exists for.
+  *
+  *   - the magic-number bit spread must equal a bit-by-bit reference
+  *     loop (guards the Morton constants),
+  *   - SQL surface ≡ Column surface ≡ the oracle's shift-mask SQL,
+  *   - rankScale is an order-preserving surjection onto the 16-bit ends,
+  *   - and the POINT of it all, measured: on identical rows and file
+  *     counts, a z-clustered layout answers a second-dimension point
+  *     predicate from a fraction of the files the linear layout needs.
+  */
+class ZOrderSpec extends AnyFunSuite with SparkFixture {
+
+  /** Bit-by-bit reference: bit i of arg j → position i*n + j. */
+  private def refKey(vs: Seq[Long]): Long = {
+    val n = vs.length
+    var z = 0L
+    for (j <- vs.indices; i <- 0 until ZOrder.Bits)
+      z |= ((vs(j) >> i) & 1L) << (i * n + j)
+    z
+  }
+
+  test("key2/key3 match the bit-by-bit reference on random 16-bit inputs") {
+    val rnd = new scala.util.Random(41)
+    for (_ <- 1 to 2000) {
+      val a = rnd.nextLong() & 0xFFFFL
+      val b = rnd.nextLong() & 0xFFFFL
+      val c = rnd.nextLong() & 0xFFFFL
+      assert(ZOrder.key2(a, b) == refKey(Seq(a, b)), s"key2($a,$b)")
+      assert(ZOrder.key3(a, b, c) == refKey(Seq(a, b, c)), s"key3($a,$b,$c)")
+    }
+    // out-of-range inputs mask to their low 16 bits, never overflow
+    assert(ZOrder.key2(0x1FFFFL, 0L) == ZOrder.key2(0xFFFFL, 0L))
+    assert(ZOrder.key3(-1L, 0L, 0L) == ZOrder.key3(0xFFFFL, 0L, 0L))
+    assert(ZOrder.key2(0xFFFFL, 0xFFFFL) == 0xFFFFFFFFL)
+    assert(ZOrder.key3(0xFFFFL, 0xFFFFL, 0xFFFFL) == 0xFFFFFFFFFFFFL)
+  }
+
+  test("SQL registration, Column builder, and oracle SQL all agree; NULL in, NULL out") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val rows = Seq.fill(200)((rnd.nextInt(1 << 16).toLong, rnd.nextInt(1 << 16).toLong))
+    val df = rows.toDF("a", "b")
+    df.createOrReplaceTempView("zin")
+    val got = spark.sql(
+      s"SELECT a, b, graft_zorder(a, b) AS f, ${ZOrder.sql("a", "b")} AS o FROM zin")
+      .collect()
+    for (r <- got) {
+      val expect = ZOrder.key2(r.getLong(0), r.getLong(1))
+      assert(r.getLong(2) == expect, "sql function")
+      assert(r.getLong(3) == expect, "oracle arithmetic")
+    }
+    val viaColumn = df.select(ZOrder.zorder(col("a"), col("b")).as("z")).collect()
+    for ((r, (a, b)) <- viaColumn.zip(rows)) assert(r.getLong(0) == ZOrder.key2(a, b))
+
+    val nulls = spark.sql(
+      "SELECT graft_zorder(CAST(NULL AS INT), 3), graft_zorder(1, 2, CAST(NULL AS INT))")
+      .collect()(0)
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+
+    intercept[Exception] { spark.sql("SELECT graft_zorder(1)").collect() }
+    intercept[Exception] { spark.sql("SELECT graft_zorder(1, 2, 3, 4)").collect() }
+  }
+
+  test("rankScale: hits both 16-bit ends, order-preserving, constant span collapses to 0") {
+    import spark.implicits._
+    val vals = Seq(7L, 12L, 999L, 100000L, 7L, 50000L)
+    val df = vals.toDF("v")
+    val scaled = df.select(Layout.rankScale(col("v"), 7L, 100000L).as("r"))
+      .collect().map(_.getLong(0))
+    assert(scaled(0) == 0L && scaled(3) == ZOrder.Mask)
+    assert(scaled.forall(r => r >= 0 && r <= ZOrder.Mask))
+    // order-preserving: scaled ranks sort exactly as the values do
+    val byVal = vals.zip(scaled).sortBy(_._1).map(_._2)
+    assert(byVal == byVal.sorted)
+    val const = df.select(Layout.rankScale(col("v"), 5L, 5L).as("r"))
+      .collect().map(_.getLong(0))
+    assert(const.forall(_ == 0L))
+  }
+
+  test("measured: z-layout prunes a second-dimension predicate; linear layout cannot") {
+    val dir = "/root/testdata/sf0.001"
+    val li = graft.Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+    val files = 16
+    val zOut = java.nio.file.Files.createTempDirectory("graft_zlay").toString
+    val linOut = java.nio.file.Files.createTempDirectory("graft_linlay").toString
+    Layout.clusterWrite(li, Seq("l_partkey", "l_suppkey"), zOut, files)
+    Layout.linearWrite(li, "l_partkey", linOut, files)
+
+    // same rows either way — layout must never change content
+    assert(spark.read.parquet(zOut).count() == li.count())
+    assert(spark.read.parquet(linOut).count() == li.count())
+
+    val zSupp = Layout.zoneMap(spark, zOut, "l_suppkey").cache()
+    val linSupp = Layout.zoneMap(spark, linOut, "l_suppkey").cache()
+    assert(zSupp.count() == files && linSupp.count() == files)
+
+    // l_suppkey is the SECOND z dimension and nowhere in the linear key:
+    // every linear file spans the whole supplier domain, z files don't.
+    for (s <- Seq(0L, 3L, 7L, 9L)) {
+      val z = Layout.candidateFiles(zSupp, s)
+      val lin = Layout.candidateFiles(linSupp, s)
+      assert(lin == files, s"linear layout should be unable to prune suppkey=$s")
+      assert(z * 2 <= lin, s"suppkey=$s: z candidates $z vs linear $lin")
+    }
+
+    // the leading dimension still prunes under z (coarser than a pure
+    // sort — that's the documented trade of covering BOTH dimensions)
+    val zPart = Layout.zoneMap(spark, zOut, "l_partkey")
+    assert(Layout.candidateFiles(zPart, 100L) < files)
+    zSupp.unpersist(); linSupp.unpersist()
+  }
+}

@@ -345,6 +345,26 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"global sort leaked into the sample plan:\n$p")
   }
 
+  test("q142: z-key query is a TopK; clustered write is range exchange + local sort") {
+    val p = plan("q142_zorder_key")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("\n+- Sort"), s"global sort leaked into the key query:\n$p")
+
+    // the write-side frame: ONE range exchange on the z-key, then a
+    // WITHIN-partition sort — a global sort would add a second
+    // boundary-exchange pass over the full corpus for an ordering
+    // property no file layout needs
+    val li = graft.Tables.load(spark, dir, "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+    val cp = Layout.clustered(li, Seq("l_partkey", "l_suppkey"), 8)
+      .queryExecution.executedPlan.toString
+    assert(cp.contains("rangepartitioning"), s"no range exchange:\n$cp")
+    assert("(?s)Sort \\[[^\\]]*\\], true".r.findFirstIn(cp).isEmpty,
+      s"global sort in the clustered-write plan:\n$cp")
+    assert("(?s)Sort \\[[^\\]]*\\], false".r.findFirstIn(cp).isDefined,
+      s"missing within-partition sort:\n$cp")
+  }
+
   test("q138: Gramian is one object agg — no join, no vector shuffle") {
     // the corpus reduces map-side to O(d²) partial buffers; the only
     // exchange may carry those partials to the single final aggregate
