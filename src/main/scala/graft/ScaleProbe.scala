@@ -255,6 +255,67 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // Layout curve (r11): Z-order clustered write over the N× lineitem,
+    // measured against the linear (leading-column-sorted) control on
+    // identical rows and file counts. Emits the write cost of BOTH
+    // layouts (clustering is a priced rewrite, not free), the zone-map
+    // candidate-file counts for second-dimension point predicates (the
+    // manifest-level skip a lake format performs), and the wall time of
+    // the ACTUAL filtered scans (the row-group-level skip parquet
+    // performs today) — the claim is z ≪ linear on both, at every
+    // factor. l_suppkey is never key-shifted by the scaled build, so
+    // its domain stays dim-sized while the fact grows N× — exactly the
+    // facts-grow/dims-don't model the relational probe pins.
+    if (op == "layout") {
+      val scaledDir = scaledRelationalDir(spark, sfDir, factor)
+      val cols = Seq("l_partkey", "l_suppkey")
+      def lineitem(dir: String): DataFrame = Tables.load(spark, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice")
+      val li = lineitem(scaledDir)
+      val rows = li.count()
+      // files sized to the data like shuffle partitions are: ~16 at 1×,
+      // capped where file-count overhead would swamp the local probe
+      val files = math.max(16, math.min(256, 16 * factor))
+      val zOut = java.nio.file.Files.createTempDirectory(s"graft_zlay${factor}x_").toString
+      val linOut = java.nio.file.Files.createTempDirectory(s"graft_linlay${factor}x_").toString
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      // warm the write path untimed at base scale (JIT + committer init)
+      val warm = java.nio.file.Files.createTempDirectory("graft_laywarm_").toString
+      operators.Layout.clusterWrite(lineitem(sfDir), cols, warm, 4)
+      val zSec = timed(operators.Layout.clusterWrite(li, cols, zOut, files))
+      val linSec = timed(operators.Layout.linearWrite(li, "l_partkey", linOut, files))
+      val (slo, shi) = operators.Layout.columnRanges(li, Seq("l_suppkey"))("l_suppkey")
+      val probes = (0 until 8).map(i => slo + (shi - slo) * i / 7).distinct
+      val zm = operators.Layout.zoneMap(spark, zOut, "l_suppkey").cache()
+      val lm = operators.Layout.zoneMap(spark, linOut, "l_suppkey").cache()
+      val zCand = probes.map(operators.Layout.candidateFiles(zm, _)).sum
+      val linCand = probes.map(operators.Layout.candidateFiles(lm, _)).sum
+      def scan(path: String, s: Long): Double = timed {
+        spark.read.parquet(path).filter(col("l_suppkey") === s)
+          .agg(sum(col("l_extendedprice")).as("rev"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      scan(zOut, probes.head); scan(linOut, probes.head) // warm, untimed
+      val zScan = probes.map(scan(zOut, _)).sum
+      val linScan = probes.map(scan(linOut, _)).sum
+      // scalastyle:off println
+      println(f"""{"op":"layout","factor":$factor,"rows":$rows,""" +
+        f""""sec":$zSec%.3f,"linear_write_sec":$linSec%.3f,"files":$files,""" +
+        f""""probes":${probes.length},"z_candidate_files":$zCand,""" +
+        f""""linear_candidate_files":$linCand,"z_scan_sec":$zScan%.3f,""" +
+        f""""linear_scan_sec":$linScan%.3f}""")
+      // scalastyle:on println
+      spark.stop()
+      for (d <- Seq(zOut, linOut, warm)) {
+        val p = java.nio.file.Paths.get(d)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      return
+    }
     // Federation-collapse payoff, measured: the SAME join+aggregate over
     // a live DuckDB fact table (factor × 100k rows) and a 1k-row dim,
     // once with both tables on one server (collapses to ONE remote
