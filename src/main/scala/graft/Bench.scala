@@ -220,9 +220,12 @@ object Bench {
     // shot per flagged query, in a map keyed like `queries`. Runs AFTER
     // the per-rep stderr dump so a crash here still leaves the full
     // suite detail on stderr.
+    // ≤3 iso entries: the 143-query medians map leaves ~45 B of line
+    // budget headroom under BenchContractSpec's worst-case model — a
+    // fourth 14 B entry would overflow it on a driver-killed run.
     val flagged = results
       .filter(r => r._2 > 2 * r._3 && r._2 - r._3 > 0.5)
-      .sortBy(-_._2).take(4)
+      .sortBy(-_._2).take(3)
     val iso = flagged.flatMap { case (name, _, _, _, _, _) =>
       // The driver kills the process at 590 s. The iso pass triggers on
       // hosts slow enough to FLAG queries — exactly when four extra cold

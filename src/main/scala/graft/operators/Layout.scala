@@ -117,6 +117,34 @@ object Layout {
   def candidateFiles(zm: DataFrame, v: Long): Long =
     zm.filter(col("lo") <= v && col("hi") >= v).count()
 
+  /** Stats-pruned scan: consult the zone map for `c BETWEEN lo AND hi`,
+    * read ONLY the candidate files, and apply the residual filter (zone
+    * ranges admit false positives, never false negatives — min/max
+    * containment is necessary for a match, so skipped files provably
+    * hold no qualifying row).
+    *
+    * The candidate list is manifest-sized driver state — one row per
+    * FILE, the same thing a lake format's file index holds — never
+    * data-sized, so the collect is safe at any corpus size. Pass a
+    * precomputed `zoneMap` (table-lifetime state, built once at write
+    * time and amortized over every probe thereafter, exactly as a lake
+    * manifest is); the default recomputes it from the files for
+    * self-contained verification. BASELINE's round-11 layout curve
+    * measures the payoff this read banks: at 100× a second-dimension
+    * probe touches 8.5% of a z-clustered table's files vs 97% of the
+    * linear control's.
+    */
+  def prunedRead(spark: SparkSession, path: String, c: String,
+                 lo: Long, hi: Long, zm: Option[DataFrame] = None): DataFrame = {
+    require(lo <= hi, s"prunedRead: empty range [$lo, $hi]")
+    val files = zm.getOrElse(zoneMap(spark, path, c))
+      .filter(col("lo") <= lit(hi) && col("hi") >= lit(lo))
+      .select("file").collect().map(_.getString(0))
+    val residual = col(c) >= lit(lo) && col(c) <= lit(hi)
+    if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
+    else spark.read.parquet(files.toIndexedSeq: _*).filter(residual)
+  }
+
   // ---- gate -------------------------------------------------------------
 
   /** q142: the z-key itself, oracle-matched bit-for-bit — DuckDB
@@ -140,6 +168,32 @@ object Layout {
             length(col("p_name"))).as("zkey3"))
         .orderBy(col("zkey"), col("p_partkey"))
         .limit(200)
+    },
+    /* q143: the full clustered-write → zone-map → pruned-read cycle,
+     * oracle-matched end to end. The Spark side REWRITES lineitem
+     * z-clustered on (l_partkey, l_suppkey), then answers a
+     * second-dimension range probe through [[prunedRead]] — reading
+     * only zone-map candidate files — while DuckDB answers the same
+     * predicate over the ORIGINAL table. A hash match proves layout
+     * and pruning never change content (the false-positive-only zone
+     * guarantee, verified cross-engine). Money sums route through
+     * DECIMAL(18,2) per the exactness contract. */
+    Q("q143_pruned_scan",
+      "SELECT l_suppkey, count(*) AS n, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue " +
+        "FROM lineitem WHERE l_suppkey BETWEEN 3 AND 7 " +
+        "GROUP BY l_suppkey ORDER BY l_suppkey") { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice")
+      val out = "/tmp/graft_layout/" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_") + "/lineitem_z"
+      clusterWrite(li, Seq("l_partkey", "l_suppkey"), out, 16)
+      prunedRead(s, out, "l_suppkey", 3L, 7L)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").as("revenue"))
+        .orderBy(col("l_suppkey"))
     }
   )
 }

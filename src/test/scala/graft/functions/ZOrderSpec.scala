@@ -115,6 +115,24 @@ class ZOrderSpec extends AnyFunSuite with SparkFixture {
     // sort — that's the documented trade of covering BOTH dimensions)
     val zPart = Layout.zoneMap(spark, zOut, "l_partkey")
     assert(Layout.candidateFiles(zPart, 100L) < files)
+
+    // prunedRead: bit-identical to the full-scan filter while actually
+    // reading fewer files (zone ranges are false-positive-only), and an
+    // out-of-domain range yields an empty frame with the full schema
+    val pruned = Layout.prunedRead(spark, zOut, "l_suppkey", 3L, 5L,
+      zm = Some(zSupp))
+    val full = spark.read.parquet(zOut)
+      .filter(col("l_suppkey").between(3L, 5L))
+    assert(pruned.count() == full.count() && full.count() > 0)
+    assert(pruned.agg(sum(col("l_orderkey")), sum(col("l_partkey"))).head() ==
+      full.agg(sum(col("l_orderkey")), sum(col("l_partkey"))).head())
+    assert(pruned.inputFiles.length < files,
+      s"prunedRead touched ${pruned.inputFiles.length} of $files files")
+    val empty = Layout.prunedRead(spark, zOut, "l_suppkey", 1000000L, 2000000L)
+    assert(empty.count() == 0 && empty.schema == full.schema)
+    intercept[IllegalArgumentException] {
+      Layout.prunedRead(spark, zOut, "l_suppkey", 5L, 3L)
+    }
     zSupp.unpersist(); linSupp.unpersist()
   }
 }
