@@ -145,6 +145,30 @@ object Layout {
     else spark.read.parquet(files.toIndexedSeq: _*).filter(residual)
   }
 
+  /** Date-partitioned write: the time dimension gets DIRECTORY-level
+    * pruning (coarser and cheaper than zone maps — the planner drops
+    * whole partitions from the file listing before any footer is
+    * consulted), leaving the z-order budget free for non-time
+    * dimensions. `repartition(partCol)` first, so each date directory
+    * receives ONE file per writing task that owns it instead of
+    * tasks × dates small files — the layout mistake that turns a year
+    * of 100 TB ingest into millions of 1 MB files.
+    */
+  def partitionedWrite(df: DataFrame, partCol: String, out: String): Unit =
+    df.repartition(col(partCol))
+      .write.mode("overwrite").partitionBy(partCol).parquet(out)
+
+  /** Partition-preserving compaction: rewrite a fragmented
+    * date-partitioned table to one file per (task, date) — the
+    * maintenance pass an append-heavy ingest needs periodically. Out
+    * of place by design: pair with an atomic directory swap (the W5
+    * [[graft.sources.jdbc.FileSwap]] discipline) to publish without a
+    * reader ever seeing a half-compacted table.
+    */
+  def compactPartitioned(spark: SparkSession, path: String,
+                         partCol: String, out: String): Unit =
+    partitionedWrite(spark.read.parquet(path), partCol, out)
+
   // ---- gate -------------------------------------------------------------
 
   /** q142: the z-key itself, oracle-matched bit-for-bit — DuckDB
@@ -194,6 +218,34 @@ object Layout {
           sum(col("l_extendedprice").cast("decimal(18,2)"))
             .cast("double").as("revenue"))
         .orderBy(col("l_suppkey"))
+    },
+    /* q144: date-partitioned write → directory-pruned read, oracle-
+     * matched. Spark rewrites events partitioned by event_date and
+     * answers a 3-day range through Spark's partition pruning (the
+     * filter never touches a file outside the three date directories —
+     * ZOrderSpec pins that on inputFiles); DuckDB answers the same
+     * predicate over the original table. The ts column rides the
+     * shared nanos-tolerant path (CLAUDE.md events rule). */
+    Q("q144_partition_prune",
+      "SELECT event_type, count(*) AS n, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value " +
+        "FROM events WHERE CAST(ts AS DATE) " +
+        "BETWEEN DATE '2024-01-10' AND DATE '2024-01-12' " +
+        "GROUP BY event_type ORDER BY event_type") { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val day = to_date(timestamp_micros(Tables.epochMicros(ev)))
+      val out = "/tmp/graft_layout/" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_") + "/events_bydate"
+      partitionedWrite(
+        ev.select(col("event_type"), col("value"), day.as("event_date")),
+        "event_date", out)
+      s.read.parquet(out)
+        .filter(col("event_date").between(
+          to_date(lit("2024-01-10")), to_date(lit("2024-01-12"))))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        .orderBy(col("event_type"))
     }
   )
 }

@@ -135,4 +135,56 @@ class ZOrderSpec extends AnyFunSuite with SparkFixture {
     }
     zSupp.unpersist(); linSupp.unpersist()
   }
+
+  test("partitionedWrite prunes to the predicate's directories; compaction preserves content") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.Tables.load(spark, dir, "events")
+    val day = to_date(timestamp_micros(graft.Tables.epochMicros(ev)))
+    val frame = ev.select(col("event_id"), col("event_type"), col("value"),
+      day.as("event_date"))
+    val out = java.nio.file.Files.createTempDirectory("graft_bydate").toString
+    Layout.partitionedWrite(frame, "event_date", out)
+
+    val back = spark.read.parquet(out)
+    assert(back.count() == ev.count())
+    // a 3-day range reads ONLY files under its three date directories —
+    // directory-level pruning, no footer consulted for the other 27 days.
+    // inputFiles reports the PRE-pruning listing, so the pin reads the
+    // executed scan's own numFiles metric instead.
+    val pruned = back.filter(col("event_date").between(
+      to_date(lit("2024-01-10")), to_date(lit("2024-01-12"))))
+    assert(pruned.collect().length > 0)
+    val scan = pruned.queryExecution.executedPlan.collectLeaves()
+      .collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get
+    assert(scan.partitionFilters.nonEmpty, "date filter not a PartitionFilter")
+    val filesRead = scan.metrics("numFiles").value
+    assert(filesRead == 3,
+      s"pruned scan read $filesRead files of ${back.inputFiles.length}")
+
+    // fragment the table (4 files per date), compact, content unchanged
+    // and the per-date file count back to the task-ownership minimum
+    val frag = java.nio.file.Files.createTempDirectory("graft_frag").toString
+    frame.repartition(4, col("event_id"))
+      .write.mode("overwrite").partitionBy("event_date").parquet(frag)
+    val compacted = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    Layout.compactPartitioned(spark, frag, "event_date", compacted)
+    val before = spark.read.parquet(frag)
+    val after = spark.read.parquet(compacted)
+    assert(after.count() == before.count())
+    // value sums ride DECIMAL so the compare is layout-order-independent
+    assert(after.agg(sum(col("event_id")),
+        sum(col("value").cast("decimal(18,2)"))).head() ==
+      before.agg(sum(col("event_id")),
+        sum(col("value").cast("decimal(18,2)"))).head())
+    def perDate(files: Array[String]): Map[String, Int] =
+      files.groupBy(_.split("/").find(_.startsWith("event_date=")).getOrElse("?"))
+        .map { case (k, v) => k -> v.length }
+    assert(perDate(before.inputFiles).values.max >= 4)
+    assert(perDate(after.inputFiles).values.max <
+      perDate(before.inputFiles).values.max,
+      "compaction did not reduce the per-date file count")
+  }
 }
