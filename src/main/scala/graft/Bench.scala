@@ -202,16 +202,16 @@ object Bench {
     val medians = results
       .map(r => "\"" + qid(r._1) + "\":" + fq(r._2)).mkString("{", ",", "}")
     // Self-diagnosis map (replaces r≤8's "stalls"): [best rep, worst rep,
-    // GC % of wall, CPU cores busy] for the ≤3 most suspicious queries —
+    // GC % of wall, CPU cores busy] for the ≤2 most suspicious queries —
     // stall outliers (worst > 2× median and > 2 s over it) first, then the
-    // largest medians ≥ 1 s. Bounded at 3 entries for the line budget
-    // (was 7 in r9, 4 through r11's 139th query; the iso map carries the
-    // adjudicating evidence for flagged queries, so diag+iso together
-    // still cover more than r9's diag-7).
+    // largest medians ≥ 1 s. Bounded at 2 entries for the line budget
+    // (7 in r9, 4 through r11's 139th query, 3 through the 144th; the iso
+    // map carries the adjudicating evidence for flagged queries, so
+    // diag+iso together still cover r9's ground).
     val isStall = (r: (String, Double, Double, Double, Long, Double)) =>
       r._4 > 2 * r._2 && r._4 - r._2 > 2.0
     val suspicious = (results.filter(isStall) ++
-      results.filterNot(isStall).filter(_._2 >= 1.0).sortBy(-_._2)).take(3)
+      results.filterNot(isStall).filter(_._2 >= 1.0).sortBy(-_._2)).take(2)
     val diag = suspicious
       .map(r => "\"" + qid(r._1) + "\":[" + fq(r._3) + "," + fq(r._4) + "," +
         r._5 + "," + f1(r._6) + "]")

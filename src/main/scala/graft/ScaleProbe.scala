@@ -316,6 +316,75 @@ object ScaleProbe {
       }
       return
     }
+    // Bloom curve (r11): point lookups on the column the z-layout
+    // leaves SCATTERED (l_orderkey — every file spans nearly the whole
+    // key domain, so zone maps are useless). Same clustered layout
+    // written twice, with and without parquet bloom filters on
+    // l_orderkey; 8 domain-interior point probes (mostly absent in the
+    // sparse keyshifted space — bloom's canonical win case). Emits the
+    // bloom census per layout: parquet DISCARDS blooms for fully
+    // dictionary-encoded chunks (the dictionary is already an exact
+    // row-group filter), so small factors legitimately show bloomfiles=0
+    // and flat lookups — the bitsets and the win appear exactly where
+    // chunks overflow the 1 MB dictionary page.
+    if (op == "bloom") {
+      val scaledDir = scaledRelationalDir(spark, sfDir, factor)
+      val cols = Seq("l_partkey", "l_suppkey")
+      val li = Tables.load(spark, scaledDir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice")
+      val rows = li.count()
+      val files = math.max(16, math.min(256, 16 * factor))
+      val ndvPerGroup = math.max(8192L, rows / files)
+      val bOut = java.nio.file.Files.createTempDirectory(s"graft_bloom${factor}x_").toString
+      val pOut = java.nio.file.Files.createTempDirectory(s"graft_plain${factor}x_").toString
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val bSec = timed(operators.Layout.clusterWriteWithBloom(
+        li, cols, Seq("l_orderkey"), bOut, files, ndvPerGroup))
+      val pSec = timed(operators.Layout.clusterWrite(li, cols, pOut, files))
+      // bloom census: how many files actually carry a bitset (footer
+      // reads only — a manifest-sized loop)
+      def bloomFiles(out: String): Int =
+        new java.io.File(out).listFiles()
+          .filter(_.getName.endsWith(".parquet")).count { f =>
+            val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+                spark.sessionState.newHadoopConf()))
+            try {
+              import scala.jdk.CollectionConverters._
+              rdr.getFooter.getBlocks.get(0).getColumns.asScala
+                .exists(c => c.getPath.toDotString == "l_orderkey" &&
+                  c.getBloomFilterOffset >= 0)
+            } finally rdr.close()
+          }
+      val census = bloomFiles(bOut)
+      val (kLo, kHi) = operators.Layout.columnRanges(li, Seq("l_orderkey"))("l_orderkey")
+      val probes = (0 until 8).map(i => kLo + (kHi - kLo) * i / 7 + 3).distinct
+      def look(path: String, k: Long): Double = timed {
+        spark.read.parquet(path).filter(col("l_orderkey") === lit(k))
+          .agg(sum(col("l_extendedprice")).as("rev"))
+          .write.format("noop").mode("overwrite").save()
+      }
+      look(bOut, probes.head); look(pOut, probes.head) // warm, untimed
+      val bLook = probes.map(look(bOut, _)).sum
+      val pLook = probes.map(look(pOut, _)).sum
+      // scalastyle:off println
+      println(f"""{"op":"bloom","factor":$factor,"rows":$rows,""" +
+        f""""sec":$bSec%.3f,"plain_write_sec":$pSec%.3f,"files":$files,""" +
+        f""""bloomfiles":$census,"probes":${probes.length},""" +
+        f""""bloom_lookup_sec":$bLook%.3f,"plain_lookup_sec":$pLook%.3f}""")
+      // scalastyle:on println
+      spark.stop()
+      for (d <- Seq(bOut, pOut)) {
+        val p = java.nio.file.Paths.get(d)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      return
+    }
     // Federation-collapse payoff, measured: the SAME join+aggregate over
     // a live DuckDB fact table (factor × 100k rows) and a 1k-row dim,
     // once with both tables on one server (collapses to ONE remote

@@ -145,6 +145,38 @@ object Layout {
     else spark.read.parquet(files.toIndexedSeq: _*).filter(residual)
   }
 
+  /** Clustered write with parquet BLOOM FILTERS on the columns the
+    * layout leaves scattered. The three skip levels compose: partition
+    * directories prune the time dimension, zone maps prune the
+    * clustered dimensions (contiguous ranges per file), and blooms
+    * prune POINT lookups on high-cardinality columns whose values every
+    * file still spans — where min/max statistics are provably useless
+    * (each file's range covers the whole domain) a bloom rejects a row
+    * group in O(1) probes without decoding a page. `ndv` sizes the
+    * bitset per ROW GROUP (not per table): pass the expected distinct
+    * count per row group, or accept parquet's default. Readers need no
+    * cooperation — Spark's pushed equality predicates consult blooms
+    * through parquet-mr's row-group filter automatically.
+    *
+    * Regime boundary, verified in ZOrderSpec: parquet DISCARDS the
+    * bloom for a chunk that stays fully dictionary-encoded (the
+    * dictionary page is already an exact membership filter, and the
+    * reader's dictionary-based row-group skip uses it) — so at small
+    * scale this option is correctly a no-op, and the bitsets appear
+    * exactly when chunks overflow the dictionary page: the
+    * high-cardinality 100 TB regime this write exists for.
+    */
+  def clusterWriteWithBloom(df: DataFrame, cols: Seq[String],
+                            bloomCols: Seq[String], out: String, files: Int,
+                            ndv: Long = 0L): Unit = {
+    var w = clustered(df, cols, files).write
+    for (c <- bloomCols) {
+      w = w.option(s"parquet.bloom.filter.enabled#$c", "true")
+      if (ndv > 0) w = w.option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+    }
+    w.mode("overwrite").parquet(out)
+  }
+
   /** Date-partitioned write: the time dimension gets DIRECTORY-level
     * pruning (coarser and cheaper than zone maps — the planner drops
     * whole partitions from the file listing before any footer is
@@ -157,6 +189,44 @@ object Layout {
   def partitionedWrite(df: DataFrame, partCol: String, out: String): Unit =
     df.repartition(col(partCol))
       .write.mode("overwrite").partitionBy(partCol).parquet(out)
+
+  /** Partition-scoped MERGE (upsert): apply `updates` — same schema as
+    * the table, carrying the partition column, keyed by `key` — by
+    * rewriting ONLY the partition directories the updates touch.
+    * Existing rows with a matching key are replaced, new keys are
+    * inserted, and every untouched partition directory is left
+    * byte-identical (ZOrderSpec pins that on the file listing). This is
+    * the maintenance op a 100 TB ingest actually runs: a late-data fix
+    * for three days rewrites 3 directories, not 3,650.
+    *
+    * Mechanics: the touched-partition list is `updates`-derived driver
+    * state (k-bounded by the number of partitions touched, never
+    * data-sized); the merged rows are STAGED to a scratch directory
+    * first — Spark refuses to overwrite a path it is simultaneously
+    * reading — then written back under dynamic partition-overwrite,
+    * whose committer swaps exactly the directories present in the new
+    * data. Deletes are the `updates.filter(tombstone)` variant of the
+    * same flow; the reference's DML surface (W7/W8) handles them on the
+    * remote-table side.
+    */
+  def mergeInto(spark: SparkSession, path: String, updates: DataFrame,
+                partCol: String, key: String): Unit = {
+    val touched = updates.select(col(partCol)).distinct().collect()
+      .map(_.get(0))
+    if (touched.isEmpty) return
+    val existing = spark.read.parquet(path)
+      .filter(col(partCol).isInCollection(touched.toIndexedSeq))
+    val merged = existing.join(updates.select(col(key)), Seq(key), "left_anti")
+      .unionByName(updates)
+    val staged = java.nio.file.Files.createTempDirectory("graft_merge_").toString
+    merged.repartition(col(partCol))
+      .write.mode("overwrite").partitionBy(partCol).parquet(staged)
+    spark.read.parquet(staged)
+      .repartition(col(partCol))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCol).parquet(path)
+  }
 
   /** Partition-preserving compaction: rewrite a fragmented
     * date-partitioned table to one file per (task, date) — the
@@ -242,6 +312,47 @@ object Layout {
       s.read.parquet(out)
         .filter(col("event_date").between(
           to_date(lit("2024-01-10")), to_date(lit("2024-01-12"))))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        .orderBy(col("event_type"))
+    },
+    /* q145: partition-scoped MERGE, oracle-matched against a full
+     * recompute. Spark builds the date-partitioned events table, then
+     * merges an update set touching two days — replacements keyed by
+     * event_id plus inserted backfill rows — rewriting ONLY those two
+     * directories ([[mergeInto]]; ZOrderSpec pins untouched dirs
+     * byte-identical). DuckDB computes the same post-merge table
+     * directly from events with set arithmetic. A hash match proves
+     * the upsert semantics (replace-by-key, insert-new, leave-rest)
+     * end to end. */
+    Q("q145_partition_merge",
+      "SELECT event_type, count(*) AS n, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value FROM (" +
+        "SELECT event_type, value FROM events WHERE CAST(ts AS DATE) " +
+        "NOT BETWEEN DATE '2024-01-10' AND DATE '2024-01-11' " +
+        "UNION ALL SELECT 'adjusted', value + 100 FROM events " +
+        "WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-11' " +
+        "UNION ALL SELECT 'backfill', value FROM events " +
+        "WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-11'" +
+        ") GROUP BY event_type ORDER BY event_type") { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val day = to_date(timestamp_micros(Tables.epochMicros(ev)))
+      val out = "/tmp/graft_layout/" +
+        dir.replaceAll("[^A-Za-z0-9.]", "_") + "/events_merge"
+      val base = ev.select(col("event_id"), col("event_type"),
+        col("value"), day.as("event_date"))
+      partitionedWrite(base, "event_date", out)
+      val touched = base.filter(col("event_date").between(
+        to_date(lit("2024-01-10")), to_date(lit("2024-01-11"))))
+      val updates = touched.select(col("event_id"),
+          lit("adjusted").as("event_type"),
+          (col("value") + lit(100.0)).as("value"), col("event_date"))
+        .unionByName(touched.select(
+          (col("event_id") + lit(10000000L)).as("event_id"),
+          lit("backfill").as("event_type"), col("value"), col("event_date")))
+      mergeInto(s, out, updates, "event_date", "event_id")
+      s.read.parquet(out)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))

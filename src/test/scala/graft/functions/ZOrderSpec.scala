@@ -136,6 +136,58 @@ class ZOrderSpec extends AnyFunSuite with SparkFixture {
     zSupp.unpersist(); linSupp.unpersist()
   }
 
+  test("bloom writes: bitset appears past the dictionary boundary, lookups lossless") {
+    import spark.implicits._
+    def bloomOffsets(out: String): Map[String, Long] = {
+      val file = new java.io.File(out).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(file.getAbsolutePath),
+          spark.sessionState.newHadoopConf()))
+      try {
+        import scala.jdk.CollectionConverters._
+        rdr.getFooter.getBlocks.get(0).getColumns.asScala
+          .map(c => c.getPath.toDotString -> c.getBloomFilterOffset).toMap
+      } finally rdr.close()
+    }
+
+    // BELOW the boundary: sf0.001 lineitem chunks stay fully
+    // dictionary-encoded, and parquet correctly DISCARDS the bloom (the
+    // dictionary page is already an exact membership filter)
+    val li = graft.Tables.load(spark, "/root/testdata/sf0.001", "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+    val small = java.nio.file.Files.createTempDirectory("graft_bloomd").toString
+    Layout.clusterWriteWithBloom(li, Seq("l_partkey", "l_suppkey"),
+      Seq("l_orderkey"), small, 4, ndv = 8192)
+    assert(bloomOffsets(small)("l_orderkey") < 0,
+      "dictionary-encoded chunk unexpectedly carries a bloom")
+
+    // PAST the boundary: ~1M distinct longs per chunk overflow the 1 MB
+    // dictionary page — the bitset lands on the bloom column only (the
+    // clustered columns' skip level is the zone map, not a bloom)
+    val big = spark.range(2000000L).select(
+      (col("id") % 1000L).as("a"), (col("id") % 997L).as("b"),
+      (col("id") * 2654435761L).as("k"))
+    val bOut = java.nio.file.Files.createTempDirectory("graft_bloomw").toString
+    val pOut = java.nio.file.Files.createTempDirectory("graft_plainw").toString
+    Layout.clusterWriteWithBloom(big, Seq("a", "b"), Seq("k"), bOut, 2,
+      ndv = 1000000L)
+    Layout.clusterWrite(big, Seq("a", "b"), pOut, 2)
+    val offs = bloomOffsets(bOut)
+    assert(offs("k") >= 0, "bloom filter missing from high-cardinality chunk")
+    assert(offs("a") < 0 && offs("b") < 0)
+
+    // blooms are skip-only, never lossy: point lookups (present and
+    // absent keys) agree with the plain layout exactly
+    for (k <- Seq(0L, 2654435761L * 999999L, 17L)) {
+      def look(path: String) = spark.read.parquet(path)
+        .filter(col("k") === lit(k))
+        .agg(count(lit(1)), sum(col("a")), sum(col("b"))).head()
+      assert(look(bOut) == look(pOut), s"lookup k=$k diverged")
+    }
+  }
+
   test("partitionedWrite prunes to the predicate's directories; compaction preserves content") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
@@ -186,5 +238,64 @@ class ZOrderSpec extends AnyFunSuite with SparkFixture {
     assert(perDate(after.inputFiles).values.max <
       perDate(before.inputFiles).values.max,
       "compaction did not reduce the per-date file count")
+  }
+
+  test("mergeInto rewrites only the touched partitions; replace/insert/leave semantics exact") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.Tables.load(spark, dir, "events")
+    val day = to_date(timestamp_micros(graft.Tables.epochMicros(ev)))
+    val base = ev.select(col("event_id"), col("event_type"), col("value"),
+      day.as("event_date"))
+    val out = java.nio.file.Files.createTempDirectory("graft_mergetbl").toString
+    Layout.partitionedWrite(base, "event_date", out)
+
+    def listing(d: String): Map[String, Long] = {
+      val root = java.nio.file.Paths.get(d)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => root.relativize(p).toString ->
+          java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        .toMap
+    }
+    val before = listing(out)
+
+    val touched = base.filter(col("event_date").between(
+      to_date(lit("2024-01-10")), to_date(lit("2024-01-11"))))
+    val updates = touched.select(col("event_id"),
+        lit("adjusted").as("event_type"),
+        (col("value") + lit(100.0)).as("value"), col("event_date"))
+      .unionByName(touched.select(
+        (col("event_id") + lit(10000000L)).as("event_id"),
+        lit("backfill").as("event_type"), col("value"), col("event_date")))
+    Layout.mergeInto(spark, out, updates, "event_date", "event_id")
+    val after = listing(out)
+
+    // untouched directories: byte-identical listing, same mtimes; the
+    // two touched directories: fully replaced
+    val untouchedBefore = before
+      .filter(f => !f._1.contains("=2024-01-10") && !f._1.contains("=2024-01-11"))
+    for ((f, m) <- untouchedBefore)
+      assert(after.get(f).contains(m), s"untouched file rewritten: $f")
+    assert(before.keys.exists(_.contains("event_date=2024-01-10")))
+    for (d <- Seq("event_date=2024-01-10", "event_date=2024-01-11")) {
+      val olds = before.keys.filter(_.contains(d)).toSet
+      val news = after.keys.filter(_.contains(d)).toSet
+      assert(news.nonEmpty && olds.intersect(news).isEmpty,
+        s"$d not rewritten by the merge")
+    }
+
+    // content: replace-by-key + insert-new + leave-rest == recompute
+    val got = spark.read.parquet(out)
+    val expect = base.filter(!col("event_date").between(
+        to_date(lit("2024-01-10")), to_date(lit("2024-01-11"))))
+      .unionByName(updates)
+    assert(got.count() == expect.count())
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      df.agg(sum(col("event_id")),
+        sum(col("value").cast("decimal(18,2)")),
+        count(when(col("event_type") === "adjusted", 1)),
+        count(when(col("event_type") === "backfill", 1))).head()
+    assert(sig(got) == sig(expect))
   }
 }
