@@ -220,9 +220,11 @@ object Bench {
     // shot per flagged query, in a map keyed like `queries`. Runs AFTER
     // the per-rep stderr dump so a crash here still leaves the full
     // suite detail on stderr.
-    // ≤3 iso entries: the 143-query medians map leaves ~45 B of line
-    // budget headroom under BenchContractSpec's worst-case model — a
-    // fourth 14 B entry would overflow it on a driver-killed run.
+    // ≤3 iso entries: the 145-query medians map leaves ~21 B of
+    // worst-case headroom under BenchContractSpec's model; a fourth iso
+    // entry would still fit (~1913 B) but leave no room for the next
+    // query added — the slack is banked for growth, not spent on a
+    // fourth adjudication slot.
     val flagged = results
       .filter(r => r._2 > 2 * r._3 && r._2 - r._3 > 0.5)
       .sortBy(-_._2).take(3)

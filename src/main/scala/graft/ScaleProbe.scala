@@ -343,22 +343,12 @@ object ScaleProbe {
       val bSec = timed(operators.Layout.clusterWriteWithBloom(
         li, cols, Seq("l_orderkey"), bOut, files, ndvPerGroup))
       val pSec = timed(operators.Layout.clusterWrite(li, cols, pOut, files))
-      // bloom census: how many files actually carry a bitset (footer
-      // reads only — a manifest-sized loop)
+      // bloom census over the BLOOM layout's files (footer reads only —
+      // a manifest-sized loop; any-row-group aware via the shared helper)
       def bloomFiles(out: String): Int =
         new java.io.File(out).listFiles()
-          .filter(_.getName.endsWith(".parquet")).count { f =>
-            val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
-              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-                new org.apache.hadoop.fs.Path(f.getAbsolutePath),
-                spark.sessionState.newHadoopConf()))
-            try {
-              import scala.jdk.CollectionConverters._
-              rdr.getFooter.getBlocks.get(0).getColumns.asScala
-                .exists(c => c.getPath.toDotString == "l_orderkey" &&
-                  c.getBloomFilterOffset >= 0)
-            } finally rdr.close()
-          }
+          .filter(_.getName.endsWith(".parquet"))
+          .count(f => operators.Layout.bloomColumns(spark, f).contains("l_orderkey"))
       val census = bloomFiles(bOut)
       val (kLo, kHi) = operators.Layout.columnRanges(li, Seq("l_orderkey"))("l_orderkey")
       val probes = (0 until 8).map(i => kLo + (kHi - kLo) * i / 7 + 3).distinct

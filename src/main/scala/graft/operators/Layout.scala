@@ -117,6 +117,25 @@ object Layout {
   def candidateFiles(zm: DataFrame, v: Long): Long =
     zm.filter(col("lo") <= v && col("hi") >= v).count()
 
+  /** Columns of one parquet file that carry a bloom filter in ANY row
+    * group (footer read only — manifest-cost, no page I/O). A file with
+    * zero row groups yields the empty set. Shared by ZOrderSpec's
+    * regime-boundary pin and ScaleProbe's per-file census so the
+    * footer-reading quirks live in one place.
+    */
+  def bloomColumns(spark: SparkSession, file: java.io.File): Set[String] = {
+    val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.getAbsolutePath),
+        spark.sessionState.newHadoopConf()))
+    try {
+      import scala.jdk.CollectionConverters._
+      rdr.getFooter.getBlocks.asScala.flatMap(_.getColumns.asScala)
+        .filter(_.getBloomFilterOffset >= 0)
+        .map(_.getPath.toDotString).toSet
+    } finally rdr.close()
+  }
+
   /** Stats-pruned scan: consult the zone map for `c BETWEEN lo AND hi`,
     * read ONLY the candidate files, and apply the residual filter (zone
     * ranges admit false positives, never false negatives — min/max
@@ -141,8 +160,13 @@ object Layout {
       .filter(col("lo") <= lit(hi) && col("hi") >= lit(lo))
       .select("file").collect().map(_.getString(0))
     val residual = col(c) >= lit(lo) && col(c) <= lit(hi)
+    // basePath keeps the two branches schema-identical and preserves any
+    // Hive partition columns when reading a leaf-file subset of a
+    // partitioned table (without it, partition discovery is skipped and
+    // the directory-derived columns silently vanish)
     if (files.isEmpty) spark.read.parquet(path).filter(lit(false))
-    else spark.read.parquet(files.toIndexedSeq: _*).filter(residual)
+    else spark.read.option("basePath", path)
+      .parquet(files.toIndexedSeq: _*).filter(residual)
   }
 
   /** Clustered write with parquet BLOOM FILTERS on the columns the
@@ -181,14 +205,33 @@ object Layout {
     * pruning (coarser and cheaper than zone maps — the planner drops
     * whole partitions from the file listing before any footer is
     * consulted), leaving the z-order budget free for non-time
-    * dimensions. `repartition(partCol)` first, so each date directory
-    * receives ONE file per writing task that owns it instead of
+    * dimensions. Repartitioning on the partition column first bounds
+    * each date directory to `writersPerPartition` files instead of
     * tasks × dates small files — the layout mistake that turns a year
     * of 100 TB ingest into millions of 1 MB files.
+    *
+    * `writersPerPartition` sizes write parallelism WITHIN a date: the
+    * default 1 funnels each date through one task (right when a date
+    * holds well under an executor's worth of rows — gate scale); at
+    * production scale a single day is hundreds of GB and must be
+    * spread, so pass `salt` (any well-distributed data column, e.g.
+    * the table's key) and the writer fans each date across
+    * `writersPerPartition` tasks via `pmod(hash(salt), n)` — still
+    * date-bounded file counts, now also write-parallel. AQE composes
+    * correctly with the salt: undersized salted partitions coalesce
+    * back together (tiny dates keep one file), oversized ones keep
+    * their writers — the fan-out engages exactly at the scale that
+    * needs it.
     */
-  def partitionedWrite(df: DataFrame, partCol: String, out: String): Unit =
-    df.repartition(col(partCol))
-      .write.mode("overwrite").partitionBy(partCol).parquet(out)
+  def partitionedWrite(df: DataFrame, partCol: String, out: String,
+                       writersPerPartition: Int = 1,
+                       salt: Option[Column] = None): Unit = {
+    val dist =
+      if (writersPerPartition <= 1 || salt.isEmpty) df.repartition(col(partCol))
+      else df.repartition(col(partCol),
+        pmod(hash(salt.get), lit(writersPerPartition)))
+    dist.write.mode("overwrite").partitionBy(partCol).parquet(out)
+  }
 
   /** Partition-scoped MERGE (upsert): apply `updates` — same schema as
     * the table, carrying the partition column, keyed by `key` — by
@@ -199,15 +242,28 @@ object Layout {
     * the maintenance op a 100 TB ingest actually runs: a late-data fix
     * for three days rewrites 3 directories, not 3,650.
     *
+    * Key contract: `key` identifies a row WITHIN its partition, and an
+    * update row must carry the partition its key currently lives in —
+    * the merge is partition-scoped by definition, so a correction that
+    * MOVES a key across partitions (a date fix on the key itself) is a
+    * delete in the old partition plus this merge, not one call; a
+    * single call would leave the stale row in the untouched partition.
+    * This is the same contract every partition-scoped lake MERGE has:
+    * enforcing it would mean scanning all untouched partitions, the
+    * exact cost this op exists to avoid.
+    *
     * Mechanics: the touched-partition list is `updates`-derived driver
     * state (k-bounded by the number of partitions touched, never
-    * data-sized); the merged rows are STAGED to a scratch directory
-    * first — Spark refuses to overwrite a path it is simultaneously
-    * reading — then written back under dynamic partition-overwrite,
-    * whose committer swaps exactly the directories present in the new
-    * data. Deletes are the `updates.filter(tombstone)` variant of the
-    * same flow; the reference's DML surface (W7/W8) handles them on the
-    * remote-table side.
+    * data-sized); the merged rows are materialized via localCheckpoint
+    * — Spark refuses to overwrite a path its plan is simultaneously
+    * reading, and the checkpoint severs that lineage WITHOUT a staged
+    * on-disk parquet copy (half the write amplification, nothing
+    * leaked) — then written under dynamic partition-overwrite, whose
+    * committer atomically swaps exactly the directories present in the
+    * new data (a mid-job failure leaves the table untouched; the merge
+    * is rerun-safe). Deletes are the `updates.filter(tombstone)`
+    * variant of the same flow; the reference's DML surface (W7/W8)
+    * handles them on the remote-table side.
     */
   def mergeInto(spark: SparkSession, path: String, updates: DataFrame,
                 partCol: String, key: String): Unit = {
@@ -218,14 +274,13 @@ object Layout {
       .filter(col(partCol).isInCollection(touched.toIndexedSeq))
     val merged = existing.join(updates.select(col(key)), Seq(key), "left_anti")
       .unionByName(updates)
-    val staged = java.nio.file.Files.createTempDirectory("graft_merge_").toString
-    merged.repartition(col(partCol))
-      .write.mode("overwrite").partitionBy(partCol).parquet(staged)
-    spark.read.parquet(staged)
       .repartition(col(partCol))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(partCol).parquet(path)
+      .localCheckpoint()
+    try {
+      merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partCol).parquet(path)
+    } finally merged.unpersist()
   }
 
   /** Partition-preserving compaction: rewrite a fragmented
@@ -240,6 +295,16 @@ object Layout {
     partitionedWrite(spark.read.parquet(path), partCol, out)
 
   // ---- gate -------------------------------------------------------------
+
+  /** Per-process gate scratch dir: the pid suffix keeps concurrent JVMs
+    * (a Verify run beside a SPARK_GRAFT_ONLY bench re-measure) from
+    * racing each other's overwrite-then-read cycles on a shared path;
+    * within one process, reruns of a gate overwrite their own dir, so
+    * growth is bounded at one table per gate.
+    */
+  private def gateDir(dir: String, name: String): String =
+    "/tmp/graft_layout_p" + ProcessHandle.current().pid() + "/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_") + "/" + name
 
   /** q142: the z-key itself, oracle-matched bit-for-bit — DuckDB
     * reproduces the interleave with 16 shift-mask terms per column
@@ -279,8 +344,7 @@ object Layout {
         "GROUP BY l_suppkey ORDER BY l_suppkey") { (s, dir) =>
       val li = Tables.load(s, dir, "lineitem")
         .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice")
-      val out = "/tmp/graft_layout/" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_") + "/lineitem_z"
+      val out = gateDir(dir, "lineitem_z")
       clusterWrite(li, Seq("l_partkey", "l_suppkey"), out, 16)
       prunedRead(s, out, "l_suppkey", 3L, 7L)
         .groupBy(col("l_suppkey"))
@@ -304,8 +368,7 @@ object Layout {
         "GROUP BY event_type ORDER BY event_type") { (s, dir) =>
       val ev = Tables.load(s, dir, "events")
       val day = to_date(timestamp_micros(Tables.epochMicros(ev)))
-      val out = "/tmp/graft_layout/" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_") + "/events_bydate"
+      val out = gateDir(dir, "events_bydate")
       partitionedWrite(
         ev.select(col("event_type"), col("value"), day.as("event_date")),
         "event_date", out)
@@ -338,8 +401,7 @@ object Layout {
         ") GROUP BY event_type ORDER BY event_type") { (s, dir) =>
       val ev = Tables.load(s, dir, "events")
       val day = to_date(timestamp_micros(Tables.epochMicros(ev)))
-      val out = "/tmp/graft_layout/" +
-        dir.replaceAll("[^A-Za-z0-9.]", "_") + "/events_merge"
+      val out = gateDir(dir, "events_merge")
       val base = ev.select(col("event_id"), col("event_type"),
         col("value"), day.as("event_date"))
       partitionedWrite(base, "event_date", out)

@@ -138,19 +138,10 @@ class ZOrderSpec extends AnyFunSuite with SparkFixture {
 
   test("bloom writes: bitset appears past the dictionary boundary, lookups lossless") {
     import spark.implicits._
-    def bloomOffsets(out: String): Map[String, Long] = {
-      val file = new java.io.File(out).listFiles()
-        .filter(_.getName.endsWith(".parquet")).head
-      val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(file.getAbsolutePath),
-          spark.sessionState.newHadoopConf()))
-      try {
-        import scala.jdk.CollectionConverters._
-        rdr.getFooter.getBlocks.get(0).getColumns.asScala
-          .map(c => c.getPath.toDotString -> c.getBloomFilterOffset).toMap
-      } finally rdr.close()
-    }
+    // footer truth via the shared census helper (any-row-group aware)
+    def bloomCols(out: String): Set[String] =
+      Layout.bloomColumns(spark, new java.io.File(out).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head)
 
     // BELOW the boundary: sf0.001 lineitem chunks stay fully
     // dictionary-encoded, and parquet correctly DISCARDS the bloom (the
@@ -160,7 +151,7 @@ class ZOrderSpec extends AnyFunSuite with SparkFixture {
     val small = java.nio.file.Files.createTempDirectory("graft_bloomd").toString
     Layout.clusterWriteWithBloom(li, Seq("l_partkey", "l_suppkey"),
       Seq("l_orderkey"), small, 4, ndv = 8192)
-    assert(bloomOffsets(small)("l_orderkey") < 0,
+    assert(!bloomCols(small).contains("l_orderkey"),
       "dictionary-encoded chunk unexpectedly carries a bloom")
 
     // PAST the boundary: ~1M distinct longs per chunk overflow the 1 MB
@@ -174,9 +165,9 @@ class ZOrderSpec extends AnyFunSuite with SparkFixture {
     Layout.clusterWriteWithBloom(big, Seq("a", "b"), Seq("k"), bOut, 2,
       ndv = 1000000L)
     Layout.clusterWrite(big, Seq("a", "b"), pOut, 2)
-    val offs = bloomOffsets(bOut)
-    assert(offs("k") >= 0, "bloom filter missing from high-cardinality chunk")
-    assert(offs("a") < 0 && offs("b") < 0)
+    assert(bloomCols(bOut) == Set("k"),
+      s"expected a bloom on k only, got ${bloomCols(bOut)}")
+    assert(bloomCols(pOut).isEmpty, "plain layout must carry no bitsets")
 
     // blooms are skip-only, never lossy: point lookups (present and
     // absent keys) agree with the plain layout exactly
@@ -238,6 +229,23 @@ class ZOrderSpec extends AnyFunSuite with SparkFixture {
     assert(perDate(after.inputFiles).values.max <
       perDate(before.inputFiles).values.max,
       "compaction did not reduce the per-date file count")
+
+    // the production-scale variant: salted writers fan each date across
+    // N tasks — still date-bounded file counts, now write-parallel. AQE
+    // coalesces the tiny test shuffle back to one task (the right
+    // adaptive floor at this size), so pin the mechanism with AQE off.
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val salted = java.nio.file.Files.createTempDirectory("graft_salted").toString
+      Layout.partitionedWrite(frame, "event_date", salted,
+        writersPerPartition = 3, salt = Some(col("event_id")))
+      val saltedBack = spark.read.parquet(salted)
+      assert(saltedBack.count() == frame.count())
+      val saltedPerDate = perDate(saltedBack.inputFiles)
+      assert(saltedPerDate.values.max <= 3 && saltedPerDate.values.max > 1,
+        s"salted write file spread off: $saltedPerDate")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 
   test("mergeInto rewrites only the touched partitions; replace/insert/leave semantics exact") {
