@@ -270,6 +270,15 @@ object Layout {
     val touched = updates.select(col(partCol)).distinct().collect()
       .map(_.get(0))
     if (touched.isEmpty) return
+    // bootstrap: a first merge into a not-yet-existing table IS the
+    // initial partitioned write (the streaming ingest seam hits this on
+    // its first micro-batch)
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(hPath) || fs.listStatus(hPath).isEmpty) {
+      partitionedWrite(updates, partCol, path)
+      return
+    }
     val existing = spark.read.parquet(path)
       .filter(col(partCol).isInCollection(touched.toIndexedSeq))
     val merged = existing.join(updates.select(col(key)), Seq(key), "left_anti")

@@ -119,6 +119,36 @@ object EventStream {
       }
       .start()
 
+  /** Streaming LAKE ingest: each micro-batch is merged into a
+    * date-partitioned parquet table through the batch
+    * [[graft.operators.Layout.mergeInto]] — replace-by-key for
+    * corrections and replays, insert for new rows, every untouched
+    * date directory left byte-identical. The first micro-batch
+    * bootstraps the table (mergeInto's partitioned initial write).
+    *
+    * Exactly-once EFFECT over streaming's at-least-once delivery, by
+    * the same keyed-idempotence argument as [[maintainTo]]: a replayed
+    * micro-batch re-merges the same keys into the same partitions and
+    * the table is unchanged. Late data needs no special path — a
+    * 3-day-late correction simply touches (and rewrites) 1 of N date
+    * directories, which is the whole point of partition-scoped
+    * maintenance at 100 TB/day. [[graft.operators.Layout.compactPartitioned]]
+    * is the periodic companion pass when many small merges fragment a
+    * hot partition.
+    */
+  def ingestTo(updates: DataFrame, path: String, partCol: String,
+      key: String, checkpointDir: String,
+      queryName: String = "graft_lake_ingest"): StreamingQuery =
+    updates.writeStream
+      .outputMode(OutputMode.Append)
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Layout.mergeInto(
+          batch.sparkSession, path, batch, partCol, key)
+      }
+      .start()
+
   /** Incremental MATERIALIZED-VIEW maintenance into a remote keyed
     * table: feed an UPDATE-mode streaming aggregate here and each
     * trigger's changed rows are UPSERTED into `table` on `keys` — the

@@ -507,4 +507,52 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
         s"only-batch=${(batch -- streamed).take(3)} " +
         s"(${streamed.size} vs ${batch.size})")
   }
+  test("ingestTo: streaming micro-batches converge the lake table; late merge touches one directory") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[(Long, String, Double, String)](spark)
+    val table = java.nio.file.Files.createTempDirectory("graft_lake").toString + "/events"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_lake_ckpt").toString
+    val stream = input.toDF().toDF("event_id", "event_type", "value", "event_date")
+      .select(col("event_id"), col("event_type"), col("value"),
+        to_date(col("event_date")).as("event_date"))
+    val q = EventStream.ingestTo(stream, table, "event_date", "event_id", ckpt)
+    try {
+      // batch 1 bootstraps the table with two days
+      input.addData(
+        (1L, "click", 1.0, "2024-01-01"), (2L, "view", 2.0, "2024-01-01"),
+        (3L, "click", 3.0, "2024-01-02"))
+      q.processAllAvailable()
+      assert(spark.read.parquet(table).count() == 3)
+
+      def listing(): Map[String, Long] = {
+        val root = java.nio.file.Paths.get(table)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala
+          .filter(_.toString.endsWith(".parquet"))
+          .map(p => root.relativize(p).toString ->
+            java.nio.file.Files.getLastModifiedTime(p).toMillis)
+          .toMap
+      }
+      val afterBootstrap = listing()
+
+      // batch 2: a late CORRECTION to day 1 (key 2 revalued) plus a new
+      // day — day-2's directory must stay byte-identical
+      input.addData(
+        (2L, "view", 20.0, "2024-01-01"), (4L, "view", 4.0, "2024-01-03"))
+      q.processAllAvailable()
+      val got = spark.read.parquet(table)
+        .select("event_id", "event_type", "value").as[(Long, String, Double)]
+        .collect().toSet
+      assert(got == Set((1L, "click", 1.0), (2L, "view", 20.0),
+        (3L, "click", 3.0), (4L, "view", 4.0)))
+      val afterMerge = listing()
+      val day2Before = afterBootstrap.filter(_._1.contains("=2024-01-02"))
+      assert(day2Before.nonEmpty)
+      for ((f, m) <- day2Before)
+        assert(afterMerge.get(f).contains(m), s"untouched day rewritten: $f")
+      assert(afterMerge.keys.exists(_.contains("=2024-01-03")))
+    } finally q.stop()
+  }
 }
+
