@@ -375,6 +375,59 @@ object ScaleProbe {
       }
       return
     }
+    // Merge curve (r11): partition-scoped mergeInto vs the full
+    // partitioned rewrite it replaces, on the N× events table. Copies
+    // are event_id-shifted but share the SAME 30-day window — facts
+    // grow N×, the partition count doesn't (exactly the
+    // facts-grow/dims-don't model, applied to time). The correction
+    // set touches 2 of 30 days; the claim is merge wall ≈ the touched
+    // fraction of the rewrite wall, at every factor — the number that
+    // makes late-data fixes affordable at 100 TB.
+    if (op == "merge") {
+      val ev = Tables.load(spark, sfDir, "events")
+      val shift = 1L << 32
+      val scaled = (0 until factor)
+        .map(i => ev.withColumn("event_id", col("event_id") + lit(i * shift)))
+        .reduce(_ unionByName _)
+      val day = to_date(timestamp_micros(Tables.epochMicros(ev)))
+      val frame = scaled.select(col("event_id"), col("event_type"),
+        col("value"), day.as("event_date"))
+      val rows = frame.count()
+      val table = java.nio.file.Files.createTempDirectory(
+        s"graft_mrg${factor}x_").toString + "/events"
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      // warm both paths untimed at base scale (JIT + committer init)
+      val warm = java.nio.file.Files.createTempDirectory("graft_mrgwarm_")
+        .toString + "/events"
+      val warmFrame = ev.select(col("event_id"), col("event_type"),
+        col("value"), day.as("event_date"))
+      operators.Layout.partitionedWrite(warmFrame, "event_date", warm)
+      operators.Layout.mergeInto(spark, warm,
+        warmFrame.limit(1000), "event_date", "event_id")
+      val writeSec = timed(
+        operators.Layout.partitionedWrite(frame, "event_date", table))
+      // corrections derived from the table itself (the self-referential
+      // update case: mergeInto's checkpoint must sever this lineage too)
+      val updates = spark.read.parquet(table)
+        .filter(col("event_date").between(
+          to_date(lit("2024-01-10")), to_date(lit("2024-01-11"))))
+        .withColumn("value", col("value") + lit(1.0))
+      val updRows = updates.count()
+      val mergeSec = timed(
+        operators.Layout.mergeInto(spark, table, updates,
+          "event_date", "event_id"))
+      val days = spark.read.parquet(table).select("event_date")
+        .distinct().count()
+      // scalastyle:off println
+      println(f"""{"op":"merge","factor":$factor,"rows":$rows,""" +
+        f""""sec":$mergeSec%.3f,"full_write_sec":$writeSec%.3f,""" +
+        f""""update_rows":$updRows,"days_touched":2,"days_total":$days}""")
+      // scalastyle:on println
+      spark.stop()
+      return
+    }
     // Federation-collapse payoff, measured: the SAME join+aggregate over
     // a live DuckDB fact table (factor × 100k rows) and a 1k-row dim,
     // once with both tables on one server (collapses to ONE remote
