@@ -207,6 +207,20 @@ class ZOrderSpec extends AnyFunSuite with SparkFixture {
     assert(filesRead == 3,
       s"pruned scan read $filesRead files of ${back.inputFiles.length}")
 
+    // skip levels COMPOSE: a zone-pruned read of the PARTITIONED table
+    // keeps the directory-derived column (basePath) and still reads a
+    // file subset — event_id is sequential in time, so date files carry
+    // tight event_id ranges the zone map can use
+    val (idLo, idHi) = Layout.columnRanges(frame, Seq("event_id"))("event_id")
+    val idMid = idLo + (idHi - idLo) / 10
+    val zp = Layout.prunedRead(spark, out, "event_id", idLo, idMid)
+    assert(zp.columns.contains("event_date"),
+      "partition column lost by the pruned read")
+    assert(zp.inputFiles.length < back.inputFiles.length)
+    assert(zp.count() ==
+      back.filter(col("event_id").between(idLo, idMid)).count())
+    assert(zp.filter(col("event_date") === to_date(lit("2024-01-01"))).count() > 0)
+
     // fragment the table (4 files per date), compact, content unchanged
     // and the per-date file count back to the task-ownership minimum
     val frag = java.nio.file.Files.createTempDirectory("graft_frag").toString
