@@ -157,7 +157,21 @@ object Bench {
     // name, median, min, max, gcPct (GC share of summed rep wall, %),
     // cpuCores (process CPU seconds per wall second across reps)
     val results = selected.map { case (name, fn) =>
-      val reps3 = (1 to reps).map { _ =>
+      // Wall-budget degradation (same survival logic as the iso pass):
+      // the driver kills the process at 590 s, and a 145-query suite on
+      // a stalled host can brush that with 3 reps + the warm pass. Past
+      // 420 s elapsed, later reps are shed (never the first — every
+      // query still gets one timed rep) so a degraded host costs rep
+      // confidence, not the whole artifact.
+      val repsHere = {
+        val elapsed = (System.nanoTime() - benchStart) / 1e9
+        if (elapsed > 480.0) 1.min(reps)
+        else if (elapsed > 420.0) 2.min(reps)
+        else reps
+      }
+      if (repsHere < reps)
+        System.err.println(s"[bench] $name reps degraded to $repsHere (wall budget)")
+      val reps3 = (1 to repsHere).map { _ =>
         // Cold rep: drop any persisted intermediates BEFORE the timer so
         // every rep pays full materialization (and so 53 queries × persist()
         // never accumulate into storage-memory eviction thrash).
