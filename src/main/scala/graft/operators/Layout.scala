@@ -169,6 +169,35 @@ object Layout {
       .parquet(files.toIndexedSeq: _*).filter(residual)
   }
 
+  /** Rectangle-pruned scan — the query shape z-ordering actually
+    * exists for: a conjunctive range predicate over SEVERAL clustered
+    * dimensions. Each dimension's zone map admits its own candidate
+    * set; a file must survive EVERY dimension's min/max test to be
+    * read, so the candidate list is the INTERSECTION — strictly no
+    * larger than any single dimension's, and on a z-clustered layout
+    * (small hyper-rectangle per file) typically far smaller than
+    * either: the 2-D selectivities multiply instead of the scan paying
+    * the weaker one. Same false-positive-only guarantee, same
+    * manifest-sized driver state, residual filter applied per
+    * dimension.
+    */
+  def prunedReadRect(spark: SparkSession, path: String,
+                     ranges: Seq[(String, Long, Long)]): DataFrame = {
+    require(ranges.nonEmpty, "prunedReadRect: no ranges")
+    ranges.foreach { case (c, lo, hi) =>
+      require(lo <= hi, s"prunedReadRect: empty range [$lo, $hi] on $c") }
+    val candidate = ranges.map { case (c, lo, hi) =>
+      zoneMap(spark, path, c)
+        .filter(col("lo") <= lit(hi) && col("hi") >= lit(lo))
+        .select("file").collect().map(_.getString(0)).toSet
+    }.reduce(_ intersect _)
+    val residual = ranges.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi) }.reduce(_ && _)
+    if (candidate.isEmpty) spark.read.parquet(path).filter(lit(false))
+    else spark.read.option("basePath", path)
+      .parquet(candidate.toIndexedSeq.sorted: _*).filter(residual)
+  }
+
   /** Clustered write with parquet BLOOM FILTERS on the columns the
     * layout leaves scattered. The three skip levels compose: partition
     * directories prune the time dimension, zone maps prune the
@@ -361,6 +390,31 @@ object Layout {
           sum(col("l_extendedprice").cast("decimal(18,2)"))
             .cast("double").as("revenue"))
         .orderBy(col("l_suppkey"))
+    },
+    /* q146: the rectangle probe — a conjunctive 2-D range over BOTH
+     * clustered dimensions answered through [[prunedReadRect]] (the
+     * intersection of the two zone maps' candidate sets), DuckDB
+     * answering the same WHERE over the original table. This is the
+     * query shape the interleaved key exists for: either dimension
+     * alone admits a band of files, the rectangle touches only their
+     * intersection. */
+    Q("q146_rect_scan",
+      "SELECT l_partkey, l_suppkey, count(*) AS n, " +
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue " +
+        "FROM lineitem WHERE l_partkey BETWEEN 100 AND 400 " +
+        "AND l_suppkey BETWEEN 2 AND 6 " +
+        "GROUP BY l_partkey, l_suppkey ORDER BY l_partkey, l_suppkey") { (s, dir) =>
+      val li = Tables.load(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice")
+      val out = gateDir(dir, "lineitem_z_rect")
+      clusterWrite(li, Seq("l_partkey", "l_suppkey"), out, 16)
+      prunedReadRect(s, out,
+        Seq(("l_partkey", 100L, 400L), ("l_suppkey", 2L, 6L)))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").as("revenue"))
+        .orderBy(col("l_partkey"), col("l_suppkey"))
     },
     /* q144: date-partitioned write → directory-pruned read, oracle-
      * matched. Spark rewrites events partitioned by event_date and

@@ -133,6 +133,24 @@ class ZOrderSpec extends AnyFunSuite with SparkFixture {
     intercept[IllegalArgumentException] {
       Layout.prunedRead(spark, zOut, "l_suppkey", 5L, 3L)
     }
+
+    // the RECTANGLE probe: the candidate set is the intersection of the
+    // two dimensions' zone maps — no larger than either alone — and the
+    // rows equal the plain conjunctive filter exactly
+    val rect = Layout.prunedReadRect(spark, zOut,
+      Seq(("l_partkey", 100L, 400L), ("l_suppkey", 3L, 5L)))
+    val rectFull = spark.read.parquet(zOut)
+      .filter(col("l_partkey").between(100L, 400L) &&
+        col("l_suppkey").between(3L, 5L))
+    assert(rect.count() == rectFull.count() && rectFull.count() > 0)
+    assert(rect.agg(sum(col("l_orderkey"))).head() ==
+      rectFull.agg(sum(col("l_orderkey"))).head())
+    val partOnly = Layout.prunedRead(spark, zOut, "l_partkey", 100L, 400L)
+      .inputFiles.length
+    val suppOnly = Layout.prunedRead(spark, zOut, "l_suppkey", 3L, 5L)
+      .inputFiles.length
+    assert(rect.inputFiles.length <= math.min(partOnly, suppOnly),
+      s"rect ${rect.inputFiles.length} vs part $partOnly / supp $suppOnly")
     zSupp.unpersist(); linSupp.unpersist()
   }
 
