@@ -111,6 +111,19 @@ object Layout {
       .groupBy(input_file_name().as("file"))
       .agg(min(col(c)).cast("long").as("lo"), max(col(c)).cast("long").as("hi"))
 
+  /** Multi-column zone map in ONE pass over the files (`lo_c`/`hi_c`
+    * per column) — what [[prunedReadRect]] consults so a d-dimensional
+    * probe costs one stats scan, not d.
+    */
+  def zoneMapAll(spark: SparkSession, path: String, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).cast("long").as(s"lo_$c"),
+      max(col(c)).cast("long").as(s"hi_$c")))
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** How many files a stats-pruned scan with predicate `c = v` must
     * read under this layout.
     */
@@ -186,11 +199,13 @@ object Layout {
     require(ranges.nonEmpty, "prunedReadRect: no ranges")
     ranges.foreach { case (c, lo, hi) =>
       require(lo <= hi, s"prunedReadRect: empty range [$lo, $hi] on $c") }
-    val candidate = ranges.map { case (c, lo, hi) =>
-      zoneMap(spark, path, c)
-        .filter(col("lo") <= lit(hi) && col("hi") >= lit(lo))
-        .select("file").collect().map(_.getString(0)).toSet
-    }.reduce(_ intersect _)
+    // one stats pass for all dimensions; a file survives only if EVERY
+    // dimension's min/max range intersects its probe range
+    val zm = zoneMapAll(spark, path, ranges.map(_._1))
+    val keep = ranges.map { case (c, lo, hi) =>
+      col(s"lo_$c") <= lit(hi) && col(s"hi_$c") >= lit(lo) }.reduce(_ && _)
+    val candidate = zm.filter(keep).select("file")
+      .collect().map(_.getString(0))
     val residual = ranges.map { case (c, lo, hi) =>
       col(c) >= lit(lo) && col(c) <= lit(hi) }.reduce(_ && _)
     if (candidate.isEmpty) spark.read.parquet(path).filter(lit(false))
@@ -338,11 +353,24 @@ object Layout {
     * (a Verify run beside a SPARK_GRAFT_ONLY bench re-measure) from
     * racing each other's overwrite-then-read cycles on a shared path;
     * within one process, reruns of a gate overwrite their own dir, so
-    * growth is bounded at one table per gate.
+    * growth is bounded at one table per gate, and a shutdown hook
+    * reclaims the whole pid root so repeated runs don't accumulate.
     */
+  private lazy val gateRoot: String = {
+    val root = "/tmp/graft_layout_p" + ProcessHandle.current().pid()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val p = java.nio.file.Paths.get(root)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    }))
+    root
+  }
+
   private def gateDir(dir: String, name: String): String =
-    "/tmp/graft_layout_p" + ProcessHandle.current().pid() + "/" +
-      dir.replaceAll("[^A-Za-z0-9.]", "_") + "/" + name
+    gateRoot + "/" + dir.replaceAll("[^A-Za-z0-9.]", "_") + "/" + name
 
   /** q142: the z-key itself, oracle-matched bit-for-bit — DuckDB
     * reproduces the interleave with 16 shift-mask terms per column
