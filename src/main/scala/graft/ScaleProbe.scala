@@ -426,6 +426,12 @@ object ScaleProbe {
         f""""update_rows":$updRows,"days_touched":2,"days_total":$days}""")
       // scalastyle:on println
       spark.stop()
+      for (d <- Seq(table, warm)) {
+        val p = java.nio.file.Paths.get(d).getParent
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
       return
     }
     // Federation-collapse payoff, measured: the SAME join+aggregate over
