@@ -566,7 +566,17 @@ object Similarity {
     // rest) — mean-centering without a second corpus pass. The matrix
     // arithmetic runs post-aggregation over d² rows in DECIMAL(18,0)
     // products (exact to 10³⁷ — safe where n·G overflows int64 at
-    // ~10¹⁹); both engines emit DECIMAL(38,0), compared exactly.
+    // ~10¹⁹). The GATE emits `c` as BIGINT on both sides: r11's driver
+    // hash-canonicalization of max-width decimals diverged on the
+    // suite's only DECIMAL(38,0) column even with values identical, so
+    // the gate pins a driver-proven wire type — the same lesson the
+    // reference encodes by pinning exact per-engine wire types
+    // (`crates/postgres/src/arrow_sql_gen/schema.rs:53-107`). Value-
+    // exact at gate scale (measured |c| ≤ 4.6×10⁷ at sf0.01) and LOUD
+    // past it: Spark runs ANSI (4.x default, never overridden here) and
+    // DuckDB always errors on a CAST overflow, so a scale change fails
+    // instead of wrapping. [[covarianceMatrix]]'s DECIMAL(38,0) API is
+    // unchanged for the ~10¹⁹ regime.
     Q("q139_covariance",
       "WITH " + quantizedSql + ", " +
         nullFreeSql +
@@ -578,10 +588,12 @@ object Similarity {
         "nn AS (SELECT g::DECIMAL(18,0) AS n FROM g WHERE i = 0 AND j = 0), " +
         "s AS (SELECT j - 1 AS k, g::DECIMAL(18,0) AS s FROM g WHERE i = 0 AND j > 0) " +
         "SELECT gi.i - 1 AS i, gi.j - 1 AS j, " +
-        "CAST(nn.n * gi.g::DECIMAL(18,0) - si.s * sj.s AS DECIMAL(38,0)) AS c " +
+        "CAST(CAST(nn.n * gi.g::DECIMAL(18,0) - si.s * sj.s AS DECIMAL(38,0)) AS BIGINT) AS c " +
         "FROM g gi CROSS JOIN nn JOIN s si ON gi.i - 1 = si.k JOIN s sj ON gi.j - 1 = sj.k " +
         "WHERE gi.i > 0 AND gi.j > 0 ORDER BY i, j") { (s, dir) =>
-      covarianceMatrix(quantized(s, dir)).orderBy("i", "j")
+      covarianceMatrix(quantized(s, dir))
+        .select(col("i"), col("j"), col("c").cast("long").as("c"))
+        .orderBy("i", "j")
     },
 
     // Pearson correlation matrix of the quantized corpus — the feature-
