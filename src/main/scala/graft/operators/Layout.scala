@@ -57,6 +57,12 @@ object Layout {
       max(col(c).cast("long")).as(s"__max_$c")))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     cols.zipWithIndex.map { case (c, i) =>
+      // an empty frame / all-null column yields NULL min/max — fail with
+      // the column named instead of letting getLong NPE bare from
+      // zkey/clusterWrite
+      require(!row.isNullAt(2 * i) && !row.isNullAt(2 * i + 1),
+        s"columnRanges: column '$c' has no non-null values " +
+          "(empty input or all-null column) — cannot derive a z-order range")
       c -> (row.getLong(2 * i), row.getLong(2 * i + 1))
     }.toMap
   }
@@ -75,10 +81,12 @@ object Layout {
   /** Write `df` as `files` parquet files clustered on the z-key of
     * `cols`: range-partition by key (each file owns a contiguous
     * z-range ⇒ a small hyper-rectangle per file) and sort within
-    * partitions (row groups inside a file tighten the same way). Two
-    * passes over the input (range-boundary sampling + write) — the
-    * standard price of a clustered rewrite, amortized over every scan
-    * that prunes thereafter.
+    * partitions (row groups inside a file tighten the same way). Three
+    * passes over the input (per-column min/max aggregate for rank
+    * scaling + range-boundary sampling + write) — the standard price of
+    * a clustered rewrite, amortized over every scan that prunes
+    * thereafter; at lake scale the min/max pass comes free from
+    * existing footer statistics.
     */
   def clusterWrite(df: DataFrame, cols: Seq[String], out: String, files: Int): Unit =
     clustered(df, cols, files).write.mode("overwrite").parquet(out)
@@ -325,7 +333,13 @@ object Layout {
     }
     val existing = spark.read.parquet(path)
       .filter(col(partCol).isInCollection(touched.toIndexedSeq))
-    val merged = existing.join(updates.select(col(key)), Seq(key), "left_anti")
+    // anti-join on (key, partCol), not key alone: the contract says key
+    // identifies a row WITHIN its partition, so when updates touch ≥2
+    // partitions a key value repeating across them must only displace
+    // the row in ITS OWN partition — a key-only anti-join would silently
+    // delete the same-key row in the other touched partition
+    val merged = existing
+      .join(updates.select(col(key), col(partCol)), Seq(key, partCol), "left_anti")
       .unionByName(updates)
       .repartition(col(partCol))
       .localCheckpoint()

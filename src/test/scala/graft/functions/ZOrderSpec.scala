@@ -338,4 +338,26 @@ class ZOrderSpec extends AnyFunSuite with SparkFixture {
         count(when(col("event_type") === "backfill", 1))).head()
     assert(sig(got) == sig(expect))
   }
+
+  test("mergeInto scopes replacement per partition when a key repeats across touched partitions") {
+    // key identifies a row WITHIN its partition (the documented
+    // contract): key 1 lives in partitions p=1 AND p=2, both partitions
+    // are touched by the merge, but only p=1's key-1 row is updated —
+    // p=2's same-key row must survive (a key-only anti-join used to
+    // delete it and never re-insert it: silent data loss)
+    import spark.implicits._
+    val base = Seq((1L, 1, "a"), (2L, 1, "b"), (1L, 2, "c"), (2L, 2, "d"),
+      (1L, 3, "e")).toDF("k", "p", "v")
+    val out = java.nio.file.Files.createTempDirectory("graft_mergekey").toString
+    Layout.partitionedWrite(base, "p", out)
+    // touches p=1 (replace k=1) and p=2 (insert k=9); p=2's k=1 is NOT
+    // in the update set and must be left alone even though p=2 rewrites
+    val updates = Seq((1L, 1, "A"), (9L, 2, "x")).toDF("k", "p", "v")
+    Layout.mergeInto(spark, out, updates, "p", "k")
+    val got = spark.read.parquet(out).select("k", "p", "v")
+      .as[(Long, Int, String)].collect().toSet
+    assert(got == Set((1L, 1, "A"), (2L, 1, "b"), (1L, 2, "c"),
+      (2L, 2, "d"), (9L, 2, "x"), (1L, 3, "e")),
+      s"cross-partition key collision mishandled: $got")
+  }
 }
