@@ -33,16 +33,22 @@ import org.apache.spark.sql.SparkSession
   * picture. Full per-rep wall/gc/cpu detail for EVERY query goes to
   * stderr.
   *
-  * Isolated re-measure (round-10, per the r9 verdict): any query whose
-  * suite median exceeds 2× its own best rep (and by more than 0.5 s) is
-  * automatically re-run ONCE, isolated, after the whole suite finishes —
-  * the host has had time to exit whatever phase inflated the suite pass,
-  * and nothing else is contending. The `"iso"` map carries those
-  * single-shot seconds (≤4 entries, largest medians first): an isolated
-  * number near the best rep CONVICTS the suite median as host phase in
-  * the artifact itself; an isolated number near the median convicts the
-  * plan. The reported per-query median is NOT replaced — `iso` is
-  * evidence alongside it, not a substitute.
+  * Isolated re-measure (round-10, per the r9 verdict; extended round-12
+  * per the r11 verdict): a query is flagged for one cold isolated re-run
+  * after the whole suite finishes when EITHER (a) its suite median
+  * exceeds 2× its own best rep (and by > 0.5 s) — the intra-run stall
+  * signature — or (b) its median exceeds 2× the same query's median in
+  * the last committed BENCH_r*.json at the same sf (and by > 0.5 s) —
+  * the UNIFORM slowdown trigger (a) structurally cannot catch, because
+  * a host phase that slows all reps equally leaves median ≈ best. The
+  * `"iso"` map carries those single-shot seconds, stall flags first then
+  * regressions, as many as the ~1918 B collector-tail line budget fits
+  * (byte-costed at worst width before each shot — real-width medians
+  * leave room for ~15+ entries, the contract-spec worst case for 3): an
+  * isolated number near the best rep / previous round CONVICTS the suite
+  * median as host phase in the artifact itself; one near the median
+  * convicts the plan. The reported per-query median is NOT replaced —
+  * `iso` is evidence alongside it, not a substitute.
   *
   * Reps are COLD with respect to caching: the cache is cleared before
   * each rep's timer starts, so persist()-using queries (the LSH dedup /
@@ -230,26 +236,84 @@ object Bench {
       .map(r => "\"" + qid(r._1) + "\":[" + fq(r._3) + "," + fq(r._4) + "," +
         r._5 + "," + f1(r._6) + "]")
       .mkString("{", ",", "}")
+    // sf emits as its basename ("sf0.1") — the directory prefix spent
+    // 15 B of the collector-tail budget on information the harness
+    // already knows (it set SPARK_GRAFT_SF_DIR)
+    val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    // Previous-round medians (r11 verdict): the best-rep trigger below
+    // structurally cannot catch a UNIFORMLY slow query — all reps slow
+    // ⇒ median ≈ best ⇒ no flag ⇒ an inflated median stands
+    // unexonerated in the canonical artifact. Compare against the last
+    // committed BENCH_r*.json instead (same sf only; a sf0.01 iteration
+    // run must never be "regressed" against a sf0.1 artifact).
+    // Extraction is a hand-rolled scan of the `"queries":{…}` object —
+    // no JSON library rides the unmanaged classpath, and that map is
+    // the only brace-delimited object whose values are bare numbers.
+    val prevMedians: Map[String, Double] = {
+      val dir = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_PREV_DIR", "."))
+      Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+        .sortBy(_.getName.replaceAll("\\D", "").toInt)
+        .lastOption.flatMap { f =>
+          try {
+            val txt = new String(
+              java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+            val tag = "\"queries\":{"
+            val qs = txt.indexOf(tag)
+            if (qs < 0 || !txt.contains("\"sf\":\"" + sfName + "\"")) None
+            else {
+              val body = txt.substring(qs + tag.length,
+                txt.indexOf('}', qs + tag.length))
+              System.err.println(s"[bench] regression baseline: ${f.getName}")
+              Some("\"(q\\d+)\":([0-9.]+)".r.findAllMatchIn(body)
+                .map(m => m.group(1) -> m.group(2).toDouble).toMap)
+            }
+          } catch { case _: Throwable => None }
+        }.getOrElse(Map.empty)
+    }
     // Isolated re-measure at suite end (see scaladoc): one cold single
     // shot per flagged query, in a map keyed like `queries`. Runs AFTER
     // the per-rep stderr dump so a crash here still leaves the full
-    // suite detail on stderr.
-    // ≤3 iso entries: the 145-query medians map leaves ~21 B of
-    // worst-case headroom under BenchContractSpec's model; a fourth iso
-    // entry would still fit (~1913 B) but leave no room for the next
-    // query added — the slack is banked for growth, not spent on a
-    // fourth adjudication slot.
-    val flagged = results
-      .filter(r => r._2 > 2 * r._3 && r._2 - r._3 > 0.5)
-      .sortBy(-_._2).take(3)
-    val iso = flagged.flatMap { case (name, _, _, _, _, _) =>
+    // suite detail on stderr. Two triggers feed the candidate list,
+    // stall-flagged first (median > 2× own best — intra-run evidence of
+    // a phase), then prev-round regressions (median > 2× last committed
+    // artifact — the uniform-slowdown case the first trigger misses).
+    val flaggedStall = results
+      .filter(r => r._2 > 2 * r._3 && r._2 - r._3 > 0.5).sortBy(-_._2)
+    val regressed = results.filter { r =>
+      prevMedians.get(qid(r._1)).exists(p => r._2 > 2 * p && r._2 - p > 0.5)
+    }.sortBy(-_._2)
+    val isoCandidates = (flaggedStall ++ regressed).map(_._1).distinct
+    // The iso entry count is BYTE-BUDGETED, not fixed: the collector
+    // keeps ~1918 B of line, and the rest of the line is fully known
+    // here — whatever headroom the REAL medians leave (typically ~800 B;
+    // the contract-spec worst case leaves room for 3) is spent on
+    // adjudication slots, so a round with 15 uniformly-inflated queries
+    // can exonerate them all inline instead of capping at 3. Each
+    // prospective entry is costed at its worst width (`"qNNN":590.0,`)
+    // BEFORE measuring, so the line can never overflow after the fact.
+    val fails = if (failed.isEmpty) "" else
+      "\"failed\":" + failed.reverse.map("\"" + _ + "\"")
+        .mkString("[", ",", "],")
+    val onlyJson = only.fold("")(o =>
+      "\"only\":" + o.map("\"" + _ + "\"").mkString("[", ",", "]") + ",")
+    val total = results.map(_._2).sum
+    val lineSansIso = (s"""{"metric":"total","value":${f1(total)},"unit":"sec",""" +
+      onlyJson + s""""queries":$medians,"diag":$diag,"iso":{},""" +
+      s""""gcsec":999,"warmsec":999,""" + fails + s""""sf":"$sfName"}""").length
+    var isoBytes = 0
+    val iso = isoCandidates.take(16).flatMap { name =>
       // The driver kills the process at 590 s. The iso pass triggers on
-      // hosts slow enough to FLAG queries — exactly when four extra cold
+      // hosts slow enough to FLAG queries — exactly when extra cold
       // shots could push past the kill and lose the entire JSON line.
       // Skip remaining shots once elapsed wall nears the budget: a
       // missing iso entry is recoverable evidence, a lost artifact isn't.
+      val entryCost = name.takeWhile(_ != '_').length + 11 // "qNN":590.0, worst width
       if ((System.nanoTime() - benchStart) / 1e9 > 500.0) {
         System.err.println(s"[bench] $name isolated SKIPPED (wall budget)")
+        None
+      } else if (lineSansIso + isoBytes + entryCost > 1918) {
+        System.err.println(s"[bench] $name isolated SKIPPED (line budget)")
         None
       } else {
       graft.operators.GraftCache.releaseAll()
@@ -271,24 +335,11 @@ object Bench {
       val wall = (System.nanoTime() - t0) / 1e9
       if (ok) {
         System.err.println(f"[bench] $name isolated=$wall%.3f")
+        isoBytes += entryCost
         Some((name, wall))
       } else None
       }
     }
-    // `failed` emits only when non-empty (the empty list spent 12 B of
-    // the collector-tail budget on information `rc=0` already carries).
-    val fails = if (failed.isEmpty) "" else
-      "\"failed\":" + failed.reverse.map("\"" + _ + "\"")
-        .mkString("[", ",", "],")
-    // `only` appears only when set (iteration runs — short query lists);
-    // `reps` lives on stderr: both trims buy line budget for the full run
-    val onlyJson = only.fold("")(o =>
-      "\"only\":" + o.map("\"" + _ + "\"").mkString("[", ",", "]") + ",")
-    val total = results.map(_._2).sum
-    // sf emits as its basename ("sf0.1") — the directory prefix spent
-    // 15 B of the collector-tail budget on information the harness
-    // already knows (it set SPARK_GRAFT_SF_DIR)
-    val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     val isoJson = if (iso.isEmpty) "" else
       "\"iso\":" + iso.map(r => "\"" + qid(r._1) + "\":" + fq(r._2))
         .mkString("{", ",", "},")

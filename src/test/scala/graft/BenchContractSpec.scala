@@ -27,10 +27,13 @@ class BenchContractSpec extends AnyFunSuite {
     // reps is ≥ 2× its median (sorted a≤m≤b: a+m+b ≥ m+b ≥ 2m), so the
     // sum of EMITTED medians is ≤ 295 s — at most 29 medians can reach
     // the 5-char adaptive-precision width (each needs ≥ 9.995 s), the
-    // rest are ≤ 4 chars ("9.99"). diag at its 2-entry cap, iso at its
-    // 3-entry cap (4/4 until the 143rd query consumed the slack, 3/3
-    // until the 145th), every field at max width; `only`/`reps`/empty
-    // `failed` are not emitted on clean full runs, `sf` is a basename.
+    // rest are ≤ 4 chars ("9.99"). diag at its 2-entry cap; iso is
+    // BYTE-BUDGETED at runtime (r12: entries admitted while the line
+    // stays ≤ 1918 B, costed at worst width before each shot, hard cap
+    // 16) so overflow is impossible by construction — this spec pins
+    // that even worst-case medians leave ≥ 3 adjudication slots; every
+    // field at max width; `only`/`reps`/empty `failed` are not emitted
+    // on clean full runs, `sf` is a basename.
     val widths = Seq.fill(29)("590.0") ++ Seq.fill(SparkEntry.all.size - 29)("9.99")
     val medians = SparkEntry.all.zip(widths)
       .map { case (q, w) => "\"" + qid(q.name) + "\":" + w }.mkString("{", ",", "}")
