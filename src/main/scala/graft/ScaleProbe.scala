@@ -181,6 +181,23 @@ object ScaleProbe {
       f""""sec":${timed.map(_._2).sum}%.3f,"queries":$qmap}""")
     // scalastyle:on println
     spark.stop()
+    // reclaim the scaled fact + symlinks like the layout/bloom/merge
+    // probes do — repeated 100× family runs otherwise accumulate
+    // multi-GB /tmp datasets (walk never follows the dim symlinks, so
+    // only the links themselves are removed, never the base sf data)
+    cleanupDir(out)
+  }
+
+  /** Reverse-walk delete of a probe scratch dir (shared by every arm
+    * that materializes scaled tables).
+    */
+  private def cleanupDir(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -308,12 +325,7 @@ object ScaleProbe {
         f""""linear_scan_sec":$linScan%.3f}""")
       // scalastyle:on println
       spark.stop()
-      for (d <- Seq(zOut, linOut, warm)) {
-        val p = java.nio.file.Paths.get(d)
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
+      Seq(zOut, linOut, warm).foreach(cleanupDir)
       return
     }
     // Bloom curve (r11): point lookups on the column the z-layout
@@ -367,12 +379,7 @@ object ScaleProbe {
         f""""bloom_lookup_sec":$bLook%.3f,"plain_lookup_sec":$pLook%.3f}""")
       // scalastyle:on println
       spark.stop()
-      for (d <- Seq(bOut, pOut)) {
-        val p = java.nio.file.Paths.get(d)
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
+      Seq(bOut, pOut).foreach(cleanupDir)
       return
     }
     // Merge curve (r11): partition-scoped mergeInto vs the full
@@ -426,12 +433,8 @@ object ScaleProbe {
         f""""update_rows":$updRows,"days_touched":2,"days_total":$days}""")
       // scalastyle:on println
       spark.stop()
-      for (d <- Seq(table, warm)) {
-        val p = java.nio.file.Paths.get(d).getParent
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
+      Seq(table, warm).map(d => java.nio.file.Paths.get(d).getParent.toString)
+        .foreach(cleanupDir)
       return
     }
     // Federation-collapse payoff, measured: the SAME join+aggregate over
@@ -601,6 +604,7 @@ object ScaleProbe {
         f""""sec":${timed.map(_._2).sum}%.3f,"queries":$qmap}""")
       // scalastyle:on println
       spark.stop()
+      cleanupDir(out)
       return
     }
     // Streaming throughput curve: N micro-batches of the events table

@@ -159,9 +159,12 @@ object GraftFunctions {
     // 10 MB creationSideThreshold yet still a perfect bloom source).
     // Composes Spark's native BloomFilterAggregate/BloomFilterMightContain
     // over XxHash64, so the pair is exactly the built-in runtime filter's
-    // wire format. Usage: `might_contain((SELECT graft_bloom_agg(k, n)
-    // FROM build), graft_xxh64(probe_k))` — the bloom arg must be a
-    // scalar subquery or literal (Spark's own check).
+    // wire format. Usage (q137's exact pattern):
+    // `graft_might_contain((SELECT graft_bloom_agg(k, n) FROM build),
+    // probe_k)` — pass the RAW probe key: graft_might_contain hashes it
+    // with XxHash64 itself, so pre-hashing the probe side would
+    // double-hash and silently drop matching rows. The bloom arg must be
+    // a scalar subquery or literal (Spark's own check).
     e.injectFunction((FunctionIdentifier("graft_bloom_agg"),
       info(classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate],
         "graft_bloom_agg"),
