@@ -52,6 +52,19 @@ object FederationRule extends Rule[LogicalPlan] {
   private val counter = new AtomicInteger()
   private[plans] def fresh(): String = s"fj${counter.getAndIncrement()}"
 
+  /** Marks a Sort that feeds a LIMIT/OFFSET chain: those must stay in
+    * the plan for Spark's DSv2 TopN+offset pushdown, which renders the
+    * FULL `ORDER BY … OFFSET f ROWS FETCH FIRST n ROWS ONLY` remotely.
+    * If the Sort arm collapsed the ORDER BY into the derived leg first,
+    * the later pushdown would see a bare limit+offset with no Sort and
+    * could only push the limit — dragging the OFFSET to a local
+    * CollectLimit and shipping offset+n rows instead of n (caught by
+    * FederationSpec's TopN+OFFSET pin when Derby gained the
+    * sorted-derived capability in r12).
+    */
+  private val SortUnderLimit =
+    new org.apache.spark.sql.catalyst.trees.TreeNodeTag[Unit]("graft.sortUnderLimit")
+
   /** One collapsible leg: FROM-clause SQL + attribute rendering map.
     * `topAlias` is the leg's outermost correlation name — two legs with
     * the same topAlias (the same derived table joined to itself) cannot
@@ -194,7 +207,29 @@ object FederationRule extends Rule[LogicalPlan] {
       rel)
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // pre-pass: tag every Sort reachable from a limit/offset node
+    // through only limit/offset nodes (the shapes the DSv2 TopN pushdown
+    // recognizes) so the Sort arm leaves them for that stronger path
+    plan.foreach { node =>
+      def tagSortBelow(p: LogicalPlan): Unit = p match {
+        case s: Sort => s.setTagValue(SortUnderLimit, ())
+        case l: GlobalLimit => tagSortBelow(l.child)
+        case l: LocalLimit => tagSortBelow(l.child)
+        case o: Offset => tagSortBelow(o.child)
+        case _ => ()
+      }
+      node match {
+        case l: GlobalLimit => tagSortBelow(l.child)
+        case l: LocalLimit => tagSortBelow(l.child)
+        case o: Offset => tagSortBelow(o.child)
+        case _ => ()
+      }
+    }
+    applyCollapse(plan)
+  }
+
+  private def applyCollapse(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     // Same-server UNION ALL collapses into one remote statement — each
     // branch keeps its own FROM scope, so duplicate correlation names
     // across branches are fine (unlike the join arm). Spark's `union`
@@ -307,9 +342,12 @@ object FederationRule extends Rule[LogicalPlan] {
     //     that — exactly why the reference's always-1-partition scans
     //     can always ship sorts, mod.rs:313).
     // Direction AND null ordering render explicitly (engines disagree
-    // on defaults). A LIMIT above still pushes into the collapsed scan
-    // afterwards — ordered remote stream + remote LIMIT = remote TopN.
-    case s @ Sort(order, true, child, _) =>
+    // on defaults). A bare LIMIT above still pushes into the collapsed
+    // scan afterwards; a Sort that feeds a LIMIT/OFFSET chain is tagged
+    // [[SortUnderLimit]] by the pre-pass and SKIPPED here — the DSv2
+    // TopN pushdown renders the stronger full-remote
+    // `ORDER BY … OFFSET … FETCH …` for those.
+    case s @ Sort(order, true, child, _) if s.getTagValue(SortUnderLimit).isEmpty =>
       val collapsed = for {
         l <- leafOf(child)
         if l.opts.map.contains("derivedalias")

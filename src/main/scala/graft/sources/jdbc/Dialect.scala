@@ -290,9 +290,11 @@ trait Dialect extends Serializable {
     * explicit direction + NULLS placement over synthesized NULLs) on
     * real DuckDB, real sqlite3, and a real PostgreSQL 15 and asserts
     * the exact row order; the ordered federation spec additionally
-    * proves it end-to-end on the DuckDB wire. MySQL documents that it
-    * IGNORES derived-table ORDER BY without LIMIT — stays false;
-    * ClickHouse and Derby are unprobed/unspecified — false.
+    * proves it end-to-end on the DuckDB wire, and SortedDerivedDerbySpec
+    * proves it on live embedded Derby (10.16, exact 4096-row order incl.
+    * NULLS placement — r12). MySQL documents that it IGNORES
+    * derived-table ORDER BY without LIMIT — stays false; ClickHouse is
+    * unprobed/unspecified — false.
     */
   def supportsSortedDerivedTable: Boolean = false
 }
@@ -311,6 +313,11 @@ object DerbyDialect extends Dialect {
   override def supportsWindowFunctions: Boolean = false
   override def supportsMultipleDistinctAggregates: Boolean = false
   override def singleWriterUpserts: Boolean = true
+  // Live-probed (SortedDerivedDerbySpec, Derby 10.16): the Sort arm's
+  // exact parenthesized-ORDER-BY rendering executes AND its order —
+  // DESC NULLS LAST / ASC NULLS FIRST included — survives the enclosing
+  // SELECT across a 4096-row scrambled heap.
+  override def supportsSortedDerivedTable: Boolean = true
   // Derby has no IS NOT DISTINCT FROM / <=> — null-safe comparisons
   // (and hence the DISTINCT INTERSECT/EXCEPT collapse) stay on the
   // Spark side. The ALL forms collapse fine: Derby's own set-op

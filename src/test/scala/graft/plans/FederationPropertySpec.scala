@@ -197,18 +197,26 @@ class FederationPropertySpec extends AnyFunSuite with SparkFixture {
     assert(got == exp, s"remote TopN diverged:\ngot $got\nexp $exp")
   }
 
-  test("Derby (no sorted-derived-table capability) keeps the Sort local — negative control") {
+  test("ORDER BY over a collapsed set-op ships remotely and arrives ordered (live Derby)") {
+    // was the negative control until r12: SortedDerivedDerbySpec's live
+    // probe showed Derby preserves derived-table ORDER BY (exact order,
+    // NULLS placement included), so DerbyDialect.supportsSortedDerivedTable
+    // flipped true and this test now pins the POSITIVE path end-to-end
+    // on the second live wire. The remaining capability-false dialects
+    // (MySQL documents the ignore; ClickHouse unprobed) have no live
+    // engine here — their Sort-kept-local behavior rides the
+    // capability gate itself (FederationRule keeps the Sort unless the
+    // dialect opts in) plus the partitioned-scan negative below.
     setup("ext")
     val a = spark.table("ext.fp.cust").select("seg")
     val b = spark.table("ext.fp.cust").filter(col("seg") =!= 1).select("seg")
     val df = a.intersectAll(b).orderBy(col("seg").desc)
     val p = df.queryExecution.executedPlan.toString
-    // the ALL set-op still collapses (Derby supports it) …
+    // the ALL set-op collapses AND the ORDER BY rides the derived leg:
+    // one remote statement, no local Sort exec surviving
     assert(p.contains("INTERSECT ALL"), p)
-    // … but the ORDER BY must NOT be pushed into the derived table, and
-    // the local Sort must survive to guarantee the order
-    assert(!p.contains("ORDER BY"), s"sort pushed to a non-capable dialect:\n$p")
-    assert(p.contains("Sort ["), s"local sort missing:\n$p")
+    assert(p.contains("ORDER BY"), s"sort did not ship to capable Derby:\n$p")
+    assert(!p.contains("Sort ["), s"local sort survived:\n$p")
     val got = df.collect().map(_.getInt(0)).toSeq
     assert(got == got.sorted.reverse, s"result not ordered: $got")
   }
