@@ -355,11 +355,72 @@ object Layout {
     * maintenance pass an append-heavy ingest needs periodically. Out
     * of place by design: pair with an atomic directory swap (the W5
     * [[graft.sources.jdbc.FileSwap]] discipline) to publish without a
-    * reader ever seeing a half-compacted table.
+    * reader ever seeing a half-compacted table — [[compactAndSwap]] is
+    * that composition.
     */
   def compactPartitioned(spark: SparkSession, path: String,
                          partCol: String, out: String): Unit =
     partitionedWrite(spark.read.parquet(path), partCol, out)
+
+  /** Curated-lake MONEY layout: rewrite DECIMAL money columns as exact
+    * int64 CENTS (suffix `_c` — the unit change is visible in the
+    * schema) so downstream scans never decode decimal128 and money
+    * aggregation runs on primitive longs end to end. The per-value
+    * rounding is the same DECIMAL(18,2) cast the relational oracle
+    * contract declares, so `v_c = round2(v) × 100` carries the exact
+    * declared value — q148 proves the full TPC-H-Q1 aggregate over this
+    * layout hash-matches the ORIGINAL table's oracle, including the
+    * scale-4 and scale-6 product terms (cents products are exact at
+    * those scales: 2dp×2dp=4dp, 4dp×2dp=6dp — no rounding exists to
+    * diverge). The engine owns its curated files; r11's q06 A/B showed
+    * the residual vs DuckDB at 100× is decimal parquet decode + per-row
+    * decimal products, which makes money-as-cents a LAYOUT choice, not
+    * a constant (r11 verdict item 4). Overflow discipline: int64 sums
+    * of scale-6 products bound group size at ~8×10⁹ rows (9.2×10¹⁸ /
+    * 1.1×10⁹ per row at TPC-H magnitudes); ANSI mode — the session
+    * default, never overridden — fails the sum loudly past it, and the
+    * caller's fallback is a DECIMAL(38,0) sum of the same exact
+    * integers.
+    */
+  def centsWrite(df: DataFrame, moneyCols: Seq[String], out: String): Unit =
+    df.select(df.columns.toIndexedSeq.map { c =>
+      if (moneyCols.contains(c))
+        (col(c).cast(org.apache.spark.sql.types.DecimalType(18, 2)) * lit(100))
+          .cast("long").as(c + "_c")
+      else col(c)
+    }: _*).write.mode("overwrite").parquet(out)
+
+  /** Compaction PUBLISH: [[compactPartitioned]] composed with the W5
+    * swap discipline (reference `core/src/file_swap.rs` analog on a
+    * directory): compact out of place into a staging generation, then
+    * publish by two renames — live → retired, staging → live. Each
+    * rename is atomic on a real filesystem; no reader ever observes a
+    * half-compacted table. The RETIRED generation is returned, not
+    * deleted: a reader that planned before the swap holds concrete file
+    * paths into it and must be allowed to drain (the same
+    * retire+drain+gate sequencing [[graft.sources.jdbc.FileSwap]]
+    * documents for DuckDB db files) — the caller reaps it once its
+    * readers are gone. A failure before the second rename rolls the
+    * live name back, so a crashed compaction leaves the table exactly
+    * as it was; the orphaned staging dir is rerun-reclaimed (its name is
+    * pid-stable, so the next attempt overwrites it).
+    */
+  def compactAndSwap(spark: SparkSession, path: String,
+                     partCol: String): String = {
+    val staged = path + ".staging-" + ProcessHandle.current().pid()
+    compactPartitioned(spark, path, partCol, staged)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val retired = path + ".retired-" + System.nanoTime()
+    if (!fs.rename(p(path), p(retired)))
+      throw new IllegalStateException(s"compactAndSwap: cannot retire $path")
+    if (!fs.rename(p(staged), p(path))) {
+      fs.rename(p(retired), p(path)) // roll back: the old table stays live
+      throw new IllegalStateException(s"compactAndSwap: cannot publish $staged")
+    }
+    retired
+  }
 
   // ---- gate -------------------------------------------------------------
 
@@ -524,6 +585,103 @@ object Layout {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
         .orderBy(col("event_type"))
+    },
+    /* q147: the lake-maintenance loop closed (r11 verdict item 5) —
+     * fragment a date-partitioned events table with three appends (the
+     * append-heavy-ingest shape), [[compactAndSwap]] it, and answer the
+     * aggregate from the PUBLISHED generation; DuckDB answers the same
+     * aggregate over the original table. A hash match proves compaction
+     * + swap never change content; the in-gate requires prove the
+     * mechanics (per-date file count actually fragmented, then
+     * collapsed to 1; the retired generation intact for draining
+     * readers) so a silent no-op compaction fails loudly instead of
+     * riding a trivially-true content check. */
+    Q("q147_compact_swap",
+      "SELECT event_type, count(*) AS n, " +
+        "CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value " +
+        "FROM events GROUP BY event_type ORDER BY event_type") { (s, dir) =>
+      val ev = Tables.load(s, dir, "events")
+      val day = to_date(timestamp_micros(Tables.epochMicros(ev)))
+      val out = gateDir(dir, "events_compact")
+      // rerun-safety: reap THIS gate's prior generations only (live +
+      // retired-* + staging-*) — never the sibling gates' scratch that
+      // shares the per-dir parent
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      fs.globStatus(new org.apache.hadoop.fs.Path(out + "*")) match {
+        case null => ()
+        case gens => gens.foreach(g => fs.delete(g.getPath, true))
+      }
+      val base = ev.select(col("event_id"), col("event_type"),
+        col("value"), day.as("event_date"))
+      // three appends of disjoint thirds = the fragmented ingest state
+      for (r <- 0 until 3)
+        base.filter(pmod(col("event_id"), lit(3)) === r)
+          .repartition(col("event_date"))
+          .write.mode("append").partitionBy("event_date").parquet(out)
+      def perDateFiles(path: String): Map[String, Int] =
+        s.read.parquet(path).inputFiles.toSeq
+          .groupBy(_.split('/').takeRight(2).head).map { case (d, fs0) => d -> fs0.size }
+      val fragmented = perDateFiles(out)
+      require(fragmented.values.max >= 2,
+        s"q147 setup did not fragment: $fragmented")
+      val retired = compactAndSwap(s, out, "event_date")
+      val compacted = perDateFiles(out)
+      require(compacted.values.forall(_ == 1),
+        s"compaction left fragments: $compacted")
+      require(perDateFiles(retired) == fragmented,
+        "retired generation not intact for draining readers")
+      s.read.parquet(out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        .orderBy(col("event_type"))
+    },
+    /* q148: the CENTS curated layout reproduces the canonical TPC-H-Q1
+     * semantics exactly — Spark rewrites lineitem with money as int64
+     * cents ([[centsWrite]]) and answers Q1 with PURE int64 sums (the
+     * scale-4 disc-price and scale-6 charge products are exact integers
+     * in cents arithmetic; each output converts through one exact
+     * decimal division then a single double rounding — q06's pattern,
+     * now with no decimal anywhere in the per-row path), while DuckDB
+     * answers the UNMODIFIED q06 oracle over the ORIGINAL table. A hash
+     * match proves the layout carries the declared decimal semantics
+     * bit-for-bit, which is what licenses running the 100× flagship
+     * over the curated files (BENCH100, r11 verdict item 4). */
+    Q("q148_cents_layout",
+      """SELECT l_returnflag, l_linestatus,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+        |CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin.replace("\n", " ")) { (s, dir) =>
+      val out = gateDir(dir, "lineitem_cents")
+      centsWrite(
+        Tables.load(s, dir, "lineitem").select("l_returnflag", "l_linestatus",
+          "l_shipdate", "l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"), out)
+      // exact integer → one decimal division → one double rounding, per
+      // sum; unit is 10^-scale of the cents product
+      def money(sum6: Column, scale: Int): Column =
+        (sum6.cast(org.apache.spark.sql.types.DecimalType(38, 0)) /
+          lit(math.pow(10, scale).toLong)).cast("double")
+      val disc4 = col("l_extendedprice_c") * (lit(100L) - col("l_discount_c"))
+      val charge6 = disc4 * (lit(100L) + col("l_tax_c"))
+      s.read.parquet(out)
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          money(sum(col("l_quantity_c")), 2).as("sum_qty"),
+          money(sum(col("l_extendedprice_c")), 2).as("sum_base_price"),
+          money(sum(disc4), 4).as("sum_disc_price"),
+          money(sum(charge6), 6).as("sum_charge"),
+          (money(sum(col("l_quantity_c")), 2) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
     }
   )
 }

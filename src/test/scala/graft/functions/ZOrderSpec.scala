@@ -339,6 +339,51 @@ class ZOrderSpec extends AnyFunSuite with SparkFixture {
     assert(sig(got) == sig(expect))
   }
 
+  test("compactAndSwap publishes atomically: content hash unchanged, files collapsed, retired generation drains") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = graft.Tables.load(spark, dir, "events")
+    val day = to_date(timestamp_micros(graft.Tables.epochMicros(ev)))
+    val base = ev.select(col("event_id"), col("event_type"), col("value"),
+      day.as("event_date"))
+    val out = java.nio.file.Files.createTempDirectory("graft_cmpsw").toString + "/t"
+    for (r <- 0 until 3)
+      base.filter(pmod(col("event_id"), lit(3)) === r)
+        .repartition(col("event_date"))
+        .write.mode("append").partitionBy("event_date").parquet(out)
+    def sig(path: String) = spark.read.parquet(path)
+      .agg(count(lit(1)), sum(col("event_id")),
+        sum(col("value").cast("decimal(18,2)")),
+        sum(xxhash64(col("event_id"), col("event_type"))
+          .cast("decimal(38,0)"))).head()
+    def listing(path: String): Map[String, Long] = {
+      val root = java.nio.file.Paths.get(path)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map(p => root.relativize(p).toString ->
+          java.nio.file.Files.getLastModifiedTime(p).toMillis).toMap
+    }
+    val preSig = sig(out)
+    val preListing = listing(out)
+    val preFiles = spark.read.parquet(out).inputFiles.length
+    assert(preFiles > spark.read.parquet(out).select("event_date")
+      .distinct().count(), "setup not fragmented")
+
+    val retired = Layout.compactAndSwap(spark, out, "event_date")
+
+    // content identical through the swap (order/partition-independent sig)
+    assert(sig(out) == preSig, "compaction changed content")
+    // file count collapsed to one per date
+    val postFiles = spark.read.parquet(out).inputFiles.length
+    val dates = spark.read.parquet(out).select("event_date").distinct().count()
+    assert(postFiles == dates, s"expected $dates files, got $postFiles")
+    // the retired generation is BYTE-IDENTICAL to the pre-swap table
+    // (same relative files, same mtimes): an in-flight reader that
+    // planned against the old generation drains from it untouched
+    assert(listing(retired) == preListing, "retired generation disturbed")
+    assert(sig(retired) == preSig)
+  }
+
   test("mergeInto scopes replacement per partition when a key repeats across touched partitions") {
     // key identifies a row WITHIN its partition (the documented
     // contract): key 1 lives in partitions p=1 AND p=2, both partitions
