@@ -208,12 +208,14 @@ object Bench {
     }
     val gcTimedSec = (gcMillis() - gcTimed0) / 1e3
     // Per-query precision is ADAPTIVE — two decimals under 10 s, one
-    // decimal from 10 s up (a 45-second median does not need centisecond
-    // precision, and 120+ queries × one saved byte is what keeps the
-    // worst-case line inside the ~2 KB collector tail; BenchContractSpec
+    // decimal to 100 s, whole seconds past that (a 100+-second median
+    // needs no decisecond precision, and the 147-query worst case is
+    // what keeps the line inside the ~2 KB collector tail: the widest
+    // rendering is now 4 chars at every magnitude; BenchContractSpec
     // pins the budget). Full 3-decimal per-rep detail is on stderr above.
     def fq(v: Double): String =
-      (if (v < 10) "%.2f" else "%.1f").formatLocal(Locale.ROOT, v)
+      (if (v < 10) "%.2f" else if (v < 100) "%.1f" else "%.0f")
+        .formatLocal(Locale.ROOT, v)
     def f1(v: Double): String = "%.1f".formatLocal(Locale.ROOT, v)
     // Keys are the leading qNN id (unique across the suite; full names are
     // in BASELINE.md) — the full-name map alone is ~1.8 KB and the

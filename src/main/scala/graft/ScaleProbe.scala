@@ -77,11 +77,15 @@ object ScaleProbe {
       if (present("lineitem") && present("orders")) {
         // validate the reused dataset really IS this factor — silently
         // adopting a prior run's files would emit a mislabeled result
-        val have = spark.read.parquet(s"$p/lineitem.parquet").count()
-        val want = Tables.load(spark, dir, "lineitem").count() * factor
-        if (have != want) throw new IllegalStateException(
-          s"SPARK_GRAFT_SCALED_DIR=$p holds $have lineitem rows but factor " +
-            s"$factor needs $want — clear the directory or fix the factor")
+        for (fact <- Seq("lineitem", "events")) {
+          val have = spark.read.parquet(s"$p/$fact.parquet").count()
+          val want = Tables.load(spark, dir, fact).count() * factor
+          if (have != want) throw new IllegalStateException(
+            s"SPARK_GRAFT_SCALED_DIR=$p holds $have $fact rows but factor " +
+              s"$factor needs $want — clear the directory or fix the factor " +
+              "(r12 scaled datasets carry events as a third fact; a pre-r12 " +
+              "directory symlinks it and must be rebuilt)")
+        }
         // the dim symlinks were created against whatever base dir built
         // the dataset — a row-count match alone would silently join the
         // scaled facts against STALE dims from a different sfDir of the
@@ -129,8 +133,13 @@ object ScaleProbe {
     }
     scaleFact("lineitem", "l_orderkey")
     scaleFact("orders", "o_orderkey")
+    // events is the third FACT (r12, so the layout/merge gates measure
+    // at N× in the same dataset): event_id-shifted copies sharing the
+    // SAME time window — facts grow N×, the partition count doesn't,
+    // the merge probe's model
+    scaleFact("events", "event_id")
     for (t <- Seq("customer", "supplier", "part", "nation", "region",
-        "events", "documents", "embeddings"))
+        "documents", "embeddings"))
       // absolute target: a relative one would resolve against the LINK's
       // directory, dangling whenever sfDir was given relative to cwd
       java.nio.file.Files.createSymbolicLink(
@@ -380,6 +389,199 @@ object ScaleProbe {
       // scalastyle:on println
       spark.stop()
       Seq(bOut, pOut).foreach(cleanupDir)
+      return
+    }
+    // q06-on-curated-layout A/B (r12, verdict item 4): the committed
+    // q06 over the scaled ORIGINAL lineitem vs the same Q1 semantics
+    // over the CENTS curated layout (Layout.centsWrite; q148 proves the
+    // two value-identical cross-engine). The decimal-decode +
+    // per-row-decimal-product tax the r11 A/B isolated is a LAYOUT
+    // choice once the engine owns its files — this measures what the
+    // choice buys at N×. The cents write itself is timed (a curated
+    // rewrite is priced, like clusterWrite); the scan numbers are cold
+    // single passes after a 1× warm of each plan shape. Emits
+    // `q06_sec` (original layout), `sec` (cents layout), `write_sec`.
+    if (op == "q06cents") {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BCAST", (128L << 20).toString))
+      val scaledDir = scaledRelationalDir(spark, sfDir, factor)
+      val money = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      // The curated layout also stores the filter column as DATE (int32
+      // decode instead of int64 timestamp): value-preserving for the
+      // midnight-boundary Q1 filter ONLY because every l_shipdate is
+      // midnight — asserted loudly at write, not assumed
+      // … and the two single-char enum flags as ASCII codes (pure,
+      // invertible via chr() on the 6 OUTPUT rows — grouping hashes two
+      // ints per row instead of two UTF8 strings). Both curations
+      // assert their preconditions loudly instead of assuming them.
+      def curatedCols(dir: String): DataFrame = {
+        val li = Tables.load(spark, dir, "lineitem")
+        val bad = li.filter(
+          col("l_shipdate") =!= date_trunc("day", col("l_shipdate")) ||
+            length(col("l_returnflag")) =!= 1 ||
+            length(col("l_linestatus")) =!= 1).count()
+        require(bad == 0,
+          s"$bad rows break the curation preconditions (sub-day shipdate " +
+            "or multi-char flag) — the layout would change Q1 semantics")
+        li.select(ascii(col("l_returnflag")).as("l_returnflag_a"),
+          ascii(col("l_linestatus")).as("l_linestatus_a"),
+          to_date(col("l_shipdate")).as("l_shipdate"),
+          col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax"))
+      }
+      // SPARK_GRAFT_CENTS_DIR pins the curated output so a DuckDB
+      // oracle can be timed over the SAME files (the BENCH100
+      // "DuckDB-on-same-layout" comparison); unpinned runs clean up
+      val pinnedCents = sys.env.get("SPARK_GRAFT_CENTS_DIR")
+      val centsDir = pinnedCents.getOrElse(
+        java.nio.file.Files.createTempDirectory(s"graft_cents${factor}x_").toString)
+      // warm the write + both plan shapes at 1×, untimed
+      val warmDir = java.nio.file.Files.createTempDirectory("graft_centswarm_").toString
+      operators.Layout.centsWrite(curatedCols(sfDir),
+        money, s"$warmDir/lineitem_cents")
+      def centsQ1(path: String): DataFrame = {
+        def m(s6: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column =
+          (s6.cast(org.apache.spark.sql.types.DecimalType(38, 0)) /
+            lit(math.pow(10, scale).toLong)).cast("double")
+        val disc4 = col("l_extendedprice_c") * (lit(100L) - col("l_discount_c"))
+        val charge6 = disc4 * (lit(100L) + col("l_tax_c"))
+        spark.read.parquet(path)
+          .filter(col("l_shipdate") <= to_date(lit("1998-09-02")))
+          .groupBy("l_returnflag_a", "l_linestatus_a")
+          .agg(m(sum(col("l_quantity_c")), 2).as("sum_qty"),
+            m(sum(col("l_extendedprice_c")), 2).as("sum_base_price"),
+            m(sum(disc4), 4).as("sum_disc_price"),
+            m(sum(charge6), 6).as("sum_charge"),
+            (m(sum(col("l_quantity_c")), 2) / count(lit(1))).as("avg_qty"),
+            count(lit(1)).as("count_order"))
+          .select(expr("char(l_returnflag_a)").as("l_returnflag"),
+            expr("char(l_linestatus_a)").as("l_linestatus"),
+            col("sum_qty"), col("sum_base_price"), col("sum_disc_price"),
+            col("sum_charge"), col("avg_qty"), col("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      }
+      def noop(df: DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      def timed(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val q06 = SparkEntry.queries("q06_agg_tpch_q1")
+      noop(q06(spark, sfDir)) // warm original shape
+      noop(centsQ1(s"$warmDir/lineitem_cents")) // warm cents shape
+      val rows = Tables.load(spark, scaledDir, "lineitem").count()
+      val writeSec = timed(operators.Layout.centsWrite(
+        curatedCols(scaledDir), money, s"$centsDir/lineitem_cents"))
+      val origSec = timed(noop(q06(spark, scaledDir)))
+      val centsSec = timed(noop(centsQ1(s"$centsDir/lineitem_cents")))
+      System.err.println(f"[scaleprobe] q06cents ${factor}x orig=$origSec%.3f " +
+        f"cents=$centsSec%.3f write=$writeSec%.3f")
+      // scalastyle:off println
+      println(f"""{"op":"q06cents","factor":$factor,"rows":$rows,""" +
+        f""""sec":$centsSec%.3f,"q06_sec":$origSec%.3f,"write_sec":$writeSec%.3f}""")
+      // scalastyle:on println
+      spark.stop()
+      (if (pinnedCents.isEmpty) Seq(centsDir, warmDir) else Seq(warmDir))
+        .foreach(cleanupDir)
+      return
+    }
+    // Bloom REGIME probe (r12): the semi-join plan race the q137 bloom
+    // surface exists for, at the regime boundary the q14 analysis
+    // predicts. TPC-H can't stage it (key count and probe selectivity
+    // both ride l_quantity and move together), so the shape is
+    // parametric: a fact of F = factor × 1M rows with uniform keys over
+    // a domain D = F, and a key set of K = D/10 distinct keys — 10%
+    // probe selectivity at ANY key count, so K alone crosses the
+    // broadcast boundary. Three plans over identical on-disk parquet,
+    // each warmed untimed at 1/10 scale:
+    //   shuffle — shuffle-hash semi join, broadcasts disabled (the plan
+    //     Spark correctly picks past broadcast reach); pays the full
+    //     fact shuffle.
+    //   bcast — forced broadcast semi join (no fact shuffle, but the
+    //     driver collects + hashes all K keys and ships them to every
+    //     executor; per-executor memory bounds this at ~10⁷ keys in
+    //     production — the local 128 GiB JVM can build far past the
+    //     realistic boundary, so its cost CURVE is the evidence, not an
+    //     OOM).
+    //   bloom — q137's exact production pattern: graft_bloom_agg over
+    //     the keys (one small aggregate), graft_might_contain pre-filter
+    //     on the fact scan, then the SAME shuffle-hash semi join for
+    //     exactness — the shuffle now carries ~10% of the fact.
+    // The claim measured: bloom ≤ shuffle always (it strictly reduces
+    // the shuffle), and past the broadcast boundary bloom beats bcast
+    // too — the row BASELINE's bloom table needs (r11 verdict item 3).
+    if (op == "bloomregime") {
+      val f = factor.toLong * 1000000L
+      val keyFrac = sys.env.getOrElse("SPARK_GRAFT_KEYFRAC", "10").toLong
+      val k = math.max(1L, f / keyFrac)
+      val out = java.nio.file.Files.createTempDirectory(s"graft_bregime${factor}x_").toString
+      // The fact is DOCUMENT-shaped — a 32-char FINGERPRINT key (how a
+      // real keep-list/decontamination set keys: content hashes, not
+      // longs) plus a 64-byte incompressible payload — and the job
+      // EMITS the selected rows (no aggregate): the curation semi-join
+      // shape this surface is for, where the shuffle carries row
+      // content. A narrow long-keyed fact with an aggregate above would
+      // let the single-JVM harness hide exactly the costs the bloom
+      // removes (measured: 3-column long-keyed fact at 100M rows
+      // shuffles in 5.2 s — cheaper than the bloom's own probe pass —
+      // and a long-key broadcast hashes 10M keys nearly for free,
+      // 7.7 s vs bloom 8.0; string keys carry the build cost every
+      // per-executor broadcast pays). The deterministic scramble
+      // spreads fact keys over the domain; the keys side takes every
+      // keyFrac-th domain point — exact selectivity at any scale.
+      // kid (the underlying domain point) rides along ONLY for the
+      // 1/10-scale warm-pass filter — 8 bytes on every variant equally
+      spark.range(f).select(
+          md5((col("id") * 2654435761L % f).cast("string")).as("k"),
+          (col("id") * 2654435761L % f).as("kid"),
+          md5(col("id").cast("string")).as("payload"),
+          md5((col("id") + 1).cast("string")).as("payload2"))
+        .write.parquet(s"$out/fact.parquet")
+      spark.range(k).select(
+          md5((col("id") * keyFrac).cast("string")).as("bk"),
+          (col("id") * keyFrac).as("bkid"))
+        .write.parquet(s"$out/keys.parquet")
+      def fact = spark.read.parquet(s"$out/fact.parquet")
+      def keys = spark.read.parquet(s"$out/keys.parquet")
+      def variant(name: String, probeScale: Double = 1.0): DataFrame = {
+        val fk = if (probeScale >= 1.0) fact
+          else fact.filter(col("kid") < (f * probeScale).toLong)
+        val ks = if (probeScale >= 1.0) keys
+          else keys.filter(col("bkid") < (f * probeScale).toLong)
+        name match {
+          case "shuffle" =>
+            fk.join(ks.hint("shuffle_hash"), col("k") === col("bk"), "left_semi")
+          case "bcast" =>
+            fk.join(broadcast(ks), col("k") === col("bk"), "left_semi")
+          case "bloom" =>
+            val tracked = operators.GraftCache.track(ks)
+            tracked.createOrReplaceTempView("graft_regime_keys")
+            fk.filter(expr("graft_might_contain((SELECT graft_bloom_agg(bk, " +
+                s"$k) FROM graft_regime_keys), k)"))
+              .join(tracked.hint("shuffle_hash"), col("k") === col("bk"), "left_semi")
+        }
+      }
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def timed(name: String): Double = {
+        operators.GraftCache.releaseAll(); spark.catalog.clearCache()
+        variant(name, 0.1).write.format("noop").mode("overwrite").save() // warm
+        operators.GraftCache.releaseAll(); spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        variant(name).write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[scaleprobe] bloomregime/$name ${factor}x $sec%.3f s")
+        sec
+      }
+      val survivors = fact.join(keys, col("k") === col("bk"), "left_semi").count()
+      val sSec = timed("shuffle")
+      val bcSec = timed("bcast")
+      val blSec = timed("bloom")
+      // scalastyle:off println
+      println(f"""{"op":"bloomregime","factor":$factor,"rows":$f,"keys":$k,""" +
+        f""""survivors":$survivors,"sec":$blSec%.3f,"shuffle_sec":$sSec%.3f,""" +
+        f""""bcast_sec":$bcSec%.3f}""")
+      // scalastyle:on println
+      spark.stop()
+      cleanupDir(out)
       return
     }
     // Merge curve (r11): partition-scoped mergeInto vs the full

@@ -1037,7 +1037,13 @@ object Relational {
     // property that makes a bloom usable as a runtime filter at all.
     // At 100 TB: bloom build is one small aggregate over the selective
     // key set; the probe side drops ~90% of rows at the scan, BEFORE
-    // the semi join's shuffle.
+    // the semi join's shuffle. The regime where this PLAN WINS is
+    // measured, not argued (BASELINE "Round-12: bloom semi-join REGIME
+    // curve"): fingerprint-keyed membership with row content in the
+    // shuffle — at 100 M docs × 10 M md5 keys the bloom plan runs
+    // 8.9 s vs 14.5 s shuffle-hash and 25.0 s forced broadcast, and
+    // the crossover from broadcast sits near 10⁶–10⁷ keys exactly as
+    // the q14 analysis predicted.
     Q("q137_bloom_runtime_filter",
       "SELECT o_orderpriority, COUNT(*) AS cnt FROM orders " +
         "WHERE EXISTS (SELECT 1 FROM lineitem " +

@@ -22,19 +22,17 @@ class BenchContractSpec extends AnyFunSuite {
     // The collector keeps the LAST 2000 chars of combined output, and
     // sbt prints a "[success] Total time: …" trailer (~80 B observed in
     // BENCH_r09's tail) AFTER the JSON line — so the line's real budget
-    // is ~1918 B, not 2000. Worst-case width model: the driver kills a
-    // bench run at its 590 s timeout, and for each query the sum of its
-    // reps is ≥ 2× its median (sorted a≤m≤b: a+m+b ≥ m+b ≥ 2m), so the
-    // sum of EMITTED medians is ≤ 295 s — at most 29 medians can reach
-    // the 5-char adaptive-precision width (each needs ≥ 9.995 s), the
-    // rest are ≤ 4 chars ("9.99"). diag at its 2-entry cap; iso is
+    // is ~1918 B, not 2000. Worst-case width model: the adaptive
+    // precision renders ≤ 4 chars at EVERY magnitude ("9.99", "99.9",
+    // "590" — r12 added the whole-second tier past 100 s), so every
+    // median is modeled at 4 chars. diag at its 2-entry cap; iso is
     // BYTE-BUDGETED at runtime (r12: entries admitted while the line
     // stays ≤ 1918 B, costed at worst width before each shot, hard cap
     // 16) so overflow is impossible by construction — this spec pins
     // that even worst-case medians leave ≥ 3 adjudication slots; every
     // field at max width; `only`/`reps`/empty `failed` are not emitted
     // on clean full runs, `sf` is a basename.
-    val widths = Seq.fill(29)("590.0") ++ Seq.fill(SparkEntry.all.size - 29)("9.99")
+    val widths = Seq.fill(SparkEntry.all.size)("99.9")
     val medians = SparkEntry.all.zip(widths)
       .map { case (q, w) => "\"" + qid(q.name) + "\":" + w }.mkString("{", ",", "}")
     val diag = (1 to 2)
