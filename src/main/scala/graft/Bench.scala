@@ -213,9 +213,15 @@ object Bench {
     // what keeps the line inside the ~2 KB collector tail: the widest
     // rendering is now 4 chars at every magnitude; BenchContractSpec
     // pins the budget). Full 3-decimal per-rep detail is on stderr above.
-    def fq(v: Double): String =
-      (if (v < 10) "%.2f" else if (v < 100) "%.1f" else "%.0f")
-        .formatLocal(Locale.ROOT, v)
+    // tier by the RENDERED width, not the value: v in [9.995,10) rounds
+    // to "10.00" and [99.95,100) to "100.0" — 5 chars if tiered by v
+    // alone, breaking the ≤4-char width model BenchContractSpec pins
+    def fq(v: Double): String = {
+      var s = "%.2f".formatLocal(Locale.ROOT, v)
+      if (s.length > 4) s = "%.1f".formatLocal(Locale.ROOT, v)
+      if (s.length > 4) s = "%.0f".formatLocal(Locale.ROOT, v)
+      s
+    }
     def f1(v: Double): String = "%.1f".formatLocal(Locale.ROOT, v)
     // Keys are the leading qNN id (unique across the suite; full names are
     // in BASELINE.md) — the full-name map alone is ~1.8 KB and the
@@ -258,8 +264,13 @@ object Bench {
         .sortBy(_.getName.replaceAll("\\D", "").toInt)
         .lastOption.flatMap { f =>
           try {
+            // the driver wraps its collected tail as a JSON STRING field
+            // (quotes escaped, `parsed` may be null on a truncated line)
+            // — unescape before scanning so the embedded bench line's
+            // queries map is findable either way
             val txt = new String(
               java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+              .replace("\\\"", "\"")
             val tag = "\"queries\":{"
             val qs = txt.indexOf(tag)
             if (qs < 0 || !txt.contains("\"sf\":\"" + sfName + "\"")) None
