@@ -210,7 +210,16 @@ object FederationRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     // pre-pass: tag every Sort reachable from a limit/offset node
     // through only limit/offset nodes (the shapes the DSv2 TopN pushdown
-    // recognizes) so the Sort arm leaves them for that stronger path
+    // recognizes) so the Sort arm leaves them for that stronger path.
+    // Tags are RE-DERIVED from scratch each application (clear first):
+    // the rule runs to fixpoint inside an optimizer batch, tags survive
+    // node copies, and a limit another rule eliminated between
+    // applications must release its Sort back to the Sort arm — a stale
+    // tag would leave the plan with neither a remote ORDER BY nor a TopN.
+    plan.foreach {
+      case s: Sort => s.unsetTagValue(SortUnderLimit)
+      case _ => ()
+    }
     plan.foreach { node =>
       def tagSortBelow(p: LogicalPlan): Unit = p match {
         case s: Sort => s.setTagValue(SortUnderLimit, ())
