@@ -392,26 +392,46 @@ object Layout {
 
   /** Compaction PUBLISH: [[compactPartitioned]] composed with the W5
     * swap discipline (reference `core/src/file_swap.rs` analog on a
-    * directory): compact out of place into a staging generation, then
-    * publish by two renames — live → retired, staging → live. Each
-    * rename is atomic on a real filesystem; no reader ever observes a
-    * half-compacted table. The RETIRED generation is returned, not
-    * deleted: a reader that planned before the swap holds concrete file
-    * paths into it and must be allowed to drain (the same
-    * retire+drain+gate sequencing [[graft.sources.jdbc.FileSwap]]
-    * documents for DuckDB db files) — the caller reaps it once its
-    * readers are gone. A failure before the second rename rolls the
-    * live name back, so a crashed compaction leaves the table exactly
-    * as it was; the orphaned staging dir is rerun-reclaimed (its name is
-    * pid-stable, so the next attempt overwrites it).
+    * directory): compact out of place into the deterministic staging
+    * generation `<path>.staging`, then publish by two renames — live →
+    * retired, staging → live. Each rename is atomic on a real
+    * filesystem, so a reader never observes a HALF-compacted table;
+    * the residual window is the instant BETWEEN the renames, where the
+    * live name is briefly absent — a reader that lists exactly then
+    * fails fast with path-not-found and retries, it never reads wrong
+    * data (a single fully-atomic directory swap needs an indirection —
+    * symlink or manifest — this op deliberately doesn't require of the
+    * filesystem). The RETIRED generation is returned, not deleted: a
+    * reader that planned before the swap holds concrete file paths into
+    * it and must be allowed to drain (the same retire+drain+gate
+    * sequencing [[graft.sources.jdbc.FileSwap]] documents for DuckDB db
+    * files) — the caller reaps it once its readers are gone.
+    *
+    * Crash discipline (single-maintainer contract, like every lake
+    * compaction): the staging name is DETERMINISTIC, so a rerun after
+    * any crash reclaims it across JVM restarts — a generation orphaned
+    * mid-write is deleted and rebuilt, never accumulated. A crash
+    * BETWEEN the renames (live absent, staging complete) is completed
+    * forward by the next call: it publishes the staged generation it
+    * finds before compacting again. A rename failure (not crash) rolls
+    * the live name back in-process.
     */
   def compactAndSwap(spark: SparkSession, path: String,
                      partCol: String): String = {
-    val staged = path + ".staging-" + ProcessHandle.current().pid()
-    compactPartitioned(spark, path, partCol, staged)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sessionState.newHadoopConf())
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val staged = path + ".staging"
+    // crash recovery: a prior call died between its renames — the
+    // staged generation is the complete newest table; publish it first
+    if (!fs.exists(p(path)) && fs.exists(p(staged))) {
+      if (!fs.rename(p(staged), p(path)))
+        throw new IllegalStateException(
+          s"compactAndSwap: cannot complete crashed publish of $staged")
+    } else if (fs.exists(p(staged))) {
+      fs.delete(p(staged), true) // orphan from a crash mid-write
+    }
+    compactPartitioned(spark, path, partCol, staged)
     val retired = path + ".retired-" + System.nanoTime()
     if (!fs.rename(p(path), p(retired)))
       throw new IllegalStateException(s"compactAndSwap: cannot retire $path")

@@ -382,6 +382,16 @@ class ZOrderSpec extends AnyFunSuite with SparkFixture {
     // planned against the old generation drains from it untouched
     assert(listing(retired) == preListing, "retired generation disturbed")
     assert(sig(retired) == preSig)
+
+    // crash recovery: simulate death BETWEEN the two renames (live
+    // absent, staging complete) — the next call must publish the staged
+    // generation forward, never fail or rebuild from nothing
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+    assert(fs.rename(hp(out), hp(out + ".staging")), "test setup rename")
+    Layout.compactAndSwap(spark, out, "event_date")
+    assert(sig(out) == preSig, "crash recovery lost content")
   }
 
   test("mergeInto scopes replacement per partition when a key repeats across touched partitions") {
