@@ -197,6 +197,14 @@ object ScaleProbe {
     cleanupDir(out)
   }
 
+  /** Reclaim a scaledRelationalDir built into a random temp dir —
+    * pinned datasets (SPARK_GRAFT_SCALED_DIR) are deliberately kept for
+    * reuse across probe invocations; an unpinned one can never be
+    * reused (random name) so keeping it only fills /tmp.
+    */
+  private def cleanupScaledUnlessPinned(scaledDir: String): Unit =
+    if (sys.env.get("SPARK_GRAFT_SCALED_DIR").isEmpty) cleanupDir(scaledDir)
+
   /** Reverse-walk delete of a probe scratch dir (shared by every arm
     * that materializes scaled tables).
     */
@@ -279,6 +287,7 @@ object ScaleProbe {
       println(f"""{"op":"relational","factor":$factor,"rows":$rows,"sec":$total%.3f,"queries":$qmap}""")
       // scalastyle:on println
       spark.stop()
+      cleanupScaledUnlessPinned(scaledDir)
       return
     }
     // Layout curve (r11): Z-order clustered write over the N× lineitem,
@@ -335,6 +344,7 @@ object ScaleProbe {
       // scalastyle:on println
       spark.stop()
       Seq(zOut, linOut, warm).foreach(cleanupDir)
+      cleanupScaledUnlessPinned(scaledDir)
       return
     }
     // Bloom curve (r11): point lookups on the column the z-layout
@@ -389,6 +399,7 @@ object ScaleProbe {
       // scalastyle:on println
       spark.stop()
       Seq(bOut, pOut).foreach(cleanupDir)
+      cleanupScaledUnlessPinned(scaledDir)
       return
     }
     // q06-on-curated-layout A/B (r12, verdict item 4): the committed
@@ -469,8 +480,12 @@ object ScaleProbe {
       noop(q06(spark, sfDir)) // warm original shape
       noop(centsQ1(s"$warmDir/lineitem_cents")) // warm cents shape
       val rows = Tables.load(spark, scaledDir, "lineitem").count()
+      // curatedCols runs its precondition-validation count() EAGERLY —
+      // evaluate it before the timer so write_sec prices the rewrite,
+      // not an extra validation scan of the whole fact
+      val curatedScaled = curatedCols(scaledDir)
       val writeSec = timed(operators.Layout.centsWrite(
-        curatedCols(scaledDir), money, s"$centsDir/lineitem_cents"))
+        curatedScaled, money, s"$centsDir/lineitem_cents"))
       val origSec = timed(noop(q06(spark, scaledDir)))
       val centsSec = timed(noop(centsQ1(s"$centsDir/lineitem_cents")))
       System.err.println(f"[scaleprobe] q06cents ${factor}x orig=$origSec%.3f " +
@@ -482,6 +497,7 @@ object ScaleProbe {
       spark.stop()
       (if (pinnedCents.isEmpty) Seq(centsDir, warmDir) else Seq(warmDir))
         .foreach(cleanupDir)
+      cleanupScaledUnlessPinned(scaledDir)
       return
     }
     // Bloom REGIME probe (r12): the semi-join plan race the q137 bloom

@@ -57,11 +57,10 @@ class SortedDerivedDerbySpec extends AnyFunSuite {
         }.toVector
       rs.close(); st.close()
       assert(got.size == n)
+      // total order: c0 DESC with NULLS LAST (None after every Some),
+      // then c1 ASC — the sortWith alone defines it completely
       val expect = (0 until n)
         .map(v => (if (v % 7 == 3) None else Some(v % 7), v.toLong))
-        .sortBy { case (c0, c1) => (-c0.getOrElse(Int.MinValue), c1) }
-        .map { case (c0, c1) => (c0, c1) }
-        // NULLS LAST under DESC: None sorts after every Some
         .sortWith { (a, b) =>
           (a._1, b._1) match {
             case (Some(x), Some(y)) => if (x != y) x > y else a._2 < b._2
