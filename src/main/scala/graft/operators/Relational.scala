@@ -97,6 +97,13 @@ object Relational {
         "ORDER BY o_orderkey") { (s, dir) =>
       val o = Tables.load(s, dir, "orders").filter(col("o_orderstatus") === "O")
       val l = Tables.load(s, dir, "lineitem")
+      // A/B'd r12 and kept as-is: pre-aggregating lineitem per orderkey
+      // BELOW the join (the q12/q90 Expand trick's sibling) measured
+      // 0.78 → 1.20 s at sf0.1 — the orders side broadcasts here, so
+      // the join costs no shuffle and the pre-agg only adds a stage.
+      // The pre-agg form wins exactly when the join itself must
+      // shuffle (orderkey-grouped facts past broadcast reach); at that
+      // scale AQE's SMJ choice is the signal to revisit.
       o.join(l, col("l_orderkey") === col("o_orderkey"))
         .groupBy("o_orderkey", "o_orderpriority")
         .agg(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))

@@ -365,6 +365,21 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"missing within-partition sort:\n$cp")
   }
 
+  test("q148: cents-layout Q1 aggregates pure int64 — no decimal in any buffer") {
+    // the layout's entire point: the per-row path (scan → filter →
+    // partial agg) carries ONLY longs; decimal appears exactly once,
+    // in the 6-row post-aggregation money division. A regression that
+    // reintroduces a decimal cast under a sum() re-pays the decimal128
+    // aggregation the layout removed (BASELINE r12: 3.0-4.3 → 0.75 s
+    // at 100×).
+    val p = plan("q148_cents_layout")
+    assert("(?i)sum\\([^)]*decimal".r.findFirstIn(p).isEmpty,
+      s"a decimal crept under an aggregation buffer:\n$p")
+    assert(!p.contains("CheckOverflow"), s"decimal arithmetic in the row path:\n$p")
+    // one shuffle: the partial→final agg exchange; nothing else
+    assert("Exchange".r.findAllIn(p).length <= 2, s"extra exchanges:\n$p")
+  }
+
   test("q138: Gramian is one object agg — no join, no vector shuffle") {
     // the corpus reduces map-side to O(d²) partial buffers; the only
     // exchange may carry those partials to the single final aggregate
