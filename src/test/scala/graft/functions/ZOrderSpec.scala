@@ -394,6 +394,63 @@ class ZOrderSpec extends AnyFunSuite with SparkFixture {
     assert(sig(out) == preSig, "crash recovery lost content")
   }
 
+  test("centsWrite: exact round-trip incl. negatives and NULLs; overflow fails loudly") {
+    import spark.implicits._
+    // values chosen to hit the rounding and sign edges: the per-value
+    // contract is round2(v) × 100 carried exactly as int64
+    val vals: Seq[java.lang.Double] = Seq(0.0, 0.01, -0.01, 1.005, -1.005,
+      123.456, -999999.99, 2.675, null, 1e9 + 0.005)
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("id", "v")
+      .select(col("id"), col("v").cast("decimal(18,2)").as("v"))
+    val out = java.nio.file.Files.createTempDirectory("graft_centsrt").toString + "/t"
+    Layout.centsWrite(df, Seq("v"), out)
+    val back = spark.read.parquet(out)
+    assert(back.schema("v_c").dataType.typeName == "long")
+    // read-back cents must equal the declared DECIMAL(18,2) value × 100
+    // for every row, with NULL staying NULL
+    val joined = back.join(df, "id")
+      .select(col("id"), col("v_c"),
+        (col("v").cast("decimal(18,2)") * lit(100)).cast("long").as("expect"))
+      .collect()
+    assert(joined.length == vals.length)
+    joined.foreach { r =>
+      val (got, exp) = (r.isNullAt(1), r.isNullAt(2)) match {
+        case (true, true) => (0L, 0L)
+        case (false, false) => (r.getLong(1), r.getLong(2))
+        case other => fail(s"null mismatch on id ${r.getLong(0)}: $other")
+      }
+      assert(got == exp, s"id ${r.getLong(0)}: $got != $exp")
+    }
+    // a value whose cents exceed int64 must FAIL the write (ANSI cast),
+    // never wrap silently into a wrong layout
+    val huge = Seq((1L, BigDecimal("99999999999999999.99")))
+      .toDF("id", "v").select(col("id"), col("v").cast("decimal(38,2)").as("v"))
+    val hugeOut = java.nio.file.Files.createTempDirectory("graft_centsov").toString + "/t"
+    val e = intercept[Exception] { Layout.centsWrite(huge, Seq("v"), hugeOut) }
+    assert(e.toString.toLowerCase.contains("overflow") ||
+      Option(e.getCause).exists(_.toString.toLowerCase.contains("overflow")) ||
+      e.toString.contains("CAST_OVERFLOW") || e.toString.contains("ArithmeticException"),
+      s"expected a loud overflow, got: $e")
+  }
+
+  test("compactAndSwap reclaims an orphaned staging generation from a crashed write") {
+    import spark.implicits._
+    val base = Seq((1L, 1, "a"), (2L, 1, "b"), (3L, 2, "c")).toDF("k", "p", "v")
+    val out = java.nio.file.Files.createTempDirectory("graft_cmporph").toString + "/t"
+    Layout.partitionedWrite(base, "p", out)
+    // simulate a crash MID-WRITE of a previous compaction: a stale,
+    // half-written staging dir beside a healthy live table
+    val stale = java.nio.file.Paths.get(out + ".staging")
+    java.nio.file.Files.createDirectories(stale)
+    java.nio.file.Files.write(stale.resolve("garbage.parquet"), Array[Byte](1, 2, 3))
+    Layout.compactAndSwap(spark, out, "p")
+    val got = spark.read.parquet(out).select("k", "p", "v")
+      .as[(Long, Int, String)].collect().toSet
+    assert(got == Set((1L, 1, "a"), (2L, 1, "b"), (3L, 2, "c")),
+      s"orphan reclaim corrupted the table: $got")
+  }
+
   test("mergeInto scopes replacement per partition when a key repeats across touched partitions") {
     // key identifies a row WITHIN its partition (the documented
     // contract): key 1 lives in partitions p=1 AND p=2, both partitions
