@@ -220,4 +220,31 @@ class FederationPropertySpec extends AnyFunSuite with SparkFixture {
     val got = df.collect().map(_.getInt(0)).toSeq
     assert(got == got.sorted.reverse, s"result not ordered: $got")
   }
+
+  test("a stale Sort-under-limit tag never suppresses the Sort collapse (tags re-derived per apply)") {
+    // The rule runs to fixpoint and tags survive node copies: if a limit
+    // another rule eliminated left its Sort tagged, the plan would get
+    // NEITHER a remote ORDER BY nor a TopN. Stage exactly that hazard —
+    // pre-set the tag on a Sort that has NO limit above it — and assert
+    // the collapse still happens because apply() clears before tagging.
+    setup("ext")
+    val a = spark.table("ext.fp.cust").select("seg")
+    val b = spark.table("ext.fp.cust").filter(col("seg") =!= 2).select("seg")
+    val df = a.intersectAll(b).orderBy(col("seg").asc)
+    val tagField = FederationRule.getClass.getDeclaredFields
+      .find(_.getName.contains("SortUnderLimit"))
+      .getOrElse(fail("SortUnderLimit tag field not found"))
+    tagField.setAccessible(true)
+    val tag = tagField.get(FederationRule)
+      .asInstanceOf[org.apache.spark.sql.catalyst.trees.TreeNodeTag[Unit]]
+    df.queryExecution.analyzed.foreach {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sort => s.setTagValue(tag, ())
+      case _ => ()
+    }
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ORDER BY"), s"stale tag suppressed the Sort collapse:\n$p")
+    assert(!p.contains("Sort ["), s"local sort survived under a stale tag:\n$p")
+    val got = df.collect().map(_.getInt(0)).toSeq
+    assert(got == got.sorted, s"result not ordered: $got")
+  }
 }
