@@ -293,15 +293,6 @@ object Bench {
       prevMedians.get(qid(r._1)).exists(p => r._2 > 2 * p && r._2 - p > 0.5)
     }.sortBy(-_._2)
     val isoCandidates = (flaggedStall ++ regressed).map(_._1).distinct
-    // diag YIELDS to iso when regressions need the room: a diag entry
-    // costs ~33 B ≈ 2 iso slots, and iso is the adjudicating evidence —
-    // on a run with many flagged queries keep ONE diag entry (the worst
-    // median's rep spread stays visible) and spend the rest on
-    // exoneration slots.
-    val diag = suspicious.take(if (isoCandidates.size > 3) 1 else 2)
-      .map(r => "\"" + qid(r._1) + "\":[" + fq(r._3) + "," + fq(r._4) + "," +
-        r._5 + "," + f1(r._6) + "]")
-      .mkString("{", ",", "}")
     // The iso entry count is BYTE-BUDGETED, not fixed: the collector
     // keeps ~1918 B of line, and the rest of the line is fully known
     // here — whatever headroom the REAL medians leave (typically ~800 B;
@@ -316,9 +307,26 @@ object Bench {
     val onlyJson = only.fold("")(o =>
       "\"only\":" + o.map("\"" + _ + "\"").mkString("[", ",", "]") + ",")
     val total = results.map(_._2).sum
-    val lineSansIso = (s"""{"metric":"total","value":${f1(total)},"unit":"sec",""" +
-      onlyJson + s""""queries":$medians,"diag":$diag,"iso":{},""" +
-      s""""gcsec":999,"warmsec":999,""" + fails + s""""sf":"$sfName"}""").length
+    def lineLen(diagStr: String) =
+      (s"""{"metric":"total","value":${f1(total)},"unit":"sec",""" +
+        onlyJson + s""""queries":$medians,"diag":$diagStr,"iso":{},""" +
+        s""""gcsec":999,"warmsec":999,""" + fails + s""""sf":"$sfName"}""").length
+    def diagStr(n: Int) = suspicious.take(n)
+      .map(r => "\"" + qid(r._1) + "\":[" + fq(r._3) + "," + fq(r._4) + "," +
+        r._5 + "," + f1(r._6) + "]")
+      .mkString("{", ",", "}")
+    def isoWorstCost(names: Seq[String]) =
+      names.map(_.takeWhile(_ != '_').length + 11).sum
+    // diag YIELDS its second entry to iso only under ACTUAL byte
+    // pressure: iso carries the adjudicating evidence, but on a run
+    // where every flagged query fits beside a 2-entry diag, dropping
+    // the second-worst query's rep spread buys nothing
+    val diag = {
+      val d2 = diagStr(2)
+      if (lineLen(d2) + isoWorstCost(isoCandidates.take(16)) <= 1918) d2
+      else diagStr(1)
+    }
+    val lineSansIso = lineLen(diag)
     var isoBytes = 0
     val iso = isoCandidates.take(16).flatMap { name =>
       // The driver kills the process at 590 s. The iso pass triggers on

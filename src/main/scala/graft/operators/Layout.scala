@@ -407,14 +407,24 @@ object Layout {
     * sequencing [[graft.sources.jdbc.FileSwap]] documents for DuckDB db
     * files) — the caller reaps it once its readers are gone.
     *
-    * Crash discipline (single-maintainer contract, like every lake
-    * compaction): the staging name is DETERMINISTIC, so a rerun after
-    * any crash reclaims it across JVM restarts — a generation orphaned
-    * mid-write is deleted and rebuilt, never accumulated. A crash
-    * BETWEEN the renames (live absent, staging complete) is completed
-    * forward by the next call: it publishes the staged generation it
-    * finds before compacting again. A rename failure (not crash) rolls
-    * the live name back in-process.
+    * Crash discipline: the staging name is DETERMINISTIC, so a rerun
+    * after any crash reclaims it across JVM restarts — a generation
+    * orphaned mid-write is deleted and rebuilt, never accumulated. A
+    * crash BETWEEN the renames (live absent, staging COMPLETE — proven
+    * by the committer's `_SUCCESS` marker, never assumed from mere
+    * existence) is completed forward by the next call; a live-absent
+    * PARTIAL staging is an unrecoverable external state (someone
+    * removed the live table beside a half-written orphan) and fails
+    * loudly instead of publishing corrupt data forward. A rename
+    * failure (not crash) rolls the live name back in-process.
+    *
+    * The single-maintainer contract is ENFORCED, not assumed: an atomic
+    * `<path>.compacting` lock-file create rejects a second concurrent
+    * maintainer (two writers into one deterministic staging name could
+    * otherwise publish a half-written generation). A crash leaves the
+    * lock behind by design — the next call fails with instructions
+    * rather than racing a possibly-live writer; the operator removes
+    * the lock after confirming no compaction is running.
     */
   def compactAndSwap(spark: SparkSession, path: String,
                      partCol: String): String = {
@@ -422,24 +432,49 @@ object Layout {
       .getFileSystem(spark.sessionState.newHadoopConf())
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
     val staged = path + ".staging"
-    // crash recovery: a prior call died between its renames — the
-    // staged generation is the complete newest table; publish it first
-    if (!fs.exists(p(path)) && fs.exists(p(staged))) {
-      if (!fs.rename(p(staged), p(path)))
-        throw new IllegalStateException(
-          s"compactAndSwap: cannot complete crashed publish of $staged")
-    } else if (fs.exists(p(staged))) {
-      fs.delete(p(staged), true) // orphan from a crash mid-write
+    val lock = p(path + ".compacting")
+    val locked =
+      try fs.createNewFile(lock)
+      catch { case _: java.io.IOException => false }
+    if (!locked) throw new IllegalStateException(
+      s"compactAndSwap: $lock exists — another maintainer is compacting " +
+        "this table (or crashed holding the lock); remove the lock only " +
+        "after confirming no compaction is running")
+    try {
+      def stagedComplete = fs.exists(p(staged + "/_SUCCESS"))
+      if (!fs.exists(p(path)) && fs.exists(p(staged))) {
+        // crash recovery: a prior call died between its renames — the
+        // staged generation is the complete newest table; publish it
+        if (!stagedComplete) throw new IllegalStateException(
+          s"compactAndSwap: live $path is absent and $staged has no " +
+            "_SUCCESS marker — refusing to publish a partial generation; " +
+            "restore the live table or a complete staging manually")
+        if (!fs.rename(p(staged), p(path)))
+          throw new IllegalStateException(
+            s"compactAndSwap: cannot complete crashed publish of $staged")
+      } else if (fs.exists(p(staged))) {
+        fs.delete(p(staged), true) // orphan from a crash mid-write
+      }
+      compactPartitioned(spark, path, partCol, staged)
+      require(stagedComplete,
+        s"compactAndSwap: $staged has no _SUCCESS marker after the write")
+      val retired = path + ".retired-" + System.nanoTime()
+      if (!fs.rename(p(path), p(retired)))
+        throw new IllegalStateException(s"compactAndSwap: cannot retire $path")
+      if (!fs.rename(p(staged), p(path))) {
+        fs.rename(p(retired), p(path)) // roll back: the old table stays live
+        throw new IllegalStateException(s"compactAndSwap: cannot publish $staged")
+      }
+      fs.delete(lock, false)
+      retired
+    } catch { case e: Throwable =>
+      // release ONLY on failure paths that provably did not publish a
+      // half state: the lock survives a crash by design (see Scaladoc),
+      // but an in-process exception has fully rolled back or never
+      // started — holding the lock would just block the retry
+      fs.delete(lock, false)
+      throw e
     }
-    compactPartitioned(spark, path, partCol, staged)
-    val retired = path + ".retired-" + System.nanoTime()
-    if (!fs.rename(p(path), p(retired)))
-      throw new IllegalStateException(s"compactAndSwap: cannot retire $path")
-    if (!fs.rename(p(staged), p(path))) {
-      fs.rename(p(retired), p(path)) // roll back: the old table stays live
-      throw new IllegalStateException(s"compactAndSwap: cannot publish $staged")
-    }
-    retired
   }
 
   // ---- gate -------------------------------------------------------------

@@ -449,6 +449,28 @@ class ZOrderSpec extends AnyFunSuite with SparkFixture {
       .as[(Long, Int, String)].collect().toSet
     assert(got == Set((1L, 1, "a"), (2L, 1, "b"), (3L, 2, "c")),
       s"orphan reclaim corrupted the table: $got")
+
+    // a live-absent PARTIAL staging (no _SUCCESS) must fail loudly, not
+    // publish garbage forward as the table
+    val out2 = java.nio.file.Files.createTempDirectory("graft_cmppart").toString + "/t"
+    val stale2 = java.nio.file.Paths.get(out2 + ".staging")
+    java.nio.file.Files.createDirectories(stale2)
+    java.nio.file.Files.write(stale2.resolve("garbage.parquet"), Array[Byte](1))
+    val e = intercept[IllegalStateException] {
+      Layout.compactAndSwap(spark, out2, "p")
+    }
+    assert(e.getMessage.contains("_SUCCESS"), e.getMessage)
+
+    // the single-maintainer lock: a held lock rejects a second caller
+    // with instructions, and a completed call releases it
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(out + ".compacting")),
+      "lock not released after success")
+    java.nio.file.Files.createFile(java.nio.file.Paths.get(out + ".compacting"))
+    val e2 = intercept[IllegalStateException] {
+      Layout.compactAndSwap(spark, out, "p")
+    }
+    assert(e2.getMessage.contains("another maintainer"), e2.getMessage)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(out + ".compacting"))
   }
 
   test("mergeInto scopes replacement per partition when a key repeats across touched partitions") {
