@@ -652,6 +652,47 @@ object Similarity {
         "FROM uw CROSS JOIN nn JOIN s ON uw.i = s.k JOIN d ON uw.i = d.k " +
         "WHERE d.v > 0 ORDER BY vec_id, i") { (s, dir) =>
       standardize(quantized(s, dir)).orderBy("vec_id", "i")
+    },
+
+    // Top principal component by 3 integer-exact power-iteration rounds
+    // on the covariance numerators — the PCA-prep consumer of the
+    // q138–q141 statistics, bit-identical cross-engine (q100's
+    // discipline on a SIGNED matrix: the portable floor-div
+    // `(y − ((y % d + d) % d)) div d` renders identically in both
+    // engines because the subtrahend makes y an exact multiple of d).
+    // The oracle unrolls the same rounds as chained CTEs over the
+    // identical covariance chain; every SUM casts back to BIGINT
+    // (DuckDB HUGEINT, the r6 lesson).
+    Q("q149_principal_component", {
+      val scale = 1000000L
+      val rounds = (1 to 3).map { i =>
+        val prev = s"px${i - 1}"
+        s"py$i AS (SELECT cc.i AS i, CAST(SUM(cc.c * $prev.x) AS BIGINT) AS y " +
+          s"FROM cc JOIN $prev ON cc.j = $prev.j GROUP BY cc.i), " +
+          s"pm$i AS (SELECT GREATEST(CAST(1 AS BIGINT), " +
+          s"CAST(MAX(ABS(y)) // $scale AS BIGINT)) AS d FROM py$i), " +
+          s"px$i AS (SELECT py$i.i AS j, " +
+          s"CAST((y - ((y % d + d) % d)) // d AS BIGINT) AS x " +
+          s"FROM py$i CROSS JOIN pm$i)"
+      }.mkString(", ")
+      "WITH " + quantizedSql + ", " +
+        nullFreeSql +
+        "q1 AS (SELECT vec_id, [CAST(1 AS BIGINT)] || q AS q FROM nf), " +
+        "u0 AS (SELECT vec_id, q, UNNEST(generate_series(1, len(q))) AS ix FROM q1), " +
+        "u AS (SELECT vec_id, ix - 1 AS i, q[ix] AS x FROM u0), " +
+        "g AS (SELECT a.i AS i, b.i AS j, CAST(SUM(a.x * b.x) AS BIGINT) AS g " +
+        " FROM u a JOIN u b USING (vec_id) GROUP BY 1, 2), " +
+        "nn AS (SELECT g::DECIMAL(18,0) AS n FROM g WHERE i = 0 AND j = 0), " +
+        "s AS (SELECT j - 1 AS k, g::DECIMAL(18,0) AS s FROM g WHERE i = 0 AND j > 0), " +
+        "cc AS (SELECT gi.i - 1 AS i, gi.j - 1 AS j, " +
+        "CAST(CAST(nn.n * gi.g::DECIMAL(18,0) - si.s * sj.s AS DECIMAL(38,0)) AS BIGINT) AS c " +
+        "FROM g gi CROSS JOIN nn JOIN s si ON gi.i - 1 = si.k JOIN s sj ON gi.j - 1 = sj.k " +
+        "WHERE gi.i > 0 AND gi.j > 0), " +
+        s"px0 AS (SELECT DISTINCT i AS j, CAST($scale AS BIGINT) AS x FROM cc), " +
+        rounds +
+        " SELECT j AS i, x AS pc FROM px3 ORDER BY i"
+    }) { (s, dir) =>
+      principalComponent(quantized(s, dir)).orderBy("i")
     }
   )
 
@@ -754,5 +795,49 @@ object Similarity {
       .select(col("vec_id"), col("i").cast("long").as("i"),
         ((col("n") * col("x") - col("s")).cast("double") /
           sqrt(col("v").cast("double"))).as("z"))
+  }
+
+  /** Top principal component of the quantized corpus via INTEGER-EXACT
+    * power iteration on the covariance numerators — the PCA/whitening
+    * prep step the q138–q141 statistics exist to feed, run to a
+    * bit-identical cross-engine result (q100 centrality's discipline,
+    * applied to a signed matrix).
+    *
+    * ONE corpus pass total (the shared augmented Gramian); every
+    * iteration then runs over the d²-row matrix — corpus-INDEPENDENT
+    * cost, so at 100 TB the iterations are driver-trivial while the
+    * statistic is the same single mergeable aggregate as q139.
+    *
+    * Integer discipline, signed: y = C·x is exact int64 (bounds below);
+    * per-round renormalization divides by `d = max(1, max|y| div S)` so
+    * max|x| lands in [S, 2S). Components are SIGNED, where floor vs
+    * truncation division DIVERGES between engines — the portable
+    * floor-div `(y − ((y % d + d) % d)) div d` is used verbatim on both
+    * sides: the subtrahend makes y an exact multiple of d, so any
+    * division rounding yields the same quotient. Overflow bounds:
+    * |C| ≤ n·Σx² per cell grows linearly with corpus rows; |C|·2S·d
+    * must stay under 2^63 — at S = 10⁶, d = 64 that admits |C| up to
+    * ~7×10¹⁰ (≈10⁸ vectors at the testdata's value magnitudes), and
+    * ANSI mode fails the multiply loudly past it.
+    */
+  def principalComponent(n0: DataFrame, iters: Int = 3,
+      scale: Long = 1000000L): DataFrame = {
+    val c = covarianceMatrix(n0)
+      .select(col("i"), col("j"), col("c").cast("long").as("c"))
+      .localCheckpoint(true)
+    var x = c.select(col("i")).distinct().select(col("i").as("j"),
+      lit(scale).as("x"))
+    for (_ <- 1 to iters) {
+      val y = c.join(broadcast(x), "j")
+        .groupBy(col("i"))
+        .agg(sum(col("c") * col("x")).as("y"))
+      val m = y.agg(greatest(lit(1L),
+        expr(s"max(abs(y)) div $scale")).as("d"))
+      x = y.crossJoin(broadcast(m))
+        .select(col("i").as("j"),
+          expr("(y - ((y % d + d) % d)) div d").as("x"))
+        .localCheckpoint(true)
+    }
+    x.select(col("j").as("i"), col("x").as("pc"))
   }
 }
