@@ -754,7 +754,7 @@ object ScaleProbe {
     if (op == "gram") {
       familyCurve(spark, sfDir, factor, "gram", "embeddings", Seq("vec_id"),
         Seq("q138_gram_matrix", "q139_covariance", "q140_correlation",
-          "q141_standardize"))
+          "q141_standardize", "q149_principal_component"))
       return
     }
     // Connected-components TIER A/B over the production MinHash-LSH
