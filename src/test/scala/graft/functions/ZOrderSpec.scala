@@ -473,6 +473,38 @@ class ZOrderSpec extends AnyFunSuite with SparkFixture {
     java.nio.file.Files.delete(java.nio.file.Paths.get(out + ".compacting"))
   }
 
+  test("mergeInto shares the maintenance lock: a merge during a swap fails loudly, a clean merge releases") {
+    import spark.implicits._
+    val base = Seq((1L, 1, "a"), (2L, 2, "b")).toDF("k", "p", "v")
+    val out = java.nio.file.Files.createTempDirectory("graft_mergelock").toString + "/t"
+    Layout.partitionedWrite(base, "p", out)
+    // a compaction (or crashed maintainer) holds the lock: the merge
+    // must NOT write into a generation that may be renamed mid-publish —
+    // it fails with the shared single-maintainer instructions instead
+    val lock = java.nio.file.Paths.get(out + ".compacting")
+    java.nio.file.Files.createFile(lock)
+    val updates = Seq((1L, 1, "A")).toDF("k", "p", "v")
+    val e = intercept[IllegalStateException] {
+      Layout.mergeInto(spark, out, updates, "p", "k")
+    }
+    assert(e.getMessage.contains("another maintainer"), e.getMessage)
+    // the blocked merge changed nothing
+    assert(spark.read.parquet(out).select("k", "p", "v")
+      .as[(Long, Int, String)].collect().toSet ==
+      Set((1L, 1, "a"), (2L, 2, "b")), "blocked merge mutated the table")
+    java.nio.file.Files.delete(lock)
+    // with the lock free the same merge applies and RELEASES the lock
+    Layout.mergeInto(spark, out, updates, "p", "k")
+    assert(spark.read.parquet(out).select("k", "p", "v")
+      .as[(Long, Int, String)].collect().toSet ==
+      Set((1L, 1, "A"), (2L, 2, "b")))
+    assert(!java.nio.file.Files.exists(lock), "merge did not release the lock")
+    // bootstrap path (first merge creates the table) locks/releases too
+    val out2 = java.nio.file.Files.createTempDirectory("graft_mergeboot").toString + "/t"
+    Layout.mergeInto(spark, out2, updates, "p", "k")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(out2 + ".compacting")))
+  }
+
   test("mergeInto scopes replacement per partition when a key repeats across touched partitions") {
     // key identifies a row WITHIN its partition (the documented
     // contract): key 1 lives in partitions p=1 AND p=2, both partitions

@@ -554,5 +554,78 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
       assert(afterMerge.keys.exists(_.contains("=2024-01-03")))
     } finally q.stop()
   }
+
+  test("maintenance cadence: ingest → compactAndSwap → continued ingest merges into the NEW generation") {
+    // the real lake loop (r12 verdict item 8): a streaming ingest runs,
+    // the maintainer compacts-and-swaps between micro-batches, and the
+    // next micro-batch merges into the PUBLISHED generation — never the
+    // retired one. This exercises the shared maintenance lock
+    // end-to-end: ingestTo's mergeInto and compactAndSwap serialize on
+    // the same <path>.compacting file, and here they interleave in the
+    // exact cadence a single-maintainer deployment runs.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[(Long, String, Double, String)](spark)
+    val table = java.nio.file.Files.createTempDirectory("graft_lakecad").toString + "/events"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_lakecad_ck").toString
+    val stream = input.toDF().toDF("event_id", "event_type", "value", "event_date")
+      .select(col("event_id"), col("event_type"), col("value"),
+        to_date(col("event_date")).as("event_date"))
+    val q = EventStream.ingestTo(stream, table, "event_date", "event_id", ckpt)
+    try {
+      // three micro-batches of ingest across three days
+      input.addData(
+        (1L, "click", 1.0, "2024-01-01"), (2L, "view", 2.0, "2024-01-01"))
+      q.processAllAvailable()
+      input.addData((3L, "click", 3.0, "2024-01-02"))
+      q.processAllAvailable()
+      input.addData((4L, "view", 4.0, "2024-01-03"))
+      q.processAllAvailable()
+      def contents(path: String): Set[(Long, String, Double)] =
+        spark.read.parquet(path)
+          .select("event_id", "event_type", "value")
+          .as[(Long, String, Double)].collect().toSet
+      val preSwap = contents(table)
+      assert(preSwap.size == 4)
+
+      // maintainer turn: compact + atomic swap between micro-batches
+      val retired = graft.operators.Layout.compactAndSwap(
+        spark, table, "event_date")
+      assert(contents(table) == preSwap, "swap changed content")
+
+      def listing(path: String): Map[String, Long] = {
+        val root = java.nio.file.Paths.get(path)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala
+          .filter(_.toString.endsWith(".parquet"))
+          .map(p => root.relativize(p).toString ->
+            java.nio.file.Files.getLastModifiedTime(p).toMillis)
+          .toMap
+      }
+      val newGen = listing(table)
+      val retiredGen = listing(retired)
+
+      // ingest continues: a late day-1 correction + a new day — the
+      // micro-batch must merge into the PUBLISHED generation
+      input.addData(
+        (2L, "view", 20.0, "2024-01-01"), (5L, "click", 5.0, "2024-01-04"))
+      q.processAllAvailable()
+      assert(contents(table) == Set(
+        (1L, "click", 1.0), (2L, "view", 20.0), (3L, "click", 3.0),
+        (4L, "view", 4.0), (5L, "click", 5.0)),
+        "post-swap micro-batch did not converge the published table")
+      // untouched days of the NEW generation stay byte-identical
+      val afterMerge = listing(table)
+      for ((f, m) <- newGen if f.contains("=2024-01-02") || f.contains("=2024-01-03"))
+        assert(afterMerge.get(f).contains(m), s"untouched day rewritten: $f")
+      // the RETIRED generation received NOTHING — draining readers see
+      // exactly the pre-swap table
+      assert(listing(retired) == retiredGen, "retired generation disturbed")
+      assert(contents(retired) == preSwap)
+      // and the shared lock is free for the next maintainer turn
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(table + ".compacting")), "lock leaked")
+    } finally q.stop()
+  }
 }
 
