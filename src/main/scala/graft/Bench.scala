@@ -50,6 +50,16 @@ import org.apache.spark.sql.SparkSession
   * convicts the plan. The reported per-query median is NOT replaced —
   * `iso` is evidence alongside it, not a substitute.
   *
+  * Host-calibration canary (round-13, per the r12 verdict): `"cal"` is
+  * [start, end] — the mean observed/floor ratio of isolated cold shots
+  * of two code-frozen floor queries (q01, q08), measured right after
+  * the warm pass and again right after the timed suite. It is the
+  * drift normalizer the uniform-slowdown trigger structurally can't
+  * be: a host phase that inflates everything ~uniformly reads as
+  * cal≈1.2–1.5 with zero per-query flags, and the comparable total
+  * divides by cal to normalize; a true regression reads cal≈1.0.
+  * Emitted only at sf0.1, where the floors are documented.
+  *
   * Reps are COLD with respect to caching: the cache is cleared before
   * each rep's timer starts, so persist()-using queries (the LSH dedup /
   * ANN paths) pay their materialization cost in every rep, and the median
@@ -158,6 +168,39 @@ object Bench {
       spark.catalog.clearCache()
     }
     val warmSec = (System.nanoTime() - warm0) / 1e9
+    // Host-calibration canary (r12 verdict item 1): the suite's one
+    // open adjudication gap was a UNIFORM host phase — it inflates every
+    // median equally, so neither the best-rep trigger nor the per-query
+    // prev-round trigger ever fires, and the artifact cannot exonerate
+    // its own total. The canary measures the HOST, inside the artifact:
+    // one isolated cold shot each of two floor queries whose code has
+    // not changed since r10 and whose isolated floors BASELINE.md
+    // documents (q01 0.54 s, q08 1.04 s at sf0.1), taken right after
+    // the warm pass and again after the timed suite. Each point is the
+    // mean observed/floor ratio — `"cal":[start,end]`. Reading: a
+    // uniform drift shows cal≈1.2–1.5 at both ends with zero per-query
+    // flags (divide the comparable total by cal to normalize); a
+    // genuine plan regression leaves cal≈1.0 beside a high total. Only
+    // meaningful at the driver's sf0.1 (the floors are sf0.1 numbers)
+    // — other scales emit no cal field rather than a false ratio.
+    val calFloors = Seq("q01" -> 0.54, "q08" -> 1.04)
+    val calEnabled = sfDir.split('/').filter(_.nonEmpty).lastOption.contains("sf0.1")
+    def calPoint(): Option[Double] = if (!calEnabled) None else {
+      val ratios = calFloors.flatMap { case (id, floor) =>
+        selected.find(q => q._1.takeWhile(_ != '_') == id).map { case (name, fn) =>
+          graft.operators.GraftCache.releaseAll()
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () } // the timed pass reports failures
+          val r = ((System.nanoTime() - t0) / 1e9) / floor
+          System.err.println(f"[bench] cal $name ${r * floor}%.3f (ratio $r%.2f)")
+          r
+        }
+      }
+      if (ratios.isEmpty) None else Some(ratios.sum / ratios.size)
+    }
+    val calStart = calPoint()
     var failed = List.empty[String]
     val gcTimed0 = gcMillis()
     // name, median, min, max, gcPct (GC share of summed rep wall, %),
@@ -207,6 +250,12 @@ object Bench {
       (name, sortedT(sortedT.length / 2), sortedT.head, sortedT.last, gcPct, cpuCores)
     }
     val gcTimedSec = (gcMillis() - gcTimed0) / 1e3
+    // end-of-suite calibration point: brackets the timed phase (the iso
+    // pass below has its own wall guard and is evidence, not a median).
+    // Skipped near the driver's 590 s kill — a one-point cal still says
+    // what the host looked like when the medians STARTED.
+    val calEnd =
+      if ((System.nanoTime() - benchStart) / 1e9 > 540.0) None else calPoint()
     // Per-query precision is ADAPTIVE — two decimals under 10 s, one
     // decimal to 100 s, whole seconds past that (a 100+-second median
     // needs no decisecond precision, and the 147-query worst case is
@@ -223,6 +272,11 @@ object Bench {
       s
     }
     def f1(v: Double): String = "%.1f".formatLocal(Locale.ROOT, v)
+    val calJson = (calStart, calEnd) match {
+      case (Some(a), Some(b)) => "\"cal\":[" + fq(a) + "," + fq(b) + "],"
+      case (Some(a), None) => "\"cal\":[" + fq(a) + "],"
+      case _ => ""
+    }
     // Keys are the leading qNN id (unique across the suite; full names are
     // in BASELINE.md) — the full-name map alone is ~1.8 KB and the
     // collecting harness keeps only ~2 KB of output tail.
@@ -255,10 +309,14 @@ object Bench {
     // the only brace-delimited object whose values are bare numbers.
     val prevMedians: Map[String, Double] = {
       val dir = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_PREV_DIR", "."))
+      // NEWEST-FIRST over ALL committed artifacts, first sf MATCH wins
+      // (ADVICE r12): if the newest artifact is a different-sf run, an
+      // older same-sf baseline must still arm the trigger — lastOption
+      // alone silently disabled it in exactly that case
       Option(dir.listFiles()).getOrElse(Array.empty[java.io.File])
         .filter(_.getName.matches("BENCH_r\\d+\\.json"))
-        .sortBy(_.getName.replaceAll("\\D", "").toInt)
-        .lastOption.flatMap { f =>
+        .sortBy(-_.getName.replaceAll("\\D", "").toInt)
+        .iterator.map { f =>
           try {
             // the driver wraps its collected tail as a JSON STRING field
             // (quotes escaped, `parsed` may be null on a truncated line)
@@ -278,7 +336,7 @@ object Bench {
                 .map(m => m.group(1) -> m.group(2).toDouble).toMap)
             }
           } catch { case _: Throwable => None }
-        }.getOrElse(Map.empty)
+        }.collectFirst { case Some(m) => m }.getOrElse(Map.empty)
     }
     // Isolated re-measure at suite end (see scaladoc): one cold single
     // shot per flagged query, in a map keyed like `queries`. Runs AFTER
@@ -310,6 +368,7 @@ object Bench {
     def lineLen(diagStr: String) =
       (s"""{"metric":"total","value":${f1(total)},"unit":"sec",""" +
         onlyJson + s""""queries":$medians,"diag":$diagStr,"iso":{},""" +
+        calJson +
         s""""gcsec":999,"warmsec":999,""" + fails + s""""sf":"$sfName"}""").length
     def diagStr(n: Int) = suspicious.take(n)
       .map(r => "\"" + qid(r._1) + "\":[" + fq(r._3) + "," + fq(r._4) + "," +
@@ -373,6 +432,7 @@ object Bench {
     // the worst-case "590.000" spent 2 B of line budget on noise digits
     println(s"""{"metric":"total","value":${f1(total)},"unit":"sec",""" +
       onlyJson + s""""queries":$medians,"diag":$diag,$isoJson""" +
+      calJson +
       s""""gcsec":${math.min(999, math.round(gcTimedSec))},""" +
       s""""warmsec":${math.min(999, math.round(warmSec))},""" +
       fails + s""""sf":"$sfName"}""")

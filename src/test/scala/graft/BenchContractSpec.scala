@@ -22,25 +22,27 @@ class BenchContractSpec extends AnyFunSuite {
     // The collector keeps the LAST 2000 chars of combined output, and
     // sbt prints a "[success] Total time: …" trailer (~80 B observed in
     // BENCH_r09's tail) AFTER the JSON line — so the line's real budget
-    // is ~1918 B, not 2000. Worst-case width model: the adaptive
-    // precision renders ≤ 4 chars at EVERY magnitude ("9.99", "99.9",
-    // "590" — r12 added the whole-second tier past 100 s), so every
-    // median is modeled at 4 chars. diag at its 2-entry cap; iso is
-    // BYTE-BUDGETED at runtime (r12: entries admitted while the line
-    // stays ≤ 1918 B, costed at worst width before each shot, hard cap
-    // 16) so overflow is impossible by construction — this spec pins
-    // that even worst-case medians leave ≥ 3 adjudication slots; every
-    // field at max width; `only`/`reps`/empty `failed` are not emitted
-    // on clean full runs, `sf` is a basename.
+    // is ~1918 B, not 2000. Width model: fq() renders EXACTLY 4 chars
+    // at every magnitude ("0.89", "9.99", "99.9", "590"), so every
+    // median — and every fq-rendered diag/iso/cal value — is modeled at
+    // 4 chars, which is not pessimism but the true fixed width. What
+    // this pins is the GUARANTEED adjudication floor: under byte
+    // pressure the runtime yields diag's second entry to iso (r12) and
+    // iso is byte-budgeted before each shot (entries admitted only
+    // while the line stays ≤ 1918 B, hard cap 16), so overflow is
+    // impossible by construction — the floor the artifact must always
+    // be able to carry is diag(1) + ≥3 iso slots + the r13 cal pair.
+    // `only`/`reps`/empty `failed` are not emitted on clean full runs,
+    // `sf` is a basename.
     val widths = Seq.fill(SparkEntry.all.size)("99.9")
     val medians = SparkEntry.all.zip(widths)
       .map { case (q, w) => "\"" + qid(q.name) + "\":" + w }.mkString("{", ",", "}")
-    val diag = (1 to 2)
-      .map(i => "\"q1${i}0\":[590.0,590.0,100,32.0]").mkString("{", ",", "}")
+    val diag = """{"q110":[9.99,9.99,100,32.0]}"""
     val iso = (1 to 3)
-      .map(i => "\"q1${i}0\":590.0").mkString("{", ",", "}")
+      .map(i => "\"q1${i}0\":99.9").mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":590.0,"unit":"sec",""" +
       s""""queries":$medians,"diag":$diag,"iso":$iso,""" +
+      s""""cal":[9.99,9.99],""" +
       s""""gcsec":999,"warmsec":999,"sf":"sf0.1"}"""
     assert(line.length <= 1918,
       s"bench JSON would be ${line.length} B; trim before the harness truncates it")
