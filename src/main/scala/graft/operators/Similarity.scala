@@ -693,6 +693,82 @@ object Similarity {
         " SELECT j AS i, x AS pc FROM px3 ORDER BY i"
     }) { (s, dir) =>
       principalComponent(quantized(s, dir)).orderBy("i")
+    },
+
+    // Top-4 principal components via deflation (r12 verdict item 5) —
+    // the full PCA-prep eigenbasis, bit-identical cross-engine: the
+    // oracle unrolls k components × 3 power rounds plus the integer
+    // Rayleigh-quotient downdate between them as chained CTEs over the
+    // identical covariance chain, every floor-div in the exact-multiple
+    // portable form, the two wide deflation products as HUGEINT where
+    // Spark rides DECIMAL(38,0) (same exact integers; final columns
+    // BIGINT on both sides). Signs canonicalized: each component's
+    // largest-|value| entry (smallest i on ties) is positive. Overflow
+    // bounds in [[principalComponents]]'s Scaladoc; at gate scale
+    // (|c| ≤ 4.6×10⁷, q139's measured bound) every intermediate sits
+    // orders of magnitude inside them, and ANSI/HUGEINT fail loudly
+    // past them. The chained CTEs are AS MATERIALIZED: DuckDB inlines
+    // plain CTEs per reference, and the deflation chain references each
+    // matrix generation several times — inlining expands the tree
+    // EXPONENTIALLY down the chain (observed as "too many open files"
+    // on the base parquet at k=4 before any timeout).
+    Q("q150_principal_components", {
+      val scale = 1000000L
+      val k = 4
+      val iters = 3
+      def comp(m: Int): String = {
+        val rounds = (1 to iters).map { r =>
+          val prev = s"x${m}_${r - 1}"
+          s"y${m}_$r AS MATERIALIZED (SELECT cc$m.i AS i, CAST(SUM(cc$m.c * $prev.x) AS BIGINT) AS y " +
+            s"FROM cc$m JOIN $prev ON cc$m.j = $prev.j GROUP BY cc$m.i), " +
+            s"d${m}_$r AS MATERIALIZED (SELECT GREATEST(CAST(1 AS BIGINT), " +
+            s"CAST(MAX(ABS(y)) // $scale AS BIGINT)) AS d FROM y${m}_$r), " +
+            s"x${m}_$r AS MATERIALIZED (SELECT y${m}_$r.i AS j, " +
+            s"CAST((y - ((y % d + d) % d)) // d AS BIGINT) AS x " +
+            s"FROM y${m}_$r CROSS JOIN d${m}_$r)"
+        }.mkString(", ")
+        val xf = s"x${m}_$iters"
+        val base = s"x${m}_0 AS MATERIALIZED (SELECT DISTINCT i AS j, " +
+          s"CAST($scale AS BIGINT) AS x FROM cc$m), " + rounds + ", " +
+          s"vs$m AS MATERIALIZED (SELECT CASE WHEN x < 0 THEN CAST(-1 AS BIGINT) " +
+          s"ELSE CAST(1 AS BIGINT) END AS sg FROM $xf " +
+          "ORDER BY ABS(x) DESC, j ASC LIMIT 1), " +
+          s"cp$m AS MATERIALIZED (SELECT CAST($m AS BIGINT) AS m, j AS i, x * sg AS pc " +
+          s"FROM $xf CROSS JOIN vs$m)"
+        if (m == k - 1) base else base + ", " +
+          s"vt$m AS MATERIALIZED (SELECT CAST(SUM(x * x) AS BIGINT) AS vtv FROM $xf), " +
+          s"qq$m AS MATERIALIZED (SELECT CAST(SUM(CAST(cc$m.c AS HUGEINT) * xi.x * xj.x) " +
+          s"AS HUGEINT) AS q FROM cc$m " +
+          s"JOIN $xf xi ON cc$m.i = xi.j JOIN $xf xj ON cc$m.j = xj.j), " +
+          s"lm$m AS MATERIALIZED (SELECT CAST((q - ((q % vtv + vtv) % vtv)) // vtv " +
+          s"AS BIGINT) AS lam FROM qq$m CROSS JOIN vt$m), " +
+          s"cc${m + 1} AS MATERIALIZED (SELECT t.i AS i, t.j AS j, " +
+          "CAST(t.c - (t.p - ((t.p % t.vtv + t.vtv) % t.vtv)) // t.vtv " +
+          "AS BIGINT) AS c FROM " +
+          s"(SELECT cc$m.i AS i, cc$m.j AS j, cc$m.c AS c, " +
+          "CAST(lam AS HUGEINT) * xi.x * xj.x AS p, vtv FROM " +
+          s"cc$m JOIN $xf xi ON cc$m.i = xi.j JOIN $xf xj ON cc$m.j = xj.j " +
+          s"CROSS JOIN lm$m CROSS JOIN vt$m) t)"
+      }
+      "WITH " + quantizedSql + ", " +
+        nullFreeSql +
+        "q1 AS (SELECT vec_id, [CAST(1 AS BIGINT)] || q AS q FROM nf), " +
+        "u0 AS (SELECT vec_id, q, UNNEST(generate_series(1, len(q))) AS ix FROM q1), " +
+        "u AS (SELECT vec_id, ix - 1 AS i, q[ix] AS x FROM u0), " +
+        "g AS (SELECT a.i AS i, b.i AS j, CAST(SUM(a.x * b.x) AS BIGINT) AS g " +
+        " FROM u a JOIN u b USING (vec_id) GROUP BY 1, 2), " +
+        "nn AS (SELECT g::DECIMAL(18,0) AS n FROM g WHERE i = 0 AND j = 0), " +
+        "s AS (SELECT j - 1 AS k, g::DECIMAL(18,0) AS s FROM g WHERE i = 0 AND j > 0), " +
+        "cc0 AS MATERIALIZED (SELECT gi.i - 1 AS i, gi.j - 1 AS j, " +
+        "CAST(CAST(nn.n * gi.g::DECIMAL(18,0) - si.s * sj.s AS DECIMAL(38,0)) AS BIGINT) AS c " +
+        "FROM g gi CROSS JOIN nn JOIN s si ON gi.i - 1 = si.k JOIN s sj ON gi.j - 1 = sj.k " +
+        "WHERE gi.i > 0 AND gi.j > 0), " +
+        (0 until k).map(comp).mkString(", ") +
+        " SELECT m, i, pc FROM (" +
+        (0 until k).map(m => s"SELECT * FROM cp$m").mkString(" UNION ALL ") +
+        ") ORDER BY m, i"
+    }) { (s, dir) =>
+      principalComponents(quantized(s, dir)).orderBy("m", "i")
     }
   )
 
@@ -785,7 +861,9 @@ object Similarity {
       .select((col("j") - 1).as("k"), col("g").cast("decimal(18,0)").as("s"))
     val d = g.filter(col("i") === col("j") && col("i") > 0)
       .select((col("i") - 1).as("kd"), col("g").cast("decimal(18,0)").as("gii"))
-    val stats = s.join(d, col("k") === col("kd")).crossJoin(nn)
+    // broadcast explicitly like every sibling 1-row stats join — the
+    // r11 size-estimate lesson applies uniformly, not where AQE rescues
+    val stats = s.join(d, col("k") === col("kd")).crossJoin(broadcast(nn))
       .select(col("k"), col("n"), col("s"),
         (col("n") * col("gii") - col("s") * col("s"))
           .cast("decimal(38,0)").as("v"))
@@ -839,5 +917,94 @@ object Similarity {
         .localCheckpoint(true)
     }
     x.select(col("j").as("i"), col("x").as("pc"))
+  }
+
+  /** Top-k principal components via [[principalComponent]]'s power
+    * iteration plus HOTELLING DEFLATION between components — the full
+    * PCA-prep output (whitening / OPQ rotation training reads the
+    * leading eigenbasis, not one direction). (m, i, pc) rows, component
+    * index m in [0, k); signs CANONICALIZED so each component's
+    * largest-|value| entry (smallest index on ties) is positive — an
+    * eigenvector's sign is arbitrary, the API's isn't.
+    *
+    * Deflation in the same portable integer discipline as the rounds,
+    * so both engines walk bit-identical matrices: with v the final
+    * iterate (max|v| in [S, 2S)) and vᵀv exact int64,
+    *   λ  = floorDiv(vᵀCv, vᵀv)            — the integer Rayleigh quotient
+    *   Cᵢⱼ ← Cᵢⱼ − floorDiv(λ·vᵢ·vⱼ, vᵀv)  — rank-one downdate
+    * where each floorDiv is the exact-multiple form
+    * `(p − ((p % q + q) % q)) div q` (truncation ≡ floor once the
+    * dividend is an exact multiple — q149's rule, verbatim on both
+    * sides). The two wide products ride DECIMAL(38,0) here and HUGEINT
+    * in the oracle — identical integer values either way.
+    *
+    * Overflow bounds (gate note, r12 verdict item 5): vᵀv ≤ d·4S²
+    * (≈2.6×10¹⁴ at d=64, S=10⁶ — int64-safe); |vᵀCv| ≤ d²·max|c|·4S²
+    * (DECIMAL(38,0)-safe for max|c| up to ~6×10²¹, i.e. always — c is
+    * int64); |λ| ≤ λmax(C) ≤ d·max|c| (int64-safe for max|c| <
+    * 1.4×10¹⁷); |λ·vᵢvⱼ| ≤ d·max|c|·4S² (DECIMAL(38,0)-safe to
+    * max|c| ≈ 10²⁴); each deflated cell grows by at most |λ| ≈ the
+    * eigenvalue it removes, so k deflations stay int64 while
+    * (k+1)·d·max|c| < 2⁶³ — ANSI mode fails LOUDLY past every one of
+    * these, never wraps. Deflation rounding (<1 ulp per cell) leaves a
+    * residual of the removed component at magnitude ~d per cell —
+    * negligible against real eigenvalue gaps and IDENTICAL on both
+    * engines, which is the contract: deterministic bit-equal output,
+    * accuracy scaling with `iters` exactly as single-component power
+    * iteration does.
+    *
+    * Cost at 100 TB: unchanged from q149 — the corpus is touched ONCE
+    * (the shared augmented Gramian); all k·iters rounds and k−1
+    * deflations run on the d²-row matrix with broadcast joins,
+    * corpus-INDEPENDENT driver-trivial work.
+    */
+  def principalComponents(n0: DataFrame, k: Int = 4, iters: Int = 3,
+      scale: Long = 1000000L): DataFrame = {
+    var c = covarianceMatrix(n0)
+      .select(col("i"), col("j"), col("c").cast("long").as("c"))
+      .localCheckpoint(true)
+    var out = Seq.empty[DataFrame]
+    for (m <- 0 until k) {
+      var x = c.select(col("i")).distinct().select(col("i").as("j"),
+        lit(scale).as("x"))
+      for (_ <- 1 to iters) {
+        val y = c.join(broadcast(x), "j")
+          .groupBy(col("i"))
+          .agg(sum(col("c") * col("x")).as("y"))
+        val d = y.agg(greatest(lit(1L),
+          expr(s"max(abs(y)) div $scale")).as("d"))
+        x = y.crossJoin(broadcast(d))
+          .select(col("i").as("j"),
+            expr("(y - ((y % d + d) % d)) div d").as("x"))
+          .localCheckpoint(true)
+      }
+      val sg = x.orderBy(abs(col("x")).desc, col("j").asc).limit(1)
+        .select(when(col("x") < 0, lit(-1L)).otherwise(lit(1L)).as("sg"))
+      out :+= x.crossJoin(broadcast(sg))
+        .select(lit(m.toLong).as("m"), col("j").as("i"),
+          (col("x") * col("sg")).as("pc"))
+      if (m < k - 1) {
+        val xi = x.select(col("j").as("ii"), col("x").as("xi"))
+        val xj = x.select(col("j").as("jj"), col("x").as("xj"))
+        val vtv = x.agg(sum(col("x") * col("x")).as("vtv"))
+        val lam = c.join(broadcast(xi), col("i") === col("ii"))
+          .join(broadcast(xj), col("j") === col("jj"))
+          .agg(sum(col("c").cast("decimal(38,0)") * col("xi") * col("xj"))
+            .as("q"))
+          .crossJoin(broadcast(vtv))
+          .select(expr("(q - ((q % vtv + vtv) % vtv)) div vtv").as("lam"),
+            col("vtv"))
+        c = c.join(broadcast(xi), col("i") === col("ii"))
+          .join(broadcast(xj), col("j") === col("jj"))
+          .crossJoin(broadcast(lam))
+          .withColumn("p",
+            col("lam").cast("decimal(38,0)") * col("xi") * col("xj"))
+          .select(col("i"), col("j"),
+            (col("c") - expr("(p - ((p % vtv + vtv) % vtv)) div vtv"))
+              .as("c"))
+          .localCheckpoint(true)
+      }
+    }
+    out.reduce(_.unionByName(_))
   }
 }
