@@ -500,6 +500,444 @@ object ScaleProbe {
       cleanupScaledUnlessPinned(scaledDir)
       return
     }
+    // Cents-layout FLAGSHIP A/B (r13, verdict item 4): the whole 100×
+    // flagship six over the original lineitem vs a curated-cents
+    // lineitem carrying EVERY column the six read (money as int64
+    // cents, shipdate as DATE, the two 1-char flags as ascii — the
+    // q06cents curations, now on the full column set, preconditions
+    // asserted loudly). ONE centsWrite, reused by all six. Semantics
+    // are not taken on faith: the warm pass at 1× builds the same
+    // layout from the base sf and asserts each cents variant's
+    // (count, value-checksum) signature EQUALS its original's over
+    // identical data — then the 100× passes time both layouts cold.
+    // q108 reads no money at all (keys + dates only) — it rides along
+    // as the control: its delta isolates the DATE-decode + narrower-
+    // file effect from the decimal-decode effect the money queries add.
+    if (op == "centsrel") {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BCAST", (128L << 20).toString))
+      val scaledDir = scaledRelationalDir(spark, sfDir, factor)
+      val money = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      def curatedAll(dir: String): DataFrame = {
+        val li = Tables.load(spark, dir, "lineitem")
+        val bad = li.filter(
+          col("l_shipdate") =!= date_trunc("day", col("l_shipdate")) ||
+            length(col("l_returnflag")) =!= 1 ||
+            length(col("l_linestatus")) =!= 1).count()
+        require(bad == 0,
+          s"$bad rows break the curation preconditions — the layout " +
+            "would change query semantics")
+        li.select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_linenumber"),
+          ascii(col("l_returnflag")).as("l_returnflag_a"),
+          ascii(col("l_linestatus")).as("l_linestatus_a"),
+          to_date(col("l_shipdate")).as("l_shipdate"),
+          col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax"))
+      }
+      // exact int64-cents sum → one exact decimal division → one double
+      // rounding (q148's discipline); unit = 10^-scale of the product
+      def m(s6: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column =
+        (s6.cast(org.apache.spark.sql.types.DecimalType(38, 0)) /
+          lit(math.pow(10, scale).toLong)).cast("double")
+      def li(cents: String): DataFrame = spark.read.parquet(s"$cents/lineitem_cents")
+      // ---- the six cents variants (same plan shapes as the committed
+      // queries, money arithmetic on primitive longs end to end) ------
+      def q06c(cents: String, dir: String): DataFrame = {
+        val disc4 = col("l_extendedprice_c") * (lit(100L) - col("l_discount_c"))
+        val charge6 = disc4 * (lit(100L) + col("l_tax_c"))
+        li(cents)
+          .filter(col("l_shipdate") <= to_date(lit("1998-09-02")))
+          .groupBy("l_returnflag_a", "l_linestatus_a")
+          .agg(m(sum(col("l_quantity_c")), 2).as("sum_qty"),
+            m(sum(col("l_extendedprice_c")), 2).as("sum_base_price"),
+            m(sum(disc4), 4).as("sum_disc_price"),
+            m(sum(charge6), 6).as("sum_charge"),
+            (m(sum(col("l_quantity_c")), 2) / count(lit(1))).as("avg_qty"),
+            count(lit(1)).as("count_order"))
+          .select(expr("char(l_returnflag_a)").as("l_returnflag"),
+            expr("char(l_linestatus_a)").as("l_linestatus"),
+            col("sum_qty"), col("sum_base_price"), col("sum_disc_price"),
+            col("sum_charge"), col("avg_qty"), col("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      }
+      def q08c(cents: String, dir: String): DataFrame = {
+        // ordering by l_quantity_c is the original l_quantity order
+        // (monotone ×100); the running sum is an int64 window state.
+        // The per-ROW finish must NOT be a decimal division — this
+        // query emits 60M rows and a DECIMAL(38,0)/100 per row measured
+        // 25.1 → 34.7 s at 100× (slower than the original!); the double
+        // finish cents/100.0 is value-identical here because the
+        // running cents sum is < 2^53 (int64→double exact, one
+        // correctly-rounded division — the same single rounding the
+        // decimal path performs; bound: max running qty ≈ 50×60M×100 =
+        // 3×10¹¹ cents, 2^53 ≈ 9×10¹⁵) and the 1× signature assert
+        // below proves the equality on real data, not just by argument.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("l_suppkey")
+          .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity_c")
+          .rowsBetween(Long.MinValue, 0)
+        li(cents)
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            (sum(col("l_quantity_c")).over(w).cast("double") / lit(100.0))
+              .as("running_qty"))
+          .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
+      }
+      def q14c(cents: String, dir: String): DataFrame = {
+        val r = Tables.load(spark, dir, "region")
+          .filter(col("r_name").isin("ASIA", "EUROPE"))
+        val n = Tables.load(spark, dir, "nation")
+        val c = Tables.load(spark, dir, "customer")
+        val o = Tables.load(spark, dir, "orders")
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+            col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+        val dims = c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .select("c_custkey", "n_name")
+        val o2 = o.join(broadcast(dims), col("o_custkey") === col("c_custkey"), "left_semi")
+          .select("o_orderkey", "o_custkey")
+        li(cents).select("l_orderkey", "l_extendedprice_c", "l_discount_c")
+          .join(o2, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+          .groupBy("n_name")
+          .agg(m(sum(col("l_extendedprice_c") * (lit(100L) - col("l_discount_c"))), 4)
+            .as("revenue"))
+          .orderBy(desc("revenue"), col("n_name"))
+      }
+      def q102c(cents: String, dir: String): DataFrame = {
+        val l = operators.GraftCache.track(li(cents)
+          .select("l_partkey", "l_quantity_c", "l_extendedprice_c"))
+        val stats = l.groupBy(col("l_partkey").as("pk"))
+          .agg(sum(col("l_quantity_c")).as("sq"), count(lit(1)).as("cnt"))
+        // the threshold compare is pure int64: quantity_c*5*cnt < sq is
+        // the declared decimal compare with both sides scaled by 100
+        l.join(broadcast(Tables.load(spark, dir, "part")),
+            col("l_partkey") === col("p_partkey"))
+          .join(broadcast(stats), col("pk") === col("l_partkey"))
+          .filter(col("l_quantity_c") * 5 * col("cnt") < col("sq"))
+          .groupBy("p_brand")
+          .agg(m(sum(col("l_extendedprice_c")), 2).as("total_price"),
+            count(lit(1)).as("n"))
+          .orderBy("p_brand")
+      }
+      def q108c(cents: String, dir: String): DataFrame = {
+        val ordF = Tables.load(spark, dir, "orders")
+          .filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate")
+        val late = operators.GraftCache.track(li(cents)
+          .select("l_orderkey", "l_suppkey", "l_shipdate")
+          .join(ordF, col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate").cast("timestamp") >
+            col("o_orderdate") + expr("INTERVAL 100 DAYS"))
+          .select("l_orderkey", "l_suppkey"))
+        val others = li(cents)
+          .select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+        val lateOthers = late.select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+        late
+          .join(others, col("ok2") === col("l_orderkey") &&
+            col("sk2") =!= col("l_suppkey"), "left_semi")
+          .join(lateOthers, col("ok3") === col("l_orderkey") &&
+            col("sk3") =!= col("l_suppkey"), "left_anti")
+          .join(broadcast(Tables.load(spark, dir, "supplier")),
+            col("s_suppkey") === col("l_suppkey"))
+          .groupBy("s_name")
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(desc("numwait"), col("s_name"))
+          .limit(100)
+      }
+      def q109c(cents: String, dir: String): DataFrame = {
+        val vol4 = col("l_extendedprice_c") * (lit(100L) - col("l_discount_c"))
+        val custNation = Tables.load(spark, dir, "nation")
+          .join(broadcast(Tables.load(spark, dir, "region")
+            .filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("cnk"))
+        val suppNation = Tables.load(spark, dir, "nation")
+          .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+        li(cents)
+          .select("l_orderkey", "l_partkey", "l_suppkey",
+            "l_extendedprice_c", "l_discount_c")
+          .join(broadcast(Tables.load(spark, dir, "part")
+            .filter(col("p_type") === "ECONOMY")),
+            col("p_partkey") === col("l_partkey"))
+          .join(Tables.load(spark, dir, "orders")
+            .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+              col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00"))),
+            col("o_orderkey") === col("l_orderkey"))
+          .join(Tables.load(spark, dir, "customer"), col("c_custkey") === col("o_custkey"))
+          .join(broadcast(custNation), col("c_nationkey") === col("cnk"))
+          .join(broadcast(Tables.load(spark, dir, "supplier")),
+            col("s_suppkey") === col("l_suppkey"))
+          .join(broadcast(suppNation), col("s_nationkey") === col("snk"))
+          .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(m(sum(when(col("supp_nation") === "NATION_3", vol4)
+              .otherwise(lit(0L))), 4).as("num"),
+            m(sum(vol4), 4).as("den"))
+          .select(col("o_year"), (col("num") / col("den")).as("mkt_share"))
+          .orderBy("o_year")
+      }
+      val variants0: Seq[(String, (String, String) => DataFrame)] = Seq(
+        "q06" -> q06c _, "q08" -> q08c _, "q102" -> q102c _,
+        "q108" -> q108c _, "q109" -> q109c _, "q14" -> q14c _)
+      // iteration aid, like the relational probe's: run a subset only
+      val variants = sys.env.get("SPARK_GRAFT_QUERIES")
+        .map(_.split(',').toSet)
+        .fold(variants0)(w => variants0.filter(v => w(v._1)))
+      val origs: Map[String, (SparkSession, String) => DataFrame] =
+        Map("q06" -> SparkEntry.queries("q06_agg_tpch_q1"),
+          "q08" -> SparkEntry.queries("q08_window_running"),
+          "q102" -> SparkEntry.queries("q102_tpch_q17"),
+          "q108" -> SparkEntry.queries("q108_tpch_q21"),
+          "q109" -> SparkEntry.queries("q109_tpch_q8"),
+          "q14" -> SparkEntry.queries("q14_multi_join"))
+      def noop(df: DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      def timed(f: => Unit): Double = {
+        operators.GraftCache.releaseAll(); spark.catalog.clearCache()
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      // value-checksum signature: row count + summed row hash — layout
+      // must never change CONTENT, proven at 1× before anything is timed
+      def sig(df: DataFrame): String = {
+        val r = df.agg(count(lit(1)),
+          sum(xxhash64(df.columns.map(col).toIndexedSeq: _*)
+            .cast("decimal(38,0)"))).head()
+        s"${r.get(0)}/${r.get(1)}"
+      }
+      val warmDir = java.nio.file.Files.createTempDirectory("graft_crelwarm_").toString
+      operators.Layout.centsWrite(curatedAll(sfDir), money, s"$warmDir/lineitem_cents")
+      for ((id, cv) <- variants) {
+        val (so, sc) = (sig(origs(id)(spark, sfDir)), sig(cv(warmDir, sfDir)))
+        require(so == sc, s"$id cents variant diverges at 1×: orig=$so cents=$sc")
+        operators.GraftCache.releaseAll(); spark.catalog.clearCache()
+      }
+      System.err.println("[scaleprobe] centsrel: all six 1× signatures match")
+      val rows = Tables.load(spark, scaledDir, "lineitem").count()
+      val pinned = sys.env.get("SPARK_GRAFT_CENTSREL_DIR")
+      val centsDir = pinned.getOrElse(
+        java.nio.file.Files.createTempDirectory(s"graft_crel${factor}x_").toString)
+      val curatedScaled = curatedAll(scaledDir) // eager validation count
+      // best-config layout from the r13 read-floor probe: 64 files ×
+      // 32 MB row groups (tunable for A/B)
+      val centsFiles = sys.env.getOrElse("SPARK_GRAFT_CENTSFILES", "64").toInt
+      val centsBlock = sys.env.getOrElse("SPARK_GRAFT_CENTSBLOCK",
+        (32L << 20).toString).toLong
+      val writeSec = timed(operators.Layout.centsWrite(
+        curatedScaled, money, s"$centsDir/lineitem_cents", centsFiles, centsBlock))
+      val timedPairs = variants.map { case (id, cv) =>
+        val o = timed(noop(origs(id)(spark, scaledDir)))
+        val c = timed(noop(cv(centsDir, scaledDir)))
+        System.err.println(f"[scaleprobe] centsrel/$id ${factor}x orig=$o%.3f cents=$c%.3f")
+        (id, o, c)
+      }
+      val om = timedPairs.map { case (q, o, _) => f""""$q":$o%.3f""" }.mkString("{", ",", "}")
+      val cm = timedPairs.map { case (q, _, c) => f""""$q":$c%.3f""" }.mkString("{", ",", "}")
+      // scalastyle:off println
+      println(f"""{"op":"centsrel","factor":$factor,"rows":$rows,""" +
+        f""""sec":${timedPairs.map(_._3).sum}%.3f,""" +
+        f""""orig_sec":${timedPairs.map(_._2).sum}%.3f,""" +
+        f""""write_sec":$writeSec%.3f,""" +
+        f""""queries_orig":$om,"queries_cents":$cm}""")
+      // scalastyle:on println
+      spark.stop()
+      (if (pinned.isEmpty) Seq(centsDir, warmDir) else Seq(warmDir))
+        .foreach(cleanupDir)
+      cleanupScaledUnlessPinned(scaledDir)
+      return
+    }
+    // Cents-layout READ-FLOOR probe (r13, verdict item 2): what does
+    // Spark's vectorized reader + 6-group hash aggregate COST on this
+    // layout as file count, row-group size and split size vary? Each
+    // point times (a) the bare floor — scan + shipdate filter + count —
+    // and (b) the full cents Q1, cold, after a shape warm. If the floor
+    // holds ≥ the DuckDB-whole-query cost everywhere, the residual is
+    // the engine constant and BASELINE commits the asymptote.
+    if (op == "centsfloor") {
+      val cents = sys.env.getOrElse("SPARK_GRAFT_CENTS_DIR",
+        sys.error("centsfloor needs SPARK_GRAFT_CENTS_DIR (a built cents layout)"))
+      val src = spark.read.parquet(s"$cents/lineitem_cents")
+      val rows = src.count()
+      def q1(path: String): DataFrame = {
+        def m(s6: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column =
+          (s6.cast(org.apache.spark.sql.types.DecimalType(38, 0)) /
+            lit(math.pow(10, scale).toLong)).cast("double")
+        val disc4 = col("l_extendedprice_c") * (lit(100L) - col("l_discount_c"))
+        val charge6 = disc4 * (lit(100L) + col("l_tax_c"))
+        spark.read.parquet(path)
+          .filter(col("l_shipdate") <= to_date(lit("1998-09-02")))
+          .groupBy("l_returnflag_a", "l_linestatus_a")
+          .agg(m(sum(col("l_quantity_c")), 2).as("sum_qty"),
+            m(sum(col("l_extendedprice_c")), 2).as("sum_base_price"),
+            m(sum(disc4), 4).as("sum_disc_price"),
+            m(sum(charge6), 6).as("sum_charge"),
+            (m(sum(col("l_quantity_c")), 2) / count(lit(1))).as("avg_qty"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag_a", "l_linestatus_a")
+      }
+      def floor(path: String): DataFrame =
+        spark.read.parquet(path)
+          .filter(col("l_shipdate") <= to_date(lit("1998-09-02")))
+          .agg(count(lit(1)).as("n"))
+      def noop(df: DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      def timed(f: => Unit): Double = {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val fileCounts = Seq(4, 16, 64)
+      val blockMb = sys.env.getOrElse("SPARK_GRAFT_BLOCKMB", "128").toInt
+      val maxParts = Seq(16L << 20, 128L << 20)
+      val out = java.nio.file.Files.createTempDirectory(s"graft_cfloor_").toString
+      // control: the pinned layout AS-IS (same host, same run — the
+      // committed r12 numbers were a different host phase)
+      val control = maxParts.flatMap { mp =>
+        spark.conf.set("spark.sql.files.maxPartitionBytes", mp.toString)
+        val srcPath = s"$cents/lineitem_cents"
+        noop(floor(srcPath)); noop(q1(srcPath)) // warm
+        val fl = timed(noop(floor(srcPath)))
+        val fu = timed(noop(q1(srcPath)))
+        System.err.println(f"[scaleprobe] centsfloor src mp=${mp >> 20}MB " +
+          f"floor=$fl%.3f full=$fu%.3f")
+        Seq(f""""src_mp${mp >> 20}":[$fl%.3f,$fu%.3f]""")
+      }
+      val results = control ++ fileCounts.flatMap { files =>
+        val dir = s"$out/f$files"
+        src.repartition(files)
+          .write.option("parquet.block.size", (blockMb.toLong << 20).toString)
+          .mode("overwrite").parquet(dir)
+        maxParts.flatMap { mp =>
+          spark.conf.set("spark.sql.files.maxPartitionBytes", mp.toString)
+          noop(floor(dir)); noop(q1(dir)) // warm shapes at this config
+          val fl = timed(noop(floor(dir)))
+          val fu = timed(noop(q1(dir)))
+          System.err.println(f"[scaleprobe] centsfloor files=$files mp=${mp >> 20}MB " +
+            f"floor=$fl%.3f full=$fu%.3f")
+          Seq(f""""f${files}_mp${mp >> 20}":[$fl%.3f,$fu%.3f]""")
+        }
+      }
+      // scalastyle:off println
+      println(f"""{"op":"centsfloor","factor":$factor,"rows":$rows,""" +
+        f""""block_mb":$blockMb,"points":${results.mkString("{", ",", "}")}}""")
+      // scalastyle:on println
+      spark.stop()
+      cleanupDir(out)
+      return
+    }
+    // Layout-gate WRITE/READ split (r13, verdict item 6): the q143–q146
+    // BENCH100 rows bundled a layout REBUILD with the probe read — not
+    // like-for-like beside a read-only DuckDB column. This op times the
+    // two phases separately over the N× facts: invest (the clustered /
+    // partitioned write, priced once per table lifetime) and payoff
+    // (the pruned read, paid per query) — exactly the gates' internal
+    // phases.
+    if (op == "layoutsplit") {
+      val scaledDir = scaledRelationalDir(spark, sfDir, factor)
+      def noop(df: DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      def timed(f: => Unit): Double = {
+        operators.GraftCache.releaseAll(); spark.catalog.clearCache()
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val li = Tables.load(spark, scaledDir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice")
+      val rows = li.count()
+      val out = java.nio.file.Files.createTempDirectory(s"graft_lsplit${factor}x_").toString
+      // warm the write/read paths untimed at 1×
+      operators.Layout.clusterWrite(Tables.load(spark, sfDir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice"),
+        Seq("l_partkey", "l_suppkey"), s"$out/warm", 4)
+      def agg143(df: DataFrame): DataFrame = df
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").as("revenue"))
+        .orderBy(col("l_suppkey"))
+      // q143: clustered write, then the zone-map pruned 1-D band read.
+      // The zone map is table-lifetime MANIFEST state: built once after
+      // the write (its own timed phase — at lake scale it comes free
+      // from footers), consulted per read — a read that re-derives it
+      // pays a full stats scan per query and misreports the payoff.
+      val zdir = s"$out/li_z"
+      val w143 = timed(operators.Layout.clusterWrite(
+        li, Seq("l_partkey", "l_suppkey"), zdir, 16))
+      var zm1: DataFrame = null
+      var zmAll: DataFrame = null
+      val manifestSec = timed {
+        zm1 = operators.Layout.zoneMap(spark, zdir, "l_suppkey").cache()
+        zm1.count()
+        zmAll = operators.Layout.zoneMapAll(
+          spark, zdir, Seq("l_partkey", "l_suppkey")).cache()
+        zmAll.count()
+      }
+      def read143 = agg143(operators.Layout.prunedRead(
+        spark, zdir, "l_suppkey", 3L, 7L, Some(zm1)))
+      noop(read143) // warm
+      val r143 = timed(noop(read143))
+      // q146: the 2-D rectangle read over the same clustered layout
+      // (the gate rebuilds its own copy; the write cost is w143's twin,
+      // so it is not re-paid here — read phase only)
+      def agg146(df: DataFrame): DataFrame = df
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").as("revenue"))
+        .orderBy(col("l_partkey"), col("l_suppkey"))
+      val rect = Seq(("l_partkey", 100L, 400L), ("l_suppkey", 2L, 6L))
+      def read146 = agg146(operators.Layout.prunedReadRect(
+        spark, zdir, rect, Some(zmAll)))
+      noop(read146) // warm
+      val r146 = timed(noop(read146))
+      // q144/q145: date-partitioned events — write, directory-pruned
+      // read, and the partition-scoped merge as its own phase
+      val ev = Tables.load(spark, scaledDir, "events")
+      val day = to_date(timestamp_micros(Tables.epochMicros(ev)))
+      val base = ev.select(col("event_id"), col("event_type"),
+        col("value"), day.as("event_date"))
+      val pdir = s"$out/ev_bydate"
+      val w144 = timed(operators.Layout.partitionedWrite(base, "event_date", pdir))
+      def agg144(df: DataFrame): DataFrame = df
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        .orderBy(col("event_type"))
+      def pruned144: DataFrame = spark.read.parquet(pdir)
+        .filter(col("event_date").between(
+          to_date(lit("2024-01-10")), to_date(lit("2024-01-12"))))
+      noop(agg144(pruned144)) // warm
+      val r144 = timed(noop(agg144(pruned144)))
+      // q145's merge: the 2-of-30-days correction set, applied to the
+      // already-written table (write phase shared with q144's)
+      val touched = base.filter(col("event_date").between(
+        to_date(lit("2024-01-10")), to_date(lit("2024-01-11"))))
+      // materialize the correction set BEFORE the timer: deriving it
+      // scans the full fact (filter + union), which is the caller's
+      // cost, not the merge's — unmaterialized it ran inside mergeInto
+      // twice (touched-partition distinct + the merged write) and made
+      // the 2-of-30-days merge read slower than the full rewrite
+      val updates = touched.select(col("event_id"),
+          lit("adjusted").as("event_type"),
+          (col("value") + lit(100.0)).as("value"), col("event_date"))
+        .unionByName(touched.select(
+          (col("event_id") + lit(1L << 60)).as("event_id"),
+          lit("backfill").as("event_type"), col("value"), col("event_date")))
+        .localCheckpoint()
+      val m145 = timed(operators.Layout.mergeInto(
+        spark, pdir, updates, "event_date", "event_id"))
+      val r145 = timed(noop(agg144(spark.read.parquet(pdir))))
+      // scalastyle:off println
+      println(f"""{"op":"layoutsplit","factor":$factor,"rows":$rows,""" +
+        f""""sec":${w143 + manifestSec + r143 + r146 + w144 + r144 + m145 + r145}%.3f,""" +
+        f""""q143_write_sec":$w143%.3f,"manifest_sec":$manifestSec%.3f,""" +
+        f""""q143_read_sec":$r143%.3f,""" +
+        f""""q146_read_sec":$r146%.3f,""" +
+        f""""q144_write_sec":$w144%.3f,"q144_read_sec":$r144%.3f,""" +
+        f""""q145_merge_sec":$m145%.3f,"q145_read_sec":$r145%.3f}""")
+      // scalastyle:on println
+      spark.stop()
+      cleanupDir(out)
+      cleanupScaledUnlessPinned(scaledDir)
+      return
+    }
     // Bloom REGIME probe (r12): the semi-join plan race the q137 bloom
     // surface exists for, at the regime boundary the q14 analysis
     // predicts. TPC-H can't stage it (key count and probe selectivity

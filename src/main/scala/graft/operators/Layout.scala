@@ -240,13 +240,17 @@ object Layout extends org.apache.spark.internal.Logging {
     * dimension.
     */
   def prunedReadRect(spark: SparkSession, path: String,
-                     ranges: Seq[(String, Long, Long)]): DataFrame = {
+                     ranges: Seq[(String, Long, Long)],
+                     zoneMap: Option[DataFrame] = None): DataFrame = {
     require(ranges.nonEmpty, "prunedReadRect: no ranges")
     ranges.foreach { case (c, lo, hi) =>
       require(lo <= hi, s"prunedReadRect: empty range [$lo, $hi] on $c") }
     // one stats pass for all dimensions; a file survives only if EVERY
-    // dimension's min/max range intersects its probe range
-    val zm = zoneMapAll(spark, path, ranges.map(_._1))
+    // dimension's min/max range intersects its probe range. Like
+    // [[prunedRead]], pass a precomputed [[zoneMapAll]] frame (table-
+    // lifetime manifest state, built once at write time) — the default
+    // recomputes it for self-contained verification
+    val zm = zoneMap.getOrElse(zoneMapAll(spark, path, ranges.map(_._1)))
     val keep = ranges.map { case (c, lo, hi) =>
       col(s"lo_$c") <= lit(hi) && col(s"hi_$c") >= lit(lo) }.reduce(_ && _)
     val candidate = zm.filter(keep).select("file")
@@ -435,13 +439,26 @@ object Layout extends org.apache.spark.internal.Logging {
     * caller's fallback is a DECIMAL(38,0) sum of the same exact
     * integers.
     */
-  def centsWrite(df: DataFrame, moneyCols: Seq[String], out: String): Unit =
-    df.select(df.columns.toIndexedSeq.map { c =>
+  def centsWrite(df: DataFrame, moneyCols: Seq[String], out: String,
+                 files: Int = 0, blockBytes: Long = 0L): Unit = {
+    val projected = df.select(df.columns.toIndexedSeq.map { c =>
       if (moneyCols.contains(c))
         (col(c).cast(org.apache.spark.sql.types.DecimalType(18, 2)) * lit(100))
           .cast("long").as(c + "_c")
       else col(c)
-    }: _*).write.mode("overwrite").parquet(out)
+    }: _*)
+    // Layout knobs, r13 floor probe (BASELINE "cents read-floor"): at
+    // 100× the read floor is file-count and row-group bound — 64 files
+    // × 32 MB row groups read the full Q1 at 0.49 s vs 2.1–2.8 s for a
+    // 4-file layout (one row group per file serializes each file onto
+    // one task). Defaults keep the input partitioning and parquet's
+    // block default: gate-scale writes don't care, curated rewrites at
+    // scale should pass explicit values sized executors × cores.
+    val arranged = if (files > 0) projected.repartition(files) else projected
+    var w = arranged.write.mode("overwrite")
+    if (blockBytes > 0) w = w.option("parquet.block.size", blockBytes.toString)
+    w.parquet(out)
+  }
 
   /** Compaction PUBLISH: [[compactPartitioned]] composed with the W5
     * swap discipline (reference `core/src/file_swap.rs` analog on a
