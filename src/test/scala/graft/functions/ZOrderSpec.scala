@@ -151,7 +151,39 @@ class ZOrderSpec extends AnyFunSuite with SparkFixture {
       .inputFiles.length
     assert(rect.inputFiles.length <= math.min(partOnly, suppOnly),
       s"rect ${rect.inputFiles.length} vs part $partOnly / supp $suppOnly")
+
+    // a PRECOMPUTED zone map (r13: table-lifetime manifest state, the
+    // per-read recompute is a choice not a tax) yields the identical
+    // result and candidate set
+    val zmAll = Layout.zoneMapAll(spark, zOut, Seq("l_partkey", "l_suppkey"))
+    val rectPre = Layout.prunedReadRect(spark, zOut,
+      Seq(("l_partkey", 100L, 400L), ("l_suppkey", 3L, 5L)), Some(zmAll))
+    assert(rectPre.count() == rectFull.count())
+    assert(rectPre.agg(sum(col("l_orderkey"))).head() ==
+      rectFull.agg(sum(col("l_orderkey"))).head())
+    assert(rectPre.inputFiles.sorted.toSeq == rect.inputFiles.sorted.toSeq)
     zSupp.unpersist(); linSupp.unpersist()
+  }
+
+  test("centsWrite layout knobs: file count and row-group size are honored, values unchanged") {
+    import spark.implicits._
+    // the r13 read-floor probe's lesson operationalized: files sizes
+    // parallelism, blockBytes sizes row groups — both must actually
+    // reach the writer, and neither may perturb the cents values
+    val df = (1L to 3000L).map(i => (i, i / 7.0)).toDF("id", "v")
+      .select(col("id"), col("v").cast("decimal(18,2)").as("v"))
+    val out = java.nio.file.Files.createTempDirectory("graft_centsknob").toString + "/t"
+    Layout.centsWrite(df, Seq("v"), out, files = 3, blockBytes = 1L << 20)
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 3, s"expected 3 files, got ${files.length}")
+    val back = spark.read.parquet(out)
+    assert(back.count() == 3000)
+    val mismatch = back.join(df, "id")
+      .filter(col("v_c") =!=
+        (col("v").cast("decimal(18,2)") * lit(100)).cast("long"))
+      .count()
+    assert(mismatch == 0, s"$mismatch cents values diverged under the knobs")
   }
 
   test("bloom writes: bitset appears past the dictionary boundary, lookups lossless") {

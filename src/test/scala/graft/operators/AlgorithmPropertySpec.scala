@@ -273,4 +273,50 @@ class AlgorithmPropertySpec extends AnyFunSuite with SparkFixture {
       assert(got == expected, s"seed=$seed: got=$got want=$expected evs=$evs")
     }
   }
+
+  test("principalComponents: partitioning-invariant, sign-canonical, PC1-consistent, near-orthogonal") {
+    import org.apache.spark.sql.functions.col
+    val n0 = EmbeddingLsh.quantized(spark, "/root/testdata/sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long)] =
+      df.select(col("m"), col("i"), col("pc"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val base = rows(Similarity.principalComponents(n0))
+    assert(base.map(_._1).distinct == Seq(0L, 1L, 2L, 3L))
+    // exact integer pipeline ⇒ the result is INDEPENDENT of input
+    // partitioning, bit for bit (the same claim every oracle gate makes
+    // cross-engine, here pinned cross-partitioning)
+    val reparted = rows(Similarity.principalComponents(n0.repartition(7)))
+    assert(reparted == base, "partitioning changed the eigenbasis")
+    // sign canonicalization: per component, the largest-|pc| entry
+    // (smallest i on ties) is positive
+    for (m <- 0L to 3L) {
+      val comp = base.filter(_._1 == m)
+      val lead = comp.minBy { case (_, i, pc) => (-math.abs(pc), i) }
+      assert(lead._3 > 0, s"component $m: leading entry ${lead} not positive")
+    }
+    // PC1 equals the single-component operator up to the canonical flip
+    // (at the SAME round count — components defaults to 6, q149's to 3)
+    val pc1 = Similarity.principalComponent(n0, iters = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m0 = base.filter(_._1 == 0L).map(t => t._2 -> t._3).toMap
+    val flip = {
+      val i0 = pc1.keys.min
+      if (pc1(i0) == 0L || m0(i0) == 0L || pc1(i0).signum == m0(i0).signum) 1L else -1L
+    }
+    assert(m0 == pc1.map { case (i, v) => i -> v * flip },
+      "components(k=4) PC1 diverges from principalComponent")
+    // deflation actually removed each component: successive components
+    // are near-orthogonal (|cos| small; 3 integer rounds + rounded
+    // deflation, so exactly zero is not expected)
+    def vec(m: Long): Array[Double] = {
+      val mm = base.filter(_._1 == m).sortBy(_._2).map(_._3.toDouble).toArray
+      mm
+    }
+    for (a <- 0 to 3; b <- (a + 1) to 3) {
+      val (va, vb) = (vec(a), vec(b))
+      val dot = va.zip(vb).map { case (x, y) => x * y }.sum
+      val cos = dot / math.sqrt(va.map(x => x * x).sum * vb.map(x => x * x).sum)
+      assert(math.abs(cos) < 0.2, f"components $a,$b not orthogonal: cos=$cos%.3f")
+    }
+  }
 }
