@@ -420,6 +420,69 @@ object Similarity {
       assignSql("c1", "a2")
   }
 
+
+  /** The q150/q151 oracles' shared CTE chain: quantize → null-free →
+    * augmented Gramian → covariance cc0 → per-component power rounds,
+    * canonical sign, and Rayleigh-quotient deflation, ending in
+    * cp0..cp{k-1} (each component's signed rows) plus `pcs` (their
+    * union). Chained CTEs are AS MATERIALIZED — DuckDB inlines plain
+    * CTEs per reference and the deflation chain's fan-out expands the
+    * tree EXPONENTIALLY (observed as "too many open files" at k=4).
+    */
+  private def pcaOracleCtes(k: Int, iters: Int, scale: Long): String = {
+      def comp(m: Int): String = {
+        val rounds = (1 to iters).map { r =>
+          val prev = s"x${m}_${r - 1}"
+          s"y${m}_$r AS MATERIALIZED (SELECT cc$m.i AS i, CAST(SUM(cc$m.c * $prev.x) AS BIGINT) AS y " +
+            s"FROM cc$m JOIN $prev ON cc$m.j = $prev.j GROUP BY cc$m.i), " +
+            s"d${m}_$r AS MATERIALIZED (SELECT GREATEST(CAST(1 AS BIGINT), " +
+            s"CAST(MAX(ABS(y)) // $scale AS BIGINT)) AS d FROM y${m}_$r), " +
+            s"x${m}_$r AS MATERIALIZED (SELECT y${m}_$r.i AS j, " +
+            s"CAST((y - ((y % d + d) % d)) // d AS BIGINT) AS x " +
+            s"FROM y${m}_$r CROSS JOIN d${m}_$r)"
+        }.mkString(", ")
+        val xf = s"x${m}_$iters"
+        val base = s"x${m}_0 AS MATERIALIZED (SELECT DISTINCT i AS j, " +
+          s"CAST($scale AS BIGINT) AS x FROM cc$m), " + rounds + ", " +
+          s"vs$m AS MATERIALIZED (SELECT CASE WHEN x < 0 THEN CAST(-1 AS BIGINT) " +
+          s"ELSE CAST(1 AS BIGINT) END AS sg FROM $xf " +
+          "ORDER BY ABS(x) DESC, j ASC LIMIT 1), " +
+          s"cp$m AS MATERIALIZED (SELECT CAST($m AS BIGINT) AS m, j AS i, x * sg AS pc " +
+          s"FROM $xf CROSS JOIN vs$m)"
+        if (m == k - 1) base else base + ", " +
+          s"vt$m AS MATERIALIZED (SELECT CAST(SUM(x * x) AS BIGINT) AS vtv FROM $xf), " +
+          s"qq$m AS MATERIALIZED (SELECT CAST(SUM(CAST(cc$m.c AS HUGEINT) * xi.x * xj.x) " +
+          s"AS HUGEINT) AS q FROM cc$m " +
+          s"JOIN $xf xi ON cc$m.i = xi.j JOIN $xf xj ON cc$m.j = xj.j), " +
+          s"lm$m AS MATERIALIZED (SELECT CAST((q - ((q % vtv + vtv) % vtv)) // vtv " +
+          s"AS BIGINT) AS lam FROM qq$m CROSS JOIN vt$m), " +
+          s"cc${m + 1} AS MATERIALIZED (SELECT t.i AS i, t.j AS j, " +
+          "CAST(t.c - (t.p - ((t.p % t.vtv + t.vtv) % t.vtv)) // t.vtv " +
+          "AS BIGINT) AS c FROM " +
+          s"(SELECT cc$m.i AS i, cc$m.j AS j, cc$m.c AS c, " +
+          "CAST(lam AS HUGEINT) * xi.x * xj.x AS p, vtv FROM " +
+          s"cc$m JOIN $xf xi ON cc$m.i = xi.j JOIN $xf xj ON cc$m.j = xj.j " +
+          s"CROSS JOIN lm$m CROSS JOIN vt$m) t)"
+      }
+      quantizedSql + ", " +
+        nullFreeSql +
+        "q1 AS (SELECT vec_id, [CAST(1 AS BIGINT)] || q AS q FROM nf), " +
+        "u0 AS (SELECT vec_id, q, UNNEST(generate_series(1, len(q))) AS ix FROM q1), " +
+        "u AS (SELECT vec_id, ix - 1 AS i, q[ix] AS x FROM u0), " +
+        "g AS (SELECT a.i AS i, b.i AS j, CAST(SUM(a.x * b.x) AS BIGINT) AS g " +
+        " FROM u a JOIN u b USING (vec_id) GROUP BY 1, 2), " +
+        "nn AS (SELECT g::DECIMAL(18,0) AS n FROM g WHERE i = 0 AND j = 0), " +
+        "s AS (SELECT j - 1 AS k, g::DECIMAL(18,0) AS s FROM g WHERE i = 0 AND j > 0), " +
+        "cc0 AS MATERIALIZED (SELECT gi.i - 1 AS i, gi.j - 1 AS j, " +
+        "CAST(CAST(nn.n * gi.g::DECIMAL(18,0) - si.s * sj.s AS DECIMAL(38,0)) AS BIGINT) AS c " +
+        "FROM g gi CROSS JOIN nn JOIN s si ON gi.i - 1 = si.k JOIN s sj ON gi.j - 1 = sj.k " +
+        "WHERE gi.i > 0 AND gi.j > 0), " +
+        (0 until k).map(comp).mkString(", ") + ", " +
+        "pcs AS (" +
+        (0 until k).map(m => s"SELECT * FROM cp$m").mkString(" UNION ALL ") +
+        ")"
+  }
+
   def queries: Seq[Q] = Seq(
 
     Q("q62_ann_bruteforce",
@@ -712,63 +775,30 @@ object Similarity {
     // matrix generation several times — inlining expands the tree
     // EXPONENTIALLY down the chain (observed as "too many open files"
     // on the base parquet at k=4 before any timeout).
-    Q("q150_principal_components", {
-      val scale = 1000000L
-      val k = 4
-      val iters = 6
-      def comp(m: Int): String = {
-        val rounds = (1 to iters).map { r =>
-          val prev = s"x${m}_${r - 1}"
-          s"y${m}_$r AS MATERIALIZED (SELECT cc$m.i AS i, CAST(SUM(cc$m.c * $prev.x) AS BIGINT) AS y " +
-            s"FROM cc$m JOIN $prev ON cc$m.j = $prev.j GROUP BY cc$m.i), " +
-            s"d${m}_$r AS MATERIALIZED (SELECT GREATEST(CAST(1 AS BIGINT), " +
-            s"CAST(MAX(ABS(y)) // $scale AS BIGINT)) AS d FROM y${m}_$r), " +
-            s"x${m}_$r AS MATERIALIZED (SELECT y${m}_$r.i AS j, " +
-            s"CAST((y - ((y % d + d) % d)) // d AS BIGINT) AS x " +
-            s"FROM y${m}_$r CROSS JOIN d${m}_$r)"
-        }.mkString(", ")
-        val xf = s"x${m}_$iters"
-        val base = s"x${m}_0 AS MATERIALIZED (SELECT DISTINCT i AS j, " +
-          s"CAST($scale AS BIGINT) AS x FROM cc$m), " + rounds + ", " +
-          s"vs$m AS MATERIALIZED (SELECT CASE WHEN x < 0 THEN CAST(-1 AS BIGINT) " +
-          s"ELSE CAST(1 AS BIGINT) END AS sg FROM $xf " +
-          "ORDER BY ABS(x) DESC, j ASC LIMIT 1), " +
-          s"cp$m AS MATERIALIZED (SELECT CAST($m AS BIGINT) AS m, j AS i, x * sg AS pc " +
-          s"FROM $xf CROSS JOIN vs$m)"
-        if (m == k - 1) base else base + ", " +
-          s"vt$m AS MATERIALIZED (SELECT CAST(SUM(x * x) AS BIGINT) AS vtv FROM $xf), " +
-          s"qq$m AS MATERIALIZED (SELECT CAST(SUM(CAST(cc$m.c AS HUGEINT) * xi.x * xj.x) " +
-          s"AS HUGEINT) AS q FROM cc$m " +
-          s"JOIN $xf xi ON cc$m.i = xi.j JOIN $xf xj ON cc$m.j = xj.j), " +
-          s"lm$m AS MATERIALIZED (SELECT CAST((q - ((q % vtv + vtv) % vtv)) // vtv " +
-          s"AS BIGINT) AS lam FROM qq$m CROSS JOIN vt$m), " +
-          s"cc${m + 1} AS MATERIALIZED (SELECT t.i AS i, t.j AS j, " +
-          "CAST(t.c - (t.p - ((t.p % t.vtv + t.vtv) % t.vtv)) // t.vtv " +
-          "AS BIGINT) AS c FROM " +
-          s"(SELECT cc$m.i AS i, cc$m.j AS j, cc$m.c AS c, " +
-          "CAST(lam AS HUGEINT) * xi.x * xj.x AS p, vtv FROM " +
-          s"cc$m JOIN $xf xi ON cc$m.i = xi.j JOIN $xf xj ON cc$m.j = xj.j " +
-          s"CROSS JOIN lm$m CROSS JOIN vt$m) t)"
-      }
-      "WITH " + quantizedSql + ", " +
-        nullFreeSql +
-        "q1 AS (SELECT vec_id, [CAST(1 AS BIGINT)] || q AS q FROM nf), " +
-        "u0 AS (SELECT vec_id, q, UNNEST(generate_series(1, len(q))) AS ix FROM q1), " +
-        "u AS (SELECT vec_id, ix - 1 AS i, q[ix] AS x FROM u0), " +
-        "g AS (SELECT a.i AS i, b.i AS j, CAST(SUM(a.x * b.x) AS BIGINT) AS g " +
-        " FROM u a JOIN u b USING (vec_id) GROUP BY 1, 2), " +
-        "nn AS (SELECT g::DECIMAL(18,0) AS n FROM g WHERE i = 0 AND j = 0), " +
-        "s AS (SELECT j - 1 AS k, g::DECIMAL(18,0) AS s FROM g WHERE i = 0 AND j > 0), " +
-        "cc0 AS MATERIALIZED (SELECT gi.i - 1 AS i, gi.j - 1 AS j, " +
-        "CAST(CAST(nn.n * gi.g::DECIMAL(18,0) - si.s * sj.s AS DECIMAL(38,0)) AS BIGINT) AS c " +
-        "FROM g gi CROSS JOIN nn JOIN s si ON gi.i - 1 = si.k JOIN s sj ON gi.j - 1 = sj.k " +
-        "WHERE gi.i > 0 AND gi.j > 0), " +
-        (0 until k).map(comp).mkString(", ") +
-        " SELECT m, i, pc FROM (" +
-        (0 until k).map(m => s"SELECT * FROM cp$m").mkString(" UNION ALL ") +
-        ") ORDER BY m, i"
-    }) { (s, dir) =>
+    Q("q150_principal_components",
+      "WITH " + pcaOracleCtes(4, 6, 1000000L) +
+        " SELECT m, i, pc FROM pcs ORDER BY m, i") { (s, dir) =>
       principalComponents(quantized(s, dir)).orderBy("m", "i")
+    },
+
+    // PCA projection — the eigenbasis applied back to the corpus: each
+    // vector's exact int64 score on each of the top-4 components
+    // (units ×100·scale of the true projection). The oracle reuses the
+    // full q150 deflation chain, then joins the unnested null-free
+    // vectors against the component rows — SUM(x·pc) per (vec_id, m),
+    // BIGINT on both sides. The Spark side never joins: the basis is
+    // k=4 literal arrays inside codegen'd qdot calls (q78's
+    // literal-centroid discipline), listwise null deletion matching
+    // the Gram family's contract.
+    Q("q151_pca_project",
+      "WITH " + pcaOracleCtes(4, 6, 1000000L) + ", " +
+        "uv AS (SELECT vec_id, q, UNNEST(generate_series(1, len(q))) AS ix FROM nf), " +
+        "uw AS (SELECT vec_id, ix - 1 AS i, q[ix] AS x FROM uv) " +
+        "SELECT uw.vec_id AS vec_id, pcs.m AS m, " +
+        "CAST(SUM(uw.x * pcs.pc) AS BIGINT) AS score " +
+        "FROM uw JOIN pcs ON uw.i = pcs.i GROUP BY 1, 2 " +
+        "ORDER BY vec_id, m") { (s, dir) =>
+      pcaProject(quantized(s, dir)).orderBy("vec_id", "m")
     }
   )
 
@@ -1029,5 +1059,40 @@ object Similarity {
     }
     import spark.implicits._
     spark.createDataset(out.result()).toDF("m", "i", "pc")
+  }
+
+  /** PCA projection — the eigenbasis's consumer: every vector's score
+    * on each of the top-k components, (vec_id, m, score) rows. The
+    * dimensionality-reduction step an OPQ/whitening pipeline actually
+    * runs over the corpus after training the basis.
+    *
+    * Exact int64 end to end: score = Σᵢ qᵢ·pcᵢ in the quantized units
+    * (q is ×100, pc is ×scale ⇒ score is ×100·scale of the true
+    * projection) — |score| ≤ d·max|q|·2·scale ≈ 5×10¹² at the testdata
+    * magnitudes, ANSI-loud past int64. Listwise deletion like every
+    * Gram-family op: a vector with ANY null component gets no scores.
+    *
+    * Plan shape: [[principalComponents]] is ONE distributed corpus
+    * pass + driver-tier iterations; the projection is then a SECOND
+    * corpus pass computing k codegen'd [[graft.functions.QDot]]
+    * products per row against the k LITERAL component vectors —
+    * completely shuffle-free (no join, no aggregate; the basis rides
+    * into codegen as constants, exactly q78's literal-centroid
+    * discipline). Two passes total at any corpus size.
+    */
+  def pcaProject(n0: DataFrame, k: Int = 4, iters: Int = 6,
+      scale: Long = 1000000L): DataFrame = {
+    val comps: Map[Long, Seq[Long]] = principalComponents(n0, k, iters, scale)
+      .collect().toSeq.groupBy(_.getLong(0))
+      .map { case (m, rs) => m -> rs.sortBy(_.getLong(1)).map(_.getLong(2)) }
+    val nf = n0.filter(
+      expr("size(q) = size(filter(q, x -> x IS NOT NULL))"))
+    val scores = (0 until k).map { m =>
+      struct(lit(m.toLong).as("m"),
+        graft.operators.EmbeddingLsh.qdot(col("q"),
+          typedLit(comps(m.toLong))).as("score"))
+    }
+    nf.select(col("vec_id"), explode(array(scores: _*)).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.score").as("score"))
   }
 }

@@ -554,4 +554,16 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     // a hot cluster's members, no AQE skew handling)
     assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(p).nonEmpty, p)
   }
+
+  test("q151: PCA projection is join-free — the basis rides as literals into codegen'd qdot") {
+    val p = plan("q151_pca_project")
+    // the projection pass must NOT join the corpus against the
+    // component rows (that shape shuffles n×k rows); the k component
+    // vectors are literal arrays inside per-row qdot calls, so the only
+    // exchange in the plan is the gate's presentation ORDER BY
+    assert(!p.contains("Join"), s"projection pass joins:\n$p")
+    assert(!p.contains("HashAggregate"),
+      s"projection pass aggregates (score must be per-row qdot):\n$p")
+    assert(p.contains("qdot"), s"codegen qdot missing:\n$p")
+  }
 }
