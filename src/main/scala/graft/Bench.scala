@@ -27,8 +27,10 @@ import org.apache.spark.sql.SparkSession
   * cores busy]`: a best rep near the isolated median proves the slow
   * reps were phase; a high GC share proves JVM heap pressure; CPU cores
   * busy ≪ parallelism proves starvation (host phase), while ≈parallelism
-  * says the plan really burned that time. `"gcsec"` (total JVM GC in the
-  * timed phase) and `"warmsec"` (untimed warm-up pass duration — a slow
+  * says the plan really burned that time. `"gc"` (total JVM GC seconds in
+  * the timed phase; named "gcsec" through r12 — renamed with "warmsec"→
+  * "warm" in r13 to buy line-budget headroom for future queries) and
+  * `"warm"` (untimed warm-up pass duration — a slow
   * warm-up flags a degraded host before any timed rep) complete the
   * picture. Full per-rep wall/gc/cpu detail for EVERY query goes to
   * stderr.
@@ -369,7 +371,7 @@ object Bench {
       (s"""{"metric":"total","value":${f1(total)},"unit":"sec",""" +
         onlyJson + s""""queries":$medians,"diag":$diagStr,"iso":{},""" +
         calJson +
-        s""""gcsec":999,"warmsec":999,""" + fails + s""""sf":"$sfName"}""").length
+        s""""gc":999,"warm":999,""" + fails + s""""sf":"$sfName"}""").length
     def diagStr(n: Int) = suspicious.take(n)
       .map(r => "\"" + qid(r._1) + "\":[" + fq(r._3) + "," + fq(r._4) + "," +
         r._5 + "," + f1(r._6) + "]")
@@ -433,8 +435,8 @@ object Bench {
     println(s"""{"metric":"total","value":${f1(total)},"unit":"sec",""" +
       onlyJson + s""""queries":$medians,"diag":$diag,$isoJson""" +
       calJson +
-      s""""gcsec":${math.min(999, math.round(gcTimedSec))},""" +
-      s""""warmsec":${math.min(999, math.round(warmSec))},""" +
+      s""""gc":${math.min(999, math.round(gcTimedSec))},""" +
+      s""""warm":${math.min(999, math.round(warmSec))},""" +
       fails + s""""sf":"$sfName"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)

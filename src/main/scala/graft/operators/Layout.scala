@@ -364,6 +364,14 @@ object Layout extends org.apache.spark.internal.Logging {
     * publishing fails loudly instead of writing into a generation that
     * is being renamed out from under it. ALL in-place maintenance ops
     * on a path serialize on this one lock.
+    *
+    * Cost boundary (measured, BENCH100_r13 layoutsplit): the merge's
+    * fixed overhead — touched-partition read, anti-join, checkpoint —
+    * beats a full rewrite only when the table dwarfs the touched
+    * fraction; at a 10 M-row / 30-partition fact the 2-day merge
+    * measured 4.5 s vs 2.2 s for the full rewrite, while the r11/r12
+    * merge-curve facts show the expected 0.32×-of-rewrite win. Below
+    * roughly executor-memory-sized tables, just rewrite.
     */
   def mergeInto(spark: SparkSession, path: String, updates: DataFrame,
                 partCol: String, key: String): Unit = {

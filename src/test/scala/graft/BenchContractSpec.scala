@@ -33,7 +33,9 @@ class BenchContractSpec extends AnyFunSuite {
     // impossible by construction — the floor the artifact must always
     // be able to carry is diag(1) + ≥3 iso slots + the r13 cal pair.
     // `only`/`reps`/empty `failed` are not emitted on clean full runs,
-    // `sf` is a basename.
+    // `sf` is a basename. r13 renamed gcsec/warmsec → gc/warm: q151
+    // left ONE byte of margin, and the rename buys 7 B so the next
+    // query additions don't hit the wall mid-round.
     val widths = Seq.fill(SparkEntry.all.size)("99.9")
     val medians = SparkEntry.all.zip(widths)
       .map { case (q, w) => "\"" + qid(q.name) + "\":" + w }.mkString("{", ",", "}")
@@ -43,7 +45,7 @@ class BenchContractSpec extends AnyFunSuite {
     val line = s"""{"metric":"total","value":590.0,"unit":"sec",""" +
       s""""queries":$medians,"diag":$diag,"iso":$iso,""" +
       s""""cal":[9.99,9.99],""" +
-      s""""gcsec":999,"warmsec":999,"sf":"sf0.1"}"""
+      s""""gc":999,"warm":999,"sf":"sf0.1"}"""
     assert(line.length <= 1918,
       s"bench JSON would be ${line.length} B; trim before the harness truncates it")
   }
