@@ -189,15 +189,21 @@ object Bench {
     val calEnabled = sfDir.split('/').filter(_.nonEmpty).lastOption.contains("sf0.1")
     def calPoint(): Option[Double] = if (!calEnabled) None else {
       val ratios = calFloors.flatMap { case (id, floor) =>
-        selected.find(q => q._1.takeWhile(_ != '_') == id).map { case (name, fn) =>
+        selected.find(q => q._1.takeWhile(_ != '_') == id).flatMap { case (name, fn) =>
           graft.operators.GraftCache.releaseAll()
           spark.catalog.clearCache()
           val t0 = System.nanoTime()
-          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          catch { case _: Throwable => () } // the timed pass reports failures
-          val r = ((System.nanoTime() - t0) / 1e9) / floor
-          System.err.println(f"[bench] cal $name ${r * floor}%.3f (ratio $r%.2f)")
-          r
+          val ok =
+            try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+            catch { case _: Throwable => false } // the timed pass reports failures
+          // a FAILED canary's time-to-failure is not a host measurement —
+          // emitting it (often fast) would fabricate a healthy-host verdict
+          if (!ok) { System.err.println(s"[bench] cal $name FAILED, dropped"); None }
+          else {
+            val r = ((System.nanoTime() - t0) / 1e9) / floor
+            System.err.println(f"[bench] cal $name ${r * floor}%.3f (ratio $r%.2f)")
+            Some(r)
+          }
         }
       }
       if (ratios.isEmpty) None else Some(ratios.sum / ratios.size)

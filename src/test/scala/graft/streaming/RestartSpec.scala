@@ -93,6 +93,74 @@ class RestartSpec extends AnyFunSuite with SparkFixture {
     assert(a.length == (b1 ++ b2 ++ b4).map(_._3).distinct.length)
   }
 
+  test("ingestTo restarted across a compact-and-swap merges into the NEW generation only") {
+    // the real maintenance cadence at restart granularity: ingest runs
+    // checkpointed, STOPS; the maintainer compacts-and-swaps the lake
+    // table while no query is live (the shared lock is free); ingest
+    // RESTARTS from its checkpoint and must (a) not re-deliver
+    // pre-swap batches into the fresh generation (foreachBatch batch-id
+    // log) and (b) merge the new micro-batch into the PUBLISHED
+    // generation, leaving the retired one byte-identical for draining
+    // readers.
+    import spark.implicits._
+    val (srcDir, ckpt) = (tmp("rst_lake_src"), tmp("rst_lake_ck"))
+    val table = tmp("rst_lake") + "/events"
+    val t0 = 1700000000000L
+    val day = 86400000L
+    def row(d: Int, id: Long, tpe: String) = (new Timestamp(t0 + d * day), id, tpe)
+    def ingestPhase(files: Seq[Seq[(Timestamp, Long, String)]]): Unit = {
+      files.foreach(addFile(srcDir, _))
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .select(col("doc_id").as("event_id"), col("text").as("event_type"),
+          to_date(col("ts")).as("event_date"))
+      val q = EventStream.ingestTo(stream, table, "event_date", "event_id", ckpt,
+        queryName = "graft_rst_lake")
+      try q.processAllAvailable() finally q.stop()
+    }
+    def contents(path: String): Set[(Long, String)] =
+      spark.read.parquet(path).select("event_id", "event_type")
+        .as[(Long, String)].collect().toSet
+    def listing(path: String): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(path)
+      java.nio.file.Files.walk(root).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map(p => root.relativize(p).toString ->
+          java.nio.file.Files.getLastModifiedTime(p).toMillis).toMap
+    }
+    // phase 1: two micro-batches over two days, then a clean stop
+    ingestPhase(Seq(
+      Seq(row(0, 1L, "click"), row(0, 2L, "view")),
+      Seq(row(1, 3L, "click"))))
+    val preSwap = contents(table)
+    assert(preSwap == Set((1L, "click"), (2L, "view"), (3L, "click")))
+    // maintainer turn between query lifetimes
+    val retired = graft.operators.Layout.compactAndSwap(spark, table, "event_date")
+    val retiredGen = listing(retired)
+    val newGen = listing(table)
+    // phase 2: restart from checkpoint — ONLY the new file processes
+    // (a re-delivered pre-swap batch would double day-1 rows), and the
+    // day-1 correction + day-3 insert land in the published generation
+    ingestPhase(Seq(Seq(row(0, 2L, "adjusted"), row(2, 4L, "view"))))
+    assert(contents(table) == Set(
+      (1L, "click"), (2L, "adjusted"), (3L, "click"), (4L, "view")),
+      s"post-restart merge diverged: ${contents(table)}")
+    // the untouched day (id 3's — t0+1day = 2023-11-15) of the NEW
+    // generation stayed byte-identical; day 0 legitimately rewrote
+    // (the correction) and a day-2 directory appeared (the insert)
+    val after = listing(table)
+    val day2Files = newGen.filter(_._1.contains("=2023-11-15"))
+    assert(day2Files.nonEmpty, "no untouched-day files — test is vacuous")
+    for ((f, m) <- day2Files)
+      assert(after.get(f).contains(m), s"untouched day rewritten: $f")
+    // the retired generation received NOTHING
+    assert(listing(retired) == retiredGen, "retired generation disturbed")
+    assert(contents(retired) == preSwap)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(table + ".compacting")), "lock leaked")
+  }
+
   test("maintainTo restarted from checkpoint converges the remote view to the batch aggregate") {
     import spark.implicits._
     spark.sql("CREATE NAMESPACE IF NOT EXISTS ext.rst")
