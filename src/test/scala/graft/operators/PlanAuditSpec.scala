@@ -555,6 +555,17 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert("HashAggregate|ObjectHashAggregate|SortAggregate".r.findAllIn(p).nonEmpty, p)
   }
 
+  test("q109: the 8-table star is all-broadcast — the fact never sort/shuffle-joins") {
+    val p = plan("q109_tpch_q8")
+    // r13: the EUROPE-customer gate semi-reduces ORDERS before the fact
+    // join (no customer column is projected, c_custkey unique ⇒ the
+    // inner joins were a semi filter), so every join on the lineitem
+    // path broadcasts — measured 5.29 → 3.21 s at 100×
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"q109 fact path shuffles:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 5, p)
+  }
+
   test("q151: PCA projection is join-free — the basis rides as literals into codegen'd qdot") {
     val p = plan("q151_pca_project")
     // the projection pass must NOT join the corpus against the
