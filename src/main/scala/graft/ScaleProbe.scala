@@ -646,6 +646,8 @@ object ScaleProbe {
           .limit(100)
       }
       def q109c(cents: String, dir: String): DataFrame = {
+        // mirrors the committed q109's r13 all-broadcast star: orders
+        // semi-reduced through the customer/region gate before the fact
         val vol4 = col("l_extendedprice_c") * (lit(100L) - col("l_discount_c"))
         val custNation = Tables.load(spark, dir, "nation")
           .join(broadcast(Tables.load(spark, dir, "region")
@@ -654,18 +656,21 @@ object ScaleProbe {
           .select(col("n_nationkey").as("cnk"))
         val suppNation = Tables.load(spark, dir, "nation")
           .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+        val eurCust = Tables.load(spark, dir, "customer")
+          .join(broadcast(custNation), col("c_nationkey") === col("cnk"))
+          .select("c_custkey")
+        val o2 = Tables.load(spark, dir, "orders")
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+            col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+          .join(broadcast(eurCust), col("o_custkey") === col("c_custkey"), "left_semi")
+          .select("o_orderkey", "o_orderdate")
         li(cents)
           .select("l_orderkey", "l_partkey", "l_suppkey",
             "l_extendedprice_c", "l_discount_c")
           .join(broadcast(Tables.load(spark, dir, "part")
             .filter(col("p_type") === "ECONOMY")),
             col("p_partkey") === col("l_partkey"))
-          .join(Tables.load(spark, dir, "orders")
-            .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
-              col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00"))),
-            col("o_orderkey") === col("l_orderkey"))
-          .join(Tables.load(spark, dir, "customer"), col("c_custkey") === col("o_custkey"))
-          .join(broadcast(custNation), col("c_nationkey") === col("cnk"))
+          .join(o2, col("o_orderkey") === col("l_orderkey"))
           .join(broadcast(Tables.load(spark, dir, "supplier")),
             col("s_suppkey") === col("l_suppkey"))
           .join(broadcast(suppNation), col("s_nationkey") === col("snk"))
