@@ -49,7 +49,12 @@ def main():
         if args[i] == "--sql":
             jobs.append((f"sql{len(jobs)}", args[i + 1])); i += 2
         else:
+            if args[i] not in oracles:
+                sys.exit(f"unknown query '{args[i]}' in {oracle_path}; "
+                         f"available: {', '.join(sorted(oracles)) or '(none)'}")
             jobs.append((args[i], oracles[args[i]])); i += 1
+    if REPS < 1:
+        sys.exit(f"GRAFT_DUCK_REPS must be >= 1 (got {REPS})")
     out = {}
     for name, sql in jobs:
         best = None

@@ -280,10 +280,13 @@ object Bench {
       s
     }
     def f1(v: Double): String = "%.1f".formatLocal(Locale.ROOT, v)
+    // position-stable (ADVICE r13): a lone point must say WHICH end it
+    // measured, so the missing end renders as an explicit null instead
+    // of an ambiguous one-element array
     val calJson = (calStart, calEnd) match {
-      case (Some(a), Some(b)) => "\"cal\":[" + fq(a) + "," + fq(b) + "],"
-      case (Some(a), None) => "\"cal\":[" + fq(a) + "],"
-      case _ => ""
+      case (None, None) => ""
+      case (a, b) =>
+        "\"cal\":[" + a.fold("null")(fq) + "," + b.fold("null")(fq) + "],"
     }
     // Keys are the leading qNN id (unique across the suite; full names are
     // in BASELINE.md) — the full-name map alone is ~1.8 KB and the
@@ -355,9 +358,16 @@ object Bench {
     // artifact — the uniform-slowdown case the first trigger misses).
     val flaggedStall = results
       .filter(r => r._2 > 2 * r._3 && r._2 - r._3 > 0.5).sortBy(-_._2)
-    val regressed = results.filter { r =>
-      prevMedians.get(qid(r._1)).exists(p => r._2 > 2 * p && r._2 - p > 0.5)
-    }.sortBy(-_._2)
+    // regressions rank by RATIO vs the previous round, not absolute
+    // median (r13 verdict item 1): when the byte budget is tight the
+    // slots must go to the LARGEST unexplained inflations (a 4.8× on a
+    // 0.5 s query) before a 2× on a big one — stall-flagged entries
+    // already carry diag evidence, regressions carry nothing without iso
+    val regressed = results.flatMap { r =>
+      prevMedians.get(qid(r._1)).collect {
+        case p if r._2 > 2 * p && r._2 - p > 0.5 => (r, r._2 / p)
+      }
+    }.sortBy(-_._2).map(_._1)
     val isoCandidates = (flaggedStall ++ regressed).map(_._1).distinct
     // The iso entry count is BYTE-BUDGETED, not fixed: the collector
     // keeps ~1918 B of line, and the rest of the line is fully known

@@ -19,6 +19,12 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * lengths, no null elements — guaranteed by
   * [[graft.operators.EmbeddingLsh.quantize]]): null array in → null out,
   * and length mismatch folds over the common prefix.
+  *
+  * Overflow is LOUD, not wrapping: the accumulator uses
+  * `Math.multiplyExact`/`addExact` (HotSpot intrinsics — an untaken
+  * branch in the hot loop), so an out-of-bound corpus throws
+  * ArithmeticException exactly where the DuckDB oracle's BIGINT
+  * multiply errors — symmetric failure on both engines (ADVICE r13).
   */
 case class QDot(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -42,7 +48,7 @@ object QDot {
     var acc = 0L
     var i = 0
     while (i < n) {
-      acc += x.getLong(i) * y.getLong(i)
+      acc = Math.addExact(acc, Math.multiplyExact(x.getLong(i), y.getLong(i)))
       i += 1
     }
     acc

@@ -446,9 +446,16 @@ object Layout extends org.apache.spark.internal.Logging {
     * default, never overridden — fails the sum loudly past it, and the
     * caller's fallback is a DECIMAL(38,0) sum of the same exact
     * integers.
+    *
+    * Ordering: `files > 0` round-robins (`repartition(files)`), which
+    * DESTROYS any clustering the caller's frame carried — zone maps and
+    * blooms over a cents table that must stay clustered need
+    * `clusterCols`, which routes through `repartitionByRange` +
+    * `sortWithinPartitions` instead (same file-count knob, order kept).
     */
   def centsWrite(df: DataFrame, moneyCols: Seq[String], out: String,
-                 files: Int = 0, blockBytes: Long = 0L): Unit = {
+                 files: Int = 0, blockBytes: Long = 0L,
+                 clusterCols: Seq[String] = Nil): Unit = {
     val projected = df.select(df.columns.toIndexedSeq.map { c =>
       if (moneyCols.contains(c))
         (col(c).cast(org.apache.spark.sql.types.DecimalType(18, 2)) * lit(100))
@@ -462,7 +469,12 @@ object Layout extends org.apache.spark.internal.Logging {
     // one task). Defaults keep the input partitioning and parquet's
     // block default: gate-scale writes don't care, curated rewrites at
     // scale should pass explicit values sized executors × cores.
-    val arranged = if (files > 0) projected.repartition(files) else projected
+    val arranged =
+      if (files > 0 && clusterCols.nonEmpty)
+        projected.repartitionByRange(files, clusterCols.map(col): _*)
+          .sortWithinPartitions(clusterCols.map(col): _*)
+      else if (files > 0) projected.repartition(files)
+      else projected
     var w = arranged.write.mode("overwrite")
     if (blockBytes > 0) w = w.option("parquet.block.size", blockBytes.toString)
     w.parquet(out)
@@ -558,8 +570,9 @@ object Layout extends org.apache.spark.internal.Logging {
       // but an in-process exception has fully rolled back (or, on the
       // double-rename failure above, left a forward-recoverable state
       // whose recovery the NEXT call performs under its own lock) —
-      // holding the lock would just block that retry
-      fs.delete(lock, false)
+      // holding the lock would just block that retry; release through the
+      // same loud path as success so a failed delete is logged here too
+      releaseMaintenanceLock(fs, lock)
       throw e
     }
   }

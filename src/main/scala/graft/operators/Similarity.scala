@@ -1069,7 +1069,10 @@ object Similarity {
     * Exact int64 end to end: score = Σᵢ qᵢ·pcᵢ in the quantized units
     * (q is ×100, pc is ×scale ⇒ score is ×100·scale of the true
     * projection) — |score| ≤ d·max|q|·2·scale ≈ 5×10¹² at the testdata
-    * magnitudes, ANSI-loud past int64. Listwise deletion like every
+    * magnitudes, and [[graft.functions.QDot]] throws on int64 overflow
+    * (Math.multiplyExact/addExact) exactly where the DuckDB oracle's
+    * BIGINT multiply errors — symmetric loud failure, runtime-enforced
+    * (ADVICE r13). Listwise deletion like every
     * Gram-family op: a vector with ANY null component gets no scores.
     *
     * Plan shape: [[principalComponents]] is ONE distributed corpus

@@ -135,17 +135,43 @@ object EventStream {
     * maintenance at 100 TB/day. [[graft.operators.Layout.compactPartitioned]]
     * is the periodic companion pass when many small merges fragment a
     * hot partition.
+    *
+    * Lock contention (ADVICE r13): a micro-batch that fires while
+    * [[graft.operators.Layout.compactAndSwap]] holds the shared
+    * maintenance lock must NOT fail the streaming query permanently —
+    * a swap is seconds long and the ingest would otherwise need a
+    * restart-from-checkpoint for a routine maintenance overlap. The
+    * merge retries on lock contention with linear backoff, bounded at
+    * `lockWaitMs` total (default 60 s — generously past any swap; a
+    * lock STILL held then is a crashed maintainer, which is exactly
+    * when failing the query loudly is right).
     */
   def ingestTo(updates: DataFrame, path: String, partCol: String,
       key: String, checkpointDir: String,
-      queryName: String = "graft_lake_ingest"): StreamingQuery =
+      queryName: String = "graft_lake_ingest",
+      lockWaitMs: Long = 60000L): StreamingQuery =
     updates.writeStream
       .outputMode(OutputMode.Append)
       .queryName(queryName)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.Layout.mergeInto(
-          batch.sparkSession, path, batch, partCol, key)
+        val deadline = System.nanoTime() + lockWaitMs * 1000000L
+        var delay = 250L
+        var done = false
+        while (!done) {
+          try {
+            graft.operators.Layout.mergeInto(
+              batch.sparkSession, path, batch, partCol, key)
+            done = true
+          } catch {
+            case e: IllegalStateException
+                if e.getMessage != null &&
+                  e.getMessage.startsWith("maintenance lock") &&
+                  System.nanoTime() < deadline =>
+              Thread.sleep(math.min(delay, 2000L))
+              delay += 250L
+          }
+        }
       }
       .start()
 
