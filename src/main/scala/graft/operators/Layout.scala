@@ -837,6 +837,117 @@ object Layout extends org.apache.spark.internal.Logging {
           (money(sum(col("l_quantity_c")), 2) / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
+    },
+    /* q152: the CENTS layout under a broadcast STAR — TPC-H Q17 over a
+     * curated cents lineitem vs the unmodified declared-DECIMAL oracle
+     * on the ORIGINAL table (q148's discipline extended to a join
+     * query; r13 verdict item 4 promotes the BENCH100 probe variant,
+     * 1×-signature-asserted there, to a driver-oracled gate). The
+     * threshold compare is pure int64 — `quantity_c·5·cnt < sq_c` is
+     * the declared decimal compare with BOTH sides scaled by 100, so
+     * row selection is exact; the money output is one exact decimal
+     * division then a single double rounding, identical to summing the
+     * declared DECIMAL(18,2) and casting. Plan shape mirrors the
+     * committed q102: part and the part-bounded stats frame broadcast,
+     * the fact never shuffles. */
+    Q("q152_cents_tpch_q17",
+      "SELECT p_brand, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price, " +
+        "COUNT(*) AS n " +
+        "FROM lineitem JOIN part ON p_partkey = l_partkey " +
+        "JOIN (SELECT l_partkey AS pk, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sq, " +
+        "COUNT(*) AS cnt FROM lineitem GROUP BY 1) s ON pk = l_partkey " +
+        "WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt < sq " +
+        "GROUP BY p_brand ORDER BY p_brand") { (s, dir) =>
+      val out = gateDir(dir, "lineitem_cents_q17")
+      centsWrite(
+        Tables.load(s, dir, "lineitem")
+          .select("l_partkey", "l_quantity", "l_extendedprice"),
+        Seq("l_quantity", "l_extendedprice"), out)
+      val l = GraftCache.track(s.read.parquet(out))
+      val stats = l.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("l_quantity_c")).as("sq"), count(lit(1)).as("cnt"))
+      l.join(broadcast(Tables.load(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(stats), col("pk") === col("l_partkey"))
+        .filter(col("l_quantity_c") * 5 * col("cnt") < col("sq"))
+        .groupBy("p_brand")
+        .agg(centsMoney(sum(col("l_extendedprice_c")), 2).as("total_price"),
+          count(lit(1)).as("n"))
+        .orderBy("p_brand")
+    },
+    /* q153: the CENTS layout under the 8-table all-broadcast star —
+     * TPC-H Q8 over a curated cents lineitem vs the declared-DECIMAL
+     * oracle on the original tables (r13 verdict item 4, second row).
+     * vol rides as the exact scale-4 cents product
+     * `extprice_c·(100−disc_c)`; numerator and denominator each take
+     * ONE decimal division + ONE double rounding — exactly the values
+     * the DECIMAL(18,4) sums cast to double produce — and their IEEE
+     * division is the same single FP step as the committed q109. The
+     * plan mirrors q109's r13 all-broadcast star: orders semi-reduced
+     * through the customer/region gate BEFORE touching the cents
+     * fact. */
+    Q("q153_cents_tpch_q8",
+      "SELECT o_year, " +
+        "CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) / " +
+        "CAST(SUM(vol) AS DOUBLE) AS mkt_share FROM (" +
+        "SELECT EXTRACT(year FROM o_orderdate)::BIGINT AS o_year, " +
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS vol, " +
+        "n2.n_name AS supp_nation " +
+        "FROM part JOIN lineitem ON p_partkey = l_partkey " +
+        "JOIN supplier ON s_suppkey = l_suppkey " +
+        "JOIN orders ON o_orderkey = l_orderkey " +
+        "JOIN customer ON c_custkey = o_custkey " +
+        "JOIN nation n1 ON c_nationkey = n1.n_nationkey " +
+        "JOIN region ON n1.n_regionkey = r_regionkey " +
+        "JOIN nation n2 ON s_nationkey = n2.n_nationkey " +
+        "WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY' " +
+        "AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' " +
+        "AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00') t " +
+        "GROUP BY o_year ORDER BY o_year") { (s, dir) =>
+      val out = gateDir(dir, "lineitem_cents_q8")
+      centsWrite(
+        Tables.load(s, dir, "lineitem").select("l_orderkey", "l_partkey",
+          "l_suppkey", "l_extendedprice", "l_discount"),
+        Seq("l_extendedprice", "l_discount"), out)
+      val vol4 = col("l_extendedprice_c") * (lit(100L) - col("l_discount_c"))
+      val custNation = Tables.load(s, dir, "nation")
+        .join(broadcast(Tables.load(s, dir, "region")
+          .filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey").as("cnk"))
+      val suppNation = Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+      val eurCust = Tables.load(s, dir, "customer")
+        .join(broadcast(custNation), col("c_nationkey") === col("cnk"))
+        .select("c_custkey")
+      val o2 = Tables.load(s, dir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+        .join(broadcast(eurCust), col("o_custkey") === col("c_custkey"), "left_semi")
+        .select("o_orderkey", "o_orderdate")
+      s.read.parquet(out)
+        .join(broadcast(Tables.load(s, dir, "part")
+          .filter(col("p_type") === "ECONOMY")),
+          col("p_partkey") === col("l_partkey"))
+        .join(o2, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.load(s, dir, "supplier")),
+          col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(suppNation), col("s_nationkey") === col("snk"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(centsMoney(sum(when(col("supp_nation") === "NATION_3", vol4)
+            .otherwise(lit(0L))), 4).as("num"),
+          centsMoney(sum(vol4), 4).as("den"))
+        .select(col("o_year"), (col("num") / col("den")).as("mkt_share"))
+        .orderBy("o_year")
     }
   )
+
+  /** Exact cents→money finish shared by the cents gates: int64 cents
+    * sum → ONE exact DECIMAL(38,0) division by 10^scale → ONE double
+    * rounding — the same value the declared DECIMAL sum's double cast
+    * produces (q148's discipline).
+    */
+  private def centsMoney(sum6: Column, scale: Int): Column =
+    (sum6.cast(org.apache.spark.sql.types.DecimalType(38, 0)) /
+      lit(math.pow(10, scale).toLong)).cast("double")
 }

