@@ -1077,21 +1077,55 @@ object ScaleProbe {
       val writeSec = timed(
         operators.Layout.partitionedWrite(frame, "event_date", table))
       // corrections derived from the table itself (the self-referential
-      // update case: mergeInto's checkpoint must sever this lineage too)
-      val updates = spark.read.parquet(table)
-        .filter(col("event_date").between(
-          to_date(lit("2024-01-10")), to_date(lit("2024-01-11"))))
-        .withColumn("value", col("value") + lit(1.0))
-      val updRows = updates.count()
-      val mergeSec = timed(
-        operators.Layout.mergeInto(spark, table, updates,
-          "event_date", "event_id"))
-      val days = spark.read.parquet(table).select("event_date")
-        .distinct().count()
+      // update case: mergeInto's checkpoint must sever this lineage too).
+      // SPARK_GRAFT_MERGE_DAYS (default "2") sweeps the touched-day
+      // count — the r14 adaptive-fallback A/B: at which touched SHARE
+      // does the surgical merge stop beating a staged full rewrite of
+      // the merged frame? Each sweep point restores the table first
+      // (full rewrite of the pristine frame, untimed) so merges never
+      // compound.
+      val allDays = spark.read.parquet(table).select("event_date")
+        .distinct().orderBy("event_date")
+        .collect().map(_.getDate(0)) // 30 values — driver-tier
+      val sweep = sys.env.getOrElse("SPARK_GRAFT_MERGE_DAYS", "2")
+        .split(',').map(_.trim.toInt).toSeq
+      val pristine = frame.localCheckpoint()
+      val points = sweep.map { nDays =>
+        if (nDays != sweep.head) // restore between points
+          operators.Layout.partitionedWrite(pristine, "event_date", table)
+        // materialized: the update set must survive the table restore
+        // between the two timed paths (a lazy plan pins the ORIGINAL
+        // file listing, which the restore replaces), and q145's rule —
+        // update-set derivation cost is the caller's, not the merge's
+        val updates = spark.read.parquet(table)
+          .filter(col("event_date").isInCollection(
+            allDays.take(nDays).toIndexedSeq))
+          .withColumn("value", col("value") + lit(1.0))
+          .localCheckpoint()
+        val updRows = updates.count()
+        val mergeSec = timed(
+          operators.Layout.mergeInto(spark, table, updates,
+            "event_date", "event_id"))
+        // the fallback's true cost at this share: anti-join + staged
+        // full write of the merged frame (no checkpoint, no dynamic
+        // commit) — what Layout.mergeInto's rewrite path runs
+        operators.Layout.partitionedWrite(pristine, "event_date", table)
+        val rewriteSec = timed(
+          operators.Layout.mergeInto(spark, table, updates,
+            "event_date", "event_id", rewriteShare = 0.0))
+        System.err.println(f"[scaleprobe] merge days=$nDays upd=$updRows " +
+          f"merge=$mergeSec%.3f rewrite=$rewriteSec%.3f")
+        (nDays, updRows, mergeSec, rewriteSec)
+      }
+      val days = allDays.length
       // scalastyle:off println
+      val sweepJson = points.map { case (d, u, m, w) =>
+        f""""d$d":{"update_rows":$u,"merge_sec":$m%.3f,"rewrite_sec":$w%.3f}"""
+      }.mkString(",")
       println(f"""{"op":"merge","factor":$factor,"rows":$rows,""" +
-        f""""sec":$mergeSec%.3f,"full_write_sec":$writeSec%.3f,""" +
-        f""""update_rows":$updRows,"days_touched":2,"days_total":$days}""")
+        f""""sec":${points.head._3}%.3f,"full_write_sec":$writeSec%.3f,""" +
+        f""""update_rows":${points.head._2},"days_touched":${points.head._1},""" +
+        f""""days_total":$days,"sweep":{$sweepJson}}""")
       // scalastyle:on println
       spark.stop()
       Seq(table, warm).map(d => java.nio.file.Paths.get(d).getParent.toString)

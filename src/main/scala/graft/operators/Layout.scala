@@ -372,9 +372,28 @@ object Layout extends org.apache.spark.internal.Logging {
     * measured 4.5 s vs 2.2 s for the full rewrite, while the r11/r12
     * merge-curve facts show the expected 0.32×-of-rewrite win. Below
     * roughly executor-memory-sized tables, just rewrite.
+    *
+    * Adaptive fallback (r13 verdict item 5): when the touched-partition
+    * SHARE (touched dirs / total partition dirs — a manifest-sized
+    * driver count, no value parsing) exceeds `rewriteShare`, the
+    * surgical path stops paying — its localCheckpoint (a full extra
+    * write+read of the touched data, needed only to sever the
+    * read-overwrite cycle of the in-place dynamic commit) approaches
+    * the cost of simply writing the whole merged table once. Past the
+    * threshold the merge runs OUT OF PLACE instead: anti-join + union
+    * over the FULL table (no touched filter, no checkpoint — staging
+    * is not the read path), `partitionedWrite` to `<path>.merge-staging`,
+    * then the compactAndSwap rename pair under the SAME maintenance
+    * lock already held. Result rows are identical either path
+    * (ZOrderSpec pins it); what the fallback trades away is the
+    * untouched-dirs-byte-identical property — callers above the
+    * threshold rewrote (almost) everything anyway. Default threshold
+    * from the r14 sweep (BASELINE "merge crossover"): the surgical
+    * path's advantage inverts past ~half the partitions touched.
     */
   def mergeInto(spark: SparkSession, path: String, updates: DataFrame,
-                partCol: String, key: String): Unit = {
+                partCol: String, key: String,
+                rewriteShare: Double = MergeRewriteShare): Unit = {
     val touched = updates.select(col(partCol)).distinct().collect()
       .map(_.get(0))
     if (touched.isEmpty) return
@@ -392,13 +411,48 @@ object Layout extends org.apache.spark.internal.Logging {
         partitionedWrite(updates, partCol, path)
         return
       }
-      val existing = spark.read.parquet(path)
-        .filter(col(partCol).isInCollection(touched.toIndexedSeq))
+      val totalParts = fs.listStatus(hPath).count(st =>
+        st.isDirectory && st.getPath.getName.startsWith(partCol + "="))
+      val share =
+        if (totalParts == 0) 1.0 else touched.length.toDouble / totalParts
+      // updates may introduce NEW partitions (share can exceed 1);
       // anti-join on (key, partCol), not key alone: the contract says key
       // identifies a row WITHIN its partition, so when updates touch ≥2
       // partitions a key value repeating across them must only displace
       // the row in ITS OWN partition — a key-only anti-join would silently
       // delete the same-key row in the other touched partition
+      if (share > rewriteShare) {
+        val merged = spark.read.parquet(path)
+          .join(updates.select(col(key), col(partCol)), Seq(key, partCol), "left_anti")
+          .unionByName(updates)
+        def p(s: String) = new org.apache.hadoop.fs.Path(s)
+        val staged = path + ".merge-staging"
+        if (fs.exists(p(staged))) fs.delete(p(staged), true) // crash orphan
+        partitionedWrite(merged, partCol, staged)
+        require(fs.exists(p(staged + "/_SUCCESS")),
+          s"mergeInto: $staged has no _SUCCESS marker after the rewrite")
+        val retired = path + ".retired-" + System.nanoTime()
+        if (!fs.rename(hPath, p(retired)))
+          throw new IllegalStateException(s"mergeInto: cannot retire $path")
+        if (!fs.rename(p(staged), hPath)) {
+          // compactAndSwap's rollback discipline: put the old table back,
+          // and if even that fails say the live name is ABSENT with the
+          // forward-recovery state named
+          if (!fs.rename(p(retired), hPath))
+            throw new IllegalStateException(
+              s"mergeInto: cannot publish $staged AND cannot roll " +
+                s"$retired back — live $path is ABSENT; the complete " +
+                s"merged generation is at $staged (old data at $retired)")
+          throw new IllegalStateException(s"mergeInto: cannot publish $staged")
+        }
+        // in-place contract: the surgical path deletes replaced files at
+        // commit too, so the retired generation is reaped immediately
+        // rather than returned for draining
+        fs.delete(p(retired), true)
+        return
+      }
+      val existing = spark.read.parquet(path)
+        .filter(col(partCol).isInCollection(touched.toIndexedSeq))
       val merged = existing
         .join(updates.select(col(key), col(partCol)), Seq(key, partCol), "left_anti")
         .unionByName(updates)
@@ -414,6 +468,14 @@ object Layout extends org.apache.spark.internal.Logging {
       // unchanged — only a CRASH (which skips finally) holds the lock
     } finally releaseMaintenanceLock(fs, lock)
   }
+
+  /** Default [[mergeInto]] fallback threshold — see BASELINE
+    * "merge crossover" (r14 sweep, 10 M-row / 30-partition events at
+    * 100×): surgical merge wins through share 0.50 (1.67 vs 2.33 s),
+    * ties at 0.60 (2.74 vs 2.71), loses at 0.67 (2.75 vs 2.46) and
+    * 0.73 (2.39 vs 2.18) — the crossover is the tie point.
+    */
+  val MergeRewriteShare: Double = 0.6
 
   /** Partition-preserving compaction: rewrite a fragmented
     * date-partitioned table to one file per (task, date) — the

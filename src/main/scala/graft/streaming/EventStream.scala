@@ -160,8 +160,16 @@ object EventStream {
         var done = false
         while (!done) {
           try {
+            // surgical path PINNED (rewriteShare = ∞): ingest's contract
+            // is partition-scoped — untouched date dirs byte-identical
+            // across micro-batches (the restart/idempotence arguments
+            // lean on it), and a young table's early batches routinely
+            // exceed any share threshold (new-day partitions count as
+            // touched). Full rewrites are the maintenance pass's job
+            // (compactAndSwap), not the ingest seam's.
             graft.operators.Layout.mergeInto(
-              batch.sparkSession, path, batch, partCol, key)
+              batch.sparkSession, path, batch, partCol, key,
+              rewriteShare = Double.PositiveInfinity)
             done = true
           } catch {
             case e: IllegalStateException

@@ -371,6 +371,61 @@ class ZOrderSpec extends AnyFunSuite with SparkFixture {
     assert(sig(got) == sig(expect))
   }
 
+  test("mergeInto adaptive fallback: identical rows either path, fallback past the share threshold, lock + staging cleaned") {
+    // r13 verdict item 5: above MergeRewriteShare the surgical
+    // dynamic-overwrite merge yields to an out-of-place staged rewrite
+    // + swap. The CONTENT contract must be path-independent.
+    import org.apache.spark.sql.DataFrame
+    val rows = (1L to 400L).map(k => (k, (k % 4).toInt, s"v$k"))
+    val updates = spark.createDataFrame(
+      (1L to 300L).filter(_ % 2 == 0).map(k => (k, (k % 4).toInt, "upd"))
+        .appended((9001L, 1, "new")))
+      .toDF("k", "p", "s")
+      // touches p ∈ {0,1,2,3}? evens cover 0,2 and odd-partition evens…
+      .filter(col("p").isin(0, 1, 2)) // 3 of 4 partitions → share 0.75 > 0.6
+    def freshTable(): String = {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_mergeadapt").toString + "/t"
+      Layout.partitionedWrite(
+        spark.createDataFrame(rows).toDF("k", "p", "s"), "p", out)
+      out
+    }
+    def sig(df: DataFrame) = df
+      .agg(count(lit(1)), sum(col("k")),
+        sum(xxhash64(col("k"), col("p"), col("s")).cast("decimal(38,0)")))
+      .head()
+    val surgical = freshTable()
+    Layout.mergeInto(spark, surgical, updates, "p", "k", rewriteShare = 2.0)
+    val fallback = freshTable()
+    val beforeUntouched = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(java.nio.file.Paths.get(fallback, "p=3"))
+        .iterator().asScala.map(_.getFileName.toString).toSet
+    }
+    Layout.mergeInto(spark, fallback, updates, "p", "k") // default 0.6 → rewrite path
+    // both paths: identical content
+    assert(sig(spark.read.parquet(surgical)) == sig(spark.read.parquet(fallback)),
+      "adaptive fallback diverged from the surgical merge")
+    // the fallback really took the rewrite path: even the untouched p=3
+    // directory carries fresh files (the staged generation replaced all)
+    val afterUntouched = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(java.nio.file.Paths.get(fallback, "p=3"))
+        .iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toSet
+    }
+    assert(afterUntouched.nonEmpty && beforeUntouched.intersect(afterUntouched).isEmpty,
+      "fallback did not rewrite — the share trigger never fired")
+    // hygiene: lock released, no staging or retired generation left
+    val parent = java.nio.file.Paths.get(fallback).getParent
+    import scala.jdk.CollectionConverters._
+    val leftovers = java.nio.file.Files.list(parent).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.contains(".compacting") || n.contains(".merge-staging") ||
+        n.contains(".retired-")).toSeq
+    assert(leftovers.isEmpty, s"fallback left $leftovers behind")
+  }
+
   test("compactAndSwap publishes atomically: content hash unchanged, files collapsed, retired generation drains") {
     val dir = "/root/testdata/sf0.001"
     val ev = graft.Tables.load(spark, dir, "events")
