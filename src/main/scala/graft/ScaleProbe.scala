@@ -605,8 +605,10 @@ object ScaleProbe {
           .orderBy(desc("revenue"), col("n_name"))
       }
       def q102c(cents: String, dir: String): DataFrame = {
-        val l = operators.GraftCache.track(li(cents)
-          .select("l_partkey", "l_quantity_c", "l_extendedprice_c"))
+        // no cache: the r14 starprof A/B (rescan beats cache-build on
+        // both layouts at 100×; mirrors the committed q102)
+        val l = li(cents)
+          .select("l_partkey", "l_quantity_c", "l_extendedprice_c")
         val stats = l.groupBy(col("l_partkey").as("pk"))
           .agg(sum(col("l_quantity_c")).as("sq"), count(lit(1)).as("cnt"))
         // the threshold compare is pure int64: quantity_c*5*cnt < sq is
@@ -748,6 +750,271 @@ object ScaleProbe {
       (if (pinned.isEmpty) Seq(centsDir, warmDir) else Seq(warmDir))
         .foreach(cleanupDir)
       cleanupScaledUnlessPinned(scaledDir)
+      return
+    }
+    // Star-join decomposition over a PINNED N× cents layout (r14,
+    // verdict item 3): on identical cents files DuckDB beats Spark 3–5×
+    // on the broadcast stars (q14/q102/q109) while Spark wins the q08
+    // window — so the gap is the star execution path, not scan floor.
+    // This arm answers WHERE the seconds go: scan floor alone, the
+    // orders reduction pass alone, the committed shape, and
+    // semantics-preserving re-plans (single composed probe on the fact,
+    // cache-vs-rescan for q102's double read, composed supplier dim for
+    // q109, a shuffle-hash control). Every variant's result is
+    // signature-compared against the committed shape AT THIS SCALE
+    // before anything is timed. Two timed reps per variant (cold:
+    // caches cleared), both emitted — read them against the host-phase
+    // protocol band.
+    if (op == "starprof") {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BCAST", (128L << 20).toString))
+      val scaledDir = sys.env.getOrElse("SPARK_GRAFT_SCALED_DIR",
+        sys.error("starprof needs SPARK_GRAFT_SCALED_DIR (a built N× dataset)"))
+      val cents = sys.env.getOrElse("SPARK_GRAFT_CENTSREL_DIR",
+        sys.error("starprof needs SPARK_GRAFT_CENTSREL_DIR (a built cents layout)"))
+      def li: DataFrame = spark.read.parquet(s"$cents/lineitem_cents")
+      def m(s6: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column =
+        (s6.cast(org.apache.spark.sql.types.DecimalType(38, 0)) /
+          lit(math.pow(10, scale).toLong)).cast("double")
+      val rows = li.count()
+      // ---- q14 family ----
+      def dims14: DataFrame = Tables.load(spark, scaledDir, "customer")
+        .join(broadcast(Tables.load(spark, scaledDir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.load(spark, scaledDir, "region")
+          .filter(col("r_name").isin("ASIA", "EUROPE"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .select("c_custkey", "n_name")
+      def ord14: DataFrame = Tables.load(spark, scaledDir, "orders")
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+      def o2_14: DataFrame = ord14
+        .join(broadcast(dims14), col("o_custkey") === col("c_custkey"), "left_semi")
+        .select("o_orderkey", "o_custkey")
+      val rev4 = col("l_extendedprice_c") * (lit(100L) - col("l_discount_c"))
+      def q14committed: DataFrame =
+        li.select("l_orderkey", "l_extendedprice_c", "l_discount_c")
+          .join(o2_14, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(dims14), col("o_custkey") === col("c_custkey"))
+          .groupBy("n_name")
+          .agg(m(sum(rev4), 4).as("revenue"))
+          .orderBy(desc("revenue"), col("n_name"))
+      def q14single: DataFrame = {
+        // ONE fact probe: orders tagged with n_name through the same
+        // broadcast dim chain (inner ≡ semi here — c_custkey unique),
+        // composed o3 = (o_orderkey, n_name) broadcast EXPLICITLY (its
+        // Catalyst estimate is join-product-inflated; the true size is
+        // ≤ the 12% orders survivor set — fact-bounded, so this variant
+        // is a measurement, not automatically the committed plan)
+        val o3 = ord14
+          .join(broadcast(dims14), col("o_custkey") === col("c_custkey"))
+          .select("o_orderkey", "n_name")
+        li.select("l_orderkey", "l_extendedprice_c", "l_discount_c")
+          .join(broadcast(o3), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("n_name")
+          .agg(m(sum(rev4), 4).as("revenue"))
+          .orderBy(desc("revenue"), col("n_name"))
+      }
+      def q14shj: DataFrame =
+        li.select("l_orderkey", "l_extendedprice_c", "l_discount_c")
+          .join(o2_14.hint("SHUFFLE_HASH"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(dims14), col("o_custkey") === col("c_custkey"))
+          .groupBy("n_name")
+          .agg(m(sum(rev4), 4).as("revenue"))
+          .orderBy(desc("revenue"), col("n_name"))
+      // int-coded grouping: hash-aggregate 60M rows on the nation KEY
+      // (long) instead of its name (string), recover names post-agg
+      // from a 25-row broadcast — isolates string-hash cost in the agg
+      def dims14i: DataFrame = Tables.load(spark, scaledDir, "customer")
+        .join(broadcast(Tables.load(spark, scaledDir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.load(spark, scaledDir, "region")
+          .filter(col("r_name").isin("ASIA", "EUROPE"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"), col("n_nationkey").as("nk"))
+      def q14intgroup: DataFrame =
+        li.select("l_orderkey", "l_extendedprice_c", "l_discount_c")
+          .join(o2_14, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(dims14i), col("o_custkey") === col("c_custkey"))
+          .groupBy("nk")
+          .agg(m(sum(rev4), 4).as("revenue"))
+          .join(broadcast(Tables.load(spark, scaledDir, "nation")
+            .select(col("n_nationkey").as("nk"), col("n_name"))), Seq("nk"))
+          .select("n_name", "revenue")
+          .orderBy(desc("revenue"), col("n_name"))
+      // single composed probe AND int grouping together
+      def q14best: DataFrame = {
+        val o3 = ord14
+          .join(broadcast(dims14i), col("o_custkey") === col("c_custkey"))
+          .select(col("o_orderkey"), col("nk"))
+        li.select("l_orderkey", "l_extendedprice_c", "l_discount_c")
+          .join(broadcast(o3), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("nk")
+          .agg(m(sum(rev4), 4).as("revenue"))
+          .join(broadcast(Tables.load(spark, scaledDir, "nation")
+            .select(col("n_nationkey").as("nk"), col("n_name"))), Seq("nk"))
+          .select("n_name", "revenue")
+          .orderBy(desc("revenue"), col("n_name"))
+      }
+      // broadcast-BUILD cost in isolation: compute o2 and build its
+      // broadcast hash relation against a 1-row probe — the driver
+      // collect + LongHashedRelation build + send, with no fact scan
+      def q14bbuild: DataFrame = spark.range(1)
+        .select(lit(-1L).as("o_orderkey"))
+        .join(broadcast(o2_14), Seq("o_orderkey"), "left")
+        .agg(count(lit(1)).as("n"))
+      // ---- q102 family ----
+      def q102of(l: DataFrame): DataFrame = {
+        val stats = l.groupBy(col("l_partkey").as("pk"))
+          .agg(sum(col("l_quantity_c")).as("sq"), count(lit(1)).as("cnt"))
+        l.join(broadcast(Tables.load(spark, scaledDir, "part")),
+            col("l_partkey") === col("p_partkey"))
+          .join(broadcast(stats), col("pk") === col("l_partkey"))
+          .filter(col("l_quantity_c") * 5 * col("cnt") < col("sq"))
+          .groupBy("p_brand")
+          .agg(m(sum(col("l_extendedprice_c")), 2).as("total_price"),
+            count(lit(1)).as("n"))
+          .orderBy("p_brand")
+      }
+      def q102cached: DataFrame = q102of(operators.GraftCache.track(
+        li.select("l_partkey", "l_quantity_c", "l_extendedprice_c")))
+      def q102rescan: DataFrame = q102of(
+        li.select("l_partkey", "l_quantity_c", "l_extendedprice_c"))
+      // the ORIGINAL-layout pair (decimal money): does cache-vs-rescan
+      // flip with the scan cost, or was the r11 "scan once" rule an
+      // artifact of its era's layout too?
+      def q102origOf(l: DataFrame): DataFrame = {
+        val stats = l.groupBy(col("l_partkey").as("pk"))
+          .agg(sum(col("l_quantity")).as("sq"), count(lit(1)).as("cnt"))
+        l.join(broadcast(Tables.load(spark, scaledDir, "part")),
+            col("l_partkey") === col("p_partkey"))
+          .join(broadcast(stats), col("pk") === col("l_partkey"))
+          .filter(col("l_quantity") * 5 * col("cnt") < col("sq"))
+          .groupBy("p_brand")
+          .agg(sum(col("l_extendedprice")).cast("double").as("total_price"),
+            count(lit(1)).as("n"))
+          .orderBy("p_brand")
+      }
+      def liOrig: DataFrame = Tables.load(spark, scaledDir, "lineitem")
+        .select(col("l_partkey"),
+          col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+            .as("l_quantity"),
+          col("l_extendedprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+            .as("l_extendedprice"))
+      def q102origCached: DataFrame = q102origOf(operators.GraftCache.track(liOrig))
+      def q102origRescan: DataFrame = q102origOf(liOrig)
+      def q102stats: DataFrame = li
+        .groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("l_quantity_c")).as("sq"), count(lit(1)).as("cnt"))
+      // ---- q109 family ----
+      def q109of(composedSupp: Boolean): DataFrame = {
+        val vol4 = col("l_extendedprice_c") * (lit(100L) - col("l_discount_c"))
+        val custNation = Tables.load(spark, scaledDir, "nation")
+          .join(broadcast(Tables.load(spark, scaledDir, "region")
+            .filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("cnk"))
+        val suppNation = Tables.load(spark, scaledDir, "nation")
+          .select(col("n_nationkey").as("snk"), col("n_name").as("supp_nation"))
+        val eurCust = Tables.load(spark, scaledDir, "customer")
+          .join(broadcast(custNation), col("c_nationkey") === col("cnk"))
+          .select("c_custkey")
+        val o2 = Tables.load(spark, scaledDir, "orders")
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+            col("o_orderdate") < to_timestamp(lit("1998-01-01 00:00:00")))
+          .join(broadcast(eurCust), col("o_custkey") === col("c_custkey"), "left_semi")
+          .select("o_orderkey", "o_orderdate")
+        val factToSupp = li
+          .select("l_orderkey", "l_partkey", "l_suppkey",
+            "l_extendedprice_c", "l_discount_c")
+          .join(broadcast(Tables.load(spark, scaledDir, "part")
+            .filter(col("p_type") === "ECONOMY")),
+            col("p_partkey") === col("l_partkey"))
+          .join(o2, col("o_orderkey") === col("l_orderkey"))
+        val tagged =
+          if (composedSupp) {
+            // ONE probe for the supplier→nation chain: the 2-column
+            // (s_suppkey, supp_nation) map is dim-bounded — composing
+            // it off the fact path removes a whole broadcast probe
+            val suppMap = Tables.load(spark, scaledDir, "supplier")
+              .join(broadcast(suppNation), col("s_nationkey") === col("snk"))
+              .select("s_suppkey", "supp_nation")
+            factToSupp.join(broadcast(suppMap), col("s_suppkey") === col("l_suppkey"))
+          } else factToSupp
+            .join(broadcast(Tables.load(spark, scaledDir, "supplier")),
+              col("s_suppkey") === col("l_suppkey"))
+            .join(broadcast(suppNation), col("s_nationkey") === col("snk"))
+        tagged
+          .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+          .agg(m(sum(when(col("supp_nation") === "NATION_3", vol4)
+              .otherwise(lit(0L))), 4).as("num"),
+            m(sum(vol4), 4).as("den"))
+          .select(col("o_year"), (col("num") / col("den")).as("mkt_share"))
+          .orderBy("o_year")
+      }
+      // ---- floors ----
+      def scan3: DataFrame = li
+        .select("l_orderkey", "l_extendedprice_c", "l_discount_c")
+        .agg(sum(col("l_extendedprice_c")).as("a"),
+          sum(col("l_discount_c")).as("b"), count(lit(1)).as("n"))
+      def noop(df: DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      def cold(): Unit = {
+        operators.GraftCache.releaseAll(); spark.catalog.clearCache()
+      }
+      def sig(df: DataFrame): String = {
+        val cs = df.columns
+        val r = df.agg(count(lit(1)), sum(xxhash64(cs.map(col).toIndexedSeq: _*)
+          .cast("decimal(38,0)"))).head()
+        s"${r.get(0)}/${r.get(1)}"
+      }
+      // semantics first: every re-plan must equal its committed shape
+      require(sig(q14single) == sig(q14committed), "q14 single-probe diverges")
+      require(sig(q14shj) == sig(q14committed), "q14 SHJ control diverges")
+      cold()
+      require(sig(q14intgroup) == sig(q14committed), "q14 int-group diverges")
+      require(sig(q14best) == sig(q14committed), "q14 combined variant diverges")
+      cold()
+      require(sig(q102rescan) == sig(q102cached), "q102 rescan diverges")
+      cold()
+      require(sig(q102origRescan) == sig(q102origCached), "q102 orig rescan diverges")
+      cold()
+      require(sig(q109of(true)) == sig(q109of(false)), "q109 composed-supp diverges")
+      cold()
+      System.err.println("[scaleprobe] starprof: all variant signatures match")
+      val variants: Seq[(String, () => DataFrame)] = Seq(
+        "q14_scan3" -> (() => scan3),
+        "q14_ordpass" -> (() => o2_14),
+        "q14_committed" -> (() => q14committed),
+        "q14_single_probe" -> (() => q14single),
+        "q14_shj" -> (() => q14shj),
+        "q14_intgroup" -> (() => q14intgroup),
+        "q14_1p_int" -> (() => q14best),
+        "q14_bbuild" -> (() => q14bbuild),
+        "q102_stats_scan" -> (() => q102stats),
+        "q102_committed_cache" -> (() => q102cached),
+        "q102_rescan" -> (() => q102rescan),
+        "q102_orig_cache" -> (() => q102origCached),
+        "q102_orig_rescan" -> (() => q102origRescan),
+        "q109_committed" -> (() => q109of(false)),
+        "q109_composed_supp" -> (() => q109of(true)))
+      def timed(f: => Unit): Double = {
+        cold(); val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      val timedPoints = variants.map { case (name, mk) =>
+        noop(mk()) // shape warm (JIT/codegen), untimed
+        val r1 = timed(noop(mk()))
+        val r2 = timed(noop(mk()))
+        System.err.println(f"[scaleprobe] starprof/$name $r1%.3f $r2%.3f")
+        (name, r1, r2)
+      }
+      val qm = timedPoints.map { case (n, a, b) => f""""$n":[$a%.3f,$b%.3f]""" }
+        .mkString("{", ",", "}")
+      // scalastyle:off println
+      println(f"""{"op":"starprof","factor":$factor,"rows":$rows,""" +
+        f""""sec":${timedPoints.map(_._2).sum}%.3f,"queries":$qm}""")
+      // scalastyle:on println
+      spark.stop()
       return
     }
     // Cents-layout READ-FLOOR probe (r13, verdict item 2): what does

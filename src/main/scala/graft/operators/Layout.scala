@@ -925,7 +925,10 @@ object Layout extends org.apache.spark.internal.Logging {
         Tables.load(s, dir, "lineitem")
           .select("l_partkey", "l_quantity", "l_extendedprice"),
         Seq("l_quantity", "l_extendedprice"), out)
-      val l = GraftCache.track(s.read.parquet(out))
+      // no cache: the r14 starprof A/B — rescanning the column-pruned
+      // cents projection beats building the columnar cache at every
+      // scale measured (see q102's Scaladoc)
+      val l = s.read.parquet(out)
       val stats = l.groupBy(col("l_partkey").as("pk"))
         .agg(sum(col("l_quantity_c")).as("sq"), count(lit(1)).as("cnt"))
       l.join(broadcast(Tables.load(s, dir, "part")),

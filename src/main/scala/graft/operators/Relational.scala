@@ -710,8 +710,17 @@ object Relational {
     // 100×: 22.5 s with that flip vs 9.6 s SMJ — the estimate, not the
     // data, was choosing the join).
     // The 3-column lineitem projection feeds BOTH the stats aggregate
-    // and the probe side — persisted so the fact table is scanned once
-    // (q103/q26/q108 precedent; at 100× the double scan is pure waste).
+    // and the probe side — and is deliberately NOT persisted: the r14
+    // starprof A/B overturned the r11 "scan once" rule on BOTH layouts
+    // at 100× (cents: cache 2.2–2.8 s vs rescan 1.0–1.5; original:
+    // cache 5.5–5.6 vs rescan 4.1–5.0) and is at worst neutral at
+    // sf0.1 (1.02 → 0.94 s cold median, SPARK_GRAFT_ONLY=q102, 5
+    // reps). Building the columnar cache costs a full write+read
+    // of 60 M rows; re-scanning a 3-column parquet projection costs a
+    // fraction of that, and cold reps pay the cache build EVERY time.
+    // The cache pays only when the recomputation is expensive relative
+    // to its materialized size (q41's filtered-shingle set), not for a
+    // cheap column-pruned scan.
     Q("q102_tpch_q17",
       "SELECT p_brand, CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price, " +
         "COUNT(*) AS n " +
@@ -720,8 +729,8 @@ object Relational {
         "COUNT(*) AS cnt FROM lineitem GROUP BY 1) s ON pk = l_partkey " +
         "WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt < sq " +
         "GROUP BY p_brand ORDER BY p_brand") { (s, dir) =>
-      val l = GraftCache.track(Tables.load(s, dir, "lineitem")
-        .select("l_partkey", "l_quantity", "l_extendedprice"))
+      val l = Tables.load(s, dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
       val stats = l.groupBy(col("l_partkey").as("pk"))
         .agg(sum(dec(col("l_quantity"))).as("sq"), count(lit(1)).as("cnt"))
       l.join(broadcast(Tables.load(s, dir, "part")),
