@@ -1462,6 +1462,156 @@ object ScaleProbe {
         Seq("q87_sessionize", "q92_funnel", "q93_lead_lag", "q94_retention"))
       return
     }
+    // Curated-EVENTS layout A/B (r13 verdict item 8): the cents
+    // discipline applied to the events fact. The sessions family
+    // (q87/q92/q93/q94) reads (user_id, event_id, ts, event_type,
+    // value); the curated layout precomputes ts → epoch-µs int64 `us`
+    // (no timestamp decode, no per-row conversion) and dictionary-codes
+    // event_type → int `et_c` (dict written beside the table —
+    // deterministic: codes by sorted name). Semantics are
+    // signature-asserted at 1× per query before anything is timed;
+    // the curated table is written at the cents floor config (64 files
+    // × 32 MB row groups). Commit the layout only if the family clears
+    // ~15% (the verdict's bar).
+    if (op == "sesscur") {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BCAST", (128L << 20).toString))
+      val shift = 1L << 32
+      val baseEv = Tables.load(spark, sfDir, "events")
+      def scaledEv(dir: String): DataFrame = {
+        val b = Tables.load(spark, dir, "events")
+        (0 until factor).map { i =>
+          b.withColumn("user_id", col("user_id") + lit(i * shift))
+            .withColumn("event_id", col("event_id") + lit(i * shift))
+        }.reduce(_ unionByName _)
+      }
+      // deterministic dictionary: tiny cardinality, codes by sorted name
+      val etNames = baseEv.select("event_type").distinct()
+        .collect().map(_.getString(0)).sorted
+      val etCode: Map[String, Int] = etNames.zipWithIndex.toMap
+      def curate(ev: DataFrame): DataFrame = {
+        val codeCol = etNames.foldLeft(lit(-1)) { (acc, n) =>
+          when(col("event_type") === n, lit(etCode(n))).otherwise(acc)
+        }
+        ev.select(col("user_id"), col("event_id"),
+          Tables.epochMicros(ev).as("us"), codeCol.as("et_c"), col("value"))
+      }
+      // ---- curated twins (plan shapes mirror the committed queries) --
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      def q87c(cur: DataFrame): DataFrame = {
+        val gapUs = 240 * 60L * 1000000L
+        val wOrd = Window.partitionBy("user_id").orderBy("us", "event_id")
+        val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cur.select("user_id", "event_id", "us", "value")
+          .withColumn("prev", lag("us", 1).over(wOrd))
+          .withColumn("brk",
+            when(col("prev").isNull || col("us") - col("prev") > gapUs, 1L)
+              .otherwise(0L))
+          .withColumn("sess", sum("brk").over(wRun))
+          .groupBy("user_id", "sess")
+          .agg(count(lit(1)).as("n_events"),
+            min("us").as("start_us"), max("us").as("end_us"),
+            sum(col("value").cast(DecimalType(18, 2))).cast("double")
+              .as("sum_value"))
+          .orderBy("user_id", "sess")
+      }
+      def q92c(cur: DataFrame): DataFrame = {
+        val steps = Seq("view", "click", "purchase").map(etCode)
+        val base = cur
+          .groupBy("user_id")
+          .agg(min(when(col("et_c") === steps.head, col("us"))).as("t0"),
+            steps.tail.zipWithIndex.map { case (c, i) =>
+              min(when(col("et_c") === c, col("us"))).as(s"t${i + 1}")
+            }: _*)
+        val stage = steps.indices.tail.foldLeft(
+            (when(col("t0").isNotNull, 1L).otherwise(0L), col("t0"))) {
+          case ((st, prevT), i) =>
+            val ok = col(s"t$i").isNotNull && col(s"t$i") >= prevT && st === i.toLong
+            (when(ok, (i + 1).toLong).otherwise(st),
+              when(ok, col(s"t$i")).otherwise(prevT))
+        }._1
+        base.withColumn("stage", stage).orderBy("user_id")
+      }
+      def q93c(cur: DataFrame): DataFrame = {
+        val w = Window.partitionBy("user_id").orderBy("us", "event_id")
+        cur.select(col("user_id"), col("event_id"), col("us"),
+            lag("us", 1, -1L).over(w).as("prev_us"),
+            lead("us", 1, -1L).over(w).as("next_us"),
+            (col("us") - lag("us", 1).over(w)).as("gap_us"))
+          .orderBy("user_id", "us", "event_id")
+      }
+      def q94c(cur: DataFrame): DataFrame = {
+        val days = cur.select(col("user_id"), expr("us div 86400000000").as("d"))
+        val first = days.groupBy("user_id").agg(min("d").as("d0"))
+        days.join(first, "user_id")
+          .groupBy(col("d0").as("cohort_day"), (col("d") - col("d0")).as("days_since"))
+          .agg(countDistinct("user_id").as("n_active"))
+          .orderBy("cohort_day", "days_since")
+      }
+      val twins: Seq[(String, DataFrame => DataFrame)] = Seq(
+        "q87_sessionize" -> q87c _, "q92_funnel" -> q92c _,
+        "q93_lead_lag" -> q93c _, "q94_retention" -> q94c _)
+      def sig(df: DataFrame): String = {
+        val r = df.agg(count(lit(1)),
+          sum(xxhash64(df.columns.map(col).toIndexedSeq: _*)
+            .cast("decimal(38,0)"))).head()
+        s"${r.get(0)}/${r.get(1)}"
+      }
+      // semantics at 1×: curated twin == committed query over same data
+      val warm = java.nio.file.Files.createTempDirectory("graft_scurwarm_").toString
+      curate(baseEv).write.parquet(s"$warm/events_cur")
+      for ((name, twin) <- twins) {
+        val (so, sc) = (sig(SparkEntry.queries(name)(spark, sfDir)),
+          sig(twin(spark.read.parquet(s"$warm/events_cur"))))
+        require(so == sc, s"$name curated twin diverges at 1×: orig=$so cur=$sc")
+        operators.GraftCache.releaseAll(); spark.catalog.clearCache()
+      }
+      System.err.println("[scaleprobe] sesscur: all four 1× signatures match")
+      // scaled original (the control) + scaled curated table
+      val out = java.nio.file.Files.createTempDirectory(
+        s"graft_scur${factor}x_").toString
+      scaledEv(sfDir).write.parquet(s"$out/events.parquet")
+      for (t <- Tables.names if t != "events")
+        java.nio.file.Files.createSymbolicLink(
+          java.nio.file.Paths.get(s"$out/$t.parquet"),
+          java.nio.file.Paths.get(s"$sfDir/$t.parquet").toAbsolutePath)
+      val rows = spark.read.parquet(s"$out/events.parquet").count()
+      val files = sys.env.getOrElse("SPARK_GRAFT_CENTSFILES", "64").toInt
+      val blockBytes = sys.env.getOrElse("SPARK_GRAFT_CENTSBLOCK",
+        (32L << 20).toString).toLong
+      def timed(f: => Unit): Double = {
+        operators.GraftCache.releaseAll(); spark.catalog.clearCache()
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      def noop(df: DataFrame): Unit =
+        df.write.format("noop").mode("overwrite").save()
+      val writeSec = timed {
+        val cur = curate(spark.read.parquet(s"$out/events.parquet"))
+          .repartition(files)
+        cur.write.mode("overwrite")
+          .option("parquet.block.size", blockBytes.toString)
+          .parquet(s"$out/events_cur")
+      }
+      val pairs = twins.map { case (name, twin) =>
+        val o = timed(noop(SparkEntry.queries(name)(spark, out)))
+        val c = timed(noop(twin(spark.read.parquet(s"$out/events_cur"))))
+        System.err.println(f"[scaleprobe] sesscur/$name ${factor}x orig=$o%.3f cur=$c%.3f")
+        (name.takeWhile(_ != '_'), o, c)
+      }
+      val om = pairs.map { case (q, o, _) => f""""$q":$o%.3f""" }.mkString("{", ",", "}")
+      val cm = pairs.map { case (q, _, c) => f""""$q":$c%.3f""" }.mkString("{", ",", "}")
+      // scalastyle:off println
+      println(f"""{"op":"sesscur","factor":$factor,"rows":$rows,""" +
+        f""""sec":${pairs.map(_._3).sum}%.3f,""" +
+        f""""orig_sec":${pairs.map(_._2).sum}%.3f,""" +
+        f""""write_sec":$writeSec%.3f,""" +
+        f""""queries_orig":$om,"queries_cur":$cm}""")
+      // scalastyle:on println
+      spark.stop()
+      Seq(out, warm).foreach(cleanupDir)
+      return
+    }
     // Curation-family curve: the training-data selection operators
     // (hash split, sequence packing's distributed two-pass prefix sum,
     // per-source token-budget window, stratified sampling, shard
