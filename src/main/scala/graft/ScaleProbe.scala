@@ -906,6 +906,37 @@ object ScaleProbe {
       def q102stats: DataFrame = li
         .groupBy(col("l_partkey").as("pk"))
         .agg(sum(col("l_quantity_c")).as("sq"), count(lit(1)).as("cnt"))
+      // ---- q108 cache audit ----
+      // q108's `late` is the OTHER fact-sized GraftCache frame — but
+      // unlike q102's cheap projection, recomputing it costs a full
+      // lineitem⋈orders join, and it feeds BOTH the semi and the anti
+      // side. Does the q102 inversion generalize, or does an expensive-
+      // to-recompute frame still earn its cache?
+      def q108of(track: Boolean): DataFrame = {
+        val ordF = Tables.load(spark, scaledDir, "orders")
+          .filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate")
+        val late0 = Tables.load(spark, scaledDir, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_shipdate")
+          .join(ordF, col("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 100 DAYS"))
+          .select("l_orderkey", "l_suppkey")
+        val late = if (track) operators.GraftCache.track(late0) else late0
+        val others = Tables.load(spark, scaledDir, "lineitem")
+          .select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+        val lateOthers = late.select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+        late
+          .join(others, col("ok2") === col("l_orderkey") &&
+            col("sk2") =!= col("l_suppkey"), "left_semi")
+          .join(lateOthers, col("ok3") === col("l_orderkey") &&
+            col("sk3") =!= col("l_suppkey"), "left_anti")
+          .join(broadcast(Tables.load(spark, scaledDir, "supplier")),
+            col("s_suppkey") === col("l_suppkey"))
+          .groupBy("s_name")
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(desc("numwait"), col("s_name"))
+          .limit(100)
+      }
       // ---- q109 family ----
       def q109of(composedSupp: Boolean): DataFrame = {
         val vol4 = col("l_extendedprice_c") * (lit(100L) - col("l_discount_c"))
@@ -981,6 +1012,8 @@ object ScaleProbe {
       cold()
       require(sig(q109of(true)) == sig(q109of(false)), "q109 composed-supp diverges")
       cold()
+      require(sig(q108of(true)) == sig(q108of(false)), "q108 rescan diverges")
+      cold()
       System.err.println("[scaleprobe] starprof: all variant signatures match")
       val variants: Seq[(String, () => DataFrame)] = Seq(
         "q14_scan3" -> (() => scan3),
@@ -996,6 +1029,8 @@ object ScaleProbe {
         "q102_rescan" -> (() => q102rescan),
         "q102_orig_cache" -> (() => q102origCached),
         "q102_orig_rescan" -> (() => q102origRescan),
+        "q108_committed_cache" -> (() => q108of(true)),
+        "q108_rescan" -> (() => q108of(false)),
         "q109_committed" -> (() => q109of(false)),
         "q109_composed_supp" -> (() => q109of(true)))
       def timed(f: => Unit): Double = {

@@ -566,6 +566,22 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 5, p)
   }
 
+  test("q152: the cents Q17 keeps q102's shape — both builds broadcast, the cents fact is never a build side") {
+    val p = plan("q152_cents_tpch_q17")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("SortMergeJoin"), s"cents stats join fell back to SMJ:\n$p")
+    // no cache: the r14 starprof A/B dropped the persist — a cached
+    // InMemoryRelation here would mean the rescan decision regressed
+    assert(!p.contains("InMemoryTableScan"), s"q152 re-grew a columnar cache:\n$p")
+  }
+
+  test("q153: the cents Q8 star is all-broadcast like q109") {
+    val p = plan("q153_cents_tpch_q8")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"q153 fact path shuffles:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 5, p)
+  }
+
   test("q151: PCA projection is join-free — the basis rides as literals into codegen'd qdot") {
     val p = plan("q151_pca_project")
     // the projection pass must NOT join the corpus against the
