@@ -547,10 +547,16 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val t = docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("a"))
     val gram = (0 until k).map(j => s"element_at(a, i+$j)").mkString("concat_ws(' ', ", ", ", ")")
-    val spans = t.filter(size(col("a")) >= k)
+    // tracked: the span stream feeds BOTH the dup-set aggregate and the
+    // join probe; recomputing it means running the explode + concat_ws
+    // string build + hash twice, while the materialized frame is two
+    // longs per span — the expensive-recompute/small-rows case the r14
+    // persist rule (CLAUDE.md) says to cache (measured: q97 sf0.1 cold
+    // median 1.40 → 1.19 s; the q102 counter-case is a cheap scan)
+    val spans = graft.operators.GraftCache.track(t.filter(size(col("a")) >= k)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, size(a)-${k - 1}), i -> $gram)")).as("s"))
-      .select(col("doc_id"), h60(col("s")).as("h"))
+      .select(col("doc_id"), h60(col("s")).as("h")))
     // "Appears in ≥2 DISTINCT documents" is exactly min(doc) ≠ max(doc)
     // per span hash — one map-side-combinable aggregate over the raw
     // span stream (a span repeated only within one document keeps
