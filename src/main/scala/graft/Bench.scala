@@ -280,7 +280,13 @@ object Bench {
       var s = "%.2f".formatLocal(Locale.ROOT, v)
       if (s.length > 4) s = "%.1f".formatLocal(Locale.ROOT, v)
       if (s.length > 4) s = "%.0f".formatLocal(Locale.ROOT, v)
-      s
+      // strip trailing zeros (and a bare trailing dot): "0.80" → "0.8",
+      // "1.00" → "1" — JSON-valid, precision-identical, and on a real
+      // 153-median line it returns ~100 B to the iso budget (the r13
+      // verdict's "ran out of line budget" failure mode). The worst-case
+      // width model is untouched: "9.99"/"99.9" have no trailing zero.
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+      else s
     }
     def f1(v: Double): String = "%.1f".formatLocal(Locale.ROOT, v)
     // cores-busy: one decimal below 10 (sub-core starvation like 1.7 is
