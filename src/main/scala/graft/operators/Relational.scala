@@ -1081,6 +1081,15 @@ object Relational {
         "WHERE EXISTS (SELECT 1 FROM lineitem " +
         "WHERE l_orderkey = o_orderkey AND l_quantity > 45) " +
         "GROUP BY o_orderpriority ORDER BY o_orderpriority") { (s, dir) =>
+      // cache KEPT — the r14 persist-rule A/B measured the exception:
+      // unlike q102's rescan win, dropping this track cost 0.95 → 1.16 s
+      // (sf0.1 cold median). The frame is a cheap filter, but one
+      // consumer is a SCALAR SUBQUERY (the bloom build) that runs
+      // eagerly before the main plan — uncached, the filter scan runs
+      // serially-then-again rather than twice inside one scheduled
+      // plan, and the cache's single materialization wins. Rule nuance:
+      // count the CONSUMERS' execution structure, not just recompute
+      // cost.
       val keys = GraftCache.track(Tables.load(s, dir, "lineitem")
         .filter(col("l_quantity") > 45).select("l_orderkey"))
       keys.createOrReplaceTempView("graft_q137_keys")
