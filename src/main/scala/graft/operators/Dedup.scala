@@ -317,13 +317,24 @@ object Dedup {
     */
   def simhashOf(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    // count-weighted votes over DEDUPED (doc, token-hash) rows: natural
+    // language repeats tokens, so collapsing repeats through a cheap
+    // 1-counter aggregate first means the expensive 60-buffer vote
+    // aggregate updates once per DISTINCT token instead of once per
+    // occurrence — identical vote totals (±c ≡ c occurrences of ±1).
+    // Measured (r14, SPARK_GRAFT_ONLY=q43,q44,q80 at sf0.1, 5-rep cold
+    // medians): q44 1.12 → 0.94, q80 1.59 → 1.13, q43 flat — the
+    // family −19%. The extra aggregate re-shuffles on (doc, th), but
+    // both exchanges carry partially-aggregated rows and the 60-buffer
+    // update count is what dominates.
     val votes = (0 until 60).map(b =>
-      sum(expr(s"CASE WHEN shiftright(th, $b) % 2 = 1 THEN 1 ELSE -1 END")).as(s"s$b"))
+      sum(expr(s"CASE WHEN shiftright(th, $b) % 2 = 1 THEN c ELSE -c END")).as(s"s$b"))
     val pack = (0 until 60).map(b =>
       when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
     corpus(df, idCol, textCol)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .select(col("doc_id"), h60(col("tok")).as("th"))
+      .groupBy("doc_id", "th").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), pack.as("simhash"))

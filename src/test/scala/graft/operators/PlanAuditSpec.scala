@@ -247,11 +247,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("Window"), p)
   }
 
-  test("q43: simhash is one partial+final aggregate pair — no pre-shuffle") {
+  test("q43: simhash is the deduped two-stage vote — count pair then vote pair") {
     val p = plan("q43_simhash")
-    // exactly one aggregation (partial + final), not a (doc,token)
-    // count-aggregate feeding a second vote-aggregate
-    assert("HashAggregate".r.findAllIn(p).length == 2, s"extra aggregate stage:\n$p")
+    // r3 pinned the single-aggregation form on structural grounds; the
+    // r14 A/B measured the opposite (family q43/q44/q80 −19% at sf0.1:
+    // the cheap (doc, token-hash) count pair collapses repeated tokens
+    // so the 60-buffer vote pair updates once per DISTINCT token).
+    // Pin the measured shape: exactly TWO partial+final pairs, no more.
+    assert("HashAggregate".r.findAllIn(p).length == 4, s"aggregate shape drifted:\n$p")
   }
 
   test("q70: IVF cell assignment folds map-side — no N×C shuffle, centroids broadcast") {
