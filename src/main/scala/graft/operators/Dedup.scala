@@ -203,6 +203,10 @@ object Dedup {
     * 16 permutation minima computed as 16 MIN aggregate columns in ONE
     * groupBy — no row explosion.
     */
+  // dedup=false deliberately: min() is dedup-idempotent, and the r14
+  // A/B showed the distinct's extra exchange costs what the 16-buffer
+  // collapse saves (bigram shingles repeat far less than the unigram
+  // tokens that made simhashOf's count-weighted dedup a −19% win)
   def minhashSignatures(c: DataFrame): DataFrame =
     signaturesOf(shinglesOf(c, dedup = false))
 
