@@ -1491,6 +1491,16 @@ object ScaleProbe {
     // PRODUCTION SparkEntry queries run unmodified (presentation sort
     // included — output production is part of the honest cost, as in
     // the relational probe).
+    // SimHash family curve (r14): the deduped two-stage vote shape
+    // (count pair collapsing repeated tokens, then the 60-buffer vote
+    // pair) under N× doc growth — the A/B that repinned q43's plan was
+    // sf0.1; this curve is the scale-holds evidence.
+    if (op == "simhash") {
+      familyCurve(spark, sfDir, factor, "simhash", "documents",
+        Seq("doc_id"),
+        Seq("q43_simhash", "q44_simhash_pairs", "q80_incremental_dedup"))
+      return
+    }
     if (op == "sessions") {
       familyCurve(spark, sfDir, factor, "sessions", "events",
         Seq("user_id", "event_id"),
