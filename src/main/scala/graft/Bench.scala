@@ -74,6 +74,22 @@ import org.apache.spark.sql.SparkSession
   * detail goes to stderr for human diagnosis.
   */
 object Bench {
+
+  /** Iso-slot candidate order (unit-pinned by BenchContractSpec —
+    * this path fires only on degraded runs, so its guarantee must not
+    * wait for one): stall-flagged queries first (they carry intra-run
+    * best-rep evidence and diag context), then prev-round regressions
+    * by RATIO vs the previous committed median, descending — NOT by
+    * absolute median (r13 verdict item 1: the byte budget must land on
+    * a 4.8× inflation of a 0.5 s query before a 2× of a big one,
+    * because a regression carries no exonerating evidence without its
+    * iso shot).
+    */
+  def isoOrder(stallFlagged: Seq[String],
+      regressed: Seq[(String, Double, Double)]): Seq[String] =
+    (stallFlagged ++ regressed.sortBy { case (_, med, prev) => -med / prev }
+      .map(_._1)).distinct
+
   def main(args: Array[String]): Unit = {
     val benchStart = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -371,17 +387,13 @@ object Bench {
     // artifact — the uniform-slowdown case the first trigger misses).
     val flaggedStall = results
       .filter(r => r._2 > 2 * r._3 && r._2 - r._3 > 0.5).sortBy(-_._2)
-    // regressions rank by RATIO vs the previous round, not absolute
-    // median (r13 verdict item 1): when the byte budget is tight the
-    // slots must go to the LARGEST unexplained inflations (a 4.8× on a
-    // 0.5 s query) before a 2× on a big one — stall-flagged entries
-    // already carry diag evidence, regressions carry nothing without iso
     val regressed = results.flatMap { r =>
       prevMedians.get(qid(r._1)).collect {
-        case p if r._2 > 2 * p && r._2 - p > 0.5 => (r, r._2 / p)
+        case p if r._2 > 2 * p && r._2 - p > 0.5 => (r._1, r._2, p)
       }
-    }.sortBy(-_._2).map(_._1)
-    val isoCandidates = (flaggedStall ++ regressed).map(_._1).distinct
+    }
+    val isoCandidates = Bench.isoOrder(
+      flaggedStall.map(_._1), regressed)
     // The iso entry count is BYTE-BUDGETED, not fixed: the collector
     // keeps ~1918 B of line, and the rest of the line is fully known
     // here — whatever headroom the REAL medians leave (typically ~800 B;

@@ -53,6 +53,23 @@ class BenchContractSpec extends AnyFunSuite {
       s"bench JSON would be ${line.length} B; trim before the harness truncates it")
   }
 
+  test("iso candidates: stall flags first, then regressions by ratio-vs-prev (r13 verdict item 1)") {
+    // the path only fires on degraded runs — pin its ordering here so
+    // the guarantee doesn't wait for one. q122-style: a 4.8× inflation
+    // of a small query must outrank a 2.0× of a big one.
+    val regressed = Seq(
+      ("q104_tpch_q4", 1.28, 0.64),        // 2.0× on a bigger median
+      ("q122_hard_negatives", 2.39, 0.50), // 4.8×
+      ("q103_tpch_q15", 1.22, 0.32))       // 3.8×
+    val got = Bench.isoOrder(Seq("q123_jdbc_expr_agg"), regressed)
+    assert(got == Seq("q123_jdbc_expr_agg", "q122_hard_negatives",
+      "q103_tpch_q15", "q104_tpch_q4"), got.toString)
+    // a query both stall-flagged and regressed appears once, in the
+    // stall (evidence-carrying) position
+    val dup = Bench.isoOrder(Seq("q122_hard_negatives"), regressed)
+    assert(dup.head == "q122_hard_negatives" && dup.count(_ == "q122_hard_negatives") == 1)
+  }
+
   test("every query has a distinct name and every oracle aliases no bare aggregates") {
     val names = SparkEntry.all.map(_.name)
     assert(names.distinct.size == names.size)
