@@ -446,6 +446,62 @@ object TextAnalysis {
       .orderBy(desc("c_big"), col("w1"), col("w2")).limit(k)
   }
 
+  /** Per-document LM quality score — the CCNet-style perplexity filter
+    * (Wenzek et al., arXiv:1911.00359) in integer-exact form: score
+    * each document by the average conditional probability its corpus
+    * bigram LM ([[bigramLm]]'s statistics) assigns to the document's
+    * own bigrams. Low scores flag text the corpus LM finds improbable
+    * (noise, boilerplate soup, wrong-language fragments); the classic
+    * pipeline thresholds on it before training.
+    *
+    * Exactness: no ln/pow (the cross-engine ulp hazard q136's
+    * integer-exact priorities avoid) — per-bigram probability is the
+    * exact integer `(10⁶·c_big) div c_head` parts-per-million and the
+    * document score its exact integer mean, so both engines produce
+    * bit-identical scores. The ppm scale keeps resolution on stopword
+    * heads (cond-p ≪ 1/1000) while Σppm ≤ 10⁶·n bounds int64 for any
+    * document below 9×10¹² bigrams.
+    *
+    * Scale shape: the LM table is built vocabulary-side first — the
+    * skewed head join (stopword `w1` is hot) runs on the COLLAPSED
+    * (w1, w2) table, never the token stream — and the stream then
+    * joins the LM once on the full composite bigram key (less skewed
+    * than w1 alone; AQE-splittable). The exploded bigram stream feeds
+    * both the LM build and the probe UNCACHED: the r14 A/B measured
+    * the persist a wash (1.18 vs 1.13 s at sf0.1 — unlike q97's
+    * 2-long span rows, the materialized stream here is two strings
+    * per row, so the cache build costs what the re-explode saves;
+    * the minhash-signatures negative, same mechanism). One final
+    * per-doc aggregation.
+    */
+  def lmScore(df: org.apache.spark.sql.DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    val bgd = corpus(df, idCol, textCol)
+      .select(col("doc_id"), split(col("text"), " ").as("a"))
+      .filter(size(col("a")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(a)-1), " +
+          "i -> struct(element_at(a,i) AS w1, element_at(a,i+1) AS w2))")).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    // c_head via a window over the COLLAPSED c2 table, not a second
+    // aggregate + self-join: c2 referenced twice in an uncached plan
+    // re-computes its whole subtree (including the bigram explode), and
+    // this window's partitions are VOCABULARY-bounded (distinct
+    // successors of one head), never corpus-sized — the safe window
+    // regime, unlike the span posting lists q97 deliberately avoids
+    val c2 = bgd.groupBy("w1", "w2").agg(count(lit(1)).as("c_big"))
+    val lm = c2
+      .withColumn("c_head", sum(col("c_big"))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("w1")))
+      .select(col("w1"), col("w2"),
+        expr("(1000000 * c_big) div c_head").as("ppm"))
+    bgd.join(lm, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("ppm")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("s div n_bigrams").as("lm_ppm"))
+  }
+
   /** Inverted-index posting lists over bigram terms, vocabulary
     * band-selected by document frequency: terms kept when
     * lo‰ ≤ df/corpus ≤ hi‰ (multiplicative integer compare — no FP in
@@ -669,6 +725,25 @@ object TextAnalysis {
         "FROM c2 JOIN c1 ON c2.w1 = c1.w1 " +
         s"ORDER BY c_big DESC, c2.w1, c2.w2 LIMIT $LmTopK") { (s, dir) =>
       bigramLm(Tables.load(s, dir, "documents"))
+    },
+
+    // CCNet-style LM quality filter: per-doc mean bigram conditional
+    // probability (exact integer ppm) under the corpus's own bigram LM.
+    // bgd is referenced twice and chains through two generations — AS
+    // MATERIALIZED per the DuckDB per-reference-inlining rule.
+    Q("q154_lm_score",
+      "WITH t AS (SELECT doc_id, string_split(text,' ') AS a FROM documents " +
+        "WHERE len(string_split(text,' ')) >= 2), " +
+        "bg AS (SELECT doc_id, unnest([{'w1': a[i], 'w2': a[i+1]} " +
+        "FOR i IN generate_series(1, len(a)-1)]) AS b FROM t), " +
+        "bgd AS MATERIALIZED (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg), " +
+        "c2 AS (SELECT w1, w2, COUNT(*) AS c_big FROM bgd GROUP BY 1, 2), " +
+        "lm AS (SELECT w1, w2, (1000000 * c_big) // " +
+        "(SUM(c_big) OVER (PARTITION BY w1)) AS ppm FROM c2) " +
+        "SELECT doc_id, COUNT(*) AS n_bigrams, (SUM(ppm) // COUNT(*))::BIGINT AS lm_ppm " +
+        "FROM bgd JOIN lm ON bgd.w1 = lm.w1 AND bgd.w2 = lm.w2 " +
+        "GROUP BY doc_id ORDER BY doc_id") { (s, dir) =>
+      lmScore(Tables.load(s, dir, "documents")).orderBy("doc_id")
     },
 
     // Sliding-window chunking for embedding/RAG indexing: overlapping

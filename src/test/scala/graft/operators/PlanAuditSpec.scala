@@ -585,6 +585,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 5, p)
   }
 
+  test("q154: LM score builds the LM vocabulary-side — no cartesian, stream joins the collapsed table once") {
+    val p = plan("q154_lm_score")
+    assert(!p.contains("CartesianProduct"), p)
+    // head totals come from a vocabulary-bounded window over the
+    // COLLAPSED c2 table (an aggregate+self-join form recomputed the
+    // whole uncached c2 subtree twice — 8 HashAggregates); the token
+    // stream joins the composite-keyed LM exactly once — two aggregate
+    // pairs (c2, per-doc) + one Window, no more
+    assert("HashAggregate".r.findAllIn(p).length <= 4, s"aggregate shape drifted:\n$p")
+    assert(p.contains("Window"), s"head totals lost the window form:\n$p")
+  }
+
   test("q151: PCA projection is join-free — the basis rides as literals into codegen'd qdot") {
     val p = plan("q151_pca_project")
     // the projection pass must NOT join the corpus against the
