@@ -1491,6 +1491,16 @@ object ScaleProbe {
     // PRODUCTION SparkEntry queries run unmodified (presentation sort
     // included — output production is part of the honest cost, as in
     // the relational probe).
+    // Bigram-LM family curve (r14): corpus LM statistics (q37) and the
+    // per-doc CCNet-style LM score (q154) under N× doc growth — the
+    // scale claims are vocabulary-bounded LM state and one
+    // composite-key stream join.
+    if (op == "lm") {
+      familyCurve(spark, sfDir, factor, "lm", "documents",
+        Seq("doc_id"),
+        Seq("q37_bigram_lm", "q154_lm_score"))
+      return
+    }
     // SimHash family curve (r14): the deduped two-stage vote shape
     // (count pair collapsing repeated tokens, then the 60-buffer vote
     // pair) under N× doc growth — the A/B that repinned q43's plan was
