@@ -77,18 +77,21 @@ object Bench {
 
   /** Iso-slot candidate order (unit-pinned by BenchContractSpec —
     * this path fires only on degraded runs, so its guarantee must not
-    * wait for one): stall-flagged queries first (they carry intra-run
-    * best-rep evidence and diag context), then prev-round regressions
-    * by RATIO vs the previous committed median, descending — NOT by
-    * absolute median (r13 verdict item 1: the byte budget must land on
-    * a 4.8× inflation of a 0.5 s query before a 2× of a big one,
-    * because a regression carries no exonerating evidence without its
-    * iso shot).
+    * wait for one): prev-round regressions FIRST, by RATIO vs the
+    * previous committed median descending — NOT by absolute median
+    * (r13 verdict item 1: the byte budget must land on a 4.8×
+    * inflation of a 0.5 s query before a 2× of a big one) — THEN
+    * stall-flagged queries. r14 verdict item 2 flipped the two groups:
+    * a stall flag already carries in-artifact exonerating evidence
+    * (its own best rep + diag context), while a uniform regression
+    * carries NONE without its iso shot — scarce slots go to the
+    * evidence-less entries first (r14's q129 stood unexonerated for a
+    * round because the old order spent its slots on stall flags).
     */
   def isoOrder(stallFlagged: Seq[String],
       regressed: Seq[(String, Double, Double)]): Seq[String] =
-    (stallFlagged ++ regressed.sortBy { case (_, med, prev) => -med / prev }
-      .map(_._1)).distinct
+    (regressed.sortBy { case (_, med, prev) => -med / prev }
+      .map(_._1) ++ stallFlagged).distinct
 
   def main(args: Array[String]): Unit = {
     val benchStart = System.nanoTime()
@@ -306,9 +309,16 @@ object Bench {
     }
     def f1(v: Double): String = "%.1f".formatLocal(Locale.ROOT, v)
     // cores-busy: one decimal below 10 (sub-core starvation like 1.7 is
-    // the diagnostic), whole cores above (32.0 → 32 — r14 budget trim)
-    def fc(v: Double): String =
-      if (v < 10) f1(v) else "%.0f".formatLocal(Locale.ROOT, v)
+    // the diagnostic), whole cores above (32.0 → 32 — r14 budget trim),
+    // width-capped at 3 chars by LENGTH, not by tier (ADVICE r14: f1
+    // renders 9.99 as "10.0" — 4 chars at the boundary — and 100+-core
+    // hosts hit "%.0f" 3 chars; cap 99 like gcPct so the
+    // BenchContractSpec width model's 2-char pin is ≤ the true worst+1)
+    def fc(v: Double): String = {
+      val s = if (v < 10) f1(v) else "%.0f".formatLocal(Locale.ROOT, v)
+      if (s.length <= 3) s
+      else "%.0f".formatLocal(Locale.ROOT, math.min(v, 99.0))
+    }
     // position-stable (ADVICE r13): a lone point must say WHICH end it
     // measured, so the missing end renders as an explicit null instead
     // of an ambiguous one-element array
@@ -382,9 +392,9 @@ object Bench {
     // shot per flagged query, in a map keyed like `queries`. Runs AFTER
     // the per-rep stderr dump so a crash here still leaves the full
     // suite detail on stderr. Two triggers feed the candidate list,
-    // stall-flagged first (median > 2× own best — intra-run evidence of
-    // a phase), then prev-round regressions (median > 2× last committed
-    // artifact — the uniform-slowdown case the first trigger misses).
+    // prev-round regressions first (median > 2× last committed artifact —
+    // no exonerating evidence without an iso shot), then stall-flagged
+    // (median > 2× own best — already evidence-carrying; see isoOrder).
     val flaggedStall = results
       .filter(r => r._2 > 2 * r._3 && r._2 - r._3 > 0.5).sortBy(-_._2)
     val regressed = results.flatMap { r =>

@@ -1392,8 +1392,11 @@ object ScaleProbe {
       val sweep = sys.env.getOrElse("SPARK_GRAFT_MERGE_DAYS", "2")
         .split(',').map(_.trim.toInt).toSeq
       val pristine = frame.localCheckpoint()
-      val points = sweep.map { nDays =>
-        if (nDays != sweep.head) // restore between points
+      // restore by POSITION, not value (ADVICE r14): a sweep list that
+      // repeats the head value ("2,5,2") must still restore before the
+      // later point, or merges compound into its timings
+      val points = sweep.zipWithIndex.map { case (nDays, idx) =>
+        if (idx > 0) // restore between points
           operators.Layout.partitionedWrite(pristine, "event_date", table)
         // materialized: the update set must survive the table restore
         // between the two timed paths (a lazy plan pins the ORIGINAL
@@ -1572,7 +1575,9 @@ object ScaleProbe {
           .orderBy("user_id", "sess")
       }
       def q92c(cur: DataFrame): DataFrame = {
-        val steps = Seq("view", "click", "purchase").map(etCode)
+        val steps = Seq("view", "click", "purchase").map(n =>
+          etCode.getOrElse(n, sys.error(
+            s"sesscur: event_type '$n' missing from events")))
         val base = cur
           .groupBy("user_id")
           .agg(min(when(col("et_c") === steps.head, col("us"))).as("t0"),

@@ -390,6 +390,15 @@ object Layout extends org.apache.spark.internal.Logging {
     * threshold rewrote (almost) everything anyway. Default threshold
     * from the r14 sweep (BASELINE "merge crossover"): the surgical
     * path's advantage inverts past ~half the partitions touched.
+    *
+    * Crash discipline (r15): a crash BETWEEN the fallback's two renames
+    * leaves live ABSENT with the complete merged generation in
+    * `.merge-staging` — the entry adjudicates that state BEFORE the
+    * bootstrap branch: `_SUCCESS`-complete staging is published forward
+    * (then the current updates merge into the recovered table); a
+    * PARTIAL staging or stranded `.retired-*` beside an absent live
+    * fails loudly naming the state instead of silently rebuilding the
+    * table from one batch. Mirrors [[compactAndSwap]]'s recovery.
     */
   def mergeInto(spark: SparkSession, path: String, updates: DataFrame,
                 partCol: String, key: String,
@@ -407,9 +416,54 @@ object Layout extends org.apache.spark.internal.Logging {
     // atomicity holds WITHIN one op, not across two maintainers)
     val lock = acquireMaintenanceLock(fs, path)
     try {
+      def p(s: String) = new org.apache.hadoop.fs.Path(s)
+      val staged = path + ".merge-staging"
       if (!fs.exists(hPath) || fs.listStatus(hPath).isEmpty) {
-        partitionedWrite(updates, partCol, path)
-        return
+        // Before treating an absent/empty live path as a NEW table,
+        // adjudicate the crash states a prior fallback merge can leave
+        // (r14 verdict #1): a crash BETWEEN its two renames leaves live
+        // ABSENT with the COMPLETE merged generation (committer
+        // `_SUCCESS`-proven, never assumed from mere existence) in
+        // `.merge-staging` — bootstrapping from `updates` here would
+        // silently rebuild the table from ONE batch and orphan the
+        // corpus. Same forward-recovery discipline as [[compactAndSwap]]:
+        // publish the staged generation, reap the crash's now-redundant
+        // `.retired-*` generation(s) loudly, then merge the current
+        // updates into the recovered table as usual.
+        val stagedComplete = fs.exists(p(staged + "/_SUCCESS"))
+        val parent = hPath.getParent
+        val retiredSiblings =
+          if (parent == null || !fs.exists(parent)) Array.empty[org.apache.hadoop.fs.Path]
+          else fs.listStatus(parent).map(_.getPath)
+            .filter(_.getName.startsWith(hPath.getName + ".retired-"))
+        if (stagedComplete) {
+          if (fs.exists(hPath) && !fs.delete(hPath, true))
+            throw new IllegalStateException(
+              s"mergeInto: cannot clear empty live $path for forward recovery")
+          if (!fs.rename(p(staged), hPath))
+            throw new IllegalStateException(
+              s"mergeInto: cannot complete crashed publish of $staged")
+          retiredSiblings.foreach { r =>
+            if (!fs.delete(r, true) && fs.exists(r))
+              logWarning(s"mergeInto: retired generation $r could not be " +
+                "deleted after forward recovery — nothing reaps it " +
+                "automatically; remove it manually")
+          }
+          // fall through: the recovered table is live; merge `updates` in
+        } else if (fs.exists(p(staged)) || retiredSiblings.nonEmpty) {
+          // live absent beside a PARTIAL staging or stranded retired
+          // generations is an unrecoverable external state — refuse to
+          // bootstrap from one batch over it, and name the state
+          throw new IllegalStateException(
+            s"mergeInto: live $path is absent/empty but recovery state " +
+              s"exists (staging=${fs.exists(p(staged))} complete=false, " +
+              s"retired=${retiredSiblings.map(_.getName).mkString(",")}) — " +
+              "refusing to bootstrap from the current batch; restore the " +
+              "live table or a complete staging manually")
+        } else {
+          partitionedWrite(updates, partCol, path)
+          return
+        }
       }
       val totalParts = fs.listStatus(hPath).count(st =>
         st.isDirectory && st.getPath.getName.startsWith(partCol + "="))
@@ -425,9 +479,11 @@ object Layout extends org.apache.spark.internal.Logging {
         val merged = spark.read.parquet(path)
           .join(updates.select(col(key), col(partCol)), Seq(key, partCol), "left_anti")
           .unionByName(updates)
-        def p(s: String) = new org.apache.hadoop.fs.Path(s)
-        val staged = path + ".merge-staging"
-        if (fs.exists(p(staged))) fs.delete(p(staged), true) // crash orphan
+        // live is PRESENT here (the adjudication above), so any staging —
+        // even a _SUCCESS-complete one — is a superseded orphan from a
+        // crash before the retire rename; the caller's retry re-merges the
+        // same batch, so deleting it loses nothing
+        if (fs.exists(p(staged))) fs.delete(p(staged), true)
         partitionedWrite(merged, partCol, staged)
         require(fs.exists(p(staged + "/_SUCCESS")),
           s"mergeInto: $staged has no _SUCCESS marker after the rewrite")
@@ -447,8 +503,11 @@ object Layout extends org.apache.spark.internal.Logging {
         }
         // in-place contract: the surgical path deletes replaced files at
         // commit too, so the retired generation is reaped immediately
-        // rather than returned for draining
-        fs.delete(p(retired), true)
+        // rather than returned for draining — loudly if the delete fails,
+        // since nothing else reaps .retired-* (ADVICE r14)
+        if (!fs.delete(p(retired), true) && fs.exists(p(retired)))
+          logWarning(s"mergeInto: retired generation $retired could not " +
+            "be deleted — nothing reaps it automatically; remove it manually")
         return
       }
       val existing = spark.read.parquet(path)

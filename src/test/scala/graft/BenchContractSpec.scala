@@ -42,7 +42,11 @@ class BenchContractSpec extends AnyFunSuite {
     val widths = Seq.fill(SparkEntry.all.size)("99.9")
     val medians = SparkEntry.all.zip(widths)
       .map { case (q, w) => "\"" + qid(q.name) + "\":" + w }.mkString("{", ",", "}")
-    val diag = """{"q110":[9.99,9.99,99,32]}"""
+    // diag cores field at its 3-char worst: fc is length-capped at 3
+    // since r15 (ADVICE r14 — f1's "10.0" boundary and 100+-core hosts
+    // both now fall to "%.0f" capped 99, like gcPct), so "999" IS the
+    // true worst, not an understatement
+    val diag = """{"q110":[9.99,9.99,99,999]}"""
     val iso = (1 to 2)
       .map(i => "\"q15" + i + "\":99.9").mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":99.9,"unit":"sec",""" +
@@ -53,19 +57,22 @@ class BenchContractSpec extends AnyFunSuite {
       s"bench JSON would be ${line.length} B; trim before the harness truncates it")
   }
 
-  test("iso candidates: stall flags first, then regressions by ratio-vs-prev (r13 verdict item 1)") {
+  test("iso candidates: evidence-less regressions first by ratio-vs-prev, then stall flags (r14 verdict item 2)") {
     // the path only fires on degraded runs — pin its ordering here so
-    // the guarantee doesn't wait for one. q122-style: a 4.8× inflation
-    // of a small query must outrank a 2.0× of a big one.
+    // the guarantee doesn't wait for one. Regressions carry NO
+    // exonerating evidence without an iso shot, so they outrank stall
+    // flags (which already carry their own best rep + diag context);
+    // within regressions, q122-style: a 4.8× inflation of a small query
+    // must outrank a 2.0× of a big one.
     val regressed = Seq(
       ("q104_tpch_q4", 1.28, 0.64),        // 2.0× on a bigger median
       ("q122_hard_negatives", 2.39, 0.50), // 4.8×
       ("q103_tpch_q15", 1.22, 0.32))       // 3.8×
     val got = Bench.isoOrder(Seq("q123_jdbc_expr_agg"), regressed)
-    assert(got == Seq("q123_jdbc_expr_agg", "q122_hard_negatives",
-      "q103_tpch_q15", "q104_tpch_q4"), got.toString)
+    assert(got == Seq("q122_hard_negatives", "q103_tpch_q15",
+      "q104_tpch_q4", "q123_jdbc_expr_agg"), got.toString)
     // a query both stall-flagged and regressed appears once, in the
-    // stall (evidence-carrying) position
+    // regression (evidence-needing) position
     val dup = Bench.isoOrder(Seq("q122_hard_negatives"), regressed)
     assert(dup.head == "q122_hard_negatives" && dup.count(_ == "q122_hard_negatives") == 1)
   }

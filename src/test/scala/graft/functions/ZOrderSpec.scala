@@ -426,6 +426,79 @@ class ZOrderSpec extends AnyFunSuite with SparkFixture {
     assert(leftovers.isEmpty, s"fallback left $leftovers behind")
   }
 
+  test("mergeInto fallback crash between renames: rerun forward-recovers the FULL corpus, never bootstraps from the batch") {
+    // r14 verdict #1: the window where live has been renamed to
+    // .retired-* and the complete (_SUCCESS-marked) .merge-staging has
+    // not been published. Before the fix, the rerun's bootstrap branch
+    // rebuilt the table from ONE batch and the next fallback deleted the
+    // staged corpus as a "crash orphan".
+    import org.apache.spark.sql.DataFrame
+    val rows = (1L to 400L).map(k => (k, (k % 4).toInt, s"v$k"))
+    val updates = spark.createDataFrame(
+      (1L to 300L).filter(_ % 2 == 0).map(k => (k, (k % 4).toInt, "upd")))
+      .toDF("k", "p", "s")
+      .filter(col("p").isin(0, 1, 2)) // share 0.75 > 0.6 → fallback path
+    def freshTable(): String = {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_mergecrash").toString + "/t"
+      Layout.partitionedWrite(
+        spark.createDataFrame(rows).toDF("k", "p", "s"), "p", out)
+      out
+    }
+    def sig(df: DataFrame) = df
+      .agg(count(lit(1)), sum(col("k")),
+        sum(xxhash64(col("k"), col("p"), col("s")).cast("decimal(38,0)")))
+      .head()
+    // expected content: a clean merge on a twin table
+    val twin = freshTable()
+    Layout.mergeInto(spark, twin, updates, "p", "k")
+    val expected = sig(spark.read.parquet(twin))
+    // victim: construct the exact between-renames crash state by hand —
+    // complete merged staging, live renamed away, lock left behind
+    val out = freshTable()
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+    val mergedDf = spark.read.parquet(out)
+      .join(updates.select(col("k"), col("p")), Seq("k", "p"), "left_anti")
+      .unionByName(updates)
+    Layout.partitionedWrite(mergedDf, "p", out + ".merge-staging")
+    assert(fs.exists(hp(out + ".merge-staging/_SUCCESS")),
+      "test setup: staging incomplete")
+    assert(fs.rename(hp(out), hp(out + ".retired-424242")), "test setup rename")
+    fs.createNewFile(hp(out + ".compacting")) // the crash held the lock
+    // first rerun fails on the stale lock with instructions
+    val eLock = intercept[IllegalStateException] {
+      Layout.mergeInto(spark, out, updates, "p", "k")
+    }
+    assert(eLock.getMessage.contains("maintenance lock"))
+    // the operator removes the lock per the instructions, then reruns:
+    // the rerun MUST publish the staged corpus forward, then merge the
+    // (re-submitted) batch — idempotent, so content equals the clean merge
+    fs.delete(hp(out + ".compacting"), false)
+    Layout.mergeInto(spark, out, updates, "p", "k")
+    assert(sig(spark.read.parquet(out)) == expected,
+      "forward recovery lost the corpus (bootstrapped from the batch?)")
+    // hygiene: staging consumed, crash's retired generation reaped, lock gone
+    val parent = java.nio.file.Paths.get(out).getParent
+    import scala.jdk.CollectionConverters._
+    val leftovers = java.nio.file.Files.list(parent).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.contains(".compacting") || n.contains(".merge-staging") ||
+        n.contains(".retired-")).toSeq
+    assert(leftovers.isEmpty, s"recovery left $leftovers behind")
+    // failure arm: live absent beside a PARTIAL staging (no _SUCCESS) is
+    // an unrecoverable external state — loud refusal, never a bootstrap
+    val out2 = freshTable()
+    fs.mkdirs(hp(out2 + ".merge-staging"))
+    assert(fs.rename(hp(out2), hp(out2 + ".retired-7")), "test setup rename")
+    val e2 = intercept[IllegalStateException] {
+      Layout.mergeInto(spark, out2, updates, "p", "k")
+    }
+    assert(e2.getMessage.contains("refusing to bootstrap"), e2.getMessage)
+    assert(!fs.exists(hp(out2)), "refusal must not have written anything")
+  }
+
   test("compactAndSwap publishes atomically: content hash unchanged, files collapsed, retired generation drains") {
     val dir = "/root/testdata/sf0.001"
     val ev = graft.Tables.load(spark, dir, "events")
