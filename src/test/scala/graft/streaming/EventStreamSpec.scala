@@ -627,5 +627,74 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
         java.nio.file.Paths.get(table + ".compacting")), "lock leaked")
     } finally q.stop()
   }
+
+  test("ingestTo: a micro-batch firing INTO a held maintenance lock retries and completes once the lock frees") {
+    // r14 verdict item 6: the bounded-backoff retry shipped with only a
+    // message-prefix guard — this arm exercises REAL contention: the
+    // lock is held while the micro-batch runs, released ~1.5 s in, and
+    // the batch must land without failing the streaming query.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[(Long, String, Double, String)](spark)
+    val table = java.nio.file.Files.createTempDirectory("graft_lakelock").toString + "/events"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_lakelock_ck").toString
+    val stream = input.toDF().toDF("event_id", "event_type", "value", "event_date")
+      .select(col("event_id"), col("event_type"), col("value"),
+        to_date(col("event_date")).as("event_date"))
+    val lockFile = java.nio.file.Paths.get(table + ".compacting")
+    java.nio.file.Files.createDirectories(lockFile.getParent)
+    java.nio.file.Files.createFile(lockFile) // maintainer "holds" the lock
+    val releaser = new Thread(() => {
+      Thread.sleep(1500)
+      java.nio.file.Files.deleteIfExists(lockFile)
+    })
+    releaser.setDaemon(true)
+    val q = EventStream.ingestTo(stream, table, "event_date", "event_id", ckpt)
+    try {
+      input.addData((1L, "click", 1.0, "2024-01-01"))
+      releaser.start()
+      q.processAllAvailable() // blocks through the retries
+      assert(q.exception.isEmpty,
+        s"contended micro-batch failed the query: ${q.exception}")
+      assert(spark.read.parquet(table).count() == 1,
+        "retried micro-batch did not land")
+      assert(!java.nio.file.Files.exists(lockFile), "lock leaked")
+    } finally { q.stop(); releaser.join(5000) }
+  }
+
+  test("ingestTo: a lock held past lockWaitMs fails the query LOUDLY naming the maintenance lock") {
+    // the other half of the retry contract: a lock still held at the
+    // deadline is a crashed maintainer — silence here would mask data
+    // loss behind an endlessly-spinning ingest.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[(Long, String, Double, String)](spark)
+    val table = java.nio.file.Files.createTempDirectory("graft_lakedead").toString + "/events"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_lakedead_ck").toString
+    val stream = input.toDF().toDF("event_id", "event_type", "value", "event_date")
+      .select(col("event_id"), col("event_type"), col("value"),
+        to_date(col("event_date")).as("event_date"))
+    val lockFile = java.nio.file.Paths.get(table + ".compacting")
+    java.nio.file.Files.createDirectories(lockFile.getParent)
+    java.nio.file.Files.createFile(lockFile) // never released
+    val q = EventStream.ingestTo(stream, table, "event_date", "event_id",
+      ckpt, lockWaitMs = 600L)
+    try {
+      input.addData((1L, "click", 1.0, "2024-01-01"))
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def chain(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: chain(t.getCause)
+      assert(chain(ex).exists(t => t.getMessage != null &&
+        t.getMessage.startsWith("maintenance lock")),
+        s"failure does not name the maintenance lock: ${ex.getMessage}")
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(table)),
+        "deadline-failed batch wrote anyway")
+    } finally {
+      q.stop()
+      java.nio.file.Files.deleteIfExists(lockFile)
+    }
+  }
 }
 
