@@ -1497,11 +1497,23 @@ object ScaleProbe {
     // Bigram-LM family curve (r14): corpus LM statistics (q37) and the
     // per-doc CCNet-style LM score (q154) under N× doc growth — the
     // scale claims are vocabulary-bounded LM state and one
-    // composite-key stream join.
+    // composite-key stream join. r15 adds the composed form (q155):
+    // the LM score as a curation GATE beside the dedup shuffle and
+    // quality predicates, the pipeline CCNet actually runs.
     if (op == "lm") {
       familyCurve(spark, sfDir, factor, "lm", "documents",
         Seq("doc_id"),
-        Seq("q37_bigram_lm", "q154_lm_score"))
+        Seq("q37_bigram_lm", "q154_lm_score", "q155_lm_gated_curate"))
+      return
+    }
+    // Duplicated-span family curve (r15): the q97 metrics and the q156
+    // removal form under N× doc growth — the scale claims are the
+    // AQE-splittable int64 span join (shared) and, for removal, the
+    // per-document-bounded interval windows.
+    if (op == "spans") {
+      familyCurve(spark, sfDir, factor, "spans", "documents",
+        Seq("doc_id"),
+        Seq("q97_dup_spans", "q156_dup_span_removal"))
       return
     }
     // SimHash family curve (r14): the deduped two-stage vote shape

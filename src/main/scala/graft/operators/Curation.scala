@@ -25,33 +25,67 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** LM-gate threshold (parts-per-million mean bigram conditional
+    * probability, [[TextAnalysis.lmScore]]'s scale) used by the gated
+    * gate queries. Probed against the testdata corpus at sf0.001 /
+    * sf0.01 / sf0.1: lm_ppm spans ~29k–118k with median ~34k at every
+    * scale, and 33 000 keeps 89–93% of documents at all three — a real
+    * cut (the improbable tail CCNet's perplexity filter targets) that
+    * never empties or no-ops the gate.
+    */
+  val LmGatePpm = 33000L
+
   /** Curate any (id, text) frame:
     *   1. exact dedup — min-id representative per distinct text;
     *   2. quality gate — distinct-token ratio minus stopword ratio
     *      ≥ qualityNum/qualityDen (integer compare);
     *   3. language gate — stopword density > 1/densityDen ("en"
-    *      heuristic, same predicate as [[TextAnalysis.langId]]).
+    *      heuristic, same predicate as [[TextAnalysis.langId]]);
+    *   4. (when `lmPpmMin` > 0) LM quality gate — the CCNet-style
+    *      perplexity filter (Wenzek et al., arXiv:1911.00359) as one
+    *      more integer predicate: keep documents whose
+    *      [[TextAnalysis.lmScore]] under the corpus's own bigram LM
+    *      (trained on the FULL input frame, duplicates included, like
+    *      q154) is ≥ `lmPpmMin` ppm. The gate is a left-semi join on
+    *      doc_id; duplicates share a text hence a score, so gating the
+    *      representative equals gating the cluster. The LM machinery
+    *      keeps q154's scale shape — head totals via a
+    *      vocabulary-bounded window on the collapsed bigram table, one
+    *      composite-key stream join.
     * Output: (doc_id, n_tokens, n_bpe_tokens, fp) — the id, the token
     * budget columns, and the cross-engine content fingerprint.
     */
   def curate(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
       stopwords: Seq[String] = Seq("the", "a"),
       qualityNum: Int = 1, qualityDen: Int = 2,
-      densityDen: Int = 20): DataFrame = {
+      densityDen: Int = 20, lmPpmMin: Long = 0L): DataFrame = {
     val a = split(col("text"), " ")
-    df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val gated = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), col("text"), size(a).as("n"),
         size(array_distinct(a)).as("nd"),
         size(filter(a, t => t.isin(stopwords: _*))).as("sh"))
       .filter((col("nd") - col("sh")) * qualityDen >= lit(qualityNum) * col("n") &&
         col("sh") * densityDen > col("n"))
+    val lmGated =
+      if (lmPpmMin <= 0) gated
+      else gated.join(lmSurvivors(df, idCol, textCol, lmPpmMin),
+        Seq("doc_id"), "left_semi")
+    lmGated
       .select(col("doc_id"), col("n").as("n_tokens"),
         // codegen byte scan, not the regex engine (BpeCount — the q35
         // lesson: same count, ~14× cheaper per row at corpus scale)
         graft.functions.BpeCount.bpe_count(col("text")).as("n_bpe_tokens"),
         h60(col("text")).as("fp"))
   }
+
+  /** doc_ids passing the LM quality gate: lm_ppm ≥ `thr` under the
+    * corpus bigram LM. Shared by [[curate]] and [[semanticCurate]].
+    */
+  private def lmSurvivors(df: DataFrame, idCol: String, textCol: String,
+      thr: Long): DataFrame =
+    TextAnalysis.lmScore(df, idCol, textCol)
+      .filter(col("lm_ppm") >= thr).select("doc_id")
 
   /** (doc_id, h) for every word n-gram occurrence of an (id, text)
     * frame — 60-bit cross-engine hashes, NOT de-duplicated per document
@@ -307,7 +341,7 @@ object Curation {
       groupCol: String = "source",
       stopwords: Seq[String] = Seq("the", "a"),
       qualityNum: Int = 1, qualityDen: Int = 2, densityDen: Int = 20,
-      budget: Int = 800): DataFrame = {
+      budget: Int = 800, lmPpmMin: Long = 0L): DataFrame = {
     val d = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"),
       col(groupCol).as("grp"))
     val rep = d.groupBy("text").agg(min("doc_id").as("vec_id")).select("vec_id")
@@ -318,12 +352,20 @@ object Curation {
     val a = split(col("text"), " ")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("grp").orderBy(col("q").desc, col("doc_id"))
-    d.join(surv, Seq("doc_id"))
+    val gated = d.join(surv, Seq("doc_id"))
       .select(col("grp"), col("doc_id"), size(a).as("n"),
         size(array_distinct(a)).as("nd"),
         size(filter(a, t => t.isin(stopwords: _*))).as("sh"))
       .filter((col("nd") - col("sh")) * qualityDen >= lit(qualityNum) * col("n") &&
         col("sh") * densityDen > col("n"))
+    // LM gate BEFORE the budget window (CCNet order: an LM-rejected
+    // document must not consume any group's token budget) — see
+    // [[curate]] for the gate's semantics and scale shape
+    val lmGated =
+      if (lmPpmMin <= 0) gated
+      else gated.join(lmSurvivors(docs, idCol, textCol, lmPpmMin),
+        Seq("doc_id"), "left_semi")
+    lmGated
       .withColumn("q", col("nd") - col("sh"))
       .withColumn("cum", sum("n").over(w))
       .filter(col("cum") <= budget)
@@ -422,11 +464,13 @@ object Curation {
     },
 
     // Capstone: exact dedup -> semantic (embedding-cluster) dedup over
-    // the representatives -> quality/language gates -> per-source token
-    // budget, as ONE declarative program. The oracle composes the same
-    // CTE chains the individual gates use (rep dedup, quantized
+    // the representatives -> quality/language/LM gates -> per-source
+    // token budget, as ONE declarative program. The oracle composes the
+    // same CTE chains the individual gates use (rep dedup, quantized
     // vectors, sign-LSH pairs over the representative subset, recursive
-    // closure, gate predicates, budget window).
+    // closure, gate predicates, the q154 LM chain thresholded at
+    // LmGatePpm, budget window). r15: the LM gate joined the capstone —
+    // CCNet uses the perplexity score as a GATE, not a report.
     Q("q91_semantic_curate",
       "WITH RECURSIVE rep AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text), " +
         graft.operators.EmbeddingLsh.quantizedSql + ", " +
@@ -438,10 +482,12 @@ object Curation {
         "lab AS (SELECT v, LEAST(v, MIN(u)) AS cluster FROM r GROUP BY v), " +
         "surv AS (SELECT rep.doc_id FROM rep LEFT JOIN lab ON rep.doc_id = lab.v " +
         " WHERE rep.doc_id = COALESCE(lab.cluster, rep.doc_id)), " +
+        TextAnalysis.lmGateCtes(LmGatePpm) + ", " +
         "m AS (SELECT d.source AS grp, d.doc_id, len(string_split(d.text,' ')) AS n, " +
         " len(list_distinct(string_split(d.text,' '))) AS nd, " +
         " len(list_filter(string_split(d.text,' '), t -> t IN ('the','a'))) AS sh " +
-        " FROM documents d JOIN surv ON d.doc_id = surv.doc_id), " +
+        " FROM documents d JOIN surv ON d.doc_id = surv.doc_id " +
+        " JOIN lms ON d.doc_id = lms.doc_id), " +
         "g AS (SELECT grp, doc_id, n, nd - sh AS q FROM m " +
         " WHERE (nd - sh) * 2 >= n AND sh * 20 > n), " +
         "c AS (SELECT grp, doc_id, n, SUM(n) OVER (PARTITION BY grp " +
@@ -449,7 +495,26 @@ object Curation {
         "SELECT grp, doc_id, n AS n_tokens, CAST(cum AS BIGINT) AS cum FROM c WHERE cum <= 800 " +
         "ORDER BY grp, doc_id") { (s, dir) =>
       semanticCurate(Tables.load(s, dir, "documents"),
-        graft.operators.EmbeddingLsh.quantized(s, dir)).orderBy("grp", "doc_id")
+        graft.operators.EmbeddingLsh.quantized(s, dir),
+        lmPpmMin = LmGatePpm).orderBy("grp", "doc_id")
+    },
+
+    // LM-gated curation over documents only — the q73 pipeline with the
+    // CCNet perplexity gate composed in (the lm family's curve-able
+    // composed form: one fact table, doc_id-shiftable).
+    Q("q155_lm_gated_curate",
+      "WITH rep AS (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text), " +
+        TextAnalysis.lmGateCtes(LmGatePpm) + ", " +
+        "m AS (SELECT doc_id, text, len(string_split(text,' ')) AS n, " +
+        "len(list_distinct(string_split(text,' '))) AS nd, " +
+        "len(list_filter(string_split(text,' '), t -> t IN ('the','a'))) AS sh FROM rep) " +
+        "SELECT doc_id, n AS n_tokens, " +
+        s"len(regexp_extract_all(text, '${TextAnalysis.BpePattern}')) AS n_bpe_tokens, " +
+        h60Sql("text") + " AS fp " +
+        "FROM m WHERE (nd - sh) * 2 >= n AND sh * 20 > n " +
+        "AND doc_id IN (SELECT doc_id FROM lms) ORDER BY doc_id") { (s, dir) =>
+      curate(Tables.load(s, dir, "documents"), lmPpmMin = LmGatePpm)
+        .orderBy("doc_id")
     },
 
     // Exact 1-in-5 stratified sample per source in deterministic

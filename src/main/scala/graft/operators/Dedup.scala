@@ -597,6 +597,70 @@ object Dedup {
           .cast("long").as("dup_permille"))
   }
 
+  /** Exact-substring dedup REMOVAL — the step the Lee et al. pipeline
+    * (arXiv:2107.06499) runs after measuring duplicated spans
+    * ([[dupSpans]]): for each document, the maximal KEPT token ranges
+    * once every k-token span that also occurs in another document is
+    * removed. Emits one row per kept range, `(doc_id, kept_from,
+    * kept_to)` in 1-based inclusive token positions — a document with
+    * no cross-document spans keeps one full range, a fully-duplicated
+    * document keeps none. Suffix-array-free: the reference pipeline
+    * builds a corpus suffix array; here the same span-hash stream the
+    * metrics use drives interval arithmetic instead.
+    *
+    * Scale shape: the positional span stream (3 int64s per span) feeds
+    * the dup-set aggregate and the probe join exactly as in
+    * [[dupSpans]] (same persist rule, same AQE-splittable int64 join);
+    * the interval union + complement runs in per-DOCUMENT windows over
+    * the DUPLICATED positions only — partitions bounded by document
+    * length, the safe window regime (never a corpus-sized key).
+    */
+  def dupSpanRemoval(docs: DataFrame, k: Int = SpanK,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("a"))
+    val gram = (0 until k).map(j => s"element_at(a, i+$j)").mkString("concat_ws(' ', ", ", ", ")")
+    // tracked like q97's stream: feeds BOTH the dup-set aggregate and
+    // the probe join; rows are three longs
+    val spans = graft.operators.GraftCache.track(t.filter(size(col("a")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(a)-${k - 1}), i -> struct(i AS i, $gram AS s))")).as("x"))
+      .select(col("doc_id"), col("x.i").cast("long").as("i"), h60(col("x.s")).as("h")))
+    val dup = spans.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx")).select("h")
+    // duplicated span START positions per document (one span per
+    // position, so no dedup needed)
+    val dpos = spans.join(dup.hint("shuffle_hash"), "h").select("doc_id", "i")
+    // interval union: spans cover [i, i+k-1]; a span whose start is
+    // past the running coverage end + 1 opens a new covered interval
+    // (i = prev_end + 1 keeps coverage contiguous — no kept gap)
+    val wOrd = Window.partitionBy("doc_id").orderBy("i")
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val cov = dpos
+      .withColumn("pce", max(col("i") + lit(k - 1)).over(wPrev))
+      .withColumn("brk",
+        when(col("pce").isNull || col("i") > col("pce") + 1, 1).otherwise(0))
+      .withColumn("grp", sum(col("brk")).over(wOrd))
+      .groupBy("doc_id", "grp")
+      .agg(min(col("i")).as("cs"), (max(col("i")) + lit(k - 1)).as("ce"))
+    // complement: gaps between consecutive covered intervals, the tail
+    // after the last one, and the full range for untouched documents
+    val covW = Window.partitionBy("doc_id").orderBy("cs")
+    val gaps = cov
+      .withColumn("kept_from", coalesce(lag(col("ce"), 1).over(covW), lit(0L)) + 1)
+      .withColumn("kept_to", col("cs") - 1)
+      .filter(col("kept_to") >= col("kept_from"))
+      .select(col("doc_id"), col("kept_from"), col("kept_to"))
+    val n = t.select(col("doc_id"), size(col("a")).cast("long").as("n"))
+    val mx = cov.groupBy("doc_id").agg(max(col("ce")).as("mce"))
+    val tails = n.join(mx, "doc_id").filter(col("n") > col("mce"))
+      .select(col("doc_id"), (col("mce") + 1).as("kept_from"), col("n").as("kept_to"))
+    val untouched = n.join(mx, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit(1L).as("kept_from"), col("n").as("kept_to"))
+    gaps.unionByName(tails).unionByName(untouched)
+  }
+
   def queries: Seq[Q] = Seq(
 
     Q("q40_exact_dedup",
@@ -801,6 +865,43 @@ object Dedup {
         "AS dup_permille FROM t LEFT JOIN nd ON t.doc_id = nd.sd " +
         "ORDER BY t.doc_id") { (s, dir) =>
       dupSpans(Tables.load(s, dir, "documents")).orderBy("doc_id")
+    },
+
+    // Exact-substring dedup REMOVAL (the Lee et al. pipeline's second
+    // half): per-document kept token ranges after every cross-document
+    // 8-token span is cut — q97's span CTE extended with positional
+    // interval union + complement. sp is referenced by both the dup-set
+    // build and the probe → AS MATERIALIZED (DuckDB per-reference
+    // inlining rule).
+    Q("q156_dup_span_removal",
+      "WITH t AS (SELECT doc_id, string_split(text,' ') AS a FROM documents), " +
+        "sp AS MATERIALIZED (SELECT doc_id AS sd, unnest([{'i': i, 'h': " +
+        h60Sql(s"array_to_string(a[i:i+${SpanK - 1}],' ')") +
+        s"} FOR i IN generate_series(1, len(a)-${SpanK - 1})]) AS x " +
+        s"FROM t WHERE len(a) >= $SpanK), " +
+        "spp AS (SELECT sd, x.i AS i, x.h AS h FROM sp), " +
+        "dup AS (SELECT h FROM spp GROUP BY h HAVING MIN(sd) <> MAX(sd)), " +
+        "dpos AS (SELECT sd, i FROM spp WHERE h IN (SELECT h FROM dup)), " +
+        s"g AS (SELECT sd, i, CASE WHEN i > COALESCE(MAX(i+${SpanK - 1}) " +
+        "OVER (PARTITION BY sd ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING " +
+        "AND 1 PRECEDING), 0) + 1 THEN 1 ELSE 0 END AS brk FROM dpos), " +
+        "gg AS (SELECT sd, i, SUM(brk) OVER (PARTITION BY sd ORDER BY i " +
+        "ROWS UNBOUNDED PRECEDING) AS grp FROM g), " +
+        s"cov AS (SELECT sd, grp, MIN(i) AS cs, MAX(i)+${SpanK - 1} AS ce " +
+        "FROM gg GROUP BY sd, grp), " +
+        "gaps AS (SELECT sd, COALESCE(LAG(ce) OVER (PARTITION BY sd " +
+        "ORDER BY cs), 0) + 1 AS kept_from, cs - 1 AS kept_to FROM cov), " +
+        "mx AS (SELECT sd, MAX(ce) AS mce FROM cov GROUP BY sd), " +
+        "tl AS (SELECT t.doc_id AS sd, mce + 1 AS kept_from, len(a) AS kept_to " +
+        "FROM t JOIN mx ON t.doc_id = mx.sd WHERE len(a) > mce), " +
+        "fl AS (SELECT doc_id AS sd, 1 AS kept_from, len(a) AS kept_to FROM t " +
+        "WHERE doc_id NOT IN (SELECT sd FROM mx)) " +
+        "SELECT sd AS doc_id, kept_from::BIGINT AS kept_from, kept_to::BIGINT AS kept_to " +
+        "FROM (SELECT * FROM gaps WHERE kept_to >= kept_from " +
+        "UNION ALL SELECT * FROM tl UNION ALL SELECT * FROM fl) " +
+        "ORDER BY doc_id, kept_from") { (s, dir) =>
+      dupSpanRemoval(Tables.load(s, dir, "documents"))
+        .orderBy("doc_id", "kept_from")
     }
   )
 

@@ -502,6 +502,27 @@ object TextAnalysis {
         expr("s div n_bigrams").as("lm_ppm"))
   }
 
+  /** DuckDB CTE chain computing the LM-gated survivor set `lms` — the
+    * oracle-side mirror of [[lmScore]] thresholded at `thr` ppm, used by
+    * the curation gates that thread an `lmPpmMin` arm (q91, q155). Same
+    * exact-integer chain as the q154 oracle (ppm = exact `//` division,
+    * per-doc mean exact `//`), with the stream CTE `AS MATERIALIZED`
+    * per the DuckDB per-reference-inlining rule (it is referenced by
+    * both the LM build and the probe join).
+    */
+  def lmGateCtes(thr: Long): String =
+    "lt AS (SELECT doc_id, string_split(text,' ') AS a FROM documents " +
+      "WHERE len(string_split(text,' ')) >= 2), " +
+      "lbg AS (SELECT doc_id, unnest([{'w1': a[i], 'w2': a[i+1]} " +
+      "FOR i IN generate_series(1, len(a)-1)]) AS b FROM lt), " +
+      "lbgd AS MATERIALIZED (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM lbg), " +
+      "lc2 AS (SELECT w1, w2, COUNT(*) AS c_big FROM lbgd GROUP BY 1, 2), " +
+      "llm AS (SELECT w1, w2, (1000000 * c_big) // " +
+      "(SUM(c_big) OVER (PARTITION BY w1)) AS ppm FROM lc2), " +
+      "lms AS (SELECT doc_id FROM lbgd JOIN llm " +
+      "ON lbgd.w1 = llm.w1 AND lbgd.w2 = llm.w2 " +
+      s"GROUP BY doc_id HAVING SUM(ppm) // COUNT(*) >= $thr)"
+
   /** Inverted-index posting lists over bigram terms, vocabulary
     * band-selected by document frequency: terms kept when
     * lo‰ ≤ df/corpus ≤ hi‰ (multiplicative integer compare — no FP in

@@ -119,6 +119,51 @@ class AlgorithmPropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("dupSpanRemoval equals the sequential interval-complement reference on random corpora") {
+    import spark.implicits._
+    val genCorpus = for {
+      nDocs <- Gen.choose(2, 25)
+      docs <- Gen.listOfN(nDocs, for {
+        len <- Gen.choose(0, 14)
+        toks <- Gen.listOfN(len, Gen.oneOf("a", "b", "c"))
+      } yield toks.mkString(" "))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val k = 3
+    for (seed <- 1L to 10L) {
+      val corpus = sample(genCorpus, seed)
+      // token arrays EXACTLY as Spark's split sees them (no empty-token
+      // filter: "" splits to [""], giving n = 1)
+      val toks = corpus.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+      val docsOfGram = corpus.flatMap { case (id, _) =>
+        val a = toks(id)
+        if (a.length >= k) a.sliding(k).map(g => (g.mkString(" "), id)).toSeq
+        else Seq.empty
+      }.groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).distinct }
+      val expected = corpus.flatMap { case (id, _) =>
+        val a = toks(id)
+        val n = a.length
+        val dupPos =
+          if (n < k) Seq.empty
+          else (0 to n - k).filter { i =>
+            val g = a.slice(i, i + k).mkString(" ")
+            docsOfGram(g).exists(_ != id)
+          }.map(_ + 1)
+        val covered = dupPos.flatMap(i => i until i + k).toSet
+        // maximal kept runs of 1..n
+        (1 to n).foldLeft(List.empty[(Int, Int)]) { (acc, p) =>
+          if (covered(p)) acc
+          else acc match {
+            case (s, e) :: rest if e == p - 1 => (s, p) :: rest
+            case _ => (p, p) :: acc
+          }
+        }.reverse.map { case (s, e) => (id, s.toLong, e.toLong) }
+      }.sortBy(x => (x._1, x._2))
+      val got = Dedup.dupSpanRemoval(corpus.toDF("doc_id", "text"), k = k)
+        .as[(Long, Long, Long)].collect().sortBy(x => (x._1, x._2)).toList
+      assert(got == expected, s"seed=$seed corpus=$corpus")
+    }
+  }
+
   test("kmeansAssign equals sequential integer Lloyd on random vector sets") {
     import spark.implicits._
     val genVecs = for {

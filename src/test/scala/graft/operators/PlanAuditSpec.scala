@@ -185,6 +185,20 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("[h#") || p.contains("(h#"), s"hash-key join lost:\n$p")
   }
 
+  test("q156: span removal keeps q97's hash join; interval windows partition by doc_id only") {
+    val p = plan("q156_dup_span_removal")
+    assert(!p.contains("CartesianProduct"), p)
+    // the dup probe stays the AQE-splittable int64 shuffled-hash join
+    assert(p.contains("ShuffledHashJoin"), s"span probe lost the shuffle_hash plan:\n$p")
+    // interval union + complement are per-DOCUMENT windows (bounded by
+    // doc length) — a window keyed by the span hash would buffer a
+    // boilerplate span's whole posting list in one task
+    assert(p.toLowerCase.contains("windowspecdefinition(doc_id"),
+      s"interval windows lost the doc_id partitioning:\n$p")
+    assert(!p.toLowerCase.contains("windowspecdefinition(h#"),
+      s"window over the span hash:\n$p")
+  }
+
   test("q36: chunking is a shuffle-free projection — no hash exchange at all") {
     val p = plan("q36_chunk_windows")
     assert(!p.contains("hashpartitioning"),
@@ -439,10 +453,28 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"quadratic join reintroduced:\n$p")
   }
 
-  test("q91: capstone curation plans equi-joins only — no cartesian anywhere") {
+  test("q91: capstone curation plans equi-joins only — no cartesian anywhere; LM gate keeps the window form") {
     val p = plan("q91_semantic_curate")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"quadratic join in the capstone:\n$p")
+    // the r15 LM gate must keep q154's vocabulary-side build: head
+    // totals as a Window over the collapsed bigram table (an
+    // aggregate+self-join form would recompute the uncached explode
+    // subtree twice), visible as ≥2 Windows (LM head totals + budget)
+    assert("Window".r.findAllIn(p).length >= 2,
+      s"LM head totals lost the window form:\n$p")
+  }
+
+  test("q155: LM-gated curation keeps q154's vocabulary-side LM + q73's single dedup shuffle — no cartesian") {
+    val p = plan("q155_lm_gated_curate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // one Window (LM head totals over the collapsed c2 table) — the
+    // budget-less pipeline has no other window
+    assert(p.contains("Window"), s"LM head totals lost the window form:\n$p")
+    // aggregates: dedup groupBy + c2 + per-doc score (each with its
+    // map-side partial) — more means a gate started re-aggregating
+    assert("HashAggregate".r.findAllIn(p).length <= 6,
+      s"aggregate shape drifted:\n$p")
   }
 
   test("q92: funnel is ONE conditional-min aggregate pair — no join, no window") {
