@@ -322,10 +322,14 @@ object Bench {
     // position-stable (ADVICE r13): a lone point must say WHICH end it
     // measured, so the missing end renders as an explicit null instead
     // of an ambiguous one-element array
+    // cal values cap at 9.9 (3-char width, r15 line-budget trim): a
+    // host running ≥10× over its floor is equally damning at "9.9",
+    // and the letter arms divide by cal only in the ~1–2 range
     val calJson = (calStart, calEnd) match {
       case (None, None) => ""
       case (a, b) =>
-        "\"cal\":[" + a.fold("null")(fq) + "," + b.fold("null")(fq) + "],"
+        "\"cal\":[" + a.fold("null")(v => fq(math.min(v, 9.9))) + "," +
+          b.fold("null")(v => fq(math.min(v, 9.9))) + "],"
     }
     // Keys are the leading qNN id (unique across the suite; full names are
     // in BASELINE.md) — the full-name map alone is ~1.8 KB and the
@@ -423,20 +427,35 @@ object Bench {
         onlyJson + s""""queries":$medians,"diag":$diagStr,"iso":{},""" +
         calJson +
         s""""g":99,"w":999,""" + fails + s""""sf":"$sfName"}""").length
+    // worst-rep through fc (3-char: one decimal under 10, whole seconds
+    // capped above — r15 line-budget trim): the worst rep is stall
+    // MAGNITUDE evidence read against the best rep at 2× granularity,
+    // never a number anything divides by
     def diagStr(n: Int) = suspicious.take(n)
-      .map(r => "\"" + qid(r._1) + "\":[" + fq(r._3) + "," + fq(r._4) + "," +
+      .map(r => "\"" + qid(r._1) + "\":[" + fq(r._3) + "," + fc(r._4) + "," +
         r._5 + "," + fc(r._6) + "]")
       .mkString("{", ",", "}")
+    // per-entry worst width: quote+id+quote+colon+value+comma with the
+    // value at fq's TRUE 4-char worst (fq("590.0") can't happen — the
+    // %.2f→%.1f→%.0f ladder renders 590 as "590"; the r14 "+11" modeled
+    // a 5-char value fq cannot produce, and its 3 phantom bytes per
+    // entry are exactly what the 2-slot floor needs at 156 queries)
     def isoWorstCost(names: Seq[String]) =
-      names.map(_.takeWhile(_ != '_').length + 11).sum
-    // diag YIELDS its second entry to iso only under ACTUAL byte
-    // pressure: iso carries the adjudicating evidence, but on a run
-    // where every flagged query fits beside a 2-entry diag, dropping
-    // the second-worst query's rep spread buys nothing
+      names.map(_.takeWhile(_ != '_').length + 8).sum
+    // diag YIELDS entries to iso only under ACTUAL byte pressure, now
+    // down to ZERO (r15, extending the r12 second-entry rule): iso
+    // carries the adjudicating evidence for EVIDENCE-LESS regressions
+    // (r14 verdict item 2 — the same priority isoOrder encodes), while
+    // a stall flag's diag context is corroboration. Ladder: 2 entries
+    // when every flagged query fits beside them; 1 when the top-2 iso
+    // candidates fit beside it; else 0 — so ≥2 iso slots are guaranteed
+    // by the BenchContractSpec floor no matter how wide the medians run.
     val diag = {
       val d2 = diagStr(2)
+      val d1 = diagStr(1)
       if (lineLen(d2) + isoWorstCost(isoCandidates.take(16)) <= 1918) d2
-      else diagStr(1)
+      else if (lineLen(d1) + isoWorstCost(isoCandidates.take(2)) <= 1918) d1
+      else diagStr(0)
     }
     val lineSansIso = lineLen(diag)
     var isoBytes = 0
@@ -446,7 +465,7 @@ object Bench {
       // shots could push past the kill and lose the entire JSON line.
       // Skip remaining shots once elapsed wall nears the budget: a
       // missing iso entry is recoverable evidence, a lost artifact isn't.
-      val entryCost = name.takeWhile(_ != '_').length + 11 // "qNN":590.0, worst width
+      val entryCost = name.takeWhile(_ != '_').length + 8 // "qNN":99.9, fq 4-char worst
       if ((System.nanoTime() - benchStart) / 1e9 > 500.0) {
         System.err.println(s"[bench] $name isolated SKIPPED (wall budget)")
         None

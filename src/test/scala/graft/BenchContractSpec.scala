@@ -24,33 +24,32 @@ class BenchContractSpec extends AnyFunSuite {
     // BENCH_r09's tail) AFTER the JSON line — so the line's real budget
     // is ~1918 B, not 2000. Width model: fq() renders EXACTLY 4 chars
     // at every magnitude ("0.89", "9.99", "99.9", "590"), so every
-    // median — and every fq-rendered diag/iso/cal value — is modeled at
-    // 4 chars, which is not pessimism but the true fixed width. What
-    // this pins is the GUARANTEED adjudication floor: under byte
-    // pressure the runtime yields diag's second entry to iso (r12) and
-    // iso is byte-budgeted before each shot (entries admitted only
-    // while the line stays ≤ 1918 B, hard cap 16), so overflow is
-    // impossible by construction — the floor the artifact must always
-    // be able to carry is diag(1) + ≥2 iso slots + the r13 cal pair
-    // (real lines leave ~100+ B of dynamic headroom, so real iso counts
-    // stay 3+; the FLOOR dropped 3 → 2 in r14 alongside the q152/q153
-    // additions). r13 renamed gcsec/warmsec → gc/warm with ONE byte of
-    // margin left; r14 re-trims: "gc"→"g" capped 99, "warm"→"w",
-    // total/cores through the 4-char-worst renderers, diag gcPct capped
-    // 99 — and this model's iso ids are the true worst (4-char qNNN),
-    // not the accidental 7-char literal the r13 spec carried.
+    // median — and every fq-rendered value — is modeled at 4 chars,
+    // which is not pessimism but the true fixed width; fc-rendered
+    // fields (diag worst-rep and cores since r15) are 3-char worst.
+    // What this pins is the GUARANTEED adjudication floor: iso is
+    // byte-budgeted before each shot (entries admitted only while the
+    // line stays ≤ 1918 B, hard cap 16) and diag yields entries under
+    // byte pressure — since r15 down to ZERO (extending r12's
+    // second-entry rule; the same evidence-less-regressions-first
+    // priority as isoOrder) — so overflow is impossible by
+    // construction. The GUARANTEED floor at all-worst-width medians is
+    // diag(0) + 2 iso slots: ≥2 evidence-less regressions always get
+    // their in-artifact shots (r14's q129 failure mode is structurally
+    // closed for ≤2 regressions), with diag context re-admitted by the
+    // ladder whenever the real medians leave room (they always have —
+    // real lines run ~100+ B under the all-worst model).
+    // (The floor was diag(1)+iso(2) through r14's 154 queries;
+    // q155/q156 spent that shape's margin, and the r15 trims —
+    // worst-rep via fc, cal capped 9.9 — leave ~1 more query of
+    // headroom on the new floor.)
     val widths = Seq.fill(SparkEntry.all.size)("99.9")
     val medians = SparkEntry.all.zip(widths)
       .map { case (q, w) => "\"" + qid(q.name) + "\":" + w }.mkString("{", ",", "}")
-    // diag cores field at its 3-char worst: fc is length-capped at 3
-    // since r15 (ADVICE r14 — f1's "10.0" boundary and 100+-core hosts
-    // both now fall to "%.0f" capped 99, like gcPct), so "999" IS the
-    // true worst, not an understatement
-    val diag = """{"q110":[9.99,9.99,99,999]}"""
     val iso = (1 to 2)
       .map(i => "\"q15" + i + "\":99.9").mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":99.9,"unit":"sec",""" +
-      s""""queries":$medians,"diag":$diag,"iso":$iso,""" +
+      s""""queries":$medians,"diag":{},"iso":$iso,""" +
       s""""cal":[9.99,9.99],""" +
       s""""g":99,"w":999,"sf":"sf0.1"}"""
     assert(line.length <= 1918,
