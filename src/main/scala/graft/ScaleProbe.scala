@@ -863,6 +863,28 @@ object ScaleProbe {
         .select(lit(-1L).as("o_orderkey"))
         .join(broadcast(o2_14), Seq("o_orderkey"), "left")
         .agg(count(lit(1)).as("n"))
+      // r14 verdict item 4 — the one unprobed vectorized lever on the
+      // committed q14 decomposition's ~1.5 s probe-loop floor: push the
+      // ~15%-survivor selection INTO the scan stage as a q137-style
+      // graft_might_contain pre-filter over the semi-reduced orders
+      // keys, so the broadcast hash probe sees only bloom survivors.
+      // The bet under measure: failing a row via a cache-resident bloom
+      // bit array is cheaper than failing it via a multi-MB
+      // LongHashedRelation lookup. Keys frame cached per the q137
+      // exception (it feeds the EAGER scalar-subquery bloom build and
+      // the join build); an uncached control isolates that choice.
+      def q14bloomOf(track: Boolean): DataFrame = {
+        val keys = if (track) operators.GraftCache.track(o2_14) else o2_14
+        keys.createOrReplaceTempView("graft_q14_keys")
+        li.select("l_orderkey", "l_extendedprice_c", "l_discount_c")
+          .filter(expr("graft_might_contain((SELECT graft_bloom_agg(" +
+            "o_orderkey, 8000000) FROM graft_q14_keys), l_orderkey)"))
+          .join(keys, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(dims14), col("o_custkey") === col("c_custkey"))
+          .groupBy("n_name")
+          .agg(m(sum(rev4), 4).as("revenue"))
+          .orderBy(desc("revenue"), col("n_name"))
+      }
       // ---- q102 family ----
       def q102of(l: DataFrame): DataFrame = {
         val stats = l.groupBy(col("l_partkey").as("pk"))
@@ -1006,6 +1028,8 @@ object ScaleProbe {
       require(sig(q14intgroup) == sig(q14committed), "q14 int-group diverges")
       require(sig(q14best) == sig(q14committed), "q14 combined variant diverges")
       cold()
+      require(sig(q14bloomOf(true)) == sig(q14committed), "q14 bloom diverges")
+      cold()
       require(sig(q102rescan) == sig(q102cached), "q102 rescan diverges")
       cold()
       require(sig(q102origRescan) == sig(q102origCached), "q102 orig rescan diverges")
@@ -1023,6 +1047,8 @@ object ScaleProbe {
         "q14_shj" -> (() => q14shj),
         "q14_intgroup" -> (() => q14intgroup),
         "q14_1p_int" -> (() => q14best),
+        "q14_bloom" -> (() => q14bloomOf(true)),
+        "q14_bloom_nocache" -> (() => q14bloomOf(false)),
         "q14_bbuild" -> (() => q14bbuild),
         "q102_stats_scan" -> (() => q102stats),
         "q102_committed_cache" -> (() => q102cached),

@@ -328,8 +328,12 @@ object Relational {
       // orders) the planner falls back to a shuffle join of the
       // 2-column survivor set; at that scale add the
       // graft_might_contain bloom pre-filter (q137) on l_orderkey —
-      // measured at 100×, a bloom probe over a ~12%-selective 60 M-row
-      // scan costs more than it saves while the join is broadcastable,
+      // COMMITTED NEGATIVE at 100× (BENCH100_r15 q14_bloom_lever): the
+      // bloom variant measured 2.4× the committed shape (4.8–5.1 s vs
+      // 2.0–2.5 s, healthy-phase run, signature-identical) because the
+      // eager bloom build + 60 M-row pre-probe costs ~3 s where the
+      // LongHashedRelation probe it relieves costs ~1.5 s total — while
+      // the survivor set is broadcastable the bloom can only lose,
       // which is why it is NOT hardwired here.
       l.join(o2, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
