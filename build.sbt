@@ -41,5 +41,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   "-Duser.timezone=UTC",
   "-Dderby.stream.error.file=/tmp/derby.log",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 48g default (was 8g through r14): the single forked JVM is driver +
+  // all 32 executor threads, and Spark's unified memory region is
+  // fraction-of-heap — at 8g the 156-query suite ran its aggregates,
+  // broadcasts and columnar caches in ~4.6 GiB of unified memory on a
+  // 125 GiB box. A/B'd r15 over full sf0.1 runs, same hour: 8g total
+  // 97.4 s (cal 1.13) vs 48g 77.0 s (cal 1.11) — the suite-JVM spike
+  // magnets deflate (q128 0.84→0.38, q129 0.87→0.36, q123 2.87→1.13)
+  // and the comparable-31 raw letter lands (2.14× → 1.87×/2.00× in two
+  // 48g runs). Production translation: size executor memory to the
+  // workload, not the laptop default — this is that knob for local[32].
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )
