@@ -422,26 +422,31 @@ object Bench {
     val onlyJson = only.fold("")(o =>
       "\"only\":" + o.map("\"" + _ + "\"").mkString("[", ",", "]") + ",")
     val total = results.map(_._2).sum
-    def lineLen(diagStr: String) =
+    def lineLen(diagJson: String) =
       (s"""{"metric":"total","value":${fq(total)},"unit":"sec",""" +
-        onlyJson + s""""queries":$medians,"diag":$diagStr,"iso":{},""" +
+        onlyJson + s""""queries":$medians,""" + diagJson + s""""iso":{},""" +
         calJson +
         s""""g":99,"w":999,""" + fails + s""""sf":"$sfName"}""").length
     // worst-rep through fc (3-char: one decimal under 10, whole seconds
     // capped above — r15 line-budget trim): the worst rep is stall
     // MAGNITUDE evidence read against the best rep at 2× granularity,
     // never a number anything divides by
-    def diagStr(n: Int) = suspicious.take(n)
-      .map(r => "\"" + qid(r._1) + "\":[" + fq(r._3) + "," + fc(r._4) + "," +
-        r._5 + "," + fc(r._6) + "]")
-      .mkString("{", ",", "}")
+    def diagJson(n: Int) = {
+      val entries = suspicious.take(n)
+        .map(r => "\"" + qid(r._1) + "\":[" + fq(r._3) + "," + fc(r._4) + "," +
+          r._5 + "," + fc(r._6) + "]")
+      // an empty diag omits the KEY (r15, for q157's line budget): an
+      // absent field and zero entries read identically
+      if (entries.isEmpty) ""
+      else "\"diag\":" + entries.mkString("{", ",", "},")
+    }
     // per-entry worst width: quote+id+quote+colon+value+comma with the
-    // value at fq's TRUE 4-char worst (fq("590.0") can't happen — the
-    // %.2f→%.1f→%.0f ladder renders 590 as "590"; the r14 "+11" modeled
-    // a 5-char value fq cannot produce, and its 3 phantom bytes per
-    // entry are exactly what the 2-slot floor needs at 156 queries)
+    // value at fc's 3-char worst (iso values render through fc since
+    // r15 — exoneration compares against 2× thresholds, where one
+    // decimal is plenty; BASELINE carries full-precision isolated
+    // measures from SPARK_GRAFT_ONLY runs)
     def isoWorstCost(names: Seq[String]) =
-      names.map(_.takeWhile(_ != '_').length + 8).sum
+      names.map(_.takeWhile(_ != '_').length + 7).sum
     // diag YIELDS entries to iso only under ACTUAL byte pressure, now
     // down to ZERO (r15, extending the r12 second-entry rule): iso
     // carries the adjudicating evidence for EVIDENCE-LESS regressions
@@ -450,14 +455,14 @@ object Bench {
     // when every flagged query fits beside them; 1 when the top-2 iso
     // candidates fit beside it; else 0 — so ≥2 iso slots are guaranteed
     // by the BenchContractSpec floor no matter how wide the medians run.
-    val diag = {
-      val d2 = diagStr(2)
-      val d1 = diagStr(1)
+    val diagJ = {
+      val d2 = diagJson(2)
+      val d1 = diagJson(1)
       if (lineLen(d2) + isoWorstCost(isoCandidates.take(16)) <= 1918) d2
       else if (lineLen(d1) + isoWorstCost(isoCandidates.take(2)) <= 1918) d1
-      else diagStr(0)
+      else ""
     }
-    val lineSansIso = lineLen(diag)
+    val lineSansIso = lineLen(diagJ)
     var isoBytes = 0
     val iso = isoCandidates.take(16).flatMap { name =>
       // The driver kills the process at 590 s. The iso pass triggers on
@@ -465,7 +470,7 @@ object Bench {
       // shots could push past the kill and lose the entire JSON line.
       // Skip remaining shots once elapsed wall nears the budget: a
       // missing iso entry is recoverable evidence, a lost artifact isn't.
-      val entryCost = name.takeWhile(_ != '_').length + 8 // "qNN":99.9, fq 4-char worst
+      val entryCost = name.takeWhile(_ != '_').length + 7 // "qNN":9.9, fc 3-char worst
       if ((System.nanoTime() - benchStart) / 1e9 > 500.0) {
         System.err.println(s"[bench] $name isolated SKIPPED (wall budget)")
         None
@@ -498,7 +503,7 @@ object Bench {
       }
     }
     val isoJson = if (iso.isEmpty) "" else
-      "\"iso\":" + iso.map(r => "\"" + qid(r._1) + "\":" + fq(r._2))
+      "\"iso\":" + iso.map(r => "\"" + qid(r._1) + "\":" + fc(r._2))
         .mkString("{", ",", "},")
     // total through fq (4-char worst): the per-query medians carry the
     // detail. Field renames, r14 line-budget trim for q152/q153: "gc" →
@@ -508,7 +513,7 @@ object Bench {
     // nothing downstream parses these fields (BenchContractSpec is the
     // only reader) — they are human/judge prose evidence.
     println(s"""{"metric":"total","value":${fq(total)},"unit":"sec",""" +
-      onlyJson + s""""queries":$medians,"diag":$diag,$isoJson""" +
+      onlyJson + s""""queries":$medians,""" + diagJ + isoJson +
       calJson +
       s""""g":${math.min(99, math.round(gcTimedSec))},""" +
       s""""w":${math.min(999, math.round(warmSec))},""" +

@@ -502,6 +502,67 @@ object TextAnalysis {
         expr("s div n_bigrams").as("lm_ppm"))
   }
 
+  /** Top documents returned by the q157 gate. */
+  val Bm25K = 20
+
+  /** The q157 gate's fixed retrieval query. */
+  val Bm25Query: Seq[String] = Seq("spark", "merge", "window")
+
+  /** BM25 retrieval scoring (Robertson–Spärck Jones, k1=1.2 b=0.75) in
+    * the engine's integer-exact house style: the classic formula's two
+    * FP hazards — `ln` in the IDF and an order-dependent float sum over
+    * query terms — are replaced by deterministic integer arithmetic
+    * both engines compute bit-identically. Per term:
+    *
+    *   ratio_pm = (10⁶·dl) div adl_pm          (dl/avgdl, per-mille)
+    *   A        = (22000·tf·10⁶) div (10⁴·tf + 3000 + 9·ratio_pm)
+    *                                            (tf-part ×10⁶ — exactly
+    *                                             2.2·tf/(tf+1.2·(0.25+
+    *                                             0.75·dl/avgdl)) with
+    *                                             per-mille length norm)
+    *   score    = (（2N−2df+1)·A) div (2df+1)   (raw RSJ idf ratio, no ln)
+    *
+    * and the document score is the exact int64 SUM over terms (micro
+    * units) — monotone in the real-valued BM25-without-ln at fixed
+    * quantization, reproducible across engines/partitionings, and
+    * overflow-safe to ~10¹⁰ documents ((2N)·A ≤ 2·10¹⁰·2.2·10⁶ < 2⁶³).
+    *
+    * Scale shape: ONE corpus aggregate produces the 1-row stats frame
+    * (N, Σdl, per-term df — map-combinable), which broadcasts back; tf
+    * per query term is a per-row `filter(a, _ = term)` count (query
+    * terms are literals — no explode, no token shuffle); top-k is a
+    * TakeOrdered. The only exchanges at any corpus size are the 1-row
+    * stats aggregate and the k-row final — the fact path never
+    * shuffles.
+    */
+  def bm25TopK(df: org.apache.spark.sql.DataFrame,
+      terms: Seq[String] = Bm25Query, k: Int = Bm25K,
+      idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty && terms.size <= 16, "bm25: 1..16 literal terms")
+    val t = corpus(df, idCol, textCol)
+      .select(col("doc_id"), split(col("text"), " ").as("a"))
+      .select(col("doc_id"), col("a"), size(col("a")).cast("long").as("dl"))
+    val aggCols = Seq(count(lit(1)).as("n_docs"), sum(col("dl")).as("totlen")) ++
+      terms.zipWithIndex.map { case (tm, i) =>
+        sum(when(array_contains(col("a"), tm), 1L).otherwise(0L)).as(s"df_$i")
+      }
+    val stats = t.agg(aggCols.head, aggCols.tail: _*)
+    val scoreTerms = terms.zipWithIndex.map { case (tm, i) =>
+      // BIGINT from the start: size() is INT and 22000·tf·10⁶ overflows
+      // 32 bits at tf ≥ 98 (ANSI mode makes that loud, not wrong)
+      val tf = s"CAST(size(filter(a, x -> x = '${tm}')) AS BIGINT)"
+      s"(((2*n_docs - 2*df_$i + 1) * ((22000 * $tf * 1000000) div " +
+        s"(10000 * $tf + 3000 + 9 * ratio_pm))) div (2*df_$i + 1))"
+    }
+    t.crossJoin(broadcast(stats))
+      .withColumn("ratio_pm",
+        expr("(1000000 * dl) div ((1000 * totlen) div n_docs)"))
+      .select(col("doc_id"), col("dl"),
+        expr(scoreTerms.mkString(" + ")).cast("long").as("bm25_u"))
+      .orderBy(col("bm25_u").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** DuckDB CTE chain computing the LM-gated survivor set `lms` — the
     * oracle-side mirror of [[lmScore]] thresholded at `thr` ppm, used by
     * the curation gates that thread an `lmPpmMin` arm (q91, q155). Same
@@ -765,6 +826,29 @@ object TextAnalysis {
         "FROM bgd JOIN lm ON bgd.w1 = lm.w1 AND bgd.w2 = lm.w2 " +
         "GROUP BY doc_id ORDER BY doc_id") { (s, dir) =>
       lmScore(Tables.load(s, dir, "documents")).orderBy("doc_id")
+    },
+
+    // BM25 top-k retrieval (integer-exact form — see bm25TopK): fixed
+    // 3-term query, micro-unit scores, deterministic tie-break.
+    Q("q157_bm25_topk", {
+      val terms = Bm25Query
+      val dfSel = terms.zipWithIndex.map { case (tm, i) =>
+        s"SUM(list_contains(a, '$tm')::BIGINT) AS df_$i" }.mkString(", ")
+      val score = terms.zipWithIndex.map { case (tm, i) =>
+        val tf = s"len(list_filter(a, x -> x = '$tm'))::BIGINT"
+        s"(((2*n_docs - 2*df_$i + 1) * ((22000 * $tf * 1000000) // " +
+          s"(10000 * $tf + 3000 + 9 * ratio_pm))) // (2*df_$i + 1))"
+      }.mkString(" + ")
+      "WITH t AS (SELECT doc_id, string_split(text,' ') AS a, " +
+        "len(string_split(text,' '))::BIGINT AS dl FROM documents), " +
+        s"s AS (SELECT COUNT(*)::BIGINT AS n_docs, SUM(dl)::BIGINT AS totlen, $dfSel FROM t), " +
+        "r AS (SELECT doc_id, dl, a, n_docs, totlen, " +
+        "(1000000 * dl) // ((1000 * totlen) // n_docs) AS ratio_pm, " +
+        "df_" + terms.indices.mkString(", df_") + " FROM t CROSS JOIN s) " +
+        s"SELECT doc_id, dl, ($score)::BIGINT AS bm25_u FROM r " +
+        s"ORDER BY bm25_u DESC, doc_id LIMIT $Bm25K"
+    }) { (s, dir) =>
+      bm25TopK(Tables.load(s, dir, "documents"))
     },
 
     // Sliding-window chunking for embedding/RAG indexing: overlapping

@@ -34,22 +34,25 @@ class BenchContractSpec extends AnyFunSuite {
     // second-entry rule; the same evidence-less-regressions-first
     // priority as isoOrder) — so overflow is impossible by
     // construction. The GUARANTEED floor at all-worst-width medians is
-    // diag(0) + 2 iso slots: ≥2 evidence-less regressions always get
-    // their in-artifact shots (r14's q129 failure mode is structurally
-    // closed for ≤2 regressions), with diag context re-admitted by the
-    // ladder whenever the real medians leave room (they always have —
-    // real lines run ~100+ B under the all-worst model).
+    // NO diag (the empty map omits its key since r15) + 2 iso slots:
+    // ≥2 evidence-less regressions always get their in-artifact shots
+    // (r14's q129 failure mode is structurally closed for ≤2
+    // regressions), with diag context re-admitted by the ladder
+    // whenever the real medians leave room (they always have — real
+    // lines run ~100 B under the all-worst model).
     // (The floor was diag(1)+iso(2) through r14's 154 queries;
-    // q155/q156 spent that shape's margin, and the r15 trims —
-    // worst-rep via fc, cal capped 9.9 — leave ~1 more query of
-    // headroom on the new floor.)
+    // q155/q156 spent that shape's margin; q157 spent the diag-key and
+    // iso-value-width bytes. The suite's structural cap under this
+    // contract is ~158 gates — the next query past that must find its
+    // bytes in the medians map itself or in a bigger collector tail.)
     val widths = Seq.fill(SparkEntry.all.size)("99.9")
     val medians = SparkEntry.all.zip(widths)
       .map { case (q, w) => "\"" + qid(q.name) + "\":" + w }.mkString("{", ",", "}")
+    // iso values render through fc since r15: 3-char worst ("9.9"/"999")
     val iso = (1 to 2)
-      .map(i => "\"q15" + i + "\":99.9").mkString("{", ",", "}")
+      .map(i => "\"q15" + i + "\":9.9").mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":99.9,"unit":"sec",""" +
-      s""""queries":$medians,"diag":{},"iso":$iso,""" +
+      s""""queries":$medians,"iso":$iso,""" +
       s""""cal":[9.99,9.99],""" +
       s""""g":99,"w":999,"sf":"sf0.1"}"""
     assert(line.length <= 1918,

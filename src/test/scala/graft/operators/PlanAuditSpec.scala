@@ -629,6 +629,19 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("Window"), s"head totals lost the window form:\n$p")
   }
 
+  test("q157: BM25 never shuffles the fact path — 1-row stats broadcast, TakeOrdered top-k") {
+    val p = plan("q157_bm25_topk")
+    // the only aggregate is the corpus-stats row (partial + final);
+    // scoring is a narrow per-row projection against the broadcast
+    // 1-row frame, and top-k is a TakeOrdered, never a global sort
+    assert(p.contains("TakeOrderedAndProject"), s"top-k lost TakeOrdered:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"BM25 gained a shuffle join:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"BM25 fact path gained a hash exchange:\n$p")
+    assert("HashAggregate".r.findAllIn(p).length <= 2,
+      s"more than the one stats aggregate pair:\n$p")
+  }
+
   test("q151: PCA projection is join-free — the basis rides as literals into codegen'd qdot") {
     val p = plan("q151_pca_project")
     // the projection pass must NOT join the corpus against the
