@@ -447,22 +447,16 @@ object Bench {
     // measures from SPARK_GRAFT_ONLY runs)
     def isoWorstCost(names: Seq[String]) =
       names.map(_.takeWhile(_ != '_').length + 7).sum
-    // diag YIELDS entries to iso only under ACTUAL byte pressure, now
-    // down to ZERO (r15, extending the r12 second-entry rule): iso
-    // carries the adjudicating evidence for EVIDENCE-LESS regressions
-    // (r14 verdict item 2 — the same priority isoOrder encodes), while
-    // a stall flag's diag context is corroboration. Ladder: 2 entries
-    // when every flagged query fits beside them; 1 when the top-2 iso
-    // candidates fit beside it; else 0 — so ≥2 iso slots are guaranteed
-    // by the BenchContractSpec floor no matter how wide the medians run.
-    val diagJ = {
-      val d2 = diagJson(2)
-      val d1 = diagJson(1)
-      if (lineLen(d2) + isoWorstCost(isoCandidates.take(16)) <= 1918) d2
-      else if (lineLen(d1) + isoWorstCost(isoCandidates.take(2)) <= 1918) d1
-      else ""
-    }
-    val lineSansIso = lineLen(diagJ)
+    // diag YIELDS to iso entirely during iso ADMISSION (r15, extending
+    // the r12 second-entry rule): iso carries the adjudicating evidence
+    // for EVIDENCE-LESS regressions (r14 verdict item 2 — the same
+    // priority isoOrder encodes), so the iso byte budget is computed
+    // against a diag-LESS line, guaranteeing ≥2 slots at any median
+    // width (the BenchContractSpec floor). diag is then RE-ADMITTED
+    // after the iso pass with exact rendered lengths — the first run of
+    // the r15 closing set showed the old pre-iso ladder dropping diag
+    // on worst-cost estimates while the final line left ~20 B unused.
+    val lineSansIso = lineLen("")
     var isoBytes = 0
     val iso = isoCandidates.take(16).flatMap { name =>
       // The driver kills the process at 590 s. The iso pass triggers on
@@ -512,12 +506,18 @@ object Bench {
     // 188 s warm was signal). Same move as r13's gcsec/warmsec → gc/warm;
     // nothing downstream parses these fields (BenchContractSpec is the
     // only reader) — they are human/judge prose evidence.
-    println(s"""{"metric":"total","value":${fq(total)},"unit":"sec",""" +
-      onlyJson + s""""queries":$medians,""" + diagJ + isoJson +
-      calJson +
-      s""""g":${math.min(99, math.round(gcTimedSec))},""" +
-      s""""w":${math.min(999, math.round(warmSec))},""" +
-      fails + s""""sf":"$sfName"}""")
+    // exact final assembly: the largest diag (2 → 1 → none) whose fully
+    // rendered line fits the 1918 B budget — no width models here, the
+    // string itself is the test
+    def fullLine(diagJ: String) =
+      s"""{"metric":"total","value":${fq(total)},"unit":"sec",""" +
+        onlyJson + s""""queries":$medians,""" + diagJ + isoJson +
+        calJson +
+        s""""g":${math.min(99, math.round(gcTimedSec))},""" +
+        s""""w":${math.min(999, math.round(warmSec))},""" +
+        fails + s""""sf":"$sfName"}"""
+    println(Seq(diagJson(2), diagJson(1), "").map(fullLine)
+      .find(_.length <= 1918).getOrElse(fullLine("")))
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

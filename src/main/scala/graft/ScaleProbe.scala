@@ -1730,11 +1730,14 @@ object ScaleProbe {
     // COLD over N× doc_id-shifted documents. The design claim under
     // measure is SHUFFLE-FREENESS: these are HOF/codegen projections,
     // so cost should track the scan linearly with no re-shuffle knee —
-    // the complement of the sessions curve's one-exchange claim.
+    // the complement of the sessions curve's one-exchange claim. r15
+    // adds q157 (BM25 top-k): its fact path is the same shuffle-free
+    // shape (1-row stats broadcast + per-row tf counts + TakeOrdered),
+    // so it belongs on this curve, not the LM one.
     if (op == "text") {
       familyCurve(spark, sfDir, factor, "text", "documents", Seq("doc_id"),
         Seq("q30_token_stats", "q32_lang_id", "q34_rolling_fingerprint",
-          "q35_bpe_tokens"))
+          "q35_bpe_tokens", "q157_bm25_topk"))
       return
     }
     // Embedding-statistics family curve: the Gramian / covariance /
