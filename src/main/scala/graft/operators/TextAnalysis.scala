@@ -476,31 +476,74 @@ object TextAnalysis {
     */
   def lmScore(df: org.apache.spark.sql.DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): org.apache.spark.sql.DataFrame = {
-    val bgd = corpus(df, idCol, textCol)
+    val bgd = docBigrams(df, idCol, textCol)
+    bgd.join(lmTableOf(bgd), Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("ppm")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("s div n_bigrams").as("lm_ppm"))
+  }
+
+  /** (doc_id, w1, w2) bigram stream of an (id, text) frame — the shared
+    * front half of the LM operators.
+    */
+  private def docBigrams(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    corpus(df, idCol, textCol)
       .select(col("doc_id"), split(col("text"), " ").as("a"))
       .filter(size(col("a")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(a)-1), " +
           "i -> struct(element_at(a,i) AS w1, element_at(a,i+1) AS w2))")).as("b"))
       .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-    // c_head via a window over the COLLAPSED c2 table, not a second
-    // aggregate + self-join: c2 referenced twice in an uncached plan
-    // re-computes its whole subtree (including the bigram explode), and
-    // this window's partitions are VOCABULARY-bounded (distinct
-    // successors of one head), never corpus-sized — the safe window
-    // regime, unlike the span posting lists q97 deliberately avoids
-    val c2 = bgd.groupBy("w1", "w2").agg(count(lit(1)).as("c_big"))
-    val lm = c2
+
+  /** The trained LM table (w1, w2, ppm) over a bigram stream.
+    * c_head via a window over the COLLAPSED c2 table, not a second
+    * aggregate + self-join: c2 referenced twice in an uncached plan
+    * re-computes its whole subtree (including the bigram explode), and
+    * this window's partitions are VOCABULARY-bounded (distinct
+    * successors of one head), never corpus-sized — the safe window
+    * regime, unlike the span posting lists q97 deliberately avoids.
+    */
+  private def lmTableOf(bgd: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    bgd.groupBy("w1", "w2").agg(count(lit(1)).as("c_big"))
       .withColumn("c_head", sum(col("c_big"))
         .over(org.apache.spark.sql.expressions.Window.partitionBy("w1")))
       .select(col("w1"), col("w2"),
         expr("(1000000 * c_big) div c_head").as("ppm"))
-    bgd.join(lm, Seq("w1", "w2"))
+
+  /** Train the corpus bigram LM OFFLINE: the (w1, w2, ppm) table
+    * [[lmScoreAgainst]] and the streaming ingest gate
+    * ([[graft.streaming.EventStream.lmFilterTo]]) score against — the
+    * CCNet deployment shape, where the LM is trained on a reference
+    * corpus once and new data is gated as it arrives.
+    */
+  def lmTable(df: org.apache.spark.sql.DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.DataFrame =
+    lmTableOf(docBigrams(df, idCol, textCol))
+
+  /** Score documents against a STATIC LM table (w1, w2, ppm). Unlike
+    * the self-trained [[lmScore]], a document here can contain bigrams
+    * the LM never saw — they count toward the mean at 0 ppm (a LEFT
+    * join + coalesce), so out-of-vocabulary text is penalized, which is
+    * the point of gating INCOMING data with an offline-trained LM.
+    * Documents with fewer than 2 tokens carry no LM evidence and are
+    * absent from the output (callers decide their fate).
+    *
+    * Scale shape: the LM table is vocabulary-sized — broadcastable for
+    * real vocabularies; past broadcast reach the composite-key join is
+    * the same AQE-splittable shuffle as [[lmScore]]'s probe.
+    */
+  def lmScoreAgainst(df: org.apache.spark.sql.DataFrame,
+      lm: org.apache.spark.sql.DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.DataFrame =
+    docBigrams(df, idCol, textCol)
+      .join(lm, Seq("w1", "w2"), "left")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("ppm")).as("s"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("ppm"), lit(0L))).as("s"))
       .select(col("doc_id"), col("n_bigrams"),
         expr("s div n_bigrams").as("lm_ppm"))
-  }
 
   /** Top documents returned by the q157 gate. */
   val Bm25K = 20

@@ -183,6 +183,41 @@ object EventStream {
       }
       .start()
 
+  /** Streaming CCNet LM quality gate: documents arrive as a stream,
+    * each micro-batch is scored against a STATIC, offline-trained LM
+    * table ([[graft.operators.TextAnalysis.lmTable]]'s (w1, w2, ppm)
+    * shape) with [[graft.operators.TextAnalysis.lmScoreAgainst]], and
+    * survivors (lm_ppm ≥ `thrPpm`, out-of-vocabulary bigrams penalized
+    * at 0 ppm) are appended to `path` with their scores. This is the
+    * deployment shape of the q154/q155 batch gate: train the LM once on
+    * a reference corpus, gate data AS IT ARRIVES — the filter decision
+    * for a document is identical whether it flows through this stream
+    * or through the batch operator, because each micro-batch scores
+    * through the same deterministic integer arithmetic against the same
+    * static table (per-doc scores depend only on the doc and the LM,
+    * never on batch boundaries — exactly why the parity spec can assert
+    * set equality).
+    *
+    * Exactly-once EFFECT over at-least-once delivery: scoring is
+    * deterministic and the sink append is checkpoint-fenced per batch
+    * id, the same argument as [[sinkTo]]. Sub-2-token documents carry
+    * no LM evidence and are dropped (they fail every downstream gate's
+    * n≥2 precondition anyway).
+    */
+  def lmFilterTo(docs: DataFrame, lm: DataFrame, thrPpm: Long,
+      path: String, checkpointDir: String,
+      queryName: String = "graft_lm_gate"): StreamingQuery =
+    docs.writeStream
+      .outputMode(OutputMode.Append)
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.TextAnalysis.lmScoreAgainst(batch, lm)
+          .filter(col("lm_ppm") >= thrPpm)
+          .write.mode("append").parquet(path)
+      }
+      .start()
+
   /** Incremental MATERIALIZED-VIEW maintenance into a remote keyed
     * table: feed an UPDATE-mode streaming aggregate here and each
     * trigger's changed rows are UPSERTED into `table` on `keys` — the

@@ -628,6 +628,47 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("lmFilterTo: streaming docs gated by a static LM equal the batch gate, scores bit-identical") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // offline-trained LM: a reference corpus where "a b" dominates head
+    // 'a' and "c d" is the only 'c' successor
+    val train = Seq(
+      (1L, "a b a b a b c d"), (2L, "a b a c"), (3L, "b a b a")
+    ).toDF("doc_id", "text")
+    val lm = TextAnalysis.lmTable(train).localCheckpoint()
+    // stream: doc 10 is pure in-vocabulary text (high ppm), doc 11 is
+    // half out-of-vocabulary (penalized at 0 ppm), doc 12 is entirely
+    // OOV (score 0), doc 13 has one token (no LM evidence -> absent)
+    val docs = Seq(
+      (10L, "a b a b"), (11L, "a b x y"), (12L, "q r s"), (13L, "z"))
+    val batchScores = TextAnalysis.lmScoreAgainst(docs.toDF("doc_id", "text"), lm)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batchScores.map(_._1) == Set(10L, 11L, 12L), batchScores)
+    val thr = batchScores.find(_._1 == 12L).get._3 + 1 // cut doc 12 for sure
+    val expectKept = batchScores.filter(_._3 >= thr)
+    assert(expectKept.map(_._1).contains(10L) && !expectKept.map(_._1).contains(12L),
+      s"fixture vacuous: $batchScores thr=$thr")
+
+    val input = MemoryStream[(Long, String)](spark)
+    val out = java.nio.file.Files.createTempDirectory("graft_lmgate").toString + "/kept"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_lmgate_ck").toString
+    val q = EventStream.lmFilterTo(
+      input.toDF().toDF("doc_id", "text"), lm, thr, out, ckpt)
+    try {
+      // split across micro-batches: per-doc decisions must not depend
+      // on batch boundaries (the static LM is the only shared state)
+      input.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.read.parquet(out)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed == expectKept,
+        s"stream/batch divergence: stream=$streamed batch=$expectKept")
+    } finally q.stop()
+  }
+
   test("ingestTo: a micro-batch firing INTO a held maintenance lock retries and completes once the lock frees") {
     // r14 verdict item 6: the bounded-backoff retry shipped with only a
     // message-prefix guard — this arm exercises REAL contention: the
