@@ -119,6 +119,31 @@ class AlgorithmPropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("lmScoreAgainst(df, lmTable(df)) equals the oracled lmScore on random corpora") {
+    // the self-LM invariant tying the static-LM surface (streaming
+    // gate's scorer) to the DuckDB-oracled q154 form: when the LM is
+    // trained on the scored corpus itself, every bigram is
+    // in-vocabulary, so the LEFT-join-with-0ppm path must reduce to the
+    // inner-join path exactly
+    import spark.implicits._
+    val genCorpus = for {
+      nDocs <- Gen.choose(2, 20)
+      docs <- Gen.listOfN(nDocs, for {
+        len <- Gen.choose(0, 12)
+        toks <- Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d"))
+      } yield toks.mkString(" "))
+    } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    for (seed <- 1L to 6L) {
+      val corpus = sample(genCorpus, seed).toDF("doc_id", "text")
+      val self = TextAnalysis.lmScore(corpus)
+        .as[(Long, Long, Long)].collect().toSet
+      val against = TextAnalysis.lmScoreAgainst(corpus,
+        TextAnalysis.lmTable(corpus))
+        .as[(Long, Long, Long)].collect().toSet
+      assert(self == against, s"seed=$seed self=$self against=$against")
+    }
+  }
+
   test("dupSpanRemoval equals the sequential interval-complement reference on random corpora") {
     import spark.implicits._
     val genCorpus = for {
