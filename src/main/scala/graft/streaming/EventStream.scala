@@ -199,9 +199,14 @@ object EventStream {
     * set equality).
     *
     * Exactly-once EFFECT over at-least-once delivery: scoring is
-    * deterministic and the sink append is checkpoint-fenced per batch
-    * id, the same argument as [[sinkTo]]. Sub-2-token documents carry
-    * no LM evidence and are dropped (they fail every downstream gate's
+    * deterministic and each micro-batch OVERWRITES its own
+    * `batch=<id>` subdirectory — a replayed batch (crash between the
+    * sink write and the checkpoint commit) rewrites the same directory
+    * with the same rows instead of appending a duplicate copy (a plain
+    * `mode("append")` here would silently double the kept corpus on
+    * every replay; [[lmGateBatch]] is factored out so the spec can
+    * assert the idempotence directly). Sub-2-token documents carry no
+    * LM evidence and are dropped (they fail every downstream gate's
     * n≥2 precondition anyway).
     */
   def lmFilterTo(docs: DataFrame, lm: DataFrame, thrPpm: Long,
@@ -211,12 +216,21 @@ object EventStream {
       .outputMode(OutputMode.Append)
       .queryName(queryName)
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.TextAnalysis.lmScoreAgainst(batch, lm)
-          .filter(col("lm_ppm") >= thrPpm)
-          .write.mode("append").parquet(path)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        lmGateBatch(batch, lm, thrPpm, path, batchId)
       }
       .start()
+
+  /** One [[lmFilterTo]] micro-batch: score, gate, overwrite the
+    * batch-scoped directory. Idempotent by construction — calling it
+    * twice with the same `batchId` (streaming's at-least-once replay)
+    * leaves exactly one copy of the batch's survivors.
+    */
+  private[graft] def lmGateBatch(batch: DataFrame, lm: DataFrame,
+      thrPpm: Long, path: String, batchId: Long): Unit =
+    graft.operators.TextAnalysis.lmScoreAgainst(batch, lm)
+      .filter(col("lm_ppm") >= thrPpm)
+      .write.mode("overwrite").parquet(s"$path/batch=$batchId")
 
   /** Incremental MATERIALIZED-VIEW maintenance into a remote keyed
     * table: feed an UPDATE-mode streaming aggregate here and each

@@ -662,10 +662,18 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
       q.processAllAvailable()
       input.addData(docs.drop(2): _*)
       q.processAllAvailable()
-      val streamed = spark.read.parquet(out)
+      def kept(): Set[(Long, Long, Long)] = spark.read.parquet(out)
+        .select("doc_id", "n_bigrams", "lm_ppm") // drop the batch=N partition col
         .as[(Long, Long, Long)].collect().toSet
+      val streamed = kept()
       assert(streamed == expectKept,
         s"stream/batch divergence: stream=$streamed batch=$expectKept")
+      // at-least-once replay: re-running a batch with ITS OWN id must
+      // leave exactly one copy (the overwrite-per-batch-dir contract —
+      // a plain append would double the kept corpus here)
+      EventStream.lmGateBatch(docs.take(2).toDF("doc_id", "text"), lm, thr, out, 0L)
+      assert(kept() == expectKept, s"replayed batch duplicated rows: ${kept()}")
+      assert(spark.read.parquet(out).count() == expectKept.size)
     } finally q.stop()
   }
 
