@@ -42,9 +42,11 @@ class BenchContractSpec extends AnyFunSuite {
     // lines run ~100 B under the all-worst model).
     // (The floor was diag(1)+iso(2) through r14's 154 queries;
     // q155/q156 spent that shape's margin; q157 spent the diag-key and
-    // iso-value-width bytes. The suite's structural cap under this
-    // contract is ~158 gates — the next query past that must find its
-    // bytes in the medians map itself or in a bigger collector tail.)
+    // iso-value-width bytes, landing at 1917 — ONE byte of margin. The
+    // suite's structural cap under this contract is therefore 157
+    // gates: a 158th must find ~11 B in the medians map itself (the
+    // g/w→cal merge and sf-basename trim considered and rejected in
+    // r15 recover only 10 between them) or in a bigger collector tail.)
     val widths = Seq.fill(SparkEntry.all.size)("99.9")
     val medians = SparkEntry.all.zip(widths)
       .map { case (q, w) => "\"" + qid(q.name) + "\":" + w }.mkString("{", ",", "}")
