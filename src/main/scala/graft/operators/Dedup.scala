@@ -632,30 +632,28 @@ object Dedup {
     // duplicated span START positions per document (one span per
     // position, so no dedup needed)
     val dpos = spans.join(dup.hint("shuffle_hash"), "h").select("doc_id", "i")
-    // interval union: spans cover [i, i+k-1]; a span whose start is
-    // past the running coverage end + 1 opens a new covered interval
-    // (i = prev_end + 1 keeps coverage contiguous — no kept gap)
+    // interval complement DIRECTLY from consecutive dup positions: all
+    // spans share length k, so coverage ends (i + k − 1) are MONOTONE in
+    // i and the running coverage max is simply lag(i) + k − 1 — a kept
+    // gap opens between consecutive positions iff i > lag(i) + k, and
+    // the head gap [1, i₁−1] exists iff the first position i₁ > 1.
+    // (The first cut built merged covered intervals with a
+    // running-max window + groupBy + a second window over the merged
+    // set; the monotonicity argument deletes both extra passes — at the
+    // all-duplicated 100× stress point the dup-position stream is 50 M
+    // rows, and the only remaining 50 M-row ops are ONE sort-window and
+    // one max aggregate.)
     val wOrd = Window.partitionBy("doc_id").orderBy("i")
-    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
-    val cov = dpos
-      .withColumn("pce", max(col("i") + lit(k - 1)).over(wPrev))
-      .withColumn("brk",
-        when(col("pce").isNull || col("i") > col("pce") + 1, 1).otherwise(0))
-      .withColumn("grp", sum(col("brk")).over(wOrd))
-      .groupBy("doc_id", "grp")
-      .agg(min(col("i")).as("cs"), (max(col("i")) + lit(k - 1)).as("ce"))
-    // complement: gaps between consecutive covered intervals, the tail
-    // after the last one, and the full range for untouched documents
-    val covW = Window.partitionBy("doc_id").orderBy("cs")
-    val gaps = cov
-      .withColumn("kept_from", coalesce(lag(col("ce"), 1).over(covW), lit(0L)) + 1)
-      .withColumn("kept_to", col("cs") - 1)
+    val gaps = dpos
+      .withColumn("kept_from",
+        coalesce(lag(col("i"), 1).over(wOrd) + k, lit(1L)))
+      .withColumn("kept_to", col("i") - 1)
       .filter(col("kept_to") >= col("kept_from"))
       .select(col("doc_id"), col("kept_from"), col("kept_to"))
     val n = t.select(col("doc_id"), size(col("a")).cast("long").as("n"))
-    val mx = cov.groupBy("doc_id").agg(max(col("ce")).as("mce"))
-    val tails = n.join(mx, "doc_id").filter(col("n") > col("mce"))
-      .select(col("doc_id"), (col("mce") + 1).as("kept_from"), col("n").as("kept_to"))
+    val mx = dpos.groupBy("doc_id").agg(max(col("i")).as("mi"))
+    val tails = n.join(mx, "doc_id").filter(col("n") >= col("mi") + k)
+      .select(col("doc_id"), (col("mi") + k).as("kept_from"), col("n").as("kept_to"))
     val untouched = n.join(mx, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), lit(1L).as("kept_from"), col("n").as("kept_to"))
     gaps.unionByName(tails).unionByName(untouched)
