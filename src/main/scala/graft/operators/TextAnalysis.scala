@@ -582,22 +582,30 @@ object TextAnalysis {
       terms: Seq[String] = Bm25Query, k: Int = Bm25K,
       idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame = {
     require(terms.nonEmpty && terms.size <= 16, "bm25: 1..16 literal terms")
-    val t = corpus(df, idCol, textCol)
-      .select(col("doc_id"), split(col("text"), " ").as("a"))
-      .select(col("doc_id"), col("a"), size(col("a")).cast("long").as("dl"))
-    val aggCols = Seq(count(lit(1)).as("n_docs"), sum(col("dl")).as("totlen")) ++
-      terms.zipWithIndex.map { case (tm, i) =>
-        sum(when(array_contains(col("a"), tm), 1L).otherwise(0L)).as(s"df_$i")
-      }
-    val stats = t.agg(aggCols.head, aggCols.tail: _*)
-    val scoreTerms = terms.zipWithIndex.map { case (tm, i) =>
+    // ONE tokenizing scan: per-term tf columns are computed alongside
+    // dl and the (2 + |Q|)-longs-per-doc frame is persisted — both the
+    // stats aggregate and the scoring pass read it, and recomputing it
+    // means re-splitting the whole corpus (the persist rule's
+    // expensive-recompute/tiny-rows side; the un-tracked form scanned
+    // text twice and measured 2.9× DuckDB at 100× — see BASELINE r15)
+    val tfCols = terms.zipWithIndex.map { case (tm, i) =>
       // BIGINT from the start: size() is INT and 22000·tf·10⁶ overflows
       // 32 bits at tf ≥ 98 (ANSI mode makes that loud, not wrong)
-      val tf = s"CAST(size(filter(a, x -> x = '${tm}')) AS BIGINT)"
-      s"(((2*n_docs - 2*df_$i + 1) * ((22000 * $tf * 1000000) div " +
-        s"(10000 * $tf + 3000 + 9 * ratio_pm))) div (2*df_$i + 1))"
+      expr(s"CAST(size(filter(a, x -> x = '${tm}')) AS BIGINT)").as(s"tf_$i")
     }
-    t.crossJoin(broadcast(stats))
+    val tfd = GraftCache.track(corpus(df, idCol, textCol)
+      .select(col("doc_id"), split(col("text"), " ").as("a"))
+      .select(Seq(col("doc_id"), size(col("a")).cast("long").as("dl")) ++
+        tfCols: _*))
+    val aggCols = Seq(count(lit(1)).as("n_docs"), sum(col("dl")).as("totlen")) ++
+      terms.indices.map(i =>
+        sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val stats = tfd.agg(aggCols.head, aggCols.tail: _*)
+    val scoreTerms = terms.indices.map { i =>
+      s"(((2*n_docs - 2*df_$i + 1) * ((22000 * tf_$i * 1000000) div " +
+        s"(10000 * tf_$i + 3000 + 9 * ratio_pm))) div (2*df_$i + 1))"
+    }
+    tfd.crossJoin(broadcast(stats))
       .withColumn("ratio_pm",
         expr("(1000000 * dl) div ((1000 * totlen) div n_docs)"))
       .select(col("doc_id"), col("dl"),
