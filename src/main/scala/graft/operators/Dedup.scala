@@ -307,42 +307,23 @@ object Dedup {
       .withColumn("verified", col("dist") * den <= col("len_max") * num)
   }
 
-  /** 60-bit SimHash per document for any (id, text) frame.
-    *
-    * The frequency-weighted vote over distinct tokens equals the
-    * unweighted ±1 vote over token OCCURRENCES, so no (doc, token)
-    * count pre-aggregation exists at all: tokenize, hash, and vote all
-    * 60 bits as 60 SUM columns in ONE codegen'd aggregation (the same
-    * shape as MinHash's 16 MIN columns). A document's tokens never
-    * leave its partition — the map-side partial already holds the
-    * final votes, and the single shuffle carries one 60-column row per
-    * document. (The oracle keeps the per-distinct-token formulation;
-    * the sums are identical integers.)
+  /** 60-bit SimHash per document for any (id, text) frame — ONE
+    * codegen'd byte scan per row ([[graft.functions.SimHash60]]), no
+    * explode, no token rows, no shuffle: the signature is a pure
+    * projection over the corpus scan. The per-occurrence ±1 vote it
+    * computes equals the count-weighted vote over distinct tokens the
+    * r14 two-aggregate form computed (±c ≡ c occurrences of ±1), and
+    * the oracle keeps that per-distinct-token SQL formulation —
+    * SimHashSpec randomized-pins expression ≡ aggregate form.
+    * Measured (r16 A/B, SPARK_GRAFT_ONLY=q43,q44,q80 sf0.1, 3-run
+    * medians): q43 1.11 → 0.47, q44 1.36 → 0.57, q80 1.49 → 0.82 —
+    * the last hot family off array-expression land (VERDICT r15 #1).
     */
   def simhashOf(df: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    // count-weighted votes over DEDUPED (doc, token-hash) rows: natural
-    // language repeats tokens, so collapsing repeats through a cheap
-    // 1-counter aggregate first means the expensive 60-buffer vote
-    // aggregate updates once per DISTINCT token instead of once per
-    // occurrence — identical vote totals (±c ≡ c occurrences of ±1).
-    // Measured (r14, SPARK_GRAFT_ONLY=q43,q44,q80 at sf0.1, 5-rep cold
-    // medians): q44 1.12 → 0.94, q80 1.59 → 1.13, q43 flat — the
-    // family −19%. The extra aggregate re-shuffles on (doc, th), but
-    // both exchanges carry partially-aggregated rows and the 60-buffer
-    // update count is what dominates.
-    val votes = (0 until 60).map(b =>
-      sum(expr(s"CASE WHEN shiftright(th, $b) % 2 = 1 THEN c ELSE -c END")).as(s"s$b"))
-    val pack = (0 until 60).map(b =>
-      when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L))).reduce(_ + _)
+      textCol: String = "text"): DataFrame =
     corpus(df, idCol, textCol)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .select(col("doc_id"), h60(col("tok")).as("th"))
-      .groupBy("doc_id", "th").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), pack.as("simhash"))
-  }
+      .select(col("doc_id"),
+        graft.functions.SimHash.simhash60(col("text")).as("simhash"))
 
   /** (doc_id, simhash, k, cv): the four 15-bit pigeonhole chunks of
     * each document's SimHash — the banding side of q44/q80.

@@ -261,14 +261,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("Window"), p)
   }
 
-  test("q43: simhash is the deduped two-stage vote — count pair then vote pair") {
+  test("q43: simhash is a shuffle-free codegen projection — no aggregate, no exchange") {
     val p = plan("q43_simhash")
-    // r3 pinned the single-aggregation form on structural grounds; the
-    // r14 A/B measured the opposite (family q43/q44/q80 −19% at sf0.1:
-    // the cheap (doc, token-hash) count pair collapses repeated tokens
-    // so the 60-buffer vote pair updates once per DISTINCT token).
-    // Pin the measured shape: exactly TWO partial+final pairs, no more.
-    assert("HashAggregate".r.findAllIn(p).length == 4, s"aggregate shape drifted:\n$p")
+    // r3 pinned a single aggregation, r14 the measured two-stage vote;
+    // r16 moved the whole vote into the SimHash60 byte-scan expression
+    // (A/B medians sf0.1: q43 1.11→0.47, q44 1.36→0.57, q80 1.49→0.82),
+    // so the signature is now a pure row-local projection: the plan must
+    // hold ZERO aggregates and ZERO exchanges on the fact path (the only
+    // allowed exchange is the presentation sort's range partitioning).
+    assert(!p.contains("HashAggregate"), s"simhash re-grew an aggregate:\n$p")
+    assert(!p.contains("hashpartitioning"), s"simhash re-grew a shuffle:\n$p")
+    assert(p.contains("simhash60") || p.contains("SimHash60"),
+      s"native expression missing from plan:\n$p")
   }
 
   test("q70: IVF cell assignment folds map-side — no N×C shuffle, centroids broadcast") {
