@@ -324,13 +324,21 @@ object Bench {
     // of an ambiguous one-element array
     // cal values cap at 9.9 (3-char width, r15 line-budget trim): a
     // host running ≥10× over its floor is equally damning at "9.9",
-    // and the letter arms divide by cal only in the ~1–2 range
-    val calJson = (calStart, calEnd) match {
+    // and the letter arms divide by cal only in the ~1–2 range.
+    // r16 line-budget trim (the 158th gate needed 12 B): when cal is
+    // present its array CARRIES g and w as elements 3 and 4 —
+    // "cal":[start,end,gcSec,warmSec] — saving the two field headers
+    // (−8 B vs separate "g":/"w": fields). Nothing downstream parses
+    // g/w (BenchContractSpec is the only reader); they stay separate
+    // fields only on non-cal scales, where the line is far under
+    // budget anyway.
+    def calJson(g: Long, w: Long): String = (calStart, calEnd) match {
       case (None, None) => ""
       case (a, b) =>
         "\"cal\":[" + a.fold("null")(v => fq(math.min(v, 9.9))) + "," +
-          b.fold("null")(v => fq(math.min(v, 9.9))) + "],"
+          b.fold("null")(v => fq(math.min(v, 9.9))) + s",$g,$w],"
     }
+    val calPresent = calStart.nonEmpty || calEnd.nonEmpty
     // Keys are the leading qNN id (unique across the suite; full names are
     // in BASELINE.md) — the full-name map alone is ~1.8 KB and the
     // collecting harness keeps only ~2 KB of output tail.
@@ -381,7 +389,11 @@ object Bench {
               .replace("\\\"", "\"")
             val tag = "\"queries\":{"
             val qs = txt.indexOf(tag)
-            if (qs < 0 || !txt.contains("\"sf\":\"" + sfName + "\"")) None
+            // accept both sf spellings: r≤15 artifacts carry "sf0.1",
+            // r16+ the prefix-stripped "0.1" (line-budget trim)
+            val sfMatch = txt.contains("\"sf\":\"" + sfName + "\"") ||
+              txt.contains("\"sf\":\"" + sfName.stripPrefix("sf") + "\"")
+            if (qs < 0 || !sfMatch) None
             else {
               val body = txt.substring(qs + tag.length,
                 txt.indexOf('}', qs + tag.length))
@@ -422,11 +434,21 @@ object Bench {
     val onlyJson = only.fold("")(o =>
       "\"only\":" + o.map("\"" + _ + "\"").mkString("[", ",", "]") + ",")
     val total = results.map(_._2).sum
+    // r16 line-budget trims beside the cal fold: the metric value is
+    // "t" (the prompt contract elides the value — only the key is
+    // load-bearing; −4 B) and sf drops its redundant "sf" prefix
+    // ("sf0.1" → "0.1"; the prev-round matcher above accepts both
+    // spellings so r≤15 artifacts still arm the trigger; −2 B).
+    val sfShort = sfName.stripPrefix("sf")
+    val gWorst = math.min(99, math.round(gcTimedSec))
+    val wWorst = math.min(999, math.round(warmSec))
+    def gwJson(g: Long, w: Long) =
+      if (calPresent) "" else s""""g":$g,"w":$w,"""
     def lineLen(diagJson: String) =
-      (s"""{"metric":"total","value":${fq(total)},"unit":"sec",""" +
+      (s"""{"metric":"t","value":${fq(total)},"unit":"sec",""" +
         onlyJson + s""""queries":$medians,""" + diagJson + s""""iso":{},""" +
-        calJson +
-        s""""g":99,"w":999,""" + fails + s""""sf":"$sfName"}""").length
+        calJson(99, 999) + gwJson(99, 999) +
+        fails + s""""sf":"$sfShort"}""").length
     // worst-rep through fc (3-char: one decimal under 10, whole seconds
     // capped above — r15 line-budget trim): the worst rep is stall
     // MAGNITUDE evidence read against the best rep at 2× granularity,
@@ -440,13 +462,6 @@ object Bench {
       if (entries.isEmpty) ""
       else "\"diag\":" + entries.mkString("{", ",", "},")
     }
-    // per-entry worst width: quote+id+quote+colon+value+comma with the
-    // value at fc's 3-char worst (iso values render through fc since
-    // r15 — exoneration compares against 2× thresholds, where one
-    // decimal is plenty; BASELINE carries full-precision isolated
-    // measures from SPARK_GRAFT_ONLY runs)
-    def isoWorstCost(names: Seq[String]) =
-      names.map(_.takeWhile(_ != '_').length + 7).sum
     // diag YIELDS to iso entirely during iso ADMISSION (r15, extending
     // the r12 second-entry rule): iso carries the adjudicating evidence
     // for EVIDENCE-LESS regressions (r14 verdict item 2 — the same
@@ -464,7 +479,12 @@ object Bench {
       // shots could push past the kill and lose the entire JSON line.
       // Skip remaining shots once elapsed wall nears the budget: a
       // missing iso entry is recoverable evidence, a lost artifact isn't.
-      val entryCost = name.takeWhile(_ != '_').length + 7 // "qNN":9.9, fc 3-char worst
+      // per-entry worst width: quote+id+quote+colon+value+comma with the
+      // value at fc's 3-char worst ("qNN":9.9, — iso values render
+      // through fc since r15: exoneration compares against 2×
+      // thresholds, where one decimal is plenty; BASELINE carries
+      // full-precision isolated measures from SPARK_GRAFT_ONLY runs)
+      val entryCost = name.takeWhile(_ != '_').length + 7
       if ((System.nanoTime() - benchStart) / 1e9 > 500.0) {
         System.err.println(s"[bench] $name isolated SKIPPED (wall budget)")
         None
@@ -510,12 +530,10 @@ object Bench {
     // rendered line fits the 1918 B budget — no width models here, the
     // string itself is the test
     def fullLine(diagJ: String) =
-      s"""{"metric":"total","value":${fq(total)},"unit":"sec",""" +
+      s"""{"metric":"t","value":${fq(total)},"unit":"sec",""" +
         onlyJson + s""""queries":$medians,""" + diagJ + isoJson +
-        calJson +
-        s""""g":${math.min(99, math.round(gcTimedSec))},""" +
-        s""""w":${math.min(999, math.round(warmSec))},""" +
-        fails + s""""sf":"$sfName"}"""
+        calJson(gWorst, wWorst) + gwJson(gWorst, wWorst) +
+        fails + s""""sf":"$sfShort"}"""
     println(Seq(diagJson(2), diagJson(1), "").map(fullLine)
       .find(_.length <= 1918).getOrElse(fullLine("")))
     spark.stop()

@@ -161,18 +161,33 @@ object ScaleProbe {
   private def familyCurve(spark: SparkSession, sfDir: String, factor: Int,
       opName: String, table: String, shiftCols: Seq[String],
       names: Seq[String]): Unit = {
-    val out = java.nio.file.Files.createTempDirectory(
-      s"graft_${opName}${factor}x_").toString
-    val base = Tables.load(spark, sfDir, table)
-    val shift = 1L << 32
-    (0 until factor).map { i =>
-      shiftCols.foldLeft(base)((d, c) => d.withColumn(c, col(c) + lit(i * shift)))
-    }.reduce(_ unionByName _).write.parquet(s"$out/$table.parquet")
-    for (t <- Tables.names if t != table)
-      java.nio.file.Files.createSymbolicLink(
-        java.nio.file.Paths.get(s"$out/$t.parquet"),
-        java.nio.file.Paths.get(s"$sfDir/$t.parquet").toAbsolutePath)
-    val rows = spark.read.parquet(s"$out/$table.parquet").count()
+    // SPARK_GRAFT_FAMILY_DIR pins the scaled fact dir (built once,
+    // row-count-validated on reuse, never cleaned up) so a DuckDB
+    // oracle can time the SAME parquet files for cross-engine points —
+    // the SCALED_DIR/DOCS_DIR discipline extended to the family curves.
+    val pinned = sys.env.get("SPARK_GRAFT_FAMILY_DIR")
+    val out = pinned.getOrElse(java.nio.file.Files.createTempDirectory(
+      s"graft_${opName}${factor}x_").toString)
+    val factPath = java.nio.file.Paths.get(s"$out/$table.parquet")
+    if (!java.nio.file.Files.exists(factPath)) {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+      val base = Tables.load(spark, sfDir, table)
+      val shift = 1L << 32
+      (0 until factor).map { i =>
+        shiftCols.foldLeft(base)((d, c) => d.withColumn(c, col(c) + lit(i * shift)))
+      }.reduce(_ unionByName _).write.parquet(factPath.toString)
+    }
+    for (t <- Tables.names if t != table) {
+      val link = java.nio.file.Paths.get(s"$out/$t.parquet")
+      if (!java.nio.file.Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+        java.nio.file.Files.createSymbolicLink(link,
+          java.nio.file.Paths.get(s"$sfDir/$t.parquet").toAbsolutePath)
+    }
+    val rows = spark.read.parquet(factPath.toString).count()
+    val want = Tables.load(spark, sfDir, table).count() * factor
+    if (rows != want) throw new IllegalStateException(
+      s"familyCurve: $factPath holds $rows rows but factor $factor needs " +
+        s"$want — stale pinned dir?")
     val timed = names.map { name =>
       val fn = SparkEntry.queries(name)
       operators.GraftCache.releaseAll(); spark.catalog.clearCache()
@@ -193,8 +208,9 @@ object ScaleProbe {
     // reclaim the scaled fact + symlinks like the layout/bloom/merge
     // probes do — repeated 100× family runs otherwise accumulate
     // multi-GB /tmp datasets (walk never follows the dim symlinks, so
-    // only the links themselves are removed, never the base sf data)
-    cleanupDir(out)
+    // only the links themselves are removed, never the base sf data).
+    // A PINNED dir is deliberately kept (cross-engine reuse).
+    if (pinned.isEmpty) cleanupDir(out)
   }
 
   /** Reclaim a scaledRelationalDir built into a random temp dir —

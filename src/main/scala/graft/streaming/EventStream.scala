@@ -224,13 +224,23 @@ object EventStream {
   /** One [[lmFilterTo]] micro-batch: score, gate, overwrite the
     * batch-scoped directory. Idempotent by construction — calling it
     * twice with the same `batchId` (streaming's at-least-once replay)
-    * leaves exactly one copy of the batch's survivors.
+    * leaves exactly one copy of the batch's survivors. A batch with
+    * ZERO survivors writes NOTHING (ADVICE r15): an all-empty parquet
+    * directory has no readable footer, so `spark.read.parquet` on the
+    * kept corpus would fail schema inference for early consumers that
+    * arrive before the first survivor; skipping is replay-safe because
+    * scoring is deterministic — a replayed empty batch is empty again.
     */
   private[graft] def lmGateBatch(batch: DataFrame, lm: DataFrame,
-      thrPpm: Long, path: String, batchId: Long): Unit =
-    graft.operators.TextAnalysis.lmScoreAgainst(batch, lm)
+      thrPpm: Long, path: String, batchId: Long): Unit = {
+    val kept = graft.operators.TextAnalysis.lmScoreAgainst(batch, lm)
       .filter(col("lm_ppm") >= thrPpm)
-      .write.mode("overwrite").parquet(s"$path/batch=$batchId")
+      .persist()
+    try {
+      if (!kept.isEmpty)
+        kept.write.mode("overwrite").parquet(s"$path/batch=$batchId")
+    } finally kept.unpersist()
+  }
 
   /** Incremental MATERIALIZED-VIEW maintenance into a remote keyed
     * table: feed an UPDATE-mode streaming aggregate here and each

@@ -47,18 +47,39 @@ class BenchContractSpec extends AnyFunSuite {
     // gates: a 158th must find ~11 B in the medians map itself (the
     // g/w→cal merge and sf-basename trim considered and rejected in
     // r15 recover only 10 between them) or in a bigger collector tail.)
+    // (The floor was diag(1)+iso(2) through r14's 154 queries;
+    // q155/q156 spent that shape's margin; q157 spent the diag-key and
+    // iso-value-width bytes, landing at 1917 at the r15 renderer — ONE
+    // byte of margin, capping the suite at 157 gates. r16's q158 was
+    // funded by three renderer trims, worth 14 B at the sf0.1 worst
+    // case: the cal array carries g and w as elements 3–4 when cal is
+    // present (−8: the separate "g":/"w": field headers only render on
+    // non-cal scales), the metric value is "t" (−4: the driver contract
+    // elides the value — only the key is load-bearing), and sf drops
+    // its redundant prefix ("sf0.1"→"0.1", −2: Bench's prev-round
+    // matcher accepts both spellings). Structural cap under THIS
+    // renderer: margin below is 1918 − length; each additional gate
+    // costs 12 B at worst width.)
     val widths = Seq.fill(SparkEntry.all.size)("99.9")
     val medians = SparkEntry.all.zip(widths)
       .map { case (q, w) => "\"" + qid(q.name) + "\":" + w }.mkString("{", ",", "}")
     // iso values render through fc since r15: 3-char worst ("9.9"/"999")
     val iso = (1 to 2)
       .map(i => "\"q15" + i + "\":9.9").mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":99.9,"unit":"sec",""" +
+    val line = s"""{"metric":"t","value":99.9,"unit":"sec",""" +
       s""""queries":$medians,"iso":$iso,""" +
-      s""""cal":[9.99,9.99],""" +
-      s""""g":99,"w":999,"sf":"sf0.1"}"""
+      s""""cal":[9.99,9.99,99,999],""" +
+      s""""sf":"0.1"}"""
     assert(line.length <= 1918,
       s"bench JSON would be ${line.length} B; trim before the harness truncates it")
+    // exact-figure pin (ADVICE r15): byte drift in the renderer must
+    // read as a MODEL change here, not a silent budget change — update
+    // this constant deliberately whenever a gate or renderer field moves
+    val expectedLen = 1903 + 12 * (SparkEntry.all.size - 157)
+    assert(line.length == expectedLen,
+      s"worst-case line is ${line.length} B, model says $expectedLen " +
+        "(1903 at 157 gates + 12 B per worst-width gate) — the renderer " +
+        "drifted; re-derive the budget before committing")
   }
 
   test("iso candidates: evidence-less regressions first by ratio-vs-prev, then stall flags (r14 verdict item 2)") {

@@ -32,11 +32,38 @@ class TokenScanSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("token_tf: randomized equality against split + per-term filters") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(57)
+    val terms = Seq("spark", "merge", "window", "a", "日本")
+    val vocab = terms ++ Seq("sparkle", "the", "", "x", "aspark")
+    val strs = Seq.fill(300)(
+      (0 until rnd.nextInt(15)).map(_ => vocab(rnd.nextInt(vocab.length)))
+        .mkString(" ")) ++ Seq("", " ", "spark", " spark ", "a a a")
+    val a = split(col("t"), " ")
+    val refCols = size(a).cast("long") +:
+      terms.map(tm => size(filter(a, x => x === tm)).cast("long"))
+    val rows = strs.toDF("t").select(col("t"),
+      TokenScan.token_tf(col("t"), terms).as("v"),
+      array(refCols: _*).as("ref")).collect()
+    for (r <- rows)
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"'${r.getString(0)}'")
+  }
+
+  test("token_tf: a quote inside a term is just bytes, never SQL") {
+    import spark.implicits._
+    val rows = Seq("don't stop don't", "dont stop").toDF("t")
+      .select(TokenScan.token_tf(col("t"), Seq("don't", "stop")).as("v"))
+      .collect().map(_.getSeq[Long](0))
+    assert(rows(0) == Seq(3L, 2L, 1L) && rows(1) == Seq(2L, 0L, 1L))
+  }
+
   test("null in, null out") {
     import spark.implicits._
     val out = Seq(Option.empty[String]).toDF("t")
       .select(TokenScan.token_count(col("t")),
-        TokenScan.token_hits(col("t"), words)).collect()
-    assert(out(0).isNullAt(0) && out(0).isNullAt(1))
+        TokenScan.token_hits(col("t"), words),
+        TokenScan.token_tf(col("t"), words)).collect()
+    assert(out(0).isNullAt(0) && out(0).isNullAt(1) && out(0).isNullAt(2))
   }
 }
