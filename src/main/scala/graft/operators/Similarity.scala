@@ -261,6 +261,164 @@ object Similarity {
         when(col("b") <= col("bth"), 1).otherwise(0).as("proto"))
   }
 
+  /** PQ geometry (q158): m subspaces × ksub codes, trained with
+    * [[PqIters]] integer-Lloyd rounds per subspace (seeds + 1 update,
+    * the [[KmeansIters]] convention). 64 dims / 8 = 8-dim subspaces;
+    * a code table is m·ksub·dsub = 1024 driver longs.
+    */
+  val PqM = 8
+  val PqKsub = 16
+  val PqIters = 2
+
+  /** Per-subspace PQ codebooks over a quantized (vec_id, q, nrm) frame
+    * — the training half of [[pqAdc]] (Jégou, Douze, Schmid, "Product
+    * Quantization for Nearest Neighbor Search", PAMI 2011 §II): m
+    * independent k-means over the (dims/m)-dim sub-vectors, each trained with
+    * the SAME integer-Lloyd discipline as [[kmeansAssign]] (truncating
+    * `div` means, empty cells keep their previous centroid, ties to the
+    * smaller code), so the whole table is bit-identical cross-engine.
+    * Seeds per subspace are the sub-vectors of the ksub SMALLEST
+    * vec_ids, codes numbered by that order (positional — the LUT index).
+    *
+    * Returns books(s)(c) = (coords, nrm): m·ksub·dsub driver longs —
+    * k-bounded model state, the k-means-centroid policy.
+    *
+    * Scale shape per subspace per round: assignment is the shuffle-free
+    * literal-centroid projection; the update is ONE map-side-combinable
+    * aggregation (dsub SUMs + COUNT per code). m and iters are
+    * constants, so training is a constant number of corpus passes over
+    * the (persisted) quantized frame.
+    */
+  def pqTrain(n: DataFrame, m: Int = PqM, ksub: Int = PqKsub,
+      iters: Int = PqIters): Array[Array[(Seq[Long], Long)]] = {
+    val dims = n.select(size(col("q"))).head().getInt(0)
+    require(dims % m == 0, s"pq: $dims dims not divisible by $m subspaces")
+    val dsub = dims / m
+    val seeds = n.orderBy("vec_id").limit(ksub).select("q").collect()
+      .map(_.getSeq[Long](0))
+    (0 until m).map { s =>
+      val sub = n.select(col("vec_id"), slice(col("q"), s * dsub + 1, dsub).as("sq"))
+        .withColumn("sn", expr("aggregate(sq, cast(0 AS bigint), (acc, x) -> acc + x * x)"))
+      var cents: Array[(Int, Seq[Long], Long)] = seeds.zipWithIndex.map {
+        case (q, c) =>
+          val cq = q.slice(s * dsub, (s + 1) * dsub)
+          (c, cq, cq.map(x => x * x).sum)
+      }
+      def assign(): DataFrame = {
+        val entries = cents.map { case (code, cq, cn) =>
+          struct((col("sn") - lit(2L) * EmbeddingLsh.qdot(col("sq"), typedLit(cq)) +
+            lit(cn)).as("d"), lit(code).as("c"))
+        }
+        sub.withColumn("mm", array_min(array(entries.toIndexedSeq: _*)))
+          .select(col("vec_id"), col("sq"), col("mm.c").as("code"))
+      }
+      for (_ <- 1 until iters) {
+        val sums = (0 until dsub).map(i =>
+          sum(expr(s"element_at(sq, ${i + 1})")).as(s"s$i"))
+        val upd = assign().groupBy("code")
+          .agg(count(lit(1)).as("cnt"), sums: _*)
+          .select(col("code"),
+            array((0 until dsub).map(i => expr(s"s$i div cnt")): _*).as("cq"))
+          .withColumn("cn", expr("aggregate(cq, cast(0 AS bigint), (acc, x) -> acc + x * x)"))
+          .collect().map(r => r.getInt(0) -> ((r.getSeq[Long](1), r.getLong(2)))).toMap
+        cents = cents.map { case (code, q0, n0) =>
+          upd.get(code).map { case (q1, n1) => (code, q1, n1) }
+            .getOrElse((code, q0, n0))
+        }
+      }
+      cents.map { case (_, cq, cn) => (cq, cn) }
+    }.toArray
+  }
+
+  /** PQ-encode a quantized frame against trained codebooks: a pure
+    * shuffle-free projection (vec_id, codes[m]) — each subspace's code
+    * is an argmin over ksub LITERAL centroids via the codegen'd
+    * [[EmbeddingLsh.qdot]], ties to the smaller code. The compressed
+    * representation a vector store ships: m bytes/vector at ksub ≤ 256
+    * (the q47 SQ8 discipline, per-subspace-adaptive instead of
+    * per-dimension).
+    */
+  def pqEncode(n: DataFrame, books: Array[Array[(Seq[Long], Long)]]): DataFrame = {
+    val m = books.length
+    val dsub = books(0)(0)._1.length
+    val codeCols = (0 until m).map { s =>
+      val sq = slice(col("q"), s * dsub + 1, dsub)
+      val sn = expr(s"aggregate(slice(q, ${s * dsub + 1}, $dsub), " +
+        "cast(0 AS bigint), (acc, x) -> acc + x * x)")
+      val entries = books(s).zipWithIndex.map { case ((cq, cn), code) =>
+        struct((sn - lit(2L) * EmbeddingLsh.qdot(sq, typedLit(cq)) + lit(cn)).as("d"),
+          lit(code).as("c"))
+      }
+      array_min(array(entries.toIndexedSeq: _*)).getField("c")
+    }
+    n.select(col("vec_id"), array(codeCols: _*).as("codes"))
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k search (Jégou et al. PAMI 2011
+    * §III.B): every database vector is compressed to m codes; each
+    * query builds its m×ksub lookup table of EXACT int64 sub-distances
+    * to every centroid, and a vector's approximate squared L2 distance
+    * is the sum of m table lookups — no decompression, no per-pair dot
+    * product. Output (qid, vec_id, adc), k rows per query, ascending
+    * distance (ties to the smaller vec_id).
+    *
+    * Scale shape: training is [[pqTrain]]'s constant corpus passes;
+    * encoding is a shuffle-free projection; the query side (queries ×
+    * their 64-long LUT arrays) BROADCASTS against the encoded fact
+    * stream, and the per-pair work is m array lookups + (m−1) integer
+    * adds — the compressed-domain scan that makes ADC the memory-bound
+    * regime's winner at corpus scale. The per-query top-k window is the
+    * same shared machinery as q62/q63/q70 (the pair stream is the
+    * shuffle, exactly the brute-force baseline's shape, but each pair
+    * costs 4 lookups instead of a 64-dim dot and the scanned table is
+    * m codes instead of 64 coords).
+    *
+    * Cross-engine exactness: coords, centroids, LUT entries and ADC
+    * sums are all int64 (< 2^32 here) — no floating point anywhere, so
+    * the DuckDB oracle hash-matches bit-for-bit including every
+    * tiebreak.
+    *
+    * Recall regime (the annLsh/annIvf honesty note): the gate corpus is
+    * near-orthogonal unit-norm noise, the hardest case for any coded
+    * index — true neighbors are barely closer than random, so 32-bit
+    * codes land recall@10 ≈ 0.3 there (probed m/ksub sweeps: m 4→8
+    * moved 6/20→7/20, ksub 16→32 nothing). On clustered data the codes
+    * separate cleanly — OperatorApiSpec pins that every top-10 entry of
+    * a 3-cluster corpus stays in the query's cluster (within-cluster
+    * ordering is jitter-sized, below any code's resolution by
+    * construction) — which is the property the measurement operator
+    * exists to expose per-dataset.
+    */
+  def pqAdc(n0: DataFrame, isQuery: Column, m: Int = PqM, ksub: Int = PqKsub,
+      iters: Int = PqIters, k: Int = TopK): DataFrame = {
+    val n = GraftCache.track(n0)
+    val books = pqTrain(n, m, ksub, iters)
+    val dsub = books(0)(0)._1.length
+    val enc = pqEncode(n, books)
+    // per-query LUT as ONE literal-indexed array column: element
+    // s·ksub + c holds ‖qsub_s − cent_{s,c}‖² in exact int64
+    val lutEntries = for (s <- 0 until m; (cq, cn) <- books(s)) yield {
+      val sq = slice(col("q"), s * dsub + 1, dsub)
+      val sn = expr(s"aggregate(slice(q, ${s * dsub + 1}, $dsub), " +
+        "cast(0 AS bigint), (acc, x) -> acc + x * x)")
+      sn - lit(2L) * EmbeddingLsh.qdot(sq, typedLit(cq)) + lit(cn)
+    }
+    val qs = n.filter(isQuery)
+      .select(col("vec_id").as("qid"), array(lutEntries: _*).as("lut"))
+    val adc = (0 until m).map(s =>
+      element_at(col("lut"),
+        (lit(s * ksub) + element_at(col("codes"), s + 1) + lit(1)).cast("int")))
+      .reduce(_ + _)
+    val p = enc.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), adc.as("adc"))
+    val w = Window.partitionBy("qid").orderBy(col("adc").asc, col("vec_id"))
+    p.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("qid", "vec_id", "adc")
+      .orderBy("qid", "vec_id")
+  }
+
   /** Gate table dimensionality for the q47 oracle's generate_series. */
   val SqDim = 64
 
@@ -393,6 +551,63 @@ object Similarity {
       s"(${qdotSql("a.q", "b.q")})::DOUBLE / sqrt((a.nrm * b.nrm)::DOUBLE) AS cos " +
       " FROM icand JOIN n a ON icand.qid = a.vec_id JOIN n b ON icand.vec_id = b.vec_id), " +
       topkSql("ivp", "ivf")
+
+  /** One subspace of the q158 PQ oracle: slice → seed codebook (ksub
+    * smallest vec_ids, positionally coded) → one integer-Lloyd update →
+    * final codes + the query-side LUT. Prefixed `ps{s}` so all
+    * [[PqM]] subspaces instantiate the same fragment. Reused CTEs are
+    * AS MATERIALIZED (the DuckDB per-reference-inlining rule — the
+    * slice frame alone is referenced five times per subspace).
+    */
+  private def pqSubCtes(s: Int): String = {
+    val dsub = 64 / PqM
+    val lo = s * dsub + 1
+    val hi = (s + 1) * dsub
+    val p = s"ps$s"
+    def dist(t: String, c: String) =
+      s"$t.sn - 2*${qdotSql(s"$t.sq", s"$c.cq")} + $c.cn"
+    s"${p}sub AS MATERIALIZED (SELECT vec_id, q[$lo:$hi] AS sq, " +
+      s"list_aggregate([x*x FOR x IN q[$lo:$hi]], 'sum')::BIGINT AS sn FROM n), " +
+      s"${p}c0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, " +
+      s"sq AS cq, sn AS cn FROM ${p}sub ORDER BY vec_id LIMIT $PqKsub), " +
+      s"${p}a1 AS (SELECT vec_id, code FROM (SELECT t.vec_id, c.code, " +
+      s"row_number() OVER (PARTITION BY t.vec_id ORDER BY ${dist("t", "c")}, c.code) AS rn " +
+      s"FROM ${p}sub t CROSS JOIN ${p}c0 c) WHERE rn = 1), " +
+      s"${p}e AS (SELECT a.code, i, sq[i] AS x FROM ${p}a1 a JOIN ${p}sub USING (vec_id) " +
+      s"CROSS JOIN (SELECT unnest(generate_series(1,$dsub)) AS i)), " +
+      s"${p}s AS (SELECT code, i, CAST(SUM(x) AS BIGINT) AS sm, COUNT(*) AS cnt " +
+      s"FROM ${p}e GROUP BY 1, 2), " +
+      s"${p}u AS (SELECT code, list(sm // cnt ORDER BY i) AS cq FROM ${p}s GROUP BY code), " +
+      s"${p}c1 AS MATERIALIZED (SELECT pc.code, COALESCE(u.cq, pc.cq) AS cq, " +
+      s"COALESCE(list_aggregate([x*x FOR x IN u.cq],'sum')::BIGINT, pc.cn) AS cn " +
+      s"FROM ${p}c0 pc LEFT JOIN ${p}u u ON pc.code = u.code), " +
+      s"${p}code AS MATERIALIZED (SELECT vec_id, code FROM (SELECT t.vec_id, c.code, " +
+      s"row_number() OVER (PARTITION BY t.vec_id ORDER BY ${dist("t", "c")}, c.code) AS rn " +
+      s"FROM ${p}sub t CROSS JOIN ${p}c1 c) WHERE rn = 1), " +
+      s"${p}lut AS MATERIALIZED (SELECT t.vec_id AS qid, c.code, ${dist("t", "c")} AS d " +
+      s"FROM ${p}sub t CROSS JOIN ${p}c1 c WHERE t.vec_id % $QueryStride = 0)"
+  }
+
+  /** The full q158 ADC chain: per-subspace codes + LUTs → per-pair
+    * m-lookup sum → ascending top-k `adck(qid, vec_id)`.
+    */
+  private def pqCtes: String = {
+    val subs = (0 until PqM).map(pqSubCtes).mkString(", ")
+    val enc = (0 until PqM)
+      .map(s => s"SELECT vec_id, $s AS s, code FROM ps${s}code")
+      .mkString(" UNION ALL ")
+    val lut = (0 until PqM)
+      .map(s => s"SELECT qid, $s AS s, code, d FROM ps${s}lut")
+      .mkString(" UNION ALL ")
+    subs + ", " +
+      s"pqenc AS ($enc), pqlut AS ($lut), " +
+      "adcp AS (SELECT l.qid, e.vec_id, CAST(SUM(l.d) AS BIGINT) AS adc " +
+      "FROM pqenc e JOIN pqlut l ON e.s = l.s AND e.code = l.code " +
+      "WHERE e.vec_id <> l.qid GROUP BY 1, 2), " +
+      "adck AS (SELECT qid, vec_id FROM (SELECT qid, vec_id, " +
+      "row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rn " +
+      s"FROM adcp) WHERE rn <= $TopK)"
+  }
 
   /** The q78 oracle CTE chain (quantize → seed → 2 Lloyd rounds),
     * ending in `a2(vec_id, cell, dist)` — reused by q98's
@@ -528,6 +743,25 @@ object Similarity {
       recallAtK(
         annBruteForce(n, isQ),
         annIvf(n, isQ, col("vec_id") % CentroidStride === 0))
+    },
+
+    // Product-quantization ADC search (Jégou et al. PAMI 2011), gated
+    // through the recall@k harness exactly like q117: the compressed-
+    // domain scan's quality is measured against the exact brute-force
+    // yardstick, and the whole chain — per-subspace integer-Lloyd
+    // codebooks, codes, LUTs, ADC sums, both top-k cuts — is int64, so
+    // the oracle hash-matches every tiebreak. (The reference's closest
+    // surface is its vector-index table providers; the PQ codes + ADC
+    // scan are the storage/search layout those indexes ship.)
+    Q("q158_pq_adc",
+      "WITH " + quantizedSql + ", " + qsCte + ", " + bruteCtes + ", " + pqCtes +
+        " SELECT bf.qid AS qid, COUNT(*)::BIGINT AS k_exact, " +
+        "SUM(CASE WHEN adck.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS hits " +
+        "FROM bf LEFT JOIN adck ON bf.qid = adck.qid AND bf.vec_id = adck.vec_id " +
+        "GROUP BY bf.qid ORDER BY qid") { (s, dir) =>
+      val n = GraftCache.track(quantized(s, dir))
+      val isQ = col("vec_id") % QueryStride === 0
+      recallAtK(annBruteForce(n, isQ), pqAdc(n, isQ))
     },
 
     // Hard-negative mining: per query, the nearest vectors of a

@@ -90,6 +90,43 @@ class OperatorApiSpec extends AnyFunSuite with SparkFixture {
     assert(!(jac ++ mh ++ sp).exists(p => p._1 == 13L || p._2 == 13L))
   }
 
+  test("pqAdc: perfect recall on cluster-separated data; codes bounded by ksub") {
+    import spark.implicits._
+    // 3 tight clusters of 40 unit-ish vectors in 64 dims: cluster c
+    // concentrates its mass on dims [16c, 16c+16) with small per-vector
+    // jitter elsewhere. True neighbors are same-cluster by a wide
+    // margin, so the 8×16 product grid must separate them — the
+    // pqAdc recall-regime claim (near-orthogonal noise ≈ 0.3 at the
+    // gate, clustered data → 1.0).
+    val rnd = new scala.util.Random(83)
+    val vecs = for (c <- 0 until 3; i <- 0 until 40) yield {
+      val v = Array.fill(64)(rnd.nextDouble() * 0.02 - 0.01)
+      for (d <- 16 * c until 16 * c + 16) v(d) += 0.25
+      (c * 40L + i, v.toSeq)
+    }
+    val n = EmbeddingLsh.quantize(
+      vecs.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    val isQ = col("vec_id") % 40 === 0 // one query per cluster
+    val adc = Similarity.pqAdc(n, isQ)
+      .as[(Long, Long, Long)].collect()
+    assert(adc.map(_._1).distinct.sorted.toSeq == Seq(0L, 40L, 80L))
+    for ((qid, vid, _) <- adc)
+      assert(vid / 40 == qid / 40,
+        s"query $qid got cross-cluster neighbor $vid in its top-10")
+    // recallAtK plumbing: k_exact = 10 per query. Within-cluster
+    // ORDERING is jitter-sized (±1 grid unit) — below what any coded
+    // representation can resolve by construction — so the pinned
+    // property is cluster containment above, not within-cluster recall.
+    val rec = Similarity.recallAtK(
+      Similarity.annBruteForce(n, isQ), Similarity.pqAdc(n, isQ))
+      .as[(Long, Long, Long)].collect()
+    assert(rec.length == 3 && rec.forall(_._2 == 10L), rec.mkString(","))
+    // codes are positional indexes into the ksub-entry codebooks
+    val codes = Similarity.pqEncode(n, Similarity.pqTrain(n))
+      .select(explode(col("codes"))).as[Int].collect()
+    assert(codes.forall(c => c >= 0 && c < Similarity.PqKsub))
+  }
+
   test("dupSpans counts positional k-token spans shared across documents") {
     import spark.implicits._
     // 10 tokens -> 3 spans of k=8 per doc. Docs 20/21 share all three

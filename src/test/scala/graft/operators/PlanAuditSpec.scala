@@ -285,6 +285,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"assignment argmax lost its partial phase:\n$p")
   }
 
+  test("q158: PQ encode is a literal-codebook projection; ADC scan broadcasts the LUT side") {
+    val p = plan("q158_pq_adc")
+    // the encoded fact stream must meet the query LUTs through a
+    // BROADCAST nested loop (queries are the small side by contract) —
+    // never a shuffled cartesian; codebooks are driver literals, so no
+    // join materializes the N×ksub assignment stream either
+    assert(!p.contains("CartesianProduct"),
+      s"non-broadcast cartesian on the ADC scan:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"query/LUT side must broadcast:\n$p")
+  }
+
   test("entry: flagship star join broadcasts dimensions") {
     val p = SparkEntry.entry(spark).queryExecution.executedPlan.toString
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
