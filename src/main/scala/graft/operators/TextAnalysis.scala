@@ -595,16 +595,43 @@ object TextAnalysis {
     // 0.84–0.89 vs tracked 0.90 — a wash here, but at 100 TB the
     // recompute re-reads the WIDE text column where the cache is 5
     // longs/doc, which is the shape the track pins).
-    val tfd = GraftCache.track(corpus(df, idCol, textCol)
+    val tfd = GraftCache.track(bm25Tf(df, terms, idCol, textCol))
+    bm25ScoreFrames(tfd, bm25Stats(tfd, terms.size), terms.size, k)
+  }
+
+  /** The BM25 per-document term-frequency frame (doc_id, dl, tf_i) —
+    * the durable "index row" a maintained deployment upserts per
+    * document ([[graft.streaming.EventStream.bm25IndexTo]]).
+    */
+  def bm25Tf(df: org.apache.spark.sql.DataFrame, terms: Seq[String],
+      idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame =
+    corpus(df, idCol, textCol)
       .select(col("doc_id"),
         graft.functions.TokenScan.token_tf(col("text"), terms).as("v"))
       .select(Seq(col("doc_id"), col("v").getItem(0).as("dl")) ++
-        terms.indices.map(i => col("v").getItem(i + 1).as(s"tf_$i")): _*))
+        terms.indices.map(i => col("v").getItem(i + 1).as(s"tf_$i")): _*)
+
+  /** The 1-row BM25 corpus statistics (n_docs, totlen, df_i) over a
+    * [[bm25Tf]] frame — one map-combinable aggregate, broadcast back by
+    * [[bm25ScoreFrames]].
+    */
+  def bm25Stats(tfd: org.apache.spark.sql.DataFrame,
+      nTerms: Int): org.apache.spark.sql.DataFrame = {
     val aggCols = Seq(count(lit(1)).as("n_docs"), sum(col("dl")).as("totlen")) ++
-      terms.indices.map(i =>
+      (0 until nTerms).map(i =>
         sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
-    val stats = tfd.agg(aggCols.head, aggCols.tail: _*)
-    val scoreTerms = terms.indices.map { i =>
+    tfd.agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /** Score a [[bm25Tf]] frame against a 1-row [[bm25Stats]] frame and
+    * return the ascending-doc_id top-k — the scoring half shared by the
+    * batch gate and the maintained-index path, so the two can never
+    * diverge arithmetically.
+    */
+  def bm25ScoreFrames(tfd: org.apache.spark.sql.DataFrame,
+      stats: org.apache.spark.sql.DataFrame, nTerms: Int,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val scoreTerms = (0 until nTerms).map { i =>
       s"(((2*n_docs - 2*df_$i + 1) * ((22000 * tf_$i * 1000000) div " +
         s"(10000 * tf_$i + 3000 + 9 * ratio_pm))) div (2*df_$i + 1))"
     }
