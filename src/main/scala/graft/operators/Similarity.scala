@@ -750,9 +750,10 @@ object Similarity {
     // domain scan's quality is measured against the exact brute-force
     // yardstick, and the whole chain — per-subspace integer-Lloyd
     // codebooks, codes, LUTs, ADC sums, both top-k cuts — is int64, so
-    // the oracle hash-matches every tiebreak. (The reference's closest
-    // surface is its vector-index table providers; the PQ codes + ADC
-    // scan are the storage/search layout those indexes ship.)
+    // the oracle hash-matches every tiebreak. (Part of the
+    // beyond-the-reference pipeline surface, like q62–q70: the
+    // reference ships no vector search; PQ completes the SQ8 + IVF
+    // compression/index family per VERDICT r15 #6.)
     Q("q158_pq_adc",
       "WITH " + quantizedSql + ", " + qsCte + ", " + bruteCtes + ", " + pqCtes +
         " SELECT bf.qid AS qid, COUNT(*)::BIGINT AS k_exact, " +

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkFixture
+import org.apache.spark.sql.functions.col
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
@@ -224,6 +225,67 @@ class AlgorithmPropertySpec extends AnyFunSuite with SparkFixture {
         .as[(Long, Long, Long)].collect()
         .map(r => r._1 -> ((r._2, r._3))).toMap
       assert(got == expected, s"seed=$seed")
+    }
+  }
+
+  test("pqAdc equals the sequential product-quantization reference on random vector sets") {
+    import spark.implicits._
+    // the full q158 chain — per-subspace integer Lloyd, positional
+    // codes, asymmetric LUT distances, ascending top-k — against a
+    // direct sequential implementation of the same definitions
+    // (independent of both the Spark expressions and the DuckDB oracle)
+    val genVecs = for {
+      n <- Gen.choose(8, 26)
+      m <- Gen.oneOf(1, 2)
+      dsub <- Gen.choose(2, 4)
+      vecs <- Gen.listOfN(n, Gen.listOfN(m * dsub, Gen.choose(-50L, 50L)))
+    } yield (m, vecs.zipWithIndex.map { case (q, i) => (i.toLong, q) })
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    for (seed <- 1L to 8L) {
+      val (m, vecs) = sample(genVecs, seed)
+      val (ksub, iters, k) = (3, 2, 4)
+      val dsub = vecs.head._2.length / m
+      def sub(q: Seq[Long], s: Int) = q.slice(s * dsub, (s + 1) * dsub)
+      // sequential codebooks: seeds = sub-vectors of the ksub smallest
+      // ids, positionally coded; one truncating-mean update round
+      val books = (0 until m).map { s =>
+        var cents: Seq[(Int, Seq[Long])] = vecs.sortBy(_._1).take(ksub)
+          .zipWithIndex.map { case ((_, q), c) => (c, sub(q, s)) }
+        def assign(q: Seq[Long]): Int =
+          cents.map { case (c, cq) => (d2(sub(q, s), cq), c) }.min._2
+        for (_ <- 1 until iters) {
+          val byCode = vecs.map { case (_, q) => (assign(q), sub(q, s)) }
+            .groupBy(_._1)
+          cents = cents.map { case (c, q0) =>
+            byCode.get(c).map { ms =>
+              (c, q0.indices.map(i => ms.map(_._2(i)).sum / ms.size).toList: Seq[Long])
+            }.getOrElse((c, q0))
+          }
+        }
+        cents
+      }
+      def code(q: Seq[Long], s: Int): Int =
+        books(s).map { case (c, cq) => (d2(sub(q, s), cq), c) }.min._2
+      val cbyId = vecs.map { case (id, q) =>
+        id -> (0 until m).map(s => code(q, s))
+      }.toMap
+      def isQ(id: Long) = id % 3 == 0
+      val expected = vecs.filter(v => isQ(v._1)).flatMap { case (qid, qq) =>
+        vecs.filter(_._1 != qid).map { case (vid, _) =>
+          val adc = (0 until m).map { s =>
+            val cq = books(s).find(_._1 == cbyId(vid)(s)).get._2
+            d2(sub(qq, s), cq)
+          }.sum
+          (qid, vid, adc)
+        }.sortBy(t => (t._3, t._2)).take(k)
+      }.toSet
+      val frame = vecs.map { case (id, q) => (id, q.toArray, d2(q, q.map(_ => 0L))) }
+        .toDF("vec_id", "q", "nrm")
+      val got = Similarity.pqAdc(frame, col("vec_id") % 3 === 0,
+        m = m, ksub = ksub, iters = iters, k = k)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == expected, s"seed=$seed m=$m dsub=$dsub")
     }
   }
 
