@@ -1964,6 +1964,12 @@ object ScaleProbe {
         case "annbrute" => operators.Similarity.annBruteForce(vecs, isQuery)
         case "annivf" => operators.Similarity.annIvf(vecs, isQuery,
           col("vec_id") % operators.Similarity.CentroidStride === 0)
+        // r16: the q158 PQ-ADC path over the same perturbed N× vectors —
+        // training + encode + compressed-domain scan, end to end (the
+        // point under measure: per-pair cost is m lookups, so the scan
+        // side should track annbrute's curve at a constant discount
+        // while the per-vector footprint is m codes, not d coords)
+        case "pqadc" => operators.Similarity.pqAdc(vecs, isQuery)
         // Prepared-batch INSERT throughput through the DSv2 write path
         // into a live engine — the ONE performance artifact the
         // reference publishes is exactly this shape
