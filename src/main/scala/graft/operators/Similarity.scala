@@ -394,9 +394,13 @@ object Similarity {
     val n = GraftCache.track(n0)
     val books = pqTrain(n, m, ksub, iters)
     val dsub = books(0)(0)._1.length
+    // a corpus smaller than ksub trains fewer codes — the LUT offsets
+    // must use the EFFECTIVE codebook size or every subspace past the
+    // first would read the wrong table slice
+    val kEff = books(0).length
     val enc = pqEncode(n, books)
     // per-query LUT as ONE literal-indexed array column: element
-    // s·ksub + c holds ‖qsub_s − cent_{s,c}‖² in exact int64
+    // s·kEff + c holds ‖qsub_s − cent_{s,c}‖² in exact int64
     val lutEntries = for (s <- 0 until m; (cq, cn) <- books(s)) yield {
       val sq = slice(col("q"), s * dsub + 1, dsub)
       val sn = expr(s"aggregate(slice(q, ${s * dsub + 1}, $dsub), " +
@@ -407,7 +411,7 @@ object Similarity {
       .select(col("vec_id").as("qid"), array(lutEntries: _*).as("lut"))
     val adc = (0 until m).map(s =>
       element_at(col("lut"),
-        (lit(s * ksub) + element_at(col("codes"), s + 1) + lit(1)).cast("int")))
+        (lit(s * kEff) + element_at(col("codes"), s + 1) + lit(1)).cast("int")))
       .reduce(_ + _)
     val p = enc.crossJoin(broadcast(qs))
       .filter(col("vec_id") =!= col("qid"))

@@ -125,6 +125,21 @@ class OperatorApiSpec extends AnyFunSuite with SparkFixture {
     val codes = Similarity.pqEncode(n, Similarity.pqTrain(n))
       .select(explode(col("codes"))).as[Int].collect()
     assert(codes.forall(c => c >= 0 && c < Similarity.PqKsub))
+    // corpus SMALLER than ksub: every vector seeds its own code, so the
+    // codebooks are exact and ADC distance == exact squared L2 — pins
+    // the effective-codebook-size LUT offsets (a ksub-parameter offset
+    // would misalign every subspace past the first)
+    val tiny = EmbeddingLsh.quantize(
+      vecs.take(5).toDF("vec_id", "embedding"), "vec_id", "embedding")
+    val tinyAdc = Similarity.pqAdc(tiny, col("vec_id") === 0, k = 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    val exact = tiny.as[(Long, Seq[Long], Long)].collect()
+    val q0 = exact.find(_._1 == 0L).get._2
+    val want = exact.filter(_._1 != 0L).map { case (id, v, _) =>
+      (id, v.zip(q0).map { case (a, b) => (a - b) * (a - b) }.sum)
+    }.sortBy(t => (t._2, t._1)).take(4).map { case (id, d) => (0L, id, d) }
+      .sortBy(_._2).toSeq // pqAdc presents (qid, vec_id)-ordered
+    assert(tinyAdc == want, s"small-corpus ADC != exact L2: $tinyAdc vs $want")
   }
 
   test("dupSpans counts positional k-token spans shared across documents") {
