@@ -59,7 +59,12 @@ class BenchContractSpec extends AnyFunSuite {
     // its redundant prefix ("sf0.1"→"0.1", −2: Bench's prev-round
     // matcher accepts both spellings). Structural cap under THIS
     // renderer: margin below is 1918 − length; each additional gate
-    // costs 12 B at worst width.)
+    // costs 12 B at worst width. Levers surveyed for the NEXT gate,
+    // cheapest first: cap w at 99 (−1); drop the iso floor to 1 slot
+    // (−11, weakens the ≥2-regression guarantee — last resort); drop
+    // the "q" prefix from the queries keys (−1 B per gate ≈ −158, but it breaks
+    // the qNN cross-round convention and Bench's own prev-round scan
+    // regex must then accept both spellings for one transition round).)
     val widths = Seq.fill(SparkEntry.all.size)("99.9")
     val medians = SparkEntry.all.zip(widths)
       .map { case (q, w) => "\"" + qid(q.name) + "\":" + w }.mkString("{", ",", "}")
