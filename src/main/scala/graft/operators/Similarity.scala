@@ -291,43 +291,58 @@ object Similarity {
     */
   def pqTrain(n: DataFrame, m: Int = PqM, ksub: Int = PqKsub,
       iters: Int = PqIters): Array[Array[(Seq[Long], Long)]] = {
-    val dims = n.select(size(col("q"))).head().getInt(0)
-    require(dims % m == 0, s"pq: $dims dims not divisible by $m subspaces")
-    val dsub = dims / m
     val seeds = n.orderBy("vec_id").limit(ksub).select("q").collect()
       .map(_.getSeq[Long](0))
-    (0 until m).map { s =>
-      val sub = n.select(col("vec_id"), slice(col("q"), s * dsub + 1, dsub).as("sq"))
-        .withColumn("sn", expr("aggregate(sq, cast(0 AS bigint), (acc, x) -> acc + x * x)"))
-      var cents: Array[(Int, Seq[Long], Long)] = seeds.zipWithIndex.map {
-        case (q, c) =>
-          val cq = q.slice(s * dsub, (s + 1) * dsub)
-          (c, cq, cq.map(x => x * x).sum)
+    require(seeds.nonEmpty, "pq: empty corpus")
+    val dims = seeds.head.length
+    require(dims % m == 0, s"pq: $dims dims not divisible by $m subspaces")
+    val dsub = dims / m
+    // books(s)(code) = (coords, nrm); seeds positionally coded
+    var books: Array[Array[(Seq[Long], Long)]] = Array.tabulate(m) { s =>
+      seeds.map { q =>
+        val cq = q.slice(s * dsub, (s + 1) * dsub)
+        (cq, cq.map(x => x * x).sum)
       }
-      def assign(): DataFrame = {
-        val entries = cents.map { case (code, cq, cn) =>
-          struct((col("sn") - lit(2L) * EmbeddingLsh.qdot(col("sq"), typedLit(cq)) +
-            lit(cn)).as("d"), lit(code).as("c"))
+    }
+    // every Lloyd round is ONE job over the corpus: each row explodes
+    // into m (subspace, code, sub-vector) structs — the argmin against
+    // that subspace's literal centroids computed inline — and a single
+    // map-side-combinable aggregation keyed by (s, code) folds all
+    // m·ksub centroid updates at once (r16: the per-subspace loop ran m
+    // serial aggregation jobs and made q158 the suite's slowest query;
+    // job-launch overhead, not arithmetic, was the cost).
+    for (_ <- 1 until iters) {
+      val structs = (0 until m).map { s =>
+        val sq = slice(col("q"), s * dsub + 1, dsub)
+        val sn = expr(s"aggregate(slice(q, ${s * dsub + 1}, $dsub), " +
+          "cast(0 AS bigint), (acc, x) -> acc + x * x)")
+        val entries = books(s).zipWithIndex.map { case ((cq, cn), code) =>
+          struct((sn - lit(2L) * EmbeddingLsh.qdot(sq, typedLit(cq)) + lit(cn)).as("d"),
+            lit(code).as("c"))
         }
-        sub.withColumn("mm", array_min(array(entries.toIndexedSeq: _*)))
-          .select(col("vec_id"), col("sq"), col("mm.c").as("code"))
+        struct(lit(s).as("s"),
+          array_min(array(entries.toIndexedSeq: _*)).getField("c").as("code"),
+          sq.as("sq"))
       }
-      for (_ <- 1 until iters) {
-        val sums = (0 until dsub).map(i =>
-          sum(expr(s"element_at(sq, ${i + 1})")).as(s"s$i"))
-        val upd = assign().groupBy("code")
-          .agg(count(lit(1)).as("cnt"), sums: _*)
-          .select(col("code"),
-            array((0 until dsub).map(i => expr(s"s$i div cnt")): _*).as("cq"))
-          .withColumn("cn", expr("aggregate(cq, cast(0 AS bigint), (acc, x) -> acc + x * x)"))
-          .collect().map(r => r.getInt(0) -> ((r.getSeq[Long](1), r.getLong(2)))).toMap
-        cents = cents.map { case (code, q0, n0) =>
-          upd.get(code).map { case (q1, n1) => (code, q1, n1) }
-            .getOrElse((code, q0, n0))
+      val sums = (0 until dsub).map(i =>
+        sum(expr(s"element_at(sq, ${i + 1})")).as(s"s$i"))
+      val upd = n.select(explode(array(structs: _*)).as("e"))
+        .select(col("e.s").as("s"), col("e.code").as("code"), col("e.sq").as("sq"))
+        .groupBy("s", "code")
+        .agg(count(lit(1)).as("cnt"), sums: _*)
+        .select(col("s"), col("code"),
+          array((0 until dsub).map(i => expr(s"s$i div cnt")): _*).as("cq"))
+        .withColumn("cn", expr("aggregate(cq, cast(0 AS bigint), (acc, x) -> acc + x * x)"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getSeq[Long](2), r.getLong(3))))
+        .toMap
+      books = Array.tabulate(m) { s =>
+        books(s).zipWithIndex.map { case (prev, code) =>
+          upd.getOrElse((s, code), prev) // empty cells keep their centroid
         }
       }
-      cents.map { case (_, cq, cn) => (cq, cn) }
-    }.toArray
+    }
+    books
   }
 
   /** PQ-encode a quantized frame against trained codebooks: a pure
