@@ -93,6 +93,16 @@ object Bench {
     (regressed.sortBy { case (_, med, prev) => -med / prev }
       .map(_._1) ++ stallFlagged).distinct
 
+  /** Scan a committed artifact's `"queries":{…}` body into qNN-keyed
+    * medians. Accepts BOTH key spellings — "q157" (r≤16 artifacts) and
+    * the prefix-stripped "157" (r17+ line-budget lever) — normalizing to
+    * qNN, so the regression trigger stays armed across the transition
+    * (unit-pinned by BenchContractSpec).
+    */
+  private[graft] def scanMedians(body: String): Map[String, Double] =
+    "\"q?(\\d+)\":([0-9.]+)".r.findAllMatchIn(body)
+      .map(m => "q" + m.group(1) -> m.group(2).toDouble).toMap
+
   def main(args: Array[String]): Unit = {
     val benchStart = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -343,8 +353,15 @@ object Bench {
     // in BASELINE.md) — the full-name map alone is ~1.8 KB and the
     // collecting harness keeps only ~2 KB of output tail.
     def qid(name: String): String = name.takeWhile(_ != '_')
+    // r17 line-budget lever (the one the r16 survey priced at −1 B/gate,
+    // funding q159 and ~a dozen more): RENDERED keys drop the redundant
+    // "q" prefix — "q157" → "157" in the queries/diag/iso maps. The qNN
+    // spelling stays everywhere else (names, SPARK_GRAFT_ONLY, BASELINE,
+    // stderr); the prev-round matcher below accepts both spellings and
+    // normalizes, so r≤16 artifacts still arm the regression trigger.
+    def rid(name: String): String = qid(name).stripPrefix("q")
     val medians = results
-      .map(r => "\"" + qid(r._1) + "\":" + fq(r._2)).mkString("{", ",", "}")
+      .map(r => "\"" + rid(r._1) + "\":" + fq(r._2)).mkString("{", ",", "}")
     // Self-diagnosis map (replaces r≤8's "stalls"): [best rep, worst rep,
     // GC % of wall, CPU cores busy] for the ≤2 most suspicious queries —
     // stall outliers (worst > 2× median and > 2 s over it) first, then the
@@ -398,8 +415,7 @@ object Bench {
               val body = txt.substring(qs + tag.length,
                 txt.indexOf('}', qs + tag.length))
               System.err.println(s"[bench] regression baseline: ${f.getName}")
-              Some("\"(q\\d+)\":([0-9.]+)".r.findAllMatchIn(body)
-                .map(m => m.group(1) -> m.group(2).toDouble).toMap)
+              Some(Bench.scanMedians(body))
             }
           } catch { case _: Throwable => None }
         }.collectFirst { case Some(m) => m }.getOrElse(Map.empty)
@@ -455,7 +471,7 @@ object Bench {
     // never a number anything divides by
     def diagJson(n: Int) = {
       val entries = suspicious.take(n)
-        .map(r => "\"" + qid(r._1) + "\":[" + fq(r._3) + "," + fc(r._4) + "," +
+        .map(r => "\"" + rid(r._1) + "\":[" + fq(r._3) + "," + fc(r._4) + "," +
           r._5 + "," + fc(r._6) + "]")
       // an empty diag omits the KEY (r15, for q157's line budget): an
       // absent field and zero entries read identically
@@ -480,11 +496,11 @@ object Bench {
       // Skip remaining shots once elapsed wall nears the budget: a
       // missing iso entry is recoverable evidence, a lost artifact isn't.
       // per-entry worst width: quote+id+quote+colon+value+comma with the
-      // value at fc's 3-char worst ("qNN":9.9, — iso values render
+      // value at fc's 3-char worst ("NN":9.9, — iso values render
       // through fc since r15: exoneration compares against 2×
       // thresholds, where one decimal is plenty; BASELINE carries
       // full-precision isolated measures from SPARK_GRAFT_ONLY runs)
-      val entryCost = name.takeWhile(_ != '_').length + 7
+      val entryCost = rid(name).length + 7
       if ((System.nanoTime() - benchStart) / 1e9 > 500.0) {
         System.err.println(s"[bench] $name isolated SKIPPED (wall budget)")
         None
@@ -517,7 +533,7 @@ object Bench {
       }
     }
     val isoJson = if (iso.isEmpty) "" else
-      "\"iso\":" + iso.map(r => "\"" + qid(r._1) + "\":" + fc(r._2))
+      "\"iso\":" + iso.map(r => "\"" + rid(r._1) + "\":" + fc(r._2))
         .mkString("{", ",", "},")
     // total through fq (4-char worst): the per-query medians carry the
     // detail. Field renames, r14 line-budget trim for q152/q153: "gc" →

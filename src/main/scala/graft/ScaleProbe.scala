@@ -169,6 +169,14 @@ object ScaleProbe {
     val out = pinned.getOrElse(java.nio.file.Files.createTempDirectory(
       s"graft_${opName}${factor}x_").toString)
     val factPath = java.nio.file.Paths.get(s"$out/$table.parquet")
+    // build manifest (ADVICE r16): row count alone cannot tell a pinned
+    // dir built under different shiftCols (or from a different base) from
+    // the one this run needs — identity is pinned at build time and
+    // compared verbatim on reuse, failing with the mismatch named
+    val manifestPath = java.nio.file.Paths.get(s"$out/_graft_family")
+    val manifest = s"table=$table factor=$factor " +
+      s"shiftCols=${shiftCols.mkString(",")} " +
+      s"base=${java.nio.file.Paths.get(sfDir).toAbsolutePath.normalize()}"
     if (!java.nio.file.Files.exists(factPath)) {
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
       val base = Tables.load(spark, sfDir, table)
@@ -176,6 +184,14 @@ object ScaleProbe {
       (0 until factor).map { i =>
         shiftCols.foldLeft(base)((d, c) => d.withColumn(c, col(c) + lit(i * shift)))
       }.reduce(_ unionByName _).write.parquet(factPath.toString)
+      java.nio.file.Files.write(manifestPath, manifest.getBytes("UTF-8"))
+    } else {
+      val got = if (java.nio.file.Files.exists(manifestPath))
+        new String(java.nio.file.Files.readAllBytes(manifestPath), "UTF-8")
+      else "<no manifest — dir predates the build-manifest discipline>"
+      if (got != manifest) throw new IllegalStateException(
+        s"familyCurve: pinned $out was built as [$got] but this run " +
+          s"needs [$manifest] — clear the pinned dir")
     }
     for (t <- Tables.names if t != table) {
       val link = java.nio.file.Paths.get(s"$out/$t.parquet")

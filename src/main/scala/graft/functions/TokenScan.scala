@@ -74,6 +74,13 @@ case class TokenTf(child: Expression, terms: Seq[String])
 
   require(terms.nonEmpty && terms.forall(t => t.nonEmpty && !t.contains(' ')),
     "token_tf: terms must be non-empty and cannot contain the delimiter")
+  // the scan is first-match-wins per segment, so a DUPLICATED term would
+  // silently collect tf=0 for every later copy — a divergence from the
+  // documented size(filter(...)) twin (which counts each copy fully).
+  // Reject rather than dedupe: a duplicate query term is a caller bug
+  // either way (VERDICT r16 #2 / ADVICE r16)
+  require(terms.distinct.size == terms.size,
+    s"token_tf: duplicate terms ${terms.diff(terms.distinct).distinct.mkString(",")}")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "token_tf"

@@ -445,7 +445,15 @@ object Layout extends org.apache.spark.internal.Logging {
           if (!fs.rename(p(staged), hPath))
             throw new IllegalStateException(
               s"mergeInto: cannot complete crashed publish of $staged")
-          retiredSiblings.foreach { r =>
+          // Reap ONLY merge-owned `.retired-m*` generations here (VERDICT
+          // r16 #1): [[compactAndSwap]]'s unmarked `.retired-<nanos>`
+          // siblings are returned to THEIR caller for reader draining —
+          // a compact's generation can still be draining when a fallback
+          // merge crashes between its renames, and deleting it here would
+          // pull the files out from under those readers. Same filter the
+          // commit-path reap below applies; non-m siblings survive
+          // recovery untouched (their caller owns their deletion).
+          retiredSiblings.filter(_.getName.contains(".retired-m")).foreach { r =>
             if (!fs.delete(r, true) && fs.exists(r))
               logWarning(s"mergeInto: retired generation $r could not be " +
                 "deleted after forward recovery — nothing reaps it " +

@@ -353,7 +353,8 @@ object Similarity {
     * (the q47 SQ8 discipline, per-subspace-adaptive instead of
     * per-dimension).
     */
-  def pqEncode(n: DataFrame, books: Array[Array[(Seq[Long], Long)]]): DataFrame = {
+  def pqEncode(n: DataFrame, books: Array[Array[(Seq[Long], Long)]],
+      keep: Seq[String] = Nil): DataFrame = {
     val m = books.length
     val dsub = books(0)(0)._1.length
     val codeCols = (0 until m).map { s =>
@@ -366,7 +367,8 @@ object Similarity {
       }
       array_min(array(entries.toIndexedSeq: _*)).getField("c")
     }
-    n.select(col("vec_id"), array(codeCols: _*).as("codes"))
+    n.select(col("vec_id") +: array(codeCols: _*).as("codes")
+      +: keep.map(col): _*)
   }
 
   /** PQ asymmetric-distance (ADC) top-k search (Jégou et al. PAMI 2011
@@ -429,6 +431,95 @@ object Similarity {
         (lit(s * kEff) + element_at(col("codes"), s + 1) + lit(1)).cast("int")))
       .reduce(_ + _)
     val p = enc.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), adc.as("adc"))
+    val w = Window.partitionBy("qid").orderBy(col("adc").asc, col("vec_id"))
+    p.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("qid", "vec_id", "adc")
+      .orderBy("qid", "vec_id")
+  }
+
+  /** IVFADC top-k search (Jégou et al. PAMI 2011 §IV — the system the
+    * paper actually ships): [[pqAdc]]'s compressed-domain scan coupled
+    * with the coarse inverted file, so each query scans only its
+    * `nprobe` probed cells instead of the whole corpus — the candidate-
+    * restriction term that turns par-with-brute-force into a real index
+    * at corpus scale (VERDICT r16 #1).
+    *
+    * Chain: (1) coarse quantizer = the q70 IVF discipline (vectors
+    * satisfying `isCentroid` seed the cells) but in exact squared L2,
+    * the metric PQ codes approximate; every vector joins its nearest
+    * cell in ONE broadcast pass whose argmin folds map-side. (2) ONE
+    * product quantizer is trained on the RESIDUALS y − c(y) and shared
+    * across all cells (§IV.A: per-cell codebooks would multiply the
+    * model by C; the residual energy is what the shared codebook
+    * spends its codes on). Residuals stay exact int64 (coordinate
+    * differences). (3) Encode = shuffle-free literal-codebook
+    * projection of the residual frame, carrying the cell. (4) A query
+    * probes its `nprobe` nearest cells; PER PROBED CELL it builds the
+    * m×ksub LUT of its residual against the shared codebooks (the
+    * query's residual differs per cell — the per-cell LUT rebuild is
+    * the documented IVFADC query cost, nprobe·m·ksub sub-distances).
+    * (5) The tiny (Q·nprobe)-row LUT frame BROADCASTS against the
+    * encoded stream joined ON CELL — the scan touches only probed
+    * cells' members, each pair costing m lookups + adds.
+    *
+    * Cross-engine exactness: coords, residuals, centroids, LUT entries
+    * and ADC sums are all int64 — the DuckDB oracle hash-matches every
+    * tiebreak (assignment and probe ties to the smaller cid, codes to
+    * the smaller code, top-k to the smaller vec_id).
+    */
+  def ivfAdc(n0: DataFrame, isQuery: Column, isCentroid: Column,
+      nprobe: Int = NProbe, m: Int = PqM, ksub: Int = PqKsub,
+      iters: Int = PqIters, k: Int = TopK): DataFrame = {
+    val n = GraftCache.track(n0)
+    val cents = n.filter(isCentroid)
+      .select(col("vec_id").as("cid"), col("q").as("cq"), col("nrm").as("cn"))
+    // coarse assignment in exact squared L2, ties to the smaller cid;
+    // centroids broadcast, argmin folds map-side (q/cq ride the struct
+    // — constant per group, so they never influence the (d, cid) min)
+    val asg = n.crossJoin(broadcast(cents))
+      .select(col("vec_id"), struct(
+        (col("nrm") - lit(2L) * qdot(col("q"), col("cq")) + col("cn")).as("d"),
+        col("cid"), col("q"), col("cq")).as("e"))
+      .groupBy("vec_id").agg(min(col("e")).as("e"))
+    // residual frame (vec_id, cell, q = y − c(y)) — the PQ training and
+    // encode input; persisted: training re-reads it iters·1 times
+    val res = GraftCache.track(asg.select(col("vec_id"),
+      col("e.cid").as("cell"),
+      zip_with(col("e.q"), col("e.cq"), (x, y) => x - y).as("q")))
+    val books = pqTrain(res, m, ksub, iters)
+    val kEff = books(0).length
+    val dsub = books(0)(0)._1.length
+    val enc = pqEncode(res, books, keep = Seq("cell"))
+    // probes: each query's nprobe nearest cells, with the query's
+    // PER-CELL residual rq = q − c
+    val qs = n.filter(isQuery)
+      .select(col("vec_id").as("qid"), col("q").as("qq"), col("nrm").as("qn"))
+    val wp = Window.partitionBy("qid").orderBy(col("d").asc, col("cid"))
+    val probes = qs.crossJoin(broadcast(cents))
+      .select(col("qid"), col("cid"), col("cq"),
+        (col("qn") - lit(2L) * qdot(col("qq"), col("cq")) + col("cn")).as("d"),
+        col("qq"))
+      .withColumn("rn", row_number().over(wp))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("cid").as("cell"),
+        zip_with(col("qq"), col("cq"), (x, y) => x - y).as("rq"))
+    val lutEntries = for (s <- 0 until m; (cq, cn) <- books(s)) yield {
+      val sq = slice(col("rq"), s * dsub + 1, dsub)
+      val sn = expr(s"aggregate(slice(rq, ${s * dsub + 1}, $dsub), " +
+        "cast(0 AS bigint), (acc, x) -> acc + x * x)")
+      sn - lit(2L) * qdot(sq, typedLit(cq)) + lit(cn)
+    }
+    val qlut = probes.select(col("qid"), col("cell"), array(lutEntries: _*).as("lut"))
+    val adc = (0 until m).map(s =>
+      element_at(col("lut"),
+        (lit(s * kEff) + element_at(col("codes"), s + 1) + lit(1)).cast("int")))
+      .reduce(_ + _)
+    // the cell-pruned scan: encoded stream equi-joined (broadcast) on
+    // cell against the Q·nprobe LUT rows — unprobed cells never join
+    val p = enc.join(broadcast(qlut), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"), adc.as("adc"))
     val w = Window.partitionBy("qid").orderBy(col("adc").asc, col("vec_id"))
@@ -571,14 +662,19 @@ object Similarity {
       " FROM icand JOIN n a ON icand.qid = a.vec_id JOIN n b ON icand.vec_id = b.vec_id), " +
       topkSql("ivp", "ivf")
 
-  /** One subspace of the q158 PQ oracle: slice → seed codebook (ksub
-    * smallest vec_ids, positionally coded) → one integer-Lloyd update →
-    * final codes + the query-side LUT. Prefixed `ps{s}` so all
-    * [[PqM]] subspaces instantiate the same fragment. Reused CTEs are
-    * AS MATERIALIZED (the DuckDB per-reference-inlining rule — the
-    * slice frame alone is referenced five times per subspace).
+  /** One subspace of the q158/q159 PQ oracle: slice → seed codebook
+    * (ksub smallest vec_ids, positionally coded) → one integer-Lloyd
+    * update → final codes + (when `withLut`) the query-side LUT over
+    * the source's OWN rows. Prefixed `ps{s}` so all [[PqM]] subspaces
+    * instantiate the same fragment; `src` is the (vec_id, q) relation
+    * to train on — `n` for q158's plain ADC, the residual frame for
+    * q159's IVFADC (whose query LUTs are per probed cell, built
+    * outside this fragment). Reused CTEs are AS MATERIALIZED (the
+    * DuckDB per-reference-inlining rule — the slice frame alone is
+    * referenced five times per subspace).
     */
-  private def pqSubCtes(s: Int): String = {
+  private def pqSubCtes(s: Int, src: String = "n",
+      withLut: Boolean = true): String = {
     val dsub = 64 / PqM
     val lo = s * dsub + 1
     val hi = (s + 1) * dsub
@@ -586,7 +682,7 @@ object Similarity {
     def dist(t: String, c: String) =
       s"$t.sn - 2*${qdotSql(s"$t.sq", s"$c.cq")} + $c.cn"
     s"${p}sub AS MATERIALIZED (SELECT vec_id, q[$lo:$hi] AS sq, " +
-      s"list_aggregate([x*x FOR x IN q[$lo:$hi]], 'sum')::BIGINT AS sn FROM n), " +
+      s"list_aggregate([x*x FOR x IN q[$lo:$hi]], 'sum')::BIGINT AS sn FROM $src), " +
       s"${p}c0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, " +
       s"sq AS cq, sn AS cn FROM ${p}sub ORDER BY vec_id LIMIT $PqKsub), " +
       s"${p}a1 AS (SELECT vec_id, code FROM (SELECT t.vec_id, c.code, " +
@@ -602,16 +698,17 @@ object Similarity {
       s"FROM ${p}c0 pc LEFT JOIN ${p}u u ON pc.code = u.code), " +
       s"${p}code AS MATERIALIZED (SELECT vec_id, code FROM (SELECT t.vec_id, c.code, " +
       s"row_number() OVER (PARTITION BY t.vec_id ORDER BY ${dist("t", "c")}, c.code) AS rn " +
-      s"FROM ${p}sub t CROSS JOIN ${p}c1 c) WHERE rn = 1), " +
-      s"${p}lut AS MATERIALIZED (SELECT t.vec_id AS qid, c.code, ${dist("t", "c")} AS d " +
-      s"FROM ${p}sub t CROSS JOIN ${p}c1 c WHERE t.vec_id % $QueryStride = 0)"
+      s"FROM ${p}sub t CROSS JOIN ${p}c1 c) WHERE rn = 1)" +
+      (if (!withLut) "" else ", " +
+        s"${p}lut AS MATERIALIZED (SELECT t.vec_id AS qid, c.code, ${dist("t", "c")} AS d " +
+        s"FROM ${p}sub t CROSS JOIN ${p}c1 c WHERE t.vec_id % $QueryStride = 0)")
   }
 
   /** The full q158 ADC chain: per-subspace codes + LUTs → per-pair
     * m-lookup sum → ascending top-k `adck(qid, vec_id)`.
     */
   private def pqCtes: String = {
-    val subs = (0 until PqM).map(pqSubCtes).mkString(", ")
+    val subs = (0 until PqM).map(pqSubCtes(_)).mkString(", ")
     val enc = (0 until PqM)
       .map(s => s"SELECT vec_id, $s AS s, code FROM ps${s}code")
       .mkString(" UNION ALL ")
@@ -626,6 +723,62 @@ object Similarity {
       "adck AS (SELECT qid, vec_id FROM (SELECT qid, vec_id, " +
       "row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rn " +
       s"FROM adcp) WHERE rn <= $TopK)"
+  }
+
+  /** The q159 IVFADC chain (PAMI 2011 §IV), mirroring [[ivfAdc]] CTE
+    * for CTE: coarse L2 cells → residual frame `vres` → the SAME
+    * per-subspace Lloyd fragment as q158 trained on residuals → encoded
+    * stream with cells → per-(query, probed-cell) residual LUTs →
+    * cell-restricted ADC sums → ascending top-k `vadck(qid, vec_id)`.
+    * All int64; every tiebreak mirrored (cells/probes to the smaller
+    * cid, codes to the smaller code, top-k to the smaller vec_id).
+    */
+  private def ivfadcCtes: String = {
+    val dsub = 64 / PqM
+    def dist(qn: String, q: String, c: String) =
+      s"$qn - 2*${qdotSql(q, s"$c.cq")} + $c.cn"
+    val subs = (0 until PqM).map(pqSubCtes(_, "vres", withLut = false))
+      .mkString(", ")
+    val enc = (0 until PqM)
+      .map(s => s"SELECT vec_id, $s AS s, code FROM ps${s}code")
+      .mkString(" UNION ALL ")
+    val luts = (0 until PqM).map { s =>
+      val lo = s * dsub + 1
+      val hi = (s + 1) * dsub
+      val sn = s"list_aggregate([x*x FOR x IN r.rq[$lo:$hi]], 'sum')::BIGINT"
+      s"vl$s AS (SELECT r.qid, r.cid, $s AS s, c.code, " +
+        s"$sn - 2*${qdotSql(s"r.rq[$lo:$hi]", "c.cq")} + c.cn AS d " +
+        s"FROM vqres r CROSS JOIN ps${s}c1 c)"
+    }.mkString(", ")
+    s"vcents AS MATERIALIZED (SELECT vec_id AS cid, q AS cq, nrm AS cn FROM n " +
+      s"WHERE vec_id % $CentroidStride = 0), " +
+      "vasg AS MATERIALIZED (SELECT vec_id, cid, cq FROM (" +
+      "SELECT n.vec_id, c.cid, c.cq, row_number() OVER (PARTITION BY n.vec_id " +
+      s"ORDER BY ${dist("n.nrm", "n.q", "c")}, c.cid) AS rn " +
+      "FROM n CROSS JOIN vcents c) WHERE rn = 1), " +
+      "vres AS MATERIALIZED (SELECT a.vec_id, a.cid, " +
+      "[n.q[i] - a.cq[i] FOR i IN generate_series(1, len(n.q))] AS q " +
+      "FROM vasg a JOIN n USING (vec_id)), " +
+      subs + ", " +
+      s"venc AS MATERIALIZED (SELECT e.vec_id, r.cid, e.s, e.code " +
+      s"FROM ($enc) e JOIN vres r USING (vec_id)), " +
+      s"vqs AS (SELECT vec_id AS qid, q, nrm FROM n WHERE vec_id % $QueryStride = 0), " +
+      "vprobe AS (SELECT qid, cid, cq FROM (" +
+      "SELECT v.qid, c.cid, c.cq, row_number() OVER (PARTITION BY v.qid " +
+      s"ORDER BY ${dist("v.nrm", "v.q", "c")}, c.cid) AS rn " +
+      s"FROM vqs v CROSS JOIN vcents c) WHERE rn <= $NProbe), " +
+      "vqres AS MATERIALIZED (SELECT p.qid, p.cid, " +
+      "[v.q[i] - p.cq[i] FOR i IN generate_series(1, len(v.q))] AS rq " +
+      "FROM vprobe p JOIN vqs v ON p.qid = v.qid), " +
+      luts + ", " +
+      "vlut AS (" + (0 until PqM).map(s => s"SELECT * FROM vl$s")
+        .mkString(" UNION ALL ") + "), " +
+      "vadcp AS (SELECT l.qid, e.vec_id, CAST(SUM(l.d) AS BIGINT) AS adc " +
+      "FROM venc e JOIN vlut l ON e.cid = l.cid AND e.s = l.s AND e.code = l.code " +
+      "WHERE e.vec_id <> l.qid GROUP BY 1, 2), " +
+      "vadck AS (SELECT qid, vec_id FROM (SELECT qid, vec_id, " +
+      "row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rn " +
+      s"FROM vadcp) WHERE rn <= $TopK)"
   }
 
   /** The q78 oracle CTE chain (quantize → seed → 2 Lloyd rounds),
@@ -782,6 +935,25 @@ object Similarity {
       val n = GraftCache.track(quantized(s, dir))
       val isQ = col("vec_id") % QueryStride === 0
       recallAtK(annBruteForce(n, isQ), pqAdc(n, isQ))
+    },
+
+    // IVFADC (PAMI 2011 §IV): the coarse inverted file coupled with a
+    // residual product quantizer — each query ADC-scans only its probed
+    // cells. Gated like q117/q158 through the recall@k harness against
+    // the exact brute-force yardstick; the whole chain (L2 cells,
+    // residuals, shared residual codebooks, per-probed-cell LUTs, ADC
+    // sums, both top-k cuts) is int64, so the oracle hash-matches every
+    // tiebreak. VERDICT r16 #1.
+    Q("q159_ivfadc",
+      "WITH " + quantizedSql + ", " + qsCte + ", " + bruteCtes + ", " + ivfadcCtes +
+        " SELECT bf.qid AS qid, COUNT(*)::BIGINT AS k_exact, " +
+        "SUM(CASE WHEN vadck.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS hits " +
+        "FROM bf LEFT JOIN vadck ON bf.qid = vadck.qid AND bf.vec_id = vadck.vec_id " +
+        "GROUP BY bf.qid ORDER BY qid") { (s, dir) =>
+      val n = GraftCache.track(quantized(s, dir))
+      val isQ = col("vec_id") % QueryStride === 0
+      recallAtK(annBruteForce(n, isQ),
+        ivfAdc(n, isQ, col("vec_id") % CentroidStride === 0))
     },
 
     // Hard-negative mining: per query, the nearest vectors of a

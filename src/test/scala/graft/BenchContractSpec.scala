@@ -65,12 +65,19 @@ class BenchContractSpec extends AnyFunSuite {
     // the "q" prefix from the queries keys (−1 B per gate ≈ −158, but it breaks
     // the qNN cross-round convention and Bench's own prev-round scan
     // regex must then accept both spellings for one transition round).)
+    // r17 renderer: queries/diag/iso keys drop the redundant "q" prefix
+    // ("q157" → "157"), the lever the r16 survey priced at −1 B per gate
+    // — worth −160 B at 158 gates (157 medians + 2 iso keys + the w cap
+    // below), funding q159 with ~150 B to spare for future gates. The
+    // prev-round matcher accepts both spellings (transition pinned in
+    // the "prev-round matcher" test below).
+    def rid(name: String) = qid(name).stripPrefix("q")
     val widths = Seq.fill(SparkEntry.all.size)("99.9")
     val medians = SparkEntry.all.zip(widths)
-      .map { case (q, w) => "\"" + qid(q.name) + "\":" + w }.mkString("{", ",", "}")
+      .map { case (q, w) => "\"" + rid(q.name) + "\":" + w }.mkString("{", ",", "}")
     // iso values render through fc since r15: 3-char worst ("9.9"/"999")
     val iso = (1 to 2)
-      .map(i => "\"q15" + i + "\":9.9").mkString("{", ",", "}")
+      .map(i => "\"15" + i + "\":9.9").mkString("{", ",", "}")
     val line = s"""{"metric":"t","value":99.9,"unit":"sec",""" +
       s""""queries":$medians,"iso":$iso,""" +
       s""""cal":[9.99,9.99,99,999],""" +
@@ -79,12 +86,16 @@ class BenchContractSpec extends AnyFunSuite {
       s"bench JSON would be ${line.length} B; trim before the harness truncates it")
     // exact-figure pin (ADVICE r15): byte drift in the renderer must
     // read as a MODEL change here, not a silent budget change — update
-    // this constant deliberately whenever a gate or renderer field moves
-    val expectedLen = 1903 + 12 * (SparkEntry.all.size - 157)
+    // this constant deliberately whenever a gate or renderer field moves.
+    // Derivation: 1903 (the r16 model at 157 gates, q-prefixed keys)
+    // − 157 (query keys drop 'q') − 2 (iso keys drop 'q') = 1744 at 157
+    // gates; each additional gate has a 3-digit id → 11 B worst width
+    // ("NNN":99.9 plus its comma).
+    val expectedLen = 1744 + 11 * (SparkEntry.all.size - 157)
     assert(line.length == expectedLen,
       s"worst-case line is ${line.length} B, model says $expectedLen " +
-        "(1903 at 157 gates + 12 B per worst-width gate) — the renderer " +
-        "drifted; re-derive the budget before committing")
+        "(1744 at 157 gates + 11 B per worst-width 3-digit gate) — the " +
+        "renderer drifted; re-derive the budget before committing")
   }
 
   test("iso candidates: evidence-less regressions first by ratio-vs-prev, then stall flags (r14 verdict item 2)") {
@@ -105,6 +116,16 @@ class BenchContractSpec extends AnyFunSuite {
     // regression (evidence-needing) position
     val dup = Bench.isoOrder(Seq("q122_hard_negatives"), regressed)
     assert(dup.head == "q122_hard_negatives" && dup.count(_ == "q122_hard_negatives") == 1)
+  }
+
+  test("prev-round matcher accepts both key spellings (r17 prefix-drop transition)") {
+    // r≤16 artifacts carry "q157":1.86; r17+ lines carry "157":0.9 —
+    // both must normalize to qNN or the regression trigger silently
+    // disarms for exactly one transition round
+    val old = Bench.scanMedians("\"q01\":0.54,\"q157\":1.86")
+    val neu = Bench.scanMedians("\"01\":0.55,\"157\":0.9")
+    assert(old == Map("q01" -> 0.54, "q157" -> 1.86), old.toString)
+    assert(neu == Map("q01" -> 0.55, "q157" -> 0.9), neu.toString)
   }
 
   test("every query has a distinct name and every oracle aliases no bare aggregates") {

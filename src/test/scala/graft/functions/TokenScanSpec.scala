@@ -58,6 +58,19 @@ class TokenScanSpec extends AnyFunSuite with SparkFixture {
     assert(rows(0) == Seq(3L, 2L, 1L) && rows(1) == Seq(2L, 0L, 1L))
   }
 
+  test("token_tf: duplicate terms are rejected, not silently zeroed") {
+    // the one-pass scan is first-match-wins per segment: Seq("a","a")
+    // would return tf=0 for the second copy where the documented
+    // size(filter(...)) twin returns the full count — the constructor
+    // must reject the divergence (VERDICT r16 #2)
+    import spark.implicits._
+    val e = intercept[IllegalArgumentException] {
+      Seq("a b a").toDF("t")
+        .select(TokenScan.token_tf(col("t"), Seq("a", "b", "a")))
+    }
+    assert(e.getMessage.contains("duplicate terms a"), e.getMessage)
+  }
+
   test("null in, null out") {
     import spark.implicits._
     val out = Seq(Option.empty[String]).toDF("t")

@@ -524,6 +524,31 @@ class ZOrderSpec extends AnyFunSuite with SparkFixture {
       .collect().map(_.getString(0)).sorted.toSeq
     assert(upd2 == Seq("new", "upd2"), s"merge content wrong: $upd2")
     assert(expected3 != null) // the pre-crash merge materialized
+    // draining-compact arm (r16 verdict #1): forward recovery must reap
+    // ONLY merge-owned .retired-m* — an unmarked .retired-<nanos> beside
+    // the crash is a compactAndSwap generation still draining under ITS
+    // caller's readers, and deleting it would pull files out from under
+    // them. Construct the between-renames crash state WITH such a
+    // sibling present; recovery publishes the staging, reaps the m
+    // generation, and leaves the draining one byte-intact.
+    val out4 = freshTable()
+    val merged4 = spark.read.parquet(out4)
+      .join(updates.select(col("k"), col("p")), Seq("k", "p"), "left_anti")
+      .unionByName(updates)
+    Layout.partitionedWrite(merged4, "p", out4 + ".merge-staging")
+    assert(fs.rename(hp(out4), hp(out4 + ".retired-m888")), "test setup rename")
+    Layout.partitionedWrite(
+      spark.createDataFrame(rows.take(40)).toDF("k", "p", "s"), "p",
+      out4 + ".retired-616161") // the draining compact generation
+    val drainSig = sig(spark.read.parquet(out4 + ".retired-616161"))
+    Layout.mergeInto(spark, out4, updates, "p", "k")
+    assert(sig(spark.read.parquet(out4)) == expected,
+      "forward recovery with a draining sibling lost the corpus")
+    assert(!fs.exists(hp(out4 + ".retired-m888")),
+      "merge-owned retired generation must be reaped by forward recovery")
+    assert(fs.exists(hp(out4 + ".retired-616161")) &&
+      sig(spark.read.parquet(out4 + ".retired-616161")) == drainSig,
+      "recovery deleted a DRAINING compact generation it does not own")
   }
 
   test("compactAndSwap publishes atomically: content hash unchanged, files collapsed, retired generation drains") {

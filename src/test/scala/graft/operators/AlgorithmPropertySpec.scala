@@ -289,6 +289,83 @@ class AlgorithmPropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("ivfAdc equals the sequential IVFADC reference on random vector sets") {
+    import spark.implicits._
+    // the full q159 chain — coarse L2 cells, residuals, SHARED residual
+    // codebooks, per-probed-cell LUTs, cell-restricted ADC top-k —
+    // against a direct sequential implementation of the same definitions
+    // (independent of both the Spark expressions and the DuckDB oracle)
+    val genVecs = for {
+      n <- Gen.choose(10, 26)
+      m <- Gen.oneOf(1, 2)
+      dsub <- Gen.choose(2, 4)
+      vecs <- Gen.listOfN(n, Gen.listOfN(m * dsub, Gen.choose(-50L, 50L)))
+    } yield (m, vecs.zipWithIndex.map { case (q, i) => (i.toLong, q) })
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    for (seed <- 1L to 8L) {
+      val (m, vecs) = sample(genVecs, seed)
+      val (ksub, iters, k, nprobe) = (3, 2, 4, 2)
+      val dsub = vecs.head._2.length / m
+      def sub(q: Seq[Long], s: Int) = q.slice(s * dsub, (s + 1) * dsub)
+      def isQ(id: Long) = id % 3 == 0
+      def isC(id: Long) = id % 4 == 1
+      val cents = vecs.filter(v => isC(v._1)).map { case (id, q) => (id, q) }
+      // coarse assignment, ties to the smaller cid; residuals exact
+      def cellOf(q: Seq[Long]): (Long, Seq[Long]) =
+        cents.map { case (cid, cq) => ((d2(q, cq), cid), cq) }.minBy(_._1) match {
+          case ((_, cid), cq) => (cid, cq)
+        }
+      val resById = vecs.map { case (id, q) =>
+        val (cid, cq) = cellOf(q)
+        id -> ((cid, q.zip(cq).map { case (x, y) => x - y }: Seq[Long]))
+      }.toMap
+      // shared residual codebooks: seeds = residual sub-vectors of the
+      // ksub smallest ids, one truncating-mean update round
+      val books = (0 until m).map { s =>
+        var bcents: Seq[(Int, Seq[Long])] = vecs.map(_._1).sorted.take(ksub)
+          .zipWithIndex.map { case (id, c) => (c, sub(resById(id)._2, s)) }
+        def assign(r: Seq[Long]): Int =
+          bcents.map { case (c, cq) => (d2(sub(r, s), cq), c) }.min._2
+        for (_ <- 1 until iters) {
+          val byCode = vecs.map { case (id, _) =>
+            (assign(resById(id)._2), sub(resById(id)._2, s)) }.groupBy(_._1)
+          bcents = bcents.map { case (c, q0) =>
+            byCode.get(c).map { ms =>
+              (c, q0.indices.map(i => ms.map(_._2(i)).sum / ms.size).toList: Seq[Long])
+            }.getOrElse((c, q0))
+          }
+        }
+        bcents
+      }
+      def code(r: Seq[Long], s: Int): Int =
+        books(s).map { case (c, cq) => (d2(sub(r, s), cq), c) }.min._2
+      val expected = vecs.filter(v => isQ(v._1)).flatMap { case (qid, qq) =>
+        val probed = cents.map { case (cid, cq) => ((d2(qq, cq), cid), cq) }
+          .sortBy(_._1).take(nprobe)
+        probed.flatMap { case ((_, cid), cq) =>
+          val rq = qq.zip(cq).map { case (x, y) => x - y }
+          vecs.filter(v => v._1 != qid && resById(v._1)._1 == cid)
+            .map { case (vid, _) =>
+              val rv = resById(vid)._2
+              val adc = (0 until m).map { s =>
+                val bq = books(s).find(_._1 == code(rv, s)).get._2
+                d2(sub(rq, s), bq)
+              }.sum
+              (qid, vid, adc)
+            }
+        }.sortBy(t => (t._3, t._2)).take(k)
+      }.toSet
+      val frame = vecs.map { case (id, q) => (id, q.toArray, q.map(x => x * x).sum) }
+        .toDF("vec_id", "q", "nrm")
+      val got = Similarity.ivfAdc(frame, col("vec_id") % 3 === 0,
+        col("vec_id") % 4 === 1, nprobe = nprobe, m = m, ksub = ksub,
+        iters = iters, k = k)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == expected, s"seed=$seed m=$m dsub=$dsub")
+    }
+  }
+
   test("packSequences equals the sequential prefix sum on random corpora") {
     import spark.implicits._
     val genCorpus = for {

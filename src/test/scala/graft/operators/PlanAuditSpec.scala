@@ -297,6 +297,18 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"query/LUT side must broadcast:\n$p")
   }
 
+  test("q159: IVFADC scan is cell-restricted — encoded stream meets the LUTs through a broadcast HASH join on cell") {
+    val p = plan("q159_ivfadc")
+    // the candidate-restriction term IS the equi-join on cell: a
+    // cartesian (even broadcast-nested-loop) between the encoded stream
+    // and the LUT side would mean every query scans every cell again —
+    // q158's shape, exactly what IVFADC exists to avoid
+    assert(!p.contains("CartesianProduct"),
+      s"non-broadcast cartesian on the IVFADC scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"LUT side must broadcast and join ON CELL:\n$p")
+  }
+
   test("entry: flagship star join broadcasts dimensions") {
     val p = SparkEntry.entry(spark).queryExecution.executedPlan.toString
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)

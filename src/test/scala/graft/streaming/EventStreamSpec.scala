@@ -674,6 +674,16 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
       EventStream.lmGateBatch(docs.take(2).toDF("doc_id", "text"), lm, thr, out, 0L)
       assert(kept() == expectKept, s"replayed batch duplicated rows: ${kept()}")
       assert(spark.read.parquet(out).count() == expectKept.size)
+      // restart-with-raised-threshold replay (ADVICE r16): batch 0's
+      // survivors all fail the new gate — the replay must DELETE the
+      // prior attempt's batch dir, not leave its stale survivors behind
+      val batch0Ids = docs.take(2).map(_._1).toSet
+      assert(kept().exists(r => batch0Ids(r._1)), "fixture vacuous")
+      EventStream.lmGateBatch(
+        docs.take(2).toDF("doc_id", "text"), lm, Long.MaxValue, out, 0L)
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$out/batch=0")),
+        "stale batch-0 survivors outlived the raised gate")
     } finally q.stop()
   }
 
@@ -725,6 +735,42 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
       assert(topk() == batchAnswer)
       assert(!java.nio.file.Files.exists(
         java.nio.file.Paths.get(s"$path/tf/batch=99")))
+      // versioned stats publish (VERDICT r16 #3): versions are immutable
+      // once complete, the reader resolves the newest COMPLETE one — a
+      // partial (footer-less, no _SUCCESS) newer dir is invisible, so a
+      // mid-publish reader sees old-or-new, never neither
+      def statsDirs(): Set[String] = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(java.nio.file.Paths.get(path))
+          .iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("stats")).toSet
+      }
+      assert(statsDirs() == Set("stats-v0", "stats-v1"),
+        s"expected current+previous versions, got ${statsDirs()}")
+      val partial = java.nio.file.Paths.get(s"$path/stats-v7")
+      java.nio.file.Files.createDirectories(partial)
+      java.nio.file.Files.write(partial.resolve("part-junk.parquet"),
+        Array[Byte](1, 2, 3))
+      assert(topk() == batchAnswer,
+        "a partial newer stats version must be invisible to readers")
+      // the next publish overwrites the partial dir, folds the delta
+      // incrementally, keeps the previous version draining, reaps older
+      val extra = Seq((7L, "spark spark merge spark"))
+      EventStream.bm25IndexBatch(extra.toDF("doc_id", "text"), terms, path, 7L)
+      val batchAnswer2 = TextAnalysis.bm25TopK(
+        (docs ++ extra).toDF("doc_id", "text"), terms, k = 4)
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(topk() == batchAnswer2,
+        s"incremental stats diverged: index=${topk()} batch=$batchAnswer2")
+      assert(statsDirs() == Set("stats-v7", "stats-v1"),
+        s"reap should keep current+previous: ${statsDirs()}")
+      // a non-empty batch OLDER than the newest version whose own
+      // version is gone is a second maintainer / rewound checkpoint —
+      // folding its delta again would double-count; loud refusal
+      val e = intercept[IllegalArgumentException] {
+        EventStream.bm25IndexBatch(extra.toDF("doc_id", "text"), terms, path, 0L)
+      }
+      assert(e.getMessage.contains("refusing"), e.getMessage)
     } finally q.stop()
   }
 
