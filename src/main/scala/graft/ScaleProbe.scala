@@ -1972,6 +1972,64 @@ object ScaleProbe {
     lazy val vecs = operators.EmbeddingLsh.quantize(
       scaledEmbeddings(spark, sfDir, factor), "vec_id", "embedding")
     val isQuery = col("vec_id") % operators.Similarity.QueryStride === 0
+    // q159 done-criteria sweep (VERDICT r16 #1): recall@k and the EXACT
+    // scanned-pair census per nprobe, against the plain-ADC yardstick
+    // that scans every pair — the committed evidence that candidate
+    // restriction buys its recall at a fraction of the scan, and that
+    // at equal scanned-pair budget (nprobe = all cells) the residual
+    // codebooks are at least as good as q158's plain codebooks.
+    if (op == "ivfsweep") {
+      import operators.Similarity
+      // centroid stride is env-tunable (default the gate's): the gate
+      // stride scales cells as N/100, making the coarse assignment's
+      // N·C arithmetic N²/100 — fine at gate scale, quadratic at 100×.
+      // Corpus practice sizes C ≈ √N; SPARK_GRAFT_CENTSTRIDE=1000 at
+      // 100× keeps C = 200 and the assignment at 40M dots.
+      val centStride = sys.env.getOrElse("SPARK_GRAFT_CENTSTRIDE",
+        Similarity.CentroidStride.toString).toInt
+      val isC = col("vec_id") % centStride === 0
+      val cents = Similarity.ivfCents(vecs, isC).localCheckpoint()
+      val nCells = cents.count().toInt
+      val bf = Similarity.annBruteForce(
+        operators.GraftCache.track(vecs), isQuery).localCheckpoint()
+      operators.GraftCache.releaseAll()
+      val rows = vecs.count()
+      val nQ = bf.select("qid").distinct().count()
+      val asg = Similarity.ivfAssign(vecs, cents)
+        .select("vec_id", "cell").localCheckpoint()
+      val sizes = asg.groupBy("cell").agg(count(lit(1)).as("sz"))
+      val points = (Seq(1, 2, 4, 8, 16).filter(_ < nCells) :+ nCells).map { np =>
+        val t0 = System.nanoTime()
+        val r = Similarity.recallAtK(bf,
+            Similarity.ivfAdc(vecs, isQuery, isC, nprobe = np))
+          .agg(sum(col("hits")).as("h"), sum(col("k_exact")).as("k")).head()
+        val sec = (System.nanoTime() - t0) / 1e9
+        operators.GraftCache.releaseAll()
+        val pairs = Similarity.ivfProbes(vecs, cents, isQuery, np)
+          .select("qid", "cell").join(sizes, "cell")
+          .join(asg.withColumnRenamed("vec_id", "qid")
+            .withColumnRenamed("cell", "qcell"), "qid")
+          .select((col("sz") - when(col("cell") === col("qcell"), 1L)
+            .otherwise(0L)).as("p"))
+          .agg(sum(col("p"))).head().getLong(0)
+        operators.GraftCache.releaseAll()
+        f"""{"nprobe":$np,"hits":${r.getLong(0)},"k":${r.getLong(1)},""" +
+          f""""pairs":$pairs,"sec":$sec%.3f}"""
+      }
+      val t0 = System.nanoTime()
+      val pq = Similarity.recallAtK(bf, Similarity.pqAdc(vecs, isQuery))
+        .agg(sum(col("hits")).as("h"), sum(col("k_exact")).as("k")).head()
+      val pqSec = (System.nanoTime() - t0) / 1e9
+      operators.GraftCache.releaseAll()
+      // scalastyle:off println
+      println(f"""{"op":"ivfsweep","factor":$factor,"rows":$rows,""" +
+        f""""cells":$nCells,"queries":$nQ,"sweep":[${points.mkString(",")}],""" +
+        f""""adc":{"hits":${pq.getLong(0)},"k":${pq.getLong(1)},""" +
+        f""""pairs":${nQ * (rows - 1)},"sec":$pqSec%.3f}}""")
+      // scalastyle:on println
+      spark.stop()
+      return
+    }
     def run(): Long = {
       val df = op match {
         case "neardup" => operators.Dedup.verifiedNearDups(docs)
@@ -1986,6 +2044,15 @@ object ScaleProbe {
         // side should track annbrute's curve at a constant discount
         // while the per-vector footprint is m codes, not d coords)
         case "pqadc" => operators.Similarity.pqAdc(vecs, isQuery)
+        // r17: the q159 IVFADC path — coarse cells + residual PQ, each
+        // query scanning only its probed cells (nprobe via
+        // SPARK_GRAFT_NPROBE); read against pqadc's same-factor point,
+        // the delta IS the candidate-restriction term
+        case "ivfadc" => operators.Similarity.ivfAdc(vecs, isQuery,
+          col("vec_id") % sys.env.getOrElse("SPARK_GRAFT_CENTSTRIDE",
+            operators.Similarity.CentroidStride.toString).toInt === 0,
+          nprobe = sys.env.getOrElse("SPARK_GRAFT_NPROBE",
+            operators.Similarity.NProbe.toString).toInt)
         // Prepared-batch INSERT throughput through the DSv2 write path
         // into a live engine — the ONE performance artifact the
         // reference publishes is exactly this shape

@@ -103,6 +103,99 @@ case class CollectCappedAgg(
     copy(child = newChildren.head)
 }
 
+/** Weighted form of [[CollectCappedAgg]]: gathers child values while the
+  * group's Σ `weight` stays ≤ `cap`, NULL once it exceeds — the
+  * bucket-drop census when each collected row REPRESENTS `weight` raw
+  * rows (the r17 exact-duplicate pre-collapse: one row per distinct
+  * SimHash signature carrying its copy count, capped on the RAW doc
+  * count so the collapsed plan is byte-identical to the uncollapsed
+  * oracle's bucket census). Same bounded-state guarantee: weights are
+  * ≥ 1, so at most `cap` elements are ever held, and a saturated
+  * buffer clears its items and stops accumulating.
+  */
+case class CollectWeightCappedAgg(
+    child: Expression,
+    weight: Expression,
+    cap: Long,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[CollectWeightCappedAgg.Buf] {
+  import CollectWeightCappedAgg.Buf
+
+  require(cap > 0, s"cap must be positive, got $cap")
+
+  override def children: Seq[Expression] = Seq(child, weight)
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
+  override def prettyName: String = "collect_wcapped"
+
+  override def createAggregationBuffer(): Buf = new Buf(0L, ArrayBuffer.empty)
+
+  private def copyValue(v: Any): Any = v match {
+    case r: UnsafeRow => r.copy()
+    case other => InternalRow.copyValue(other)
+  }
+
+  override def update(buf: Buf, input: InternalRow): Buf = {
+    if (buf.w <= cap) { // saturated buffers stop accumulating
+      val w = weight.eval(input)
+      require(w != null, "collect_wcapped: weight must be non-null")
+      buf.w = math.min(buf.w + w.asInstanceOf[Number].longValue(), cap + 1)
+      if (buf.w > cap) buf.items.clear()
+      else {
+        val v = child.eval(input)
+        if (v != null) buf.items += copyValue(v)
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Buf, other: Buf): Buf = {
+    buf.w = math.min(buf.w + other.w, cap + 1)
+    if (buf.w > cap) buf.items.clear()
+    else buf.items ++= other.items
+    buf
+  }
+
+  override def eval(buf: Buf): Any =
+    if (buf.w > cap) null else new GenericArrayData(buf.items.toArray)
+
+  @transient private lazy val projection = UnsafeProjection.create(
+    Array[DataType](ArrayType(child.dataType, containsNull = false),
+      org.apache.spark.sql.types.LongType))
+
+  override def serialize(buf: Buf): Array[Byte] =
+    projection.apply(InternalRow.apply(
+      new GenericArrayData(buf.items.toArray), buf.w)).getBytes
+
+  override def deserialize(bytes: Array[Byte]): Buf = {
+    val row = new UnsafeRow(2)
+    row.pointTo(bytes, bytes.length)
+    val arr = row.getArray(0)
+    val buf = new Buf(row.getLong(1), ArrayBuffer.empty)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      buf.items += copyValue(arr.get(i, child.dataType))
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CollectWeightCappedAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CollectWeightCappedAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CollectWeightCappedAgg =
+    copy(child = newChildren.head, weight = newChildren(1))
+}
+
+object CollectWeightCappedAgg {
+  /** Mutable buffer: running Σ weight (clamped at cap + 1) + items. */
+  final class Buf(var w: Long, val items: ArrayBuffer[Any])
+}
+
 object CollectCapped {
   /** Array of up to `cap` values of `c` per group; NULL once the group
     * exceeds the cap. Element order is accumulation order — sort in the
@@ -110,4 +203,11 @@ object CollectCapped {
     */
   def collect_capped(c: Column, cap: Int): Column =
     Bridge.column(CollectCappedAgg(Bridge.expression(c), cap).toAggregateExpression())
+
+  /** Array of values of `c` per group while Σ `w` ≤ `cap`; NULL once the
+    * group's Σ `w` exceeds the cap.
+    */
+  def collect_wcapped(c: Column, w: Column, cap: Long): Column =
+    Bridge.column(CollectWeightCappedAgg(Bridge.expression(c),
+      Bridge.expression(w), cap).toAggregateExpression())
 }

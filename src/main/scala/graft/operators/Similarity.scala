@@ -470,35 +470,35 @@ object Similarity {
     * tiebreak (assignment and probe ties to the smaller cid, codes to
     * the smaller code, top-k to the smaller vec_id).
     */
-  def ivfAdc(n0: DataFrame, isQuery: Column, isCentroid: Column,
-      nprobe: Int = NProbe, m: Int = PqM, ksub: Int = PqKsub,
-      iters: Int = PqIters, k: Int = TopK): DataFrame = {
-    val n = GraftCache.track(n0)
-    val cents = n.filter(isCentroid)
+  /** The q159 centroid frame (cid, cq, cn) over a quantized corpus. */
+  private[graft] def ivfCents(n: DataFrame, isCentroid: Column): DataFrame =
+    n.filter(isCentroid)
       .select(col("vec_id").as("cid"), col("q").as("cq"), col("nrm").as("cn"))
-    // coarse assignment in exact squared L2, ties to the smaller cid;
-    // centroids broadcast, argmin folds map-side (q/cq ride the struct
-    // — constant per group, so they never influence the (d, cid) min)
-    val asg = n.crossJoin(broadcast(cents))
+
+  /** Coarse L2 cell assignment (vec_id, cell, q, cq): centroids
+    * broadcast, argmin folds map-side, ties to the smaller cid (q/cq
+    * ride the struct — constant per group, so they never influence the
+    * (d, cid) min). Shared by [[ivfAdc]] and the scanned-pair census
+    * ScaleProbe's sweep reports, so the two cannot drift.
+    */
+  private[graft] def ivfAssign(n: DataFrame, cents: DataFrame): DataFrame =
+    n.crossJoin(broadcast(cents))
       .select(col("vec_id"), struct(
         (col("nrm") - lit(2L) * qdot(col("q"), col("cq")) + col("cn")).as("d"),
         col("cid"), col("q"), col("cq")).as("e"))
       .groupBy("vec_id").agg(min(col("e")).as("e"))
-    // residual frame (vec_id, cell, q = y − c(y)) — the PQ training and
-    // encode input; persisted: training re-reads it iters·1 times
-    val res = GraftCache.track(asg.select(col("vec_id"),
-      col("e.cid").as("cell"),
-      zip_with(col("e.q"), col("e.cq"), (x, y) => x - y).as("q")))
-    val books = pqTrain(res, m, ksub, iters)
-    val kEff = books(0).length
-    val dsub = books(0)(0)._1.length
-    val enc = pqEncode(res, books, keep = Seq("cell"))
-    // probes: each query's nprobe nearest cells, with the query's
-    // PER-CELL residual rq = q − c
+      .select(col("vec_id"), col("e.cid").as("cell"),
+        col("e.q").as("q"), col("e.cq").as("cq"))
+
+  /** Each query's `nprobe` nearest cells with the query's PER-CELL
+    * residual (qid, cell, rq = q − c); ties to the smaller cid.
+    */
+  private[graft] def ivfProbes(n: DataFrame, cents: DataFrame,
+      isQuery: Column, nprobe: Int): DataFrame = {
     val qs = n.filter(isQuery)
       .select(col("vec_id").as("qid"), col("q").as("qq"), col("nrm").as("qn"))
     val wp = Window.partitionBy("qid").orderBy(col("d").asc, col("cid"))
-    val probes = qs.crossJoin(broadcast(cents))
+    qs.crossJoin(broadcast(cents))
       .select(col("qid"), col("cid"), col("cq"),
         (col("qn") - lit(2L) * qdot(col("qq"), col("cq")) + col("cn")).as("d"),
         col("qq"))
@@ -506,6 +506,23 @@ object Similarity {
       .filter(col("rn") <= nprobe)
       .select(col("qid"), col("cid").as("cell"),
         zip_with(col("qq"), col("cq"), (x, y) => x - y).as("rq"))
+  }
+
+  def ivfAdc(n0: DataFrame, isQuery: Column, isCentroid: Column,
+      nprobe: Int = NProbe, m: Int = PqM, ksub: Int = PqKsub,
+      iters: Int = PqIters, k: Int = TopK): DataFrame = {
+    val n = GraftCache.track(n0)
+    val cents = ivfCents(n, isCentroid)
+    // residual frame (vec_id, cell, q = y − c(y)) — the PQ training and
+    // encode input; persisted: training re-reads it iters·1 times
+    val res = GraftCache.track(ivfAssign(n, cents)
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("q"), col("cq"), (x, y) => x - y).as("q")))
+    val books = pqTrain(res, m, ksub, iters)
+    val kEff = books(0).length
+    val dsub = books(0)(0)._1.length
+    val enc = pqEncode(res, books, keep = Seq("cell"))
+    val probes = ivfProbes(n, cents, isQuery, nprobe)
     val lutEntries = for (s <- 0 until m; (cq, cn) <- books(s)) yield {
       val sq = slice(col("rq"), s * dsub + 1, dsub)
       val sn = expr(s"aggregate(slice(rq, ${s * dsub + 1}, $dsub), " +

@@ -289,6 +289,47 @@ class AlgorithmPropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("simhashPairs pre-collapse equals the per-doc banding reference on duplicate-heavy corpora") {
+    import spark.implicits._
+    // r17: the signature pre-collapse must be BYTE-identical to per-doc
+    // banding including every bucket-cap decision (the census is raw
+    // docs, not signatures). Corpora are duplicate-heavy by construction
+    // (tiny vocab + explicit copy fanout) and the cap is tiny so both
+    // its sides — groups saturating their own buckets, and mixed
+    // buckets tipped over the cap by another group's copies — occur.
+    val genCorpus = for {
+      nBase <- Gen.choose(2, 10)
+      bases <- Gen.listOfN(nBase,
+        Gen.listOfN(4, Gen.oneOf("aa", "bb", "cc", "dd")).map(_.mkString(" ")))
+      copies <- Gen.listOfN(nBase, Gen.choose(1, 7))
+    } yield bases.zip(copies).zipWithIndex.flatMap { case ((t, c), i) =>
+      (0 until c).map(j => ((i * 100 + j).toLong, t))
+    }
+    for (seed <- 1L to 10L) {
+      val corpus = sample(genCorpus, seed)
+      val cap = 2 + (seed % 4).toInt
+      val df = corpus.toDF("doc_id", "text")
+      // per-doc reference: signatures from the SAME expression (the
+      // pre-collapse under test is the banding structure, not the
+      // signature arithmetic — SimHashSpec pins that separately)
+      val sig = Dedup.simhashOf(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val chunks = corpus.flatMap { case (id, _) =>
+        (0 until 4).map(k => (k, (sig(id) >> (15 * k)) & 32767L, id))
+      }
+      val surviving = chunks.groupBy(c => (c._1, c._2))
+        .filter(_._2.size <= cap).values.flatten.toSeq
+      val expected = surviving.groupBy(c => (c._1, c._2)).values.flatMap { ms =>
+        for {
+          a <- ms; b <- ms if a._3 < b._3
+        } yield (a._3, b._3, java.lang.Long.bitCount(sig(a._3) ^ sig(b._3)).toLong)
+      }.toSet.filter(_._3 <= 8)
+      val got = Dedup.simhashPairs(df, bucketCap = cap)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == expected, s"seed=$seed cap=$cap corpus=${corpus.size}")
+    }
+  }
+
   test("ivfAdc equals the sequential IVFADC reference on random vector sets") {
     import spark.implicits._
     // the full q159 chain — coarse L2 cells, residuals, SHARED residual
