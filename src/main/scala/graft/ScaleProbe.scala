@@ -1772,6 +1772,68 @@ object ScaleProbe {
           "q35_bpe_tokens", "q157_bm25_topk"))
       return
     }
+    // Text-scan LAYOUT probe (r17, VERDICT r16 #3 — the centsWrite
+    // read-floor precedent applied to the text family): the 100× text
+    // queries are scan-floor-bound (q157 at the family floor, ~3.5×
+    // DuckDB on the SAME files), and parquet read parallelism is
+    // bounded by ROW GROUPS — so rewrite the scaled documents corpus at
+    // a cores-matched files × row-group layout and time the SAME
+    // queries on both layouts. Both dirs are printed so
+    // scripts/duck_time.py can run the cross-engine points on the SAME
+    // files; knobs: SPARK_GRAFT_TEXTFILES (default 64),
+    // SPARK_GRAFT_TEXTBLOCK (row-group bytes, default 32 MB).
+    if (op == "textlayout") {
+      val names = Seq("q30_token_stats", "q32_lang_id",
+        "q34_rolling_fingerprint", "q35_bpe_tokens", "q157_bm25_topk")
+      val files = sys.env.getOrElse("SPARK_GRAFT_TEXTFILES", "64").toInt
+      val blockB = sys.env.getOrElse("SPARK_GRAFT_TEXTBLOCK",
+        (32L << 20).toString).toLong
+      val root = java.nio.file.Files.createTempDirectory(
+        s"graft_textlayout${factor}x_").toString
+      val (ctl, cur) = (s"$root/control", s"$root/curated")
+      // control: the familyCurve corpus + write (full base schema,
+      // doc_id-shifted copies, whatever task layout the union leaves —
+      // comparable to the committed text-family 100× points); curated:
+      // files × blockBytes rewrite of the SAME rows
+      val base = Tables.load(spark, sfDir, "documents")
+      (0 until factor).map(i =>
+          base.withColumn("doc_id", col("doc_id") + lit(i * (1L << 32))))
+        .reduce(_ unionByName _)
+        .write.parquet(s"$ctl/documents.parquet")
+      val rows = spark.read.parquet(s"$ctl/documents.parquet").count()
+      spark.read.parquet(s"$ctl/documents.parquet")
+        .repartition(files)
+        .write.option("parquet.block.size", blockB.toString)
+        .parquet(s"$cur/documents.parquet")
+      for (d <- Seq(ctl, cur); t <- Tables.names if t != "documents")
+        java.nio.file.Files.createSymbolicLink(
+          java.nio.file.Paths.get(s"$d/$t.parquet"),
+          java.nio.file.Paths.get(s"$sfDir/$t.parquet").toAbsolutePath)
+      def time(dir: String): Seq[(String, Double)] = names.map { name =>
+        val fn = SparkEntry.queries(name)
+        operators.GraftCache.releaseAll(); spark.catalog.clearCache()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save() // warm
+        operators.GraftCache.releaseAll(); spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        fn(spark, dir).write.format("noop").mode("overwrite").save()
+        val sec = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[textlayout] $name $dir $sec%.3f")
+        name.takeWhile(_ != '_') -> sec
+      }
+      val tc = time(ctl)
+      val tu = time(cur)
+      def qmap(t: Seq[(String, Double)]) =
+        t.map { case (q, s) => f""""$q":$s%.3f""" }.mkString("{", ",", "}")
+      // scalastyle:off println
+      println(f"""{"op":"textlayout","factor":$factor,"rows":$rows,""" +
+        f""""files":$files,"block":$blockB,""" +
+        f""""control_sec":${tc.map(_._2).sum}%.3f,"curated_sec":${tu.map(_._2).sum}%.3f,""" +
+        f""""control":${qmap(tc)},"curated":${qmap(tu)},""" +
+        f""""control_dir":"$ctl","curated_dir":"$cur"}""")
+      // scalastyle:on println
+      spark.stop()
+      return
+    }
     // Embedding-statistics family curve: the Gramian / covariance /
     // correlation queries COLD over N× vec_id-shifted embeddings. The
     // design claim under measure: ONE corpus pass with O(d²) mergeable

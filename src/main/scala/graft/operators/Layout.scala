@@ -631,6 +631,23 @@ object Layout extends org.apache.spark.internal.Logging {
     w.parquet(out)
   }
 
+  /** Curated TEXT-table layout (r17, VERDICT r16 #3 adopted): the r13
+    * cents read-floor discipline — file count and row-group bytes sized
+    * to cores, because parquet read parallelism is bounded by ROW
+    * GROUPS, not `maxPartitionBytes` — applied to a documents-shaped
+    * table. A semantics-free rewrite (round-robin repartition; text
+    * scans carry no clustering to preserve), so any text-family query
+    * answers identically over the curated files — q160 pins that with
+    * the UNMODIFIED q157 oracle. Measured at 100× (BASELINE r17
+    * "textlayout"): family total −26%, q157 0.81 → 0.51 s, and DuckDB
+    * is faster on the SAME curated files too (0.28 → 0.23) — the win is
+    * even-sized cores-matched row groups, not an engine quirk.
+    */
+  def textWrite(df: DataFrame, out: String, files: Int = 64,
+      blockBytes: Long = 32L << 20): Unit =
+    df.repartition(files).write.mode("overwrite")
+      .option("parquet.block.size", blockBytes.toString).parquet(out)
+
   /** Compaction PUBLISH: [[compactPartitioned]] composed with the W5
     * swap discipline (reference `core/src/file_swap.rs` analog on a
     * directory): compact out of place into the deterministic staging
@@ -988,6 +1005,19 @@ object Layout extends org.apache.spark.internal.Logging {
           (money(sum(col("l_quantity_c")), 2) / count(lit(1))).as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
+    },
+    /* q160: the TEXT curated layout (r17): Spark rewrites documents at
+     * the cores-matched files × row-group layout ([[textWrite]]) and
+     * answers the UNMODIFIED q157 BM25 gate over the curated files,
+     * while DuckDB answers the original oracle over the ORIGINAL table
+     * — the q148 discipline for the text family. The hash match proves
+     * the rewrite is semantics-free, which is what licenses running the
+     * 100× text family over curated files (BASELINE r17 "textlayout":
+     * −26% family, both engines faster on the same files). */
+    Q("q160_text_layout", TextAnalysis.bm25OracleSql) { (s, dir) =>
+      val out = gateDir(dir, "documents_text")
+      textWrite(Tables.load(s, dir, "documents"), out)
+      TextAnalysis.bm25TopK(s.read.parquet(out))
     },
     /* q152: the CENTS layout under a broadcast STAR — TPC-H Q17 over a
      * curated cents lineitem vs the unmodified declared-DECIMAL oracle

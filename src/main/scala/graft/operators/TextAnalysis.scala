@@ -644,6 +644,29 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** The q157 BM25 oracle SQL over `documents` — ONE rendering, shared
+    * with q160's curated-layout gate (which must produce the SAME
+    * answer over the rewritten files, the q148 discipline).
+    */
+  private[operators] def bm25OracleSql: String = {
+    val terms = Bm25Query
+    val dfSel = terms.zipWithIndex.map { case (tm, i) =>
+      s"SUM(list_contains(a, '$tm')::BIGINT) AS df_$i" }.mkString(", ")
+    val score = terms.zipWithIndex.map { case (tm, i) =>
+      val tf = s"len(list_filter(a, x -> x = '$tm'))::BIGINT"
+      s"(((2*n_docs - 2*df_$i + 1) * ((22000 * $tf * 1000000) // " +
+        s"(10000 * $tf + 3000 + 9 * ratio_pm))) // (2*df_$i + 1))"
+    }.mkString(" + ")
+    "WITH t AS (SELECT doc_id, string_split(text,' ') AS a, " +
+      "len(string_split(text,' '))::BIGINT AS dl FROM documents), " +
+      s"s AS (SELECT COUNT(*)::BIGINT AS n_docs, SUM(dl)::BIGINT AS totlen, $dfSel FROM t), " +
+      "r AS (SELECT doc_id, dl, a, n_docs, totlen, " +
+      "(1000000 * dl) // ((1000 * totlen) // n_docs) AS ratio_pm, " +
+      "df_" + terms.indices.mkString(", df_") + " FROM t CROSS JOIN s) " +
+      s"SELECT doc_id, dl, ($score)::BIGINT AS bm25_u FROM r " +
+      s"ORDER BY bm25_u DESC, doc_id LIMIT $Bm25K"
+  }
+
   /** DuckDB CTE chain computing the LM-gated survivor set `lms` — the
     * oracle-side mirror of [[lmScore]] thresholded at `thr` ppm, used by
     * the curation gates that thread an `lmPpmMin` arm (q91, q155). Same
@@ -911,24 +934,7 @@ object TextAnalysis {
 
     // BM25 top-k retrieval (integer-exact form — see bm25TopK): fixed
     // 3-term query, micro-unit scores, deterministic tie-break.
-    Q("q157_bm25_topk", {
-      val terms = Bm25Query
-      val dfSel = terms.zipWithIndex.map { case (tm, i) =>
-        s"SUM(list_contains(a, '$tm')::BIGINT) AS df_$i" }.mkString(", ")
-      val score = terms.zipWithIndex.map { case (tm, i) =>
-        val tf = s"len(list_filter(a, x -> x = '$tm'))::BIGINT"
-        s"(((2*n_docs - 2*df_$i + 1) * ((22000 * $tf * 1000000) // " +
-          s"(10000 * $tf + 3000 + 9 * ratio_pm))) // (2*df_$i + 1))"
-      }.mkString(" + ")
-      "WITH t AS (SELECT doc_id, string_split(text,' ') AS a, " +
-        "len(string_split(text,' '))::BIGINT AS dl FROM documents), " +
-        s"s AS (SELECT COUNT(*)::BIGINT AS n_docs, SUM(dl)::BIGINT AS totlen, $dfSel FROM t), " +
-        "r AS (SELECT doc_id, dl, a, n_docs, totlen, " +
-        "(1000000 * dl) // ((1000 * totlen) // n_docs) AS ratio_pm, " +
-        "df_" + terms.indices.mkString(", df_") + " FROM t CROSS JOIN s) " +
-        s"SELECT doc_id, dl, ($score)::BIGINT AS bm25_u FROM r " +
-        s"ORDER BY bm25_u DESC, doc_id LIMIT $Bm25K"
-    }) { (s, dir) =>
+    Q("q157_bm25_topk", bm25OracleSql) { (s, dir) =>
       bm25TopK(Tables.load(s, dir, "documents"))
     },
 
