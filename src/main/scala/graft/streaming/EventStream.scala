@@ -314,44 +314,111 @@ object EventStream {
     * loudly rather than merged backwards.
     */
   private[graft] def bm25IndexBatch(batch: DataFrame, terms: Seq[String],
+      path: String, batchId: Long): Unit =
+    bm25MaintainBatch(batch.withColumn("deleted", lit(false)),
+      terms, path, batchId)
+
+  /** Streaming BM25 index maintenance with DELETION (VERDICT r16 #8 —
+    * the first mutation the append-only seam could not express): the
+    * stream carries (doc_id, text, deleted); adds land tf rows exactly
+    * as [[bm25IndexTo]], deletes land doc_id TOMBSTONES in batch-scoped
+    * overwrite dirs (the same durable-state discipline — nothing lives
+    * in the state store), and the stats version subtracts the
+    * newly-tombstoned docs' own tf rows, so the published statistics
+    * re-derive to exactly what a full recompute over (tf ∖ tombstones)
+    * would say. [[bm25TopKFromIndex]] anti-joins the tombstone set, so
+    * a deleted document vanishes from both the candidate stream and
+    * the statistics atomically at the version flip.
+    *
+    * Tombstones are FINAL: re-adding a tombstoned doc_id is refused
+    * loudly (the curation layers above never reuse ids; silently
+    * re-adding would leave stats counting a doc the reader drops).
+    * A within-batch add+delete of the same id nets to zero (the add's
+    * delta is folded, then its rows are subtracted as new tombstones).
+    */
+  def bm25MaintainTo(muts: DataFrame, terms: Seq[String], path: String,
+      checkpointDir: String,
+      queryName: String = "graft_bm25_maintain"): StreamingQuery =
+    muts.writeStream
+      .outputMode(OutputMode.Append)
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        bm25MaintainBatch(batch, terms, path, batchId)
+      }
+      .start()
+
+  private[graft] def bm25MaintainBatch(batch: DataFrame, terms: Seq[String],
       path: String, batchId: Long): Unit = {
-    val tfd = graft.operators.TextAnalysis.bm25Tf(batch, terms).persist()
+    val spark = batch.sparkSession
+    val adds = batch.filter(!col("deleted")).select(col("doc_id"), col("text"))
+    val dels = batch.filter(col("deleted")).select(col("doc_id")).distinct()
+      .persist()
+    val tfd = graft.operators.TextAnalysis.bm25Tf(adds, terms).persist()
     try {
-      if (!tfd.isEmpty) {
+      val hasAdds = !tfd.isEmpty
+      val hasDels = !dels.isEmpty
+      if (hasAdds)
         tfd.write.mode("overwrite").parquet(s"$path/tf/batch=$batchId")
-        val spark = batch.sparkSession
-        val fs = new org.apache.hadoop.fs.Path(path)
-          .getFileSystem(spark.sessionState.newHadoopConf())
-        val versions = statsVersions(fs, path)
-        if (!versions.contains(batchId)) {
-          // a replayed batch whose version survives skips above; one
-          // whose version is GONE beside newer versions is a second
-          // maintainer or rewound checkpoint — refuse, never merge
-          // a delta backwards into stats that already contain it
-          require(versions.forall(_ <= batchId),
-            s"bm25IndexBatch: stats version newer than batch $batchId " +
-              s"exists (${versions.max}) — a second maintainer or a " +
-              "rewound checkpoint is writing this path; refusing")
-          val delta = graft.operators.TextAnalysis.bm25Stats(tfd, terms.size)
-          val merged = versions.maxOption match {
-            case Some(prev) =>
-              val prevStats = spark.read.parquet(s"$path/stats-v$prev")
-              val cols = delta.columns
-              prevStats.unionByName(delta)
-                .agg(sum(col(cols.head)).as(cols.head),
-                  cols.tail.map(c => sum(col(c)).as(c)): _*)
-            case None => delta
-          }
-          merged.write.mode("overwrite").parquet(s"$path/stats-v$batchId")
-          // reap all but the just-published and the previous version
-          // (the previous drains for readers that resolved it pre-publish)
-          val keep = Set(batchId) ++ versions.maxOption
-          versions.filterNot(keep).foreach { v =>
-            fs.delete(new org.apache.hadoop.fs.Path(s"$path/stats-v$v"), true)
-          }
+      if (hasDels)
+        dels.write.mode("overwrite").parquet(s"$path/tombstones/batch=$batchId")
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      val versions = statsVersions(fs, path)
+      // publish iff there is anything to fold: adds always; deletes only
+      // once an index exists (a tombstone against an empty index has
+      // nothing to subtract — and a later add of that id is refused)
+      val publish = !versions.contains(batchId) &&
+        (hasAdds || (hasDels && versions.nonEmpty))
+      if (publish) {
+        // a replayed batch whose version survives skips above; one
+        // whose version is GONE beside newer versions is a second
+        // maintainer or rewound checkpoint — refuse, never merge
+        // a delta backwards into stats that already contain it
+        require(versions.forall(_ <= batchId),
+          s"bm25MaintainBatch: stats version newer than batch $batchId " +
+            s"exists (${versions.max}) — a second maintainer or a " +
+            "rewound checkpoint is writing this path; refusing")
+        // prior tombstones = every batch EXCEPT this one (a replay must
+        // see the same "new" set its first attempt saw)
+        val tombRoot = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+        val prior = if (!fs.exists(tombRoot)) None else Some(
+          spark.read.parquet(s"$path/tombstones")
+            .filter(col("batch") =!= batchId).select("doc_id"))
+        prior.foreach { p =>
+          require(tfd.join(p, Seq("doc_id"), "left_semi").isEmpty,
+            "bm25MaintainBatch: batch re-adds a tombstoned doc_id — " +
+              "tombstones are final; ingest under a fresh id")
+        }
+        val nCols = 2 + terms.size
+        val deltas = Seq.newBuilder[DataFrame]
+        versions.maxOption.foreach(prev =>
+          deltas += spark.read.parquet(s"$path/stats-v$prev"))
+        if (hasAdds)
+          deltas += graft.operators.TextAnalysis.bm25Stats(tfd, terms.size)
+        if (hasDels) {
+          val newTomb = prior.fold(dels)(p =>
+            dels.join(p, Seq("doc_id"), "left_anti"))
+          val tombTf = spark.read.parquet(s"$path/tf").drop("batch")
+            .join(broadcast(newTomb), Seq("doc_id"), "left_semi")
+          val neg = graft.operators.TextAnalysis.bm25Stats(tombTf, terms.size)
+          deltas += neg.select(neg.columns.map(c => (-col(c)).as(c)): _*)
+        }
+        val frames = deltas.result()
+        val cols = frames.head.columns
+        assert(cols.length == nCols)
+        val merged = frames.reduce(_ unionByName _)
+          .agg(sum(col(cols.head)).as(cols.head),
+            cols.tail.map(c => sum(col(c)).as(c)): _*)
+        merged.write.mode("overwrite").parquet(s"$path/stats-v$batchId")
+        // reap all but the just-published and the previous version
+        // (the previous drains for readers that resolved it pre-publish)
+        val keep = Set(batchId) ++ versions.maxOption
+        versions.filterNot(keep).foreach { v =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/stats-v$v"), true)
         }
       }
-    } finally tfd.unpersist()
+    } finally { tfd.unpersist(); dels.unpersist() }
   }
 
   /** `_SUCCESS`-complete stats versions under `path`, ascending. */
@@ -381,9 +448,19 @@ object EventStream {
       throw new IllegalStateException(
         s"bm25TopKFromIndex: no complete stats version under $path — " +
           "has bm25IndexTo processed a non-empty batch yet?"))
+    val tf0 = spark.read.parquet(s"$path/tf").drop("batch")
+    // tombstoned docs ([[bm25MaintainTo]]) leave the candidate stream
+    // here and left the statistics at their version flip
+    // no broadcast hint: the tombstone set grows with deletions over
+    // stream life — Catalyst broadcasts it while small and falls back
+    // when it isn't (a periodic compaction of tf ∖ tombstones is the
+    // long-run reset, Layout.compactAndSwap's job)
+    val tf = if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/tombstones"))) tf0
+      else tf0.join(
+        spark.read.parquet(s"$path/tombstones").select("doc_id"),
+        Seq("doc_id"), "left_anti")
     graft.operators.TextAnalysis.bm25ScoreFrames(
-      spark.read.parquet(s"$path/tf").drop("batch"),
-      spark.read.parquet(s"$path/stats-v$v"), nTerms, k)
+      tf, spark.read.parquet(s"$path/stats-v$v"), nTerms, k)
   }
 
   /** Incremental MATERIALIZED-VIEW maintenance into a remote keyed

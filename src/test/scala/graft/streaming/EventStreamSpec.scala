@@ -774,6 +774,75 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
     } finally q.stop()
   }
 
+  test("bm25MaintainTo: deletion tombstones re-derive stats exactly; replay-safe; re-add refused") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val terms = Seq("spark", "merge")
+    val docs = Seq(
+      (1L, "spark merge spark window join"),
+      (2L, "merge merge merge plan"),
+      (3L, "spark plan plan plan plan plan plan"),
+      (4L, "window window spark merge"),
+      (5L, "nothing relevant here at all"),
+      (6L, "spark merge"))
+    val input = MemoryStream[(Long, String, Boolean)](spark)
+    val path = java.nio.file.Files.createTempDirectory("graft_bm25mt").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_bm25mt_ck").toString
+    val q = EventStream.bm25MaintainTo(
+      input.toDF().toDF("doc_id", "text", "deleted"), terms, path, ckpt)
+    try {
+      def topk(): Seq[(Long, Long, Long)] =
+        EventStream.bm25TopKFromIndex(spark, path, terms.size, k = 4)
+          .as[(Long, Long, Long)].collect().toSeq
+      def expectOver(ids: Set[Long]): Seq[(Long, Long, Long)] =
+        TextAnalysis.bm25TopK(
+          docs.filter(d => ids(d._1)).toDF("doc_id", "text"), terms, k = 4)
+          .as[(Long, Long, Long)].collect().toSeq
+      input.addData(docs.take(4).map(d => (d._1, d._2, false)): _*)
+      q.processAllAvailable()
+      // batch 1: two adds AND a delete of doc 2 — the deleted doc must
+      // vanish from candidates AND stats at the same version flip
+      input.addData(Seq((5L, docs(4)._2, false), (6L, docs(5)._2, false),
+        (2L, "", true)): _*)
+      q.processAllAvailable()
+      assert(topk() == expectOver(Set(1L, 3L, 4L, 5L, 6L)),
+        s"deletion diverged from the batch recompute: ${topk()}")
+      // the published stats row equals a FULL recompute over tf ∖ tombstones
+      val fromScratch = TextAnalysis.bm25Stats(TextAnalysis.bm25Tf(
+        docs.filter(_._1 != 2L).toDF("doc_id", "text"), terms), terms.size)
+        .collect().toSeq
+      val vDirs = new java.io.File(path).listFiles()
+        .map(_.getName).filter(_.startsWith("stats-v")).sorted
+      val published = spark.read.parquet(s"$path/${vDirs.last}").collect().toSeq
+      assert(published == fromScratch,
+        s"incremental stats drifted: $published vs $fromScratch")
+      // at-least-once replay of the mutation batch: same rows, same stats
+      EventStream.bm25MaintainBatch(
+        Seq((5L, docs(4)._2, false), (6L, docs(5)._2, false), (2L, "", true))
+          .toDF("doc_id", "text", "deleted"), terms, path, 1L)
+      assert(topk() == expectOver(Set(1L, 3L, 4L, 5L, 6L)),
+        "replayed mutation batch changed the answer")
+      // delete-only batch
+      EventStream.bm25MaintainBatch(
+        Seq((6L, "", true)).toDF("doc_id", "text", "deleted"), terms, path, 2L)
+      assert(topk() == expectOver(Set(1L, 3L, 4L, 5L)),
+        s"delete-only batch diverged: ${topk()}")
+      // tombstones are FINAL: re-adding doc 2 is refused loudly
+      val e = intercept[IllegalArgumentException] {
+        EventStream.bm25MaintainBatch(
+          Seq((2L, "spark merge", false)).toDF("doc_id", "text", "deleted"),
+          terms, path, 3L)
+      }
+      assert(e.getMessage.contains("tombstoned"), e.getMessage)
+      // within-batch add+delete of the same NEW id nets to zero
+      EventStream.bm25MaintainBatch(
+        Seq((7L, "spark spark spark", false), (7L, "", true))
+          .toDF("doc_id", "text", "deleted"), terms, path, 4L)
+      assert(topk() == expectOver(Set(1L, 3L, 4L, 5L)),
+        s"within-batch add+delete leaked: ${topk()}")
+    } finally q.stop()
+  }
+
   test("ingestTo: a micro-batch firing INTO a held maintenance lock retries and completes once the lock frees") {
     // r14 verdict item 6: the bounded-backoff retry shipped with only a
     // message-prefix guard — this arm exercises REAL contention: the
