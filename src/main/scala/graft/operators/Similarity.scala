@@ -310,12 +310,15 @@ object Similarity {
     // map-side-combinable aggregation keyed by (s, code) folds all
     // m·ksub centroid updates at once (r16: the per-subspace loop ran m
     // serial aggregation jobs and made q158 the suite's slowest query;
-    // job-launch overhead, not arithmetic, was the cost).
+    // job-launch overhead, not arithmetic, was the cost). The slice/norm
+    // subtrees are FACTORED into per-subspace columns ([[pqSubCols]]):
+    // embedding them per codebook entry made the expression tree m·ksub
+    // slices+aggregates wide, and q158/q159's ~2 s data-independent price
+    // was Catalyst walking it (r17 A/B in BASELINE).
     for (_ <- 1 until iters) {
       val structs = (0 until m).map { s =>
-        val sq = slice(col("q"), s * dsub + 1, dsub)
-        val sn = expr(s"aggregate(slice(q, ${s * dsub + 1}, $dsub), " +
-          "cast(0 AS bigint), (acc, x) -> acc + x * x)")
+        val sq = col(s"_sq$s")
+        val sn = col(s"_sn$s")
         val entries = books(s).zipWithIndex.map { case ((cq, cn), code) =>
           struct((sn - lit(2L) * EmbeddingLsh.qdot(sq, typedLit(cq)) + lit(cn)).as("d"),
             lit(code).as("c"))
@@ -326,7 +329,7 @@ object Similarity {
       }
       val sums = (0 until dsub).map(i =>
         sum(expr(s"element_at(sq, ${i + 1})")).as(s"s$i"))
-      val upd = n.select(explode(array(structs: _*)).as("e"))
+      val upd = pqSubCols(n, m, dsub).select(explode(array(structs: _*)).as("e"))
         .select(col("e.s").as("s"), col("e.code").as("code"), col("e.sq").as("sq"))
         .groupBy("s", "code")
         .agg(count(lit(1)).as("cnt"), sums: _*)
@@ -353,22 +356,36 @@ object Similarity {
     * (the q47 SQ8 discipline, per-subspace-adaptive instead of
     * per-dimension).
     */
+  /** Per-subspace slice + squared-norm columns `_sq{s}`/`_sn{s}` over
+    * `vecCol` — factored ONCE here instead of being re-embedded in
+    * every codebook-entry expression: the m·ksub-wide trees the inline
+    * form produced cost ~2 s of data-independent Catalyst walk per
+    * query (r17 A/B, BASELINE "pq tree factoring").
+    */
+  private def pqSubCols(df: DataFrame, m: Int, dsub: Int,
+      vecCol: String = "q"): DataFrame =
+    df.select(df.columns.map(col) ++ (0 until m).flatMap { s =>
+      Seq(slice(col(vecCol), s * dsub + 1, dsub).as(s"_sq$s"),
+        expr(s"aggregate(slice($vecCol, ${s * dsub + 1}, $dsub), " +
+          "cast(0 AS bigint), (acc, x) -> acc + x * x)").as(s"_sn$s"))
+    }: _*)
+
   def pqEncode(n: DataFrame, books: Array[Array[(Seq[Long], Long)]],
       keep: Seq[String] = Nil): DataFrame = {
     val m = books.length
     val dsub = books(0)(0)._1.length
     val codeCols = (0 until m).map { s =>
-      val sq = slice(col("q"), s * dsub + 1, dsub)
-      val sn = expr(s"aggregate(slice(q, ${s * dsub + 1}, $dsub), " +
-        "cast(0 AS bigint), (acc, x) -> acc + x * x)")
+      val sq = col(s"_sq$s")
+      val sn = col(s"_sn$s")
       val entries = books(s).zipWithIndex.map { case ((cq, cn), code) =>
         struct((sn - lit(2L) * EmbeddingLsh.qdot(sq, typedLit(cq)) + lit(cn)).as("d"),
           lit(code).as("c"))
       }
       array_min(array(entries.toIndexedSeq: _*)).getField("c")
     }
-    n.select(col("vec_id") +: array(codeCols: _*).as("codes")
-      +: keep.map(col): _*)
+    pqSubCols(n, m, dsub)
+      .select(col("vec_id") +: array(codeCols: _*).as("codes")
+        +: keep.map(col): _*)
   }
 
   /** PQ asymmetric-distance (ADC) top-k search (Jégou et al. PAMI 2011
@@ -417,14 +434,12 @@ object Similarity {
     val kEff = books(0).length
     val enc = pqEncode(n, books)
     // per-query LUT as ONE literal-indexed array column: element
-    // s·kEff + c holds ‖qsub_s − cent_{s,c}‖² in exact int64
-    val lutEntries = for (s <- 0 until m; (cq, cn) <- books(s)) yield {
-      val sq = slice(col("q"), s * dsub + 1, dsub)
-      val sn = expr(s"aggregate(slice(q, ${s * dsub + 1}, $dsub), " +
-        "cast(0 AS bigint), (acc, x) -> acc + x * x)")
-      sn - lit(2L) * EmbeddingLsh.qdot(sq, typedLit(cq)) + lit(cn)
-    }
-    val qs = n.filter(isQuery)
+    // s·kEff + c holds ‖qsub_s − cent_{s,c}‖² in exact int64 (slice/norm
+    // factored through [[pqSubCols]] — see its doc)
+    val lutEntries = for (s <- 0 until m; (cq, cn) <- books(s)) yield
+      col(s"_sn$s") - lit(2L) *
+        EmbeddingLsh.qdot(col(s"_sq$s"), typedLit(cq)) + lit(cn)
+    val qs = pqSubCols(n.filter(isQuery), m, dsub)
       .select(col("vec_id").as("qid"), array(lutEntries: _*).as("lut"))
     val adc = (0 until m).map(s =>
       element_at(col("lut"),
@@ -523,13 +538,12 @@ object Similarity {
     val dsub = books(0)(0)._1.length
     val enc = pqEncode(res, books, keep = Seq("cell"))
     val probes = ivfProbes(n, cents, isQuery, nprobe)
-    val lutEntries = for (s <- 0 until m; (cq, cn) <- books(s)) yield {
-      val sq = slice(col("rq"), s * dsub + 1, dsub)
-      val sn = expr(s"aggregate(slice(rq, ${s * dsub + 1}, $dsub), " +
-        "cast(0 AS bigint), (acc, x) -> acc + x * x)")
-      sn - lit(2L) * qdot(sq, typedLit(cq)) + lit(cn)
-    }
-    val qlut = probes.select(col("qid"), col("cell"), array(lutEntries: _*).as("lut"))
+    // per-(query, probed-cell) residual LUT; slice/norm factored through
+    // [[pqSubCols]] over the residual column
+    val lutEntries = for (s <- 0 until m; (cq, cn) <- books(s)) yield
+      col(s"_sn$s") - lit(2L) * qdot(col(s"_sq$s"), typedLit(cq)) + lit(cn)
+    val qlut = pqSubCols(probes, m, dsub, vecCol = "rq")
+      .select(col("qid"), col("cell"), array(lutEntries: _*).as("lut"))
     val adc = (0 until m).map(s =>
       element_at(col("lut"),
         (lit(s * kEff) + element_at(col("codes"), s + 1) + lit(1)).cast("int")))
