@@ -2060,10 +2060,18 @@ object ScaleProbe {
       val asg = Similarity.ivfAssign(vecs, cents)
         .select("vec_id", "cell").localCheckpoint()
       val sizes = asg.groupBy("cell").agg(count(lit(1)).as("sz"))
-      val points = (Seq(1, 2, 4, 8, 16).filter(_ < nCells) :+ nCells).map { np =>
+      // SPARK_GRAFT_RERANK=1 sweeps the +R re-ranked form (q161) instead
+      // of plain IVFADC; SPARK_GRAFT_NPROBES picks the nprobe points
+      val rerank = sys.env.get("SPARK_GRAFT_RERANK").contains("1")
+      val probeList = sys.env.get("SPARK_GRAFT_NPROBES")
+        .map(_.split(',').toSeq.map(_.trim.toInt))
+        .getOrElse(Seq(1, 2, 4, 8, 16).filter(_ < nCells) :+ nCells)
+      val points = probeList.map { np =>
         val t0 = System.nanoTime()
-        val r = Similarity.recallAtK(bf,
-            Similarity.ivfAdc(vecs, isQuery, isC, nprobe = np))
+        val approx =
+          if (rerank) Similarity.ivfAdcRerank(vecs, isQuery, isC, nprobe = np)
+          else Similarity.ivfAdc(vecs, isQuery, isC, nprobe = np)
+        val r = Similarity.recallAtK(bf, approx)
           .agg(sum(col("hits")).as("h"), sum(col("k_exact")).as("k")).head()
         val sec = (System.nanoTime() - t0) / 1e9
         operators.GraftCache.releaseAll()
@@ -2078,16 +2086,23 @@ object ScaleProbe {
         f"""{"nprobe":$np,"hits":${r.getLong(0)},"k":${r.getLong(1)},""" +
           f""""pairs":$pairs,"sec":$sec%.3f}"""
       }
+      // the plain-ADC yardstick re-run is the sweep's most expensive
+      // point — SPARK_GRAFT_NOADC=1 skips it when a committed
+      // same-factor point already exists (BASELINE r17)
       val t0 = System.nanoTime()
-      val pq = Similarity.recallAtK(bf, Similarity.pqAdc(vecs, isQuery))
-        .agg(sum(col("hits")).as("h"), sum(col("k_exact")).as("k")).head()
+      val pq =
+        if (sys.env.get("SPARK_GRAFT_NOADC").contains("1")) null
+        else Similarity.recallAtK(bf, Similarity.pqAdc(vecs, isQuery))
+          .agg(sum(col("hits")).as("h"), sum(col("k_exact")).as("k")).head()
       val pqSec = (System.nanoTime() - t0) / 1e9
       operators.GraftCache.releaseAll()
+      val adcJson = if (pq == null) "" else
+        f""","adc":{"hits":${pq.getLong(0)},"k":${pq.getLong(1)},""" +
+          f""""pairs":${nQ * (rows - 1)},"sec":$pqSec%.3f}"""
       // scalastyle:off println
-      println(f"""{"op":"ivfsweep","factor":$factor,"rows":$rows,""" +
-        f""""cells":$nCells,"queries":$nQ,"sweep":[${points.mkString(",")}],""" +
-        f""""adc":{"hits":${pq.getLong(0)},"k":${pq.getLong(1)},""" +
-        f""""pairs":${nQ * (rows - 1)},"sec":$pqSec%.3f}}""")
+      println(f"""{"op":"ivfsweep","rerank":${if (rerank) 1 else 0},"factor":$factor,"rows":$rows,""" +
+        f""""cells":$nCells,"queries":$nQ,"sweep":[${points.mkString(",")}]""" +
+        adcJson + "}")
       // scalastyle:on println
       spark.stop()
       return

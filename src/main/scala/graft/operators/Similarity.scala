@@ -560,6 +560,41 @@ object Similarity {
       .orderBy("qid", "vec_id")
   }
 
+  /** IVFADC + re-ranking (Jégou et al. PAMI 2011 §V — the shipped
+    * system's final stage): the quantized ADC distance UNDERESTIMATES
+    * for far candidates, so raising nprobe can LOWER recall as
+    * displaced far-cell candidates crowd out true neighbors (measured:
+    * the r17 ivfsweep's 5,813 → 5,332 fall from nprobe 1 → all-cells).
+    * The fix the paper ships: keep the compressed scan but take the
+    * top R = `rFactor`·k by ADC, then re-rank ONLY those R with exact
+    * int64 squared L2 — the exact pass touches R rows per query, so the
+    * scan stays compressed-domain and the displacement error is bounded
+    * by whether a true neighbor makes the top R at all.
+    *
+    * Output (qid, vec_id, d2), k rows per query ascending exact
+    * distance (ties to the smaller vec_id). All int64 — the DuckDB
+    * oracle hash-matches every tiebreak.
+    */
+  def ivfAdcRerank(n0: DataFrame, isQuery: Column, isCentroid: Column,
+      nprobe: Int = NProbe, m: Int = PqM, ksub: Int = PqKsub,
+      iters: Int = PqIters, k: Int = TopK, rFactor: Int = 4): DataFrame = {
+    val n = GraftCache.track(n0)
+    val cand = ivfAdc(n, isQuery, isCentroid, nprobe, m, ksub, iters,
+        k = rFactor * k)
+      .select("qid", "vec_id")
+    val p = cand
+      .join(n.select(col("vec_id").as("qid"), col("q").as("qq"),
+        col("nrm").as("qn")), Seq("qid"))
+      .join(n, Seq("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        (col("qn") - lit(2L) * qdot(col("qq"), col("q")) + col("nrm")).as("d2"))
+    val w = Window.partitionBy("qid").orderBy(col("d2").asc, col("vec_id"))
+    p.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select("qid", "vec_id", "d2")
+      .orderBy("qid", "vec_id")
+  }
+
   /** Gate table dimensionality for the q47 oracle's generate_series. */
   val SqDim = 64
 
@@ -764,7 +799,12 @@ object Similarity {
     * All int64; every tiebreak mirrored (cells/probes to the smaller
     * cid, codes to the smaller code, top-k to the smaller vec_id).
     */
-  private def ivfadcCtes: String = {
+  private def ivfadcCtes: String = ivfadcCtes(TopK)
+
+  /** `r` = the ADC top-R cut `vadck` keeps per query (TopK for q159;
+    * rFactor·TopK for q161's re-ranked form).
+    */
+  private def ivfadcCtes(r: Int): String = {
     val dsub = 64 / PqM
     def dist(qn: String, q: String, c: String) =
       s"$qn - 2*${qdotSql(q, s"$c.cq")} + $c.cn"
@@ -809,8 +849,19 @@ object Similarity {
       "WHERE e.vec_id <> l.qid GROUP BY 1, 2), " +
       "vadck AS (SELECT qid, vec_id FROM (SELECT qid, vec_id, " +
       "row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rn " +
-      s"FROM vadcp) WHERE rn <= $TopK)"
+      s"FROM vadcp) WHERE rn <= $r)"
   }
+
+  /** q161's exact re-rank of the ADC top-R: `vrrk(qid, vec_id)` — exact
+    * int64 squared L2 over the R candidates only (PAMI 2011 §V).
+    */
+  private def ivfRerankCtes: String =
+    "vrr0 AS (SELECT c.qid, c.vec_id, " +
+      s"a.nrm - 2*${qdotSql("a.q", "b.q")} + b.nrm AS d2 " +
+      "FROM vadck c JOIN n a ON c.qid = a.vec_id JOIN n b ON c.vec_id = b.vec_id), " +
+      "vrrk AS (SELECT qid, vec_id FROM (SELECT qid, vec_id, " +
+      "row_number() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS rn " +
+      s"FROM vrr0) WHERE rn <= $TopK)"
 
   /** The q78 oracle CTE chain (quantize → seed → 2 Lloyd rounds),
     * ending in `a2(vec_id, cell, dist)` — reused by q98's
@@ -985,6 +1036,25 @@ object Similarity {
       val isQ = col("vec_id") % QueryStride === 0
       recallAtK(annBruteForce(n, isQ),
         ivfAdc(n, isQ, col("vec_id") % CentroidStride === 0))
+    },
+
+    // IVFADC + re-ranking (PAMI 2011 §V): exact-L2 re-rank of the ADC
+    // top-4k — the displacement fix the shipped system ends with (the
+    // r17 sweep measured recall FALLING with nprobe on the clustered
+    // corpus; re-ranking bounds that error to top-R membership). Gated
+    // like q159 through the recall@k harness; all-int64, oracle
+    // hash-matches every tiebreak.
+    Q("q161_ivfadc_rerank",
+      "WITH " + quantizedSql + ", " + qsCte + ", " + bruteCtes + ", " +
+        ivfadcCtes(4 * TopK) + ", " + ivfRerankCtes +
+        " SELECT bf.qid AS qid, COUNT(*)::BIGINT AS k_exact, " +
+        "SUM(CASE WHEN vrrk.vec_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS hits " +
+        "FROM bf LEFT JOIN vrrk ON bf.qid = vrrk.qid AND bf.vec_id = vrrk.vec_id " +
+        "GROUP BY bf.qid ORDER BY qid") { (s, dir) =>
+      val n = GraftCache.track(quantized(s, dir))
+      val isQ = col("vec_id") % QueryStride === 0
+      recallAtK(annBruteForce(n, isQ),
+        ivfAdcRerank(n, isQ, col("vec_id") % CentroidStride === 0))
     },
 
     // Hard-negative mining: per query, the nearest vectors of a

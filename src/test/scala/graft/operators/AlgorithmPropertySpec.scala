@@ -404,6 +404,31 @@ class AlgorithmPropertySpec extends AnyFunSuite with SparkFixture {
         iters = iters, k = k)
         .as[(Long, Long, Long)].collect().toSet
       assert(got == expected, s"seed=$seed m=$m dsub=$dsub")
+      // +R re-rank arm (q161): top-R by the SAME sequential ADC, then
+      // exact squared L2 over only those R, ties to the smaller vec_id
+      val byId = vecs.toMap
+      val r = 2 * k
+      val expectedRr = vecs.filter(v => isQ(v._1)).flatMap { case (qid, qq) =>
+        val probed = cents.map { case (cid, cq) => ((d2(qq, cq), cid), cq) }
+          .sortBy(_._1).take(nprobe)
+        val topR = probed.flatMap { case ((_, cid), cq) =>
+          val rq = qq.zip(cq).map { case (x, y) => x - y }
+          vecs.filter(v => v._1 != qid && resById(v._1)._1 == cid)
+            .map { case (vid, _) =>
+              val rv = resById(vid)._2
+              (qid, vid, (0 until m).map { s =>
+                d2(sub(rq, s), books(s).find(_._1 == code(rv, s)).get._2)
+              }.sum)
+            }
+        }.sortBy(t => (t._3, t._2)).take(r)
+        topR.map { case (_, vid, _) => (qid, vid, d2(qq, byId(vid))) }
+          .sortBy(t => (t._3, t._2)).take(k)
+      }.toSet
+      val gotRr = Similarity.ivfAdcRerank(frame, col("vec_id") % 3 === 0,
+        col("vec_id") % 4 === 1, nprobe = nprobe, m = m, ksub = ksub,
+        iters = iters, k = k, rFactor = 2)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(gotRr == expectedRr, s"rerank: seed=$seed m=$m dsub=$dsub")
     }
   }
 

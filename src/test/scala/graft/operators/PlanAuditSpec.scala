@@ -309,6 +309,14 @@ class PlanAuditSpec extends AnyFunSuite with SparkFixture {
       s"LUT side must broadcast and join ON CELL:\n$p")
   }
 
+  test("q161: the exact re-rank touches only the ADC top-R — equi-joins, no cartesian beyond the broadcast scans") {
+    val p = plan("q161_ivfadc_rerank")
+    assert(!p.contains("CartesianProduct"),
+      s"non-broadcast cartesian in the re-rank:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"cell-restricted scan lost its broadcast equi-join:\n$p")
+  }
+
   test("entry: flagship star join broadcasts dimensions") {
     val p = SparkEntry.entry(spark).queryExecution.executedPlan.toString
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
