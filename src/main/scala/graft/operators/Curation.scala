@@ -35,6 +35,79 @@ object Curation {
     */
   val LmGatePpm = 33000L
 
+  /** DSIR hashed-feature geometry (q162): buckets for the hashed
+    * uni+bigram features, and the selection size.
+    */
+  val DsirBuckets = 4096
+  val DsirTopN = 50
+
+  /** DSIR-style data selection (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", arXiv:2302.03169):
+    * rank a CANDIDATE corpus by how target-like each document's hashed
+    * n-gram profile is, using bag-of-hashed-ngrams models of a small
+    * TARGET corpus vs the candidates themselves — the data-selection
+    * step a pretraining pipeline runs to up-weight domain-relevant raw
+    * data. Features are the paper's: unigrams + bigrams hashed into
+    * [[DsirBuckets]] buckets (h60 mod B — non-negative in both
+    * engines). Two deliberate house-style substitutions, both
+    * documented divergences from the paper:
+    *
+    *  - the per-bucket log-probability ratio is LINEARIZED to a
+    *    difference of add-1-smoothed scaled integer rates,
+    *    `w(b) = 10⁶·(ct+1) div (Nt+B) − 10⁶·(cr+1) div (Nr+B)` — the
+    *    q128 nbLexicon discipline: no `ln` exists that two engines
+    *    round identically, and the rate difference is the same
+    *    "target-likeness minus raw-likeness" signal in probability
+    *    space (scores order differently than log space in general;
+    *    what the engine pins is ITS selection, bit-for-bit);
+    *  - selection is deterministic top-N by score (Gumbel resampling
+    *    needs a random draw the oracle cannot replay; a seeded variant
+    *    composes from [[hashSplit]]'s h60-keyed uniformity if sampling
+    *    is wanted).
+    *
+    * Scale shape: the model is ONE feature-keyed aggregation per corpus
+    * collapsing to ≤ B rows (map-combinable), joined into a ≤ B-row
+    * weight table that BROADCASTS; scoring explodes candidate features
+    * and folds Σw map-side per doc (rows of one doc are co-located, so
+    * the partial aggregate collapses before the one doc-keyed
+    * exchange); top-N is a TakeOrdered. The target corpus is small by
+    * definition (it is the hand-curated domain sample); the candidate
+    * corpus streams once.
+    */
+  def dsirSelect(target: DataFrame, candidates: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      buckets: Int = DsirBuckets, topN: Int = DsirTopN): DataFrame = {
+    def feats(df: DataFrame): DataFrame =
+      Dedup.corpus(df, idCol, textCol)
+        .select(col("doc_id"), split(col("text"), " ").as("a"))
+        // the size<2 guard matches DuckDB, where generate_series(1, 0)
+        // is EMPTY — Spark's sequence(1, 0) would DESCEND ([1, 0]) and
+        // hit element_at's ANSI zero-index error on a 1-token doc
+        .select(col("doc_id"), explode(concat(col("a"), expr(
+          "IF(size(a) < 2, array(), transform(sequence(1, size(a) - 1), " +
+            "i -> concat(element_at(a, i), ' ', element_at(a, i + 1))))")))
+          .as("tok"))
+        .select(col("doc_id"), (h60(col("tok")) % buckets).as("b"))
+    val tf = feats(target)
+    val cf = GraftCache.track(feats(candidates))
+    val tc = tf.groupBy("b").agg(count(lit(1)).as("ct"))
+    val cc = cf.groupBy("b").agg(count(lit(1)).as("cr"))
+    // corpus totals: 2 longs of driver model state (k-bounded metadata,
+    // the nbLexicon pattern); an empty side is a caller error named here
+    val nt = tf.count()
+    val nr = cf.count()
+    require(nt > 0 && nr > 0,
+      s"dsirSelect: both corpora need features (target $nt, candidates $nr)")
+    val w = cc.join(tc, Seq("b"), "left")
+      .select(col("b"),
+        (expr(s"(1000000 * (coalesce(ct, 0) + 1)) div ${nt + buckets}L") -
+          expr(s"(1000000 * (cr + 1)) div ${nr + buckets}L")).as("w"))
+    cf.join(broadcast(w), "b")
+      .groupBy("doc_id").agg(sum(col("w")).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topN)
+  }
+
   /** Curate any (id, text) frame:
     *   1. exact dedup — min-id representative per distinct text;
     *   2. quality gate — distinct-token ratio minus stopword ratio
@@ -375,6 +448,37 @@ object Curation {
   def queries: Seq[Q] = Seq(
     // Deterministic mixing sampler: per-source keep rates decided by
     // content hash; the gate checks the per-source kept doc/token mass.
+    // DSIR-style hashed-importance data selection (q162): rank the
+    // candidate corpus by how target-like its hashed n-gram profile is.
+    Q("q162_dsir_select", {
+      val B = DsirBuckets
+      def feats(src: String, p: String): String =
+        s"${p}a AS (SELECT doc_id, string_split(text, ' ') AS a FROM $src), " +
+          s"${p}f AS (SELECT doc_id, ${h60Sql("tok")} % $B AS b FROM (" +
+          s"SELECT doc_id, unnest(a) AS tok FROM ${p}a " +
+          "UNION ALL " +
+          "SELECT doc_id, unnest([a[i] || ' ' || a[i+1] " +
+          s"FOR i IN generate_series(1, len(a) - 1)]) AS tok FROM ${p}a))"
+      "WITH tgt AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 3), " +
+        "cand AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3), " +
+        feats("tgt", "t") + ", " + feats("cand", "c") + ", " +
+        "tc AS (SELECT b, COUNT(*)::BIGINT AS ct FROM tf GROUP BY b), " +
+        "cc AS (SELECT b, COUNT(*)::BIGINT AS cr FROM cf GROUP BY b), " +
+        "tot AS (SELECT (SELECT COUNT(*) FROM tf)::BIGINT AS nt, " +
+        "(SELECT COUNT(*) FROM cf)::BIGINT AS nr), " +
+        "w AS (SELECT cc.b AS b, " +
+        s"(1000000 * (COALESCE(tc.ct, 0) + 1)) // (nt + $B) - " +
+        s"(1000000 * (cc.cr + 1)) // (nr + $B) AS w " +
+        "FROM cc LEFT JOIN tc ON cc.b = tc.b CROSS JOIN tot) " +
+        "SELECT doc_id, CAST(SUM(w.w) AS BIGINT) AS score " +
+        "FROM cf JOIN w ON cf.b = w.b GROUP BY doc_id " +
+        s"ORDER BY score DESC, doc_id LIMIT $DsirTopN"
+    }) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      dsirSelect(docs.filter(col("doc_id") % 7 === 3),
+        docs.filter(col("doc_id") % 7 =!= 3))
+    },
+
     Q("q38_mix_sample", {
       val rateCase = "CASE " + MixGateRates.map { case (k, v) =>
         s"WHEN source = '$k' THEN $v" }.mkString(" ") + s" ELSE $MixGateDefault END"

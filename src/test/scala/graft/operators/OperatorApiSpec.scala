@@ -484,6 +484,30 @@ class OperatorApiSpec extends AnyFunSuite with SparkFixture {
     assert(out.values.toSet == Set(1L), out)
   }
 
+  test("dsirSelect ranks target-like candidates first; 1-token docs are features, not crashes") {
+    import spark.implicits._
+    // target is "spark"-themed; candidate 20/21 share its profile,
+    // 22/23/24 do not; 24 is a single token (the Spark sequence(1,0)
+    // descent hazard — DuckDB's generate_series(1,0) is empty, and the
+    // operator must match, not throw). Scores are feature-occurrence
+    // SUMS (the paper's shape too), so a 1-token TARGET-themed doc can
+    // legitimately outrank longer mixed docs — the off-theme 1-token
+    // doc pins only the no-crash edge, not a length-normalization claim.
+    val target = Seq(
+      (1L, "spark shuffle spark join"),
+      (2L, "spark plan shuffle")).toDF("id", "body")
+    val cand = Seq(
+      (20L, "spark shuffle join"),
+      (21L, "spark plan spark"),
+      (22L, "cats eat fish daily"),
+      (23L, "rain falls on hills"),
+      (24L, "cats")).toDF("id", "body")
+    val out = Curation.dsirSelect(target, cand, idCol = "id",
+        textCol = "body", topN = 2)
+      .as[(Long, Long)].collect().map(_._1).toSet
+    assert(out == Set(20L, 21L), out.toString)
+  }
+
   test("repetitionStats counts duplicate bigrams and the top token") {
     import spark.implicits._
     val rep = Seq((1L, "spam spam spam spam eggs"),
