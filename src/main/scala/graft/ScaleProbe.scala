@@ -1801,10 +1801,12 @@ object ScaleProbe {
         .reduce(_ unionByName _)
         .write.parquet(s"$ctl/documents.parquet")
       val rows = spark.read.parquet(s"$ctl/documents.parquet").count()
-      spark.read.parquet(s"$ctl/documents.parquet")
-        .repartition(files)
-        .write.option("parquet.block.size", blockB.toString)
-        .parquet(s"$cur/documents.parquet")
+      // the probe measures the SHIPPED operator, not a hand-rolled twin
+      // (r17 review): q160 gates textWrite, so the committed evidence
+      // must time textWrite's exact rewrite
+      operators.Layout.textWrite(
+        spark.read.parquet(s"$ctl/documents.parquet"),
+        s"$cur/documents.parquet", files, blockB)
       for (d <- Seq(ctl, cur); t <- Tables.names if t != "documents")
         java.nio.file.Files.createSymbolicLink(
           java.nio.file.Paths.get(s"$d/$t.parquet"),

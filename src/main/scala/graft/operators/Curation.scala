@@ -88,7 +88,9 @@ object Curation {
             "i -> concat(element_at(a, i), ' ', element_at(a, i + 1))))")))
           .as("tok"))
         .select(col("doc_id"), (h60(col("tok")) % buckets).as("b"))
-    val tf = feats(target)
+    // both feature frames persist: each is read twice (the totals count
+    // + its model aggregation; candidates a third time for scoring)
+    val tf = GraftCache.track(feats(target))
     val cf = GraftCache.track(feats(candidates))
     val tc = tf.groupBy("b").agg(count(lit(1)).as("ct"))
     val cc = cf.groupBy("b").agg(count(lit(1)).as("cr"))

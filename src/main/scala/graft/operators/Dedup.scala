@@ -371,8 +371,13 @@ object Dedup {
       bucketCap: Int = BucketCap): DataFrame = {
     import graft.functions.CollectCapped.{collect_capped, collect_wcapped}
     val sh = simhashOf(df, idCol, textCol)
+    // sort_array CANONICALIZES the member list (r17 review): collect
+    // order is fetch-order-dependent, so a partial stage recompute
+    // after an executor loss could rebuild the same group as [5,3]
+    // beside surviving [3,5] rows — the signature-pair distinct below
+    // compares the arrays and would stop collapsing them
     val groups = sh.groupBy("simhash")
-      .agg(collect_capped(col("doc_id"), bucketCap).as("ms"),
+      .agg(sort_array(collect_capped(col("doc_id"), bucketCap)).as("ms"),
         count(lit(1)).as("sz"))
     val ch = groups.select(col("simhash"), col("ms"), col("sz"),
         explode(expr("sequence(0, 3)")).as("k"))
@@ -446,7 +451,7 @@ object Dedup {
       g.select(g.columns.map(col) :+ explode(expr("sequence(0, 3)")).as("k"): _*)
         .withColumn("cv", expr("shiftright(simhash, 15 * k) % 32768"))
     val grpN = simhashOf(fresh, "doc_id", "text").groupBy("simhash")
-      .agg(collect_capped(col("doc_id"), bucketCap).as("ms"),
+      .agg(sort_array(collect_capped(col("doc_id"), bucketCap)).as("ms"),
         count(lit(1)).as("sz"))
     val grpO = simhashOf(old, "doc_id", "text").groupBy("simhash")
       .agg(count(lit(1)).as("sz"))

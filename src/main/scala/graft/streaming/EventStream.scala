@@ -381,35 +381,60 @@ object EventStream {
             "rewound checkpoint is writing this path; refusing")
         // prior tombstones = every batch EXCEPT this one (a replay must
         // see the same "new" set its first attempt saw)
-        val tombRoot = new org.apache.hadoop.fs.Path(s"$path/tombstones")
-        val prior = if (!fs.exists(tombRoot)) None else Some(
-          spark.read.parquet(s"$path/tombstones")
-            .filter(col("batch") =!= batchId).select("doc_id"))
+        val priorDirs = completeBatchDirs(fs, s"$path/tombstones")
+          .collect { case (id, p) if id != batchId => p }
+        val prior = if (priorDirs.isEmpty) None else
+          Some(spark.read.parquet(priorDirs: _*).select("doc_id"))
         prior.foreach { p =>
           require(tfd.join(p, Seq("doc_id"), "left_semi").isEmpty,
             "bm25MaintainBatch: batch re-adds a tombstoned doc_id — " +
               "tombstones are final; ingest under a fresh id")
         }
-        val nCols = 2 + terms.size
-        val deltas = Seq.newBuilder[DataFrame]
-        versions.maxOption.foreach(prev =>
-          deltas += spark.read.parquet(s"$path/stats-v$prev"))
-        if (hasAdds)
-          deltas += graft.operators.TextAnalysis.bm25Stats(tfd, terms.size)
-        if (hasDels) {
-          val newTomb = prior.fold(dels)(p =>
-            dels.join(p, Seq("doc_id"), "left_anti"))
-          val tombTf = spark.read.parquet(s"$path/tf").drop("batch")
-            .join(broadcast(newTomb), Seq("doc_id"), "left_semi")
-          val neg = graft.operators.TextAnalysis.bm25Stats(tombTf, terms.size)
-          deltas += neg.select(neg.columns.map(c => (-col(c)).as(c)): _*)
+        def allTf() = spark.read.parquet(
+          completeBatchDirs(fs, s"$path/tf").map(_._2): _*)
+        val merged = versions.maxOption match {
+          case None =>
+            // BOOTSTRAP (r17 review): the first version must COVER
+            // exactly what the reader will score at v — a delta-only
+            // first version over a PRE-EXISTING tf tree (a
+            // pre-versioned-stats index, or a foreign checkpoint whose
+            // batch ids restart and would silently OVERWRITE legacy tf
+            // dirs) would mis-normalize every later score, so a foreign
+            // tree is refused loudly instead of adopted. On a fresh
+            // path the bootstrap is this batch's rows minus its own
+            // deletes (earlier dels-only batches tombstoned ids that
+            // were never added — the re-add require above keeps them
+            // disjoint from tfd). Deterministic, so replay-safe.
+            val foreign = completeBatchDirs(fs, s"$path/tf")
+              .map(_._1).filter(_ != batchId)
+            require(foreign.isEmpty,
+              s"bm25MaintainBatch: tf batches ${foreign.mkString(",")} " +
+                "exist with no stats version — a pre-versioned-stats or " +
+                "foreign-checkpoint index; refusing to bootstrap over it " +
+                "(rebuild it into a fresh path)")
+            graft.operators.TextAnalysis.bm25Stats(
+              tfd.join(dels, Seq("doc_id"), "left_anti"), terms.size)
+          case Some(prev) =>
+            val nCols = 2 + terms.size
+            val deltas = Seq.newBuilder[DataFrame]
+            deltas += spark.read.parquet(s"$path/stats-v$prev")
+            if (hasAdds)
+              deltas += graft.operators.TextAnalysis.bm25Stats(tfd, terms.size)
+            if (hasDels) {
+              val newTomb = prior.fold(dels)(p =>
+                dels.join(p, Seq("doc_id"), "left_anti"))
+              val tombTf = allTf()
+                .join(broadcast(newTomb), Seq("doc_id"), "left_semi")
+              val neg = graft.operators.TextAnalysis.bm25Stats(tombTf, terms.size)
+              deltas += neg.select(neg.columns.map(c => (-col(c)).as(c)): _*)
+            }
+            val frames = deltas.result()
+            val cols = frames.head.columns
+            assert(cols.length == nCols)
+            frames.reduce(_ unionByName _)
+              .agg(sum(col(cols.head)).as(cols.head),
+                cols.tail.map(c => sum(col(c)).as(c)): _*)
         }
-        val frames = deltas.result()
-        val cols = frames.head.columns
-        assert(cols.length == nCols)
-        val merged = frames.reduce(_ unionByName _)
-          .agg(sum(col(cols.head)).as(cols.head),
-            cols.tail.map(c => sum(col(c)).as(c)): _*)
         merged.write.mode("overwrite").parquet(s"$path/stats-v$batchId")
         // reap all but the just-published and the previous version
         // (the previous drains for readers that resolved it pre-publish)
@@ -419,6 +444,28 @@ object EventStream {
         }
       }
     } finally { tfd.unpersist(); dels.unpersist() }
+  }
+
+  /** `_SUCCESS`-complete `batch=<id>` dirs under `root` with id ≤
+    * `maxId`, as (id, path) ascending by id — the completeness gate
+    * every read of the maintained index's batch-scoped state goes
+    * through: a dir mid-write (no `_SUCCESS`) is invisible, so no
+    * reader ever touches a footer-less parquet file.
+    */
+  private def completeBatchDirs(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, maxId: Long = Long.MaxValue): Seq[(Long, String)] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).map(_.getPath).toSeq
+      .collect { case d if d.getName.startsWith("batch=") &&
+          d.getName.drop(6).nonEmpty && d.getName.drop(6).forall(_.isDigit) =>
+        (d.getName.drop(6).toLong, d)
+      }
+      .collect { case (id, d) if id <= maxId &&
+          fs.exists(new org.apache.hadoop.fs.Path(d, "_SUCCESS")) =>
+        (id, d.toString)
+      }
+      .sortBy(_._1)
   }
 
   /** `_SUCCESS`-complete stats versions under `path`, ascending. */
@@ -436,9 +483,16 @@ object EventStream {
 
   /** Top-k over the maintained BM25 index — the batch-side read of
     * [[bm25IndexTo]]'s durable state, scoring with the shared
-    * [[graft.operators.TextAnalysis.bm25ScoreFrames]]. Resolves the
-    * newest `_SUCCESS`-complete stats version (a mid-publish reader sees
-    * the previous version, never a partial dir).
+    * [[graft.operators.TextAnalysis.bm25ScoreFrames]]. The read is
+    * VERSION-CONSISTENT (r17 review): it resolves the newest
+    * `_SUCCESS`-complete stats version v and reads ONLY the complete
+    * `tf`/`tombstones` batch dirs with id ≤ v — exactly the state
+    * stats-v describes. A concurrent maintainer mid-batch is therefore
+    * invisible end to end: its half-written dirs carry no `_SUCCESS`,
+    * and its complete-but-not-yet-published dirs (id > v) are excluded,
+    * so candidates, tombstones, and statistics always flip TOGETHER at
+    * the version publish (the "old-or-new, never neither, never mixed"
+    * contract the versioned stats introduced).
     */
   def bm25TopKFromIndex(spark: SparkSession, path: String, nTerms: Int,
       k: Int = graft.operators.TextAnalysis.Bm25K): DataFrame = {
@@ -448,16 +502,17 @@ object EventStream {
       throw new IllegalStateException(
         s"bm25TopKFromIndex: no complete stats version under $path — " +
           "has bm25IndexTo processed a non-empty batch yet?"))
-    val tf0 = spark.read.parquet(s"$path/tf").drop("batch")
-    // tombstoned docs ([[bm25MaintainTo]]) leave the candidate stream
-    // here and left the statistics at their version flip
-    // no broadcast hint: the tombstone set grows with deletions over
-    // stream life — Catalyst broadcasts it while small and falls back
-    // when it isn't (a periodic compaction of tf ∖ tombstones is the
-    // long-run reset, Layout.compactAndSwap's job)
-    val tf = if (!fs.exists(new org.apache.hadoop.fs.Path(s"$path/tombstones"))) tf0
-      else tf0.join(
-        spark.read.parquet(s"$path/tombstones").select("doc_id"),
+    val tfDirs = completeBatchDirs(fs, s"$path/tf", v).map(_._2)
+    if (tfDirs.isEmpty) throw new IllegalStateException(
+      s"bm25TopKFromIndex: stats-v$v exists but no complete tf batch ≤ $v")
+    val tf0 = spark.read.parquet(tfDirs: _*)
+    // no broadcast hint on the tombstone anti-join: the set grows with
+    // deletions over stream life — Catalyst broadcasts it while small
+    // and falls back when it isn't (a periodic compaction of
+    // tf ∖ tombstones is the long-run reset, Layout.compactAndSwap's job)
+    val tombDirs = completeBatchDirs(fs, s"$path/tombstones", v).map(_._2)
+    val tf = if (tombDirs.isEmpty) tf0
+      else tf0.join(spark.read.parquet(tombDirs: _*).select("doc_id"),
         Seq("doc_id"), "left_anti")
     graft.operators.TextAnalysis.bm25ScoreFrames(
       tf, spark.read.parquet(s"$path/stats-v$v"), nTerms, k)

@@ -54,6 +54,29 @@ class CollectCappedSpec extends AnyFunSuite with SparkFixture {
     assert(got == Set(("uuid-a", "uuid-b"), ("uuid-a", "uuid-c"), ("uuid-b", "uuid-c")))
   }
 
+  test("collect_wcapped: caps on the weight SUM, keeps members under it, rejects weight < 1") {
+    import spark.implicits._
+    // weights are copy counts (the r17 pre-collapse): bucket g=0 sums
+    // to 6 ≤ cap 6 (kept, all members), g=1 sums to 7 > 6 (dropped)
+    val df = Seq((0L, 10L, 2L), (0L, 11L, 3L), (0L, 12L, 1L),
+      (1L, 20L, 4L), (1L, 21L, 3L)).toDF("g", "id", "w").repartition(3)
+    val out = df.groupBy("g")
+      .agg(CollectCapped.collect_wcapped(col("id"), col("w"), 6L).as("xs"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Long](1).sorted)).toMap
+    assert(out(0L) == Seq(10L, 11L, 12L), out.toString)
+    assert(out(1L) == null, "over-weight bucket must be NULL (dropped)")
+    // the bounded-state guarantee needs every row to consume budget:
+    // zero/negative weights are rejected, not silently collected
+    val e = intercept[org.apache.spark.SparkException] {
+      Seq((0L, 1L, 0L)).toDF("g", "id", "w").groupBy("g")
+        .agg(CollectCapped.collect_wcapped(col("id"), col("w"), 6L))
+        .collect()
+    }
+    assert(e.getMessage.contains("weight must be"),
+      s"zero weight not rejected: ${e.getMessage}")
+  }
+
   test("collect_capped over struct elements survives serialize/merge") {
     import spark.implicits._
     val df = (1L to 30L).map(i => (i % 3, i, i * 100)).toDF("g", "a", "b")

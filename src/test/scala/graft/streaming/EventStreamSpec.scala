@@ -840,7 +840,36 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
           .toDF("doc_id", "text", "deleted"), terms, path, 4L)
       assert(topk() == expectOver(Set(1L, 3L, 4L, 5L)),
         s"within-batch add+delete leaked: ${topk()}")
+      // VERSION-CONSISTENT reads (r17 review): complete batch dirs with
+      // id ABOVE the newest published stats version are invisible — a
+      // maintainer crash between the tombstone/tf writes and the stats
+      // publish must leave readers on the previous consistent state
+      // (candidates, tombstones and stats flip TOGETHER), never a mix
+      Seq(Tuple1(4L)).toDF("doc_id").write
+        .parquet(s"$path/tombstones/batch=50")
+      Seq((99L, 3L, 0L, 0L)).toDF("doc_id", "dl", "tf_0", "tf_1")
+        .write.parquet(s"$path/tf/batch=50")
+      assert(topk() == expectOver(Set(1L, 3L, 4L, 5L)),
+        s"unpublished batch dirs leaked into the read: ${topk()}")
     } finally q.stop()
+  }
+
+  test("bm25MaintainBatch refuses to bootstrap over a tf tree with no stats version") {
+    import spark.implicits._
+    // a pre-versioned-stats index (or a foreign checkpoint whose batch
+    // ids restart) must not be silently adopted: a delta-only first
+    // version would mis-normalize every later score, and restarting ids
+    // would overwrite legacy tf dirs — loud refusal instead
+    val terms = Seq("spark", "merge")
+    val path = java.nio.file.Files.createTempDirectory("graft_bm25lg").toString
+    Seq((1L, 5L, 2L, 1L)).toDF("doc_id", "dl", "tf_0", "tf_1")
+      .write.parquet(s"$path/tf/batch=7") // legacy rows, no stats-v*
+    val e = intercept[IllegalArgumentException] {
+      EventStream.bm25MaintainBatch(
+        Seq((2L, "spark merge", false)).toDF("doc_id", "text", "deleted"),
+        terms, path, 0L)
+    }
+    assert(e.getMessage.contains("no stats version"), e.getMessage)
   }
 
   test("ingestTo: a micro-batch firing INTO a held maintenance lock retries and completes once the lock frees") {
