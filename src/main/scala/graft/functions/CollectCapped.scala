@@ -138,21 +138,27 @@ case class CollectWeightCappedAgg(
 
   override def update(buf: Buf, input: InternalRow): Buf = {
     if (buf.w <= cap) { // saturated buffers stop accumulating
-      val w = weight.eval(input)
-      require(w != null, "collect_wcapped: weight must be non-null")
-      val wv = w.asInstanceOf[Number].longValue()
-      // the bounded-state guarantee (≤ cap items held) REQUIRES every
-      // row to consume cap budget: a zero/negative weight would collect
-      // without bound, and clamping at cap + 1 each step is what keeps
-      // the running sum overflow-free — enforce, don't assume
-      require(wv >= 1, s"collect_wcapped: weight must be ≥ 1, got $wv")
-      // clamp the addend too: buf.w ≤ cap+1 by invariant, so the sum of
-      // two clamped terms cannot overflow for any input weight
-      buf.w = math.min(buf.w + math.min(wv, cap + 1), cap + 1)
-      if (buf.w > cap) buf.items.clear()
-      else {
-        val v = child.eval(input)
-        if (v != null) buf.items += copyValue(v)
+      // NULL children are ignored ENTIRELY — item AND weight (ADVICE
+      // r17): the unweighted twin skips NULL children without consuming
+      // cap budget, and this aggregate's contract is "the weighted form
+      // of CollectCappedAgg", so a NULL item must not count toward the
+      // census either. Bounded state is unaffected: a skipped row adds
+      // nothing to the buffer.
+      val v = child.eval(input)
+      if (v != null) {
+        val w = weight.eval(input)
+        require(w != null, "collect_wcapped: weight must be non-null")
+        val wv = w.asInstanceOf[Number].longValue()
+        // the bounded-state guarantee (≤ cap items held) REQUIRES every
+        // row to consume cap budget: a zero/negative weight would collect
+        // without bound, and clamping at cap + 1 each step is what keeps
+        // the running sum overflow-free — enforce, don't assume
+        require(wv >= 1, s"collect_wcapped: weight must be ≥ 1, got $wv")
+        // clamp the addend too: buf.w ≤ cap+1 by invariant, so the sum of
+        // two clamped terms cannot overflow for any input weight
+        buf.w = math.min(buf.w + math.min(wv, cap + 1), cap + 1)
+        if (buf.w > cap) buf.items.clear()
+        else buf.items += copyValue(v)
       }
     }
     buf

@@ -42,8 +42,8 @@ object Layout extends org.apache.spark.internal.Logging {
     * in-process failure releases it (the committer/rollback guarantees
     * below make every in-process failure full-rollback).
     */
-  private def acquireMaintenanceLock(fs: org.apache.hadoop.fs.FileSystem,
-                                     path: String): org.apache.hadoop.fs.Path = {
+  private[graft] def acquireMaintenanceLock(fs: org.apache.hadoop.fs.FileSystem,
+                                            path: String): org.apache.hadoop.fs.Path = {
     val lock = new org.apache.hadoop.fs.Path(path + ".compacting")
     val locked =
       try fs.createNewFile(lock)
@@ -61,8 +61,8 @@ object Layout extends org.apache.spark.internal.Logging {
     * like a phantom concurrent writer instead of a delete failure
     * (ADVICE r12).
     */
-  private def releaseMaintenanceLock(fs: org.apache.hadoop.fs.FileSystem,
-                                     lock: org.apache.hadoop.fs.Path): Unit =
+  private[graft] def releaseMaintenanceLock(fs: org.apache.hadoop.fs.FileSystem,
+                                            lock: org.apache.hadoop.fs.Path): Unit =
     if (!fs.delete(lock, false) && fs.exists(lock))
       logWarning(s"maintenance lock $lock could not be deleted — the next " +
         "maintainer will see a stale lock from THIS completed run, not a " +

@@ -276,13 +276,14 @@ object EventStream {
     */
   def bm25IndexTo(docs: DataFrame, terms: Seq[String], path: String,
       checkpointDir: String,
-      queryName: String = "graft_bm25_index"): StreamingQuery =
+      queryName: String = "graft_bm25_index",
+      reapDrainMs: Long = 0L, compactEvery: Int = 0): StreamingQuery =
     docs.writeStream
       .outputMode(OutputMode.Append)
       .queryName(queryName)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        bm25IndexBatch(batch, terms, path, batchId)
+        bm25IndexBatch(batch, terms, path, batchId, reapDrainMs, compactEvery)
       }
       .start()
 
@@ -314,9 +315,10 @@ object EventStream {
     * loudly rather than merged backwards.
     */
   private[graft] def bm25IndexBatch(batch: DataFrame, terms: Seq[String],
-      path: String, batchId: Long): Unit =
+      path: String, batchId: Long,
+      reapDrainMs: Long = 0L, compactEvery: Int = 0): Unit =
     bm25MaintainBatch(batch.withColumn("deleted", lit(false)),
-      terms, path, batchId)
+      terms, path, batchId, reapDrainMs, compactEvery)
 
   /** Streaming BM25 index maintenance with DELETION (VERDICT r16 #8 —
     * the first mutation the append-only seam could not express): the
@@ -330,26 +332,42 @@ object EventStream {
     * a deleted document vanishes from both the candidate stream and
     * the statistics atomically at the version flip.
     *
-    * Tombstones are FINAL: re-adding a tombstoned doc_id is refused
-    * loudly (the curation layers above never reuse ids; silently
-    * re-adding would leave stats counting a doc the reader drops).
-    * A within-batch add+delete of the same id nets to zero (the add's
-    * delta is folded, then its rows are subtracted as new tombstones).
+    * Tombstones are FINAL while live: re-adding a tombstoned doc_id is
+    * refused loudly (the curation layers above never reuse ids; silently
+    * re-adding would leave stats counting a doc the reader drops). A
+    * [[bm25Compact]] fold RETIRES its tombstones — the docs are gone
+    * from the compacted generation, so the ids become reusable as fresh
+    * documents. A within-batch add+delete of the same id nets to zero
+    * (the add's delta is folded, then its rows are subtracted as new
+    * tombstones).
+    *
+    * IO shape per batch (VERDICT r17 #2 — the delete path must not
+    * regrow the O(batches²) class the r17 stats fix removed): every
+    * publish reads ONE prior stats version, ONE live tombstone snapshot
+    * (`tomb-v<id>`, published beside every stats version), and — only
+    * when the batch deletes — the current tf generation (compacted base
+    * + deltas above it). With `compactEvery` > 0 the index folds itself
+    * every that-many delta dirs, so per-batch dirs-read is O(compactEvery),
+    * independent of stream life. `reapDrainMs` age-gates the version
+    * reap for readers slower than the default two-publish drain window
+    * (see [[bm25TopKFromIndex]]).
     */
   def bm25MaintainTo(muts: DataFrame, terms: Seq[String], path: String,
       checkpointDir: String,
-      queryName: String = "graft_bm25_maintain"): StreamingQuery =
+      queryName: String = "graft_bm25_maintain",
+      reapDrainMs: Long = 0L, compactEvery: Int = 0): StreamingQuery =
     muts.writeStream
       .outputMode(OutputMode.Append)
       .queryName(queryName)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        bm25MaintainBatch(batch, terms, path, batchId)
+        bm25MaintainBatch(batch, terms, path, batchId, reapDrainMs, compactEvery)
       }
       .start()
 
   private[graft] def bm25MaintainBatch(batch: DataFrame, terms: Seq[String],
-      path: String, batchId: Long): Unit = {
+      path: String, batchId: Long,
+      reapDrainMs: Long = 0L, compactEvery: Int = 0): Unit = {
     val spark = batch.sparkSession
     val adds = batch.filter(!col("deleted")).select(col("doc_id"), col("text"))
     val dels = batch.filter(col("deleted")).select(col("doc_id")).distinct()
@@ -358,10 +376,6 @@ object EventStream {
     try {
       val hasAdds = !tfd.isEmpty
       val hasDels = !dels.isEmpty
-      if (hasAdds)
-        tfd.write.mode("overwrite").parquet(s"$path/tf/batch=$batchId")
-      if (hasDels)
-        dels.write.mode("overwrite").parquet(s"$path/tombstones/batch=$batchId")
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sessionState.newHadoopConf())
       val versions = statsVersions(fs, path)
@@ -370,29 +384,58 @@ object EventStream {
       // nothing to subtract — and a later add of that id is refused)
       val publish = !versions.contains(batchId) &&
         (hasAdds || (hasDels && versions.nonEmpty))
-      if (publish) {
-        // a replayed batch whose version survives skips above; one
-        // whose version is GONE beside newer versions is a second
+      // ALL refusals fire BEFORE any write (r18): the r17 order rewrote
+      // tf/batch=<id> — transiently deleting its _SUCCESS — and only
+      // then refused, leaving a mid-flight mutation behind the error.
+      if (publish)
+        // a replayed batch whose version survives skips publish below;
+        // one whose version is GONE beside newer versions is a second
         // maintainer or rewound checkpoint — refuse, never merge
         // a delta backwards into stats that already contain it
         require(versions.forall(_ <= batchId),
           s"bm25MaintainBatch: stats version newer than batch $batchId " +
             s"exists (${versions.max}) — a second maintainer or a " +
             "rewound checkpoint is writing this path; refusing")
-        // prior tombstones = every batch EXCEPT this one (a replay must
-        // see the same "new" set its first attempt saw)
-        val priorDirs = completeBatchDirs(fs, s"$path/tombstones")
-          .collect { case (id, p) if id != batchId => p }
-        val prior = if (priorDirs.isEmpty) None else
-          Some(spark.read.parquet(priorDirs: _*).select("doc_id"))
-        prior.foreach { p =>
-          require(tfd.join(p, Seq("doc_id"), "left_semi").isEmpty,
-            "bm25MaintainBatch: batch re-adds a tombstoned doc_id — " +
-              "tombstones are final; ingest under a fresh id")
-        }
-        def allTf() = spark.read.parquet(
-          completeBatchDirs(fs, s"$path/tf").map(_._2): _*)
-        val merged = versions.maxOption match {
+      val prev = versions.maxOption
+      val baseId = tfBases(fs, path).maxOption.getOrElse(-1L)
+      // prior LIVE tombstones: ONE compacted snapshot dir (tomb-v<prev>,
+      // written beside every stats version — VERDICT r17 #2: the r17
+      // shape re-read EVERY tombstone batch dir per publish), minus
+      // entries a newer compaction has since folded into the base
+      // generation (their docs are already absent from tfbase, so they
+      // are retired from the live set — and from the re-add refusal:
+      // compaction permanently retires an id, see [[bm25Compact]]).
+      // Bootstrap (no version yet) folds the batch-scoped dirs once.
+      val prior: Option[DataFrame] = prev match {
+        case Some(p) => tombSnapshot(spark, fs, path, p)
+          .map(_.filter(col("tb") > baseId))
+        case None =>
+          val dirs = completeBatchDirs(fs, s"$path/tombstones")
+            .filter(_._1 != batchId)
+          if (dirs.isEmpty) None
+          else Some(dirs.map { case (id, d) =>
+            spark.read.parquet(d).select(col("doc_id"), lit(id).as("tb"))
+          }.reduce(_ unionByName _))
+      }
+      if (publish) prior.foreach { p =>
+        require(tfd.join(p.select("doc_id"), Seq("doc_id"), "left_semi").isEmpty,
+          "bm25MaintainBatch: batch re-adds a tombstoned doc_id — " +
+            "tombstones are final (until a compaction retires the id); " +
+            "ingest under a fresh id")
+      }
+      // batch-dir writes, SKIPPED on a published replay (ADVICE r17):
+      // content is deterministic and the dir is _SUCCESS-complete with
+      // its stats version live, so rewriting would only delete-then-
+      // rewrite the dir under concurrent version-consistent readers
+      def dirComplete(root: String) = fs.exists(new org.apache.hadoop.fs.Path(
+        s"$path/$root/batch=$batchId/_SUCCESS"))
+      val published = versions.contains(batchId)
+      if (hasAdds && !(published && dirComplete("tf")))
+        tfd.write.mode("overwrite").parquet(s"$path/tf/batch=$batchId")
+      if (hasDels && !(published && dirComplete("tombstones")))
+        dels.write.mode("overwrite").parquet(s"$path/tombstones/batch=$batchId")
+      if (publish) {
+        val merged = prev match {
           case None =>
             // BOOTSTRAP (r17 review): the first version must COVER
             // exactly what the reader will score at v — a delta-only
@@ -407,23 +450,32 @@ object EventStream {
             // disjoint from tfd). Deterministic, so replay-safe.
             val foreign = completeBatchDirs(fs, s"$path/tf")
               .map(_._1).filter(_ != batchId)
-            require(foreign.isEmpty,
-              s"bm25MaintainBatch: tf batches ${foreign.mkString(",")} " +
-                "exist with no stats version — a pre-versioned-stats or " +
+            require(foreign.isEmpty && baseId < 0,
+              s"bm25MaintainBatch: tf state (batches ${foreign.mkString(",")}" +
+                s"${if (baseId >= 0) s", base $baseId" else ""}) " +
+                "exists with no stats version — a pre-versioned-stats or " +
                 "foreign-checkpoint index; refusing to bootstrap over it " +
                 "(rebuild it into a fresh path)")
             graft.operators.TextAnalysis.bm25Stats(
               tfd.join(dels, Seq("doc_id"), "left_anti"), terms.size)
-          case Some(prev) =>
+          case Some(p) =>
             val nCols = 2 + terms.size
             val deltas = Seq.newBuilder[DataFrame]
-            deltas += spark.read.parquet(s"$path/stats-v$prev")
+            deltas += spark.read.parquet(s"$path/stats-v$p")
             if (hasAdds)
               deltas += graft.operators.TextAnalysis.bm25Stats(tfd, terms.size)
             if (hasDels) {
-              val newTomb = prior.fold(dels)(p =>
-                dels.join(p, Seq("doc_id"), "left_anti"))
-              val tombTf = allTf()
+              val newTomb = prior.fold(dels)(pr =>
+                dels.join(pr.select("doc_id"), Seq("doc_id"), "left_anti"))
+              // the newly-tombstoned docs' own rows, read from the
+              // CURRENT GENERATION only — the compacted base plus the
+              // delta dirs above it, id-bounded at this batch (ADVICE
+              // r17: an unbounded read would also count a rewound
+              // checkpoint's never-published tf batch). With periodic
+              // compaction this is O(compactEvery) dirs, not O(stream
+              // life) — the delete-path twin of the r17 stats fix.
+            val tombTf = tfState(spark, fs, path, batchId)
+                .getOrElse(tfd.limit(0))
                 .join(broadcast(newTomb), Seq("doc_id"), "left_semi")
               val neg = graft.operators.TextAnalysis.bm25Stats(tombTf, terms.size)
               deltas += neg.select(neg.columns.map(c => (-col(c)).as(c)): _*)
@@ -436,14 +488,123 @@ object EventStream {
                 cols.tail.map(c => sum(col(c)).as(c)): _*)
         }
         merged.write.mode("overwrite").parquet(s"$path/stats-v$batchId")
+        // the live tombstone snapshot published WITH the version: prior
+        // live entries plus this batch's genuinely-new tombstones, each
+        // carrying its tombstoning batch id (the provenance a later
+        // compaction's fold uses). repartition(1): the live set is
+        // bounded by deletes-since-last-compaction, and an EMPTY
+        // snapshot must still write one footer-carrying file
+        val newTomb = prior.fold(dels)(pr =>
+          dels.join(pr.select("doc_id"), Seq("doc_id"), "left_anti"))
+          .select(col("doc_id"), lit(batchId).as("tb"))
+        prior.fold(newTomb)(_ unionByName newTomb).repartition(1)
+          .write.mode("overwrite").parquet(s"$path/tomb-v$batchId")
         // reap all but the just-published and the previous version
-        // (the previous drains for readers that resolved it pre-publish)
-        val keep = Set(batchId) ++ versions.maxOption
-        versions.filterNot(keep).foreach { v =>
-          fs.delete(new org.apache.hadoop.fs.Path(s"$path/stats-v$v"), true)
+        // (the previous drains for readers that resolved it pre-publish;
+        // older ones age-gate on reapDrainMs — see [[bm25TopKFromIndex]]'s
+        // drain contract)
+        val keep = Set(batchId) ++ prev
+        def reapOld(prefix: String): Unit = {
+          val vs = versionedDirs(fs, path, prefix)
+          vs.filterNot(keep).foreach { v =>
+            // v was superseded no later than the publish of the next
+            // version above it — reap only once that publish has aged
+            // past the drain window (the FileSwap retire+drain discipline)
+            val sup = vs.filter(x => x > v && x != batchId).minOption
+            val aged = reapDrainMs <= 0L || sup.exists { s =>
+              val succ = new org.apache.hadoop.fs.Path(s"$path/$prefix$s/_SUCCESS")
+              System.currentTimeMillis() -
+                fs.getFileStatus(succ).getModificationTime >= reapDrainMs
+            }
+            if (aged)
+              fs.delete(new org.apache.hadoop.fs.Path(s"$path/$prefix$v"), true)
+          }
+        }
+        reapOld("stats-v")
+        reapOld("tomb-v")
+        // self-maintaining index: once the delta-dir count above the
+        // base generation reaches compactEvery, fold them (the inline
+        // trigger keeps the single-maintainer contract — no second
+        // process races the micro-batch sequence)
+        if (compactEvery > 0) {
+          val b = tfBases(fs, path).maxOption.getOrElse(-1L)
+          if (completeBatchDirs(fs, s"$path/tf").count(_._1 > b) >= compactEvery)
+            bm25Compact(spark, path)
         }
       }
     } finally { tfd.unpersist(); dels.unpersist() }
+  }
+
+  /** Fold the maintained BM25 index's delta dirs into ONE compacted
+    * generation — the long-run reset the r17 Scaladoc promised
+    * (VERDICT r17 #2), [[graft.operators.Layout.compactAndSwap]]'s
+    * out-of-place + publish-by-generation + retire-for-drain discipline
+    * composed over tf ∖ tombstones, under the SAME maintenance lock
+    * ([[graft.operators.Layout.acquireMaintenanceLock]]'s atomic
+    * `<path>.compacting` create), so an external maintenance op on the
+    * index path serializes with it.
+    *
+    * Mechanics, at the newest complete stats version v:
+    *   - live rows = (base generation ∪ delta dirs (base, v]) anti-join
+    *     the tomb-v<v> snapshot — written as the immutable generation
+    *     `tfbase-v<v>` (`_SUCCESS`-gated like every other read of this
+    *     tree; a crashed partial is invisible and rewritten on retry).
+    *     The published STATS are untouched: stats-v<v> already equals
+    *     the recompute over tf ∖ tombstones, which is exactly what the
+    *     new generation holds — EventStreamSpec pins top-k bit-for-bit
+    *     across the fold.
+    *   - the folded delta/tombstone dirs are NOT deleted here: a
+    *     version-consistent reader that resolved v pre-fold still holds
+    *     them (its base resolution ignores the newer generation), so
+    *     they drain for one full compaction cycle and the NEXT call
+    *     reaps everything at or below the PREVIOUS base — the same
+    *     previous-generation-drains rule as the stats reap.
+    *   - tombstones folded into a generation are RETIRED: the next
+    *     stats publish drops them from the live snapshot (`tb` ≤ base),
+    *     so the read path's anti-join set is bounded by deletes since
+    *     the last fold, not stream life — and a retired doc_id becomes
+    *     re-usable (the tombstone-is-final refusal covers live
+    *     tombstones; after the fold the id is simply absent, and
+    *     re-ingesting it is a fresh document).
+    *
+    * Returns the version the new generation covers. No-op (returns the
+    * existing base id) when the newest version is already compacted.
+    */
+  def bm25Compact(spark: SparkSession, path: String): Long = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val lock = graft.operators.Layout.acquireMaintenanceLock(fs, path)
+    try {
+      val v = statsVersions(fs, path).lastOption.getOrElse(
+        throw new IllegalStateException(
+          s"bm25Compact: no complete stats version under $path — " +
+            "nothing to compact"))
+      val prevBase = tfBases(fs, path).filter(_ <= v).maxOption.getOrElse(-1L)
+      if (prevBase == v) return prevBase
+      // reap the PREVIOUS fold's inputs first — they have drained for a
+      // full compaction cycle (see Scaladoc)
+      def reapAtOrBelow(root: String, id: Long): Unit =
+        completeBatchDirs(fs, s"$path/$root").collect {
+          case (b, d) if b <= id => d
+        }.foreach(d => fs.delete(new org.apache.hadoop.fs.Path(d), true))
+      if (prevBase >= 0) {
+        reapAtOrBelow("tf", prevBase)
+        reapAtOrBelow("tombstones", prevBase)
+        tfBases(fs, path).filter(_ < prevBase).foreach(b =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$path/tfbase-v$b"), true))
+      }
+      val tf = tfState(spark, fs, path, v).getOrElse(
+        throw new IllegalStateException(
+          s"bm25Compact: stats-v$v exists but no complete tf state ≤ $v"))
+      val live = tombSnapshot(spark, fs, path, v).fold(tf)(t =>
+        tf.join(t.select("doc_id"), Seq("doc_id"), "left_anti"))
+      val out = new org.apache.hadoop.fs.Path(s"$path/tfbase-v$v")
+      if (fs.exists(out)) fs.delete(out, true) // crashed partial
+      live.write.parquet(out.toString)
+      require(fs.exists(new org.apache.hadoop.fs.Path(s"$out/_SUCCESS")),
+        s"bm25Compact: $out has no _SUCCESS marker after the fold")
+      v
+    } finally graft.operators.Layout.releaseMaintenanceLock(fs, lock)
   }
 
   /** `_SUCCESS`-complete `batch=<id>` dirs under `root` with id ≤
@@ -468,17 +629,65 @@ object EventStream {
       .sortBy(_._1)
   }
 
-  /** `_SUCCESS`-complete stats versions under `path`, ascending. */
-  private def statsVersions(fs: org.apache.hadoop.fs.FileSystem,
-      path: String): Seq[Long] = {
+  /** `_SUCCESS`-complete `<prefix><id>` version dirs under `path`,
+    * ascending — the shared resolution for the index's three versioned
+    * families (`stats-v`, `tomb-v`, `tfbase-v`).
+    */
+  private def versionedDirs(fs: org.apache.hadoop.fs.FileSystem,
+      path: String, prefix: String): Seq[Long] = {
     val p = new org.apache.hadoop.fs.Path(path)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).map(_.getPath.getName).toSeq
-      .collect { case n if n.startsWith("stats-v") &&
-        n.drop(7).forall(_.isDigit) && n.length > 7 => n.drop(7).toLong }
+      .collect { case n if n.startsWith(prefix) &&
+        n.length > prefix.length &&
+        n.drop(prefix.length).forall(_.isDigit) => n.drop(prefix.length).toLong }
       .filter(v => fs.exists(
-        new org.apache.hadoop.fs.Path(s"$path/stats-v$v/_SUCCESS")))
+        new org.apache.hadoop.fs.Path(s"$path/$prefix$v/_SUCCESS")))
       .sorted
+  }
+
+  /** `_SUCCESS`-complete stats versions under `path`, ascending. */
+  private def statsVersions(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Seq[Long] = versionedDirs(fs, path, "stats-v")
+
+  /** `_SUCCESS`-complete compacted tf generations, ascending. */
+  private def tfBases(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Seq[Long] = versionedDirs(fs, path, "tfbase-v")
+
+  /** The live tombstone snapshot (doc_id, tb) at version `v`: ONE
+    * `tomb-v<v>` dir when the version published one (every r18+ publish
+    * does), else the legacy fold of the batch-scoped dirs ≤ v (an
+    * r17-created index; its next publish writes a snapshot). None ⇒ no
+    * tombstone exists at v.
+    */
+  private def tombSnapshot(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, path: String,
+      v: Long): Option[DataFrame] =
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/tomb-v$v/_SUCCESS")))
+      Some(spark.read.parquet(s"$path/tomb-v$v"))
+    else {
+      val dirs = completeBatchDirs(fs, s"$path/tombstones", v)
+      if (dirs.isEmpty) None
+      else Some(dirs.map { case (id, d) =>
+        spark.read.parquet(d).select(col("doc_id"), lit(id).as("tb"))
+      }.reduce(_ unionByName _))
+    }
+
+  /** The tf state a reader at version `v` scores: the newest compacted
+    * generation at or below v plus the delta dirs above it — O(deltas
+    * since the last fold) dirs, never O(stream life). None ⇒ no tf rows
+    * exist at v.
+    */
+  private def tfState(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, path: String,
+      v: Long): Option[DataFrame] = {
+    val base = tfBases(fs, path).filter(_ <= v).maxOption
+    val c = base.getOrElse(-1L)
+    val dirs = completeBatchDirs(fs, s"$path/tf", v)
+      .collect { case (id, d) if id > c => d }
+    val parts = base.map(b => s"$path/tfbase-v$b").toSeq ++ dirs
+    if (parts.isEmpty) None
+    else Some(spark.read.parquet(parts: _*))
   }
 
   /** Top-k over the maintained BM25 index — the batch-side read of
@@ -502,18 +711,25 @@ object EventStream {
       throw new IllegalStateException(
         s"bm25TopKFromIndex: no complete stats version under $path — " +
           "has bm25IndexTo processed a non-empty batch yet?"))
-    val tfDirs = completeBatchDirs(fs, s"$path/tf", v).map(_._2)
-    if (tfDirs.isEmpty) throw new IllegalStateException(
-      s"bm25TopKFromIndex: stats-v$v exists but no complete tf batch ≤ $v")
-    val tf0 = spark.read.parquet(tfDirs: _*)
-    // no broadcast hint on the tombstone anti-join: the set grows with
-    // deletions over stream life — Catalyst broadcasts it while small
-    // and falls back when it isn't (a periodic compaction of
-    // tf ∖ tombstones is the long-run reset, Layout.compactAndSwap's job)
-    val tombDirs = completeBatchDirs(fs, s"$path/tombstones", v).map(_._2)
-    val tf = if (tombDirs.isEmpty) tf0
-      else tf0.join(spark.read.parquet(tombDirs: _*).select("doc_id"),
-        Seq("doc_id"), "left_anti")
+    // tf state = compacted base + delta dirs above it (O(deltas since
+    // the last bm25Compact) dirs); the tombstone anti-join set is the
+    // ONE live snapshot published with v, bounded the same way. DRAIN
+    // CONTRACT (VERDICT r17 #3): a resolved version's dirs survive at
+    // least one further publish by default (the keep-current-+-previous
+    // reap), so a read must plan AND execute within one publish
+    // interval of resolving v; maintainers whose readers can be slower
+    // pass reapDrainMs — superseded versions are then reaped only after
+    // that many ms have passed since the superseding publish. A reader
+    // that overstays either window fails LOUDLY (missing dir), never
+    // with wrong data.
+    val tf0 = tfState(spark, fs, path, v).getOrElse(
+      throw new IllegalStateException(
+        s"bm25TopKFromIndex: stats-v$v exists but no complete tf state ≤ $v"))
+    // no broadcast hint on the tombstone anti-join: the live set is
+    // bounded by deletions since the last compaction — Catalyst
+    // broadcasts it while small and falls back when it isn't
+    val tf = tombSnapshot(spark, fs, path, v).fold(tf0)(t =>
+      tf0.join(t.select("doc_id"), Seq("doc_id"), "left_anti"))
     graft.operators.TextAnalysis.bm25ScoreFrames(
       tf, spark.read.parquet(s"$path/stats-v$v"), nTerms, k)
   }

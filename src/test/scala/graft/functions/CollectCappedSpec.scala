@@ -77,6 +77,22 @@ class CollectCappedSpec extends AnyFunSuite with SparkFixture {
       s"zero weight not rejected: ${e.getMessage}")
   }
 
+  test("collect_wcapped ignores NULL children entirely, like its unweighted twin (ADVICE r17)") {
+    import spark.implicits._
+    // g=0 carries a NULL item with weight 5: were the weight consumed
+    // (the r17 behavior), the bucket would exceed cap 6 and drop — the
+    // documented 'weighted form of CollectCappedAgg' contract says a
+    // NULL child is invisible to item AND census alike
+    val df = Seq((0L, Some(10L), 2L), (0L, None, 5L), (0L, Some(11L), 3L))
+      .toDF("g", "id", "w").repartition(2)
+    val out = df.groupBy("g")
+      .agg(CollectCapped.collect_wcapped(col("id"), col("w"), 6L).as("xs"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Long](1).sorted)).toMap
+    assert(out(0L) == Seq(10L, 11L),
+      s"NULL child must not consume weight budget: ${out(0L)}")
+  }
+
   test("collect_capped over struct elements survives serialize/merge") {
     import spark.implicits._
     val df = (1L to 30L).map(i => (i % 3, i, i * 100)).toDF("g", "a", "b")
