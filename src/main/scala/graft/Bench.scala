@@ -55,7 +55,10 @@ import org.apache.spark.sql.SparkSession
   * Host-calibration canary (round-13, per the r12 verdict): `"cal"` is
   * [start, end] — the mean observed/floor ratio of isolated cold shots
   * of two code-frozen floor queries (q01, q08), measured right after
-  * the warm pass and again right after the timed suite. It is the
+  * the warm pass and again right after the timed suite. Since r18 a
+  * degraded START canary (> 1.3) is retried — the suite WAITS out the
+  * host phase, bounded at 3 × 30 s — and the retry count rides the cal
+  * array as a 5th element, so the artifact documents its own retry. It is the
   * drift normalizer the uniform-slowdown trigger structurally can't
   * be: a host phase that inflates everything ~uniformly reads as
   * cal≈1.2–1.5 with zero per-query flags, and the comparable total
@@ -92,6 +95,16 @@ object Bench {
       regressed: Seq[(String, Double, Double)]): Seq[String] =
     (regressed.sortBy { case (_, med, prev) => -med / prev }
       .map(_._1) ++ stallFlagged).distinct
+
+  /** Iso wall deadlines, seconds since bench start (r18, r17 verdict
+    * #1): the wall budget is RESERVED for prev-round regression movers
+    * — they carry no exonerating evidence without their shot, so they
+    * keep shooting 45 s past the stall-flag cutoff (a stall flag
+    * already carries its best rep + diag context). Both sit under the
+    * driver's 590 s kill with the line print's margin.
+    */
+  val IsoDeadlineRegression = 550.0
+  val IsoDeadlineStall = 505.0
 
   /** Scan a committed artifact's `"queries":{…}` body into qNN-keyed
     * medians. Accepts BOTH key spellings — "q157" (r≤16 artifacts) and
@@ -237,7 +250,24 @@ object Bench {
       }
       if (ratios.isEmpty) None else Some(ratios.sum / ratios.size)
     }
-    val calStart = calPoint()
+    // Cal-gated retry (r18, VERDICT r17 #1): the r17 canonical artifact
+    // was captured in a 1.65× host phase the cal instrument itself
+    // measured — and then had to be adjudicated from five out-of-band
+    // clean runs. When the start canary reads degraded, WAIT the phase
+    // out (bounded: ≤3 × 30 s, and never past 240 s elapsed — the rep-
+    // shedding guards below still own the 590 s kill budget) and
+    // re-probe; the retry count rides the cal array (5th element, only
+    // when > 0) so the artifact documents its own retry in-band.
+    var calStart = calPoint()
+    var calRetries = 0
+    while (calRetries < 3 && calStart.exists(_ > 1.3) &&
+        (System.nanoTime() - benchStart) / 1e9 < 240.0) {
+      System.err.println(f"[bench] cal-start ${calStart.get}%.2f > 1.3 — " +
+        f"host phase; waiting 30 s before re-probe (retry ${calRetries + 1})")
+      Thread.sleep(30000L)
+      calRetries += 1
+      calStart = calPoint()
+    }
     var failed = List.empty[String]
     val gcTimed0 = gcMillis()
     // name, median, min, max, gcPct (GC share of summed rep wall, %),
@@ -346,7 +376,8 @@ object Bench {
       case (None, None) => ""
       case (a, b) =>
         "\"cal\":[" + a.fold("null")(v => fq(math.min(v, 9.9))) + "," +
-          b.fold("null")(v => fq(math.min(v, 9.9))) + s",$g,$w],"
+          b.fold("null")(v => fq(math.min(v, 9.9))) + s",$g,$w" +
+          (if (calRetries > 0) s",$calRetries" else "") + "],"
     }
     val calPresent = calStart.nonEmpty || calEnd.nonEmpty
     // Keys are the leading qNN id (unique across the suite; full names are
@@ -488,22 +519,38 @@ object Bench {
     // the r15 closing set showed the old pre-iso ladder dropping diag
     // on worst-cost estimates while the final line left ~20 B unused.
     val lineSansIso = lineLen("")
+    val regressedNames = regressed.map(_._1).toSet
+    val medianByName = results.map(r => r._1 -> r._2).toMap
     var isoBytes = 0
     val iso = isoCandidates.take(16).flatMap { name =>
       // The driver kills the process at 590 s. The iso pass triggers on
       // hosts slow enough to FLAG queries — exactly when extra cold
       // shots could push past the kill and lose the entire JSON line.
-      // Skip remaining shots once elapsed wall nears the budget: a
-      // missing iso entry is recoverable evidence, a lost artifact isn't.
+      // Shots are shed once elapsed + the query's own predicted cost
+      // nears the budget, with the budget RESERVED for prev-round
+      // regression movers (r17 verdict #1: q49's regression shot was
+      // shed by a flat 500 s cutoff in the exact degraded run that
+      // needed it; a stall flag already carries its best rep + diag as
+      // evidence, so it yields first). A wall-shed shot renders as an
+      // explicit `"id":null` — "flagged, NOT exonerated" — so the
+      // artifact is self-describing about what was never re-measured.
       // per-entry worst width: quote+id+quote+colon+value+comma with the
       // value at fc's 3-char worst ("NN":9.9, — iso values render
       // through fc since r15: exoneration compares against 2×
       // thresholds, where one decimal is plenty; BASELINE carries
       // full-precision isolated measures from SPARK_GRAFT_ONLY runs)
       val entryCost = rid(name).length + 7
-      if ((System.nanoTime() - benchStart) / 1e9 > 500.0) {
+      val nullCost = rid(name).length + 8
+      val deadline =
+        if (regressedNames(name)) Bench.IsoDeadlineRegression
+        else Bench.IsoDeadlineStall
+      val predicted = math.max(medianByName.getOrElse(name, 1.0), 1.0)
+      if ((System.nanoTime() - benchStart) / 1e9 + predicted > deadline) {
         System.err.println(s"[bench] $name isolated SKIPPED (wall budget)")
-        None
+        if (lineSansIso + isoBytes + nullCost <= 1918) {
+          isoBytes += nullCost
+          Some((name, Double.NaN))
+        } else None
       } else if (lineSansIso + isoBytes + entryCost > 1918) {
         System.err.println(s"[bench] $name isolated SKIPPED (line budget)")
         None
@@ -533,7 +580,8 @@ object Bench {
       }
     }
     val isoJson = if (iso.isEmpty) "" else
-      "\"iso\":" + iso.map(r => "\"" + rid(r._1) + "\":" + fc(r._2))
+      "\"iso\":" + iso.map(r => "\"" + rid(r._1) + "\":" +
+          (if (r._2.isNaN) "null" else fc(r._2)))
         .mkString("{", ",", "},")
     // total through fq (4-char worst): the per-query medians carry the
     // detail. Field renames, r14 line-budget trim for q152/q153: "gc" →

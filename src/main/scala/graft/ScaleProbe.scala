@@ -1836,6 +1836,81 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // r18 (VERDICT r17 #6): the q160 read-floor discipline applied to
+    // the EVENTS fact — textWrite is a SEMANTICS-FREE rewrite (schema
+    // kept), so the PRODUCTION sessions-family queries run unmodified
+    // over both layouts, and a DuckDB oracle can run over the SAME
+    // files for the cross-engine adopt-or-reject point. Control = the
+    // familyCurve corpus + write (user/event-id-shifted copies, union
+    // task layout); curated = files × blockBytes textWrite of the SAME
+    // rows.
+    if (op == "eventslayout") {
+      val names = Seq("q87_sessionize", "q92_funnel", "q93_lead_lag",
+        "q94_retention")
+      val files = sys.env.getOrElse("SPARK_GRAFT_TEXTFILES", "64").toInt
+      val blockB = sys.env.getOrElse("SPARK_GRAFT_TEXTBLOCK",
+        (32L << 20).toString).toLong
+      val root = java.nio.file.Files.createTempDirectory(
+        s"graft_evlayout${factor}x_").toString
+      val (ctl, cur) = (s"$root/control", s"$root/curated")
+      val shift = 1L << 32
+      val base = Tables.load(spark, sfDir, "events")
+      (0 until factor).map(i =>
+          base.withColumn("user_id", col("user_id") + lit(i * shift))
+            .withColumn("event_id", col("event_id") + lit(i * shift)))
+        .reduce(_ unionByName _)
+        .write.parquet(s"$ctl/events.parquet")
+      val rows = spark.read.parquet(s"$ctl/events.parquet").count()
+      val writeSec = {
+        val t0 = System.nanoTime()
+        operators.Layout.textWrite(
+          spark.read.parquet(s"$ctl/events.parquet"),
+          s"$cur/events.parquet", files, blockB)
+        (System.nanoTime() - t0) / 1e9
+      }
+      for (d <- Seq(ctl, cur); t <- Tables.names if t != "events")
+        java.nio.file.Files.createSymbolicLink(
+          java.nio.file.Paths.get(s"$d/$t.parquet"),
+          java.nio.file.Paths.get(s"$sfDir/$t.parquet").toAbsolutePath)
+      // INTERLEAVED cold reps (this host's multi-minute phases would
+      // otherwise land on one whole layout's pass and fake the verdict
+      // either way — the first two single-shot runs read −74% and +39%
+      // for the same code): each query alternates control/curated three
+      // times, so both layouts see every phase, and the reported number
+      // is the per-layout median.
+      val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+      def shot(name: String, dir: String): Double = {
+        operators.GraftCache.releaseAll(); spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+      val pairs = names.map { name =>
+        operators.GraftCache.releaseAll(); spark.catalog.clearCache()
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save() // warm, untimed
+        val both = (1 to reps).map(_ => (shot(name, ctl), shot(name, cur)))
+        System.err.println(f"[eventslayout] $name ctl=" +
+          both.map(b => f"${b._1}%.2f").mkString(",") + " cur=" +
+          both.map(b => f"${b._2}%.2f").mkString(","))
+        (name.takeWhile(_ != '_'), median(both.map(_._1)), median(both.map(_._2)))
+      }
+      val tc = pairs.map(p => (p._1, p._2))
+      val tu = pairs.map(p => (p._1, p._3))
+      def qmap(t: Seq[(String, Double)]) =
+        t.map { case (q, s) => f""""$q":$s%.3f""" }.mkString("{", ",", "}")
+      // scalastyle:off println
+      println(f"""{"op":"eventslayout","factor":$factor,"rows":$rows,""" +
+        f""""files":$files,"block":$blockB,"write_sec":$writeSec%.3f,""" +
+        f""""control_sec":${tc.map(_._2).sum}%.3f,"curated_sec":${tu.map(_._2).sum}%.3f,""" +
+        f""""control":${qmap(tc)},"curated":${qmap(tu)},""" +
+        f""""control_dir":"$ctl","curated_dir":"$cur"}""")
+      // scalastyle:on println
+      spark.stop()
+      return
+    }
     // Embedding-statistics family curve: the Gramian / covariance /
     // correlation queries COLD over N× vec_id-shifted embeddings. The
     // design claim under measure: ONE corpus pass with O(d²) mergeable
@@ -2044,15 +2119,13 @@ object ScaleProbe {
     // codebooks are at least as good as q158's plain codebooks.
     if (op == "ivfsweep") {
       import operators.Similarity
-      // centroid stride is env-tunable (default the gate's): the gate
-      // stride scales cells as N/100, making the coarse assignment's
-      // N·C arithmetic N²/100 — fine at gate scale, quadratic at 100×.
-      // Corpus practice sizes C ≈ √N; SPARK_GRAFT_CENTSTRIDE=1000 at
-      // 100× keeps C = 200 and the assignment at 40M dots.
-      val centStride = sys.env.getOrElse("SPARK_GRAFT_CENTSTRIDE",
-        Similarity.CentroidStride.toString).toInt
-      val isC = col("vec_id") % centStride === 0
-      val cents = Similarity.ivfCents(vecs, isC).localCheckpoint()
+      // coarse quantizer TRAINED at C ≈ √N (VERDICT r17 #3: the r17
+      // sweep worked around the gate's stride-derived C — which scales
+      // as N/100 and makes the N·C coarse assignment quadratic — with
+      // an env knob; C is now a first-class ivfTrainCents parameter
+      // with the paper's √N default, and gate/sweep/production share
+      // the one ivfAdcWith chain)
+      val cents = Similarity.ivfTrainCents(vecs).localCheckpoint()
       val nCells = cents.count().toInt
       val bf = Similarity.annBruteForce(
         operators.GraftCache.track(vecs), isQuery).localCheckpoint()
@@ -2071,8 +2144,8 @@ object ScaleProbe {
       val points = probeList.map { np =>
         val t0 = System.nanoTime()
         val approx =
-          if (rerank) Similarity.ivfAdcRerank(vecs, isQuery, isC, nprobe = np)
-          else Similarity.ivfAdc(vecs, isQuery, isC, nprobe = np)
+          if (rerank) Similarity.ivfAdcRerankWith(vecs, isQuery, cents, nprobe = np)
+          else Similarity.ivfAdcWith(vecs, isQuery, cents, nprobe = np)
         val r = Similarity.recallAtK(bf, approx)
           .agg(sum(col("hits")).as("h"), sum(col("k_exact")).as("k")).head()
         val sec = (System.nanoTime() - t0) / 1e9
@@ -2126,10 +2199,11 @@ object ScaleProbe {
         // r17: the q159 IVFADC path — coarse cells + residual PQ, each
         // query scanning only its probed cells (nprobe via
         // SPARK_GRAFT_NPROBE); read against pqadc's same-factor point,
-        // the delta IS the candidate-restriction term
-        case "ivfadc" => operators.Similarity.ivfAdc(vecs, isQuery,
-          col("vec_id") % sys.env.getOrElse("SPARK_GRAFT_CENTSTRIDE",
-            operators.Similarity.CentroidStride.toString).toInt === 0,
+        // the delta IS the candidate-restriction term. r18: the coarse
+        // quantizer is Lloyd-trained at C ≈ √N (ivfTrainCents — no env
+        // knob, the production sizing)
+        case "ivfadc" => operators.Similarity.ivfAdcWith(vecs, isQuery,
+          operators.Similarity.ivfTrainCents(vecs),
           nprobe = sys.env.getOrElse("SPARK_GRAFT_NPROBE",
             operators.Similarity.NProbe.toString).toInt)
         // Prepared-batch INSERT throughput through the DSv2 write path

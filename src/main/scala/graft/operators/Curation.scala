@@ -76,7 +76,18 @@ object Curation {
     */
   def dsirSelect(target: DataFrame, candidates: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
-      buckets: Int = DsirBuckets, topN: Int = DsirTopN): DataFrame = {
+      buckets: Int = DsirBuckets, topN: Int = DsirTopN): DataFrame =
+    dsirScores(target, candidates, idCol, textCol, buckets)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topN)
+
+  /** The DSIR importance scores (doc_id, score) behind [[dsirSelect]]
+    * and [[dsirResample]] — factored so the deterministic top-N arm and
+    * the seeded resampling arm share one scoring chain.
+    */
+  def dsirScores(target: DataFrame, candidates: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      buckets: Int = DsirBuckets): DataFrame = {
     def feats(df: DataFrame): DataFrame =
       Dedup.corpus(df, idCol, textCol)
         .select(col("doc_id"), split(col("text"), " ").as("a"))
@@ -106,9 +117,65 @@ object Curation {
           expr(s"(1000000 * (cr + 1)) div ${nr + buckets}L")).as("w"))
     cf.join(broadcast(w), "b")
       .groupBy("doc_id").agg(sum(col("w")).as("score"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(topN)
   }
+
+  /** Gumbel-noise geometry for [[dsirResample]]: the quantized inverse
+    * CDF's bucket count and the ×10⁶ integer scale, plus the default
+    * per-score-unit inverse temperature (probed on the testdata corpus:
+    * scores span ~[−450k, −40k] with IQR ≈ 200k at every sf, so λ = 10
+    * puts the signal's IQR (~2.0e6) on the Gumbel IQR (~1.7e6) — both
+    * terms decide).
+    */
+  val GumbelBuckets = 1024
+  val DsirLambda = 10L
+
+  /** Quantized standard-Gumbel inverse CDF: entry b is
+    * round(−ln(−ln((b+0.5)/n)) · 10⁶) — computed ONCE on the driver and
+    * embedded as the same integer literal table in BOTH engines, so no
+    * `ln` is ever evaluated inside either engine (the q128/q162 no-ln
+    * cross-engine discipline applied to the random draw itself).
+    */
+  def gumbelTable(n: Int = GumbelBuckets): IndexedSeq[Long] =
+    (0 until n).map { b =>
+      val u = (b + 0.5) / n
+      math.round(-math.log(-math.log(u)) * 1e6)
+    }
+
+  /** The table as a DuckDB list literal, for the oracle. */
+  def gumbelTableSql(n: Int = GumbelBuckets): String =
+    gumbelTable(n).mkString("[", ",", "]")
+
+  /** DSIR importance RESAMPLING (Xie et al. arXiv:2302.03169 §2 — the
+    * paper's actual selection, vs [[dsirSelect]]'s deterministic top-N
+    * arm): sample N candidates without replacement with probability
+    * ∝ exp(λ·score) via the Gumbel-top-k equivalence — select the top N
+    * of λ·score_i + G_i where G_i is standard Gumbel noise. The draw is
+    * ENGINE-REPLAYABLE (VERDICT r17 #5): G_i comes from the quantized
+    * inverse-CDF table ([[gumbelTable]]) indexed by the h60 content
+    * hash of `seed` and the doc id — the [[hashSplit]] discipline, so
+    * the same seed replays the same selection across runs, engines and
+    * partitionings, and the oracle replays it exactly (the 1024-bucket
+    * discretization of the Gumbel is the documented substitution, like
+    * the linearized rate weights).
+    *
+    * Scale shape: [[dsirScores]]'s one broadcast-weight pass, then a
+    * pure per-row projection (literal-array lookup + one multiply-add)
+    * and a TakeOrdered — nothing beyond the scoring chain's cost.
+    * Overflow-safe: |score·λ| < 2^40 at any document length, |G| ≤ 8e6.
+    */
+  def dsirResample(target: DataFrame, candidates: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      buckets: Int = DsirBuckets, topN: Int = DsirTopN,
+      lambda: Long = DsirLambda, seed: String = "dsir",
+      noiseBuckets: Int = GumbelBuckets): DataFrame =
+    dsirScores(target, candidates, idCol, textCol, buckets)
+      .withColumn("g", element_at(typedLit(gumbelTable(noiseBuckets)),
+        ((h60(concat(lit(s"gumbel:$seed:"), col("doc_id").cast("string")))
+          % noiseBuckets) + 1).cast("int")))
+      .withColumn("key", col("score") * lambda + col("g"))
+      .orderBy(col("key").desc, col("doc_id"))
+      .limit(topN)
+      .select("doc_id", "score", "key")
 
   /** Curate any (id, text) frame:
     *   1. exact dedup — min-id representative per distinct text;
@@ -478,6 +545,43 @@ object Curation {
     }) { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
       dsirSelect(docs.filter(col("doc_id") % 7 === 3),
+        docs.filter(col("doc_id") % 7 =!= 3))
+    },
+
+    // DSIR importance RESAMPLING (q163): the paper's Gumbel-top-k draw,
+    // engine-replayable — the oracle replays the same seeded selection
+    // from the same quantized-Gumbel literal table, including the
+    // LIMIT-boundary tiebreak.
+    Q("q163_dsir_resample", {
+      val B = DsirBuckets
+      def feats(src: String, p: String): String =
+        s"${p}a AS (SELECT doc_id, string_split(text, ' ') AS a FROM $src), " +
+          s"${p}f AS (SELECT doc_id, ${h60Sql("tok")} % $B AS b FROM (" +
+          s"SELECT doc_id, unnest(a) AS tok FROM ${p}a " +
+          "UNION ALL " +
+          "SELECT doc_id, unnest([a[i] || ' ' || a[i+1] " +
+          s"FOR i IN generate_series(1, len(a) - 1)]) AS tok FROM ${p}a))"
+      "WITH tgt AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 3), " +
+        "cand AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3), " +
+        feats("tgt", "t") + ", " + feats("cand", "c") + ", " +
+        "tc AS (SELECT b, COUNT(*)::BIGINT AS ct FROM tf GROUP BY b), " +
+        "cc AS (SELECT b, COUNT(*)::BIGINT AS cr FROM cf GROUP BY b), " +
+        "tot AS (SELECT (SELECT COUNT(*) FROM tf)::BIGINT AS nt, " +
+        "(SELECT COUNT(*) FROM cf)::BIGINT AS nr), " +
+        "w AS (SELECT cc.b AS b, " +
+        s"(1000000 * (COALESCE(tc.ct, 0) + 1)) // (nt + $B) - " +
+        s"(1000000 * (cc.cr + 1)) // (nr + $B) AS w " +
+        "FROM cc LEFT JOIN tc ON cc.b = tc.b CROSS JOIN tot), " +
+        "sc AS (SELECT doc_id, CAST(SUM(w.w) AS BIGINT) AS score " +
+        "FROM cf JOIN w ON cf.b = w.b GROUP BY doc_id), " +
+        s"gt AS (SELECT ${gumbelTableSql()} AS tab) " +
+        s"SELECT doc_id, score, score * $DsirLambda + " +
+        s"tab[((${h60Sql("'gumbel:dsir:'||doc_id")}) % $GumbelBuckets) + 1] AS key " +
+        "FROM sc CROSS JOIN gt " +
+        s"ORDER BY key DESC, doc_id LIMIT $DsirTopN"
+    }) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      dsirResample(docs.filter(col("doc_id") % 7 === 3),
         docs.filter(col("doc_id") % 7 =!= 3))
     },
 

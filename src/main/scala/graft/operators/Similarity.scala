@@ -240,6 +240,57 @@ object Similarity {
     * threshold table broadcasts back. Bin-granularity ties keep
     * selection pure-integer and engine-exact.
     */
+  /** SemDeDup similarity threshold for the q164 gate, probed on the
+    * testdata embeddings (within-cell cosine p99 ≈ 0.33, max ≈ 0.51 on
+    * this near-random corpus): 0.30 drops a real ~1–2% tail without
+    * emptying a cell. Production embedding spaces cluster far tighter —
+    * the paper's operating range is 1 − ε ≈ 0.95+; the threshold is the
+    * caller's knob.
+    */
+  val SemDedupThr = 0.30
+
+  /** SemDeDup — SEMANTIC deduplication by cluster-scoped pairwise
+    * similarity (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv:2303.09540 §2):
+    * k-means the corpus, compare pairs only WITHIN a cluster, and drop
+    * every vector whose cosine to an earlier-ranked cluster member
+    * reaches `thr` — keeping, per duplicate group, the member FARTHEST
+    * from its centroid (the paper's "keep low-centroid-similarity"
+    * choice: hard examples survive, prototypical copies drop). The
+    * paper's matrix formulation compares against ALL earlier-ranked
+    * members, kept or dropped — mirrored here (documented choice, same
+    * as theirs).
+    *
+    * Output (vec_id, cell, dist, kept) for every vector; kept = 1 for
+    * survivors.
+    *
+    * Scale shape: the composition VERDICT r17 #8 sketched, entirely
+    * from shipped parts — [[kmeansAssign]]'s shuffle-free
+    * literal-centroid assignment, ONE per-cell rank window, and a
+    * cell-keyed equi self-join (never a cartesian): the quadratic term
+    * is per-cell (N/k)², bounded by k — the paper's own knob (they run
+    * 50k clusters at web scale). All inputs to the threshold compare
+    * are exact int64 → one IEEE division each, so both engines cut the
+    * same pairs bit-for-bit.
+    */
+  def semDeDup(n0: DataFrame, k: Int = KmeansK, iters: Int = KmeansIters,
+      thr: Double = SemDedupThr): DataFrame = {
+    val n = GraftCache.track(n0)
+    val w = Window.partitionBy("cell").orderBy(col("dist").desc, col("vec_id"))
+    // persisted: the ranked assignment feeds both self-join sides and
+    // the output join
+    val r = GraftCache.track(kmeansAssign(n, k, iters)
+      .withColumn("rnk", row_number().over(w)))
+    val l = r.join(n, "vec_id")
+    val dup = l.as("i").join(l.as("j"),
+        col("i.cell") === col("j.cell") && col("j.rnk") < col("i.rnk"))
+      .filter(cosOf(col("i.q"), col("i.nrm"), col("j.q"), col("j.nrm")) >= thr)
+      .select(col("i.vec_id").as("vec_id")).distinct()
+    r.join(dup.withColumn("dup", lit(1L)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("dist"),
+        when(col("dup").isNull, 1L).otherwise(0L).as("kept"))
+  }
+
   def semanticOutliers(n0: DataFrame, k: Int = KmeansK, iters: Int = KmeansIters,
       permille: Int = ProtoPermille): DataFrame = {
     val a = kmeansAssign(n0, k, iters)
@@ -525,9 +576,76 @@ object Similarity {
 
   def ivfAdc(n0: DataFrame, isQuery: Column, isCentroid: Column,
       nprobe: Int = NProbe, m: Int = PqM, ksub: Int = PqKsub,
+      iters: Int = PqIters, k: Int = TopK): DataFrame =
+    ivfAdcWith(n0, isQuery, ivfCents(n0, isCentroid), nprobe, m, ksub,
+      iters, k)
+
+  /** Integer-Lloyd TRAINING for the IVFADC coarse quantizer, with the
+    * cell count C a FIRST-CLASS parameter (VERDICT r17 #3: the gates'
+    * stride-sampled seeding makes C track N — fine at gate scale where
+    * the oracle must replay the seeds, quadratic at corpus scale; the
+    * production sizing is C ≈ √N, the paper's balance point between the
+    * N·C coarse assignment and the N·nprobe/C scan). `c` ≤ 0 defaults
+    * to ⌈√N⌉.
+    *
+    * Seeds are a deterministic HASH-SPREAD sample: the C vectors with
+    * the smallest (h60(vec_id), vec_id) — NOT the C smallest ids (the
+    * kmeansAssign gate convention, fine at k = 8, but id order
+    * correlates with data layout at corpus scale: the first 100× sweep
+    * seeded every centroid inside one shifted copy and the skewed
+    * cells made nprobe=1 scan 7.7% of all pairs instead of ~0.5%).
+    * Each round is ONE broadcast argmin assignment
+    * ([[ivfAssign]] — the corpus never shuffles) plus ONE map-side-
+    * combinable per-cell aggregation, with truncating `div` integer
+    * means and empty cells keeping their previous centroid — the exact
+    * arithmetic [[kmeansAssign]] pins cross-engine. Unlike kmeansAssign
+    * the centroids stay a ≤C-row FRAME (localCheckpointed per round),
+    * not driver literals: C ≈ √N can be thousands, far past what a
+    * literal-centroid codegen expression tolerates, and [[ivfAssign]]
+    * broadcasts the frame anyway. Returns (cid, cq, cn) — feed it to
+    * [[ivfAdcWith]] / [[ivfAdcRerankWith]]; gate, sweep, and production
+    * share that one chain.
+    */
+  def ivfTrainCents(n0: DataFrame, c: Int = 0,
+      iters: Int = KmeansIters): DataFrame = GraftCache.scoped {
+    val n = GraftCache.track(n0)
+    val cEff = if (c > 0) c
+      else math.max(1, math.ceil(math.sqrt(n.count().toDouble)).toInt)
+    val nrm2 = "aggregate(cq, cast(0 AS bigint), (acc, x) -> acc + x * x)"
+    var cents = n.orderBy(
+        graft.functions.CrossHash.h60(col("vec_id").cast("string")), col("vec_id"))
+      .limit(cEff)
+      .select(col("vec_id").as("cid"), col("q").as("cq"))
+      .withColumn("cn", expr(nrm2))
+      .localCheckpoint()
+    val dims = n.select(size(col("q"))).head().getInt(0)
+    for (_ <- 1 until iters) {
+      val sums = (0 until dims).map(i =>
+        sum(expr(s"element_at(q, ${i + 1})")).as(s"s$i"))
+      val upd = ivfAssign(n, cents)
+        .groupBy(col("cell").as("cid"))
+        .agg(count(lit(1)).as("cnt"), sums: _*)
+        .select(col("cid"),
+          array((0 until dims).map(i => expr(s"s$i div cnt")): _*).as("uq"))
+        .withColumn("un",
+          expr(nrm2.replace("cq", "uq")))
+      cents = cents
+        .join(upd, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("uq"), col("cq")).as("cq"),
+          coalesce(col("un"), col("cn")).as("cn"))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** [[ivfAdc]] over an explicit centroid frame (cid, cq, cn) — the
+    * shared core the gate's predicate-seeded form and the trained
+    * [[ivfTrainCents]] form both run through, so the two cannot drift.
+    */
+  def ivfAdcWith(n0: DataFrame, isQuery: Column, cents: DataFrame,
+      nprobe: Int = NProbe, m: Int = PqM, ksub: Int = PqKsub,
       iters: Int = PqIters, k: Int = TopK): DataFrame = {
     val n = GraftCache.track(n0)
-    val cents = ivfCents(n, isCentroid)
     // residual frame (vec_id, cell, q = y − c(y)) — the PQ training and
     // encode input; persisted: training re-reads it iters·1 times
     val res = GraftCache.track(ivfAssign(n, cents)
@@ -577,9 +695,18 @@ object Similarity {
     */
   def ivfAdcRerank(n0: DataFrame, isQuery: Column, isCentroid: Column,
       nprobe: Int = NProbe, m: Int = PqM, ksub: Int = PqKsub,
+      iters: Int = PqIters, k: Int = TopK, rFactor: Int = 4): DataFrame =
+    ivfAdcRerankWith(n0, isQuery, ivfCents(n0, isCentroid), nprobe, m,
+      ksub, iters, k, rFactor)
+
+  /** [[ivfAdcRerank]] over an explicit centroid frame — see
+    * [[ivfAdcWith]].
+    */
+  def ivfAdcRerankWith(n0: DataFrame, isQuery: Column, cents: DataFrame,
+      nprobe: Int = NProbe, m: Int = PqM, ksub: Int = PqKsub,
       iters: Int = PqIters, k: Int = TopK, rFactor: Int = 4): DataFrame = {
     val n = GraftCache.track(n0)
-    val cand = ivfAdc(n, isQuery, isCentroid, nprobe, m, ksub, iters,
+    val cand = ivfAdcWith(n, isQuery, cents, nprobe, m, ksub, iters,
         k = rFactor * k)
       .select("qid", "vec_id")
     val p = cand
@@ -1111,6 +1238,27 @@ object Similarity {
     // on a BUCKETED distance histogram, tie-inclusive at bucket
     // granularity, so selection is pure integer arithmetic both engines
     // reproduce bit-for-bit.
+    // SemDeDup (q164): cluster-scoped semantic dedup — every pair is
+    // compared only within its k-means cell, the duplicate drops and
+    // the farthest-from-centroid member survives its group. Same
+    // integer Lloyd chain as q78; the pairwise cut is exact int64 dot /
+    // IEEE sqrt+divide, so both engines cut identical pairs.
+    Q("q164_semdedup",
+      "WITH " + kmeansCtes + ", " +
+        "r AS (SELECT vec_id, cell, dist, row_number() OVER (" +
+        "PARTITION BY cell ORDER BY dist DESC, vec_id) AS rnk FROM a2), " +
+        "l AS (SELECT r.vec_id, r.cell, r.rnk, n.q, n.nrm " +
+        "FROM r JOIN n USING (vec_id)), " +
+        "dup AS (SELECT DISTINCT i.vec_id AS vec_id FROM l i " +
+        "JOIN l j ON i.cell = j.cell AND j.rnk < i.rnk " +
+        s"WHERE (${qdotSql("i.q", "j.q")})::DOUBLE / " +
+        s"sqrt((i.nrm * j.nrm)::DOUBLE) >= $SemDedupThr) " +
+        "SELECT r.vec_id AS vec_id, r.cell AS cell, r.dist AS dist, " +
+        "CAST(CASE WHEN dup.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept " +
+        "FROM r LEFT JOIN dup ON r.vec_id = dup.vec_id ORDER BY vec_id") { (s, dir) =>
+      semDeDup(quantized(s, dir)).orderBy("vec_id")
+    },
+
     Q("q98_semantic_outliers",
       "WITH " + kmeansCtes + ", " +
         "mm AS (SELECT cell, MIN(dist) AS mn, " +

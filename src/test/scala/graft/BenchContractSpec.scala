@@ -80,7 +80,7 @@ class BenchContractSpec extends AnyFunSuite {
       .map(i => "\"15" + i + "\":9.9").mkString("{", ",", "}")
     val line = s"""{"metric":"t","value":99.9,"unit":"sec",""" +
       s""""queries":$medians,"iso":$iso,""" +
-      s""""cal":[9.99,9.99,99,999],""" +
+      s""""cal":[9.99,9.99,99,999,9],""" +
       s""""sf":"0.1"}"""
     assert(line.length <= 1918,
       s"bench JSON would be ${line.length} B; trim before the harness truncates it")
@@ -89,13 +89,23 @@ class BenchContractSpec extends AnyFunSuite {
     // this constant deliberately whenever a gate or renderer field moves.
     // Derivation: 1903 (the r16 model at 157 gates, q-prefixed keys)
     // − 157 (query keys drop 'q') − 2 (iso keys drop 'q') = 1744 at 157
-    // gates; each additional gate has a 3-digit id → 11 B worst width
+    // gates; + 2 for the r18 cal-retry element (",9" rides the cal array
+    // only when the start canary re-probed — worst case assumes it);
+    // each additional gate has a 3-digit id → 11 B worst width
     // ("NNN":99.9 plus its comma).
-    val expectedLen = 1744 + 11 * (SparkEntry.all.size - 157)
+    val expectedLen = 1746 + 11 * (SparkEntry.all.size - 157)
     assert(line.length == expectedLen,
       s"worst-case line is ${line.length} B, model says $expectedLen " +
-        "(1744 at 157 gates + 11 B per worst-width 3-digit gate) — the " +
+        "(1746 at 157 gates + 11 B per worst-width 3-digit gate) — the " +
         "renderer drifted; re-derive the budget before committing")
+  }
+
+  test("iso wall budget is reserved for regression movers (r17 verdict #1)") {
+    // regressions carry NO exonerating evidence without their shot —
+    // their deadline must strictly exceed the stall-flag deadline, and
+    // both must leave the 590 s driver kill real margin for the line
+    assert(Bench.IsoDeadlineRegression > Bench.IsoDeadlineStall)
+    assert(Bench.IsoDeadlineRegression <= 560.0)
   }
 
   test("iso candidates: evidence-less regressions first by ratio-vs-prev, then stall flags (r14 verdict item 2)") {

@@ -432,6 +432,66 @@ class AlgorithmPropertySpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("ivfTrainCents equals sequential integer Lloyd; the trained chain degenerates to exact search at full probe") {
+    import spark.implicits._
+    // the r18 first-class-C coarse quantizer (VERDICT r17 #3): training
+    // must match an independent sequential Lloyd of the same integer
+    // definitions, and the whole trained IVFADC+R chain must collapse to
+    // EXACT search when every cell is probed and R covers the corpus —
+    // an end-to-end pin that is independent of the training specifics
+    val genVecs = for {
+      n <- Gen.choose(10, 26)
+      vecs <- Gen.listOfN(n, Gen.listOfN(6, Gen.choose(-50L, 50L)))
+    } yield vecs.zipWithIndex.map { case (q, i) => (i.toLong, q) }
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    for (seed <- 1L to 6L) {
+      val vecs = sample(genVecs, seed)
+      val (c, iters) = (3, 2)
+      // sequential reference: seeds = the c vectors with the smallest
+      // (h60(id), id) — the hash-spread sample the operator uses (id
+      // order correlates with layout at scale); each round assigns by
+      // (d², cid) min and updates by truncating integer mean, empty
+      // cells keeping their previous centroid
+      def h60(s: String): Long = java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15), 16)
+      var seq: Seq[(Long, Seq[Long])] =
+        vecs.sortBy(v => (h60(v._1.toString), v._1)).take(c)
+          .map { case (id, q) => (id, q) }
+      for (_ <- 1 until iters) {
+        val byCell = vecs.groupBy { case (_, q) =>
+          seq.map { case (cid, cq) => (d2(q, cq), cid) }.min._2 }
+        seq = seq.map { case (cid, q0) =>
+          byCell.get(cid).map { ms =>
+            (cid, q0.indices.map(i => ms.map(_._2(i)).sum / ms.size).toList: Seq[Long])
+          }.getOrElse((cid, q0))
+        }
+      }
+      val expectCents = seq.map { case (cid, cq) =>
+        (cid, cq, cq.map(x => x * x).sum) }.toSet
+      val frame = vecs.map { case (id, q) => (id, q.toArray, q.map(x => x * x).sum) }
+        .toDF("vec_id", "q", "nrm")
+      val trained = Similarity.ivfTrainCents(frame, c, iters)
+      val got = trained.as[(Long, Array[Long], Long)].collect()
+        .map(t => (t._1, t._2.toSeq, t._3)).toSet
+      assert(got == expectCents, s"seed=$seed: $got vs $expectCents")
+      // full probe + R ≥ corpus ⇒ the compressed scan admits every pair
+      // and the exact re-rank returns the true L2 top-k
+      val k = 3
+      val gotTop = Similarity.ivfAdcRerankWith(frame,
+          col("vec_id") % 3 === 0, trained,
+          nprobe = c, m = 2, ksub = 4, iters = 1, k = k, rFactor = 16)
+        .as[(Long, Long, Long)].collect().toSet
+      val expectTop = vecs.filter(_._1 % 3 == 0).flatMap { case (qid, qq) =>
+        vecs.filter(_._1 != qid)
+          .map { case (vid, vq) => (qid, vid, d2(qq, vq)) }
+          .sortBy(t => (t._3, t._2)).take(k)
+      }.toSet
+      assert(gotTop == expectTop, s"seed=$seed full-probe exactness")
+    }
+  }
+
   test("packSequences equals the sequential prefix sum on random corpora") {
     import spark.implicits._
     val genCorpus = for {
