@@ -2196,6 +2196,13 @@ object ScaleProbe {
         // side should track annbrute's curve at a constant discount
         // while the per-vector footprint is m codes, not d coords)
         case "pqadc" => operators.Similarity.pqAdc(vecs, isQuery)
+        // r18: SemDeDup's corpus-scale form — √N trained cells bound
+        // the per-cell quadratic pair term to N^1.5 total (the paper's
+        // many-clusters regime; the q164 gate form's literal-centroid
+        // k=8 would be (N/8)²·8 = N²/8 here). Emits the full keep/drop
+        // decision; rows = corpus size.
+        case "semdedup" => operators.Similarity.semDeDupWith(vecs,
+          operators.Similarity.ivfTrainCents(vecs))
         // r17: the q159 IVFADC path — coarse cells + residual PQ, each
         // query scanning only its probed cells (nprobe via
         // SPARK_GRAFT_NPROBE); read against pqadc's same-factor point,

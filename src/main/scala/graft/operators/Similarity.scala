@@ -291,6 +291,33 @@ object Similarity {
         when(col("dup").isNull, 1L).otherwise(0L).as("kept"))
   }
 
+  /** [[semDeDup]]'s CORPUS-SCALE form: assignment over an explicit
+    * trained centroid frame ([[ivfTrainCents]] — C cells as a frame,
+    * broadcast argmin, never driver literals) instead of the gate's
+    * literal-centroid [[kmeansAssign]]. The paper runs 50k clusters at
+    * web scale precisely because the per-cell quadratic term is the
+    * cost: with C = √N the total pair work is N^1.5 — the same
+    * assignment arithmetic (exact int64 d², ties to the smaller cid),
+    * so AlgorithmPropertySpec pins this form against a sequential
+    * reference over the same trained centroids.
+    */
+  def semDeDupWith(n0: DataFrame, cents: DataFrame,
+      thr: Double = SemDedupThr): DataFrame = {
+    val n = GraftCache.track(n0)
+    val w = Window.partitionBy("cell").orderBy(col("dist").desc, col("vec_id"))
+    val r = GraftCache.track(ivfAssign(n, cents)
+      .select("vec_id", "cell", "dist")
+      .withColumn("rnk", row_number().over(w)))
+    val l = r.join(n, "vec_id")
+    val dup = l.as("i").join(l.as("j"),
+        col("i.cell") === col("j.cell") && col("j.rnk") < col("i.rnk"))
+      .filter(cosOf(col("i.q"), col("i.nrm"), col("j.q"), col("j.nrm")) >= thr)
+      .select(col("i.vec_id").as("vec_id")).distinct()
+    r.join(dup.withColumn("dup", lit(1L)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("dist"),
+        when(col("dup").isNull, 1L).otherwise(0L).as("kept"))
+  }
+
   def semanticOutliers(n0: DataFrame, k: Int = KmeansK, iters: Int = KmeansIters,
       permille: Int = ProtoPermille): DataFrame = {
     val a = kmeansAssign(n0, k, iters)
@@ -554,7 +581,7 @@ object Similarity {
         col("cid"), col("q"), col("cq")).as("e"))
       .groupBy("vec_id").agg(min(col("e")).as("e"))
       .select(col("vec_id"), col("e.cid").as("cell"),
-        col("e.q").as("q"), col("e.cq").as("cq"))
+        col("e.q").as("q"), col("e.cq").as("cq"), col("e.d").as("dist"))
 
   /** Each query's `nprobe` nearest cells with the query's PER-CELL
     * residual (qid, cell, rq = q − c); ties to the smaller cid.

@@ -489,6 +489,31 @@ class AlgorithmPropertySpec extends AnyFunSuite with SparkFixture {
           .sortBy(t => (t._3, t._2)).take(k)
       }.toSet
       assert(gotTop == expectTop, s"seed=$seed full-probe exactness")
+      // semDeDupWith — the corpus-scale SemDeDup form — over the SAME
+      // trained centroids: sequential assignment ((d², cid) min), rank
+      // (dist desc, id), drop on cosine ≥ thr to ANY earlier-ranked
+      // cluster member
+      val thr = 0.5
+      val gotSd = Similarity.semDeDupWith(frame, trained, thr)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val assigned = vecs.map { case (id, q) =>
+        val (d, cid) = seq.map { case (cid, cq) => (d2(q, cq), cid) }.min
+        (id, cid, d)
+      }
+      val ordered = assigned.groupBy(_._2).values.flatMap { ms =>
+        ms.sortBy(m => (-m._3, m._1)).zipWithIndex
+          .map { case ((id, cid, d), i) => (id, cid, d, i + 1) }
+      }.toSeq
+      val byId = vecs.toMap
+      def cosD(a: Seq[Long], b: Seq[Long]): Double =
+        a.zip(b).map { case (x, y) => x * y }.sum.toDouble /
+          math.sqrt((a.map(x => x * x).sum * b.map(x => x * x).sum).toDouble)
+      val expectSd = ordered.map { case (id, cid, d, rnk) =>
+        val dup = ordered.exists { case (jid, jcid, _, jrnk) =>
+          jcid == cid && jrnk < rnk && cosD(byId(id), byId(jid)) >= thr }
+        (id, cid, d, if (dup) 0L else 1L)
+      }.toSet
+      assert(gotSd == expectSd, s"seed=$seed semDeDupWith")
     }
   }
 
