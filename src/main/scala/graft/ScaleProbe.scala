@@ -1754,7 +1754,11 @@ object ScaleProbe {
       familyCurve(spark, sfDir, factor, "curation", "documents",
         Seq("doc_id"),
         Seq("q77_hash_split", "q81_pack_sequences", "q82_token_budget",
-          "q85_stratified_sample", "q99_shard_order", "q136_weighted_sample"))
+          "q85_stratified_sample", "q99_shard_order", "q136_weighted_sample",
+          // r18: the DSIR selection pair — broadcast-weight scoring with
+          // a map-side per-doc fold (q162 top-N; q163 adds the per-row
+          // Gumbel lookup + TakeOrdered), candidates stream once
+          "q162_dsir_select", "q163_dsir_resample"))
       return
     }
     // Text-analysis family curve: the per-row scoring/tokenization
