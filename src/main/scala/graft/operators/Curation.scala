@@ -177,6 +177,46 @@ object Curation {
       .limit(topN)
       .select("doc_id", "score", "key")
 
+  /** RHO-style excess-score data selection (Lin et al., "Rho-1: Not All
+    * Tokens Are What You Need", arXiv:2404.07965 — the document-level
+    * form of its excess-loss criterion): rank candidates by how much
+    * MORE probable a reference-corpus LM finds them than the raw
+    * corpus's own LM does. Two offline bigram LMs
+    * ([[TextAnalysis.lmTable]] — one trained on the hand-curated
+    * reference sample, one on the candidates themselves), each scoring
+    * every candidate with [[TextAnalysis.lmScoreAgainst]]'s
+    * integer-exact ppm mean (out-of-vocabulary bigrams at 0 ppm), and
+    * the selection key is the exact integer difference
+    * `excess = ref_ppm − raw_ppm` — a document generic under the raw
+    * distribution but probable under the reference is exactly the
+    * domain-relevant data the paper up-weights. House substitution,
+    * documented like DSIR's: probability-space ppm difference instead
+    * of log-loss difference (no `ln` exists that two engines round
+    * identically; the ordering is the same "reference likes it, raw
+    * doesn't" signal).
+    *
+    * Scale shape: both LM tables are vocabulary-bounded (the skewed
+    * head aggregation runs on COLLAPSED bigram tables); the candidate
+    * bigram stream probes each LM once through the composite-key join
+    * (AQE-splittable), two per-doc folds, one TakeOrdered. The
+    * reference corpus is small by definition.
+    */
+  def rhoSelect(reference: DataFrame, candidates: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      topN: Int = DsirTopN): DataFrame = {
+    val refScore = TextAnalysis.lmScoreAgainst(candidates,
+        TextAnalysis.lmTable(reference, idCol, textCol), idCol, textCol)
+      .select(col("doc_id"), col("lm_ppm").as("ref_ppm"))
+    val rawScore = TextAnalysis.lmScoreAgainst(candidates,
+        TextAnalysis.lmTable(candidates, idCol, textCol), idCol, textCol)
+      .select(col("doc_id"), col("lm_ppm").as("raw_ppm"))
+    refScore.join(rawScore, "doc_id")
+      .select(col("doc_id"), col("ref_ppm"), col("raw_ppm"),
+        (col("ref_ppm") - col("raw_ppm")).as("excess"))
+      .orderBy(col("excess").desc, col("doc_id"))
+      .limit(topN)
+  }
+
   /** Curate any (id, text) frame:
     *   1. exact dedup — min-id representative per distinct text;
     *   2. quality gate — distinct-token ratio minus stopword ratio
@@ -582,6 +622,43 @@ object Curation {
     }) { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
       dsirResample(docs.filter(col("doc_id") % 7 === 3),
+        docs.filter(col("doc_id") % 7 =!= 3))
+    },
+
+    // RHO-style excess-score selection (q165): candidates the
+    // reference LM finds more probable than the raw corpus's own LM —
+    // both LMs, both probes (OOV at 0 ppm), and the excess difference
+    // are exact integers, so the oracle hash-matches the selection
+    // including the LIMIT boundary.
+    Q("q165_rho_select", {
+      def bigrams(src: String, p: String): String =
+        s"${p}t AS (SELECT doc_id, string_split(text,' ') AS a FROM $src " +
+          "WHERE len(string_split(text,' ')) >= 2), " +
+          s"${p}b AS MATERIALIZED (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 " +
+          "FROM (SELECT doc_id, unnest([{'w1': a[i], 'w2': a[i+1]} " +
+          s"FOR i IN generate_series(1, len(a)-1)]) AS b FROM ${p}t))"
+      def lmOf(p: String): String =
+        s"${p}lm AS (SELECT w1, w2, (1000000 * c_big) // " +
+          "(SUM(c_big) OVER (PARTITION BY w1)) AS ppm FROM " +
+          s"(SELECT w1, w2, COUNT(*) AS c_big FROM ${p}b GROUP BY 1, 2))"
+      def scoreOf(lm: String, out: String, as: String): String =
+        s"$out AS (SELECT cb.doc_id, " +
+          s"CAST(SUM(COALESCE($lm.ppm, 0)) // COUNT(*) AS BIGINT) " +
+          s"AS $as FROM cb LEFT JOIN $lm " +
+          s"ON cb.w1 = $lm.w1 AND cb.w2 = $lm.w2 GROUP BY cb.doc_id)"
+      "WITH tgt AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 3), " +
+        "cand AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 3), " +
+        bigrams("tgt", "t") + ", " + bigrams("cand", "c") + ", " +
+        lmOf("t") + ", " + lmOf("c") + ", " +
+        scoreOf("tlm", "ref", "ref_ppm") + ", " +
+        scoreOf("clm", "raw", "raw_ppm") + " " +
+        "SELECT ref.doc_id AS doc_id, ref_ppm, raw_ppm, " +
+        "CAST(ref_ppm - raw_ppm AS BIGINT) AS excess FROM ref JOIN raw " +
+        "ON ref.doc_id = raw.doc_id " +
+        s"ORDER BY excess DESC, doc_id LIMIT $DsirTopN"
+    }) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      rhoSelect(docs.filter(col("doc_id") % 7 === 3),
         docs.filter(col("doc_id") % 7 =!= 3))
     },
 
