@@ -52,6 +52,16 @@ import org.apache.spark.sql.SparkSession
   * convicts the plan. The reported per-query median is NOT replaced —
   * `iso` is evidence alongside it, not a substitute.
   *
+  * Interaction with the cal-gated retry (ADVICE r18): the retry's
+  * sleeps + extra cold cal probes (up to ~90 s + 4 probes, on exactly
+  * the degraded hosts where wall is scarcest) spend from the same
+  * elapsed clock the iso deadlines cut against, so a retried cal can
+  * convert late stall-flag iso shots into `"id":null` "not exonerated"
+  * markers. That trade is deliberate — a clean cal bracket adjudicates
+  * the WHOLE suite while an iso shot adjudicates one query — so a
+  * null-heavy iso map after a retried cal (5th cal element > 0) is
+  * expected behavior, not an instrument failure.
+  *
   * Host-calibration canary (round-13, per the r12 verdict): `"cal"` is
   * [start, end] — the mean observed/floor ratio of isolated cold shots
   * of two code-frozen floor queries (q01, q08), measured right after

@@ -21,7 +21,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *     only, so downstream JDBC/document sinks receive each window
   *     exactly once.
   */
-object EventStream {
+object EventStream extends org.apache.spark.internal.Logging {
 
   /** Per-(hour window, event_type) count + exact DECIMAL sum of value,
     * with `lateness` watermark. Append-mode compatible: a window emits
@@ -423,6 +423,23 @@ object EventStream {
             "tombstones are final (until a compaction retires the id); " +
             "ingest under a fresh id")
       }
+      // bootstrap refusal HOISTED above the batch-dir writes (ADVICE
+      // r18): it depends only on fs state computed above (tf batch dirs
+      // and baseId), and the `_ != batchId` filter makes the pre- vs
+      // post-write evaluation identical — firing it after the writes
+      // would leave a complete tf/batch=<id> (and tombstone) orphan
+      // behind the error that a FOREIGN maintainer's later batch ids
+      // could silently fold into its stats
+      if (publish && prev.isEmpty) {
+        val foreign = completeBatchDirs(fs, s"$path/tf")
+          .map(_._1).filter(_ != batchId)
+        require(foreign.isEmpty && baseId < 0,
+          s"bm25MaintainBatch: tf state (batches ${foreign.mkString(",")}" +
+            s"${if (baseId >= 0) s", base $baseId" else ""}) " +
+            "exists with no stats version — a pre-versioned-stats or " +
+            "foreign-checkpoint index; refusing to bootstrap over it " +
+            "(rebuild it into a fresh path)")
+      }
       // batch-dir writes, SKIPPED on a published replay (ADVICE r17):
       // content is deterministic and the dir is _SUCCESS-complete with
       // its stats version live, so rewriting would only delete-then-
@@ -442,20 +459,12 @@ object EventStream {
             // first version over a PRE-EXISTING tf tree (a
             // pre-versioned-stats index, or a foreign checkpoint whose
             // batch ids restart and would silently OVERWRITE legacy tf
-            // dirs) would mis-normalize every later score, so a foreign
-            // tree is refused loudly instead of adopted. On a fresh
-            // path the bootstrap is this batch's rows minus its own
-            // deletes (earlier dels-only batches tombstoned ids that
-            // were never added — the re-add require above keeps them
-            // disjoint from tfd). Deterministic, so replay-safe.
-            val foreign = completeBatchDirs(fs, s"$path/tf")
-              .map(_._1).filter(_ != batchId)
-            require(foreign.isEmpty && baseId < 0,
-              s"bm25MaintainBatch: tf state (batches ${foreign.mkString(",")}" +
-                s"${if (baseId >= 0) s", base $baseId" else ""}) " +
-                "exists with no stats version — a pre-versioned-stats or " +
-                "foreign-checkpoint index; refusing to bootstrap over it " +
-                "(rebuild it into a fresh path)")
+            // dirs) would mis-normalize every later score; the foreign
+            // tree was refused loudly ABOVE, before any write. On a
+            // fresh path the bootstrap is this batch's rows minus its
+            // own deletes (earlier dels-only batches tombstoned ids
+            // that were never added — the re-add require above keeps
+            // them disjoint from tfd). Deterministic, so replay-safe.
             graft.operators.TextAnalysis.bm25Stats(
               tfd.join(dels, Seq("doc_id"), "left_anti"), terms.size)
           case Some(p) =>
@@ -529,7 +538,19 @@ object EventStream {
         if (compactEvery > 0) {
           val b = tfBases(fs, path).maxOption.getOrElse(-1L)
           if (completeBatchDirs(fs, s"$path/tf").count(_._1 > b) >= compactEvery)
-            bm25Compact(spark, path)
+            // AUTO-triggered path: the batch's own publish already
+            // succeeded, so lock contention (a held or crash-left
+            // maintenance lock) must NOT fail-stop the streaming query —
+            // log and defer; the threshold re-fires on the next
+            // publishing batch. Explicit bm25Compact calls keep the
+            // loud throw. (ADVICE r18)
+            try bm25Compact(spark, path)
+            catch { case e: IllegalStateException =>
+              logWarning(
+                s"bm25MaintainBatch: auto-compaction of $path deferred — " +
+                  s"maintenance lock contended (${e.getMessage}); the " +
+                  "fold re-triggers on the next publishing batch")
+            }
         }
       }
     } finally { tfd.unpersist(); dels.unpersist() }
@@ -541,8 +562,12 @@ object EventStream {
     * out-of-place + publish-by-generation + retire-for-drain discipline
     * composed over tf ∖ tombstones, under the SAME maintenance lock
     * ([[graft.operators.Layout.acquireMaintenanceLock]]'s atomic
-    * `<path>.compacting` create), so an external maintenance op on the
-    * index path serializes with it.
+    * `<path>.compacting` create). The lock is FAIL-STOP, not queueing:
+    * an explicit call into a held (or crash-left) lock throws
+    * `IllegalStateException` loudly; only the AUTO-trigger inside
+    * [[bm25MaintainBatch]] catches that contention and defers the fold
+    * to the next publishing batch (ADVICE r18) — the batch's own
+    * publish has already succeeded and must not fail the stream.
     *
     * Mechanics, at the newest complete stats version v:
     *   - live rows = (base generation ∪ delta dirs (base, v]) anti-join

@@ -1065,10 +1065,59 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
       .write.parquet(s"$path/tf/batch=7") // legacy rows, no stats-v*
     val e = intercept[IllegalArgumentException] {
       EventStream.bm25MaintainBatch(
-        Seq((2L, "spark merge", false)).toDF("doc_id", "text", "deleted"),
+        Seq((2L, "spark merge", false), (9L, "", true))
+          .toDF("doc_id", "text", "deleted"),
         terms, path, 0L)
     }
     assert(e.getMessage.contains("no stats version"), e.getMessage)
+    // ADVICE r18: the refusal fires BEFORE any write — a refused
+    // bootstrap must not leave this batch's tf/tombstone dirs as
+    // orphans a foreign maintainer's later batch ids could fold in
+    assert(!new java.io.File(s"$path/tf/batch=0").exists(),
+      "refused bootstrap left an orphan tf batch dir")
+    assert(!new java.io.File(s"$path/tombstones/batch=0").exists(),
+      "refused bootstrap left an orphan tombstone batch dir")
+  }
+
+  test("auto-compaction into a held maintenance lock defers, never fails the publishing batch (ADVICE r18)") {
+    import spark.implicits._
+    val terms = Seq("spark", "merge")
+    val path = java.nio.file.Files.createTempDirectory("graft_bm25dl").toString + "/idx"
+    def bases: Seq[Long] = {
+      val d = new java.io.File(path)
+      if (!d.exists()) Seq.empty
+      else d.listFiles().map(_.getName)
+        .filter(n => n.startsWith("tfbase-v") && n.drop(8).forall(_.isDigit))
+        .map(_.drop(8).toLong).toSeq
+    }
+    val lockFile = java.nio.file.Paths.get(path + ".compacting")
+    java.nio.file.Files.createDirectories(lockFile.getParent)
+    java.nio.file.Files.createFile(lockFile) // external maintainer holds it
+    // two publishing batches cross the compactEvery=2 threshold while
+    // the lock is held: each publish must SUCCEED (the auto-trigger
+    // catches contention and defers), and no fold may land
+    for (b <- 0L to 1L)
+      EventStream.bm25MaintainBatch(
+        Seq((10L + b, s"spark merge doc$b", false)).toDF("doc_id", "text", "deleted"),
+        terms, path, b, compactEvery = 2)
+    assert(bases.isEmpty, "a fold ran under a held maintenance lock")
+    assert(new java.io.File(s"$path/stats-v1/_SUCCESS").exists(),
+      "the publishing batch must land despite the held lock")
+    // release: the threshold re-fires on the next publishing batch
+    java.nio.file.Files.delete(lockFile)
+    EventStream.bm25MaintainBatch(
+      Seq((12L, "spark plan", false)).toDF("doc_id", "text", "deleted"),
+      terms, path, 2L, compactEvery = 2)
+    assert(bases.nonEmpty, "deferred fold did not re-trigger after release")
+    assert(!java.nio.file.Files.exists(lockFile), "fold leaked the lock")
+    // the index stays queryable and exact across the deferral cycle
+    val got = EventStream.bm25TopKFromIndex(spark, path, terms.size, k = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    val expect = graft.operators.TextAnalysis.bm25TopK(
+      Seq((10L, "spark merge doc0"), (11L, "spark merge doc1"),
+        (12L, "spark plan")).toDF("doc_id", "text"), terms, k = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == expect, s"$got vs $expect")
   }
 
   test("ingestTo: a micro-batch firing INTO a held maintenance lock retries and completes once the lock frees") {
