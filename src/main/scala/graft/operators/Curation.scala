@@ -203,7 +203,18 @@ object Curation {
     */
   def rhoSelect(reference: DataFrame, candidates: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
-      topN: Int = DsirTopN): DataFrame = {
+      topN: Int = DsirTopN): DataFrame =
+    rhoExcess(reference, candidates, idCol, textCol)
+      .orderBy(col("excess").desc, col("doc_id"))
+      .limit(topN)
+
+  /** Per-document excess score (doc_id, ref_ppm, raw_ppm, excess) —
+    * [[rhoSelect]]'s scoring chain without the selection cut, shared
+    * with [[doremiReweight]]'s per-domain aggregation so the two cannot
+    * drift.
+    */
+  private[graft] def rhoExcess(reference: DataFrame, candidates: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val refScore = TextAnalysis.lmScoreAgainst(candidates,
         TextAnalysis.lmTable(reference, idCol, textCol), idCol, textCol)
       .select(col("doc_id"), col("lm_ppm").as("ref_ppm"))
@@ -213,8 +224,95 @@ object Curation {
     refScore.join(rawScore, "doc_id")
       .select(col("doc_id"), col("ref_ppm"), col("raw_ppm"),
         (col("ref_ppm") - col("raw_ppm")).as("excess"))
-      .orderBy(col("excess").desc, col("doc_id"))
-      .limit(topN)
+  }
+
+  /** DoReMi-style mixture geometry (q166): weight scale (weights are
+    * parts-of-[[DoremiScale]]), multiplicative-update step size,
+    * update rounds, and the uniform-smoothing blend
+    * `(Den−Num)/Den · normalized + Num/Den · uniform`.
+    */
+  val DoremiScale = 1000000L
+  val DoremiEta = 10L
+  val DoremiRounds = 4
+  val DoremiSmoothNum = 1L
+  val DoremiSmoothDen = 5L
+
+  /** DoReMi-style domain reweighting (Xie et al., "DoReMi: Optimizing
+    * Data Mixtures Speeds Up Language Model Pretraining",
+    * arXiv:2305.10429) — the corpus-level capstone of the selection
+    * family: instead of keeping/dropping documents, compute a per-DOMAIN
+    * mixture weight table from per-domain excess scores via Group-DRO
+    * multiplicative weights, and feed it to the sampler the engine
+    * already ships ([[mixSample]] consumes the output as its
+    * `rates`/`den` arguments).
+    *
+    * Chain, each step engine-replayable:
+    *   1. per-document excess = [[rhoExcess]] (the q165 machinery: how
+    *      much MORE probable the reference LM finds a document than the
+    *      raw corpus's own LM — the proxy−reference excess-loss signal,
+    *      in the house ppm probability space, no `ln`);
+    *   2. per-domain score = Σ max(excess, 0) div n_d — the paper's
+    *      clipped excess aggregated per domain (clip INSIDE the mean,
+    *      §Algorithm 1's max(ℓ−ℓ_ref, 0); all-positive integer
+    *      division, so floor ≡ trunc on both engines);
+    *   3. T rounds of multiplicative weights over the k-row domain
+    *      table, in EXACT DRIVER INTEGERS (the d²-discipline: k is a
+    *      handful — iterating micro-frames would cost a job per round):
+    *      u_d = w_d·(S + η·score_d), renormalize w'_d = u_d·S div Σu
+    *      (the one product that exceeds int64 — BigInt on the driver ≡
+    *      HUGEINT in the oracle, the q150 convention), then smooth
+    *      toward uniform w_d = ((Den−Num)·w'_d + Num·(S div k)) div Den
+    *      (the paper's c·u mixing that keeps every domain sampled).
+    *      exp(η·excess) is linearized to (S + η·score)/S per round —
+    *      the DSIR/RHO no-`ln` substitution, documented there.
+    *
+    * Output: one row per domain (source, score, weight), weight in
+    * parts-of-[[DoremiScale]] — the trained mixture the paper's phase-2
+    * run samples with; here `mixSample(corpus, rates, defaultRate,
+    * den = DoremiScale)` applies it directly.
+    *
+    * Scale shape: the corpus-touching work is exactly [[rhoExcess]]'s
+    * (vocabulary-bounded LM tables, one composite-key probe join per
+    * LM) plus ONE per-domain aggregation; the MW iteration is k·T
+    * driver integer ops on k-bounded model state. Nothing driver-side
+    * grows with the corpus.
+    */
+  def doremiReweight(reference: DataFrame, candidates: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      groupCol: String = "source", rounds: Int = DoremiRounds,
+      eta: Long = DoremiEta, smoothNum: Long = DoremiSmoothNum,
+      smoothDen: Long = DoremiSmoothDen): DataFrame = {
+    val spark = candidates.sparkSession
+    val S = DoremiScale
+    val ds = rhoExcess(reference, candidates, idCol, textCol)
+      .join(candidates.select(col(idCol).as("doc_id"),
+        col(groupCol).as("source")), "doc_id")
+      .groupBy("source")
+      .agg(expr("sum(greatest(excess, 0L)) div count(1)").as("score"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    require(ds.nonEmpty, "doremiReweight: no scored domains")
+    val k = ds.length
+    // driver-exact MW loop; all quantities non-negative, every div is
+    // floor ≡ trunc ≡ DuckDB's `//`. Bounds: w ≤ S, score ≤ S, so
+    // u ≤ S²·(1+η) ≤ 1.1e13 (int64-safe at η=10) and the renorm
+    // product u·S ≤ 1.1e19 exceeds int64 → BigInt (≡ HUGEINT).
+    val uniform = S / k
+    var w: Seq[Long] = Seq.fill(k)(uniform)
+    for (_ <- 1 to rounds) {
+      val u = ds.toIndexedSeq.zip(w).map { case ((_, score), wd) =>
+        wd * (S + eta * score) }
+      val sumU = u.map(BigInt(_)).sum
+      w = u.map { uv =>
+        val norm = (BigInt(uv) * S / sumU).toLong
+        ((smoothDen - smoothNum) * norm + smoothNum * uniform) / smoothDen
+      }
+    }
+    import spark.implicits._
+    ds.toIndexedSeq.zip(w).map { case ((src, score), wd) => (src, score, wd) }
+      .toDF("source", "score", "weight")
+      .orderBy("source")
   }
 
   /** Curate any (id, text) frame:
@@ -659,6 +757,62 @@ object Curation {
     }) { (s, dir) =>
       val docs = Tables.load(s, dir, "documents")
       rhoSelect(docs.filter(col("doc_id") % 7 === 3),
+        docs.filter(col("doc_id") % 7 =!= 3))
+    },
+
+    // DoReMi domain reweighting (q166): per-domain clipped mean excess
+    // (the q165 chain aggregated per source) → T exact-integer
+    // multiplicative-weight rounds → the mixture-rate table mixSample
+    // consumes. The oracle replays the SAME integer update — the MW
+    // chain as MATERIALIZED CTE generations (the q150 discipline), the
+    // one int64-exceeding renorm product in HUGEINT (≡ the driver's
+    // BigInt) — so the final weights hash-match bit-for-bit.
+    Q("q166_doremi_mix", {
+      val S = DoremiScale
+      def bigrams(src: String, p: String): String =
+        s"${p}t AS (SELECT doc_id, string_split(text,' ') AS a FROM $src " +
+          "WHERE len(string_split(text,' ')) >= 2), " +
+          s"${p}b AS MATERIALIZED (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 " +
+          "FROM (SELECT doc_id, unnest([{'w1': a[i], 'w2': a[i+1]} " +
+          s"FOR i IN generate_series(1, len(a)-1)]) AS b FROM ${p}t))"
+      def lmOf(p: String): String =
+        s"${p}lm AS (SELECT w1, w2, (1000000 * c_big) // " +
+          "(SUM(c_big) OVER (PARTITION BY w1)) AS ppm FROM " +
+          s"(SELECT w1, w2, COUNT(*) AS c_big FROM ${p}b GROUP BY 1, 2))"
+      def scoreOf(lm: String, out: String, as: String): String =
+        s"$out AS (SELECT cb.doc_id, " +
+          s"CAST(SUM(COALESCE($lm.ppm, 0)) // COUNT(*) AS BIGINT) " +
+          s"AS $as FROM cb LEFT JOIN $lm " +
+          s"ON cb.w1 = $lm.w1 AND cb.w2 = $lm.w2 GROUP BY cb.doc_id)"
+      val mw = (1 to DoremiRounds).map { r =>
+        s"u$r AS MATERIALIZED (SELECT source, score, " +
+          s"w * ($S + $DoremiEta * score) AS u FROM w${r - 1}), " +
+          s"w$r AS MATERIALIZED (SELECT source, score, " +
+          s"(($DoremiSmoothDen - $DoremiSmoothNum) * " +
+          s"CAST((u::HUGEINT * $S) // (SELECT SUM(u::HUGEINT) FROM u$r) " +
+          s"AS BIGINT) + $DoremiSmoothNum * unif) // $DoremiSmoothDen AS w " +
+          s"FROM u$r CROSS JOIN kk)"
+      }.mkString(", ")
+      "WITH tgt AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 3), " +
+        "cand AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 7 <> 3), " +
+        bigrams("tgt", "t") + ", " + bigrams("cand", "c") + ", " +
+        lmOf("t") + ", " + lmOf("c") + ", " +
+        scoreOf("tlm", "ref", "ref_ppm") + ", " +
+        scoreOf("clm", "raw", "raw_ppm") + ", " +
+        "ex AS MATERIALIZED (SELECT ref.doc_id AS doc_id, " +
+        "GREATEST(ref_ppm - raw_ppm, 0) AS exc FROM ref JOIN raw " +
+        "ON ref.doc_id = raw.doc_id), " +
+        "ds AS MATERIALIZED (SELECT source, " +
+        "CAST(SUM(exc) // COUNT(*) AS BIGINT) AS score " +
+        "FROM ex JOIN cand ON ex.doc_id = cand.doc_id GROUP BY source), " +
+        s"kk AS (SELECT ($S // COUNT(*))::BIGINT AS unif FROM ds), " +
+        "w0 AS MATERIALIZED (SELECT source, score, unif AS w " +
+        "FROM ds CROSS JOIN kk), " + mw + " " +
+        s"SELECT source, score, CAST(w AS BIGINT) AS weight " +
+        s"FROM w$DoremiRounds ORDER BY source"
+    }) { (s, dir) =>
+      val docs = Tables.load(s, dir, "documents")
+      doremiReweight(docs.filter(col("doc_id") % 7 === 3),
         docs.filter(col("doc_id") % 7 =!= 3))
     },
 

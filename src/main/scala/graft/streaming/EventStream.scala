@@ -638,7 +638,7 @@ object EventStream extends org.apache.spark.internal.Logging {
     * through: a dir mid-write (no `_SUCCESS`) is invisible, so no
     * reader ever touches a footer-less parquet file.
     */
-  private def completeBatchDirs(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def completeBatchDirs(fs: org.apache.hadoop.fs.FileSystem,
       root: String, maxId: Long = Long.MaxValue): Seq[(Long, String)] = {
     val p = new org.apache.hadoop.fs.Path(root)
     if (!fs.exists(p)) Seq.empty
@@ -658,7 +658,7 @@ object EventStream extends org.apache.spark.internal.Logging {
     * ascending — the shared resolution for the index's three versioned
     * families (`stats-v`, `tomb-v`, `tfbase-v`).
     */
-  private def versionedDirs(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def versionedDirs(fs: org.apache.hadoop.fs.FileSystem,
       path: String, prefix: String): Seq[Long] = {
     val p = new org.apache.hadoop.fs.Path(path)
     if (!fs.exists(p)) Seq.empty
@@ -869,6 +869,81 @@ object EventStream extends org.apache.spark.internal.Logging {
         inBatch.join(survivors, Seq("doc_id"))
           .writeTo(table).append()
         graft.operators.GraftCache.releaseAll()
+      }
+      .start()
+
+  /** Streaming SEMANTIC dedup (VERDICT r18 #5): each micro-batch of
+    * quantized vectors (vec_id, q, nrm) is assigned to the PERSISTED
+    * trained cells of an [[graft.operators.AnnIndex]] artifact (the
+    * frozen coarse quantizer — the same model the batch/search paths
+    * share), and the keep/drop flags of exactly the TOUCHED cells are
+    * recomputed over (accumulated state ∪ batch) through
+    * [[graft.operators.Similarity.semDeDupFlags]] — the SAME per-cell
+    * code as batch [[graft.operators.Similarity.semDeDupWith]], so the
+    * streamed table equals the batch decision over the union at every
+    * trigger, independent of micro-batch boundaries (EventStreamSpec
+    * pins it). SemDeDup's decision is strictly per-cell, which is what
+    * makes the cell-scoped incremental recompute EXACT: an arriving
+    * vector can flip flags of earlier arrivals in its cell (it may
+    * out-rank them), so flags are state to MAINTAIN, not an append
+    * stream — the state lives in the cell-partitioned target table
+    * (durable, batch-shared; the [[nearDedupTo]] store-not-state-store
+    * rule), and each trigger rewrites only the touched cell directories
+    * via dynamic partition overwrite (the
+    * [[graft.operators.Layout.mergeInto]] partition-scoped discipline,
+    * with its localCheckpoint lineage-severing — the plan both reads
+    * and overwrites the table).
+    *
+    * Table schema: (vec_id, q, nrm, dist, kept) partitioned by cell.
+    * vec_ids must be unique across the stream (the caller's key
+    * contract, as everywhere in the dedup family). Single-maintainer:
+    * this query owns its state table.
+    *
+    * Scale shape per trigger: one broadcast assignment over the BATCH,
+    * a pair term bounded by the touched cells' membership (per-cell
+    * (n/C)², the paper's own knob — C ≈ √N cells), and a rewrite of
+    * O(touched cells) directories — never the corpus.
+    */
+  def semDeDupTo(vecs: DataFrame, idxPath: String, table: String,
+      checkpointDir: String,
+      thr: Double = graft.operators.Similarity.SemDedupThr,
+      queryName: String = "graft_semdedup_sink"): StreamingQuery =
+    vecs.writeStream
+      .outputMode(OutputMode.Append)
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch0: DataFrame, _: Long) =>
+        import graft.operators.{AnnIndex, GraftCache, Similarity}
+        val spark = batch0.sparkSession
+        val batch = batch0.select("vec_id", "q", "nrm")
+        if (!batch.isEmpty) {
+          val cents = AnnIndex.readCents(spark, idxPath)
+          val assigned = GraftCache.track(
+            Similarity.ivfAssign(batch, cents).select("vec_id", "cell", "dist")
+              .join(batch, "vec_id"))
+          val touched = assigned.select("cell").distinct()
+            .collect().map(_.getLong(0)).toSeq
+          val fs = new org.apache.hadoop.fs.Path(table)
+            .getFileSystem(spark.sessionState.newHadoopConf())
+          val members =
+            if (!fs.exists(new org.apache.hadoop.fs.Path(table))) assigned
+            else spark.read.parquet(table)
+              .filter(col("cell").isin(touched: _*))
+              .select("vec_id", "cell", "dist", "q", "nrm")
+              .unionByName(assigned
+                .select("vec_id", "cell", "dist", "q", "nrm"))
+          // flags carry (vec_id, cell, dist, kept); q/nrm ride back in
+          // for future recomputes of these cells
+          val out = Similarity.semDeDupFlags(members, thr)
+            .join(members.select("vec_id", "q", "nrm"), "vec_id")
+            .select("vec_id", "q", "nrm", "dist", "kept", "cell")
+            .localCheckpoint()
+          out.write.mode("overwrite")
+            .partitionBy("cell")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(table)
+          GraftCache.releaseAll()
+        }
       }
       .start()
 
