@@ -68,7 +68,15 @@ import org.apache.spark.sql.SparkSession
   * the warm pass and again right after the timed suite. Since r18 a
   * degraded START canary (> 1.3) is retried — the suite WAITS out the
   * host phase, bounded at 3 × 30 s — and the retry count rides the cal
-  * array as a 5th element, so the artifact documents its own retry. It is the
+  * array as a 5th element, so the artifact documents its own retry.
+  * Since r19 a degraded END canary is RE-PROBED after the iso pass
+  * (≤2 × 30 s waits, wall-gated): the first end probe stays at element
+  * 2 (it is what actually bracketed the suite) and the re-probe rides
+  * as element 6 (element 5 — the start-retry count — is then always
+  * rendered, even as 0, so position disambiguates) — a clean re-probe
+  * is in-artifact evidence the end degradation was a transient that
+  * postdated the timed suite, so a late phase can't sink the artifact
+  * by itself (VERDICT r18 #3). It is the
   * drift normalizer the uniform-slowdown trigger structurally can't
   * be: a host phase that inflates everything ~uniformly reads as
   * cal≈1.2–1.5 with zero per-query flags, and the comparable total
@@ -336,6 +344,16 @@ object Bench {
     // what the host looked like when the medians STARTED.
     val calEnd =
       if ((System.nanoTime() - benchStart) / 1e9 > 540.0) None else calPoint()
+    // END-canary re-probe (r19, VERDICT r18 #3): a degraded end canary
+    // is ambiguous — the suite may have run clean with a late host
+    // phase landing on the probe alone. The re-probe itself runs AFTER
+    // the iso pass (sleeping here would spend the iso-adjudication
+    // window — the ADVICE r18 budget interaction); what is decided NOW
+    // is only the line-byte RESERVE for its worst rendering (",0,9.9"),
+    // so iso admission can never fill the line past what the re-probed
+    // cal array needs.
+    val calReprobeReserve = if (calEnd.exists(_ > 1.3)) 6 else 0
+    var calEndReprobe: Option[Double] = None
     // Per-query precision is ADAPTIVE — two decimals under 10 s, one
     // decimal to 100 s, whole seconds past that (a 100+-second median
     // needs no decisecond precision, and the 147-query worst case is
@@ -385,9 +403,16 @@ object Bench {
     def calJson(g: Long, w: Long): String = (calStart, calEnd) match {
       case (None, None) => ""
       case (a, b) =>
+        // elements 5–6: start-retry count and the END RE-PROBE value.
+        // Positional disambiguation: the retry count is rendered (even
+        // as 0) whenever a re-probe follows, so element 6 is always the
+        // re-probe. The FIRST end probe stays at element 2 — honest
+        // about what actually bracketed the timed suite; the re-probe
+        // is evidence the phase did or did not pass.
         "\"cal\":[" + a.fold("null")(v => fq(math.min(v, 9.9))) + "," +
           b.fold("null")(v => fq(math.min(v, 9.9))) + s",$g,$w" +
-          (if (calRetries > 0) s",$calRetries" else "") + "],"
+          (if (calRetries > 0 || calEndReprobe.nonEmpty) s",$calRetries" else "") +
+          calEndReprobe.fold("")(v => "," + fq(math.min(v, 9.9))) + "],"
     }
     val calPresent = calStart.nonEmpty || calEnd.nonEmpty
     // Keys are the leading qNN id (unique across the suite; full names are
@@ -557,11 +582,11 @@ object Bench {
       val predicted = math.max(medianByName.getOrElse(name, 1.0), 1.0)
       if ((System.nanoTime() - benchStart) / 1e9 + predicted > deadline) {
         System.err.println(s"[bench] $name isolated SKIPPED (wall budget)")
-        if (lineSansIso + isoBytes + nullCost <= 1918) {
+        if (lineSansIso + isoBytes + nullCost <= 1918 - calReprobeReserve) {
           isoBytes += nullCost
           Some((name, Double.NaN))
         } else None
-      } else if (lineSansIso + isoBytes + entryCost > 1918) {
+      } else if (lineSansIso + isoBytes + entryCost > 1918 - calReprobeReserve) {
         System.err.println(s"[bench] $name isolated SKIPPED (line budget)")
         None
       } else {
@@ -593,6 +618,23 @@ object Bench {
       "\"iso\":" + iso.map(r => "\"" + rid(r._1) + "\":" +
           (if (r._2.isNaN) "null" else fc(r._2)))
         .mkString("{", ",", "},")
+    // END-canary re-probe (r19, VERDICT r18 #3), running last so its
+    // bounded sleeps spend only the line-print margin, never the iso
+    // window: while the latest end reading is degraded, wait 30 s and
+    // re-probe (≤2×, wall-gated well inside the 590 s kill). A clean
+    // re-probe says the end degradation was a transient that postdated
+    // the timed suite — a late phase no longer sinks the artifact by
+    // itself; a still-degraded re-probe confirms the phase was real.
+    var endReprobes = 0
+    while (endReprobes < 2 &&
+        calEndReprobe.orElse(calEnd).exists(_ > 1.3) &&
+        (System.nanoTime() - benchStart) / 1e9 < 530.0) {
+      System.err.println(f"[bench] cal-end ${calEndReprobe.orElse(calEnd).get}%.2f" +
+        f" > 1.3 — re-probing after 30 s (end re-probe ${endReprobes + 1})")
+      Thread.sleep(30000L)
+      endReprobes += 1
+      calEndReprobe = calPoint()
+    }
     // total through fq (4-char worst): the per-query medians carry the
     // detail. Field renames, r14 line-budget trim for q152/q153: "gc" →
     // "g" (now capped 99 — GC seconds past 99 in a 590 s window are

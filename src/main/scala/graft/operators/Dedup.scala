@@ -368,9 +368,20 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", maxHamming: Int = 8,
+      bucketCap: Int = BucketCap): DataFrame =
+    sigPairs(simhashOf(df, idCol, textCol), maxHamming, bucketCap)
+
+  /** [[simhashPairs]]'s pairing stage over an ARBITRARY 60-bit
+    * signature frame (doc_id, simhash) — extracted (r19) so any
+    * signature family rides the same pre-collapsed banded machinery:
+    * SimHash text signatures here, [[Multimodal.dhashPairs]]'
+    * perceptual dHash fingerprints, anything else whose Hamming
+    * distance means similarity. Semantics and the cap census are
+    * exactly the scaladoc above.
+    */
+  def sigPairs(sh: DataFrame, maxHamming: Int = 8,
       bucketCap: Int = BucketCap): DataFrame = {
     import graft.functions.CollectCapped.{collect_capped, collect_wcapped}
-    val sh = simhashOf(df, idCol, textCol)
     // sort_array CANONICALIZES the member list (r17 review): collect
     // order is fetch-order-dependent, so a partial stage recompute
     // after an executor loss could rebuild the same group as [5,3]

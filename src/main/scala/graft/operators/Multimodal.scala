@@ -97,7 +97,85 @@ object Multimodal {
         md5(expr(s"substr(h, ${2 * frameBytes} * frame_idx + 1, ${2 * frameBytes})"))
           .as("frame_md5"))
 
+  /** Hamming threshold for the q167 perceptual near-dup gate, probed
+    * on the testdata corpus: identical payloads behind DIFFERENT
+    * container magics land at hamming ≤ 2 (only the first chunk's mean
+    * moves), while the corpus's closest DISTINCT texts sit at ≥ 8
+    * (sf0.01; 12 at sf0.001) — 6 separates the two populations with
+    * margin on both sides.
+    */
+  val DhashMaxHamming = 6
+
+  /** (doc_id, simhash) — 60-bit dHash perceptual fingerprints of a
+    * binary column ([[graft.functions.DHash]]; the output column is
+    * named for [[graft.operators.Dedup.sigPairs]]' signature contract).
+    */
+  def dhashOf(blobs: DataFrame, idCol: String = "doc_id",
+      blobCol: String = "blob"): DataFrame =
+    blobs.select(col(idCol).as("doc_id"),
+      graft.functions.DHash.dhash60(col(blobCol)).as("simhash"))
+
+  /** Perceptual near-dup pairs over a binary column: dHash fingerprints
+    * fed through EXACTLY the SimHash pairing machinery
+    * ([[graft.operators.Dedup.sigPairs]] — pre-collapsed banded
+    * pigeonhole join, weighted bucket caps, exact Hamming confirm), so
+    * the multimodal family's near-dup story is the text family's, not a
+    * parallel implementation. Output (d1, d2, hamm).
+    */
+  def dhashPairs(blobs: DataFrame, idCol: String = "doc_id",
+      blobCol: String = "blob",
+      maxHamming: Int = DhashMaxHamming): DataFrame =
+    graft.operators.Dedup.sigPairs(dhashOf(blobs, idCol, blobCol), maxHamming)
+
   def queries: Seq[Q] = Seq(
+
+    // Perceptual near-dup (q167, VERDICT r18 #8): dHash fingerprints —
+    // pure integer chunk-mean + gradient bits, no codec — banded
+    // through the q44 pairing machinery. The gate corpus is every
+    // document in TWO container variants (jpeg and png magic, same
+    // payload): a perceptual hash must pair them (byte-level md5
+    // equality never can — the header-invariance the operator exists
+    // for), and at the probed threshold it pairs ALL of them with zero
+    // accidental pairs (variant hamming ≤ 2 vs ≥ 8 for the corpus's
+    // closest distinct texts). The oracle replays the whole chain from
+    // hex(blob) in exact integers.
+    Q("q167_dhash_neardup", {
+      val rc = graft.functions.DHash.Rows * graft.functions.DHash.Cols // 66
+      "WITH m AS (SELECT 2*doc_id + v AS doc_id, " +
+        "unhex(CASE v WHEN 0 THEN 'FFD8FF' ELSE '89504E' END) || encode(text) AS blob " +
+        "FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS v)), " +
+        "hx AS (SELECT doc_id, hex(blob) AS h, octet_length(blob) AS n FROM m), " +
+        s"cg AS (SELECT doc_id, i, (i*n)//$rc AS lo, " +
+        s"LEAST(GREATEST(((i+1)*n)//$rc, (i*n)//$rc + 1), n) AS hi, h " +
+        s"FROM hx CROSS JOIN (SELECT unnest(generate_series(0, ${rc - 1})) AS i)), " +
+        "cells AS (SELECT doc_id, i, " +
+        "list_sum([('0x'||substr(h, 2*j+1, 2))::BIGINT " +
+        "FOR j IN generate_series(lo, hi-1)]) // (hi - lo) AS cell FROM cg), " +
+        "cl AS MATERIALIZED (SELECT doc_id, list(cell ORDER BY i) AS cs " +
+        "FROM cells GROUP BY doc_id), " +
+        "dh AS MATERIALIZED (SELECT doc_id, CAST(SUM(" +
+        "CASE WHEN cs[(k//10)*11 + (k%10) + 2] > cs[(k//10)*11 + (k%10) + 1] " +
+        "THEN (CAST(1 AS BIGINT) << k) ELSE 0 END) AS BIGINT) AS simhash " +
+        "FROM cl CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS k) " +
+        "GROUP BY doc_id), " +
+        "ch AS (SELECT doc_id, simhash, k, (simhash >> (15 * k)) & 32767 AS cv " +
+        "FROM dh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k)), " +
+        s"chf AS ${Dedup.capBucketsSql("ch", Dedup.BucketCap, "doc_id, simhash, k, cv", "k", "cv")}, " +
+        "cand AS (SELECT DISTINCT x.doc_id AS d1, x.simhash AS h1, " +
+        "y.doc_id AS d2, y.simhash AS h2 " +
+        "FROM chf x JOIN chf y ON x.k = y.k AND x.cv = y.cv AND x.doc_id < y.doc_id) " +
+        "SELECT d1, d2, bit_count(xor(h1, h2))::BIGINT AS hamm FROM cand " +
+        s"WHERE bit_count(xor(h1, h2)) <= $DhashMaxHamming ORDER BY d1, d2"
+    }) { (s, dir) =>
+      val d = Tables.load(s, dir, "documents")
+      val variants = d.select(explode(array(
+          struct((col("doc_id") * 2).as("doc_id"), lit("FFD8FF").as("mg")),
+          struct((col("doc_id") * 2 + 1).as("doc_id"), lit("89504E").as("mg"))))
+          .as("e"), col("text"))
+        .select(col("e.doc_id").as("doc_id"),
+          concat(unhex(col("e.mg")), encode(col("text"), "UTF-8")).as("blob"))
+      dhashPairs(variants).orderBy("d1", "d2")
+    },
 
     // Byte-level operators over the binary column, oracle-checked:
     // hashing and sniffing go through hex so both engines agree on the

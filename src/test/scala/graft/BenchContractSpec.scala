@@ -78,9 +78,14 @@ class BenchContractSpec extends AnyFunSuite {
     // iso values render through fc since r15: 3-char worst ("9.9"/"999")
     val iso = (1 to 2)
       .map(i => "\"15" + i + "\":9.9").mkString("{", ",", "}")
+    // r19: the cal array's worst case carries BOTH the start-retry
+    // count (element 5) and the end re-probe value (element 6) — the
+    // renderer reserves these bytes out of the iso budget whenever the
+    // end canary reads degraded, so the line cannot overflow after the
+    // re-probe lands
     val line = s"""{"metric":"t","value":99.9,"unit":"sec",""" +
       s""""queries":$medians,"iso":$iso,""" +
-      s""""cal":[9.99,9.99,99,999,9],""" +
+      s""""cal":[9.99,9.99,99,999,9,9.9],""" +
       s""""sf":"0.1"}"""
     assert(line.length <= 1918,
       s"bench JSON would be ${line.length} B; trim before the harness truncates it")
@@ -91,9 +96,12 @@ class BenchContractSpec extends AnyFunSuite {
     // − 157 (query keys drop 'q') − 2 (iso keys drop 'q') = 1744 at 157
     // gates; + 2 for the r18 cal-retry element (",9" rides the cal array
     // only when the start canary re-probed — worst case assumes it);
+    // + 4 for the r19 end re-probe element (",9.9" — fq caps it at 9.9,
+    // and the renderer reserves exactly these bytes out of the iso
+    // budget when the end canary reads degraded);
     // each additional gate has a 3-digit id → 11 B worst width
     // ("NNN":99.9 plus its comma).
-    val expectedLen = 1746 + 11 * (SparkEntry.all.size - 157)
+    val expectedLen = 1750 + 11 * (SparkEntry.all.size - 157)
     assert(line.length == expectedLen,
       s"worst-case line is ${line.length} B, model says $expectedLen " +
         "(1746 at 157 gates + 11 B per worst-width 3-digit gate) — the " +
