@@ -2186,6 +2186,64 @@ object ScaleProbe {
       spark.stop()
       return
     }
+    // r19 (VERDICT r18 #1 done-criteria at scale): the persisted ANN
+    // index's lifecycle costs at N× — build once (train + encode +
+    // write), then the QUERY-ONLY price the artifact exists for,
+    // against the r18 regime's per-execution full chain
+    // (ivfAdcWith = re-train every execution) on the same vectors and
+    // the same trained cells. Plus the mutation surface: one 1%-of-
+    // corpus append batch (encode-against-frozen-model cost — batch-
+    // proportional by construction), its tombstone delete, and the
+    // compact fold. Queries run 3× and report the median.
+    if (op == "annidx") {
+      import operators.{AnnIndex, GraftCache, Similarity}
+      val v = GraftCache.track(vecs)
+      val rows = v.count()
+      val path = java.nio.file.Files.createTempDirectory("graft_annidx_probe")
+        .toString + "/idx"
+      def timed[A](body: => A): (A, Double) = {
+        val t0 = System.nanoTime()
+        val a = body
+        (a, (System.nanoTime() - t0) / 1e9)
+      }
+      val (cents, trainSec) = timed(
+        Similarity.ivfTrainCents(v).localCheckpoint())
+      val (_, buildSec) = timed(AnnIndex.build(v, path, cents))
+      val qs = v.filter(isQuery).localCheckpoint()
+      def q1(): Double = {
+        val (_, s) = timed(AnnIndex.search(spark, path, qs)
+          .write.format("noop").mode("overwrite").save())
+        s
+      }
+      val querySec = Seq(q1(), q1(), q1()).sorted.apply(1)
+      // the r18 regime on identical inputs: full chain per execution
+      val (_, chainSec) = timed(
+        Similarity.ivfAdcWith(v, isQuery, cents)
+          .write.format("noop").mode("overwrite").save())
+      GraftCache.releaseAll()
+      val maxId = v.agg(max(col("vec_id"))).head().getLong(0)
+      val batch = v.filter(col("vec_id") % 100 === 7)
+        .select((col("vec_id") + maxId + 1).as("vec_id"), col("q"), col("nrm"))
+        .localCheckpoint()
+      val bRows = batch.count()
+      val (_, appendSec) = timed(AnnIndex.maintainBatch(
+        batch, spark.emptyDataFrame.select(lit(0L).as("vec_id")).limit(0),
+        path, 1L))
+      val (_, deleteSec) = timed(AnnIndex.maintainBatch(
+        batch.limit(0), batch.select("vec_id"), path, 2L))
+      val (_, compactSec) = timed(AnnIndex.compact(spark, path))
+      val query2Sec = q1()
+      // scalastyle:off println
+      println(f"""{"op":"annidx","factor":$factor,"rows":$rows,""" +
+        f""""train_sec":$trainSec%.3f,"build_sec":$buildSec%.3f,""" +
+        f""""query_sec":$querySec%.3f,"chain_sec":$chainSec%.3f,""" +
+        f""""append_rows":$bRows,"append_sec":$appendSec%.3f,""" +
+        f""""delete_sec":$deleteSec%.3f,"compact_sec":$compactSec%.3f,""" +
+        f""""query2_sec":$query2Sec%.3f}""")
+      // scalastyle:on println
+      spark.stop()
+      return
+    }
     def run(): Long = {
       val df = op match {
         case "neardup" => operators.Dedup.verifiedNearDups(docs)

@@ -508,6 +508,36 @@ class OperatorApiSpec extends AnyFunSuite with SparkFixture {
     assert(out == Set(20L, 21L), out.toString)
   }
 
+  test("doremiReweight up-weights the reference-like domain and feeds mixSample directly") {
+    import spark.implicits._
+    // the reference's bigrams are DETERMINISTIC (P(beta|alpha) = 1 →
+    // ref_ppm = 10⁶ for alpha-beta chains), while the raw candidate
+    // corpus splits alpha's continuations across domains — so src_a's
+    // chains score ref_ppm > raw_ppm (positive excess) and src_b's
+    // off-vocabulary bigrams score ref 0 (clipped): the multiplicative
+    // update must move weight toward src_a while smoothing keeps src_b
+    // sampled
+    val reference = Seq(
+      (1L, "alpha beta alpha beta alpha beta"),
+      (2L, "alpha beta alpha beta")).toDF("id", "body")
+    val cand = Seq(
+      (20L, "src_a", "alpha beta alpha beta"),
+      (21L, "src_a", "alpha beta alpha"),
+      (22L, "src_b", "alpha gamma alpha delta"),
+      (23L, "src_b", "gamma delta gamma epsilon")).toDF("id", "src", "body")
+    val w = Curation.doremiReweight(reference, cand, idCol = "id",
+        textCol = "body", groupCol = "src")
+      .as[(String, Long, Long)].collect().map { case (s, _, wt) => s -> wt }.toMap
+    assert(w("src_a") > w("src_b"), w.toString)
+    assert(w("src_b") > 0L, "smoothing must keep every domain sampled")
+    // the output IS mixSample's rate table — the composition the
+    // operator exists for (weights are parts-of-DoremiScale)
+    val rates = w.toSeq.map { case (s, wt) => s -> wt.toInt }
+    val kept = Curation.mixSample(cand, rates, defaultRate = 0,
+      den = Curation.DoremiScale.toInt, groupCol = "src", textCol = "body")
+    assert(kept.count() <= cand.count())
+  }
+
   test("repetitionStats counts duplicate bigrams and the top token") {
     import spark.implicits._
     val rep = Seq((1L, "spam spam spam spam eggs"),

@@ -1244,5 +1244,62 @@ class EventStreamSpec extends AnyFunSuite with SparkFixture {
     assert(stateOf(t1) == stateOf(t2), "boundary-dependent state")
     assert(stateOf(t1) == batchExpect(all))
   }
+
+  test("annIndexTo: streamed add/delete maintenance ≡ batch re-encode against the frozen model") {
+    import spark.implicits._
+    import graft.operators.{AnnIndex, Similarity}
+    def vecs(ids: Seq[Long]): org.apache.spark.sql.DataFrame =
+      ids.map { id =>
+        val q = (0 until 8).map(i => (((id * 41 + i * 6007) % 9) - 4))
+          .map(_.toLong)
+        (id, q, q.map(x => x * x).sum)
+      }.toDF("vec_id", "q", "nrm")
+    val base = vecs(1L to 25L)
+    val idx = java.nio.file.Files.createTempDirectory("graft_annstr")
+      .toString + "/idx"
+    AnnIndex.build(base, idx, Similarity.ivfTrainCents(base, c = 3),
+      m = 4, ksub = 4)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_annstr_ck").toString
+    val input = MemoryStream[(Long, Seq[Long], Long, Boolean)](spark)
+    val q = EventStream.annIndexTo(
+      input.toDF().toDF("vec_id", "q", "nrm", "deleted"), idx, ckpt)
+    try {
+      def mut(ids: Seq[Long], del: Seq[Long]): Unit = {
+        input.addData(
+          (ids.map { id =>
+            val r = vecs(Seq(id)).as[(Long, Seq[Long], Long)].head()
+            (r._1, r._2, r._3, false)
+          } ++ del.map(d => (d, Seq.empty[Long], 0L, true))): _*)
+        q.processAllAvailable()
+      }
+      mut(26L to 32L, Seq.empty)
+      mut(Seq(33L), Seq(4L, 28L))
+      // streamed index state ≡ the batch encode of the live set against
+      // the FROZEN model (the AnnIndexSpec contract, through the stream)
+      val live = vecs(((1L to 33L).filterNot(Set(4L, 28L))).toSeq)
+      val expect = Similarity.pqEncode(Similarity.ivfResiduals(
+          live, AnnIndex.readCents(spark, idx)),
+          AnnIndex.readBooks(spark, idx), keep = Seq("cell"))
+        .select($"vec_id", $"codes", $"cell").as[(Long, Seq[Int], Long)]
+        .collect().toSeq.sortBy(_._1)
+      val got = AnnIndex.encodedState(spark, idx)
+        .select($"vec_id", $"codes", $"cell").as[(Long, Seq[Int], Long)]
+        .collect().toSeq.sortBy(_._1)
+      assert(got == expect)
+      // and the search path serves the maintained state
+      val qs = vecs(Seq(300L))
+      val fromIdx = AnnIndex.search(spark, idx, qs, nprobe = 2, k = 3)
+        .as[(Long, Long, Long)].collect().toSeq
+      val probes = Similarity.ivfProbes(qs, AnnIndex.readCents(spark, idx),
+        org.apache.spark.sql.functions.lit(true), 2)
+      val expectS = Similarity.adcScan(
+          Similarity.pqEncode(Similarity.ivfResiduals(
+            live, AnnIndex.readCents(spark, idx)),
+            AnnIndex.readBooks(spark, idx), keep = Seq("cell")),
+          probes, AnnIndex.readBooks(spark, idx), 3)
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(fromIdx == expectS)
+    } finally q.stop()
+  }
 }
 
