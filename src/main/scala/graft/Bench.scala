@@ -215,6 +215,26 @@ object Bench {
       case b: com.sun.management.OperatingSystemMXBean => b.getProcessCpuTime
       case _ => -1L
     }
+    // Cross-run hygiene (r19, optimization-round contract): the
+    // content-addressed ANN index artifacts (AnnIndex.ensure — the
+    // q158/q159/q161 read path) persist under $TMPDIR/graft_annidx and
+    // would otherwise survive from one bench invocation to the next,
+    // letting a later invocation skip the build a fresh environment
+    // would pay. Wipe the root BEFORE the warm pass: every invocation
+    // trains + builds from the parquet inputs within itself (the
+    // untimed warm pass pays the one-time build — the train-once/
+    // query-many cost shape the artifact exists for, VERDICT r18 #1),
+    // and nothing precomputed crosses invocation boundaries.
+    locally {
+      val annRoot = new java.io.File(
+        s"${sys.props("java.io.tmpdir")}/graft_annidx")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      if (annRoot.exists()) { rm(annRoot); System.err.println(
+        "[bench] wiped persisted ANN index root (cold per-invocation build)") }
+    }
     // Untimed warm-up pass: JIT, codegen caches, parquet footers and the
     // page cache all reach steady state before anything is measured —
     // the numbers then reflect the engine, not first-touch effects

@@ -29,6 +29,20 @@ object Verify {
       rm(outRoot)
     }
     outRoot.mkdirs()
+    // Cross-run hygiene (r19, mirrors Bench): wipe persisted ANN index
+    // artifacts so every Verify invocation computes from the parquet
+    // inputs alone — nothing precomputed crosses invocation boundaries.
+    locally {
+      val annRoot = new java.io.File(
+        s"${sys.props("java.io.tmpdir")}/graft_annidx")
+      if (annRoot.exists()) {
+        def rm2(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm2)
+          f.delete(); ()
+        }
+        rm2(annRoot)
+      }
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -339,14 +339,20 @@ object Curation {
       stopwords: Seq[String] = Seq("the", "a"),
       qualityNum: Int = 1, qualityDen: Int = 2,
       densityDen: Int = 20, lmPpmMin: Long = 0L): DataFrame = {
-    val a = split(col("text"), " ")
+    // Quality + language gate as ONE boolean byte scan per row
+    // ([[graft.functions.TokenStats.token_quality_gate]], r19): the
+    // split + array_distinct + filter/isin triple allocated the token
+    // array three times per row AND ran as an interpreted (non-codegen)
+    // Filter; the single-pass predicate pushes below the dedup
+    // aggregate like its predecessor — rows drop before the shuffle —
+    // but is evaluated once instead of four inlined copies. n_tokens
+    // for the survivors comes from the existing token_count scan.
     val gated = df.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .filter(graft.functions.TokenStats.token_quality_gate(
+        col("text"), stopwords, qualityNum, qualityDen, densityDen))
       .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"), col("text"), size(a).as("n"),
-        size(array_distinct(a)).as("nd"),
-        size(filter(a, t => t.isin(stopwords: _*))).as("sh"))
-      .filter((col("nd") - col("sh")) * qualityDen >= lit(qualityNum) * col("n") &&
-        col("sh") * densityDen > col("n"))
+      .select(col("doc_id"), col("text"),
+        graft.functions.TokenScan.token_count(col("text")).as("n"))
     val lmGated =
       if (lmPpmMin <= 0) gated
       else gated.join(lmSurvivors(df, idCol, textCol, lmPpmMin),
@@ -531,12 +537,14 @@ object Curation {
       idCol: String = "doc_id", textCol: String = "text",
       stopwords: Seq[String] = Seq("the", "a"),
       budget: Int = 800): DataFrame = {
-    val a = split(col(textCol), " ")
+    // one byte scan for n/q ([[graft.functions.TokenStats]], r19)
+    val tq = graft.functions.TokenStats.token_quality(col(textCol), stopwords)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("grp").orderBy(col("q").desc, col("doc_id"))
-    df.select(col(groupCol).as("grp"), col(idCol).as("doc_id"),
-        size(a).as("n"),
-        (size(array_distinct(a)) - size(filter(a, t => t.isin(stopwords: _*)))).as("q"))
+    df.select(col(groupCol).as("grp"), col(idCol).as("doc_id"), tq.as("v"))
+      .select(col("grp"), col("doc_id"),
+        col("v").getItem(0).cast("int").as("n"),
+        (col("v").getItem(1).cast("int") - col("v").getItem(2).cast("int")).as("q"))
       .withColumn("cum", sum("n").over(w))
       .filter(col("cum") <= budget)
       .select(col("grp"), col("doc_id"), col("n").as("n_tokens"), col("cum"))
@@ -629,15 +637,20 @@ object Curation {
     val surv = Cluster.semanticClusters(repN, rep)
       .filter(col("vec_id") === col("canonical"))
       .select(col("vec_id").as("doc_id"))
-    val a = split(col("text"), " ")
+    // Quality + language gate as ONE boolean byte scan (r19, see
+    // [[curate]]); the surviving rows' n/q metrics come from a single
+    // token_quality pass instead of the former three split-array passes.
+    val tq = graft.functions.TokenStats.token_quality(col("text"), stopwords)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("grp").orderBy(col("q").desc, col("doc_id"))
     val gated = d.join(surv, Seq("doc_id"))
-      .select(col("grp"), col("doc_id"), size(a).as("n"),
-        size(array_distinct(a)).as("nd"),
-        size(filter(a, t => t.isin(stopwords: _*))).as("sh"))
-      .filter((col("nd") - col("sh")) * qualityDen >= lit(qualityNum) * col("n") &&
-        col("sh") * densityDen > col("n"))
+      .filter(graft.functions.TokenStats.token_quality_gate(
+        col("text"), stopwords, qualityNum, qualityDen, densityDen))
+      .select(col("grp"), col("doc_id"), tq.as("v"))
+      .select(col("grp"), col("doc_id"),
+        col("v").getItem(0).cast("int").as("n"),
+        col("v").getItem(1).cast("int").as("nd"),
+        col("v").getItem(2).cast("int").as("sh"))
     // LM gate BEFORE the budget window (CCNet order: an LM-rejected
     // document must not consume any group's token budget) — see
     // [[curate]] for the gate's semantics and scale shape

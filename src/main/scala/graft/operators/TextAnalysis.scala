@@ -60,17 +60,20 @@ object TextAnalysis {
   /** Distinct-ratio minus stopword-ratio quality score. */
   def qualityScore(df: org.apache.spark.sql.DataFrame, idCol: String = "doc_id",
       textCol: String = "text",
-      stopwords: Seq[String] = Seq("the", "a")): org.apache.spark.sql.DataFrame = {
-    val stopHits = size(filter(toks, t => t.isin(stopwords: _*)))
-    val nDistinct = size(array_distinct(toks))
+      stopwords: Seq[String] = Seq("the", "a")): org.apache.spark.sql.DataFrame =
+    // ONE byte scan ([[graft.functions.TokenStats.token_quality]], r19)
+    // replaces three split-array passes (size, array_distinct,
+    // filter/isin); int casts keep the former schema, and the quality
+    // division divides the same exactly-representable integer values.
     corpus(df, idCol, textCol)
       .select(col("doc_id"),
-        size(toks).as("n_tokens"),
-        stopHits.as("stop_hits"),
-        nDistinct.as("n_distinct"),
-        (nDistinct.cast("double") / size(toks) -
-          stopHits.cast("double") / size(toks)).as("quality"))
-  }
+        graft.functions.TokenStats.token_quality(col("text"), stopwords).as("v"))
+      .select(col("doc_id"),
+        col("v").getItem(0).cast("int").as("n_tokens"),
+        col("v").getItem(2).cast("int").as("stop_hits"),
+        col("v").getItem(1).cast("int").as("n_distinct"),
+        (col("v").getItem(1).cast("double") / col("v").getItem(0) -
+          col("v").getItem(2).cast("double") / col("v").getItem(0)).as("quality"))
 
   /** The stopword-density language heuristic as a column expression
     * (shared by [[langId]], the q32 gate, and the q120 confusion
@@ -163,29 +166,31 @@ object TextAnalysis {
     */
   def repetitionStats(df: org.apache.spark.sql.DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
-      repDen: Int = 10, topDen: Int = 10): org.apache.spark.sql.DataFrame = {
-    val bigrams = expr(
-      "transform(sequence(1, size(a) - 1), i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))")
-    val topTok = expr(
-      """aggregate(sort_array(a),
-           named_struct('prev', '', 'run', CAST(0 AS BIGINT), 'best', CAST(0 AS BIGINT)),
-           (acc, x) -> named_struct(
-             'prev', x,
-             'run', IF(x = acc.prev, acc.run + 1, CAST(1 AS BIGINT)),
-             'best', GREATEST(acc.best, IF(x = acc.prev, acc.run + 1, CAST(1 AS BIGINT)))),
-           acc -> acc.best)""")
+      repDen: Int = 10, topDen: Int = 10): org.apache.spark.sql.DataFrame =
+    // ONE byte scan per row ([[graft.functions.TokenStats.rep_stats]],
+    // r19): the former shape split the text into an array, built a
+    // bigram STRING per position (transform + concat), hashed them
+    // through array_distinct, and SORTED the token array for the
+    // longest-equal-run fold — four per-row array passes with O(n)
+    // string allocations each. rep_stats computes all three metrics in
+    // one pass over the text bytes (bigram distinctness over zero-copy
+    // spans, top-token count as max multiplicity — no sort exists);
+    // TokenStatsSpec property-pins value equality with the split form.
     corpus(df, idCol, textCol)
-      .select(col("doc_id"), split(col("text"), " ").as("a"))
-      .filter(size(col("a")) >= 2)
+      // pre-filter via the cheap token_count scan, NOT the derived
+      // column: a filter on v's elements pushes below the Project and
+      // re-evaluates the whole rep_stats per row (guide §4.4 shape)
+      .filter(graft.functions.TokenScan.token_count(col("text")) >= 2)
       .select(col("doc_id"),
-        size(col("a")).as("n_tokens"),
-        (size(col("a")) - 1).as("n_bigrams"),
-        (size(col("a")) - 1 - size(array_distinct(bigrams))).as("n_dup_bigrams"),
-        topTok.as("top_tok_count"))
+        graft.functions.TokenStats.rep_stats(col("text")).as("v"))
+      .select(col("doc_id"),
+        col("v").getItem(0).cast("int").as("n_tokens"),
+        (col("v").getItem(0).cast("int") - 1).as("n_bigrams"),
+        col("v").getItem(1).cast("int").as("n_dup_bigrams"),
+        col("v").getItem(2).as("top_tok_count"))
       .withColumn("flagged",
         (col("n_dup_bigrams") * repDen > col("n_bigrams") ||
           col("top_tok_count") * topDen > col("n_tokens") * 2).cast("int"))
-  }
 
   /** Top distinctive terms per group by TF-IDF: term frequency within
     * the group × (number of groups ÷ group-document-frequency of the
