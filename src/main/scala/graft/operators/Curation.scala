@@ -88,35 +88,51 @@ object Curation {
   def dsirScores(target: DataFrame, candidates: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       buckets: Int = DsirBuckets): DataFrame = {
-    def feats(df: DataFrame): DataFrame =
+    // r19 optimization: the hashed (token ++ adjacent-bigram) profile
+    // comes from ONE byte scan per document
+    // ([[graft.functions.FeatureBuckets]] — same md5-based h60 ids,
+    // FeatureBucketsSpec pins it) instead of a split + bigram-concat +
+    // explode + md5-hex + conv chain per FEATURE, and the scoring pass
+    // folds the ≤B-row weight table over each document's bucket array
+    // with a literal-table lookup (the q163 gumbel pattern — the table
+    // is k-bounded driver model state either way; it used to broadcast
+    // for a join). That removes the candidate-side explode (≈2×tokens
+    // rows), the join probe per feature, and the per-doc aggregation
+    // exchange: scoring is now a pure projection over the tracked
+    // per-doc arrays.
+    def docBuckets(df: DataFrame): DataFrame =
       Dedup.corpus(df, idCol, textCol)
-        .select(col("doc_id"), split(col("text"), " ").as("a"))
-        // the size<2 guard matches DuckDB, where generate_series(1, 0)
-        // is EMPTY — Spark's sequence(1, 0) would DESCEND ([1, 0]) and
-        // hit element_at's ANSI zero-index error on a 1-token doc
-        .select(col("doc_id"), explode(concat(col("a"), expr(
-          "IF(size(a) < 2, array(), transform(sequence(1, size(a) - 1), " +
-            "i -> concat(element_at(a, i), ' ', element_at(a, i + 1))))")))
-          .as("tok"))
-        .select(col("doc_id"), (h60(col("tok")) % buckets).as("b"))
-    // both feature frames persist: each is read twice (the totals count
-    // + its model aggregation; candidates a third time for scoring)
-    val tf = GraftCache.track(feats(target))
-    val cf = GraftCache.track(feats(candidates))
-    val tc = tf.groupBy("b").agg(count(lit(1)).as("ct"))
-    val cc = cf.groupBy("b").agg(count(lit(1)).as("cr"))
+        .select(col("doc_id"),
+          graft.functions.FeatureBuckets.feature_buckets(col("text"), buckets)
+            .as("fb"))
+    // both per-doc bucket frames persist: each is read twice (totals +
+    // model aggregation; candidates a third time for scoring) and each
+    // is far smaller materialized than the text it derives from
+    val tf = GraftCache.track(docBuckets(target))
+    val cf = GraftCache.track(docBuckets(candidates))
+    val tc = tf.select(explode(col("fb")).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("ct"))
+    val cc = cf.select(explode(col("fb")).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("cr"))
     // corpus totals: 2 longs of driver model state (k-bounded metadata,
     // the nbLexicon pattern); an empty side is a caller error named here
-    val nt = tf.count()
-    val nr = cf.count()
+    val nt = tf.agg(coalesce(sum(size(col("fb"))), lit(0L))).head().getLong(0)
+    val nr = cf.agg(coalesce(sum(size(col("fb"))), lit(0L))).head().getLong(0)
     require(nt > 0 && nr > 0,
       s"dsirSelect: both corpora need features (target $nt, candidates $nr)")
     val w = cc.join(tc, Seq("b"), "left")
       .select(col("b"),
         (expr(s"(1000000 * (coalesce(ct, 0) + 1)) div ${nt + buckets}L") -
           expr(s"(1000000 * (cr + 1)) div ${nr + buckets}L")).as("w"))
-    cf.join(broadcast(w), "b")
-      .groupBy("doc_id").agg(sum(col("w")).as("score"))
+    // ≤B rows of k-bounded model state; buckets no candidate feature
+    // maps to stay 0 and are unreachable by construction (every
+    // candidate bucket is in cc, hence in w)
+    val wArr = new Array[Long](buckets)
+    w.collect().foreach(r => wArr(r.getLong(0).toInt) = r.getLong(1))
+    cf.select(col("doc_id"),
+      aggregate(col("fb"), lit(0L), (acc, x) =>
+        acc + element_at(typedLit(wArr.toSeq), (x + lit(1L)).cast("int")))
+        .as("score"))
   }
 
   /** Gumbel-noise geometry for [[dsirResample]]: the quantized inverse
@@ -215,15 +231,36 @@ object Curation {
     */
   private[graft] def rhoExcess(reference: DataFrame, candidates: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val refScore = TextAnalysis.lmScoreAgainst(candidates,
-        TextAnalysis.lmTable(reference, idCol, textCol), idCol, textCol)
-      .select(col("doc_id"), col("lm_ppm").as("ref_ppm"))
-    val rawScore = TextAnalysis.lmScoreAgainst(candidates,
-        TextAnalysis.lmTable(candidates, idCol, textCol), idCol, textCol)
-      .select(col("doc_id"), col("lm_ppm").as("raw_ppm"))
-    refScore.join(rawScore, "doc_id")
-      .select(col("doc_id"), col("ref_ppm"), col("raw_ppm"),
-        (col("ref_ppm") - col("raw_ppm")).as("excess"))
+    // r19 optimization (guide §2.4 "remove shuffles outright" + §1.2
+    // "don't compute things twice"): the former shape ran
+    // lmScoreAgainst TWICE — two independent candidate bigram explodes,
+    // two probe joins, two per-doc aggregations, then a doc-keyed join
+    // of the two score frames — and built the raw LM from a THIRD
+    // explode of the same candidates. The candidate bigram stream is
+    // now exploded ONCE (tracked: three consumers — raw-LM build and
+    // the dual probe — which is past the r14 "one reuse is a wash"
+    // threshold), probes BOTH vocabulary-bounded LM tables in sequence
+    // (each keyed unique on (w1,w2), so no row multiplication), and
+    // folds both ppm sums in ONE per-doc aggregation. Values are
+    // bit-identical: same stream, same LEFT-join + coalesce-0
+    // out-of-vocabulary rule, same exact integer `div` per score, and
+    // the inner score join disappears because both scores share every
+    // doc_id (same stream) — q165/q166 re-verified oracle-exact.
+    val bgd = GraftCache.track(
+      TextAnalysis.docBigrams(candidates, idCol, textCol))
+    val refLm = TextAnalysis.lmTable(reference, idCol, textCol)
+      .withColumnRenamed("ppm", "ppm_r")
+    val rawLm = TextAnalysis.lmTableOf(bgd).withColumnRenamed("ppm", "ppm_w")
+    bgd.join(refLm, Seq("w1", "w2"), "left")
+      .join(rawLm, Seq("w1", "w2"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(coalesce(col("ppm_r"), lit(0L))).as("sr"),
+        sum(coalesce(col("ppm_w"), lit(0L))).as("sw"))
+      .select(col("doc_id"),
+        expr("sr div n_bigrams").as("ref_ppm"),
+        expr("sw div n_bigrams").as("raw_ppm"),
+        (expr("sr div n_bigrams") - expr("sw div n_bigrams")).as("excess"))
   }
 
   /** DoReMi-style mixture geometry (q166): weight scale (weights are

@@ -275,10 +275,12 @@ object TextAnalysis {
       (if (isWord(t.head)) "\\b" else "") + escapeRegex(t) +
         (if (isWord(t.last)) "\\b" else "")
     }.mkString("(", "|", ")")
+    // one matcher pass for count + rewrite ([[graft.functions.RegexRedact]], r19)
     corpus(df, idCol, textCol)
       .select(col("doc_id"),
-        regexp_count(col("text"), lit(pat)).as("n_redacted"),
-        regexp_replace(col("text"), pat, mask).as("text_redacted"))
+        graft.functions.RegexRedact.regex_redact(col("text"), pat, mask).as("r"))
+      .select(col("doc_id"), col("r.n").as("n_redacted"),
+        col("r.t").as("text_redacted"))
   }
 
   /** Escape a literal string for use inside a regex, in the shared
@@ -316,14 +318,23 @@ object TextAnalysis {
     */
   def piiRedact(df: org.apache.spark.sql.DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): org.apache.spark.sql.DataFrame = {
-    val t1 = regexp_replace(col("text"), PiiEmail, "<EMAIL>")
-    val t2 = regexp_replace(t1, PiiIp, "<IP>")
+    // ONE matcher pass per pattern ([[graft.functions.RegexRedact]],
+    // r19): count and replacement come out of the same find() loop, so
+    // the chain runs 3 regex scans per row instead of 6 (each pattern
+    // was scanned once to count and once to rewrite). Same engine, same
+    // patterns — RegexRedactSpec pins (n, t) against the built-ins.
+    val r1 = graft.functions.RegexRedact.regex_redact(
+      col("text"), PiiEmail, "<EMAIL>")
     corpus(df, idCol, textCol)
-      .select(col("doc_id"),
-        regexp_count(col("text"), lit(PiiEmail)).as("n_emails"),
-        regexp_count(t1, lit(PiiIp)).as("n_ips"),
-        regexp_count(t2, lit(PiiPhone)).as("n_phones"),
-        regexp_replace(t2, PiiPhone, "<PHONE>").as("text_clean"))
+      .select(col("doc_id"), r1.as("r1"))
+      .select(col("doc_id"), col("r1.n").as("n_emails"),
+        graft.functions.RegexRedact.regex_redact(col("r1.t"), PiiIp, "<IP>")
+          .as("r2"))
+      .select(col("doc_id"), col("n_emails"), col("r2.n").as("n_ips"),
+        graft.functions.RegexRedact.regex_redact(col("r2.t"), PiiPhone, "<PHONE>")
+          .as("r3"))
+      .select(col("doc_id"), col("n_emails"), col("n_ips"),
+        col("r3.n").as("n_phones"), col("r3.t").as("text_clean"))
   }
 
   /** Vocabulary pruning / OOV mapping (the tokenizer-prep step): build
@@ -492,7 +503,7 @@ object TextAnalysis {
   /** (doc_id, w1, w2) bigram stream of an (id, text) frame — the shared
     * front half of the LM operators.
     */
-  private def docBigrams(df: org.apache.spark.sql.DataFrame, idCol: String,
+  private[graft] def docBigrams(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame =
     corpus(df, idCol, textCol)
       .select(col("doc_id"), split(col("text"), " ").as("a"))
@@ -510,7 +521,7 @@ object TextAnalysis {
     * successors of one head), never corpus-sized — the safe window
     * regime, unlike the span posting lists q97 deliberately avoids.
     */
-  private def lmTableOf(bgd: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+  private[graft] def lmTableOf(bgd: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     bgd.groupBy("w1", "w2").agg(count(lit(1)).as("c_big"))
       .withColumn("c_head", sum(col("c_big"))
         .over(org.apache.spark.sql.expressions.Window.partitionBy("w1")))

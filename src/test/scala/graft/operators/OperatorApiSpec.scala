@@ -538,6 +538,36 @@ class OperatorApiSpec extends AnyFunSuite with SparkFixture {
     assert(kept.count() <= cand.count())
   }
 
+  test("rhoExcess single-pass dual-LM fold ≡ two independent lmScoreAgainst passes") {
+    import spark.implicits._
+    // r19 restructure pin: one tracked bigram stream probing both LM
+    // tables must produce the exact (ref_ppm, raw_ppm, excess) the
+    // two-pass shape did — same LEFT-join + coalesce-0 OOV rule, same
+    // integer div.
+    val reference = Seq(
+      (1L, "alpha beta alpha beta gamma"),
+      (2L, "alpha beta delta")).toDF("id", "body")
+    val cand = Seq(
+      (20L, "alpha beta alpha"),
+      (21L, "alpha gamma alpha delta"),
+      (22L, "zeta eta theta"),
+      (23L, "alpha beta alpha beta alpha")).toDF("id", "body")
+    val got = Curation.rhoExcess(reference, cand, idCol = "id",
+        textCol = "body")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val refScore = TextAnalysis.lmScoreAgainst(cand,
+        TextAnalysis.lmTable(reference, "id", "body"), "id", "body")
+      .select(col("doc_id"), col("lm_ppm").as("ref_ppm"))
+    val rawScore = TextAnalysis.lmScoreAgainst(cand,
+        TextAnalysis.lmTable(cand, "id", "body"), "id", "body")
+      .select(col("doc_id"), col("lm_ppm").as("raw_ppm"))
+    val want = refScore.join(rawScore, "doc_id")
+      .select(col("doc_id"), col("ref_ppm"), col("raw_ppm"),
+        (col("ref_ppm") - col("raw_ppm")).as("excess"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == want, s"got $got want $want")
+  }
+
   test("repetitionStats counts duplicate bigrams and the top token") {
     import spark.implicits._
     val rep = Seq((1L, "spam spam spam spam eggs"),
