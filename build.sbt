@@ -24,6 +24,15 @@ val duckdbJdbcJar: Seq[File] = {
 Compile / unmanagedJars ++= duckdbJdbcJar.map(Attributed.blank(_))
 Test / fork := true
 run / fork := true
+// Forked-process output passes through RAW instead of via sbt's logger
+// (r20, VERDICT r19 #1): the logger prefixes every stdout line with
+// "[info] ", and the driver's collector has parsed the bench JSON line
+// in ZERO of 19 rounds (`parsed: null` in every BENCH_r* wrapper,
+// including rounds whose keys it should have accepted) — a parser that
+// json-loads a line, or anchors on a line starting with '{', fails on
+// exactly that prefix. Raw pass-through also returns the prefix's 7 B
+// to the ~2000 B collector-tail line budget.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

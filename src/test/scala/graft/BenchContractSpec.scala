@@ -19,93 +19,47 @@ class BenchContractSpec extends AnyFunSuite {
   }
 
   test("worst-case bench JSON line fits the collector tail BESIDE sbt's trailer") {
-    // The collector keeps the LAST 2000 chars of combined output, and
-    // sbt prints a "[success] Total time: …" trailer (~80 B observed in
-    // BENCH_r09's tail) AFTER the JSON line — so the line's real budget
-    // is ~1918 B, not 2000. Width model: fq() renders EXACTLY 4 chars
-    // at every magnitude ("0.89", "9.99", "99.9", "590"), so every
-    // median — and every fq-rendered value — is modeled at 4 chars,
-    // which is not pessimism but the true fixed width; fc-rendered
-    // fields (diag worst-rep and cores since r15) are 3-char worst.
-    // What this pins is the GUARANTEED adjudication floor: iso is
-    // byte-budgeted before each shot (entries admitted only while the
-    // line stays ≤ 1918 B, hard cap 16) and diag yields entries under
-    // byte pressure — since r15 down to ZERO (extending r12's
-    // second-entry rule; the same evidence-less-regressions-first
-    // priority as isoOrder) — so overflow is impossible by
-    // construction. The GUARANTEED floor at all-worst-width medians is
-    // NO diag (the empty map omits its key since r15) + 2 iso slots:
-    // ≥2 evidence-less regressions always get their in-artifact shots
-    // (r14's q129 failure mode is structurally closed for ≤2
-    // regressions), with diag context re-admitted by the ladder
-    // whenever the real medians leave room (they always have — real
-    // lines run ~100 B under the all-worst model).
-    // (The floor was diag(1)+iso(2) through r14's 154 queries;
-    // q155/q156 spent that shape's margin; q157 spent the diag-key and
-    // iso-value-width bytes, landing at 1917 — ONE byte of margin. The
-    // suite's structural cap under this contract is therefore 157
-    // gates: a 158th must find ~11 B in the medians map itself (the
-    // g/w→cal merge and sf-basename trim considered and rejected in
-    // r15 recover only 10 between them) or in a bigger collector tail.)
-    // (The floor was diag(1)+iso(2) through r14's 154 queries;
-    // q155/q156 spent that shape's margin; q157 spent the diag-key and
-    // iso-value-width bytes, landing at 1917 at the r15 renderer — ONE
-    // byte of margin, capping the suite at 157 gates. r16's q158 was
-    // funded by three renderer trims, worth 14 B at the sf0.1 worst
-    // case: the cal array carries g and w as elements 3–4 when cal is
-    // present (−8: the separate "g":/"w": field headers only render on
-    // non-cal scales), the metric value is "t" (−4: the driver contract
-    // elides the value — only the key is load-bearing), and sf drops
-    // its redundant prefix ("sf0.1"→"0.1", −2: Bench's prev-round
-    // matcher accepts both spellings). Structural cap under THIS
-    // renderer: margin below is 1918 − length; each additional gate
-    // costs 12 B at worst width. Levers surveyed for the NEXT gate,
-    // cheapest first: cap w at 99 (−1); drop the iso floor to 1 slot
-    // (−11, weakens the ≥2-regression guarantee — last resort); drop
-    // the "q" prefix from the queries keys (−1 B per gate ≈ −158, but it breaks
-    // the qNN cross-round convention and Bench's own prev-round scan
-    // regex must then accept both spellings for one transition round).)
-    // r17 renderer: queries/diag/iso keys drop the redundant "q" prefix
-    // ("q157" → "157"), the lever the r16 survey priced at −1 B per gate
-    // — worth −160 B at 158 gates (157 medians + 2 iso keys + the w cap
-    // below), funding q159 with ~150 B to spare for future gates. The
-    // prev-round matcher accepts both spellings (transition pinned in
-    // the "prev-round matcher" test below).
-    def rid(name: String) = qid(name).stripPrefix("q")
-    val widths = Seq.fill(SparkEntry.all.size)("99.9")
-    val medians = SparkEntry.all.zip(widths)
-      .map { case (q, w) => "\"" + rid(q.name) + "\":" + w }.mkString("{", ",", "}")
-    // iso values render through fc since r15: 3-char worst ("9.9"/"999")
-    val iso = (1 to 2)
-      .map(i => "\"15" + i + "\":9.9").mkString("{", ",", "}")
-    // r19: the cal array's worst case carries BOTH the start-retry
-    // count (element 5) and the end re-probe value (element 6) — the
-    // renderer reserves these bytes out of the iso budget whenever the
-    // end canary reads degraded, so the line cannot overflow after the
-    // re-probe lands
-    val line = s"""{"metric":"t","value":99.9,"unit":"sec",""" +
-      s""""queries":$medians,"iso":$iso,""" +
-      s""""cal":[9.99,9.99,99,999,9,9.9],""" +
-      s""""sf":"0.1"}"""
-    assert(line.length <= 1918,
-      s"bench JSON would be ${line.length} B; trim before the harness truncates it")
-    // exact-figure pin (ADVICE r15): byte drift in the renderer must
-    // read as a MODEL change here, not a silent budget change — update
-    // this constant deliberately whenever a gate or renderer field moves.
-    // Derivation: 1903 (the r16 model at 157 gates, q-prefixed keys)
-    // − 157 (query keys drop 'q') − 2 (iso keys drop 'q') = 1744 at 157
-    // gates; + 2 for the r18 cal-retry element (",9" rides the cal array
-    // only when the start canary re-probed — worst case assumes it);
-    // + 4 for the r19 end re-probe element (",9.9" — fq caps it at 9.9,
-    // and the renderer reserves exactly these bytes out of the iso
-    // budget when the end canary reads degraded);
-    // each additional gate has a 3-digit id → 11 B worst width
-    // ("NNN":99.9 plus its comma).
-    val expectedLen = 1750 + 11 * (SparkEntry.all.size - 157)
-    assert(line.length == expectedLen,
-      s"worst-case line is ${line.length} B, model says $expectedLen " +
-        "(1746 at 157 gates + 11 B per worst-width 3-digit gate) — the " +
-        "renderer drifted; re-derive the budget before committing")
+    // r20 model (VERDICT r19 #1 — re-derived BEFORE the renderer landed).
+    // Budget: the collector keeps the LAST 2000 chars of output. After
+    // the line: its own newline (1) + sbt's success trailer, worst
+    // observed shape "[success] Total time: 1234 s (20:34), completed
+    // Dec 28, 2026, 12:59:59 PM" + newline = 74. Before the line:
+    // nothing (r20: outputStrategy = StdoutOutput — the "[info] " logger
+    // prefix that used to ride ON the line is gone, returning its 7 B).
+    // True budget therefore 2000 − 75 = 1925; the renderer keeps
+    // admitting against the stricter legacy 1918 (margin for an exotic
+    // trailer).
+    // Worst line (the guaranteed-fit rung t2=0 — every fqAt value ≤3
+    // chars; iso/diag/failed/only all yield to zero; cal at its widest:
+    // start/end pinned 9.9, g capped 9, w capped 99, retry count 3, end
+    // re-probe 9.9):
+    //   {"metric":"t","value":590,"unit":"sec",   39
+    //   "queries":{...},                          10 + map + 1
+    //     map: 99 2-digit gates × 9 ("q01":9.9) + (gates−99) × 10
+    //          ("q101":9.9) + (gates−1) commas + 2 braces
+    //   "cal":[9.9,9.9,9,99,3,9.9],               27
+    //   "sf":0.1}                                 9
+    // At 167 gates: map = 99×9 + 68×10 + 166 + 2 = 1739 → line = 1825.
+    // Headroom: 93 B under the legacy 1918 admission budget, 100 B under
+    // the true 1925 — ~8 future gates at 11 B each before the next
+    // renderer trim is needed. The REAL line runs at rung t2=10 or 2.5
+    // (2-decimal floor queries) whenever, as in every committed round,
+    // actual medians are far narrower than the all-worst model.
+    val gates = SparkEntry.all.size
+    val worstMap = SparkEntry.all
+      .map(q => "\"" + qid(q.name) + "\":9.9").mkString("{", ",", "}")
+    val worstLine = s"""{"metric":"t","value":590,"unit":"sec",""" +
+      s""""queries":$worstMap,""" +
+      s""""cal":[9.9,9.9,9,99,3,9.9],""" + s""""sf":0.1}"""
+    val threeDigit = SparkEntry.all.count(q => qid(q.name).length > 3)
+    val model = 39 + 10 + (9 * (gates - threeDigit) + 10 * threeDigit +
+      (gates - 1) + 2) + 1 + 27 + 9
+    assert(worstLine.length == model,
+      s"worst-case line is ${worstLine.length} B, model says $model — " +
+        "the renderer/model drifted; re-derive before committing")
+    assert(worstLine.length <= 1918 - 90,
+      s"worst-case line ${worstLine.length} B leaves < 90 B headroom " +
+        "under the 1918 admission budget; trim the renderer before adding gates")
   }
 
   test("iso wall budget is reserved for regression movers (r17 verdict #1)") {
