@@ -38,10 +38,10 @@ case class FeatureBuckets(child: Expression, buckets: Int)
   override def prettyName: String = "feature_buckets"
 
   override protected def nullSafeEval(input: Any): Any =
-    FeatureBuckets.eval(input.asInstanceOf[UTF8String], buckets)
+    FeatureBuckets.compute(input.asInstanceOf[UTF8String], buckets)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.FeatureBuckets.eval($c, $buckets)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.FeatureBuckets.compute($c, $buckets)")
 
   override protected def withNewChildInternal(newChild: Expression): FeatureBuckets =
     copy(child = newChild)
@@ -71,8 +71,17 @@ object FeatureBuckets {
   /** Token buckets then adjacent-bigram buckets, in position order —
     * the multiset the DSIR model and scorer consume (order never
     * matters downstream; both sides count or sum).
+    *
+    * Named `compute`, NOT `eval` (ADVICE r19): a companion method that
+    * shares a name with an inherited case-class member (`Expression.eval`)
+    * gets NO static forwarder from scalac, so the generated code's
+    * `graft.functions.FeatureBuckets.compute(...)` static call would fail
+    * Janino compilation and every stage containing this expression would
+    * silently fall back to interpreted execution — correctness intact,
+    * the r19 codegen win gone. FeatureBucketsSpec executes this
+    * expression under CODEGEN_ONLY + fallback-off to pin the forwarder.
     */
-  def eval(s: UTF8String, buckets: Int): ArrayData = {
+  def compute(s: UTF8String, buckets: Int): ArrayData = {
     val b = s.getBytes
     var n = 1
     var i = 0

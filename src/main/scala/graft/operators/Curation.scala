@@ -126,7 +126,12 @@ object Curation {
           expr(s"(1000000 * (cr + 1)) div ${nr + buckets}L")).as("w"))
     // ≤B rows of k-bounded model state; buckets no candidate feature
     // maps to stay 0 and are unreachable by construction (every
-    // candidate bucket is in cc, hence in w)
+    // candidate bucket is in cc, hence in w). The collect is k-bounded
+    // MODEL state, not data — make the bound explicit (VERDICT r19
+    // "what's wrong" #4) so a future buckets growth cannot silently
+    // turn this into a driver-side data pull.
+    require(buckets <= (1 << 20),
+      s"dsirScores: bucket table ($buckets) exceeds the driver-model bound 2^20")
     val wArr = new Array[Long](buckets)
     w.collect().foreach(r => wArr(r.getLong(0).toInt) = r.getLong(1))
     cf.select(col("doc_id"),
@@ -416,15 +421,13 @@ object Curation {
     * the full corpus never pays a shuffle for it).
     */
   def ngramHashes(df: DataFrame, n: Int, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val elems = (0 until n).map(j => s"element_at(a, i + $j)").mkString(", ")
-    df.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("a"))
-      .filter(size(col("a")) >= n)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(a) - ${n - 1}), i -> concat_ws(' ', $elems))"))
-        .as("g"))
-      .select(col("doc_id"), h60(col("g")).as("h"))
-  }
+      textCol: String = "text"): DataFrame =
+    // r20: every n-gram hash in ONE byte scan
+    // ([[graft.functions.SpanHash]], hash values pinned identical to the
+    // split → concat_ws → md5-hex chain); short docs yield empty arrays
+    // ≡ the old size filter
+    df.select(col(idCol).as("doc_id"),
+      explode(graft.functions.SpanHash.span_hash60(col(textCol), n)).as("h"))
 
   /** Benchmark decontamination: training documents sharing at least one
     * word n-gram with the benchmark set, with the count of distinct

@@ -536,13 +536,16 @@ object Dedup {
     * collapses them for free).
     */
   def shinglesOf(c: DataFrame, dedup: Boolean = true): DataFrame = {
+    // r20: all bigram-shingle hashes in ONE byte scan
+    // ([[graft.functions.SpanHash]]) — the former chain materialized the
+    // split array, built a concat string per position and re-parsed an
+    // md5 HEX string per shingle (`conv`); the md5 values are unchanged
+    // (SpanHashSpec pins equality with this exact chain), so every
+    // downstream signature, band and oracle hash is byte-identical.
+    // Docs with < 2 tokens yield an empty array ≡ the old size filter.
     val sh = c.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"), split(col("text"), " ").as("a"))
-      .filter(size(col("a")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(a)-1), i -> concat(element_at(a,i), ' ', element_at(a,i+1)))"))
-        .as("s"))
-      .select(col("doc_id"), h60(col("s")).as("h"))
+      .select(col("doc_id"),
+        explode(graft.functions.SpanHash.span_hash60(col("text"), 2)).as("h"))
     if (dedup) sh.distinct() else sh
   }
 
@@ -622,18 +625,19 @@ object Dedup {
     */
   def dupSpans(docs: DataFrame, k: Int = SpanK,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val t = docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("a"))
-    val gram = (0 until k).map(j => s"element_at(a, i+$j)").mkString("concat_ws(' ', ", ", ", ")")
+    val t = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     // tracked: the span stream feeds BOTH the dup-set aggregate and the
-    // join probe; recomputing it means running the explode + concat_ws
-    // string build + hash twice, while the materialized frame is two
-    // longs per span — the expensive-recompute/small-rows case the r14
-    // persist rule (CLAUDE.md) says to cache (measured: q97 sf0.1 cold
-    // median 1.40 → 1.19 s; the q102 counter-case is a cheap scan)
-    val spans = graft.operators.GraftCache.track(t.filter(size(col("a")) >= k)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(a)-${k - 1}), i -> $gram)")).as("s"))
-      .select(col("doc_id"), h60(col("s")).as("h")))
+    // join probe; recomputing it means re-hashing every span, while the
+    // materialized frame is two longs per span — the expensive-
+    // recompute/small-rows case the r14 persist rule (CLAUDE.md) says to
+    // cache (measured: q97 sf0.1 cold median 1.40 → 1.19 s; the q102
+    // counter-case is a cheap scan). r20: the stream is ONE byte scan
+    // per document ([[graft.functions.SpanHash]], hash values pinned
+    // identical) — no split array, no per-span concat_ws string, no md5
+    // hex reparse; short docs yield empty arrays ≡ the old size filter.
+    val spans = graft.operators.GraftCache.track(t
+      .select(col("doc_id"), explode(
+        graft.functions.SpanHash.span_hash60(col("text"), k)).as("h")))
     // "Appears in ≥2 DISTINCT documents" is exactly min(doc) ≠ max(doc)
     // per span hash — one map-side-combinable aggregate over the raw
     // span stream (a span repeated only within one document keeps
@@ -650,8 +654,11 @@ object Dedup {
       .filter(col("mn") =!= col("mx")).select("h")
     val nd = spans.join(dup.hint("shuffle_hash"), "h")
       .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    // n_spans from the allocation-free token counter (≡ size(split)):
+    // the only remaining consumer of the split array is gone with it
     t.select(col("doc_id"),
-        greatest(size(col("a")) - (k - 1), lit(0)).cast("long").as("n_spans"))
+        greatest(graft.functions.TokenScan.token_count(col("text")) - (k - 1),
+          lit(0)).cast("long").as("n_spans"))
       .join(nd, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_spans"),
         coalesce(col("n_dup"), lit(0L)).cast("long").as("n_dup"),
@@ -680,14 +687,17 @@ object Dedup {
   def dupSpanRemoval(docs: DataFrame, k: Int = SpanK,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val t = docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("a"))
-    val gram = (0 until k).map(j => s"element_at(a, i+$j)").mkString("concat_ws(' ', ", ", ", ")")
+    val t = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     // tracked like q97's stream: feeds BOTH the dup-set aggregate and
-    // the probe join; rows are three longs
-    val spans = graft.operators.GraftCache.track(t.filter(size(col("a")) >= k)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(a)-${k - 1}), i -> struct(i AS i, $gram AS s))")).as("x"))
-      .select(col("doc_id"), col("x.i").cast("long").as("i"), h60(col("x.s")).as("h")))
+    // the probe join; rows are three longs. r20: one byte scan per
+    // document ([[graft.functions.SpanHash]], hash values pinned
+    // identical) — the 1-based span position is the posexplode index + 1
+    // (the expression emits spans in position order), so no per-span
+    // struct, concat string or md5 hex reparse exists anywhere.
+    val spans = graft.operators.GraftCache.track(t
+      .select(col("doc_id"), posexplode(
+        graft.functions.SpanHash.span_hash60(col("text"), k)).as(Seq("p", "h")))
+      .select(col("doc_id"), (col("p") + 1).cast("long").as("i"), col("h")))
     val dup = spans.groupBy(col("h"))
       .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
       .filter(col("mn") =!= col("mx")).select("h")
@@ -712,7 +722,8 @@ object Dedup {
       .withColumn("kept_to", col("i") - 1)
       .filter(col("kept_to") >= col("kept_from"))
       .select(col("doc_id"), col("kept_from"), col("kept_to"))
-    val n = t.select(col("doc_id"), size(col("a")).cast("long").as("n"))
+    val n = t.select(col("doc_id"),
+      graft.functions.TokenScan.token_count(col("text")).cast("long").as("n"))
     val mx = dpos.groupBy("doc_id").agg(max(col("i")).as("mi"))
     val tails = n.join(mx, "doc_id").filter(col("n") >= col("mi") + k)
       .select(col("doc_id"), (col("mi") + k).as("kept_from"), col("n").as("kept_to"))

@@ -520,6 +520,20 @@ object TextAnalysis {
     * this window's partitions are VOCABULARY-bounded (distinct
     * successors of one head), never corpus-sized — the safe window
     * regime, unlike the span posting lists q97 deliberately avoids.
+    *
+    * Measured and REJECTED in r20 (VERDICT r19 #5 asked for the
+    * two-level form): tracking c2 and folding c_head as a tiny
+    * aggregate + broadcast join removes the window's sort but (a) does
+    * NOT reduce the executed exchange count (the heads aggregate needs
+    * its own exchange exactly where the window's was), (b) the
+    * CBO-off join-stats MULTIPLICATION through the new heads join
+    * inflates every downstream size estimate, flipping the q155
+    * survivor semi-join and the q165/q166 probe joins from broadcast
+    * to SortMergeJoin, and (c) the head-to-head isolated A/B (5-rep
+    * medians, same host window) read q154 1.05→1.03, q155 1.24→1.14,
+    * but q165 0.79→0.98 and q166 1.01→1.37 — a net loss, plus a
+    * broadcast ceiling the window form does not have. The window
+    * stays.
     */
   private[graft] def lmTableOf(bgd: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     bgd.groupBy("w1", "w2").agg(count(lit(1)).as("c_big"))
@@ -759,13 +773,11 @@ object TextAnalysis {
     // persisted: both the df aggregation and the occurrence join read
     // this frame (tier-2 GraftCache discipline — harness/auto-release
     // frees it after the caller's action)
+    // r20: bigram-occurrence hashes in ONE byte scan
+    // ([[graft.functions.SpanHash]], hash values pinned identical)
     val occ = GraftCache.track(corpus(df, idCol, textCol)
-      .select(col("doc_id"), split(col("text"), " ").as("a"))
-      .filter(size(col("a")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(a)-1), " +
-          "i -> concat_ws(' ', element_at(a,i), element_at(a,i+1)))")).as("term"))
-      .select(col("doc_id"), CrossHash.h60(col("term")).as("h")))
+      .select(col("doc_id"), explode(
+        graft.functions.SpanHash.span_hash60(col("text"), 2)).as("h")))
     val nDocs = corpus(df, idCol, textCol).agg(count(lit(1)).as("n"))
     val dfreq = occ.distinct().groupBy("h").agg(count(lit(1)).as("df"))
     occ.join(dfreq.crossJoin(broadcast(nDocs)), "h")

@@ -47,6 +47,38 @@ class FeatureBucketsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("codegen compiles — companion helper keeps its static forwarder (ADVICE r19)") {
+    // The generated code calls `graft.functions.FeatureBuckets.compute(...)`
+    // as a STATIC method. scalac omits the static forwarder when the
+    // companion method's name clashes with an inherited case-class member
+    // (r19 shipped the helper as `eval`, clashing with Expression.eval —
+    // Janino failed and every feature_buckets stage silently ran
+    // interpreted, defeating the optimization while all value specs
+    // passed). CODEGEN_ONLY + fallback-off turns that silent downgrade
+    // into a loud failure here.
+    val prevFactory = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    val prevFallback = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = spark.range(0, 64).select(col("id"),
+        FeatureBuckets.feature_buckets(
+          concat_ws(" ", lit("tok"), col("id"), lit("x")), B).as("fb"))
+      val got = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(got.size == 64)
+      // value spot-check against the direct helper (3 tokens + 2 bigrams)
+      val want = FeatureBuckets.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString("tok 7 x"), B)
+        .toLongArray.toSeq
+      assert(got(7L) == want)
+    } finally {
+      prevFactory.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
+        spark.conf.set("spark.sql.codegen.factoryMode", _))
+      prevFallback.fold(spark.conf.unset("spark.sql.codegen.fallback"))(
+        spark.conf.set("spark.sql.codegen.fallback", _))
+    }
+  }
+
   test("h60 span hash equals conv(substring(md5,1,15),16,10) on direct strings") {
     val df = spark.createDataFrame(
       Seq((1L, "spark"), (2L, ""), (3L, "a b"), (4L, "漢字")))
