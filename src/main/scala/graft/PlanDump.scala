@@ -32,6 +32,7 @@ object PlanDump {
       .config("spark.locality.wait", "0s")
       .config("spark.sql.adaptive.enabled",
         sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
@@ -42,11 +43,45 @@ object PlanDump {
     val sel = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       only.forall(p => p.contains(n) || p.contains(n.takeWhile(_ != '_')))
     }
+    // ALL-JOBS capture (r20, VERDICT r19 #9): the final-plan dump hides
+    // eager sub-jobs (model builds, localCheckpoints, scalar subqueries
+    // executed during query CONSTRUCTION — the q162 "10 → 0 exchanges"
+    // claim was scoped to the scoring subplan because of exactly this).
+    // With SPARK_GRAFT_ALLJOBS=1 each query is EXECUTED (noop sink) with
+    // a QueryExecutionListener attached, and every job's formatted plan
+    // lands in one `<name>_<suffix>.txt` — so committed exchange counts
+    // match execution, not just the last job.
+    val allJobs = sys.env.get("SPARK_GRAFT_ALLJOBS").contains("1")
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        captured.add(funcName ->
+          qe.explainString(org.apache.spark.sql.execution.FormattedMode))
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    if (allJobs) spark.listenerManager.register(listener)
     sel.foreach { case (name, fn) =>
       try {
+        captured.clear()
         val df = fn(spark, sfDir)
-        val txt = df.queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode)
+        val txt =
+          if (!allJobs) df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          else {
+            df.write.format("noop").mode("overwrite").save()
+            Thread.sleep(2000) // the execution-listener bus is async
+            val sb = new StringBuilder
+            var i = 0
+            val it = captured.iterator()
+            while (it.hasNext) {
+              val (fn0, plan) = it.next()
+              i += 1
+              sb.append(s"=== job $i ($fn0) ===\n").append(plan).append("\n\n")
+            }
+            sb.append(s"=== total jobs captured: $i ===\n").toString
+          }
         val p = java.nio.file.Paths.get(outDir, s"${name}_$suffix.txt")
         java.nio.file.Files.write(p, txt.getBytes("UTF-8"))
         System.err.println(s"[plandump] $name -> $p (${txt.length} B)")

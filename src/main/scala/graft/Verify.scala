@@ -11,6 +11,9 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // generated-class cache sized to the 167-query application (see
+      // Bench.scala — the 100-entry default cycles ~1000 codegen units)
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet stores TIMESTAMP(NANOS); Spark reads it as Long
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -31,18 +34,9 @@ object Verify {
     outRoot.mkdirs()
     // Cross-run hygiene (r19, mirrors Bench): wipe persisted ANN index
     // artifacts so every Verify invocation computes from the parquet
-    // inputs alone — nothing precomputed crosses invocation boundaries.
-    locally {
-      val annRoot = new java.io.File(
-        s"${sys.props("java.io.tmpdir")}/graft_annidx")
-      if (annRoot.exists()) {
-        def rm2(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm2)
-          f.delete(); ()
-        }
-        rm2(annRoot)
-      }
-    }
+    // inputs alone — nothing precomputed crosses invocation boundaries
+    // (shared helper since r20, ADVICE r19: loud when the wipe fails).
+    graft.operators.AnnIndex.wipePersistedRoot()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
