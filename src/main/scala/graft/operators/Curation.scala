@@ -397,7 +397,9 @@ object Curation {
         graft.functions.TokenScan.token_count(col("text")).as("n"))
     val lmGated =
       if (lmPpmMin <= 0) gated
-      else gated.join(lmSurvivors(df, idCol, textCol, lmPpmMin),
+      else gated.join(lmSurvivors(df, idCol, textCol, lmPpmMin,
+        graft.functions.TokenStats.token_quality_gate(
+          col(textCol), stopwords, qualityNum, qualityDen, densityDen)),
         Seq("doc_id"), "left_semi")
     lmGated
       .select(col("doc_id"), col("n").as("n_tokens"),
@@ -409,10 +411,18 @@ object Curation {
 
   /** doc_ids passing the LM quality gate: lm_ppm ≥ `thr` under the
     * corpus bigram LM. Shared by [[curate]] and [[semanticCurate]].
+    *
+    * `probeGate` (r20): the caller's cheap per-row quality predicate.
+    * Every doc_id this frame semi-join-gates already PASSES that
+    * predicate (both callers filter on it before their dedup), so the
+    * LM probe stream skips gate-failing documents up front — the LM
+    * TABLE still trains on the full frame and every surviving doc's
+    * score is bit-identical ([[TextAnalysis.lmScoreOver]]); only
+    * probe work provably discarded by the semi join disappears.
     */
   private def lmSurvivors(df: DataFrame, idCol: String, textCol: String,
-      thr: Long): DataFrame =
-    TextAnalysis.lmScore(df, idCol, textCol)
+      thr: Long, probeGate: org.apache.spark.sql.Column): DataFrame =
+    TextAnalysis.lmScoreOver(df, df.filter(probeGate), idCol, textCol)
       .filter(col("lm_ppm") >= thr).select("doc_id")
 
   /** (doc_id, h) for every word n-gram occurrence of an (id, text)
@@ -696,7 +706,9 @@ object Curation {
     // [[curate]] for the gate's semantics and scale shape
     val lmGated =
       if (lmPpmMin <= 0) gated
-      else gated.join(lmSurvivors(docs, idCol, textCol, lmPpmMin),
+      else gated.join(lmSurvivors(docs, idCol, textCol, lmPpmMin,
+        graft.functions.TokenStats.token_quality_gate(
+          col(textCol), stopwords, qualityNum, qualityDen, densityDen)),
         Seq("doc_id"), "left_semi")
     lmGated
       .withColumn("q", col("nd") - col("sh"))

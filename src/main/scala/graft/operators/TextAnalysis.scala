@@ -491,14 +491,28 @@ object TextAnalysis {
     * per-doc aggregation.
     */
   def lmScore(df: org.apache.spark.sql.DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): org.apache.spark.sql.DataFrame = {
-    val bgd = docBigrams(df, idCol, textCol)
-    bgd.join(lmTableOf(bgd), Seq("w1", "w2"))
+      textCol: String = "text"): org.apache.spark.sql.DataFrame =
+    lmScoreOver(df, df, idCol, textCol)
+
+  /** [[lmScore]] with the probe stream RESTRICTED to `probe` — a
+    * row-subset of `df` (r20, guide §1.2 "don't compute things you
+    * throw away"): the LM table still trains on the FULL frame, so the
+    * per-document score of every probed document is bit-identical to
+    * [[lmScore]]'s; only documents the caller provably discards
+    * downstream (e.g. quality-gate failures ahead of a doc_id
+    * left-semi join) skip the probe explode + join + aggregation.
+    * Every probe bigram exists in the self-trained table, so the inner
+    * join semantics are unchanged.
+    */
+  private[operators] def lmScoreOver(df: org.apache.spark.sql.DataFrame,
+      probe: org.apache.spark.sql.DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): org.apache.spark.sql.DataFrame =
+    docBigrams(probe, idCol, textCol)
+      .join(lmTableOf(docBigrams(df, idCol, textCol)), Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("ppm")).as("s"))
       .select(col("doc_id"), col("n_bigrams"),
         expr("s div n_bigrams").as("lm_ppm"))
-  }
 
   /** (doc_id, w1, w2) bigram stream of an (id, text) frame — the shared
     * front half of the LM operators.
