@@ -1561,7 +1561,10 @@ object ScaleProbe {
     if (op == "lm") {
       familyCurve(spark, sfDir, factor, "lm", "documents",
         Seq("doc_id"),
-        Seq("q37_bigram_lm", "q154_lm_score", "q155_lm_gated_curate"))
+        // r20 (VERDICT r19 #7): the RHO/DoReMi pair joins the LM curve —
+        // same vocabulary-bounded LM state, dual-probe form
+        Seq("q37_bigram_lm", "q154_lm_score", "q155_lm_gated_curate",
+          "q165_rho_select", "q166_doremi_mix"))
       return
     }
     // Duplicated-span family curve (r15): the q97 metrics and the q156
@@ -1772,8 +1775,11 @@ object ScaleProbe {
     // so it belongs on this curve, not the LM one.
     if (op == "text") {
       familyCurve(spark, sfDir, factor, "text", "documents", Seq("doc_id"),
+        // r20 (VERDICT r19 #7): the fused-redaction pair joins the
+        // shuffle-free per-row curve it belongs to
         Seq("q30_token_stats", "q32_lang_id", "q34_rolling_fingerprint",
-          "q35_bpe_tokens", "q157_bm25_topk"))
+          "q35_bpe_tokens", "q157_bm25_topk", "q84_blocklist_redact",
+          "q115_pii_redact"))
       return
     }
     // Text-scan LAYOUT probe (r17, VERDICT r16 #3 — the centsWrite
