@@ -54,6 +54,34 @@ case class SpanHash(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** The k-token span STRINGS of a document in one byte scan — the
+  * [[SpanHash]] twin for consumers whose OUTPUT carries the span text
+  * (q49's inverted-index terms): element j is
+  * `concat_ws(' ', tok_{j+1} .. tok_{j+k})`, byte-equal by the span
+  * identity (adjacent single-space-split segments ARE the contiguous
+  * byte range). Replaces split + k element_at lambda calls + concat_ws
+  * per position with ONE boundary scan + one byte copy per span (the
+  * copy is deliberate: a zero-copy view could alias a buffer the
+  * scan reuses across rows once it escapes the expression).
+  */
+case class SpanStrings(child: Expression, k: Int) extends UnaryExpression {
+
+  require(k >= 1, "span_strings: k must be positive")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "span_strings"
+
+  override protected def nullSafeEval(input: Any): Any =
+    SpanHash.computeStrings(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SpanHash.computeStrings($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): SpanStrings =
+    copy(child = newChild)
+}
+
 object SpanHash {
 
   /** h60 of every k-token span, position order; empty when n < k. */
@@ -85,4 +113,35 @@ object SpanHash {
 
   def span_hash60(c: Column, k: Int): Column =
     Bridge.column(SpanHash(Bridge.expression(c.cast("string")), k))
+
+  /** Every k-token span as a string, position order; empty when n < k. */
+  def computeStrings(s: UTF8String, k: Int): ArrayData = {
+    val b = s.getBytes
+    var n = 1
+    var i = 0
+    while (i < b.length) { if (b(i) == ' ') n += 1; i += 1 }
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val starts = new Array[Int](n)
+    val ends = new Array[Int](n)
+    var j = 0
+    var st = 0
+    i = 0
+    while (i <= b.length) {
+      if (i == b.length || b(i) == ' ') {
+        starts(j) = st; ends(j) = i; j += 1; st = i + 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](n - k + 1)
+    j = 0
+    while (j <= n - k) {
+      out(j) = UTF8String.fromBytes(
+        java.util.Arrays.copyOfRange(b, starts(j), ends(j + k - 1)))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def span_strings(c: Column, k: Int): Column =
+    Bridge.column(SpanStrings(Bridge.expression(c.cast("string")), k))
 }

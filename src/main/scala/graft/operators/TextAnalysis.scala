@@ -750,12 +750,14 @@ object TextAnalysis {
   def invertedIndex(df: org.apache.spark.sql.DataFrame,
       loPermille: Int = 30, hiPermille: Int = 50,
       idCol: String = "doc_id", textCol: String = "text"): org.apache.spark.sql.DataFrame = {
+    // r20: bigram terms in ONE byte scan + one copy per span
+    // ([[graft.functions.SpanHash.span_strings]], byte-equal to the
+    // split → concat_ws chain by the span identity; short docs yield
+    // empty arrays ≡ the old size filter). Terms stay STRINGS — the
+    // postings output carries them, so the hash trick cannot apply.
     val bg = corpus(df, idCol, textCol)
-      .select(col("doc_id"), split(col("text"), " ").as("a"))
-      .filter(size(col("a")) >= 2)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(a)-1), " +
-          "i -> concat_ws(' ', element_at(a,i), element_at(a,i+1)))")).as("term"))
+      .select(col("doc_id"), explode(
+        graft.functions.SpanHash.span_strings(col("text"), 2)).as("term"))
       .distinct()
     val nDocs = corpus(df, idCol, textCol).agg(count(lit(1)).as("n"))
     val band = bg.groupBy("term").agg(count(lit(1)).as("df"))

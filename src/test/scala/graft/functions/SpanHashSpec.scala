@@ -50,6 +50,23 @@ class SpanHashSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("span_strings(text, 2) ≡ split→concat_ws, positions included") {
+    val texts = adversarial ++ randomTexts(200)
+    val df = spark.createDataFrame(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+      .toDF("doc_id", "text")
+    val ref = df
+      .select(col("doc_id"), split(col("text"), " ").as("a"))
+      .filter(size(col("a")) >= 2)
+      .select(col("doc_id"), posexplode(expr(refChain(2))).as(Seq("p", "s")))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    val got = df
+      .select(col("doc_id"),
+        posexplode(SpanHash.span_strings(col("text"), 2)).as(Seq("p", "s")))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    assert(got == ref, "span string stream diverged")
+  }
+
   test("codegen compiles — companion helper keeps its static forwarder (ADVICE r19 lesson)") {
     val prevFactory = spark.conf.getOption("spark.sql.codegen.factoryMode")
     val prevFallback = spark.conf.getOption("spark.sql.codegen.fallback")
