@@ -608,11 +608,14 @@ object Bench {
     // median precision under byte pressure (shed shots live on stderr).
     // The final rung (t2=0) is the BenchContractSpec-pinned guaranteed
     // fit.
+    // the end-reprobe reserve is subtracted here too: a rung chosen at
+    // exactly the budget would otherwise overflow by the ",0,9.9" the
+    // re-probe appends to the cal array after the iso pass
     val rung = Seq(10.0, 2.5, 1.0, 0.5).find { t2 =>
       (s"""{"metric":"t","value":${fqAt(total, t2)},"unit":"sec",""" +
         onlyJson + s""""queries":${mediansAt(t2)},""" + s""""iso":{},""" +
         calJson(9, 99) + gwJson(9, 99) +
-        fails + sfJson + "}").length <= 1918
+        fails + sfJson + "}").length <= 1918 - calReprobeReserve
     }.getOrElse(0.0)
     if (rung != 10.0)
       System.err.println(s"[bench] medians precision rung t2=$rung (line budget)")
