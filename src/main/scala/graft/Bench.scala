@@ -571,8 +571,9 @@ object Bench {
     // the contract-spec worst case leaves room for 3) is spent on
     // adjudication slots, so a round with 15 uniformly-inflated queries
     // can exonerate them all inline instead of capping at 3. Each
-    // prospective entry is costed at its worst width (`"qNNN":590.0,`)
-    // BEFORE measuring, so the line can never overflow after the fact.
+    // prospective entry is costed at its worst width (`"NNN":9.9,` —
+    // bare keys since r20) BEFORE measuring, so the line can never
+    // overflow after the fact.
     val fails = if (failed.isEmpty) "" else
       "\"failed\":" + failed.reverse.map("\"" + _ + "\"")
         .mkString("[", ",", "],")
